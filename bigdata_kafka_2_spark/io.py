@@ -1,0 +1,147 @@
+"""Sources and sinks (SURVEY.md §2.1).
+
+The reference's bespoke IO glue (csv module row loop S1, kafka-python
+producer/consumer S3/S4, pandas CSV batch sink S5) all collapses into
+Spark built-ins; what remains engine-side is a thin, uniform reader
+registry plus the schema-or-infer fallback the trainer implements at
+``spark_model_trainer.py:190-197`` (S6).
+
+At 100 TB the load-bearing property is that every reader here returns a
+*lazy* DataFrame whose scan supports predicate pushdown and column
+pruning — never a collected/materialized copy.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+#: Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader
+#: rejects outright (PARQUET_TYPE_ILLEGAL). They are read as raw
+#: nanosecond longs via ``spark.sql.legacy.parquet.nanosAsLong`` and
+#: restored to microsecond timestamps (identical truncation to DuckDB's
+#: ns→µs cast, keeping the oracle comparable).
+_NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one driver table (S8 semantics).
+
+    Plain ``spark.read.parquet`` — vectorized reader, pushdown, pruning
+    all apply. ``sf_dir`` is e.g. ``/root/testdata/sf0.01``. The conf
+    is set at call time (not only session build) because the driver
+    harness invokes queries with its own SparkSession.
+    """
+    from pyspark.sql import functions as F
+
+    ns_cols = _NANOS_TS_COLUMNS.get(name, ())
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in ns_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(
+                c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long"))
+            )
+    return df
+
+
+def read_tables(spark: SparkSession, sf_dir: str, names) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def read_csv_dir(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """CSV directory scan with explicit schema + inference fallback (S6).
+
+    Reproduces ``spark_model_trainer.py:190-197``: try the declared
+    schema first; if the read itself fails, retry with ``inferSchema``.
+    Reading a directory is the multi-file union-all scan of S6
+    (``spark_model_trainer.py:190``).
+
+    With ``corrupt_col`` set, bad rows are retained in PERMISSIVE mode
+    with the raw line captured in that column — the engine-side
+    equivalent of the producer's ``bad_lines_count``
+    (``producer.py:96-105``), but distributed and queryable.
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        s = schema
+        if corrupt_col is not None:
+            s = T.StructType(
+                list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+            )
+            reader = reader.option("mode", "PERMISSIVE").option(
+                "columnNameOfCorruptRecord", corrupt_col
+            )
+        try:
+            return reader.schema(s).csv(path)
+        except Exception:
+            pass
+    return reader.option("inferSchema", "true").csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines scan with declared schema — the batch twin of the Kafka
+    value codec (F4, ``producer.py:28`` / ``batch_writer_consumer.py:31``)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None):
+    """Parquet sink (S7, ``spark_model_trainer.py:109-110``).
+
+    ``partition_by`` enables partition pruning for downstream readers —
+    the scale path for date/tenant-partitioned 100 TB layouts.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def kafka_source_available(spark: SparkSession) -> bool:
+    """True if the spark-sql-kafka connector jars are on the classpath.
+
+    The test image has no Kafka broker or connector jars, so Kafka
+    sources/sinks (S3/S4) are exercised through their file/memory
+    equivalents in tests; this gate keeps the real wiring importable.
+    """
+    try:
+        spark.readStream.format("kafka").option(
+            "kafka.bootstrap.servers", "none:9092"
+        ).option("subscribe", "probe").load()
+        return True
+    except Exception:
+        return False
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka streaming source (S4 semantics).
+
+    ``startingOffsets=earliest`` matches ``auto_offset_reset='earliest'``
+    (``batch_writer_consumer.py:29-30``); consumer-group offset tracking
+    is replaced by Structured Streaming checkpointing, which upgrades the
+    reference's at-least-once to exactly-once into file sinks. The
+    90 s idle-timeout drain (``batch_writer_consumer.py:32``) maps to
+    ``trigger(availableNow=True)`` at the sink.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )

@@ -1,0 +1,327 @@
+"""Deduplication operators (charter extension — LLM training-data
+pipeline surface).
+
+Five strategies, all deterministic and Spark-first:
+
+- :func:`exact_dedup` — hash-groupBy on a normalized fingerprint.
+- :func:`shingles` + :func:`ngram_jaccard_pairs` — exact n-gram Jaccard
+  similarity join (explode → equi-join on shingle → pair agg).
+- :func:`minhash_signatures` + :func:`minhash_lsh_pairs` — MinHash + LSH
+  banding: the 100 TB near-dup path (candidate generation via band
+  buckets; no pairwise cross join ever materializes).
+- :func:`simhash_signatures` + :func:`simhash_near_pairs` — 64-bit
+  SimHash with banded candidate generation + Hamming verify.
+- ``similarity.cosine_pairs`` (embedding near-dup) lives in
+  ``operators/similarity.py``.
+
+Everything uses built-in expressions (``xxhash64``, ``transform``,
+``slice``, bit ops) — no Python UDFs, fully codegen'd, and every hash is
+seed-stable so results are reproducible across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_kafka_2_spark.operators.text import fingerprint, normalize_text
+
+# Prime for the universal-hash family h_i(x) = (a_i*x + b_i) mod P over
+# xxhash64 pre-hashes (classic MinHash construction). The 31-bit Mersenne
+# prime keeps a*h < 2^62 — no int64 overflow under ANSI arithmetic
+# (Spark 4 default), no BigDecimal fallback needed.
+_MERSENNE_P = (1 << 31) - 1
+
+
+# --- Exact dedup ---------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group rows by content fingerprint: (fp, n_docs, keep_id).
+
+    ``keep_id`` is the minimum id — the canonical representative. One
+    hash-aggregate shuffle on the fingerprint; at 100 TB this is the
+    cheapest possible exact dedup (map-side partial aggregation, no
+    sort, no pairwise work).
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative row (min id) per distinct content."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# --- Token shingles ------------------------------------------------------
+
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Distinct k-token shingles per document: (id, shingle).
+
+    Built with ``split`` + ``sequence`` + ``transform`` + ``slice`` —
+    the shingle array is produced inside codegen, then exploded.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+# --- Exact n-gram Jaccard similarity join --------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs: (id_a, id_b, jaccard), id_a < id_b.
+
+    Plan shape: explode shingles → equi-join on shingle (this is the
+    similarity join — only pairs sharing ≥1 shingle are ever formed) →
+    count common → join per-doc sizes → filter threshold. Cost is
+    bounded by shingle co-occurrence, not |docs|²; for heavy-hitter
+    shingles at scale, drop top-frequency shingles first (stopword
+    shingles contribute little Jaccard mass) or switch to MinHash LSH.
+    """
+    sh = shingles(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- MinHash + LSH -------------------------------------------------------
+
+def _hash_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash family.
+
+    A fixed LCG expands the seed so signatures are stable across runs —
+    required for reproducible dedup decisions in a pipeline that may be
+    re-run per-shard.
+    """
+    params = []
+    state = seed
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (_MERSENNE_P - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document MinHash signature: (id, mh_0..mh_{n-1} as array).
+
+    Each shingle is pre-hashed with ``xxhash64`` (JVM, seed-stable),
+    then run through ``num_hashes`` universal hashes; the per-document
+    minimum of each is the signature. Computed as ``num_hashes``
+    ``min()`` aggregates over the exploded shingles — one shuffle on
+    ``id_col``, map-side partials, no Python.
+    """
+    sh = shingles(df, text_col, id_col, k)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_P))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col,
+        F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("minhash"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding:
+    (id_a, id_b, est_jaccard).
+
+    The signature is cut into ``bands`` bands of ``num_hashes/bands``
+    rows; documents agreeing on any full band become candidates
+    (equi-join on (band_index, band_hash) — never a cross join, which
+    is what makes this the 100 TB path). ``est_jaccard`` is the
+    fraction of agreeing minhashes; pairs below ``verify_threshold``
+    are dropped (set None to keep all candidates).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, seed)
+    # Band hashes built with driver-side loop indices (plain ints) so the
+    # slice bounds are constants — folds into one codegen'd projection.
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.lit(b), F.slice(F.col("minhash"), b * rows + 1, rows))
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        id_col,
+        "minhash",
+        F.posexplode(band_arr).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("minhash").alias("mh_a"),
+        "band_idx",
+        "band_hash",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("minhash").alias("mh_b"),
+        "band_idx",
+        "band_hash",
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(len(range(num_hashes))))
+    )
+    pairs = (
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "mh_a", "mh_b")
+        .distinct()
+        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+    )
+    if verify_threshold is not None:
+        pairs = pairs.filter(F.col("est_jaccard") >= verify_threshold)
+    return pairs
+
+
+# --- SimHash -------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document: (id, simhash).
+
+    Per token: ``xxhash64``; per bit position: sum of ±1 across tokens;
+    the sign vector re-packs into a 64-bit signature. 64 small integer
+    aggregates in one shuffle — wide but cheap, all codegen.
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.getbit("h", F.lit(i)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*bit_aggs)
+    sig = sum(
+        (
+            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i)).otherwise(
+                F.lit(0).cast("long")
+            )
+            for i in range(63)  # keep bit 63 clear: stay in signed-long range
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    return per_doc.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance:
+    (id_a, id_b, hamming ≤ max_hamming).
+
+    Candidate generation via band equi-join (16-bit bands — pairs with
+    few flipped bits agree on ≥1 band with high probability), then an
+    exact ``bit_count(xor)`` verify. Same no-cross-join scale property
+    as MinHash LSH.
+    """
+    width = 64 // bands
+    sig = simhash_signatures(df, text_col, id_col)
+    band_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                F.lit((1 << width) - 1).cast("long")
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select(
+        id_col, "simhash", F.posexplode(band_arr).alias("band_idx", "band_val")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_idx", "band_val"
+    )
+    return (
+        a.join(b, on=["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,237 @@
+"""Similarity search over embedding columns (charter extension;
+Spark-native replacement for the reference's driver-side sklearn KNN,
+``api.py:104-122``, SURVEY.md §2.8).
+
+Semantics preserved from the reference: cosine metric, exact top-k,
+ascending distance (= descending similarity), deterministic ordering.
+The reference collects the whole table to the driver; here the table
+side always stays distributed:
+
+- :func:`cosine_topk` — one probe, broadcast to every partition; the
+  scan side computes similarity in codegen and TakeOrderedAndProject
+  keeps k rows per partition. Linear scan, zero shuffle of the table.
+- :func:`cosine_topk_many` — probe set × table via broadcast
+  (nest-loop) join + per-probe window top-k. Probe side must be the
+  small side; this is the batch-serving shape.
+- :func:`ivf_topk` — IVF-style approximate variant: k-means-ish
+  centroid assignment via a broadcast centroid table, probe only the
+  nearest ``n_probe`` partitions. The 100 TB path: the scan prunes to
+  ~n_probe/n_centroids of the data.
+- ``random_hyperplane_buckets`` — LSH bucketing for cosine (sign of
+  projections onto fixed random hyperplanes) usable both for ANN and
+  embedding near-dup joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_kafka_2_spark.functions import cosine_similarity
+
+
+def cosine_topk(
+    table: DataFrame,
+    probe: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k of ``table`` rows against a single-row probe.
+
+    Returns (id, similarity) ordered by (similarity desc, id asc).
+    ``probe`` is broadcast — the table never shuffles; Spark plans the
+    final ``orderBy().limit(k)`` as TakeOrderedAndProject (per-partition
+    k-heaps merged on the driver).
+    """
+    p = F.broadcast(
+        probe.select(
+            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+        )
+    )
+    sim = cosine_similarity(vec_col, "probe_vec")
+    return (
+        table.crossJoin(p)
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(
+            F.col(id_col),
+            F.round(sim, 4).alias("similarity"),
+        )
+        .orderBy(F.col("similarity").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def cosine_topk_many(
+    table: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k per probe for a (small) probe set.
+
+    (probe_id, id, similarity, rank) with rank 1..k per probe.
+    Probe side broadcast → nest-loop join computes |table|×|probes|
+    similarities without shuffling the table; the window shuffles only
+    on probe_id (small). For probe sets too large to broadcast, switch
+    to :func:`ivf_topk` buckets on both sides.
+    """
+    from pyspark.sql import Window
+
+    p = F.broadcast(
+        probes.select(
+            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+        )
+    )
+    sim = cosine_similarity(vec_col, "probe_vec")
+    scored = (
+        table.crossJoin(p)
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col(id_col),
+            F.round(sim, 4).alias("similarity"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("similarity").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_pairs(
+    table: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: all (id_a, id_b, similarity ≥
+    threshold), id_a < id_b.
+
+    Exact all-pairs via self cross join — correct-but-quadratic, the
+    oracle baseline. At scale, pre-bucket with
+    :func:`random_hyperplane_buckets` and join on bucket instead.
+    """
+    a = table.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = table.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    sim = cosine_similarity("vec_a", "vec_b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, 4).alias("similarity"))
+        .filter(F.col("similarity") >= threshold)
+    )
+
+
+def random_hyperplane_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Cosine-LSH bucket id: sign bits of projections onto ``n_planes``
+    fixed pseudo-random hyperplanes.
+
+    The hyperplanes derive deterministically from ``seed`` via a
+    splitmix-style integer mix evaluated per (plane, dimension) —
+    generated driver-side as literals, so tasks share identical planes
+    with no broadcast variable needed. Vectors in the same bucket are
+    near-colinear with high probability; equi-joining on the bucket
+    replaces the quadratic cross join for ANN and near-dup.
+    """
+
+    def mix(x: int) -> float:
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB % (1 << 64)
+        x = x ^ (x >> 31)
+        return (x % 10007) / 10007.0 - 0.5
+
+    sign_bits = []
+    for p in range(n_planes):
+        plane = [mix(seed * 1_000_003 + p * 64 + d) for d in range(dim)]
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sign_bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = sum(sign_bits[1:], start=sign_bits[0])
+    return df.withColumn(out_col, bucket.cast("int"))
+
+
+def ivf_topk(
+    table: DataFrame,
+    probe: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: restrict the scan to the ``n_probe``
+    centroid cells nearest the probe, then exact top-k inside them.
+
+    ``centroids``: (centroid_id, centroid array<double>) — small,
+    broadcast everywhere. ``table`` is expected pre-assigned with a
+    ``centroid_id`` column (see :func:`assign_centroids`); on a
+    partitioned-by-centroid layout the non-probed cells are pruned at
+    the scan.
+    """
+    c = F.broadcast(centroids)
+    probe_cells = (
+        probe.crossJoin(c)
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+            "centroid_id",
+            cosine_similarity(vec_col, "centroid").alias("c_sim"),
+        )
+        .orderBy(F.col("c_sim").desc())
+        .limit(n_probe)
+        .select("probe_id", "probe_vec", "centroid_id")
+    )
+    sim = cosine_similarity(vec_col, "probe_vec")
+    return (
+        table.join(F.broadcast(probe_cells), on="centroid_id")
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(F.col(id_col), F.round(sim, 4).alias("similarity"))
+        .orderBy(F.col("similarity").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def assign_centroids(
+    table: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast argmax).
+
+    At 100 TB, write the result partitioned by ``centroid_id`` so IVF
+    probes prune at the scan.
+    """
+    from pyspark.sql import Window
+
+    c = F.broadcast(centroids)
+    scored = table.crossJoin(c).select(
+        "*", cosine_similarity(vec_col, "centroid").alias("c_sim")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "c_sim", "centroid")
+    )

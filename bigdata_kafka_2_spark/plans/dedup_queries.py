@@ -1,0 +1,95 @@
+"""Deduplication queries over ``documents`` (charter extension)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_kafka_2_spark.io import read_table
+from bigdata_kafka_2_spark.operators import dedup as DD
+from bigdata_kafka_2_spark.plans import register
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@register(
+    "q40_exact_dedup_groups",
+    oracle=f"""
+    SELECT md5({_NORM}) AS fp,
+           count(*) AS n_docs,
+           min(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    """,
+    description="Exact dedup groups: hash-groupBy on normalized-text "
+    "md5; keep_id = canonical representative (min doc_id). "
+    "One map-side-combinable shuffle — the cheapest exact "
+    "dedup at any scale.",
+    tags=("dedup",),
+)
+def q40_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return DD.exact_dedup_groups(d)
+
+
+@register(
+    "q41_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+      WHERE t[i] || ' ' || t[i+1] || ' ' || t[i+2] <> ''
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+    WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.2
+    """,
+    description="Exact 3-gram Jaccard similarity join (explode shingles "
+    "→ equi-join on shingle → pair aggregation). Cost bounded "
+    "by shingle co-occurrence, not |docs|².",
+    tags=("dedup", "join"),
+)
+def q41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, k=3, threshold=0.2)
+
+
+@register(
+    "q42_minhash_lsh_pairs",
+    oracle=None,  # minhash signature construction is not SQL-portable
+    description="MinHash(32 hashes) + LSH banding(8 bands) near-dup "
+    "candidates with estimated Jaccard ≥ 0.5 — the 100 TB "
+    "near-dedup path (band-bucket equi-join, no cross join). "
+    "Deterministic (seeded universal hashes over xxhash64); "
+    "recall vs exact Jaccard validated in tests.",
+    tags=("dedup",),
+)
+def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(d, num_hashes=32, bands=8, verify_threshold=0.5)
+
+
+@register(
+    "q43_simhash_near_pairs",
+    oracle=None,  # 64 bitwise aggregates are not practically SQL-portable
+    description="SimHash(64-bit) near-dup pairs with Hamming ≤ 8, "
+    "candidates via 16-bit band equi-join + exact "
+    "bit_count(xor) verify. Deterministic.",
+    tags=("dedup",),
+)
+def q43_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return DD.simhash_near_pairs(d, max_hamming=8)

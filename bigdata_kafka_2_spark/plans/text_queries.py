@@ -1,0 +1,124 @@
+"""Text-analysis queries over ``documents`` (charter extension;
+generalizes P7/P8). Oracles mirror the Spark expressions exactly —
+same normalization, same regexes (RE2 ∩ Java regex subset only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_kafka_2_spark.io import read_table
+from bigdata_kafka_2_spark.operators import text as TX
+from bigdata_kafka_2_spark.plans import register
+
+
+@register(
+    "q30_token_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS stat_chars,
+           len(string_split_regex(trim(text), '\\s+')) AS stat_tokens,
+           round(length(text) * 1.0 /
+                 greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4)
+             AS stat_chars_per_token
+    FROM documents
+    """,
+    description="Per-document token statistics (token counting for "
+    "quality scoring; whitespace tokenizer).",
+    tags=("text",),
+)
+def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    n_tokens = TX.token_count(c)
+    return d.select(
+        "doc_id",
+        F.length(c).alias("stat_chars"),
+        n_tokens.alias("stat_tokens"),
+        F.round(
+            F.length(c).cast("double") / F.greatest(n_tokens, F.lit(1)), 4
+        ).alias("stat_chars_per_token"),
+    )
+
+
+@register(
+    "q31_lang_quality_profile",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+    description="Corpus profile: doc count + length stats per "
+    "(lang, source) — the inventory aggregation of a "
+    "training-data pipeline.",
+    tags=("text", "aggregate"),
+)
+def q31_lang_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(TX.token_count("text")), 4).alias("avg_tokens"),
+    )
+
+
+@register(
+    "q32_stopword_quality",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\bthe\\b')) AS n_the,
+           round(len(regexp_extract_all(text, '\\bthe\\b')) * 1.0 /
+                 greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4)
+             AS stopword_ratio
+    FROM documents
+    WHERE lang = 'en'
+    """,
+    description="Stopword-ratio quality signal (whole-word regexp "
+    "count / token count) for English docs.",
+    tags=("text",),
+)
+def q32_stopword_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    n_the = TX.word_occurrences("text", "the")
+    n_tokens = TX.token_count("text")
+    return d.select(
+        "doc_id",
+        n_the.alias("n_the"),
+        F.round(
+            n_the.cast("double") / F.greatest(n_tokens, F.lit(1)), 4
+        ).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "q33_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+    description="Document fingerprint: md5 over normalized text "
+    "(lowercase, trim, collapsed whitespace) — the exact-dedup "
+    "key; md5 matches between Spark and DuckDB.",
+    tags=("text", "dedup"),
+)
+def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+@register(
+    "q34_language_id",
+    oracle=None,  # marker-set heuristic is not practically SQL-portable
+    description="Heuristic n-gram language ID (marker-word scoring, "
+    "argmax per doc). Deterministic; validated in tests "
+    "against the documents.lang ground-truth column.",
+    tags=("text",),
+)
+def q34_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return TX.language_id(d).select("doc_id", "lang", "lang_pred")
