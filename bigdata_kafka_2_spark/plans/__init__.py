@@ -55,6 +55,7 @@ def load_all() -> dict[str, Query]:
     the registry."""
     from bigdata_kafka_2_spark.plans import (  # noqa: F401
         dedup_queries,
+        multimodal_queries,
         relational_queries,
         similarity_queries,
         streaming_queries,

@@ -1,0 +1,80 @@
+"""Streaming ingest pipeline (SURVEY.md §3.1 boundaries 1-3, §2.9).
+
+Reference flow: Kafka JSON rows → coerce to fixed schema → micro-batch
+files. Engine flow: any streaming source of JSON strings (Kafka
+``value`` column, or a JSON-lines file source for tests — same codec,
+F4) → ``from_json`` with the canonical schema → ``conform_schema`` →
+checkpointed parquet sink.
+
+Semantics mapping:
+
+- ``auto_offset_reset='earliest'`` → ``startingOffsets=earliest``
+  (io.read_kafka_stream).
+- 90 s idle-timeout drain (``batch_writer_consumer.py:32``) →
+  ``trigger(availableNow=True)``: process everything available, then
+  stop.
+- count-based 2000-row batches (``batch_writer_consumer.py:8``) →
+  micro-batches are trigger-scoped; exact row counts per file are an
+  implementation detail the engine does not reproduce (SURVEY §7
+  risk (d)) — totals and exactly-once are the asserted contract.
+- consumer-group offset tracking → checkpoint dir (exactly-once into
+  the file sink; the reference was at-least-once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata_kafka_2_spark.schema import conform_schema
+
+
+def parse_json_stream(
+    raw: DataFrame, schema: T.StructType, value_col: str = "value"
+) -> DataFrame:
+    """F4 decode: JSON string column → typed columns → conform.
+
+    Works identically on a Kafka source (``value`` cast to string) and
+    a text-file source (for tests). Unparseable JSON yields an
+    all-null struct, which conformance turns into default-filled rows —
+    the producer's bad-line policy (``producer.py:96-99``), but
+    retained-with-defaults instead of dropped (count them by filtering
+    on the pre-conform struct if needed).
+    """
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), schema).alias("r")
+    ).select("r.*")
+    return conform_schema(parsed, schema)
+
+
+def read_jsonl_stream(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """File-source twin of the Kafka consumer: each line = one JSON
+    message (exactly the producer's wire format, ``producer.py:28``)."""
+    raw = spark.readStream.format("text").load(path)
+    return parse_json_stream(raw, schema, value_col="value")
+
+
+def run_ingest(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+) -> None:
+    """Drain-and-stop ingest: write all available input to ``out_dir``
+    exactly-once, then return (the ``consumer_timeout_ms`` lifecycle).
+
+    Restart-safe: re-running with the same checkpoint dir skips
+    already-committed input — asserted by the exactly-once test.
+    """
+    q = (
+        stream.writeStream.format(fmt)
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,122 @@
+"""Event-time windowed aggregation + custom stateful operators
+(charter extension; the reference has no timestamps, SURVEY.md §2.9).
+
+Batch twins of the tumbling/sliding windows live in
+``plans/streaming_queries.py`` (same ``F.window`` logical plan — the
+streaming engine executes it incrementally); here are the
+streaming-only pieces: watermarks for late data, session windows, and
+an ``applyInPandasWithState`` custom stateful operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts + value sums.
+
+    The watermark bounds state: windows older than (max event time −
+    watermark) are finalized and dropped — the property that keeps
+    state finite on an unbounded 100 TB/day stream. Late rows within
+    the watermark still update their window (the reference, being
+    arrival-order-only, would have mis-bucketed them).
+    """
+    win = (
+        F.window(ts_col, window_size, slide) if slide else F.window(ts_col, window_size)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_aggregate(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming sessionization with ``session_window`` (gap-based,
+    state pruned by the watermark). Batch twin: q62_session_window."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --- Custom stateful operator: running per-key anomaly counter --------
+
+
+def running_user_stats(events: DataFrame, threshold: float = 90.0) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running totals + count of over-threshold events across
+    micro-batches.
+
+    Demonstrates the engine's escape hatch for operators Spark's
+    built-in aggregations can't express (arbitrary per-key state
+    machines). State is one small tuple per user — partitioned by the
+    grouping key, so it scales horizontally with executors.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_events long, total_value double, n_over long"
+    )
+    state_schema = "n long, total double, n_over long"
+
+    def update(key, pdfs, state: GroupState):
+        n, total, n_over = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            n_over += int((pdf["value"] > threshold).sum())
+        state.update((n, total, n_over))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "n_over": [n_over],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,167 @@
+"""Streaming tests (SURVEY.md §5.4): drain semantics, exactly-once
+restart, conformance of bad input, event-time windows with watermark,
+session windows, custom stateful operator."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata_kafka_2_spark.io import read_table
+from bigdata_kafka_2_spark.streaming import ingest as ING
+from bigdata_kafka_2_spark.streaming import windows as SW
+from tests.conftest import SF_DIR
+
+MSG_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("label", T.StringType(), True),
+    ]
+)
+
+
+@pytest.fixture()
+def jsonl_dir(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    with open(d / "part0.jsonl", "w") as fh:
+        for i in range(50):
+            fh.write(json.dumps({"id": i, "value": i * 1.5, "label": f"x{i}"}) + "\n")
+        fh.write("this is not json\n")  # bad line → default-filled row
+        fh.write(json.dumps({"id": 50}) + "\n")  # partial → defaults
+    return d
+
+
+def test_ingest_drain_conform_exactly_once(spark, jsonl_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ING.read_jsonl_stream(spark, str(jsonl_dir), MSG_SCHEMA)
+    ING.run_ingest(stream, out, ckpt)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 52
+    # bad line conformed to defaults, not dropped/nulled (§1.2 policy)
+    defaults = got.filter((F.col("label") == "Unknown") & (F.col("value") == 0.0))
+    assert defaults.count() == 2  # the non-JSON line + id-only line (value/label defaulted)
+    assert got.filter(F.col("id") == 50).count() == 1
+
+    # restart with same checkpoint + one new file → ONLY new rows appended
+    with open(jsonl_dir / "part1.jsonl", "w") as fh:
+        for i in range(100, 110):
+            fh.write(json.dumps({"id": i, "value": 1.0, "label": "new"}) + "\n")
+    stream2 = ING.read_jsonl_stream(spark, str(jsonl_dir), MSG_SCHEMA)
+    ING.run_ingest(stream2, out, ckpt)
+    assert spark.read.parquet(out).count() == 62  # 52 + 10, no reprocessing
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    read_table(spark, SF_DIR, "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def _drain_to_memory(df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_windowed_counts_match_batch(spark, events_stream_dir):
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    # complete mode: emit ALL windows including those still within the
+    # watermark (append would hold back the stream's final day)
+    _drain_to_memory(
+        SW.windowed_counts(stream, "1 day", watermark="1 hour"), "win_out", "complete"
+    )
+    streamed = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("select * from win_out").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in (
+            spark.read.parquet(events_stream_dir)
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        ).collect()
+    }
+    # availableNow + watermark: every window whose watermark passed is
+    # emitted; with a final drain all windows equal the batch result
+    assert streamed == batch
+
+
+def test_session_window_smoke(spark, events_stream_dir):
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    _drain_to_memory(SW.session_aggregate(stream), "sess_out", "complete")
+    rows = spark.sql("select * from sess_out").collect()
+    assert len(rows) > 0
+    assert all(r.n_events >= 1 for r in rows)
+    # per-user session event totals == per-user event counts
+    per_user_sessions = {}
+    for r in rows:
+        per_user_sessions[r.user_id] = per_user_sessions.get(r.user_id, 0) + r.n_events
+    per_user_batch = {
+        r.user_id: r.n
+        for r in spark.read.parquet(events_stream_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_user_sessions == per_user_batch
+
+
+def test_stateful_running_stats_accumulates(spark, tmp_path):
+    # two input files + maxFilesPerTrigger=1 → two micro-batches; the
+    # per-user state must carry across them
+    d = tmp_path / "ev"
+    d.mkdir()
+    rows1 = [{"user_id": 1, "value": 10.0}, {"user_id": 1, "value": 95.0}]
+    rows2 = [{"user_id": 1, "value": 99.0}, {"user_id": 2, "value": 5.0}]
+    for i, rows in enumerate([rows1, rows2]):
+        with open(d / f"f{i}.jsonl", "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    _drain_to_memory(SW.running_user_stats(stream, threshold=90.0), "state_out", "update")
+    rows = spark.sql("select * from state_out").collect()
+    # final state for user 1: 3 events, 10+95+99, 2 over threshold
+    final_u1 = max(
+        (r for r in rows if r.user_id == 1), key=lambda r: r.n_events
+    )
+    assert final_u1.n_events == 3
+    assert final_u1.total_value == 204.0
+    assert final_u1.n_over == 2
+    final_u2 = max((r for r in rows if r.user_id == 2), key=lambda r: r.n_events)
+    assert final_u2.n_events == 1 and final_u2.n_over == 0
