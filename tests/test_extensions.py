@@ -1,0 +1,154 @@
+"""Quality validation for the LLM-pipeline extension operators:
+- MinHash estimates track exact Jaccard; LSH candidates achieve high
+  recall of truly-similar pairs
+- SimHash Hamming distance correlates with token overlap
+- hyperplane-LSH near-dup recall vs the exact cosine pairs
+- language-ID accuracy against the documents.lang ground truth
+- IVF top-k recall vs exact cosine top-k
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_kafka_2_spark.io import read_table
+from bigdata_kafka_2_spark.operators import dedup as DD
+from bigdata_kafka_2_spark.operators import similarity as SIM
+from bigdata_kafka_2_spark.operators import text as TX
+from tests.conftest import SF_DIR
+
+
+def _docs_with_near_dups(spark):
+    """Driver docs + synthetic near-duplicates: for the first 20 docs,
+    append a copy with a few tokens changed (known-similar pairs with
+    ids offset by 1_000_000)."""
+    d = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    dup = (
+        d.filter(F.col("doc_id") < 20)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+        )
+    )
+    return d.unionByName(dup)
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    docs = _docs_with_near_dups(spark)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in DD.minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, verify_threshold=0.3
+        ).collect()
+    }
+    # every known synthetic pair is exactly-similar; minhash must find
+    # most of them (banding recall) with estimates near the true value
+    known = [k for k in exact if k[1] - k[0] == 1_000_000]
+    assert len(known) == 20
+    found = [k for k in known if k in est]
+    assert len(found) >= 18  # ≥90% recall on strong pairs
+    for k in found:
+        assert abs(est[k] - exact[k]) < 0.25
+
+
+def test_simhash_separates_dups_from_random(spark):
+    docs = _docs_with_near_dups(spark)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in DD.simhash_near_pairs(docs, max_hamming=16).collect()
+    }
+    known_found = [h for (a, b), h in pairs.items() if b - a == 1_000_000]
+    assert len(known_found) >= 16  # near-dups are caught
+    assert all(h <= 16 for h in known_found)
+
+
+def test_exact_dedup_keeps_one_per_content(spark):
+    d = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # add literal duplicates of 5 docs
+    dup = d.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    )
+    both = d.unionByName(dup)
+    kept = DD.exact_dedup(both)
+    assert kept.count() == d.count()  # duplicates removed
+    # canonical representative = min id, so originals survive
+    assert kept.filter(F.col("doc_id") >= 500_000).count() == 0
+
+
+def test_hyperplane_lsh_recall_vs_exact(spark):
+    e = read_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in SIM.cosine_pairs(e, threshold=0.8).collect()
+    }
+    b = SIM.random_hyperplane_buckets(e, n_planes=6, dim=64, seed=42)
+    a = b.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "lsh_bucket")
+    c = b.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "lsh_bucket")
+    from bigdata_kafka_2_spark.functions import cosine_similarity
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in a.join(c, "lsh_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("s"))
+        .filter(F.col("s") >= 0.8)
+        .collect()
+    }
+    if exact:
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.5  # 6 planes, single table — moderate recall
+    assert got <= exact or not exact  # no false positives (exact verify in-bucket)
+
+
+def test_language_id_accuracy(spark):
+    # NOTE: the driver documents table's `lang` column carries no signal
+    # in the text (all languages draw from the same English vocabulary —
+    # verified by inspection), so accuracy is asserted on a fixture with
+    # real marker words; the driver table only gets a determinism check.
+    fixture = spark.createDataFrame(
+        [
+            (0, "the cat and the dog is here", "en"),
+            (1, "el gato de la casa que duerme", "es"),
+            (2, "le chat et la maison les arbres", "fr"),
+            (3, "der hund und die katze das haus", "de"),
+            (4, "我 的 猫 是 在 家 了", "zh"),
+            (5, "xyzzy plugh qwerty", "und"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    rows = TX.language_id(fixture).collect()
+    assert all(r.lang_pred == r.lang for r in rows), [
+        (r.text, r.lang, r.lang_pred) for r in rows
+    ]
+
+    d = read_table(spark, SF_DIR, "documents")
+    once = [r.lang_pred for r in TX.language_id(d).orderBy("doc_id").collect()]
+    again = [r.lang_pred for r in TX.language_id(d).orderBy("doc_id").collect()]
+    assert once == again  # deterministic on arbitrary text
+
+
+def test_ivf_topk_recall(spark):
+    e = read_table(spark, SF_DIR, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0)
+    exact_ids = [r.vec_id for r in SIM.cosine_topk(e, probe, k=5).collect()]
+
+    # centroids: 4 arbitrary-but-fixed vectors from the table itself
+    from pyspark.ml.functions import array_to_vector  # noqa: F401  (not needed, plain arrays)
+
+    cents = (
+        e.filter(F.col("vec_id").isin([10, 20, 30, 40]))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+    )
+    assigned = SIM.assign_centroids(e, cents)
+    approx = SIM.ivf_topk(assigned, probe, cents, k=5, n_probe=2)
+    approx_ids = [r.vec_id for r in approx.collect()]
+    assert len(approx_ids) == 5
+    # probing half the cells should still recover most of the true top-k
+    assert len(set(approx_ids) & set(exact_ids)) >= 2
