@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -35,8 +36,6 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     is set at call time (not only session build) because the driver
     harness invokes queries with its own SparkSession.
     """
-    from pyspark.sql import functions as F
-
     ns_cols = _NANOS_TS_COLUMNS.get(name, ())
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -105,6 +104,34 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def to_kafka_frame(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Encode rows into the Kafka sink wire format (S3 semantics):
+    ``value`` = one JSON object per row (``producer.py:28``'s
+    ``json.dumps`` codec as ``to_json(struct(*))``), optional ``key``.
+
+    The result writes with ``.write.format("kafka")`` /
+    ``writeStream.format("kafka")``; the codec itself is broker-free
+    and unit-tested via the round-trip with :func:`from_kafka_frame`.
+    """
+    cols = [F.to_json(F.struct(*df.columns)).alias("value")]
+    if key_col is not None:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    return df.select(*cols)
+
+
+def from_kafka_frame(frame: DataFrame, schema: T.StructType) -> DataFrame:
+    """Decode Kafka-shaped rows (``value`` string/binary) back into
+    typed columns (S4 consumer codec, ``batch_writer_consumer.py:31``),
+    then conform — unparseable payloads become default-filled rows
+    (§1.2 policy)."""
+    from bigdata_kafka_2_spark.schema import conform_schema
+
+    parsed = frame.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("r")
+    ).select("r.*")
+    return conform_schema(parsed, schema)
 
 
 def kafka_source_available(spark: SparkSession) -> bool:

@@ -131,6 +131,66 @@ def top_k_per_group(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """As-of join (custom operator — Spark has no native one): for each
+    left row, attach the latest right row with ``right_ts <= left_ts``.
+
+    Implementation (composition of built-ins, per the preference order
+    in SURVEY §4): tag and union both sides, sort by (timestamp, side)
+    within each partition group, carry the right side's values forward
+    with ``last(..., ignorenulls=True)`` over an unbounded-preceding
+    window, keep the left rows. Right rows sort BEFORE left rows at
+    equal timestamps, giving the inclusive (>=) as-of semantics that
+    matches DuckDB's ``ASOF JOIN ... ON l >= r``.
+
+    Cost: one shuffle of |L|+|R| rows on ``partition_cols`` (or a
+    single-partition sort when unkeyed — use keys at scale; a keyed
+    as-of over a 100 TB fact table shuffles once, never a range cross
+    join). Ties on ``right_ts`` within a partition are resolved by the
+    last ``right_cols`` value in sort order — pass unique timestamps
+    (or a tie-breaking ordering column) for deterministic output.
+    """
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        if partition_cols
+        else Window.orderBy("__ts", "__is_left").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    carried = unioned.select(
+        *lcols,
+        "__is_left",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).drop("__is_left")
+
+
 def cumulative_slice(df: DataFrame, order_col: str, n: int) -> DataFrame:
     """Deterministic first-n slice — the engine's replacement for the
     reference's order-unstable ``limit(n)`` cumulative slices

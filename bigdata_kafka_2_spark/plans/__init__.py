@@ -57,6 +57,7 @@ def load_all() -> dict[str, Query]:
         dedup_queries,
         multimodal_queries,
         relational_queries,
+        relational_queries2,
         similarity_queries,
         streaming_queries,
         text_queries,

@@ -1,0 +1,289 @@
+"""Second relational batch: remaining §2.11 gap operators (intersect,
+union, cube, exact percentiles, array/map functions, correlated
+subqueries, min_by/max_by, unpivot) plus TPC-H-shaped classics and the
+as-of join custom operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_kafka_2_spark.io import read_table
+from bigdata_kafka_2_spark.plans import register
+
+
+@register(
+    "q21_intersect_union",
+    oracle="""
+    SELECT 'both' AS src, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'p_only' AS src, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus IN ('F', 'O')
+    )
+    """,
+    description="INTERSECT + EXCEPT + UNION ALL composition over order "
+    "statuses (set-op gap, §2.11).",
+    tags=("setop",),
+)
+def q21_intersect_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+
+    def cust(status: str) -> DataFrame:
+        return o.filter(F.col("o_orderstatus") == status).select("o_custkey")
+
+    both = cust("F").intersect(cust("O")).select(F.lit("both").alias("src"), "o_custkey")
+    p_only = (
+        cust("P")
+        .subtract(cust("F").union(cust("O")))
+        .select(F.lit("p_only").alias("src"), "o_custkey")
+    )
+    return both.unionAll(p_only)
+
+
+@register(
+    "q22_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    description="CUBE over status×priority (grouping-sets gap, §2.11).",
+    tags=("aggregate", "rollup"),
+)
+def q22_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "q23_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="Exact continuous percentiles (Spark `percentile` == "
+    "DuckDB quantile_cont, linear interpolation). "
+    "percentile_approx is the sketch-based scale path but is "
+    "not oracle-comparable.",
+    tags=("aggregate",),
+)
+def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "q24_min_max_by",
+    oracle="""
+    SELECT c_mktsegment,
+           min_by(c_name, c_acctbal) AS poorest,
+           max_by(c_name, c_acctbal) AS richest
+    FROM customer GROUP BY c_mktsegment
+    """,
+    description="min_by/max_by argmin-argmax aggregates (§2.11 gap). "
+    "c_acctbal ties are absent in the synthetic data "
+    "(verified), so the result is deterministic.",
+    tags=("aggregate",),
+)
+def q24_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.min_by("c_name", "c_acctbal").alias("poorest"),
+        F.max_by("c_name", "c_acctbal").alias("richest"),
+    )
+
+
+@register(
+    "q25_array_agg",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS nations,
+           len(list(n_name)) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    description="Array aggregation + sort + join-to-string (array "
+    "functions gap; sorted so the value-hash is "
+    "order-insensitive).",
+    tags=("aggregate", "array"),
+)
+def q25_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = read_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.size(F.collect_list("n_name")).alias("n_nations"),
+    )
+
+
+@register(
+    "q26_correlated_subquery",
+    oracle="""
+    SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c_acctbal > (
+      SELECT avg(c2.c_acctbal) FROM customer c2
+      WHERE c2.c_mktsegment = c.c_mktsegment
+    )
+    """,
+    description="Correlated scalar subquery: customers above their "
+    "segment's average balance (decorrelates to a join; "
+    "expressed via the SQL API to exercise it).",
+    tags=("subquery", "sql"),
+)
+def q26_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        FROM customer_v c
+        WHERE c_acctbal > (
+          SELECT avg(c2.c_acctbal) FROM customer_v c2
+          WHERE c2.c_mktsegment = c.c_mktsegment
+        )
+        """
+    )
+
+
+@register(
+    "q27_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, round(val, 2) AS val
+    FROM (
+      SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    ) WHERE p_partkey < 100
+    """,
+    description="Unpivot (wide→long) via stack (§2.11 pivot "
+    "counterpart).",
+    tags=("pivot",),
+)
+def q27_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'retail', p_retailprice, 'size', CAST(p_size AS DOUBLE)) "
+            "AS (metric, val)"
+        ),
+    ).select("p_partkey", "metric", F.round("val", 2).alias("val"))
+
+
+@register(
+    "q28_tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    description="TPC-H Q3 shape: segment filter + two joins + agg + "
+    "top-10 by revenue (deterministic tie-break).",
+    tags=("join", "aggregate", "sort"),
+)
+def q28_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    joined = l.join(o, l.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q29_asof_join",
+    oracle="""
+    SELECT o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           e.event_id AS last_event_id
+    FROM (SELECT * FROM orders WHERE o_orderkey < 50) o
+    ASOF LEFT JOIN (
+      SELECT event_id,
+             TIMESTAMP '1995-01-01 00:00:00'
+               + INTERVAL (event_id % 2000) DAY AS ets
+      FROM events WHERE event_id < 2000
+    ) e ON o.o_orderdate >= e.ets
+    """,
+    description="As-of join (custom operator — Spark lacks a native "
+    "one): latest event at-or-before each order date, built "
+    "from a union + window last() carry-forward; matches "
+    "DuckDB's ASOF JOIN. Scale: one shuffle on the union, no "
+    "range cross join.",
+    tags=("join", "asof", "custom"),
+)
+def q29_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.relational import asof_join
+
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 50)
+        .select("o_orderkey", "o_orderdate")
+    )
+    # synthesize a deterministic event-time table in the orders' date
+    # range (driver events live in 2024, orders in 1995-2001)
+    e = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)  # keeps ets unique (no as-of ties)
+        .select(
+            "event_id",
+            (
+                F.lit("1995-01-01 00:00:00").cast("timestamp")
+                + F.make_dt_interval(days=F.col("event_id") % 2000)
+            ).alias("ets"),
+        )
+    )
+    joined = asof_join(
+        o, e, left_ts="o_orderdate", right_ts="ets", right_cols=["event_id"]
+    )
+    return joined.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.col("event_id").alias("last_event_id"),
+    )

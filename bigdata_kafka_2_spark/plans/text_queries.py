@@ -111,6 +111,35 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", TX.fingerprint("text").alias("fp"))
 
 
+#: BPE-ish pretokenizer (GPT-2 style, restricted to the RE2 ∩ Java
+#: regex subset — no lookahead): letter runs, digit runs, punctuation
+#: runs, each with an optional leading space.
+_BPE_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+@register(
+    "q35_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens,
+           len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens
+    FROM documents
+    """,
+    description="Token counting two ways (charter): whitespace tokens + "
+    "a BPE-ish GPT-2-style pretokenizer regex (letter/digit/"
+    "punctuation runs) — the pre-merge token count used for "
+    "data budgeting.",
+    tags=("text",),
+)
+def q35_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_BPE_PATTERN)).alias("n_bpe_tokens"),
+        TX.token_count("text").alias("n_ws_tokens"),
+    )
+
+
 @register(
     "q34_language_id",
     oracle=None,  # marker-set heuristic is not practically SQL-portable

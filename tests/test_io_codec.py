@@ -1,0 +1,49 @@
+"""Kafka wire-format codec round-trip (S3/S4 semantics, broker-free)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata_kafka_2_spark.io import from_kafka_frame, to_kafka_frame
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("label", T.StringType(), True),
+    ]
+)
+
+
+def test_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, 2.5, "a"), (2, 0.0, "b"), (3, -1.25, "c")], SCHEMA
+    )
+    framed = to_kafka_frame(df)
+    assert framed.columns == ["value"]
+    back = from_kafka_frame(framed, SCHEMA).orderBy("id")
+    assert [tuple(r) for r in back.collect()] == [
+        (1, 2.5, "a"),
+        (2, 0.0, "b"),
+        (3, -1.25, "c"),
+    ]
+
+
+def test_keyed_frame(spark):
+    df = spark.createDataFrame([(1, 2.5, "a")], SCHEMA)
+    framed = to_kafka_frame(df, key_col="id")
+    row = framed.collect()[0]
+    assert framed.columns == ["key", "value"]
+    assert row.key == "1" and '"label":"a"' in row.value
+
+
+def test_bad_payload_conforms(spark):
+    frame = spark.createDataFrame(
+        [("{\"id\": 9, \"value\": 1.5, \"label\": \"ok\"}",), ("not json",)],
+        ["value"],
+    )
+    back = from_kafka_frame(frame, SCHEMA).orderBy(F.desc("id")).collect()
+    assert (back[0].id, back[0].label) == (9, "ok")
+    # bad payload → default-filled row, not dropped (§1.2)
+    assert (back[1].id, back[1].value, back[1].label) == (0, 0.0, "Unknown")
