@@ -85,6 +85,33 @@ def dim_join(
     return fact.join(d, on=on, how=how)
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the fact side's key, replicate the
+    (small) other side across ``salt_buckets`` salts, join on
+    (key, salt).
+
+    A hot key that would pin one reducer now spreads across
+    ``salt_buckets`` tasks. AQE's skew-join splitting handles most
+    cases automatically (enabled in the session factory); explicit
+    salting remains for extreme single-key skew (e.g. the null/default
+    key of a 100 TB log table) and for window/aggregate paths AQE does
+    not cover. Result equivalence with the plain join is tested.
+    """
+    salted_fact = fact.withColumn(
+        "__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))).cast("int")
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    replicated_dim = dim.withColumn("__salt", salts)
+    out = salted_fact.join(replicated_dim, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
 def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """EXISTS — rows of ``left`` with a match in ``right``; never
     duplicates left rows (unlike inner join + distinct)."""

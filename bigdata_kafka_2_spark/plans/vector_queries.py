@@ -1,0 +1,94 @@
+"""Vector-math queries over ``embeddings`` (array-function surface +
+range join)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_kafka_2_spark.functions import l2_norm
+from bigdata_kafka_2_spark.io import read_table
+from bigdata_kafka_2_spark.plans import register
+
+
+@register(
+    "q54_embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_dot_product(embedding, embedding)), 4) AS l2,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+    description="Per-vector L2 norm + dimensionality (array math via "
+    "zip_with/aggregate, all codegen).",
+    tags=("similarity", "array"),
+)
+def q54_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(l2_norm("embedding"), 4).alias("l2"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@register(
+    "q55_mean_pool_by_label",
+    oracle="""
+    SELECT label, i AS dim_idx, round(avg(v), 4) AS mean_val
+    FROM (
+      SELECT label,
+             unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    )
+    WHERE i <= 4
+    GROUP BY label, i
+    """,
+    description="Element-wise mean pooling of embeddings per label "
+    "(first 4 dims): posexplode + grouped avg — the "
+    "centroid-computation shape used by IVF training.",
+    tags=("similarity", "array", "aggregate"),
+)
+def q55_mean_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .filter(F.col("pos") < 4)
+        .groupBy("label", (F.col("pos") + 1).alias("dim_idx"))
+        .agg(F.round(F.avg("v"), 4).alias("mean_val"))
+    )
+
+
+@register(
+    "q56_range_join_bands",
+    oracle="""
+    SELECT b.band, count(*) AS n_events, round(sum(e.value), 2) AS total
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 25.0), ('mid', 25.0, 50.0),
+                 ('high', 50.0, 75.0), ('top', 75.0, 1e9)) b(band, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+    description="Range (interval) join: events matched to value bands "
+    "via a non-equi broadcast join. Scale path for dense band "
+    "tables: bucketize the range key (width_bucket) and "
+    "equi-join on the bucket.",
+    tags=("join", "range"),
+)
+def q56_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 25.0), ("mid", 25.0, 50.0), ("high", 50.0, 75.0),
+         ("top", 75.0, 1e9)],
+        ["band", "lo", "hi"],
+    )
+    joined = e.join(
+        F.broadcast(bands),
+        (e.value >= bands.lo) & (e.value < bands.hi),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
