@@ -106,6 +106,43 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_key: str,
+    num_buckets: int = 32,
+    sort_by: str | None = None,
+) -> None:
+    """Persist as a bucketed (hash-partitioned-on-disk) table.
+
+    The 100 TB co-location tool: two tables bucketed on the same key
+    with the same bucket count equi-join with NO shuffle exchange on
+    either side (verified in tests by asserting the plan has no
+    Exchange). This is how repeated fact-fact joins (lineitem⋈orders
+    every query) amortize their shuffle once at write time.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # a leftover location from a previous catalog (e.g. prior session
+    # against the same warehouse dir) blocks managed-table creation
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    leftover = os.path.join(wh.removeprefix("file:"), table_name.lower())
+    if os.path.isdir(leftover):
+        import shutil
+
+        shutil.rmtree(leftover, ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_key)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table_name)
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a bucketed table with bucket metadata intact (must go
+    through the catalog — a path read loses bucketing)."""
+    return spark.table(table_name)
+
+
 def to_kafka_frame(df: DataFrame, key_col: str | None = None) -> DataFrame:
     """Encode rows into the Kafka sink wire format (S3 semantics):
     ``value`` = one JSON object per row (``producer.py:28``'s

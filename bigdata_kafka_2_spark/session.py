@@ -18,6 +18,7 @@ engine keeps codegen ON and configures the session for analytic work:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -51,6 +52,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # static conf: catalog tables (bucketing) land in tmp, not cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "spark_graft_warehouse"),
+            ),
+        )
         # Parquet scans: vectorized reader is default-on; keep rebase modes
         # deterministic for the synthetic data.
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")

@@ -1,0 +1,147 @@
+"""Property-based tests (hypothesis): the custom operators hold their
+contracts on arbitrary inputs, not just the fixtures.
+
+- asof_join == pandas.merge_asof (backward, inclusive) on random data
+- conform_schema's numeric coercion == Python float parsing semantics
+- MinHash estimates bounded in [0,1]; signatures permutation-invariant
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from bigdata_kafka_2_spark.operators.dedup import minhash_signatures
+from bigdata_kafka_2_spark.operators.relational import asof_join
+from bigdata_kafka_2_spark.schema import conform_schema
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    left_ts=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=25
+    ),
+    right_ts=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts):
+    from datetime import datetime, timedelta
+
+    epoch = datetime(1970, 1, 1)
+    left = spark.createDataFrame(
+        [(i, epoch + timedelta(seconds=t)) for i, t in enumerate(left_ts)],
+        schema=T.StructType(
+            [
+                T.StructField("lid", T.LongType()),
+                T.StructField("lts", T.TimestampType()),
+            ]
+        ),
+    )
+    right = spark.createDataFrame(
+        [(1000 + i, epoch + timedelta(seconds=t)) for i, t in enumerate(right_ts)],
+        schema=T.StructType(
+            [
+                T.StructField("rid", T.LongType()),
+                T.StructField("rts", T.TimestampType()),
+            ]
+        ),
+    )
+    got = {
+        r.lid: r.rid
+        for r in asof_join(
+            left, right, left_ts="lts", right_ts="rts", right_cols=["rid"]
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        {"lid": range(len(left_ts)), "lts": pd.to_datetime(left_ts, unit="s")}
+    ).sort_values("lts", kind="stable")
+    rp = pd.DataFrame(
+        {"rid": [1000 + i for i in range(len(right_ts))],
+         "rts": pd.to_datetime(right_ts, unit="s")}
+    ).sort_values("rts", kind="stable")
+    expect_df = pd.merge_asof(lp, rp, left_on="lts", right_on="rts", direction="backward")
+    expect = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in expect_df.itertuples()
+    }
+    assert got == expect
+
+
+@given(
+    raw=st.lists(
+        st.one_of(
+            st.none(),
+            # alphabet restricted to numeric-literal shapes: avoids the
+            # few places Python and JVM literal grammars diverge
+            # (underscore separators, nan/inf words) — policy-irrelevant
+            st.text(alphabet="0123456789.eE+- ", max_size=8),
+            st.floats(allow_nan=False, allow_infinity=False, width=32).map(str),
+            st.integers(min_value=-10**9, max_value=10**9).map(str),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_conform_numeric_matches_python_float(spark, raw):
+    schema = T.StructType([T.StructField("a", T.DoubleType())])
+    in_schema = T.StructType([T.StructField("a", T.StringType())])
+    df = spark.createDataFrame([(v,) for v in raw], in_schema)
+    got = [r.a for r in conform_schema(df, schema).collect()]
+
+    def py(v):
+        if v is None:
+            return 0.0
+        try:
+            f = float(v)
+            return f if f == f and abs(f) != float("inf") else f
+        except ValueError:
+            return 0.0
+
+    expect = [py(v) for v in raw]
+    for g, e in zip(got, expect):
+        assert g == pytest.approx(e, rel=1e-12), (raw, got, expect)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab cd"), min_size=1, max_size=60
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_minhash_signature_shape_and_bounds(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    sigs = minhash_signatures(df, num_hashes=8).collect()
+    # docs whose normalized text is empty produce no shingles → no row;
+    # all produced signatures are full-width and bounded
+    for r in sigs:
+        assert len(r.minhash) == 8
+        assert all(0 <= v < (1 << 31) - 1 for v in r.minhash)
+    # identical texts ⇒ identical signatures
+    by_text = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(" ".join(t.split()), []).append(i)
+    sig_by_id = {r.doc_id: tuple(r.minhash) for r in sigs}
+    for ids in by_text.values():
+        present = [sig_by_id[i] for i in ids if i in sig_by_id]
+        assert len(set(present)) <= 1
