@@ -1,0 +1,104 @@
+"""CDC / upsert operators (charter-adjacent: corpus maintenance for a
+training-data lake without a table format).
+
+Without Delta/Iceberg on the classpath, MERGE INTO is emulated with
+pure DataFrame ops (the composition the PySpark guide prescribes:
+anti-join + union + window):
+
+- :func:`merge_upsert` — last-writer-wins upsert of an updates batch
+  into a snapshot.
+- :func:`scd2_apply` — slowly-changing-dimension type 2: close current
+  versions, append new ones, keep full history with validity windows.
+
+Scale: both are one shuffle on the merge key; with the snapshot stored
+bucketed on the key (``io.write_bucketed``) the anti-join side of the
+merge is shuffle-free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    version_col: str | None = None,
+) -> DataFrame:
+    """MERGE (upsert) semantics: rows of ``updates`` replace same-key
+    rows of ``target``; unmatched target rows survive; duplicate keys
+    WITHIN ``updates`` resolve to the highest ``version_col`` (or
+    arbitrary-deterministic by the key sort when None).
+
+    Plan: dedupe updates (window top-1 per key) → target anti-join
+    updates → union. One shuffle each side on the key.
+    """
+    keys = list(key_cols)
+    if version_col is not None:
+        w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        updates = updates.dropDuplicates(keys)
+    survivors = target.join(updates.select(*keys), on=keys, how="left_anti")
+    return survivors.unionByName(updates)
+
+
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    current_flag: str = "is_current",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """SCD type-2: ``history`` rows carry (valid_from, valid_to,
+    is_current); each update row becomes the new current version of its
+    key, closing the previous current version at the update timestamp.
+
+    ``updates`` must carry ``ts_col`` + the business columns; multiple
+    updates per key in one batch are applied in timestamp order (each
+    closes its predecessor). Unkeyed columns of history/updates must
+    match after adding the SCD columns.
+    """
+    keys = list(key_cols)
+
+    # order update versions per key; each one's valid_to is the next
+    # one's timestamp (the last stays open)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    upd = (
+        updates.withColumn(valid_from, F.col(ts_col))
+        .withColumn(valid_to, F.lead(ts_col).over(w))
+        .withColumn(current_flag, F.col(valid_to).isNull())
+        .drop(ts_col)
+    )
+
+    # close the previously-current history row per updated key at the
+    # FIRST update timestamp of that key
+    first_upd = updates.groupBy(*keys).agg(F.min(ts_col).alias("__new_ts"))
+    closed = (
+        history.join(F.broadcast(first_upd), on=keys, how="left")
+        .withColumn(
+            valid_to,
+            F.when(
+                F.col(current_flag) & F.col("__new_ts").isNotNull(),
+                F.col("__new_ts"),
+            ).otherwise(F.col(valid_to)),
+        )
+        .withColumn(
+            current_flag,
+            F.when(F.col("__new_ts").isNotNull(), F.lit(False)).otherwise(
+                F.col(current_flag)
+            ),
+        )
+        .drop("__new_ts")
+    )
+    return closed.unionByName(upd.select(*closed.columns))
