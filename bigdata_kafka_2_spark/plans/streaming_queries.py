@@ -54,6 +54,82 @@ def q60_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q63_streaming_tumbling_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="The SAME tumbling-window aggregation as q60 but "
+    "executed through Structured Streaming (readStream → "
+    "watermark → window agg → availableNow drain into a "
+    "memory sink): proves the streaming engine produces "
+    "batch-identical, oracle-checkable results.",
+    tags=("streaming", "window"),
+)
+def q63_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from bigdata_kafka_2_spark.io import read_table
+    from bigdata_kafka_2_spark.streaming.windows import windowed_counts
+
+    # events.parquet stores ts as TIMESTAMP(NANOS): stream it as a long
+    # (legacy conf, set by read_table) and convert — same µs truncation
+    # as the batch reader
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = read_table(spark, sf_dir, "events").schema
+    stream_schema = T.StructType(
+        [
+            T.StructField("ts", T.LongType(), True)
+            if f.name == "ts"
+            else f
+            for f in batch_schema.fields
+        ]
+    )
+    # the file streaming source requires a directory: stage the single
+    # parquet file via symlink in a per-sf temp dir
+    import hashlib
+    import os
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"q63_events_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    stream = (
+        spark.readStream.schema(stream_schema)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    )
+    agg = windowed_counts(stream, "1 day", watermark="1 hour")
+    sink = f"q63_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.date_format("window_start", _FMT).alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
     "q61_sliding_window",
     oracle="""
     SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
