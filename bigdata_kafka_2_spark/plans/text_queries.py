@@ -141,6 +141,90 @@ def q35_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q36_top_terms",
+    oracle="""
+    SELECT tok, n FROM (
+      SELECT tok, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rn
+      FROM (
+        SELECT unnest(string_split_regex(
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+      GROUP BY tok
+    ) WHERE rn <= 10
+    """,
+    description="Corpus heavy-hitters: top-10 tokens by frequency "
+    "(explode → map-side-combined count → TakeOrdered). The "
+    "exact form; at 100 TB swap in count-min sketch or sample "
+    "counts, same operator signature.",
+    tags=("text", "aggregate", "limit"),
+)
+def q36_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(TX.normalize_text("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q37_column_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col, count(*) AS n_rows,
+           round(min(l_quantity), 4) AS min_v,
+           round(max(l_quantity), 4) AS max_v,
+           round(avg(l_quantity), 4) AS avg_v,
+           round(stddev_samp(l_quantity), 4) AS std_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*),
+           round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+           round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*),
+           round(min(l_discount), 4), round(max(l_discount), 4),
+           round(avg(l_discount), 4), round(stddev_samp(l_discount), 4)
+    FROM lineitem
+    """,
+    description="Column profiling (describe-style long format): "
+    "count/min/max/avg/stddev per numeric column in ONE scan "
+    "(single aggregate, then unpivot) — the data-quality "
+    "summary a pipeline runs before training.",
+    tags=("aggregate", "profile"),
+)
+def q37_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+            F.round(F.avg(c), 4).alias(f"{c}__avg"),
+            F.round(F.stddev_samp(c), 4).alias(f"{c}__std"),
+        ]
+    wide = l.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', `{c}__n`, `{c}__min`, `{c}__max`, `{c}__avg`, `{c}__std`"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) "
+            "AS (col, n_rows, min_v, max_v, avg_v, std_v)"
+        )
+    )
+
+
+@register(
     "q34_language_id",
     oracle=None,  # marker-set heuristic is not practically SQL-portable
     description="Heuristic n-gram language ID (marker-word scoring, "
