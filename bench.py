@@ -29,13 +29,16 @@ HEADLINE = (
     "q11_topk_per_group",
     "q12_running_sum_window",
     "q18_count_distinct",
+    "q28_tpch_q3_shipping_priority",
     "q30_token_stats",
+    "q36_top_terms",
     "q40_exact_dedup_groups",
     "q42_minhash_lsh_pairs",
     "q50_cosine_topk",
     "q51_cosine_topk_many",
     "q60_tumbling_window",
     "q62_session_window",
+    "q63_streaming_tumbling_window",
 )
 
 
