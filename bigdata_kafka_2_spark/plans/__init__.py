@@ -61,6 +61,7 @@ def load_all() -> dict[str, Query]:
         similarity_queries,
         streaming_queries,
         text_queries,
+        tpch_queries,
         vector_queries,
     )
 
