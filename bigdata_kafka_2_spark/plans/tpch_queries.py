@@ -76,6 +76,37 @@ def q81_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q83_supplier_balance_by_region",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_bal,
+           round(avg(s_acctbal), 4) AS avg_bal
+    FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    description="Supplier roll-up through the nation→region dimension "
+    "chain (completes star-schema table coverage; both dims "
+    "broadcast).",
+    tags=("join", "aggregate"),
+)
+def q83_supplier_balance_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    joined = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        F.round(F.avg("s_acctbal"), 4).alias("avg_bal"),
+    )
+
+
+@register(
     "q82_rich_inactive_customers",
     oracle="""
     SELECT c_mktsegment, count(*) AS n_custs,
