@@ -130,7 +130,7 @@ def q25_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
-        F.size(F.collect_list("n_name")).alias("n_nations"),
+        F.size(F.collect_list("n_name")).cast("long").alias("n_nations"),
     )
 
 

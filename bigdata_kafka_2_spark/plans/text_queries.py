@@ -34,8 +34,8 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = TX.token_count(c)
     return d.select(
         "doc_id",
-        F.length(c).alias("stat_chars"),
-        n_tokens.alias("stat_tokens"),
+        F.length(c).cast("long").alias("stat_chars"),
+        n_tokens.cast("long").alias("stat_tokens"),
         F.round(
             F.length(c).cast("double") / F.greatest(n_tokens, F.lit(1)), 4
         ).alias("stat_chars_per_token"),
@@ -87,7 +87,7 @@ def q32_stopword_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = TX.token_count("text")
     return d.select(
         "doc_id",
-        n_the.alias("n_the"),
+        n_the.cast("long").alias("n_the"),
         F.round(
             n_the.cast("double") / F.greatest(n_tokens, F.lit(1)), 4
         ).alias("stopword_ratio"),
@@ -135,8 +135,8 @@ def q35_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.regexp_count("text", F.lit(_BPE_PATTERN)).alias("n_bpe_tokens"),
-        TX.token_count("text").alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(_BPE_PATTERN)).cast("long").alias("n_bpe_tokens"),
+        TX.token_count("text").cast("long").alias("n_ws_tokens"),
     )
 
 

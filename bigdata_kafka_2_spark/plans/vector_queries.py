@@ -29,7 +29,7 @@ def q54_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.round(l2_norm("embedding"), 4).alias("l2"),
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
     )
 
 
@@ -56,7 +56,7 @@ def q55_mean_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select("label", F.posexplode("embedding").alias("pos", "v"))
         .filter(F.col("pos") < 4)
-        .groupBy("label", (F.col("pos") + 1).alias("dim_idx"))
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim_idx"))
         .agg(F.round(F.avg("v"), 4).alias("mean_val"))
     )
 
