@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from bigdata_kafka_2_spark.io import read_table
 from bigdata_kafka_2_spark.operators import dedup as DD

@@ -6,7 +6,7 @@ as-of join custom operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_kafka_2_spark.io import read_table
@@ -186,6 +186,45 @@ def q27_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (metric, val)"
         ),
     ).select("p_partkey", "metric", F.round("val", 2).alias("val"))
+
+
+@register(
+    "q90_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             round(o_totalprice + 1000.0, 2) AS total
+      FROM orders WHERE o_orderkey < 100
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, total FROM updates
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    """,
+    description="MERGE upsert through the correctness gate: a batch of "
+    "updated orders replaces same-key rows (anti-join + union "
+    "emulation, operators/cdc.py) — the corpus-maintenance "
+    "path of a training-data lake without a table format.",
+    tags=("cdc", "join"),
+)
+def q90_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.cdc import merge_upsert
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total"),
+    )
+    updates = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            F.round(F.col("o_totalprice") + 1000.0, 2).alias("total"),
+        )
+    )
+    return merge_upsert(o, updates, ["o_orderkey"])
 
 
 @register(

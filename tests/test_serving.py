@@ -4,7 +4,6 @@ types, health states, and the documented allergen query API."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from bigdata_kafka_2_spark import etl, serving
 from bigdata_kafka_2_spark.ml import knn, pipelines as P

@@ -5,7 +5,6 @@ session windows, custom stateful operator."""
 from __future__ import annotations
 
 import json
-import os
 
 import pytest
 from pyspark.sql import functions as F
