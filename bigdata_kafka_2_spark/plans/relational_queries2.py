@@ -228,6 +228,36 @@ def q90_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q91_split_profile",
+    oracle="""
+    SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+                WHEN doc_id % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY 1
+    """,
+    description="Train/val/test split profile through the gate "
+    "(key-modulo buckets here for SQL portability; the "
+    "production path is operators/sampling.hash_split — "
+    "xxhash64-based, append-stable, invariant-tested).",
+    tags=("sampling", "aggregate"),
+)
+def q91_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id"), F.lit(10))
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@register(
     "q28_tpch_q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,

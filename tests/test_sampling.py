@@ -1,0 +1,66 @@
+"""Sampling/split operators: determinism under repartitioning,
+append-stability, disjoint-and-complete splits, stratified fractions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_kafka_2_spark.io import read_table
+from bigdata_kafka_2_spark.operators import sampling as S
+from tests.conftest import SF_DIR
+
+
+def test_hash_split_disjoint_complete_and_sized(spark):
+    d = read_table(spark, SF_DIR, "documents")
+    out = S.hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    sizes = {r.split: r.n for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = d.count()
+    assert sum(sizes.values()) == total  # complete partition
+    assert 0.6 * total < sizes.get("train", 0) < 0.95 * total
+
+
+def test_hash_split_stable_under_repartition_and_append(spark):
+    d = read_table(spark, SF_DIR, "documents")
+    a = {
+        r.doc_id: r.split
+        for r in S.hash_split(d, "doc_id", {"train": 0.8, "val": 0.2}).collect()
+    }
+    b = {
+        r.doc_id: r.split
+        for r in S.hash_split(
+            d.repartition(17), "doc_id", {"train": 0.8, "val": 0.2}
+        ).collect()
+    }
+    assert a == b
+    # appending rows must not move existing rows between splits
+    extra = d.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text",
+                     "lang", "source", "n_chars")
+    c = {
+        r.doc_id: r.split
+        for r in S.hash_split(
+            d.unionByName(extra), "doc_id", {"train": 0.8, "val": 0.2}
+        ).collect()
+        if r.doc_id < 10_000_000
+    }
+    assert a == c
+
+
+def test_deterministic_sample_repeatable_and_subset_monotone(spark):
+    d = read_table(spark, SF_DIR, "documents")
+    s10 = {r.doc_id for r in S.deterministic_sample(d, "doc_id", 0.1).collect()}
+    s10b = {r.doc_id for r in S.deterministic_sample(d, "doc_id", 0.1).collect()}
+    s30 = {r.doc_id for r in S.deterministic_sample(d, "doc_id", 0.3).collect()}
+    assert s10 == s10b
+    assert s10 <= s30  # growing the fraction only ADDS rows
+
+
+def test_stratified_sample_fractions(spark):
+    d = read_table(spark, SF_DIR, "documents")
+    before = {r.lang: r.n for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    out = S.stratified_sample(d, "lang", {"en": 0.25}, key_col="doc_id")
+    after = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # en downsampled to ~25%, other languages untouched
+    assert after["en"] < 0.6 * before["en"]
+    for lang in before:
+        if lang != "en":
+            assert after[lang] == before[lang]
