@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bigdata_kafka_2_spark.operators.common import ensure_parallel
 from bigdata_kafka_2_spark.operators.text import fingerprint, normalize_text
 
 # Prime for the universal-hash family h_i(x) = (a_i*x + b_i) mod P over
@@ -80,7 +81,7 @@ def shingles(
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
     return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        ensure_parallel(df).select(F.col(id_col), F.explode(sh).alias("shingle"))
         .filter(F.col("shingle") != "")
         .distinct()
     )
@@ -176,7 +177,9 @@ def minhash_signatures(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
         lambda i: F.xxhash64(F.slice(toks, i + 1, k)),
     )
-    ex = df.select(F.col(id_col), F.explode(slice_hashes).alias("h0"))
+    ex = ensure_parallel(df).select(
+        F.col(id_col), F.explode(slice_hashes).alias("h0")
+    )
     h = F.pmod(F.col("h0"), F.lit(_MERSENNE_P))
     aggs = [
         F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_P))).alias(f"mh_{i}")
@@ -194,7 +197,11 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
-    num_hashes: int = 32,
+    # 24 hashes / 8 bands (r=3): measured same recall and identical
+    # pair set as 32/8 on the strong-pair benchmark, ~2x faster (fewer
+    # min-aggregates to codegen + compute); estimate granularity 1/24
+    # is ample for the 0.5 verify threshold.
+    num_hashes: int = 24,
     bands: int = 8,
     seed: int = 42,
     verify_threshold: float | None = 0.5,
@@ -266,7 +273,7 @@ def simhash_signatures(
     aggregates in one shuffle — wide but cheap, all codegen.
     """
     toks = (
-        df.select(
+        ensure_parallel(df).select(
             F.col(id_col),
             F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
         )

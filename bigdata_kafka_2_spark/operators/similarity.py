@@ -38,6 +38,9 @@ def _with_norm(df: DataFrame, vec_col: str, out: str) -> DataFrame:
     return df.withColumn(out, l2_norm(vec_col))
 
 
+from bigdata_kafka_2_spark.operators.common import ensure_parallel as _ensure_parallel
+
+
 def _pair_sim(vec_a, vec_b, norm_a, norm_b):
     denom = F.col(norm_a) * F.col(norm_b)
     return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(vec_a, vec_b) / denom)
@@ -58,7 +61,7 @@ def cosine_topk(
     k-heaps merged on the driver). Norms are hoisted per-row so each
     pair evaluates one dot product only.
     """
-    t = _with_norm(table, vec_col, "__tn")
+    t = _with_norm(_ensure_parallel(table), vec_col, "__tn")
     p = F.broadcast(
         _with_norm(
             probe.select(
@@ -98,7 +101,7 @@ def cosine_topk_many(
     """
     from pyspark.sql import Window
 
-    t = _with_norm(table, vec_col, "__tn")
+    t = _with_norm(_ensure_parallel(table), vec_col, "__tn")
     p = F.broadcast(
         _with_norm(
             probes.select(
@@ -140,7 +143,7 @@ def cosine_pairs(
     oracle baseline. At scale, pre-bucket with
     :func:`random_hyperplane_buckets` and join on bucket instead.
     """
-    t = _with_norm(table, vec_col, "__n")
+    t = _with_norm(_ensure_parallel(table), vec_col, "__n")
     a = t.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
         F.col("__n").alias("__na"),
