@@ -57,6 +57,51 @@ def read_jsonl_stream(
     return parse_json_stream(raw, schema, value_col="value")
 
 
+def run_ingest_counted(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    order_col: str,
+    batch_size: int = 2000,
+) -> None:
+    """Count-based micro-batch files — exact S5 parity
+    (``batch_writer_consumer.py:8,63-69``: flush every ``batch_size``
+    rows into numbered CSV files, final partial file included).
+
+    Structured Streaming triggers are time/availability-scoped, so the
+    row-count contract is enforced inside ``foreachBatch``: rows are
+    ranked by ``order_col`` (the reference used arrival order, which is
+    not reproducible — a total order is) and written partitioned by
+    ``chunk = rank // batch_size``. Each chunk lands as
+    ``chunk=N/part-*.csv`` with ≤ ``batch_size`` rows. Checkpointing
+    still gives exactly-once per epoch.
+    """
+    from pyspark.sql import Window
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        w = Window.orderBy(order_col)
+        chunked = batch_df.withColumn(
+            "chunk",
+            ((F.row_number().over(w) - 1) / batch_size).cast("int"),
+        )
+        (
+            chunked.write.mode("append")
+            .partitionBy("chunk")
+            .option("header", "true")
+            .csv(f"{out_dir}/epoch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_ingest(
     stream: DataFrame,
     out_dir: str,

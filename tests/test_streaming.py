@@ -131,6 +131,28 @@ def test_session_window_smoke(spark, events_stream_dir):
     assert per_user_sessions == per_user_batch
 
 
+def test_counted_batches_exact_chunks(spark, tmp_path):
+    # S5 parity: 5000 rows at batch_size=2000 → chunks of 2000/2000/1000
+    d = tmp_path / "in"
+    d.mkdir()
+    with open(d / "rows.jsonl", "w") as fh:
+        for i in range(5000):
+            fh.write(json.dumps({"id": i, "value": 1.0, "label": "x"}) + "\n")
+    stream = ING.read_jsonl_stream(spark, str(d), MSG_SCHEMA)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ING.run_ingest_counted(stream, out, ckpt, order_col="id", batch_size=2000)
+
+    got = spark.read.option("header", "true").csv(out)
+    assert got.count() == 5000
+    sizes = sorted(
+        r.n for r in got.groupBy("chunk").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert sizes == [1000, 2000, 2000]
+    # chunking followed the total order: chunk 0 holds ids 0..1999
+    chunk0 = got.filter(F.col("chunk") == 0).select(F.col("id").cast("long"))
+    assert chunk0.agg(F.max("id")).collect()[0][0] == 1999
+
+
 def test_stateful_running_stats_accumulates(spark, tmp_path):
     # two input files + maxFilesPerTrigger=1 → two micro-batches; the
     # per-user state must carry across them
