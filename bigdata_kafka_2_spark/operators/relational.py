@@ -191,8 +191,17 @@ def asof_join(
         F.lit(1).alias("__is_left"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
     )
+    # partition columns must carry the RIGHT side's real values (they
+    # exist under the same name in both frames) — nulling them would
+    # strand every right row in the NULL partition and keyed as-of
+    # would never match
     r_tagged = right.select(
-        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+        *[
+            F.col(c).alias(c)
+            if c in partition_cols
+            else F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            for c in lcols
+        ],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],

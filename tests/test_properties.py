@@ -82,6 +82,73 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts):
 
 
 @given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # key
+            st.integers(min_value=0, max_value=5_000),  # left ts
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    rdata=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=5_000),
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    ),
+)
+@settings(**_SETTINGS)
+def test_keyed_asof_join_matches_pandas_by_group(spark, data, rdata):
+    from datetime import datetime, timedelta
+
+    epoch = datetime(1970, 1, 1)
+    left = spark.createDataFrame(
+        [(i, k, epoch + timedelta(seconds=t)) for i, (k, t) in enumerate(data)],
+        schema=T.StructType(
+            [
+                T.StructField("lid", T.LongType()),
+                T.StructField("k", T.LongType()),
+                T.StructField("lts", T.TimestampType()),
+            ]
+        ),
+    )
+    right = spark.createDataFrame(
+        [(1000 + i, k, epoch + timedelta(seconds=t)) for i, (k, t) in enumerate(rdata)],
+        schema=T.StructType(
+            [
+                T.StructField("rid", T.LongType()),
+                T.StructField("k", T.LongType()),
+                T.StructField("rts", T.TimestampType()),
+            ]
+        ),
+    )
+    # the keyed variant: as-of within each key partition (the partition
+    # column exists under the same name in both frames)
+    got = {
+        r.lid: r.rid
+        for r in asof_join(
+            left,
+            right,
+            left_ts="lts",
+            right_ts="rts",
+            right_cols=["rid"],
+            partition_cols=["k"],
+        ).collect()
+    }
+    expect = {}
+    rp = {}
+    for i, (k, t) in enumerate(rdata):
+        rp.setdefault(k, []).append((t, 1000 + i))
+    for i, (k, t) in enumerate(data):
+        cands = [(rt, rid) for rt, rid in rp.get(k, []) if rt <= t]
+        expect[i] = max(cands)[1] if cands else None
+    assert got == expect
+
+
+@given(
     raw=st.lists(
         st.one_of(
             st.none(),
