@@ -263,6 +263,103 @@ def minhash_lsh_pairs(
 
 # --- SimHash -------------------------------------------------------------
 
+def dedup_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → dedup clusters:
+    (id, cluster_rep) where ``cluster_rep`` is the minimum id reachable
+    through the pair graph (singletons map to themselves).
+
+    Algorithm: iterative min-label propagation (the scalable
+    alternating large-star/small-star family, simplified): each round
+    every node adopts the smallest label among itself and its
+    neighbors; converges in O(diameter) rounds — near-dup graphs are
+    overwhelmingly tiny cliques, so a handful of rounds suffices. Each
+    round is one join + one aggregate (all DataFrame ops, AQE-sized
+    shuffles); convergence is checked with a count of changed labels.
+
+    ``pairs``: (id_a, id_b) near-dup edges (any extra columns ignored).
+    ``ids``: one row per document id (defines singletons).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("label")),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        # localCheckpoint each round: iterative DataFrame loops otherwise
+        # grow an ever-deeper lineage and replanning dominates runtime
+        new_labels = (
+            labels.join(
+                neighbor_min.select(F.col("src").alias("node"), "nbr_label"),
+                on="node",
+                how="left",
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_rep")
+    )
+
+
+def near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    est_threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """End-to-end near-deduplication: MinHash-LSH pairs → connected
+    components → keep ONE representative (min id) per cluster.
+
+    The full 100 TB dedup recipe in one call: candidate generation by
+    band equi-join (no cross join), graph clustering by label
+    propagation, and a semi-join to keep survivors.
+    """
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, verify_threshold=est_threshold, **minhash_kwargs
+    )
+    clusters = dedup_clusters(pairs, df.select(id_col), id_col)
+    keep = (
+        clusters.filter(F.col(id_col) == F.col("cluster_rep"))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
