@@ -8,6 +8,9 @@ scale linearly with the scan). No Python in the per-row path.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints (stringified
+# by `from __future__ import annotations`) resolve against these globals
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -78,6 +81,39 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "stat_space_ratio"
         ),
     )
+
+
+def char_entropy_udf():
+    """Arrow-batched scalar Pandas UDF: Shannon entropy (bits) of the
+    character distribution of each text — a cheap gibberish/quality
+    signal (low: repetitive; high: diverse).
+
+    THE designated escape-hatch shape (SURVEY §2.10): vectorized batch
+    in/out over Arrow, no row-at-a-time Python. Body is self-contained
+    (local imports only) so cloudpickle ships it by value. Newlines are
+    excluded to match the RE2 ``.`` semantics of the SQL oracle.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def entropy(texts: pd.Series) -> pd.Series:
+        import math
+        from collections import Counter
+
+        def one(t):
+            if t is None:
+                return 0.0
+            chars = [c for c in t if c != "\n"]
+            if not chars:
+                return 0.0
+            n = len(chars)
+            return -sum(
+                (k / n) * math.log2(k / n) for k in Counter(chars).values()
+            )
+
+        return pd.Series([one(t) for t in texts])
+
+    return entropy
 
 
 def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:

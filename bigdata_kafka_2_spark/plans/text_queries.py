@@ -141,6 +141,38 @@ def q35_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q38_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+      FROM documents
+    ),
+    freqs AS (
+      SELECT doc_id, c, count(*) AS k FROM chars GROUP BY doc_id, c
+    ),
+    totals AS (
+      SELECT doc_id, sum(k) AS n FROM freqs GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           round(-sum((k * 1.0 / n) * log2(k * 1.0 / n)), 4) AS entropy_bits
+    FROM freqs f JOIN totals t ON f.doc_id = t.doc_id
+    GROUP BY f.doc_id
+    """,
+    description="Per-document character Shannon entropy — computed in "
+    "Spark by an Arrow-batched scalar Pandas UDF (the §2.10 "
+    "escape hatch) and verified against a pure-SQL oracle: "
+    "even the Python path is hash-checked.",
+    tags=("text", "udf"),
+)
+def q38_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    entropy = TX.char_entropy_udf()
+    return d.select(
+        "doc_id", F.round(entropy(F.col("text")), 4).alias("entropy_bits")
+    )
+
+
+@register(
     "q36_top_terms",
     oracle="""
     SELECT tok, n FROM (
