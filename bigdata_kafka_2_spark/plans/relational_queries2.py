@@ -189,6 +189,44 @@ def q27_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q92_map_functions",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           CAST(2 AS BIGINT) AS n_metrics
+    FROM events GROUP BY event_type
+    """,
+    description="Map-typed columns round-trip (map functions gap, "
+    "§2.6): per-type metrics packed with map_from_arrays, "
+    "inspected with map_keys/size, unpacked with element_at "
+    "— output is plain columns so the oracle (computed "
+    "map-free) hash-matches.",
+    tags=("map", "aggregate"),
+)
+def q92_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("s"),
+    )
+    packed = agg.select(
+        "event_type",
+        F.map_from_arrays(
+            F.array(F.lit("n_events"), F.lit("sum_value")),
+            F.array(F.col("n").cast("double"), F.col("s")),
+        ).alias("metrics"),
+    )
+    return packed.select(
+        "event_type",
+        F.element_at("metrics", "n_events").cast("long").alias("n_events"),
+        F.round(F.element_at("metrics", "sum_value"), 2).alias("sum_value"),
+        F.size(F.map_keys("metrics")).cast("long")
+        .alias("n_metrics"),
+    )
+
+
+@register(
     "q90_merge_upsert",
     oracle="""
     WITH updates AS (

@@ -38,6 +38,15 @@ def test_keyed_frame(spark):
     assert row.key == "1" and '"label":"a"' in row.value
 
 
+def test_kafka_source_gate(spark):
+    # the test image ships no Kafka connector jars: the availability
+    # probe must return False cleanly (not raise), keeping the real
+    # wiring importable for deployments that have them
+    from bigdata_kafka_2_spark.io import kafka_source_available
+
+    assert kafka_source_available(spark) is False
+
+
 def test_bad_payload_conforms(spark):
     frame = spark.createDataFrame(
         [("{\"id\": 9, \"value\": 1.5, \"label\": \"ok\"}",), ("not json",)],
