@@ -36,6 +36,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     is set at call time (not only session build) because the driver
     harness invokes queries with its own SparkSession.
     """
+    # pin the session TZ at call time: timestamp semantics (date_trunc,
+    # date_format, window alignment) must match DuckDB's naive-UTC
+    # timestamps even when the harness built its own session with a
+    # different timezone
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     ns_cols = _NANOS_TS_COLUMNS.get(name, ())
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

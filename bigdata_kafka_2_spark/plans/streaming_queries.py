@@ -175,10 +175,10 @@ def q61_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessioned AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (
+             CAST(sum(new_session) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS session_id
+             ) AS BIGINT) AS session_id
       FROM ordered
     )
     SELECT user_id, session_id,
@@ -206,7 +206,9 @@ def q62_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_session = F.when(
         prev_ts.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
-    sessioned = e.withColumn("session_id", F.sum(new_session).over(wrun))
+    sessioned = e.withColumn(
+        "session_id", F.sum(new_session).over(wrun).cast("long")
+    )
     return sessioned.groupBy("user_id", "session_id").agg(
         F.date_format(F.min("ts"), _FMT).alias("session_start"),
         F.count(F.lit(1)).alias("n_events"),
