@@ -39,8 +39,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # pin the session TZ at call time: timestamp semantics (date_trunc,
     # date_format, window alignment) must match DuckDB's naive-UTC
     # timestamps even when the harness built its own session with a
-    # different timezone
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # different timezone. NOTE: no default arg to conf.get — Spark 4
+    # validates the default against the entry's converter and an empty
+    # string throws INVALID_CONF_VALUE on an unset key.
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        tz = None
+    if tz != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     ns_cols = _NANOS_TS_COLUMNS.get(name, ())
     if ns_cols:

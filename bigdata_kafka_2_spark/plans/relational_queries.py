@@ -291,7 +291,7 @@ def q11_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         "o_orderkey",
         F.round("o_totalprice", 2).alias("total_price"),
-        "rn",
+        F.col("rn").cast("long").alias("rn"),
     )
 
 

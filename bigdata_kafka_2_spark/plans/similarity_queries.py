@@ -17,7 +17,8 @@ from bigdata_kafka_2_spark.plans import register
     "q50_cosine_topk",
     oracle="""
     SELECT e.vec_id,
-           round(list_cosine_similarity(e.embedding, p.embedding), 4) AS similarity
+           round(CAST(list_cosine_similarity(e.embedding, p.embedding) AS DOUBLE), 4)
+             AS similarity
     FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) p
     WHERE e.vec_id <> 0
     ORDER BY similarity DESC, e.vec_id ASC
@@ -39,13 +40,14 @@ def q50_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q51_cosine_topk_many",
     oracle="""
     SELECT p.vec_id AS probe_id, e.vec_id,
-           round(list_cosine_similarity(e.embedding, p.embedding), 4) AS similarity,
+           round(CAST(list_cosine_similarity(e.embedding, p.embedding) AS DOUBLE), 4)
+             AS similarity,
            rank
     FROM (
       SELECT p.vec_id AS p_id, e.vec_id AS e_id,
              row_number() OVER (
                PARTITION BY p.vec_id
-               ORDER BY round(list_cosine_similarity(e.embedding, p.embedding), 4) DESC,
+               ORDER BY round(CAST(list_cosine_similarity(e.embedding, p.embedding) AS DOUBLE), 4) DESC,
                         e.vec_id ASC
              ) AS rank
       FROM embeddings e, embeddings p
@@ -63,17 +65,20 @@ def q50_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q51_cosine_topk_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 5)
-    return SIM.cosine_topk_many(e, probes, k=3)
+    out = SIM.cosine_topk_many(e, probes, k=3)
+    # bigint rank: row_number is int32 in Spark, int64 in DuckDB
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 @register(
     "q52_embedding_near_dup",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding, b.embedding), 4) AS similarity
+           round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4)
+             AS similarity
     FROM embeddings a, embeddings b
     WHERE a.vec_id < b.vec_id
-      AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.8
+      AND round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.8
     """,
     description="Embedding near-duplicate pairs (cosine ≥ 0.8), exact "
     "all-pairs baseline; LSH-bucketed variant is the scale "
