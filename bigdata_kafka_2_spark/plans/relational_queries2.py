@@ -296,6 +296,64 @@ def q91_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q93_scd2_history",
+    oracle="""
+    WITH history AS (
+      SELECT c_custkey, round(c_acctbal, 2) AS bal,
+             TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to,
+             TRUE AS is_current
+      FROM customer
+    ),
+    updates AS (
+      SELECT c_custkey, round(c_acctbal + 100.0, 2) AS bal,
+             TIMESTAMP '2024-06-01 00:00:00' AS ts
+      FROM customer WHERE c_custkey < 50
+    )
+    SELECT c_custkey, bal,
+           strftime(valid_from, '%Y-%m-%d') AS vf,
+           CASE WHEN c_custkey < 50 THEN '2024-06-01' ELSE NULL END AS vt,
+           (c_custkey >= 50) AS is_current
+    FROM history
+    UNION ALL
+    SELECT c_custkey, bal, strftime(ts, '%Y-%m-%d') AS vf,
+           CAST(NULL AS VARCHAR) AS vt, TRUE AS is_current
+    FROM updates
+    """,
+    description="SCD type-2 history maintenance through the gate: an "
+    "update batch closes each key's current version at the "
+    "update timestamp and appends the new version "
+    "(operators/cdc.scd2_apply). Oracle states the expected "
+    "closed+appended history directly.",
+    tags=("cdc",),
+)
+def q93_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.cdc import scd2_apply
+
+    c = read_table(spark, sf_dir, "customer")
+    history = c.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("bal"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = c.filter(F.col("c_custkey") < 50).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("bal"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    out = scd2_apply(history, updates, ["c_custkey"], "ts")
+    return out.select(
+        "c_custkey",
+        "bal",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("vf"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("vt"),
+        "is_current",
+    )
+
+
+@register(
     "q28_tpch_q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,

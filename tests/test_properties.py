@@ -185,6 +185,34 @@ def test_conform_numeric_matches_python_float(spark, raw):
 
 
 @given(
+    texts=st.lists(st.text(max_size=40), min_size=1, max_size=10)
+)
+@settings(**_SETTINGS)
+def test_normalize_and_conform_idempotent(spark, texts):
+    from pyspark.sql import functions as F
+
+    from bigdata_kafka_2_spark.operators.text import normalize_text
+
+    in_schema = T.StructType([T.StructField("t", T.StringType())])
+    df = spark.createDataFrame([(t,) for t in texts], in_schema)
+    once = [r.n for r in df.select(normalize_text("t").alias("n")).collect()]
+    twice = [
+        r.n
+        for r in df.select(normalize_text("t").alias("n"))
+        .select(normalize_text("n").alias("n"))
+        .collect()
+    ]
+    assert once == twice  # normalization is idempotent
+
+    schema = T.StructType(
+        [T.StructField("t", T.StringType()), T.StructField("x", T.DoubleType())]
+    )
+    c1 = conform_schema(df, schema)
+    c2 = conform_schema(c1, schema)
+    assert [tuple(r) for r in c1.collect()] == [tuple(r) for r in c2.collect()]
+
+
+@given(
     texts=st.lists(
         st.text(
             alphabet=st.sampled_from("ab cd"), min_size=1, max_size=60
