@@ -189,6 +189,45 @@ def q27_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q94_analytic_window_family",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           round(o_totalprice, 2) AS price,
+           round(lag(o_totalprice) OVER w, 2) AS prev_price,
+           round(lead(o_totalprice) OVER w, 2) AS next_price,
+           round(first_value(o_totalprice) OVER w, 2) AS first_price,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank
+    FROM orders
+    WHERE o_custkey < 20
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    description="Analytic window family in one pass: lag/lead/"
+    "first_value/ntile/percent_rank over a per-customer price "
+    "ordering (§2.11 window gap, beyond row_number/running "
+    "sums). One shuffle on the partition key serves all six "
+    "functions.",
+    tags=("window",),
+)
+def q94_analytic_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+    )
+
+
+@register(
     "q92_map_functions",
     oracle="""
     SELECT event_type,
