@@ -189,6 +189,45 @@ def q27_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q95_date_arithmetic",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(extract(quarter FROM o.o_orderdate) AS BIGINT) AS order_quarter,
+           CAST(isodow(o.o_orderdate) AS BIGINT) AS order_isodow,
+           CAST(date_diff('day', o.o_orderdate, s.first_ship) AS BIGINT)
+             AS days_to_first_ship
+    FROM orders o
+    JOIN (
+      SELECT l_orderkey, min(l_shipdate) AS first_ship
+      FROM lineitem GROUP BY l_orderkey
+    ) s ON o.o_orderkey = s.l_orderkey
+    WHERE o.o_orderkey < 200
+    """,
+    description="Date arithmetic breadth (§2.6 date-function gap): "
+    "extract year/quarter, ISO weekday, day-difference to the "
+    "first shipment (join + min-agg). ISO weekday chosen "
+    "because Spark dayofweek and DuckDB dayofweek disagree on "
+    "the week origin.",
+    tags=("date", "join"),
+)
+def q95_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    l = read_table(spark, sf_dir, "lineitem")
+    first_ship = l.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    joined = o.join(first_ship, o.o_orderkey == first_ship.l_orderkey)
+    return joined.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("order_isodow"),
+        F.datediff("first_ship", "o_orderdate").cast("long").alias(
+            "days_to_first_ship"
+        ),
+    )
+
+
+@register(
     "q94_analytic_window_family",
     oracle="""
     SELECT o_orderkey,
