@@ -8,11 +8,19 @@ which the driver checks rows-only).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bigdata_kafka_2_spark.plans import load_all
+# robust under file-path import (importlib.spec_from_file_location):
+# the engine package lives next to this file
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from bigdata_kafka_2_spark.plans import load_all  # noqa: E402
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
