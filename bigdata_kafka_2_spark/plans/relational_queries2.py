@@ -189,6 +189,38 @@ def q27_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q96_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substr(p_type, 1, 4) AS type_prefix,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           replace(p_brand, '#', '-') AS brand_dashed,
+           CAST(levenshtein(p_brand, 'Brand-00') AS BIGINT) AS edit_dist,
+           concat(p_brand, '/', p_type) AS brand_type
+    FROM part WHERE p_partkey < 100
+    """,
+    description="String-function breadth (§2.6): case mapping, "
+    "substring, padding, replace, Levenshtein edit distance, "
+    "concatenation — all codegen'd built-ins.",
+    tags=("string",),
+)
+def q96_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")).alias("brand_dashed"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand-00")).cast("long").alias(
+            "edit_dist"
+        ),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
     "q95_date_arithmetic",
     oracle="""
     SELECT o.o_orderkey,
