@@ -46,6 +46,29 @@ def test_extra_column_dropped_and_order_canonical(spark):
     assert row.a == 2.0 and row.b == "x" and row.c == 1
 
 
+def test_timestamp_and_complex_types_pass_through(spark):
+    from datetime import datetime
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("arr", T.ArrayType(T.DoubleType()), True),
+            T.StructField("a", T.DoubleType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 2, 3, 4, 5), [1.0, 2.0], None), (None, None, 7.5)],
+        schema,
+    )
+    out = conform_schema(df, schema).collect()
+    # non-scalar types: cast-through, null preserved (no fabricated
+    # defaults for timestamps/arrays — only numeric/string get them)
+    assert out[0].ts == datetime(2024, 1, 2, 3, 4, 5)
+    assert list(out[0].arr) == [1.0, 2.0]
+    assert out[0].a == 0.0
+    assert out[1].ts is None and out[1].arr is None and out[1].a == 7.5
+
+
 def test_food_schema_full_conformance(spark):
     # one row with only 2 of the 18 food columns present
     df = spark.createDataFrame([(33.0, "Cheddar")], ["Protein-G", "description"])
