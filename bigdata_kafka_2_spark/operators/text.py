@@ -27,12 +27,17 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def normalize_text(col: Column | str) -> Column:
-    """Canonical normalization: lowercase, trim, collapse whitespace.
+    """Canonical normalization: lowercase, collapse whitespace runs,
+    THEN trim. Generalizes the README pipeline's lowercase step
+    (``README.md:92``).
 
-    Generalizes the README pipeline's lowercase step (``README.md:92``).
+    Order matters for idempotence (property-tested): ``trim`` removes
+    only ASCII spaces, so trimming FIRST leaves non-space whitespace
+    (\\r, \\t) to collapse into a leading/trailing space that a second
+    pass would then remove — collapse-then-trim is a fixpoint.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
 def token_count(col: Column | str) -> Column:

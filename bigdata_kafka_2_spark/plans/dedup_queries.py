@@ -8,7 +8,7 @@ from bigdata_kafka_2_spark.io import read_table
 from bigdata_kafka_2_spark.operators import dedup as DD
 from bigdata_kafka_2_spark.plans import register
 
-_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
 @register(

@@ -98,7 +98,7 @@ def q32_stopword_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q33_fingerprint",
     oracle="""
     SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
     FROM documents
     """,
     description="Document fingerprint: md5 over normalized text "
@@ -180,7 +180,7 @@ def q38_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rn
       FROM (
         SELECT unnest(string_split_regex(
-          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
         FROM documents
       ) WHERE tok <> ''
       GROUP BY tok
