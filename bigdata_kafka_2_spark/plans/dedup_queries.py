@@ -82,6 +82,22 @@ def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q44_near_dedup_survivors",
+    oracle=None,  # iterative connected-components → not SQL-expressible
+    description="End-to-end near-deduplication: MinHash-LSH candidate "
+    "pairs → connected components (iterative min-label "
+    "propagation, lineage-checkpointed) → keep the min-id "
+    "representative per cluster. Returns surviving doc_ids; "
+    "survivor set == cluster representatives is asserted in "
+    "tests.",
+    tags=("dedup", "flagship"),
+)
+def q44_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return DD.near_dedup(d, est_threshold=0.5).select("doc_id", "lang", "n_chars")
+
+
+@register(
     "q43_simhash_near_pairs",
     oracle=None,  # 64 bitwise aggregates are not practically SQL-portable
     description="SimHash(64-bit) near-dup pairs with Hamming ≤ 8, "
