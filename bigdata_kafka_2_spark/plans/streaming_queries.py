@@ -53,6 +53,63 @@ def q60_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the driver events table.
+
+    events.parquet stores ts as TIMESTAMP(NANOS): stream it as a long
+    (legacy conf, set by read_table) and convert — same µs truncation
+    as the batch reader. The file streaming source requires a
+    directory, so the single parquet file is staged via symlink in a
+    per-sf temp dir.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from bigdata_kafka_2_spark.io import read_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = read_table(spark, sf_dir, "events").schema
+    stream_schema = T.StructType(
+        [
+            T.StructField("ts", T.LongType(), True) if f.name == "ts" else f
+            for f in batch_schema.fields
+        ]
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"q63_events_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return (
+        spark.readStream.schema(stream_schema)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    )
+
+
+def _drain(df: DataFrame, prefix: str) -> str:
+    """availableNow drain into a uniquely-named memory sink; returns
+    the sink table name."""
+    import uuid
+
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink
+
+
 @register(
     "q63_streaming_tumbling_window",
     oracle="""
@@ -72,58 +129,62 @@ def q60_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "window"),
 )
 def q63_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
-    from pyspark.sql import types as T
-
-    from bigdata_kafka_2_spark.io import read_table
     from bigdata_kafka_2_spark.streaming.windows import windowed_counts
 
-    # events.parquet stores ts as TIMESTAMP(NANOS): stream it as a long
-    # (legacy conf, set by read_table) and convert — same µs truncation
-    # as the batch reader
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = read_table(spark, sf_dir, "events").schema
-    stream_schema = T.StructType(
-        [
-            T.StructField("ts", T.LongType(), True)
-            if f.name == "ts"
-            else f
-            for f in batch_schema.fields
-        ]
-    )
-    # the file streaming source requires a directory: stage the single
-    # parquet file via symlink in a per-sf temp dir
-    import hashlib
-    import os
-    import tempfile
-
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"q63_events_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    stream = (
-        spark.readStream.schema(stream_schema)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
-    )
-    agg = windowed_counts(stream, "1 day", watermark="1 hour")
-    sink = f"q63_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    agg = windowed_counts(_events_stream(spark, sf_dir), "1 day", watermark="1 hour")
+    sink = _drain(agg, "q63_out")
     return spark.table(sink).select(
         F.date_format("window_start", _FMT).alias("window_start"),
         "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "q64_streaming_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events
+    ),
+    sessioned AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sessioned
+    GROUP BY user_id, session_id
+    """,
+    description="Sessionization executed through Structured Streaming "
+    "(session_window + watermark, availableNow drain): gap-"
+    "merged streaming sessions hash-match the batch lag-based "
+    "sessionization oracle — the two formulations agree "
+    "exactly.",
+    tags=("streaming", "window"),
+)
+def q64_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.streaming.windows import session_aggregate
+
+    agg = session_aggregate(
+        _events_stream(spark, sf_dir), gap="30 minutes", watermark="1 hour"
+    )
+    sink = _drain(agg, "q64_out")
+    return spark.table(sink).select(
+        "user_id",
+        F.date_format("session_start", _FMT).alias("session_start"),
         "n_events",
         "total_value",
     )

@@ -131,6 +131,61 @@ def test_session_window_smoke(spark, events_stream_dir):
     assert per_user_sessions == per_user_batch
 
 
+def test_watermark_drops_too_late_events(spark, tmp_path):
+    # §2.9 late-data semantics: the watermark persists in the
+    # checkpoint across drains; a row far behind it is dropped (Spark's
+    # numRowsDroppedByWatermark metric) and never mutates its window.
+    d = tmp_path / "late"
+    d.mkdir()
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .json(str(d))
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = 0
+        for p in q.recentProgress:
+            for op in p.get("stateOperators", []):
+                dropped += op.get("numRowsDroppedByWatermark", 0)
+        return dropped
+
+    with open(d / "b0.jsonl", "w") as fh:
+        fh.write(json.dumps({"ts": "2024-01-01 10:00:00", "v": 1.0}) + "\n")
+        fh.write(json.dumps({"ts": "2024-01-01 18:00:00", "v": 1.0}) + "\n")
+    assert drain() == 0  # nothing late yet; watermark now 16:00 in ckpt
+
+    with open(d / "b1.jsonl", "w") as fh:
+        fh.write(json.dumps({"ts": "2024-01-01 17:30:00", "v": 1.0}) + "\n")  # ok
+        fh.write(json.dumps({"ts": "2024-01-01 10:30:00", "v": 1.0}) + "\n")  # late
+    assert drain() == 1  # exactly the too-late row was dropped
+
+    # finalized output: the 10:00 window closed with n=1 — the dropped
+    # row never mutated it
+    final = {str(r.ws): r.n for r in spark.read.parquet(out).collect()}
+    assert final.get("2024-01-01 10:00:00") == 1
+
+
 def test_counted_batches_exact_chunks(spark, tmp_path):
     # S5 parity: 5000 rows at batch_size=2000 → chunks of 2000/2000/1000
     d = tmp_path / "in"
