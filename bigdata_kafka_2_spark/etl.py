@@ -81,13 +81,16 @@ def cumulative_slices(
 ) -> list[DataFrame]:
     """Deterministic cumulative prefixes over a total order.
 
-    One window pass computes the row number; each slice is a filter on
-    it — with the input cached, the five slices share the scan
-    (mirrors ``combined_df.persist()``, ``spark_model_trainer.py:206``).
+    One ranking pass computes the row number (range-bucketed — see
+    ``operators.relational.global_row_number``; no single-partition
+    window); each slice is a filter on it — with the input cached, the
+    five slices share the scan (mirrors ``combined_df.persist()``,
+    ``spark_model_trainer.py:206``).
     """
+    from bigdata_kafka_2_spark.operators.relational import global_row_number
+
     total = df.count()
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    ranked = df.withColumn("__rn", F.row_number().over(w)).cache()
+    ranked = global_row_number(df, list(order_cols), rn_col="__rn").cache()
     return [
         ranked.filter(F.col("__rn") <= n).drop("__rn")
         for n in slice_sizes(total, num_models)

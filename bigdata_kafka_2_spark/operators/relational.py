@@ -158,6 +158,79 @@ def top_k_per_group(
     )
 
 
+def _as_double(col: Column, dtype: str) -> Column:
+    """Cast an ordering column to double for quantile estimation.
+
+    Timestamps/dates go through ``timestamp`` (epoch seconds); numerics
+    cast directly. ANSI-safe (no numeric→timestamp coercion)."""
+    if dtype in ("date", "timestamp", "timestamp_ntz"):
+        return col.cast("timestamp").cast("double")
+    return col.cast("double")
+
+
+def _range_bucket(
+    df: DataFrame, order_col: str, num_buckets: int
+) -> tuple[DataFrame, int]:
+    """Attach a ``__bkt`` column that range-buckets ``df`` on
+    ``order_col`` using approximate quantile boundaries.
+
+    One extra aggregate pass (``approxQuantile`` — a GK sketch, never a
+    sort) buys a *value-aligned* partitioning: every row with the same
+    ``order_col`` value lands in the same bucket, so a window
+    partitioned by ``__bkt`` and ordered by ``order_col`` sees a clean
+    global split with no cross-bucket ties. This replaces the
+    single-partition ``Window.orderBy`` anti-pattern: the downstream
+    exchange is ``hashpartitioning(__bkt)`` across ``num_buckets``
+    reducers instead of ``SinglePartition``.
+
+    Returns (bucketed df, effective bucket count). Degenerate inputs
+    (constant column, tiny data) collapse to one bucket — correct, just
+    unbalanced, exactly like any range partitioner. NULL order values
+    land in bucket 0, matching ascending nulls-first ordering.
+
+    Numeric/temporal columns use ``approxQuantile`` boundaries; other
+    orderable types (strings) use a bounded hash-sample of values
+    (what Spark's own RangePartitioner does with reservoir sampling —
+    UTF-8 byte order matches the driver-side sort, so boundaries stay
+    consistent with Spark's comparisons).
+    """
+    dtype = dict(df.dtypes)[order_col.strip("`")]
+    numericish = dtype in (
+        "date", "timestamp", "timestamp_ntz",
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    ) or dtype.startswith("decimal")
+    if numericish:
+        probed = df.withColumn("__ord_d", _as_double(F.col(order_col), dtype))
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        bounds = sorted(set(probed.stat.approxQuantile("__ord_d", probs, 0.001)))
+        cmp_col = F.col("__ord_d")
+    else:
+        sampled = (
+            df.select(order_col)
+            .filter(F.col(order_col).isNotNull())
+            .filter(F.pmod(F.xxhash64(F.col(order_col), F.lit(42)), F.lit(7)) == 0)
+            .limit(100_000)
+            .collect()
+        )
+        vals = sorted({r[0] for r in sampled})
+        bounds = sorted(
+            {
+                vals[(len(vals) * i) // num_buckets]
+                for i in range(1, num_buckets)
+            }
+        ) if vals else []
+        probed = df
+        cmp_col = F.col(order_col)
+    bucket = sum(
+        (F.when(cmp_col > F.lit(b), 1).otherwise(0) for b in bounds),
+        start=F.lit(0),
+    )
+    out = probed.withColumn("__bkt", bucket)
+    if numericish:
+        out = out.drop("__ord_d")
+    return out, len(bounds) + 1
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -177,12 +250,17 @@ def asof_join(
     equal timestamps, giving the inclusive (>=) as-of semantics that
     matches DuckDB's ``ASOF JOIN ... ON l >= r``.
 
-    Cost: one shuffle of |L|+|R| rows on ``partition_cols`` (or a
-    single-partition sort when unkeyed — use keys at scale; a keyed
-    as-of over a 100 TB fact table shuffles once, never a range cross
-    join). Ties on ``right_ts`` within a partition are resolved by the
-    last ``right_cols`` value in sort order — pass unique timestamps
-    (or a tie-breaking ordering column) for deterministic output.
+    Cost: one shuffle of |L|+|R| rows on ``partition_cols``. The
+    UNKEYED case no longer collapses to a single-partition global
+    window: the union is range-bucketed on the timestamp (approximate
+    quantile boundaries — one cheap sketch pass), the carry-forward
+    window runs per bucket in parallel, and each bucket's carry-in (the
+    latest right row from all earlier buckets) is resolved from a
+    per-bucket aggregate small enough to collect (``num_buckets`` rows,
+    never data). Ties on ``right_ts`` within a partition are resolved
+    by the last ``right_cols`` value in sort order — pass unique
+    timestamps (or a tie-breaking ordering column) for deterministic
+    output.
     """
     lcols = [c for c in left.columns]
     l_tagged = left.select(
@@ -207,39 +285,141 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     )
     unioned = l_tagged.unionByName(r_tagged)
+    if partition_cols:
+        w = (
+            Window.partitionBy(*partition_cols)
+            .orderBy("__ts", "__is_left")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned.select(
+            *lcols,
+            "__is_left",
+            *[
+                F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
+                for c in right_cols
+            ],
+        )
+        return carried.filter(F.col("__is_left") == 1).drop("__is_left")
+
+    # Unkeyed: range-bucket the union on the timestamp so the window
+    # parallelizes, then stitch bucket boundaries with carry-ins.
+    n_buckets = int(
+        unioned.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    bucketed, eff = _range_bucket(unioned, "__ts", min(n_buckets, 64))
     w = (
-        Window.partitionBy(*partition_cols)
+        Window.partitionBy("__bkt")
         .orderBy("__ts", "__is_left")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        if partition_cols
-        else Window.orderBy("__ts", "__is_left").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
     )
-    carried = unioned.select(
+    carried = bucketed.select(
         *lcols,
         "__is_left",
+        "__bkt",
         *[
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
             for c in right_cols
         ],
     )
-    return carried.filter(F.col("__is_left") == 1).drop("__is_left")
+    if eff > 1:
+        # Latest right row per bucket (num_buckets rows — an aggregate,
+        # not data), cumulated driver-side into per-bucket carry-ins.
+        last_right = (
+            bucketed.filter(F.col("__is_left") == 0)
+            .groupBy("__bkt")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__ts"), *[F.col(f"__r_{c}") for c in right_cols]
+                    )
+                ).alias("__s")
+            )
+            .collect()
+        )
+        by_bucket = {r["__bkt"]: r["__s"] for r in last_right}
+        carry_in: dict[int, tuple] = {}
+        best = None
+        for b in range(eff):
+            if best is not None:
+                carry_in[b] = best
+            if b in by_bucket:
+                s = by_bucket[b]
+                if best is None or s["__ts"] >= best["__ts"]:
+                    best = s
+        for c in right_cols:
+            ctype = dict(right.dtypes)[c]
+            fill = F.lit(None).cast(ctype)
+            for b, s in carry_in.items():
+                fill = F.when(
+                    F.col("__bkt") == F.lit(b), F.lit(s[f"__r_{c}"]).cast(ctype)
+                ).otherwise(fill)
+            carried = carried.withColumn(c, F.coalesce(F.col(c), fill))
+    return carried.filter(F.col("__is_left") == 1).drop("__is_left", "__bkt")
 
 
-def cumulative_slice(df: DataFrame, order_col: str, n: int) -> DataFrame:
+def cumulative_slice(
+    df: DataFrame, order_cols: str | Sequence[str], n: int
+) -> DataFrame:
     """Deterministic first-n slice — the engine's replacement for the
     reference's order-unstable ``limit(n)`` cumulative slices
     (``spark_model_trainer.py:210-226``, flaw acknowledged at ``:226``).
 
-    ``row_number`` over a total order on ``order_col`` makes model-k's
+    ``row_number`` over a total order on ``order_cols`` makes model-k's
     "first k/5 of the data" reproducible across runs and partitionings.
-    Cost: one global sort-shuffle — acceptable for training-data prep;
-    at 100 TB prefer a pre-sorted/bucketed layout on ``order_col``.
+
+    Scale shape (no single-partition window anywhere):
+
+    1. range-bucket on the LEADING order column (quantile sketch pass —
+       rows with equal leading values share a bucket, so per-bucket
+       ``row_number`` composes into a global one);
+    2. per-bucket row counts (one cheap aggregate, ``num_buckets``
+       rows) → cumulative offsets on the driver;
+    3. buckets whose offset already exceeds ``n`` are DROPPED before
+       the window — the expensive ranking shuffle carries only ~n rows
+       regardless of table size;
+    4. per-bucket ``row_number`` + broadcast offset, filter ``<= n``.
     """
-    w = Window.orderBy(F.col(order_col))
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        global_row_number(df, order_cols, rn_col="__rn", prune_above=n)
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: str | Sequence[str],
+    rn_col: str = "__rn",
+    prune_above: int | None = None,
+) -> DataFrame:
+    """Global ``row_number`` over a total order WITHOUT a
+    single-partition window (see :func:`cumulative_slice` for the
+    bucket/offset construction). When ``prune_above`` is set, buckets
+    that start past that rank are dropped before the ranking shuffle.
+    """
+    cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    n_buckets = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    bucketed, eff = _range_bucket(df, cols[0], min(n_buckets, 64))
+    off = F.lit(0)
+    if eff > 1:
+        counts = {
+            r["__bkt"]: r["__n"]
+            for r in bucketed.groupBy("__bkt")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        }
+        offsets: dict[int, int] = {}
+        acc = 0
+        for b in range(eff):
+            offsets[b] = acc
+            acc += counts.get(b, 0)
+        buckets = list(range(eff))
+        if prune_above is not None:
+            buckets = [b for b in buckets if offsets[b] < prune_above]
+            bucketed = bucketed.filter(F.col("__bkt").isin(buckets))
+        for b in buckets:
+            off = F.when(F.col("__bkt") == F.lit(b), F.lit(offsets[b])).otherwise(off)
+    w = Window.partitionBy("__bkt").orderBy(*[F.col(c) for c in cols])
+    return bucketed.withColumn(rn_col, F.row_number().over(w) + off).drop("__bkt")

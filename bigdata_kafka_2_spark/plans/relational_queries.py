@@ -470,16 +470,15 @@ def q18_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Deterministic first-n cumulative slice (L1): row_number "
     "over a total order replaces the reference's order-unstable "
-    "limit(n) (spark_model_trainer.py:210-226).",
+    "limit(n) (spark_model_trainer.py:210-226). Range-bucketed "
+    "ranking — no single-partition window; buckets past rank n "
+    "never enter the ranking shuffle.",
     tags=("limit", "window"),
 )
 def q19_cumulative_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = read_table(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
-    return (
-        l.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 1000)
-        .select("l_orderkey", "l_linenumber", F.round("l_quantity", 2).alias("qty"))
+    return R.cumulative_slice(l, ["l_orderkey", "l_linenumber"], 1000).select(
+        "l_orderkey", "l_linenumber", F.round("l_quantity", 2).alias("qty")
     )
 
 

@@ -1,0 +1,77 @@
+"""Physical-plan regressions for the round-2 scale fixes: operators
+that used to funnel the whole dataset through one task (global
+``Window.orderBy`` with no partition key) must now plan a
+hash-partitioned window — no ``Exchange SinglePartition`` anywhere in
+the ranking/carry path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_kafka_2_spark.io import read_table
+from bigdata_kafka_2_spark.operators import relational as R
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cumulative_slice_no_single_partition_window(spark):
+    l = read_table(spark, SF_DIR, "lineitem")
+    out = R.cumulative_slice(l, ["l_orderkey", "l_linenumber"], 1000)
+    plan = _plan(out)
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(__bkt" in plan
+
+
+def test_cumulative_slice_matches_global_sort(spark):
+    l = read_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    got = [
+        (r.l_orderkey, r.l_linenumber)
+        for r in R.cumulative_slice(l, ["l_orderkey", "l_linenumber"], 500)
+        .orderBy("l_orderkey", "l_linenumber")
+        .collect()
+    ]
+    want = [
+        (r.l_orderkey, r.l_linenumber)
+        for r in l.orderBy("l_orderkey", "l_linenumber").limit(500).collect()
+    ]
+    assert got == want
+
+
+def test_global_row_number_is_dense_and_ordered(spark):
+    o = read_table(spark, SF_DIR, "orders").select("o_orderkey")
+    ranked = R.global_row_number(o, "o_orderkey", rn_col="rn")
+    rows = ranked.orderBy("rn").collect()
+    assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
+    keys = [r.o_orderkey for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_unkeyed_asof_join_no_single_partition_window(spark):
+    o = (
+        read_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderkey") < 50)
+        .select("o_orderkey", "o_orderdate")
+    )
+    e = (
+        read_table(spark, SF_DIR, "events")
+        .filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            (
+                F.lit("1995-01-01 00:00:00").cast("timestamp")
+                + F.make_dt_interval(days=F.col("event_id") % 2000)
+            ).alias("ets"),
+        )
+    )
+    out = R.asof_join(
+        o, e, left_ts="o_orderdate", right_ts="ets", right_cols=["event_id"]
+    )
+    plan = _plan(out)
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(__bkt" in plan
