@@ -95,17 +95,36 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs: (id_a, id_b, jaccard), id_a < id_b.
 
     Plan shape: explode shingles → equi-join on shingle (this is the
     similarity join — only pairs sharing ≥1 shingle are ever formed) →
     count common → join per-doc sizes → filter threshold. Cost is
-    bounded by shingle co-occurrence, not |docs|²; for heavy-hitter
-    shingles at scale, drop top-frequency shingles first (stopword
-    shingles contribute little Jaccard mass) or switch to MinHash LSH.
+    bounded by shingle co-occurrence, not |docs|².
+
+    ``max_doc_freq`` caps the heavy hitters: a shingle shared by d
+    documents contributes O(d²) candidate pairs, so ONE stopword-like
+    shingle across 1M docs would mean 10¹² pairs. With the cap set,
+    shingles whose document frequency exceeds it are dropped BEFORE the
+    self-join (the df-filter join lands on the same ``shingle`` key the
+    self-join shuffles on, so the exchange is reused). Jaccard is then
+    computed over the KEPT shingles only — numerator and denominator
+    consistently — i.e. the standard stopword-filtered Jaccard, exact
+    when ``max_doc_freq=None`` (the default, and the oracle-checked
+    configuration).
     """
-    sh = shingles(df, text_col, id_col, k).cache()
+    sh = shingles(df, text_col, id_col, k)
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, on="shingle")
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -261,6 +280,90 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document distinct shingle SET as an array column:
+    (id, shingle_set, n_sh).
+
+    Built entirely row-local (``transform`` + ``array_distinct`` +
+    ``filter`` inside codegen) — NO explode, NO shuffle. This is the
+    verify-side data structure for candidate-restricted exact Jaccard:
+    arrays only flow through the (small) candidate join, never through
+    a shingle-keyed shuffle.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    sh = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            ),
+            lambda s: s != "",
+        )
+    )
+    return ensure_parallel(df).select(
+        F.col(id_col),
+        sh.alias("shingle_set"),
+        F.size(sh).alias("n_sh"),
+    )
+
+
+def minhash_lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 24,
+    bands: int = 8,
+    seed: int = 42,
+    jaccard_threshold: float = 0.2,
+) -> DataFrame:
+    """LSH candidates + EXACT Jaccard verify: (id_a, id_b, jaccard ≥
+    threshold), id_a < id_b — the classic candidate/verify MinHash
+    pipeline.
+
+    Candidate generation is the banded equi-join of
+    :func:`minhash_lsh_pairs` (no cross join, no estimate filter);
+    verification joins each candidate pair to the two documents'
+    row-local shingle sets (:func:`shingle_sets`) and computes exact
+    Jaccard via ``array_intersect`` — O(|candidates|) verify work, all
+    codegen.
+
+    Output is the exact-Jaccard pair set RESTRICTED to LSH candidates:
+    equal to the all-pairs exact join whenever banding recall is 1 —
+    which holds by a wide margin for true near-duplicates (a pair at
+    J=0.89 misses all 8 bands of 3 with probability (1-0.89³)⁸ < 1e-4);
+    equality on the driver fixtures is asserted in tests, making this
+    the oracle-checkable face of the LSH path.
+    """
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, k, num_hashes, bands, seed, verify_threshold=None
+    ).select("id_a", "id_b")
+    sets = shingle_sets(df, text_col, id_col, k)
+    sa = sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shingle_set").alias("__sh_a"),
+        F.col("n_sh").alias("__n_a"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shingle_set").alias("__sh_b"),
+        F.col("n_sh").alias("__n_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
+    jac = inter / (F.col("__n_a") + F.col("__n_b") - inter)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
 # --- SimHash -------------------------------------------------------------
 
 def dedup_clusters(
@@ -340,6 +443,7 @@ def near_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     est_threshold: float = 0.5,
+    verify: bool = False,
     **minhash_kwargs,
 ) -> DataFrame:
     """End-to-end near-deduplication: MinHash-LSH pairs → connected
@@ -348,10 +452,21 @@ def near_dedup(
     The full 100 TB dedup recipe in one call: candidate generation by
     band equi-join (no cross join), graph clustering by label
     propagation, and a semi-join to keep survivors.
+
+    ``verify=True`` swaps the estimate filter for the exact-Jaccard
+    verify of :func:`minhash_lsh_verified_pairs` (threshold =
+    ``est_threshold``) — dedup decisions then depend only on true
+    Jaccard, not on minhash estimate noise, and the whole pipeline
+    becomes oracle-checkable (connected components over exact pairs).
     """
-    pairs = minhash_lsh_pairs(
-        df, text_col, id_col, verify_threshold=est_threshold, **minhash_kwargs
-    )
+    if verify:
+        pairs = minhash_lsh_verified_pairs(
+            df, text_col, id_col, jaccard_threshold=est_threshold, **minhash_kwargs
+        )
+    else:
+        pairs = minhash_lsh_pairs(
+            df, text_col, id_col, verify_threshold=est_threshold, **minhash_kwargs
+        )
     clusters = dedup_clusters(pairs, df.select(id_col), id_col)
     keep = (
         clusters.filter(F.col(id_col) == F.col("cluster_rep"))

@@ -180,15 +180,23 @@ def random_hyperplane_buckets(
     replaces the quadratic cross join for ANN and near-dup.
     """
 
-    def mix(x: int) -> float:
-        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
-        x = (x ^ (x >> 27)) * 0x94D049BB133111EB % (1 << 64)
-        x = x ^ (x >> 31)
-        return (x % 10007) / 10007.0 - 0.5
+    bucket = _sign_bucket(vec_col, n_planes, dim, seed)
+    return df.withColumn(out_col, bucket)
 
+
+def _mix(x: int) -> float:
+    """splitmix-style integer mix → pseudo-random float in [-0.5, 0.5)."""
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EB % (1 << 64)
+    x = x ^ (x >> 31)
+    return (x % 10007) / 10007.0 - 0.5
+
+
+def _sign_bucket(vec_col: str, n_planes: int, dim: int, seed: int):
+    """Sign-bit bucket Column over ``n_planes`` seeded hyperplanes."""
     sign_bits = []
     for p in range(n_planes):
-        plane = [mix(seed * 1_000_003 + p * 64 + d) for d in range(dim)]
+        plane = [_mix(seed * 1_000_003 + p * 64 + d) for d in range(dim)]
         proj = F.aggregate(
             F.zip_with(
                 F.col(vec_col),
@@ -199,8 +207,64 @@ def random_hyperplane_buckets(
             lambda acc, x: acc + x,
         )
         sign_bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    bucket = sum(sign_bits[1:], start=sign_bits[0])
-    return df.withColumn(out_col, bucket.cast("int"))
+    return sum(sign_bits[1:], start=sign_bits[0]).cast("int")
+
+
+def hyperplane_lsh_pairs(
+    table: DataFrame,
+    threshold: float,
+    bands: int = 4,
+    planes_per_band: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup pairs via MULTI-BAND cosine LSH (OR of ANDs):
+    (id_a, id_b, similarity ≥ threshold), id_a < id_b.
+
+    Each band is an independent ``planes_per_band``-plane sign bucket;
+    a pair becomes a candidate if it collides in ANY band (equi-join on
+    (band_idx, bucket) — never a cross join), then exact cosine
+    verifies. Versus the single-band AND-only construction this is the
+    textbook recall lever: per-band collision probability p^r, overall
+    recall 1-(1-p^r)^B — e.g. at cosine 0.95 (a true near-dup,
+    p≈0.90), 4 bands of 4 give recall ≈ 0.97 vs 0.43 for one 16-plane
+    band.
+
+    Candidate-set dedup happens on bare id pairs BEFORE the embeddings
+    re-join (same shape as the MinHash banding in operators/dedup.py).
+    """
+    t = _ensure_parallel(table)
+    band_arr = F.array(
+        *[
+            _sign_bucket(vec_col, planes_per_band, dim, seed * 1_000_003 + b * 97)
+            for b in range(bands)
+        ]
+    )
+    banded = t.select(F.col(id_col), F.posexplode(band_arr).alias("band_idx", "bucket"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "bucket")
+    cand = (
+        a.join(b, on=["band_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    withn = _with_norm(t, vec_col, "__n")
+    ea = withn.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__n").alias("__na")
+    )
+    eb = withn.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb")
+    )
+    sim = _pair_sim("__va", "__vb", "__na", "__nb")
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", F.round(sim, 4).alias("similarity"))
+        .filter(F.col("similarity") >= threshold)
+    )
 
 
 def ivf_topk(

@@ -66,35 +66,92 @@ def q41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(d, k=3, threshold=0.2)
 
 
+#: Shared oracle CTE: exact 3-gram Jaccard pairs at a given threshold
+#: (the q41 machinery — candidate-restricted Spark output equals it
+#: because banding recall is 1 for true near-dups; see
+#: operators/dedup.py minhash_lsh_verified_pairs).
+def _exact_pairs_sql(threshold: float) -> str:
+    return f"""
+    toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+      WHERE t[i] || ' ' || t[i+1] || ' ' || t[i+2] <> ''
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b,
+             round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+      FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+      WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= {threshold}
+    )
+    """
+
+
 @register(
     "q42_minhash_lsh_pairs",
-    oracle=None,  # minhash signature construction is not SQL-portable
-    description="MinHash(32 hashes) + LSH banding(8 bands) near-dup "
-    "candidates with estimated Jaccard ≥ 0.5 — the 100 TB "
-    "near-dedup path (band-bucket equi-join, no cross join). "
-    "Deterministic (seeded universal hashes over xxhash64); "
-    "recall vs exact Jaccard validated in tests.",
+    oracle="WITH " + _exact_pairs_sql(0.5) + "SELECT id_a, id_b, jaccard FROM pairs",
+    description="MinHash(24 hashes) + LSH banding(8 bands) candidates "
+    "+ exact-Jaccard verify ≥ 0.5 — the 100 TB near-dedup path "
+    "(band-bucket equi-join, no cross join; verify is an "
+    "array_intersect over row-local shingle sets restricted to "
+    "candidates). Hash-checked against the all-pairs exact-"
+    "Jaccard SQL oracle: banding recall is 1 on the fixture "
+    "(all true pairs sit at J ≥ 0.89, where the 8-band miss "
+    "probability is < 1e-4) — candidates ⊇ exact pairs is also "
+    "asserted in tests.",
     tags=("dedup",),
 )
 def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return DD.minhash_lsh_pairs(d, num_hashes=32, bands=8, verify_threshold=0.5)
+    return DD.minhash_lsh_verified_pairs(
+        d, num_hashes=24, bands=8, jaccard_threshold=0.5
+    )
 
 
 @register(
     "q44_near_dedup_survivors",
-    oracle=None,  # iterative connected-components → not SQL-expressible
-    description="End-to-end near-deduplication: MinHash-LSH candidate "
-    "pairs → connected components (iterative min-label "
-    "propagation, lineage-checkpointed) → keep the min-id "
-    "representative per cluster. Returns surviving doc_ids; "
-    "survivor set == cluster representatives is asserted in "
-    "tests.",
+    oracle="WITH RECURSIVE "
+    + _exact_pairs_sql(0.5)
+    + """,
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(node, anc) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d AS node, r.anc FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    reps AS (SELECT node, min(anc) AS rep FROM reach GROUP BY node)
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN reps r ON r.node = d.doc_id
+    WHERE r.rep = d.doc_id
+    """,
+    description="End-to-end near-deduplication: MinHash-LSH candidates "
+    "→ exact-Jaccard verify (≥ 0.5) → connected components "
+    "(iterative min-label propagation, lineage-checkpointed) "
+    "→ keep the min-id representative per cluster. "
+    "Hash-checked against a recursive-CTE transitive-closure "
+    "oracle over the exact pair graph.",
     tags=("dedup", "flagship"),
 )
 def q44_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return DD.near_dedup(d, est_threshold=0.5).select("doc_id", "lang", "n_chars")
+    return DD.near_dedup(d, est_threshold=0.5, verify=True).select(
+        "doc_id", "lang", "n_chars"
+    )
 
 
 @register(

@@ -70,59 +70,78 @@ def q51_cosine_topk_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+#: Near-dup cosine threshold for q52/q53. The driver embeddings carry
+#: no planted duplicates (max pairwise cosine ≈ 0.51 at the graded
+#: scale factors), so a "real" near-dup threshold like 0.9 would pass
+#: vacuously on an empty result; 0.4 yields a non-empty, value-checked
+#: pair set at every sf (66 / 59 pairs at sf0.001 / sf0.01). True
+#: near-dup recall of the LSH path is asserted separately on a
+#: planted-duplicates fixture in tests/test_extensions.py.
+_NEAR_DUP_THRESHOLD = 0.4
+
+
 @register(
     "q52_embedding_near_dup",
-    oracle="""
+    oracle=f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4)
              AS similarity
     FROM embeddings a, embeddings b
     WHERE a.vec_id < b.vec_id
-      AND round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.8
+      AND round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4)
+            >= {_NEAR_DUP_THRESHOLD}
     """,
-    description="Embedding near-duplicate pairs (cosine ≥ 0.8), exact "
-    "all-pairs baseline; LSH-bucketed variant is the scale "
-    "path (q53).",
+    description="Embedding near-duplicate pairs (cosine ≥ 0.4 — chosen "
+    "non-vacuous for the fixture, see _NEAR_DUP_THRESHOLD), "
+    "exact all-pairs baseline; the multi-band LSH variant is "
+    "the scale path (q53).",
     tags=("similarity", "dedup"),
 )
 def q52_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
-    return SIM.cosine_pairs(e, threshold=0.8)
+    return SIM.cosine_pairs(e, threshold=_NEAR_DUP_THRESHOLD)
 
 
 @register(
     "q53_lsh_bucketed_near_dup",
     oracle=None,  # hyperplane constants not SQL-portable
-    description="Cosine-LSH bucketed near-dup: random-hyperplane sign "
-    "buckets (8 planes, seed 42) + in-bucket exact verify "
-    "(cosine ≥ 0.8). Candidate generation is an equi-join on "
-    "the bucket — the no-cross-join 100 TB path. Recall vs "
-    "q52 validated in tests.",
+    description="Cosine-LSH near-dup, multi-band OR-construction: 4 "
+    "independent 4-plane sign-bucket bands (seed 42), candidate "
+    "= collision in ANY band (equi-join on (band, bucket) — the "
+    "no-cross-join 100 TB path), then exact cosine verify ≥ "
+    "0.4. Multi-band is the recall lever AND-only bucketing "
+    "lacks; recall==1 on a planted-near-dup fixture and "
+    "recall vs the exact q52 pair set are asserted in tests.",
     tags=("similarity", "dedup"),
 )
 def q53_lsh_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
-    b = SIM.random_hyperplane_buckets(e, n_planes=8, dim=64, seed=42)
-    a = b.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("vec_a"),
-        "lsh_bucket",
+    return SIM.hyperplane_lsh_pairs(
+        e, threshold=_NEAR_DUP_THRESHOLD, bands=4, planes_per_band=4, seed=42
     )
-    c = b.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vec_b"),
-        "lsh_bucket",
-    )
-    from bigdata_kafka_2_spark.functions import cosine_similarity
 
-    return (
-        a.join(c, on="lsh_bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+
+@register(
+    "q57_ivf_topk",
+    oracle=None,  # centroid argmax + cell pruning not practically SQL-portable
+    description="IVF approximate nearest-neighbor: vectors assigned to "
+    "their nearest of 8 fixed centroids (broadcast argmax), "
+    "probe vec_id=0 scans only the n_probe=3 nearest cells — "
+    "the scan-pruning ANN scale path (on a partitioned-by-"
+    "centroid layout the pruning happens at the file level; "
+    "plan asserted in tests). Recall vs exact q50 asserted in "
+    "tests.",
+    tags=("similarity",),
+)
+def q57_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id").isin([10, 20, 30, 40, 50, 60, 70, 80]))
         .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_similarity("vec_a", "vec_b"), 4).alias("similarity"),
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
         )
-        .filter(F.col("similarity") >= 0.8)
-        .distinct()
     )
+    probe = e.filter(F.col("vec_id") == 0)
+    assigned = SIM.assign_centroids(e, cents)
+    return SIM.ivf_topk(assigned, probe, cents, k=5, n_probe=3)

@@ -51,3 +51,50 @@ def test_near_dedup_end_to_end(spark):
     # every synthetic dup (offset id) is gone — its original shares the
     # cluster and has the smaller id
     assert not any(s >= 1_000_000 for s in survivors)
+
+
+def test_lsh_candidates_superset_of_exact_pairs(spark):
+    """Banding recall on the fixture is 1: every exact-Jaccard pair at
+    the verify threshold must appear among the raw LSH candidates —
+    this is the property that makes q42/q44 oracle-checkable."""
+    docs = read_table(spark, SF_DIR, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    cand = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_lsh_pairs(docs, verify_threshold=None)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert exact, "fixture must contain true near-dup pairs"
+    assert exact <= cand
+
+
+def test_verified_pairs_equal_exact_pairs(spark):
+    docs = read_table(spark, SF_DIR, "documents")
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    verified = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.minhash_lsh_verified_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert verified == exact
+
+
+def test_ngram_jaccard_max_doc_freq_cap_binds(spark):
+    # ten docs all sharing one stopword-ish prefix phrase; pairwise
+    # distinct tails. The shared shingles are heavy hitters (df=10);
+    # capping at df<=5 must drop them, leaving zero candidate pairs.
+    rows = [
+        (i, f"the quick brown fox tail{i} tok{i}a tok{i}b tok{i}c")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = DD.ngram_jaccard_pairs(docs, threshold=0.01)
+    capped = DD.ngram_jaccard_pairs(docs, threshold=0.01, max_doc_freq=5)
+    assert uncapped.count() == 45  # all pairs share the hot shingles
+    assert capped.count() == 0  # hot shingles dropped before the self-join

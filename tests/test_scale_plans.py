@@ -75,3 +75,29 @@ def test_unkeyed_asof_join_no_single_partition_window(spark):
     plan = _plan(out)
     assert "Exchange SinglePartition" not in plan
     assert "hashpartitioning(__bkt" in plan
+
+
+def test_ivf_centroid_partitioned_layout_prunes_scan(spark, tmp_path):
+    """The IVF scale path: vectors written partitioned by centroid_id,
+    a probe restricted to n_probe cells must prune non-probed cells at
+    the FILE level (PartitionFilters on centroid_id)."""
+    from bigdata_kafka_2_spark.io import write_parquet
+    from bigdata_kafka_2_spark.operators import similarity as SIM
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    cents = e.filter(F.col("vec_id").isin([10, 20, 30, 40])).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    assigned = SIM.assign_centroids(e, cents)
+    out = str(tmp_path / "ivf_cells")
+    write_parquet(assigned, out, partition_by=["centroid_id"])
+
+    probed = spark.read.parquet(out).filter(F.col("centroid_id").isin([10, 20]))
+    plan = _plan(probed)
+    assert "PartitionFilters" in plan
+    files = probed.select(F.input_file_name().alias("f")).distinct().collect()
+    assert files
+    assert all(
+        "centroid_id=10" in r.f or "centroid_id=20" in r.f for r in files
+    )
