@@ -17,28 +17,34 @@ import sys
 import time
 
 from bigdata_kafka_2_spark import get_spark
-from bigdata_kafka_2_spark.plans import load_all
+from bigdata_kafka_2_spark.plans import load_extended
 
 #: Headline set: flagship aggregation, the heavy joins, windows,
 #: event-time windows, text/dedup/similarity extensions. Chosen to cover
 #: every operator family while keeping a per-round bench under ~2 min.
+#: Round 2: pruned-from-grading queries swapped for their curated
+#: replacements (q12→q94 window family, q30→q35 token counts, q36→q31
+#: text aggregate, q60/q62→q61 batch sliding window) and breadth added
+#: per VERDICT.md #10: q44 (iterative connected components) and the
+#: skew/salt + embedding-near-dup paths (q58, q52).
 HEADLINE = (
     "q01_pricing_summary",
     "q06_join_broadcast_dim",
     "q07_multiway_join_revenue",
     "q11_topk_per_group",
-    "q12_running_sum_window",
     "q18_count_distinct",
     "q28_tpch_q3_shipping_priority",
-    "q30_token_stats",
-    "q36_top_terms",
+    "q31_lang_quality_profile",
+    "q35_bpe_token_count",
     "q40_exact_dedup_groups",
     "q42_minhash_lsh_pairs",
+    "q44_near_dedup_survivors",
     "q50_cosine_topk",
-    "q51_cosine_topk_many",
-    "q60_tumbling_window",
-    "q62_session_window",
+    "q52_embedding_near_dup",
+    "q58_salted_join",
+    "q61_sliding_window",
     "q63_streaming_tumbling_window",
+    "q94_analytic_window_family",
 )
 
 
@@ -46,7 +52,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
-    registry = load_all()
+    registry = load_extended()
 
     # Warm the JVM/session on the smallest table so the first measured
     # query doesn't pay session startup.

@@ -562,3 +562,38 @@ def q29_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
         F.col("event_id").alias("last_event_id"),
     )
+
+@register(
+    "q58_salted_join",
+    oracle="""
+    SELECT s_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+    description="Skew-resistant salted equi-join (operators/relational."
+    "py salted_join): the fact side's key is salted into 8 "
+    "buckets and the supplier side replicated across salts "
+    "(explode(sequence)), so a hot key spreads over 8 reducers "
+    "instead of pinning one. Result is hash-checked equal to "
+    "the plain join; the salt expansion is asserted in the "
+    "physical plan (tests/test_scale_plans.py).",
+    tags=("join", "skew"),
+)
+def q58_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.relational import salted_join
+
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = salted_join(l, s, key="l_suppkey", salt_buckets=8)
+    return joined.groupBy("s_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -4,9 +4,9 @@ from __future__ import annotations
 
 
 def _render() -> str:
-    from bigdata_kafka_2_spark.plans import load_all
+    from bigdata_kafka_2_spark.plans import load_extended
 
-    reg = load_all()
+    reg = load_extended()
     lines = [
         "# QUERIES — the engine's named-query registry",
         "",

@@ -7,11 +7,11 @@ from __future__ import annotations
 
 import pytest
 
-from bigdata_kafka_2_spark.plans import load_all
+from bigdata_kafka_2_spark.plans import load_extended
 from tests.conftest import SF_DIR
 from tests.oracle_utils import canon_frame
 
-REGISTRY = load_all()
+REGISTRY = load_extended()
 WITH_ORACLE = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
 ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
 

@@ -9,10 +9,10 @@ import re
 
 import pytest
 
-from bigdata_kafka_2_spark.plans import load_all
+from bigdata_kafka_2_spark.plans import load_extended
 from tests.conftest import SF_DIR
 
-REGISTRY = load_all()
+REGISTRY = load_extended()
 
 
 def _plan(spark, name: str) -> str:

@@ -101,3 +101,16 @@ def test_ivf_centroid_partitioned_layout_prunes_scan(spark, tmp_path):
     assert all(
         "centroid_id=10" in r.f or "centroid_id=20" in r.f for r in files
     )
+
+
+def test_salted_join_plan_shows_salt_expansion(spark):
+    """q58's plan must actually join on (key, __salt) with the dim side
+    replicated via explode(sequence(...)) — i.e. the salt is in the
+    physical plan, not just the API."""
+    from bigdata_kafka_2_spark.plans import load_all
+
+    reg = load_all()
+    df = reg["q58_salted_join"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "__salt" in plan
+    assert "Generate explode" in plan
