@@ -45,14 +45,14 @@ _MODEL_DIRS = {
 }
 
 
-def create_input_df(
-    spark: SparkSession, payload: dict[str, Any], feature_cols: list[str]
-) -> DataFrame:
-    """Single-row inference DataFrame from a JSON-ish payload (S10,
-    ``api.py:159-170``): every expected feature read with default 0.0
-    (``api.py:164``), all-double schema. Unparseable values also
-    degrade to 0.0 — the §1.2 coercion policy applied at the API edge
-    (the reference would 500 on a non-numeric payload value)."""
+def coerce_features(
+    payload: dict[str, Any], feature_cols: list[str]
+) -> dict[str, float]:
+    """The §1.2 coercion policy at the API edge (``api.py:159-170``):
+    every expected feature read with default 0.0 (``api.py:164``);
+    unparseable values also degrade to 0.0 (the reference would 500 on
+    a non-numeric payload value). This is also the ``input_processed``
+    echo the reference returns in every predict response."""
 
     def _coerce(v) -> float:
         try:
@@ -60,7 +60,15 @@ def create_input_df(
         except (TypeError, ValueError):
             return 0.0
 
-    values = [_coerce(payload.get(c, 0.0)) for c in feature_cols]
+    return {c: _coerce(payload.get(c, 0.0)) for c in feature_cols}
+
+
+def create_input_df(
+    spark: SparkSession, payload: dict[str, Any], feature_cols: list[str]
+) -> DataFrame:
+    """Single-row inference DataFrame from a JSON-ish payload (S10,
+    ``api.py:159-170``), all-double schema via :func:`coerce_features`."""
+    values = list(coerce_features(payload, feature_cols).values())
     schema = T.StructType(
         [T.StructField(c, T.DoubleType(), True) for c in feature_cols]
     )
