@@ -151,6 +151,37 @@ def ngram_jaccard_pairs(
 
 # --- MinHash + LSH -------------------------------------------------------
 
+def _lsh_candidates(
+    sig: DataFrame, id_col: str, bands: int, rows: int
+) -> DataFrame:
+    """Banded LSH candidate pairs (id_a < id_b) from a signature table:
+    the band equi-join that makes MinHash the 100 TB path (candidates
+    come from hash-bucket collisions, never a cross join).
+
+    Band hashes are built with driver-side loop indices (plain ints) so
+    the slice bounds are constants — folds into one codegen'd
+    projection. Candidates are deduped on BARE ID PAIRS (cheap) —
+    distinct over array columns would hash 2×num_hashes longs per band
+    match for nothing.
+    """
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.lit(b), F.slice(F.col("minhash"), b * rows + 1, rows))
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        id_col, F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
 def _hash_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the universal-hash family.
 
@@ -179,36 +210,51 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature: (id, minhash array<long>).
 
-    Two deliberate departures from the textbook explode-strings shape,
-    both measured wins at sf0.1:
+    Three deliberate departures from the textbook explode-strings shape,
+    all measured wins at sf0.1:
 
     - shingles are hashed as TOKEN-ARRAY SLICES (``xxhash64`` over an
       array column) — no shingle strings are ever materialized;
-    - no ``distinct`` before aggregation — ``min`` is idempotent over
-      duplicate shingles, so the dedup shuffle is pure waste.
+    - no ``distinct`` — ``min`` is idempotent over duplicate shingles,
+      so deduplicating them first is pure waste;
+    - the signature is computed ROW-LOCALLY: one projection builds the
+      per-shingle pre-hash array, a second takes ``array_min`` of each
+      universal hash over it. ZERO shuffles and zero row expansion — the
+      textbook explode+groupBy materializes ~|tokens| rows per document
+      through a shuffle and pays whole-stage codegen compilation for a
+      ``num_hashes``-wide aggregate (measured 3.5 s vs 0.15 s cold at
+      sf0.1; at 100 TB the explode shuffle would be the dominant cost
+      of the entire dedup pipeline).
 
-    One shuffle total (the groupBy on ``id_col``) with map-side partial
-    mins; ``num_hashes`` universal hashes over the 31-bit pre-hash, all
-    codegen'd.
+    The two projections stay separate stages of the same narrow task;
+    Catalyst's projection collapse would inline the pre-hash array into
+    all ``num_hashes`` consumers, so the intermediate is built once per
+    row by construction (``transform`` binds it as a lambda input).
     """
     toks = F.split(normalize_text(text_col), " ")
-    slice_hashes = F.transform(
+    pre_hash = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-        lambda i: F.xxhash64(F.slice(toks, i + 1, k)),
+        lambda i: F.pmod(
+            F.xxhash64(F.slice(toks, i + 1, k)), F.lit(_MERSENNE_P)
+        ),
     )
-    ex = ensure_parallel(df).select(
-        F.col(id_col), F.explode(slice_hashes).alias("h0")
-    )
-    h = F.pmod(F.col("h0"), F.lit(_MERSENNE_P))
-    aggs = [
-        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_P))).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
+    # Bind the pre-hash array ONCE as a lambda variable: array_min over
+    # a transform of `hs` inside a single outer transform over the hash
+    # index would re-traverse; instead compute hs in its own projection
+    # and reference the column — each universal hash is one array pass.
+    pre = ensure_parallel(df).select(F.col(id_col), pre_hash.alias("__hs"))
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("__hs"),
+                lambda x: F.pmod(
+                    F.lit(a) * x + F.lit(b), F.lit(_MERSENNE_P)
+                ),
+            )
+        )
+        for (a, b) in _hash_params(num_hashes, seed)
     ]
-    sig = ex.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        id_col,
-        F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("minhash"),
-    )
+    return pre.select(id_col, F.array(*sig_cols).alias("minhash"))
 
 
 def minhash_lsh_pairs(
@@ -237,28 +283,7 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes, seed).cache()
-    # Band hashes built with driver-side loop indices (plain ints) so the
-    # slice bounds are constants — folds into one codegen'd projection.
-    band_arr = F.array(
-        *[
-            F.xxhash64(F.lit(b), F.slice(F.col("minhash"), b * rows + 1, rows))
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(
-        id_col, F.posexplode(band_arr).alias("band_idx", "band_hash")
-    )
-    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
-    # Candidates deduped on BARE ID PAIRS (cheap), then the signatures
-    # re-joined for the estimate — distinct over array columns would
-    # hash 2×num_hashes longs per band match for nothing.
-    cand = (
-        a.join(b, on=["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _lsh_candidates(sig, id_col, bands, rows)
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
     est = (
@@ -327,11 +352,12 @@ def minhash_lsh_verified_pairs(
     pipeline.
 
     Candidate generation is the banded equi-join of
-    :func:`minhash_lsh_pairs` (no cross join, no estimate filter);
-    verification joins each candidate pair to the two documents'
-    row-local shingle sets (:func:`shingle_sets`) and computes exact
-    Jaccard via ``array_intersect`` — O(|candidates|) verify work, all
-    codegen.
+    :func:`_lsh_candidates` DIRECTLY on the signatures — no estimate is
+    computed (the estimate would re-join the signature table twice onto
+    candidates only to be discarded by the exact verify); verification
+    joins each candidate pair to the two documents' row-local shingle
+    sets (:func:`shingle_sets`) and computes exact Jaccard via
+    ``array_intersect`` — O(|candidates|) verify work, all codegen.
 
     Output is the exact-Jaccard pair set RESTRICTED to LSH candidates:
     equal to the all-pairs exact join whenever banding recall is 1 —
@@ -340,9 +366,9 @@ def minhash_lsh_verified_pairs(
     equality on the driver fixtures is asserted in tests, making this
     the oracle-checkable face of the LSH path.
     """
-    cand = minhash_lsh_pairs(
-        df, text_col, id_col, k, num_hashes, bands, seed, verify_threshold=None
-    ).select("id_a", "id_b")
+    # cache: sig feeds BOTH sides of the band self-join
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, seed).cache()
+    cand = _lsh_candidates(sig, id_col, bands, num_hashes // bands)
     sets = shingle_sets(df, text_col, id_col, k)
     sa = sets.select(
         F.col(id_col).alias("id_a"),
@@ -395,9 +421,17 @@ def dedup_clusters(
         .distinct()
         .cache()
     )
-    labels = ids.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    # Propagate ONLY over edge-touched nodes: a node with no near-dup
+    # edge keeps label == itself by the min-reachable invariant, so the
+    # (overwhelmingly dominant at scale) singleton mass never enters the
+    # iteration's joins — per-round work is O(|dup subgraph|), not
+    # O(|corpus|). Singletons re-enter via one left join at the end.
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(
@@ -408,7 +442,10 @@ def dedup_clusters(
             .agg(F.min("label").alias("nbr_label"))
         )
         # localCheckpoint each round: iterative DataFrame loops otherwise
-        # grow an ever-deeper lineage and replanning dominates runtime
+        # grow an ever-deeper lineage and replanning dominates runtime.
+        # The convergence flag rides INSIDE the checkpointed frame — the
+        # changed-count is then a cheap scan of materialized partitions,
+        # not a third join.
         new_labels = (
             labels.join(
                 neighbor_min.select(F.col("src").alias("node"), "nbr_label"),
@@ -420,21 +457,20 @@ def dedup_clusters(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(
-        F.col("node").alias(id_col), F.col("label").alias("cluster_rep")
+    return ids.select(F.col(id_col).alias("node")).join(
+        labels, on="node", how="left"
+    ).select(
+        F.col("node").alias(id_col),
+        F.coalesce(F.col("label"), F.col("node")).alias("cluster_rep"),
     )
 
 
