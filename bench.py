@@ -26,7 +26,10 @@ from bigdata_kafka_2_spark.plans import load_extended
 #: replacements (q12→q94 window family, q30→q35 token counts, q36→q31
 #: text aggregate, q60/q62→q61 batch sliding window) and breadth added
 #: per VERDICT.md #10: q44 (iterative connected components) and the
-#: skew/salt + embedding-near-dup paths (q58, q52).
+#: skew/salt + embedding-near-dup paths (q58, q53). q53 (multi-band
+#: LSH + bucketed verify) is benched rather than q52: q52 is the
+#: intentionally-quadratic all-pairs oracle baseline, not the plan the
+#: engine would ever run at scale.
 HEADLINE = (
     "q01_pricing_summary",
     "q06_join_broadcast_dim",
@@ -40,7 +43,7 @@ HEADLINE = (
     "q42_minhash_lsh_pairs",
     "q44_near_dedup_survivors",
     "q50_cosine_topk",
-    "q52_embedding_near_dup",
+    "q53_lsh_bucketed_near_dup",
     "q58_salted_join",
     "q61_sliding_window",
     "q63_streaming_tumbling_window",
