@@ -267,3 +267,27 @@ def q37_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q34_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return TX.language_id(d).select("doc_id", "lang", "lang_pred")
+
+
+@register(
+    "q39_cms_top_terms",
+    oracle=None,  # xxhash64 bucket grid is not expressible in DuckDB;
+    # the sketch's overestimate/mergeability/recovery properties are
+    # property-tested in tests/test_sketch.py, and the top-k set is
+    # asserted equal to exact q36 on the driver data in test_extensions
+    description="Approximate corpus heavy-hitters via count-min sketch "
+    "(operators/sketch.py): the 100 TB swap-in for q36's exact "
+    "top-terms. The term-count state is a fixed depth*width counter "
+    "grid (one bounded-key shuffle with map-side partials) instead of "
+    "a full-vocabulary shuffle; estimates never undercount and "
+    "shard-built sketches merge cell-wise (both property-tested).",
+    tags=("text", "aggregate", "sketch"),
+)
+def q39_cms_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators import sketch as SK
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(TX.normalize_text("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return SK.count_min_topk(toks, "tok", k=10)

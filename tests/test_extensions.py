@@ -186,3 +186,15 @@ def test_ivf_topk_recall(spark):
     assert len(approx_ids) == 5
     # probing half the cells should still recover most of the true top-k
     assert len(set(approx_ids) & set(exact_ids)) >= 2
+
+
+def test_cms_topk_matches_exact_top_terms(spark):
+    """q39's CMS top-10 term SET equals q36's exact top-10 on the
+    driver documents table — heavy hitters survive sketch noise."""
+    from bigdata_kafka_2_spark.plans import load_extended
+    from tests.conftest import SF_DIR
+
+    reg = load_extended()
+    exact = {r[0] for r in reg["q36_top_terms"].spark_fn(spark, SF_DIR).collect()}
+    approx = {r[0] for r in reg["q39_cms_top_terms"].spark_fn(spark, SF_DIR).collect()}
+    assert approx == exact
