@@ -113,12 +113,16 @@ def q83_supplier_balance_by_region(spark: SparkSession, sf_dir: str) -> DataFram
            round(sum(c_acctbal), 2) AS total_bal
     FROM customer c
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment
     """,
     description="TPC-H Q22 shape: scalar subquery (global positive-"
-    "balance average) + anti join (no orders) + grouped "
-    "aggregate.",
+    "balance average) + anti join (no URGENT order) + grouped "
+    "aggregate. The priority filter keeps the result NON-empty "
+    "on the driver data — every customer has some order, so the "
+    "unfiltered anti join validated nothing (the q09 lesson).",
     tags=("subquery", "join", "aggregate", "sql"),
 )
 def q82_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,7 +135,9 @@ def q82_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer_v82 c
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v82
                            WHERE c_acctbal > 0)
-          AND NOT EXISTS (SELECT 1 FROM orders_v82 WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders_v82
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
         GROUP BY c_mktsegment
         """
     )
