@@ -49,3 +49,27 @@ def test_percentile_approx_tolerance(spark):
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p")
     ).collect()[0].p
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_near_dedup_10x_scale_invariant(spark):
+    """10x-scaled near-dedup smoke: union ten id-shifted copies of the
+    documents table (identical text). Copies share exact shingle sets,
+    so every original near-dup relation is preserved verbatim and each
+    copy clusters with its original — the survivor set at 10x must
+    EQUAL the survivor set at 1x (min ids are the originals). Exercises
+    LSH banding, the verify join, and connected components on clusters
+    10x wider, with no cliff."""
+    from bigdata_kafka_2_spark.operators.dedup import near_dedup
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    shift = 1_000_000
+    scaled = docs
+    for i in range(1, 10):
+        scaled = scaled.unionByName(
+            docs.select(
+                (F.col("doc_id") + i * shift).alias("doc_id"), "text"
+            )
+        )
+    base = {r.doc_id for r in near_dedup(docs, verify=True).collect()}
+    big = {r.doc_id for r in near_dedup(scaled, verify=True).collect()}
+    assert big == base  # all survivors are originals, same clusters
