@@ -93,7 +93,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _drain(df: DataFrame, prefix: str) -> str:
+def _drain(df: DataFrame, prefix: str, mode: str = "complete") -> str:
     """availableNow drain into a uniquely-named memory sink; returns
     the sink table name."""
     import uuid
@@ -102,7 +102,7 @@ def _drain(df: DataFrame, prefix: str) -> str:
     q = (
         df.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -274,4 +274,71 @@ def q62_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), _FMT).alias("session_start"),
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def _events_stream_duplicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events stream with EVERY event delivered twice (two symlinks
+    to the same parquet file in the stage dir) — an at-least-once
+    source simulation for the streaming-dedup query."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from bigdata_kafka_2_spark.io import read_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = read_table(spark, sf_dir, "events").schema
+    stream_schema = T.StructType(
+        [
+            T.StructField("ts", T.LongType(), True) if f.name == "ts" else f
+            for f in batch_schema.fields
+        ]
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"q65_events2x_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    for tag in ("a", "b"):
+        link = os.path.join(stage, f"events_{tag}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return (
+        spark.readStream.schema(stream_schema)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    )
+
+
+@register(
+    "q65_streaming_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Streaming exact deduplication "
+    "(dropDuplicatesWithinWatermark over event_id, streaming/windows."
+    "dedup_stream): the source delivers EVERY event twice (two staged "
+    "copies — an at-least-once redelivery simulation), the stream "
+    "dedups on the fly with watermark-bounded state, and the drained "
+    "output's per-type counts must hash-match the plain batch counts "
+    "over the ORIGINAL events table — exactly-once semantics "
+    "reconstructed from an at-least-once source, checked end-to-end.",
+    tags=("streaming", "dedup"),
+)
+def q65_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.streaming.windows import dedup_stream
+
+    deduped = dedup_stream(
+        _events_stream_duplicated(spark, sf_dir), ["event_id"], watermark="1 hour"
+    )
+    sink = _drain(deduped, "q65_out", mode="append")
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
     )

@@ -120,3 +120,29 @@ def running_user_stats(events: DataFrame, threshold: float = 90.0) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first arrival of each
+    key, dropping re-deliveries that arrive within the watermark
+    horizon (``dropDuplicatesWithinWatermark``) — the streaming face of
+    the batch exact-dedup operator (operators/dedup.py fingerprint
+    groupBy), and the idempotency layer an at-least-once source (Kafka
+    redelivery, producer retries) needs in front of a training-data
+    sink.
+
+    State stores one entry per key seen within the watermark and is
+    EVICTED once the key's event time falls behind it — bounded state
+    on an unbounded stream, vs plain ``dropDuplicates`` whose state
+    grows forever. A duplicate arriving later than the watermark
+    horizon is NOT suppressed (it is indistinguishable from a fresh
+    key by then); exactly-once WITHIN the horizon is the contract.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [*key_cols]
+    )

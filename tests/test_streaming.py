@@ -241,3 +241,51 @@ def test_stateful_running_stats_accumulates(spark, tmp_path):
     assert final_u1.n_over == 2
     final_u2 = max((r for r in rows if r.user_id == 2), key=lambda r: r.n_events)
     assert final_u2.n_events == 1 and final_u2.n_over == 0
+
+
+def test_dedup_stream_drops_redeliveries(spark, tmp_path):
+    # at-least-once source simulation: the same (event_id) is delivered
+    # in two different micro-batches; dropDuplicatesWithinWatermark must
+    # emit it once. maxFilesPerTrigger=1 → one file per micro-batch.
+    d = tmp_path / "dup_ev"
+    d.mkdir()
+    rows1 = [
+        {"event_id": 1, "ts": "2024-06-01 10:00:00", "value": 1.0},
+        {"event_id": 2, "ts": "2024-06-01 10:01:00", "value": 2.0},
+        {"event_id": 1, "ts": "2024-06-01 10:00:00", "value": 1.0},  # in-batch dup
+    ]
+    rows2 = [
+        {"event_id": 2, "ts": "2024-06-01 10:01:00", "value": 2.0},  # redelivery
+        {"event_id": 3, "ts": "2024-06-01 10:02:00", "value": 3.0},
+    ]
+    for i, rows in enumerate([rows1, rows2]):
+        with open(d / f"f{i}.jsonl", "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = SW.dedup_stream(stream, ["event_id"], watermark="2 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select event_id from dedup_out").collect()
+    assert sorted(r.event_id for r in out) == [1, 2, 3]
+    # bounded state: one entry per distinct key within the horizon
+    state = q.lastProgress["stateOperators"][0]
+    assert state["numRowsTotal"] == 3
