@@ -92,3 +92,51 @@ def q56_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total"),
     )
+
+@register(
+    "q59_quantization_profile",
+    oracle="""
+    SELECT vec_id,
+           round(q_min, 4) AS qmin,
+           round(q_scale, 6) AS qscale,
+           list_sum(q_codes) AS code_sum,
+           list_max(q_codes) AS code_max,
+           list_min(q_codes) AS code_min
+    FROM (
+      SELECT vec_id,
+             CAST(list_min(embedding) AS DOUBLE) AS q_min,
+             (CAST(list_max(embedding) AS DOUBLE)
+              - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS q_scale,
+             list_transform(embedding, x ->
+               CAST(round((CAST(x AS DOUBLE)
+                           - CAST(list_min(embedding) AS DOUBLE))
+                          / ((CAST(list_max(embedding) AS DOUBLE)
+                              - CAST(list_min(embedding) AS DOUBLE)) / 255.0),
+                          0) AS BIGINT)) AS q_codes
+      FROM embeddings
+    )
+    """,
+    description="Int8 scalar quantization of the embedding store "
+    "(operators/similarity.quantize_int8): per-vector affine params + "
+    "code summary, all row-local codegen'd array math (zero shuffle) — "
+    "the 4x compression pass before indexing at corpus scale. The "
+    "whole quantizer (min/max, scale, every rounded code) is "
+    "hash-checked against DuckDB list arithmetic; reconstruction-error "
+    "bound and round-trip are property-tested.",
+    tags=("similarity", "array", "sketch"),
+)
+def q59_quantization_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.similarity import quantize_int8
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(e)
+    return q.select(
+        "vec_id",
+        F.round("q_min", 4).alias("qmin"),
+        F.round("q_scale", 6).alias("qscale"),
+        F.aggregate(
+            "q_codes", F.lit(0).cast("long"), lambda a, c: a + c.cast("long")
+        ).alias("code_sum"),
+        F.array_max("q_codes").cast("long").alias("code_max"),
+        F.array_min("q_codes").cast("long").alias("code_min"),
+    )

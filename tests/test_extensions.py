@@ -198,3 +198,41 @@ def test_cms_topk_matches_exact_top_terms(spark):
     exact = {r[0] for r in reg["q36_top_terms"].spark_fn(spark, SF_DIR).collect()}
     approx = {r[0] for r in reg["q39_cms_top_terms"].spark_fn(spark, SF_DIR).collect()}
     assert approx == exact
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    """Element-wise |dequant - original| <= q_scale/2 (+ float eps),
+    codes stay in [0, 255], and a constant vector round-trips exactly."""
+    from bigdata_kafka_2_spark.io import read_table
+    from bigdata_kafka_2_spark.operators.similarity import (
+        dequantize_int8,
+        quantize_int8,
+    )
+    from tests.conftest import SF_DIR
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    q = dequantize_int8(quantize_int8(e))
+    checks = q.select(
+        F.array_min("q_codes").alias("cmin"),
+        F.array_max("q_codes").alias("cmax"),
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "embedding_deq",
+                lambda x, d: F.abs(x.cast("double") - d),
+            ),
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc, v),
+        ).alias("max_err"),
+        (F.col("q_scale") / 2 + F.lit(1e-9)).alias("bound"),
+    )
+    bad = checks.filter(
+        (F.col("cmin") < 0) | (F.col("cmax") > 255)
+        | (F.col("max_err") > F.col("bound"))
+    )
+    assert bad.count() == 0
+
+    const = spark.createDataFrame([(1, [2.5, 2.5, 2.5])], ["vec_id", "embedding"])
+    row = dequantize_int8(quantize_int8(const)).first()
+    assert row.embedding_deq == [2.5, 2.5, 2.5]
+    assert row.q_scale == 0.0
