@@ -1,0 +1,145 @@
+"""End-to-end training-data curation pipeline — the LLM-charter
+counterpart of ``examples/food_pipeline.py``, runnable as one script:
+
+    python examples/curation_pipeline.py [--sf-dir /root/testdata/sf0.001]
+
+The stages are the standard corpus-curation recipe, each one an
+operator family from the engine (all distributed, no driver-side data
+loops; collected outputs are bounded summaries):
+
+1. DEDUP-EXACT — fingerprint groupBy keeps one doc per normalized
+                 text (operators/dedup.exact_dedup machinery).
+2. DEDUP-NEAR  — MinHash-LSH candidates → exact-Jaccard verify →
+                 connected components → min-id survivors
+                 (operators/dedup.near_dedup, verify=True).
+3. QUALITY     — quality-stat gates: keep docs with enough tokens
+                 and a sane alpha ratio (operators/text.with_text_stats
+                 — one projection, no shuffle).
+4. TOKENS      — corpus token accounting on the survivors (whitespace
+                 + BPE-ish regex counts, operators/text).
+5. SPLIT       — append-stable hash splits train/val/test
+                 (operators/sampling.hash_split; membership depends
+                 only on (key, seed), stable under appends/re-runs).
+6. EMBED       — the survivors' embeddings (vec_id == doc_id on the
+                 driver tables) are int8-quantized
+                 (operators/similarity.quantize_int8) and assigned to
+                 IVF centroids (assign_centroids) — the compressed,
+                 index-ready store.
+
+Prints one JSON summary line per stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bigdata_kafka_2_spark import get_spark  # noqa: E402
+from bigdata_kafka_2_spark.io import read_table  # noqa: E402
+from bigdata_kafka_2_spark.operators import dedup as DD  # noqa: E402
+from bigdata_kafka_2_spark.operators import sampling as SMP  # noqa: E402
+from bigdata_kafka_2_spark.operators import similarity as SIM  # noqa: E402
+from bigdata_kafka_2_spark.operators import text as TX  # noqa: E402
+
+
+def run(spark, sf_dir: str) -> list[dict]:
+    out = []
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n0 = docs.count()
+
+    # 1. exact dedup: keep the min-id representative per fingerprint
+    fp = docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+    keep_exact = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    docs1 = docs.join(keep_exact.select("doc_id"), "doc_id", "left_semi")
+    n1 = docs1.count()
+    out.append({"stage": "dedup_exact", "in": n0, "out": n1})
+
+    # 2. near dedup end-to-end (LSH -> verify -> CC -> survivors)
+    survivors = DD.near_dedup(docs1, verify=True, est_threshold=0.5)
+    docs2 = docs1.join(survivors, "doc_id", "left_semi")
+    n2 = docs2.count()
+    out.append({"stage": "dedup_near", "in": n1, "out": n2})
+
+    # 3. quality gates: enough tokens, sane alpha ratio
+    q = TX.with_text_stats(docs2)
+    docs3 = q.filter(
+        (F.col("stat_tokens") >= 5) & (F.col("stat_alpha_ratio") >= 0.5)
+    ).select("doc_id", "text")
+    n3 = docs3.count()
+    out.append({"stage": "quality_filter", "in": n2, "out": n3})
+
+    # 4. corpus token accounting on survivors
+    from bigdata_kafka_2_spark.plans.text_queries import _BPE_PATTERN
+
+    toks = docs3.select(
+        TX.token_count("text").alias("ws"),
+        F.regexp_count("text", F.lit(_BPE_PATTERN)).alias("bpe"),
+    ).agg(
+        F.sum("ws").alias("ws_tokens"), F.sum("bpe").alias("bpe_tokens")
+    ).first()
+    out.append(
+        {
+            "stage": "token_accounting",
+            "ws_tokens": int(toks.ws_tokens),
+            "bpe_tokens": int(toks.bpe_tokens),
+        }
+    )
+
+    # 5. append-stable splits
+    split = SMP.hash_split(
+        docs3, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    profile = {
+        r.split: r.n
+        for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    out.append({"stage": "split", **profile})
+
+    # 6. compressed, index-ready embedding store for the survivors
+    emb = read_table(spark, sf_dir, "embeddings")
+    kept = emb.join(
+        docs3.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    centroids = (
+        kept.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+    )
+    assigned = SIM.assign_centroids(SIM.quantize_int8(kept), centroids)
+    cells = {
+        int(r.centroid_id): r.n
+        for r in assigned.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out.append(
+        {
+            "stage": "embed_store",
+            "vectors": sum(cells.values()),
+            "ivf_cells": len(cells),
+        }
+    )
+    return out
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    args = ap.parse_args(argv)
+    spark = get_spark("curation-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    for line in run(spark, args.sf_dir):
+        print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

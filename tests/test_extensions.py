@@ -236,3 +236,27 @@ def test_quantize_int8_roundtrip_error_bound(spark):
     row = dequantize_int8(quantize_int8(const)).first()
     assert row.embedding_deq == [2.5, 2.5, 2.5]
     assert row.q_scale == 0.0
+
+
+def test_curation_pipeline_example(spark):
+    """examples/curation_pipeline.py end-to-end: monotone survivor
+    counts, full split coverage, and an 8-cell embedding store."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "examples")
+    )
+    from curation_pipeline import run
+    from tests.conftest import SF_DIR
+
+    stages = {s["stage"]: s for s in run(spark, SF_DIR)}
+    assert stages["dedup_exact"]["out"] <= stages["dedup_exact"]["in"]
+    assert stages["dedup_near"]["out"] <= stages["dedup_near"]["in"]
+    assert stages["quality_filter"]["out"] <= stages["quality_filter"]["in"]
+    n_final = stages["quality_filter"]["out"]
+    split = stages["split"]
+    assert split["train"] + split.get("val", 0) + split.get("test", 0) == n_final
+    assert stages["embed_store"]["vectors"] == n_final
+    assert stages["embed_store"]["ivf_cells"] == 8
+    assert stages["token_accounting"]["ws_tokens"] > 0
