@@ -221,3 +221,75 @@ def read_kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
+
+
+def zorder_code(
+    col_a, col_b, bounds_a: list[float], bounds_b: list[float]
+):
+    """16-bit Z-order (Morton) code from two numeric columns, each
+    rank-bucketed into 8 bits by its quantile ``bounds`` (255 cut
+    points from ``approx_percentile``) and bit-interleaved.
+
+    Everything is a plain codegen'd expression: the bucket index is
+    ``aggregate`` over the literal boundary array (+1 per boundary ≤
+    value — constant 255 ops/row regardless of data size), the
+    interleave is shift/mask arithmetic.
+    """
+    def bucket(c, bounds):
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        return F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(b <= c.cast("double"), F.lit(1)).otherwise(F.lit(0)),
+        )
+
+    a, b = bucket(col_a, bounds_a), bucket(col_b, bounds_b)
+    z = F.lit(0)
+    for i in range(8):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    num_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write: rows are range-partitioned and
+    sorted by the Morton interleave of the two columns' quantile ranks,
+    so EVERY file covers a narrow range of BOTH columns at once.
+
+    This is the multi-dimensional data-skipping layout: a sort on one
+    column clusters that column only (files span the full range of the
+    other), while the Z-curve keeps both columns' parquet min/max
+    statistics tight — predicates on either column (or both) skip most
+    row groups at the scan. The quantile boundaries are one aggregate
+    (a bounded 2×255-value collect, not data); the clustered write is
+    one range shuffle — the same cost as a plain sorted write.
+    """
+    qa, qb = (
+        df.select(
+            F.percentile_approx(
+                F.col(c).cast("double"),
+                F.array(*[F.lit(i / 256) for i in range(1, 256)]),
+                10000,
+            ).alias(f"q_{i}")
+        ).first()[0]
+        for i, c in enumerate(cols)
+    )
+    z = zorder_code(F.col(cols[0]), F.col(cols[1]), qa, qb)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

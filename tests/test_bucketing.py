@@ -55,3 +55,55 @@ def test_bucketed_aggregate_avoids_shuffle(spark, tmp_path):
     agg = lb.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_zorder_write_tightens_both_columns(spark, tmp_path):
+    """Z-order layout: every written file covers a narrow range of BOTH
+    cluster columns (parquet min/max stays tight for two-dimensional
+    skipping), while a one-column sort leaves the other column's
+    per-file range at ~full width."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from bigdata_kafka_2_spark.io import write_zordered
+
+    e = read_table(spark, SF_DIR, "events").select("user_id", "value")
+    lo_u, hi_u, lo_v, hi_v = e.select(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+
+    def avg_ranges(path):
+        ru, rv, n = 0.0, 0.0, 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(path, f), columns=["user_id", "value"])
+            u, v = t.column("user_id").to_pylist(), t.column("value").to_pylist()
+            if not u:
+                continue
+            ru += (max(u) - min(u)) / (hi_u - lo_u)
+            rv += (max(v) - min(v)) / (hi_v - lo_v)
+            n += 1
+        return ru / n, rv / n, n
+
+    zdir = str(tmp_path / "zordered")
+    write_zordered(e, zdir, ("user_id", "value"), num_files=8)
+    zu, zv, zn = avg_ranges(zdir)
+    assert zn >= 4  # actually produced a multi-file layout
+    # both dimensions tight at once — the z-curve property
+    assert zu < 0.6 and zv < 0.6, (zu, zv)
+
+    sdir = str(tmp_path / "sorted_u")
+    (
+        e.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+    su, sv, _ = avg_ranges(sdir)
+    assert su < 0.3          # the sorted column clusters...
+    assert sv > 0.7          # ...but the other column stays near-full-range
+    # worst-dimension range is what bounds skipping when predicates can
+    # hit either column; the z-curve keeps it strictly tighter
+    assert max(zu, zv) < max(su, sv)
