@@ -102,3 +102,34 @@ def scd2_apply(
         .drop("__new_ts")
     )
     return closed.unionByName(upd.select(*closed.columns))
+
+
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    op_col: str = "op",
+    version_col: str = "version",
+) -> DataFrame:
+    """Apply a CDC changelog (rows tagged ``op`` ∈ {'I','U','D'} with a
+    per-key ``version`` order) to a snapshot: for each key the LAST
+    change wins — a delete tombstone removes the row, an insert/update
+    replaces it; untouched target rows survive.
+
+    The change-data-feed consumer a training-data lake runs to keep a
+    snapshot in sync with an upstream OLTP export, without a table
+    format on the classpath. Plan: window top-1 per key over changes →
+    target anti-join (ALL changed keys, deletes included) → union the
+    non-delete finals. One shuffle per side on the key; with the
+    snapshot bucketed on the key the anti-join side is shuffle-free.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
+    last = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    survivors = target.join(last.select(*keys), on=keys, how="left_anti")
+    upserts = last.filter(F.col(op_col) != "D").drop(op_col, version_col)
+    return survivors.unionByName(upserts)

@@ -597,3 +597,75 @@ def q58_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "q97_cdc_apply_changes",
+    oracle="""
+    WITH chg AS (
+      SELECT o_orderkey, o_orderstatus,
+             round(o_totalprice * (1 + 0.1 * v), 2) AS o_totalprice,
+             CASE WHEN o_orderkey % 7 = 0 AND v = 2 THEN 'D' ELSE 'U' END AS op,
+             v AS version
+      FROM orders, unnest([1, 2]) AS t(v)
+      WHERE o_orderkey % 7 < 3
+    ),
+    last AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+      FROM chg
+    ),
+    res AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM chg WHERE chg.o_orderkey = o.o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM last WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM res GROUP BY o_orderstatus
+    """,
+    description="CDC changelog application (operators/cdc.apply_changes"
+    "): a synthesized change feed with two versioned changes per "
+    "touched key — an update then, for every 7th key, a delete "
+    "tombstone — applied last-op-wins onto the orders snapshot. "
+    "Updated rows carry the v2 price, tombstoned keys disappear, "
+    "untouched rows survive; the post-apply per-status rollup is "
+    "hash-checked against the equivalent SQL (window last-version + "
+    "anti-join + union).",
+    tags=("cdc", "window", "join"),
+)
+def q97_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.cdc import apply_changes
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    chg = (
+        o.filter(F.col("o_orderkey") % 7 < 3)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("version"),
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(
+                F.col("o_totalprice") * (1 + 0.1 * F.col("version")), 2
+            ).alias("o_totalprice"),
+            F.when(
+                (F.col("o_orderkey") % 7 == 0) & (F.col("version") == 2), "D"
+            )
+            .otherwise("U")
+            .alias("op"),
+            "version",
+        )
+    )
+    res = apply_changes(o, chg, ["o_orderkey"])
+    return res.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

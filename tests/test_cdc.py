@@ -92,3 +92,23 @@ def test_csv_corrupt_record_accounting(spark, tmp_path):
     assert bad.collect()[0]._bad == "not_an_int,3.5"
     good = df.filter(F.col("_bad").isNull())
     assert {r.id for r in good.collect()} == {1, 2}
+
+
+def test_apply_changes_last_op_wins(spark):
+    from bigdata_kafka_2_spark.operators.cdc import apply_changes
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", "U", 1),   # simple update
+            (2, "b2", "U", 1), (2, "b3", "U", 2),  # two updates: last wins
+            (3, "c2", "U", 1), (3, None, "D", 2),  # update then delete
+            (5, "e", "I", 1),    # insert of a new key
+            (6, "f", "I", 1), (6, None, "D", 2),   # insert then delete: net nothing
+        ],
+        ["k", "v", "op", "version"],
+    )
+    got = {r.k: r.v for r in apply_changes(target, changes, ["k"]).collect()}
+    assert got == {1: "a2", 2: "b3", 4: "d", 5: "e"}
