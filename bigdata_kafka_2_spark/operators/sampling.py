@@ -81,3 +81,36 @@ def stratified_sample(
     # strata not named in fractions are kept in full
     named = F.col(strata_col).isin(list(fractions))
     return df.filter((~named) | keep)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement of size ``k`` — the
+    Efraimidis–Spirakis A-ES scheme: each row draws an exponential
+    order key ``-ln(u) / w`` (u a hash-derived uniform, w the weight)
+    and the ``k`` smallest keys win. Inclusion probability rises with
+    weight; the single pass is a ``TakeOrderedAndProject`` (per-
+    partition heaps of k), no global sort, no shuffle beyond the final
+    k-row merge — the quality-weighted corpus-subsampling primitive
+    (sample documents proportionally to a quality score).
+
+    Deterministic for a fixed (key, seed): re-runs and re-partitions
+    yield the same sample (the engine's sampling contract). Rows with
+    weight <= 0 never win.
+    """
+    u = (hash_bucket(key_col, seed, _BUCKETS) + 1) / F.lit(
+        float(_BUCKETS + 1)
+    )  # uniform in (0, 1]
+    ekey = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__ekey", ekey)
+        .orderBy(F.col("__ekey").asc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__ekey")
+    )

@@ -64,3 +64,43 @@ def test_stratified_sample_fractions(spark):
     for lang in before:
         if lang != "en":
             assert after[lang] == before[lang]
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    """A-ES weighted sampling: same (key, seed) → same sample even
+    re-partitioned; across many seeds the heavy item is selected far
+    more often than any light item (computed in ONE job: explode the
+    seed list, per-seed top-k by the exponential order key)."""
+    from bigdata_kafka_2_spark.operators.sampling import weighted_sample
+
+    rows = [(0, 10.0)] + [(i, 1.0) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+
+    once = sorted(r.k for r in weighted_sample(df, "w", 3, "k", seed=7).collect())
+    again = sorted(
+        r.k
+        for r in weighted_sample(df.repartition(13), "w", 3, "k", seed=7).collect()
+    )
+    assert once == again
+
+    n_seeds, kk = 200, 3
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(n_seeds)])).alias("seed")
+    u = (
+        F.pmod(F.xxhash64(F.col("k"), F.col("seed")), F.lit(1_000_000)) + 1
+    ) / F.lit(1_000_001.0)
+    ekey = -F.log(u) / F.col("w")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("seed").orderBy(F.col("__ekey").asc(), F.col("k").asc())
+    picked = (
+        df.select("k", "w", seeds)
+        .withColumn("__ekey", ekey)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= kk)
+    )
+    rates = {
+        r.k: r.n / n_seeds
+        for r in picked.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert rates[0] > 0.8  # the weight-10 item is nearly always sampled
+    assert all(rates.get(i, 0.0) < 0.5 for i in range(1, 10))
