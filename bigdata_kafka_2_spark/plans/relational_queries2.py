@@ -669,3 +669,36 @@ def q97_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "q98_correlation_stats",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(covar_pop(l_quantity, l_discount), 6) AS qty_disc_covar_pop
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="Bivariate statistics breadth (§2.3 aggregate surface): "
+    "Pearson correlation + sample/population covariance per return "
+    "flag, all single-pass codegen'd aggregates (Spark's built-in "
+    "moment accumulators — one shuffle with map-side partials).",
+    tags=("aggregate",),
+)
+def q98_correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias(
+            "qty_disc_covar_pop"
+        ),
+    )
