@@ -73,3 +73,25 @@ def test_near_dedup_10x_scale_invariant(spark):
     base = {r.doc_id for r in near_dedup(docs, verify=True).collect()}
     big = {r.doc_id for r in near_dedup(scaled, verify=True).collect()}
     assert big == base  # all survivors are originals, same clusters
+
+
+def test_hll_sketch_shards_merge_to_whole(spark):
+    """Built-in HLL sketches (hll_sketch_agg/hll_union_agg): per-shard
+    sketches merged give EXACTLY the same estimate as one sketch over
+    the whole table — the mergeable distinct-count summary that replaces
+    a full-vocabulary distinct at 100 TB (map-side partials + tiny
+    fixed-size state, same contract as the count-min sketch for sums)."""
+    l = read_table(spark, SF_DIR, "lineitem").select("l_partkey")
+    whole = l.select(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("n")
+    ).first()["n"]
+    sharded = (
+        l.withColumn("shard", F.pmod(F.xxhash64("l_partkey"), F.lit(4)))
+        .groupBy("shard")
+        .agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+        .select(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n"))
+        .first()["n"]
+    )
+    assert sharded == whole
+    exact = l.distinct().count()
+    assert abs(whole - exact) / exact < 0.05
