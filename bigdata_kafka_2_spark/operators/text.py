@@ -14,6 +14,8 @@ import pandas as pd  # module-level: pandas_udf type hints (stringified
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bigdata_kafka_2_spark.operators.common import ensure_parallel
+
 #: Tiny per-language stopword marker sets for the n-gram language-ID
 #: heuristic. Deterministic and dependency-free; a real pipeline would
 #: swap in fastText/CLD3 behind the same operator signature.
@@ -147,3 +149,94 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
     return df.withColumn(out_col, pred)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash scheme of
+    Schleimer/Wilkerson/Aiken's MOSS): hash every k-token shingle, then
+    keep the MINIMUM hash of each sliding window of ``window``
+    consecutive shingles — (id, fingerprints array<long>, n_fp).
+
+    Guarantee: two documents sharing any run of ``window + k - 1``
+    tokens share at least one fingerprint, while only ~2/(window+1) of
+    all shingle hashes are kept — the sparse, match-guaranteed
+    signature for substring-level duplicate detection (vs MinHash,
+    which signatures WHOLE-document similarity).
+
+    Entirely row-local (no explode, no shuffle — the same zero-shuffle
+    shape as the MinHash signatures); downstream candidate generation
+    joins on exploded fingerprints, whose count per document is
+    ~2·|tokens|/(window+1), not |tokens|.
+
+    Expression-shape constraint (measured 10×): the shingle-hash array
+    may be referenced only as a HOF *input* (suffix slices fed to
+    ``zip_with``), never inside a lambda *body* — the optimizer inlines
+    projection aliases into lambdas, and an alias inlined into a
+    per-element body is recomputed PER ELEMENT (quadratic). Window
+    minima therefore come from a ``least``-of-shifted-suffixes
+    ``zip_with`` chain (``zip_with`` pads the shorter side with nulls
+    and ``least`` skips nulls, so the tail is sliced off to keep full
+    windows only — equivalence with the textbook per-position form is
+    test-asserted).
+    """
+    if window not in (2, 4):
+        raise ValueError("window must be 2 or 4 (zip_with min-chain)")
+    toks = F.split(normalize_text(text_col), " ")
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.xxhash64(F.slice(toks, i + 1, k)),
+    )
+    pre = ensure_parallel(df).select(F.col(id_col), shingle_hashes.alias("__hs"))
+    hs = F.col("__hs")
+    big = 1 << 30
+    suf = [F.slice(hs, i + 1, big) for i in range(window)]
+    zipped = F.zip_with(suf[0], suf[1], lambda a, b: F.least(a, b))
+    if window == 4:
+        zipped = F.zip_with(
+            zipped,
+            F.zip_with(suf[2], suf[3], lambda a, b: F.least(a, b)),
+            lambda a, b: F.least(a, b),
+        )
+    fp = F.array_distinct(
+        F.slice(zipped, 1, F.greatest(F.size(hs) - window + 1, F.lit(1)))
+    )
+    return pre.select(
+        id_col, fp.alias("fingerprints"), F.size(fp).alias("n_fp")
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Substring-level duplicate candidates: pairs sharing >=
+    ``min_shared`` winnowing fingerprints — (id_a, id_b, n_shared),
+    id_a < id_b.
+
+    The join is an equi-join on the exploded fingerprint (the
+    co-occurrence-bounded similarity-join shape of
+    ngram_jaccard_pairs), but over the winnowed ~2/(window+1)-density
+    signature instead of every shingle — the cheap screen for copied
+    passages that whole-document Jaccard dilutes away.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, window)
+    ex = fps.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
+    a = ex.select(F.col(id_col).alias("id_a"), "fp")
+    b = ex.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

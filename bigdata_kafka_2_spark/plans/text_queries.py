@@ -291,3 +291,24 @@ def q39_cms_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(TX.normalize_text("text"), " ")).alias("tok")
     ).filter(F.col("tok") != "")
     return SK.count_min_topk(toks, "tok", k=10)
+
+
+@register(
+    "q67_winnow_overlap_pairs",
+    oracle=None,  # xxhash64 rolling hashes are not expressible in DuckDB;
+    # the w+k-1 match guarantee, density, and determinism are asserted in
+    # tests/test_extensions.py::test_winnowing_guarantee_and_density
+    description="Substring-level duplicate candidates via winnowing "
+    "fingerprints (operators/text.winnow_fingerprints — the MOSS "
+    "rolling-hash scheme): row-local zero-shuffle signatures keeping "
+    "~2/(window+1) of shingle hashes with a shared-run match "
+    "guarantee, then the co-occurrence-bounded equi-join on exploded "
+    "fingerprints. Catches copied passages that whole-document "
+    "Jaccard dilutes away.",
+    tags=("text", "dedup", "join"),
+)
+def q67_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.text import winnow_overlap_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(d, min_shared=2)

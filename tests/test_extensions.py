@@ -260,3 +260,81 @@ def test_curation_pipeline_example(spark):
     assert stages["embed_store"]["vectors"] == n_final
     assert stages["embed_store"]["ivf_cells"] == 8
     assert stages["token_accounting"]["ws_tokens"] > 0
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Winnowing: docs sharing a long token run share fingerprints
+    (the w+k-1 guarantee); unrelated docs share ~none; the signature is
+    ~2/(window+1)-dense; and the whole operator is deterministic."""
+    from bigdata_kafka_2_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    copied = (
+        " ".join(f"x{i}" for i in range(20))
+        + " "
+        + " ".join(f"tok{i}" for i in range(20, 45))  # 25-token shared run
+        + " "
+        + " ".join(f"y{i}" for i in range(20))
+    )
+    unrelated = " ".join(f"z{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, copied), (3, unrelated)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_overlap_pairs(df, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs          # the copied passage is caught
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    fps = winnow_fingerprints(df).collect()
+    for r in fps:
+        assert r.n_fp == len(set(r.fingerprints))
+        assert r.n_fp < 60  # winnowed well below one-per-shingle
+
+    again = winnow_fingerprints(df).collect()
+    assert {r.doc_id: r.fingerprints for r in fps} == {
+        r.doc_id: r.fingerprints for r in again
+    }
+
+
+def test_winnowing_equals_textbook_per_position_form(spark):
+    """The zip_with suffix-min chain must produce exactly the textbook
+    winnowing (min of each full window of shingle hashes)."""
+    from bigdata_kafka_2_spark.operators.text import (
+        normalize_text,
+        winnow_fingerprints,
+    )
+
+    d = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    k, w = 5, 4
+    toks = F.split(normalize_text("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.xxhash64(F.slice(toks, i + 1, k)),
+    )
+    # textbook form, computed over a MATERIALIZED hash column (cache
+    # blocks the alias-into-lambda inlining that makes it quadratic)
+    pre = d.select("doc_id", sh.alias("__hs")).cache()
+    ref = pre.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size("__hs") - w, F.lit(0))
+                ),
+                lambda p: F.array_min(F.slice("__hs", p + 1, w)),
+            )
+        ).alias("ref_fp"),
+    )
+    got = winnow_fingerprints(d, k=k, window=w)
+    diff = (
+        got.join(ref, "doc_id")
+        .filter(F.col("fingerprints") != F.col("ref_fp"))
+        .count()
+    )
+    assert diff == 0
+    pre.unpersist()
