@@ -217,19 +217,22 @@ def minhash_signatures(
       array column) — no shingle strings are ever materialized;
     - no ``distinct`` — ``min`` is idempotent over duplicate shingles,
       so deduplicating them first is pure waste;
-    - the signature is computed ROW-LOCALLY: one projection builds the
-      per-shingle pre-hash array, a second takes ``array_min`` of each
-      universal hash over it. ZERO shuffles and zero row expansion — the
-      textbook explode+groupBy materializes ~|tokens| rows per document
-      through a shuffle and pays whole-stage codegen compilation for a
-      ``num_hashes``-wide aggregate (measured 3.5 s vs 0.15 s cold at
-      sf0.1; at 100 TB the explode shuffle would be the dominant cost
-      of the entire dedup pipeline).
+    - the signature is computed ROW-LOCALLY as a single fold: one
+      ``transform`` expands each pre-hash into its ``num_hashes``
+      universal hashes, one ``aggregate`` folds those vectors with an
+      element-wise ``least``. ZERO shuffles and zero row expansion —
+      the textbook explode+groupBy materializes ~|tokens| rows per
+      document through a shuffle and pays codegen compilation for a
+      ``num_hashes``-wide aggregate; at 100 TB that shuffle would be
+      the dominant cost of the entire dedup pipeline.
 
-    The two projections stay separate stages of the same narrow task;
-    Catalyst's projection collapse would inline the pre-hash array into
-    all ``num_hashes`` consumers, so the intermediate is built once per
-    row by construction (``transform`` binds it as a lambda input).
+    Expression-shape constraint (the winnowing lesson, measured 15×
+    here): the pre-hash array is referenced exactly ONCE, as the input
+    of the expanding ``transform``. The tempting alternative — one
+    ``array_min(transform(hs, ...))`` per universal hash — references
+    the alias ``num_hashes`` times, and the optimizer inlines it into
+    every consumer, recomputing the whole shingle-hash array 24× per
+    row (~77 CPU-s vs ~5 CPU-s for this form at sf0.1).
     """
     toks = F.split(normalize_text(text_col), " ")
     pre_hash = F.transform(
@@ -238,23 +241,24 @@ def minhash_signatures(
             F.xxhash64(F.slice(toks, i + 1, k)), F.lit(_MERSENNE_P)
         ),
     )
-    # Bind the pre-hash array ONCE as a lambda variable: array_min over
-    # a transform of `hs` inside a single outer transform over the hash
-    # index would re-traverse; instead compute hs in its own projection
-    # and reference the column — each universal hash is one array pass.
     pre = ensure_parallel(df).select(F.col(id_col), pre_hash.alias("__hs"))
-    sig_cols = [
-        F.array_min(
-            F.transform(
-                F.col("__hs"),
-                lambda x: F.pmod(
-                    F.lit(a) * x + F.lit(b), F.lit(_MERSENNE_P)
-                ),
-            )
-        )
-        for (a, b) in _hash_params(num_hashes, seed)
-    ]
-    return pre.select(id_col, F.array(*sig_cols).alias("minhash"))
+    params = _hash_params(num_hashes, seed)
+    per_elem = F.transform(
+        F.col("__hs"),
+        lambda x: F.array(
+            *[
+                F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE_P))
+                for a, b in params
+            ]
+        ),
+    )
+    init = F.array_repeat(F.lit(_MERSENNE_P).cast("long"), num_hashes)
+    sig = F.aggregate(
+        per_elem,
+        init,
+        lambda acc, e: F.zip_with(acc, e, lambda u, v: F.least(u, v)),
+    )
+    return pre.select(id_col, sig.alias("minhash"))
 
 
 def minhash_lsh_pairs(
