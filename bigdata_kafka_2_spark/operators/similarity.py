@@ -347,8 +347,13 @@ def quantize_int8(
     before indexing (codes + two floats per vector instead of 4 bytes
     per dimension).
 
-    All row-local codegen'd array math (no shuffle): min/max via
-    ``array_min``/``array_max``, codes via one ``transform``. A
+    All row-local array math (no shuffle): min/max via
+    ``array_min``/``array_max``, codes via ``zip_with`` against an
+    ``array_repeat`` of the scalar params — the params are HOF
+    *inputs*, evaluated once per row, never inside a lambda *body*
+    (where a row-level expression re-evaluates PER ELEMENT — the
+    alias-inlining trap documented on ``minhash_signatures``;
+    here it would make quantization quadratic in the dimension). A
     constant vector (max == min) quantizes to all-zero codes with
     scale 0 — dequantization reproduces it exactly.
 
@@ -358,11 +363,17 @@ def quantize_int8(
     lo = F.array_min(F.col(vec_col)).cast("double")
     hi = F.array_max(F.col(vec_col)).cast("double")
     scale = (hi - lo) / F.lit(255.0)
-    codes = F.when(scale == 0, F.transform(F.col(vec_col), lambda _: F.lit(0))).otherwise(
-        F.transform(
+    n = F.size(F.col(vec_col))
+    codes = F.zip_with(
+        F.zip_with(
             F.col(vec_col),
-            lambda x: F.round((x.cast("double") - lo) / scale, 0).cast("int"),
-        )
+            F.array_repeat(lo, n),
+            lambda x, lo_: x.cast("double") - lo_,
+        ),
+        F.array_repeat(scale, n),
+        lambda d, s: F.when(s == 0, F.lit(0)).otherwise(
+            F.round(d / s, 0).cast("int")
+        ),
     )
     return df.select(
         "*",
