@@ -99,7 +99,7 @@ def q56_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            round(q_min, 4) AS qmin,
            round(q_scale, 6) AS qscale,
-           list_sum(q_codes) AS code_sum,
+           CAST(list_sum(q_codes) AS BIGINT) AS code_sum,
            list_max(q_codes) AS code_max,
            list_min(q_codes) AS code_min
     FROM (

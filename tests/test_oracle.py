@@ -17,10 +17,38 @@ ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_no_widening_types(duck, name):
+    """DuckDB silently widens some aggregates (list_sum / sum over
+    BIGINT -> HUGEINT), which arrive in pandas as float64 while Spark
+    returns int64 — the driver's hasher then stringifies them
+    differently even when values are identical (the r2 q59 failure).
+    Assert no oracle output column is HUGEINT/UHUGEINT."""
+    rel = duck.sql(REGISTRY[name].oracle)
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).upper() in ("HUGEINT", "UHUGEINT")
+    ]
+    assert not bad, f"{name}: DuckDB-widened oracle columns {bad}; add CAST"
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
 def test_query_matches_oracle(spark, duck, name):
     q = REGISTRY[name]
     spark_pdf = q.spark_fn(spark, SF_DIR).toPandas()
     duck_pdf = duck.execute(q.oracle).df()
+
+    # Driver-hash strictness: per-column dtype KIND (int vs float vs
+    # object) must agree, not just canonical values — int64 vs float64
+    # hash-mismatches in the driver even when every value is equal.
+    for col in spark_pdf.columns:
+        if col in duck_pdf.columns:
+            sk, dk = spark_pdf[col].dtype.kind, duck_pdf[col].dtype.kind
+            if {sk, dk} <= {"i", "u", "f"}:
+                assert (sk in "iu") == (dk in "iu"), (
+                    f"{name}.{col}: Spark dtype kind {sk!r} vs oracle "
+                    f"{dk!r} — driver hash would mismatch"
+                )
 
     s_cols, s_rows = canon_frame(spark_pdf)
     d_cols, d_rows = canon_frame(duck_pdf)
