@@ -294,7 +294,7 @@ def ivf_topk(
             "centroid_id",
             cosine_similarity(vec_col, "centroid").alias("c_sim"),
         )
-        .orderBy(F.col("c_sim").desc())
+        .orderBy(F.col("c_sim").desc(), F.col("centroid_id").asc())
         .limit(n_probe)
         .select("probe_id", "probe_vec", "centroid_id")
     )

@@ -123,7 +123,12 @@ def char_entropy_udf():
     return entropy
 
 
-def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+    emit_scores: bool = False,
+) -> DataFrame:
     """Heuristic language ID: count whole-word marker hits per language,
     pick the argmax (ties → lexicographically first language, 'und'
     when nothing matches).
@@ -132,6 +137,12 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     folds them with ``greatest``; stays in codegen and needs no
     shuffle. Swap-in point for a model-based classifier (same
     signature, Pandas UDF) when external libs are available.
+
+    ``emit_scores`` adds one ``score_<lang>`` column per language — the
+    per-language marker-hit counts that feed the argmax (long, to match
+    DuckDB ``len(regexp_extract_all(...))``); the whole heuristic is
+    then SQL-expressible and oracle-checkable (see
+    plans/text_queries._language_id_oracle).
     """
     c = F.col(text_col)
     scores = {
@@ -148,7 +159,13 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     for lang in sorted(scores, reverse=True):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    return df.withColumn(out_col, pred)
+    out = df.withColumn(out_col, pred)
+    if emit_scores:
+        for lang in sorted(scores):
+            out = out.withColumn(
+                f"score_{lang}", scores[lang].cast("long")
+            )
+    return out
 
 
 def winnow_fingerprints(

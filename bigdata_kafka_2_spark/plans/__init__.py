@@ -71,11 +71,19 @@ def register(
 #: fingerprint ⊂ q40's dedup key, its slot spent on q59 quantization;
 #: rows-only q43 SimHash — property-tested in the suite — traded for
 #: the fully hash-checked streaming dedup q65).
+#:
+#: Round-3 rotation: q02 (point lookup) and q03 (substring filter) out —
+#: both plan shapes are exercised by q82 + the serving/HTTP tests — and
+#: q52's deliberately-quadratic all-pairs baseline out (it anchors q53's
+#: recall in tests; the graded slot should not contain a cartesian
+#: product). In: q36 exact top-terms (hash-checked anchor for the CMS
+#: sketch), q39 count-min top-k and q67 winnowing overlap (rows-only —
+#: xxhash64 is not expressible in DuckDB — with their guarantees
+#: property-tested in the suite and q39's output asserted equal to q36
+#: on the driver data).
 CURATED: tuple[str, ...] = (
     # relational / joins / windows / grouping
     "q01_pricing_summary",
-    "q02_point_lookup",
-    "q03_substring_filter",
     "q04_conditional_label_balance",
     "q06_join_broadcast_dim",
     "q07_multiway_join_revenue",
@@ -112,10 +120,12 @@ CURATED: tuple[str, ...] = (
     "q31_lang_quality_profile",
     "q34_language_id",
     "q35_bpe_token_count",
+    "q36_top_terms",
     "q38_char_entropy",
+    "q39_cms_top_terms",
+    "q67_winnow_overlap_pairs",
     # similarity / ANN
     "q50_cosine_topk",
-    "q52_embedding_near_dup",
     "q53_lsh_bucketed_near_dup",
     "q57_ivf_topk",
     # vector math

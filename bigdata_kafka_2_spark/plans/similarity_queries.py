@@ -93,8 +93,10 @@ _NEAR_DUP_THRESHOLD = 0.4
     """,
     description="Embedding near-duplicate pairs (cosine ≥ 0.4 — chosen "
     "non-vacuous for the fixture, see _NEAR_DUP_THRESHOLD), "
-    "exact all-pairs baseline; the multi-band LSH variant is "
-    "the scale path (q53).",
+    "exact all-pairs baseline. Deliberately quadratic — the "
+    "recall anchor for the LSH scale path (q53) — and therefore "
+    "kept OUT of the graded surface (extended registry + test "
+    "mirror only, see plans/__init__.CURATED).",
     tags=("similarity", "dedup"),
 )
 def q52_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,16 +104,82 @@ def q52_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_pairs(e, threshold=_NEAR_DUP_THRESHOLD)
 
 
+def _lsh_pairs_oracle(
+    threshold: float,
+    bands: int,
+    planes_per_band: int,
+    seed: int,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for the ENTIRE multi-band hyperplane-LSH pipeline —
+    banding, candidate equi-join, exact-cosine verify.
+
+    The hyperplanes are deterministic literals (operators.similarity._mix
+    of the seed), so the same plane arrays are inlined here and the sign
+    buckets recompute exactly: both engines evaluate the projection as a
+    left-to-right double-precision dot product (verified bit-identical
+    bucket ids across engines on the driver data). This makes q53
+    hash-checkable WITHOUT requiring LSH recall to be 1 — the oracle is
+    the LSH algorithm itself, not the all-pairs answer.
+    """
+    from bigdata_kafka_2_spark.operators.similarity import _mix
+
+    band_selects = []
+    for b in range(bands):
+        band_seed = seed * 1_000_003 + b * 97
+        terms = []
+        for p in range(planes_per_band):
+            plane = [
+                _mix(band_seed * 1_000_003 + p * 64 + d) for d in range(dim)
+            ]
+            arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),\n"
+                f"        {arr}) > 0 THEN {1 << p} ELSE 0 END)"
+            )
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band_idx,\n"
+            + "\n + ".join(terms)
+            + " AS bucket FROM embeddings"
+        )
+    banded = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH banded AS (
+      {banded}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 4)
+             AS similarity
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE round(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 4)
+            >= {threshold}
+    """
+
+
 @register(
     "q53_lsh_bucketed_near_dup",
-    oracle=None,  # hyperplane constants not SQL-portable
+    oracle=_lsh_pairs_oracle(
+        _NEAR_DUP_THRESHOLD, bands=4, planes_per_band=4, seed=42
+    ),
     description="Cosine-LSH near-dup, multi-band OR-construction: 4 "
     "independent 4-plane sign-bucket bands (seed 42), candidate "
     "= collision in ANY band (equi-join on (band, bucket) — the "
     "no-cross-join 100 TB path), then exact cosine verify ≥ "
     "0.4. Multi-band is the recall lever AND-only bucketing "
     "lacks; recall==1 on a planted-near-dup fixture and "
-    "recall vs the exact q52 pair set are asserted in tests.",
+    "recall vs the exact q52 pair set are asserted in tests. "
+    "Hash-checked end-to-end against a DuckDB transcription of "
+    "the full LSH pipeline (the seeded hyperplanes are literal "
+    "constants, so banding + candidate join + verify are all "
+    "SQL-expressible — see _lsh_pairs_oracle).",
     tags=("similarity", "dedup"),
 )
 def q53_lsh_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,22 +189,61 @@ def q53_lsh_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q57's fixed IVF centroids: existing vectors doubling as cell centers.
+_IVF_CENTROID_IDS = (10, 20, 30, 40, 50, 60, 70, 80)
+
+
 @register(
     "q57_ivf_topk",
-    oracle=None,  # centroid argmax + cell pruning not practically SQL-portable
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id IN {_IVF_CENTROID_IDS}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY CAST(list_cosine_similarity(e.embedding, c.centroid)
+                               AS DOUBLE) DESC,
+                          c.centroid_id ASC
+               ) AS rn
+        FROM embeddings e, cents c
+      ) WHERE rn = 1
+    ),
+    probe AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+    probe_cells AS (
+      SELECT p.vec_id AS probe_id, p.embedding AS probe_vec, c.centroid_id
+      FROM probe p, cents c
+      ORDER BY CAST(list_cosine_similarity(p.embedding, c.centroid) AS DOUBLE)
+                 DESC,
+               c.centroid_id ASC
+      LIMIT 3
+    )
+    SELECT a.vec_id,
+           round(CAST(list_cosine_similarity(a.embedding, pc.probe_vec)
+                      AS DOUBLE), 4) AS similarity
+    FROM assigned a JOIN probe_cells pc ON a.centroid_id = pc.centroid_id
+    WHERE a.vec_id <> pc.probe_id
+    ORDER BY similarity DESC, a.vec_id ASC
+    LIMIT 5
+    """,
     description="IVF approximate nearest-neighbor: vectors assigned to "
     "their nearest of 8 fixed centroids (broadcast argmax), "
     "probe vec_id=0 scans only the n_probe=3 nearest cells — "
     "the scan-pruning ANN scale path (on a partitioned-by-"
     "centroid layout the pruning happens at the file level; "
     "plan asserted in tests). Recall vs exact q50 asserted in "
-    "tests.",
+    "tests. With fixed centroids the whole pipeline (argmax "
+    "assignment, cell pruning, in-cell exact top-5) is SQL-"
+    "expressible, so q57 is hash-checked end-to-end.",
     tags=("similarity",),
 )
 def q57_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     cents = (
-        e.filter(F.col("vec_id").isin([10, 20, 30, 40, 50, 60, 70, 80]))
+        e.filter(F.col("vec_id").isin(list(_IVF_CENTROID_IDS)))
         .select(
             F.col("vec_id").alias("centroid_id"),
             F.col("embedding").cast("array<double>").alias("centroid"),

@@ -256,17 +256,62 @@ def q37_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _language_id_oracle() -> str:
+    """DuckDB transcription of the marker-word language-ID heuristic:
+    per-language whole-word regexp hit counts, argmax with lexicographic
+    tie-break, 'und' on zero hits. Generated from the same
+    ``_LANG_MARKERS`` table the Spark operator uses, so the heuristic
+    itself (not just row counts) is hash-checked; the per-language
+    score columns keep the graded result non-degenerate even where the
+    fixture text predicts a single language."""
+    langs = sorted(TX._LANG_MARKERS)
+    score_exprs = []
+    for lang in langs:
+        terms = " + ".join(
+            f"len(regexp_extract_all(text, '(?:^|\\s){w}(?:\\s|$)'))"
+            for w in TX._LANG_MARKERS[lang]
+        )
+        score_exprs.append(f"({terms}) AS score_{lang}")
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    # CASE checks ascending-sorted languages so ties resolve to the
+    # lexicographically first — same as the Spark fold order.
+    pred_branches = "\n             ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
+    )
+    return f"""
+    SELECT doc_id, lang,
+           CASE WHEN {best} = 0 THEN 'und'
+             {pred_branches}
+           END AS lang_pred,
+           {', '.join(f'score_{l}' for l in langs)}
+    FROM (
+      SELECT doc_id, lang, {', '.join(score_exprs)}
+      FROM documents
+    )
+    """
+
+
 @register(
     "q34_language_id",
-    oracle=None,  # marker-set heuristic is not practically SQL-portable
+    oracle=_language_id_oracle(),
     description="Heuristic n-gram language ID (marker-word scoring, "
-    "argmax per doc). Deterministic; validated in tests "
-    "against the documents.lang ground-truth column.",
+    "argmax per doc) plus the per-language marker-hit scores. "
+    "Hash-checked against a DuckDB transcription of the same "
+    "heuristic (generated from the shared marker table, see "
+    "_language_id_oracle) — upgraded from rows-only in r2, "
+    "where the fixture's missing language signal made the "
+    "graded row vacuous. Accuracy against a marker-bearing "
+    "fixture is asserted separately in tests.",
     tags=("text",),
 )
 def q34_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return TX.language_id(d).select("doc_id", "lang", "lang_pred")
+    return TX.language_id(d, emit_scores=True).select(
+        "doc_id",
+        "lang",
+        "lang_pred",
+        *[f"score_{l}" for l in sorted(TX._LANG_MARKERS)],
+    )
 
 
 @register(
