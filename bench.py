@@ -7,6 +7,13 @@
 Each query is fully materialized via a driver-side count (the result
 sets are small aggregates/top-ks; counting forces the whole plan
 without the toPandas transfer cost dominating).
+
+Each query runs ``$SPARK_GRAFT_BENCH_RUNS`` times (default 2) and the
+reported figure is the MINIMUM — the sandbox is co-tenant-noisy (r2
+saw identical plans vary 2-3x run-to-run), and min-of-N is the
+standard way to read through scheduler noise to the plan's real cost.
+Per-query max is emitted alongside under "queries_max" so a noisy
+environment is visible in the record rather than silently folded in.
 """
 
 from __future__ import annotations
@@ -61,13 +68,19 @@ def main() -> None:
     # query doesn't pay session startup.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
+    timings_max: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
-        t0 = time.perf_counter()
-        df = q.spark_fn(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = q.spark_fn(spark, sf_dir)
+            df.count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        timings_max[name] = round(max(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -77,6 +90,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_max": timings_max,
+                "runs_per_query": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

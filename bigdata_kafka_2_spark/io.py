@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as _np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -236,7 +237,7 @@ def zorder_code(
     interleave is shift/mask arithmetic.
     """
     def bucket(c, bounds):
-        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        arr = F.lit(_np.asarray(bounds, dtype=_np.float64))
         return F.aggregate(
             arr,
             F.lit(0),
@@ -278,7 +279,7 @@ def write_zordered(
         df.select(
             F.percentile_approx(
                 F.col(c).cast("double"),
-                F.array(*[F.lit(i / 256) for i in range(1, 256)]),
+                F.lit(_np.arange(1, 256) / 256.0),
                 10000,
             ).alias(f"q_{i}")
         ).first()[0]

@@ -35,7 +35,9 @@ def knn_lookup(
     determinism. The probe is a literal array folded into the plan —
     single scan, no shuffle, TakeOrderedAndProject top-k.
     """
-    probe = F.array(*[F.lit(float(v)) for v in probe_vec])
+    import numpy as np
+
+    probe = F.lit(np.asarray(probe_vec, dtype=np.float64))
     dist = 1.0 - cosine_similarity(F.col(vec_col), probe)
     return (
         serving.select(

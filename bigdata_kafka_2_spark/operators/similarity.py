@@ -193,21 +193,27 @@ def _mix(x: int) -> float:
 
 
 def _sign_bucket(vec_col: str, n_planes: int, dim: int, seed: int):
-    """Sign-bit bucket Column over ``n_planes`` seeded hyperplanes."""
-    sign_bits = []
+    """Sign-bit bucket Column over ``n_planes`` seeded hyperplanes.
+
+    Built as ONE generated Spark-SQL string handed to ``F.expr`` — the
+    Column-by-Column form (16 zip_with/aggregate HOFs with Python
+    lambdas and per-element literals) cost ~5,000 py4j round-trips ≈ 1 s
+    of driver time per q53 run before any executor work; the parser
+    builds the identical expression tree JVM-side in one call.
+    ``repr(float)`` round-trips exactly, so the plane literals are
+    bit-identical to the Python values (and to the DuckDB oracle's).
+    """
+    terms = []
     for p in range(n_planes):
         plane = [_mix(seed * 1_000_003 + p * 64 + d) for d in range(dim)]
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(v) for v in plane]),
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        arr = "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in plane) + ")"
+        proj = (
+            f"aggregate(zip_with({vec_col}, {arr}, "
+            f"(x, w) -> CAST(x AS DOUBLE) * w), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
-        sign_bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    return sum(sign_bits[1:], start=sign_bits[0]).cast("int")
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return F.expr("CAST(" + " + ".join(terms) + " AS INT)")
 
 
 def hyperplane_lsh_pairs(
