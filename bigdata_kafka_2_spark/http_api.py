@@ -133,8 +133,13 @@ class EngineHTTPServer:
                         self._stats(parts[1])
                     else:
                         self._send(404, {"error": "unknown endpoint"})
-                except Exception as e:
-                    self._send(500, {"error": "query failed", "details": str(e)})
+                except Exception:
+                    # Log server-side; never echo raw exception text to
+                    # the client (stack details can leak paths/schema).
+                    import traceback
+
+                    traceback.print_exc()
+                    self._send(500, {"error": "query failed"})
 
             def _table(self, name: str) -> DataFrame | None:
                 t = outer.query_tables.get(name)
@@ -156,17 +161,21 @@ class EngineHTTPServer:
                 if not terms or not terms[0]:
                     self._send(400, {"error": "missing ?allergy= parameter"})
                     return
-                rows = (
-                    serving.find_allergen(table, terms[0])
-                    .select("fdc_id", "description")
-                    .limit(MAX_LIST_ROWS)
-                    .collect()
+                matched = serving.find_allergen(table, terms[0]).select(
+                    "fdc_id", "description"
                 )
+                # True total (cheap aggregate) so match_count keeps the
+                # reference API's meaning even when the row list is
+                # truncated at MAX_LIST_ROWS.
+                total = matched.count()
+                rows = matched.limit(MAX_LIST_ROWS).collect()
                 self._send(
                     200,
                     {
                         "allergen": terms[0],
-                        "match_count": len(rows),
+                        "match_count": total,
+                        "returned_count": len(rows),
+                        "truncated": total > len(rows),
                         "foods": [r.asDict() for r in rows],
                     },
                 )

@@ -168,6 +168,22 @@ def _as_double(col: Column, dtype: str) -> Column:
     return col.cast("double")
 
 
+def _shuffle_partitions(df: DataFrame, default: int = 32) -> int:
+    """Current shuffle-partition count, tolerant of non-numeric settings
+    ("auto" is valid on AQE-coalescing clusters); falls back to the
+    cluster's default parallelism, then ``default``."""
+    try:
+        # no explicit default: Spark type-checks a passed default string
+        # against the conf's int type, and the conf has a built-in
+        # default anyway
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        try:
+            return int(df.sparkSession.sparkContext.defaultParallelism)
+        except Exception:
+            return default
+
+
 def _range_bucket(
     df: DataFrame, order_col: str, num_buckets: int
 ) -> tuple[DataFrame, int]:
@@ -205,10 +221,20 @@ def _range_bucket(
         bounds = sorted(set(probed.stat.approxQuantile("__ord_d", probs, 0.001)))
         cmp_col = F.col("__ord_d")
     else:
+        # Deterministic bounded sample: hash-filter ~1/7 of rows, then
+        # take the 100k SMALLEST hashes (a TakeOrdered top-k, not a full
+        # sort) — unlike a bare limit(), the sampled set (and with it
+        # bucket boundaries and plan shape) is identical across runs and
+        # partitionings. The collect is bounded at 100k scalar keys
+        # (~a few MB); boundaries derived from a hash-uniform subsample
+        # of that size are accurate to ~1e-2 quantile error regardless
+        # of table size, so the cap does not need to grow with data.
+        h = F.xxhash64(F.col(order_col), F.lit(42))
         sampled = (
-            df.select(order_col)
+            df.select(F.col(order_col), h.alias("__h"))
             .filter(F.col(order_col).isNotNull())
-            .filter(F.pmod(F.xxhash64(F.col(order_col), F.lit(42)), F.lit(7)) == 0)
+            .filter(F.pmod(h, F.lit(7)) == 0)
+            .orderBy("__h", order_col)
             .limit(100_000)
             .collect()
         )
@@ -303,9 +329,7 @@ def asof_join(
 
     # Unkeyed: range-bucket the union on the timestamp so the window
     # parallelizes, then stitch bucket boundaries with carry-ins.
-    n_buckets = int(
-        unioned.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    n_buckets = _shuffle_partitions(unioned)
     bucketed, eff = _range_bucket(unioned, "__ts", min(n_buckets, 64))
     w = (
         Window.partitionBy("__bkt")
@@ -322,36 +346,47 @@ def asof_join(
         ],
     )
     if eff > 1:
-        # Latest right row per bucket (num_buckets rows — an aggregate,
-        # not data), cumulated driver-side into per-bucket carry-ins.
+        # Latest NON-NULL right value per (bucket, column) — one
+        # aggregate of num_buckets rows, never data. Tracking per
+        # COLUMN (not per row) matches the in-bucket window's
+        # last(ignorenulls) semantics: if a right column is NULL in the
+        # latest right row, the carry-in falls back to the most recent
+        # older row where it was non-null, exactly like the
+        # single-partition formulation would.
         last_right = (
             bucketed.filter(F.col("__is_left") == 0)
             .groupBy("__bkt")
             .agg(
-                F.max(
-                    F.struct(
-                        F.col("__ts"), *[F.col(f"__r_{c}") for c in right_cols]
-                    )
-                ).alias("__s")
+                *[
+                    F.max(
+                        F.when(
+                            F.col(f"__r_{c}").isNotNull(),
+                            F.struct(
+                                F.col("__ts"), F.col(f"__r_{c}").alias("v")
+                            ),
+                        )
+                    ).alias(f"__s_{c}")
+                    for c in right_cols
+                ]
             )
             .collect()
         )
-        by_bucket = {r["__bkt"]: r["__s"] for r in last_right}
-        carry_in: dict[int, tuple] = {}
-        best = None
-        for b in range(eff):
-            if best is not None:
-                carry_in[b] = best
-            if b in by_bucket:
-                s = by_bucket[b]
-                if best is None or s["__ts"] >= best["__ts"]:
-                    best = s
+        by_bucket = {r["__bkt"]: r for r in last_right}
         for c in right_cols:
             ctype = dict(right.dtypes)[c]
+            carry_in: dict[int, object] = {}
+            best = None  # (ts, value) of latest non-null so far
+            for b in range(eff):
+                if best is not None:
+                    carry_in[b] = best[1]
+                row = by_bucket.get(b)
+                s = row[f"__s_{c}"] if row is not None else None
+                if s is not None and (best is None or s["__ts"] >= best[0]):
+                    best = (s["__ts"], s["v"])
             fill = F.lit(None).cast(ctype)
-            for b, s in carry_in.items():
+            for b, v in carry_in.items():
                 fill = F.when(
-                    F.col("__bkt") == F.lit(b), F.lit(s[f"__r_{c}"]).cast(ctype)
+                    F.col("__bkt") == F.lit(b), F.lit(v).cast(ctype)
                 ).otherwise(fill)
             carried = carried.withColumn(c, F.coalesce(F.col(c), fill))
     return carried.filter(F.col("__is_left") == 1).drop("__is_left", "__bkt")
@@ -398,9 +433,7 @@ def global_row_number(
     that start past that rank are dropped before the ranking shuffle.
     """
     cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
-    n_buckets = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    n_buckets = _shuffle_partitions(df)
     bucketed, eff = _range_bucket(df, cols[0], min(n_buckets, 64))
     off = F.lit(0)
     if eff > 1:

@@ -114,3 +114,81 @@ def test_salted_join_plan_shows_salt_expansion(spark):
     plan = _plan(df)
     assert "__salt" in plan
     assert "Generate explode" in plan
+
+
+def test_unkeyed_asof_carry_in_per_column_null_fallback(spark):
+    """Cross-bucket carry-in must track the last NON-NULL value per
+    COLUMN: when the right column is NULL in the latest right row before
+    a bucket boundary, the next bucket's left rows must see the older
+    non-null value — the single-partition last(ignorenulls) semantics
+    (ADVICE r2: the row-level max-struct carry-in silently returned
+    NULL here)."""
+    n = 4000
+    left = spark.range(1, n, 2).select(F.col("id").cast("double").alias("lts"))
+    # right rows every 10 ticks; v is NULL on every 3rd row — including
+    # runs of NULLs that straddle whatever quantile boundaries the
+    # bucketing picks.
+    right = spark.range(0, n, 10).select(
+        F.col("id").cast("double").alias("rts"),
+        F.when((F.col("id") / 10 % 3) != 0, F.col("id")).alias("v"),
+    )
+    out = {
+        r.lts: r.v
+        for r in R.asof_join(
+            left, right, left_ts="lts", right_ts="rts", right_cols=["v"]
+        ).collect()
+    }
+
+    def expected(lts):
+        rts = int(lts // 10) * 10
+        while rts >= 0:
+            if (rts // 10) % 3 != 0:
+                return rts
+            rts -= 10
+        return None
+
+    assert len(out) == len(range(1, n, 2))
+    bad = {
+        lts: (v, expected(lts))
+        for lts, v in out.items()
+        if v != expected(lts)
+    }
+    assert not bad, f"first mismatches: {dict(list(bad.items())[:5])}"
+
+
+def test_shuffle_partitions_helper_tolerates_non_numeric():
+    class FakeConf:
+        def __init__(self, val):
+            self._v = val
+
+        def get(self, key, default=None):
+            return self._v if self._v is not None else default
+
+    class FakeSC:
+        defaultParallelism = 12
+
+    class FakeSession:
+        def __init__(self, val):
+            self.conf = FakeConf(val)
+            self.sparkContext = FakeSC()
+
+    class FakeDF:
+        def __init__(self, val):
+            self.sparkSession = FakeSession(val)
+
+    assert R._shuffle_partitions(FakeDF("16")) == 16
+    assert R._shuffle_partitions(FakeDF("auto")) == 12
+    assert R._shuffle_partitions(FakeDF(None)) == 12
+
+
+def test_range_bucket_string_path_is_deterministic(spark):
+    """The string-path boundary sample is ordered before the limit, so
+    bucket boundaries (and the physical plan) are identical across
+    runs."""
+    d = read_table(spark, SF_DIR, "documents").select("text")
+    a, eff_a = R._range_bucket(d, "text", 8)
+    b, eff_b = R._range_bucket(d, "text", 8)
+    assert eff_a == eff_b > 1
+    pa = a.select("text", "__bkt").toPandas().sort_values("text").reset_index(drop=True)
+    pb = b.select("text", "__bkt").toPandas().sort_values("text").reset_index(drop=True)
+    assert pa.equals(pb)
