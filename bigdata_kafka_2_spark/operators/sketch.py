@@ -33,11 +33,42 @@ from pyspark.sql import functions as F
 DEFAULT_DEPTH = 4
 DEFAULT_WIDTH = 2048
 
+#: Bucket hash families. ``xxhash64`` is the production default (one
+#: JVM hash per cell, no string materialization). ``md5_15`` exists so
+#: the ENTIRE sketch pipeline transcribes to ANSI SQL: the first 15 hex
+#: digits of md5(term || ':' || (seed+row)) parsed base-16 (< 2^60, so
+#: BIGINT-safe) — Spark `conv(substr(md5(..),1,15),16,10)` ==
+#: DuckDB `CAST('0x' || substr(md5(..),1,15) AS BIGINT)`, verified
+#: bit-identical incl. non-ASCII in tests. Same pairwise-independence
+#: story (md5 bits are as uniform as xxhash for CMS purposes); ~2×
+#: slower per cell, which is why it is opt-in for graded queries only.
+HASH_FNS = ("xxhash64", "md5_15")
 
-def _bucket(term, row_idx: int, width: int, seed: int):
-    """Bucket of ``term`` in sketch row ``row_idx`` — xxhash64 with a
-    per-row seed, folded to [0, width)."""
-    return F.pmod(F.xxhash64(term, F.lit(seed + row_idx)), F.lit(width))
+
+def _bucket(term, row_idx: int, width: int, seed: int, hash_fn: str = "xxhash64"):
+    """Bucket of ``term`` in sketch row ``row_idx``, folded to
+    [0, width). ``hash_fn`` selects the family (see ``HASH_FNS``);
+    ``md5_15`` assumes non-null terms (concat propagates null)."""
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(term, F.lit(seed + row_idx))
+    elif hash_fn == "md5_15":
+        h = F.conv(
+            F.substring(F.md5(F.concat(term, F.lit(f":{seed + row_idx}"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be one of {HASH_FNS}")
+    return F.pmod(h, F.lit(width))
+
+
+def bucket_sql(term_sql: str, row_idx: int, width: int, seed: int) -> str:
+    """The DuckDB expression equal to ``_bucket(.., hash_fn='md5_15')``
+    — used by the oracle generators to transcribe sketch queries."""
+    return (
+        f"(CAST('0x' || substr(md5({term_sql} || ':{seed + row_idx}'), 1, 15)"
+        f" AS BIGINT) % {width})"
+    )
 
 
 def count_min_build(
@@ -47,6 +78,7 @@ def count_min_build(
     width: int = DEFAULT_WIDTH,
     seed: int = 42,
     weight_col: str | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Build a count-min sketch over ``df[term_col]``: one row per
     non-zero cell, ``(row_idx int, bucket int, cnt long)``.
@@ -59,7 +91,7 @@ def count_min_build(
         F.posexplode(
             F.array(
                 *[
-                    _bucket(F.col(term_col), i, width, seed)
+                    _bucket(F.col(term_col), i, width, seed, hash_fn)
                     for i in range(depth)
                 ]
             )
@@ -85,6 +117,7 @@ def count_min_estimate(
     depth: int = DEFAULT_DEPTH,
     width: int = DEFAULT_WIDTH,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Point-estimate counts for ``terms[term_col]``: est_cnt =
     min over rows of the term's cell — the classic CMS upper-bound
@@ -99,7 +132,7 @@ def count_min_estimate(
         F.posexplode(
             F.array(
                 *[
-                    _bucket(F.col(term_col), i, width, seed)
+                    _bucket(F.col(term_col), i, width, seed, hash_fn)
                     for i in range(depth)
                 ]
             )
@@ -121,6 +154,7 @@ def count_min_topk(
     seed: int = 42,
     candidate_fraction: float | None = None,
     candidate_seed: int = 7,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate heavy hitters: (term, est_cnt), top-k by CMS
     estimate — the 100 TB swap-in for q36's exact form.
@@ -138,8 +172,10 @@ def count_min_topk(
         else df
     )
     candidates = cand_src.select(term_col).distinct()
-    sketch = count_min_build(df, term_col, depth, width, seed)
-    est = count_min_estimate(sketch, candidates, term_col, depth, width, seed)
+    sketch = count_min_build(df, term_col, depth, width, seed, hash_fn=hash_fn)
+    est = count_min_estimate(
+        sketch, candidates, term_col, depth, width, seed, hash_fn=hash_fn
+    )
     return est.orderBy(
         F.col("est_cnt").desc(), F.col(term_col).asc()
     ).limit(k)

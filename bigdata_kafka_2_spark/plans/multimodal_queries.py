@@ -56,19 +56,36 @@ def q70_multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q71_multimodal_features",
-    oracle=None,  # stub decode (mapInPandas) is not SQL-expressible
+    # The stub decode IS SQL-expressible: sha256 of the utf-8 payload,
+    # hex pairs → uint16 → /65536. DuckDB's sha256(varchar) hashes the
+    # string's utf-8 bytes (= the payload), and each feature value
+    # k/65536 with k < 2^16 is exact in both float32 and float64, so
+    # the comparison needs NO rounding — the doubles are bit-identical
+    # (parity incl. non-ASCII verified in tests/test_extensions.py).
+    oracle="""
+    SELECT doc_id AS asset_id,
+           octet_length(encode(coalesce(text, ''))) AS n_bytes,
+           CAST('0x' || substr(sha256(coalesce(text, '')), 1, 4) AS BIGINT)
+             / 65536.0 AS f0,
+           CAST('0x' || substr(sha256(coalesce(text, '')), 5, 4) AS BIGINT)
+             / 65536.0 AS f1
+    FROM documents
+    """,
     description="Arrow-batched mapInPandas feature extraction over "
     "binary payloads (deterministic stub decode standing in "
     "for pillow/ffmpeg; real decoder swaps into the UDF body, "
-    "operator shape unchanged).",
+    "operator shape unchanged). The sha256 stub transcribes to "
+    "SQL, so the whole mapInPandas pipeline is hash-checked.",
     tags=("multimodal",),
 )
 def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = documents_as_assets(spark, sf_dir)
     feats = MM.extract_features(assets)
+    # f0/f1 are k/65536 (k < 2^16): exact in float32, so the cast to
+    # double is value-preserving and matches the oracle bit-for-bit.
     return feats.select(
         "asset_id",
         "n_bytes",
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
-        F.round(F.element_at("feature", 2), 6).alias("f1"),
+        F.element_at("feature", 1).cast("double").alias("f0"),
+        F.element_at("feature", 2).cast("double").alias("f1"),
     )
