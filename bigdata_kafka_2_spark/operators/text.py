@@ -168,12 +168,51 @@ def language_id(
     return out
 
 
+#: Portable shingle-hash family: md5_15 PER TOKEN (reduced mod a
+#: 31-bit prime), combined positionally by a polynomial rolling fold.
+#: Token-level hashing is what keeps the Spark side fast — the md5
+#: lambda touches only its own element, so nothing outer is recomputed
+#: per element (the expression-shape constraint below); the fold is
+#: built from shifted suffix slices, the same HOF-input-only shape as
+#: the window minima. The naive alternative (md5 of the JOINED slice
+#: inside the transform lambda) re-evaluates the normalize+split of
+#: the whole document per element — measured 40× slower at sf0.01.
+_POLY_MOD = (1 << 31) - 1
+_POLY_B = 1_000_003
+
+
+def token_hash_sql(tok_sql: str) -> str:
+    """DuckDB expression equal to the Spark md5_15 token hash (same
+    md5-prefix scheme as ``sketch.bucket_sql``; parity asserted in
+    tests/test_extensions.py)."""
+    return (
+        f"(CAST('0x' || substr(md5({tok_sql}), 1, 15) AS BIGINT)"
+        f" % {_POLY_MOD})"
+    )
+
+
+def shingle_hash_sql(th_sql: str, pos_sql: str, k: int) -> str:
+    """DuckDB expression equal to the Spark polynomial shingle hash at
+    0-based position ``pos_sql`` of the (1-based) reduced-token-hash
+    list ``th_sql``: h = fold(a, b -> (a*B + coalesce(b, 0)) % M) over
+    the k hashes starting there — out-of-range hashes coalesce to 0,
+    mirroring zip_with's null padding on the Spark side."""
+    expr = f"{th_sql}[{pos_sql} + 1]"
+    for j in range(1, k):
+        expr = (
+            f"((({expr}) * {_POLY_B}"
+            f" + coalesce({th_sql}[{pos_sql} + {j + 1}], 0)) % {_POLY_MOD})"
+        )
+    return expr
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
     window: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (the rolling-hash scheme of
     Schleimer/Wilkerson/Aiken's MOSS): hash every k-token shingle, then
@@ -201,17 +240,56 @@ def winnow_fingerprints(
     and ``least`` skips nulls, so the tail is sliced off to keep full
     windows only — equivalence with the textbook per-position form is
     test-asserted).
+
+    ``hash_fn`` selects the shingle-hash family: ``xxhash64`` (the
+    production default — one JVM hash over the slice, no string
+    materialization) or ``md5_15`` (per-token md5-prefix hashes
+    combined by a polynomial rolling fold — the ANSI-portable family
+    that lets the WHOLE winnowing pipeline transcribe to DuckDB SQL,
+    exactly as ``sketch.bucket_sql`` does for CMS; see
+    ``token_hash_sql``/``shingle_hash_sql``).
     """
     if window not in (2, 4):
         raise ValueError("window must be 2 or 4 (zip_with min-chain)")
-    toks = F.split(normalize_text(text_col), " ")
-    shingle_hashes = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-        lambda i: F.xxhash64(F.slice(toks, i + 1, k)),
-    )
-    pre = ensure_parallel(df).select(F.col(id_col), shingle_hashes.alias("__hs"))
-    hs = F.col("__hs")
     big = 1 << 30
+    toks = F.split(normalize_text(text_col), " ")
+    if hash_fn == "xxhash64":
+        shingle_hashes = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.xxhash64(F.slice(toks, i + 1, k)),
+        )
+        pre = ensure_parallel(df).select(
+            F.col(id_col), shingle_hashes.alias("__hs")
+        )
+    elif hash_fn == "md5_15":
+        # one md5 per TOKEN (lambda body touches only its element),
+        # then the polynomial fold over k shifted suffixes — all
+        # outer-array references are HOF inputs, never lambda bodies
+        token_hashes = F.transform(
+            toks,
+            lambda t: F.pmod(
+                F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+                F.lit(_POLY_MOD),
+            ),
+        )
+        pre0 = ensure_parallel(df).select(
+            F.col(id_col), token_hashes.alias("__th")
+        )
+        th = F.col("__th")
+        acc = F.slice(th, 1, big)
+        for j in range(1, k):
+            acc = F.zip_with(
+                acc,
+                F.slice(th, j + 1, big),
+                lambda a, b: F.pmod(
+                    a * _POLY_B + F.coalesce(b, F.lit(0)), F.lit(_POLY_MOD)
+                ),
+            )
+        hs = F.slice(acc, 1, F.greatest(F.size(th) - k + 1, F.lit(1)))
+        pre = pre0.select(F.col(id_col), hs.alias("__hs"))
+    else:
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5_15'")
+    hs = F.col("__hs")
     suf = [F.slice(hs, i + 1, big) for i in range(window)]
     zipped = F.zip_with(suf[0], suf[1], lambda a, b: F.least(a, b))
     if window == 4:
@@ -235,6 +313,7 @@ def winnow_overlap_pairs(
     k: int = 5,
     window: int = 4,
     min_shared: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Substring-level duplicate candidates: pairs sharing >=
     ``min_shared`` winnowing fingerprints — (id_a, id_b, n_shared),
@@ -246,7 +325,7 @@ def winnow_overlap_pairs(
     signature instead of every shingle — the cheap screen for copied
     passages that whole-document Jaccard dilutes away.
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k, window)
+    fps = winnow_fingerprints(df, text_col, id_col, k, window, hash_fn)
     ex = fps.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
     a = ex.select(F.col(id_col).alias("id_a"), "fp")
     b = ex.select(F.col(id_col).alias("id_b"), "fp")

@@ -314,18 +314,75 @@ def q34_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Tokenization CTE shared by q36's oracle and the sketch oracle —
+#: DuckDB transcription of explode(split(normalize_text(text), ' ')).
+_TOKS_CTE = """
+    toks AS (
+      SELECT tok FROM (
+        SELECT unnest(string_split_regex(
+          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    )"""
+
+
+def _cms_topk_oracle(
+    depth: int = 4, width: int = 2048, seed: int = 42, k: int = 10
+) -> str:
+    """Full DuckDB transcription of the count-min pipeline under the
+    portable ``md5_15`` bucket hash (sketch.bucket_sql, bit-identical
+    to Spark's — parity incl. non-ASCII asserted in
+    tests/test_sketch.py::test_md5_15_bucket_parity_with_duckdb):
+    build the depth×width counter grid, probe every candidate's
+    ``depth`` cells, min-estimate, top-k. Same shape as q53/q57's
+    generated LSH/IVF oracles — the algorithm itself is transcribed,
+    not a recall shortcut."""
+    from bigdata_kafka_2_spark.operators.sketch import bucket_sql
+
+    cell_rows = "\n        UNION ALL ".join(
+        f"SELECT {i} AS row_idx, {bucket_sql('tok', i, width, seed)} AS bucket"
+        " FROM toks"
+        for i in range(depth)
+    )
+    probe_rows = "\n        UNION ALL ".join(
+        f"SELECT tok, {i} AS row_idx,"
+        f" {bucket_sql('tok', i, width, seed)} AS bucket FROM cand"
+        for i in range(depth)
+    )
+    return f"""
+    WITH {_TOKS_CTE},
+    cells AS (
+      SELECT row_idx, bucket, count(*) AS cnt FROM (
+        {cell_rows}
+      ) GROUP BY row_idx, bucket
+    ),
+    cand AS (SELECT DISTINCT tok FROM toks),
+    probes AS (
+        {probe_rows}
+    ),
+    est AS (
+      SELECT p.tok, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_cnt
+      FROM probes p
+      LEFT JOIN cells c ON p.row_idx = c.row_idx AND p.bucket = c.bucket
+      GROUP BY p.tok
+    )
+    SELECT tok, est_cnt FROM est
+    ORDER BY est_cnt DESC, tok ASC LIMIT {k}
+    """
+
+
 @register(
     "q39_cms_top_terms",
-    oracle=None,  # xxhash64 bucket grid is not expressible in DuckDB;
-    # the sketch's overestimate/mergeability/recovery properties are
-    # property-tested in tests/test_sketch.py, and the top-k set is
-    # asserted equal to exact q36 on the driver data in test_extensions
+    oracle=_cms_topk_oracle(),
     description="Approximate corpus heavy-hitters via count-min sketch "
     "(operators/sketch.py): the 100 TB swap-in for q36's exact "
     "top-terms. The term-count state is a fixed depth*width counter "
     "grid (one bounded-key shuffle with map-side partials) instead of "
     "a full-vocabulary shuffle; estimates never undercount and "
-    "shard-built sketches merge cell-wise (both property-tested).",
+    "shard-built sketches merge cell-wise (both property-tested). "
+    "Hash-checked against a full DuckDB transcription of the sketch "
+    "under the portable md5_15 bucket hash (production default stays "
+    "xxhash64; both top-k sets asserted equal in tests).",
     tags=("text", "aggregate", "sketch"),
 )
 def q39_cms_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,25 +392,83 @@ def q39_cms_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         F.explode(F.split(TX.normalize_text("text"), " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    return SK.count_min_topk(toks, "tok", k=10)
+    return SK.count_min_topk(toks, "tok", k=10, hash_fn="md5_15")
+
+
+def _winnow_pairs_oracle(k: int = 5, window: int = 4, min_shared: int = 2) -> str:
+    """Full DuckDB transcription of the winnowing pipeline under the
+    portable ``md5_15`` shingle hash (text.shingle_hash_sql, parity
+    with Spark asserted in tests/test_extensions.py): per-position
+    shingle hashes, window-of-``window`` minimum (a SQL window min
+    over full windows — ROWS BETWEEN CURRENT AND w-1 FOLLOWING on
+    rows kept to i <= n_sh - w, degenerating to the single
+    all-elements window when a document has fewer shingles than the
+    window, exactly like Spark's null-skipping least-of-suffixes
+    fold), distinct fingerprints, then the same self-equi-join +
+    HAVING count. The algorithm itself is transcribed, as with
+    q39/q53/q57 — not a recall shortcut."""
+    from bigdata_kafka_2_spark.operators.text import (
+        shingle_hash_sql,
+        token_hash_sql,
+    )
+
+    h = shingle_hash_sql("ths", "i", k)
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id,
+             list_transform(toks, t -> {token_hash_sql('t')}) AS ths
+      FROM docs
+    ),
+    pos AS (
+      SELECT doc_id, ths,
+             unnest(range(0, greatest(len(ths) - {k}, 0) + 1)) AS i
+      FROM th
+    ),
+    hashes AS (
+      SELECT doc_id, i, {h} AS h,
+             greatest(len(ths) - {k}, 0) + 1 AS n_sh
+      FROM pos
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {window - 1} FOLLOWING) AS fp
+      FROM hashes
+      QUALIFY i <= greatest(n_sh - {window}, 0)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_shared}
+    """
 
 
 @register(
     "q67_winnow_overlap_pairs",
-    oracle=None,  # xxhash64 rolling hashes are not expressible in DuckDB;
-    # the w+k-1 match guarantee, density, and determinism are asserted in
-    # tests/test_extensions.py::test_winnowing_guarantee_and_density
+    oracle=_winnow_pairs_oracle(),
     description="Substring-level duplicate candidates via winnowing "
     "fingerprints (operators/text.winnow_fingerprints — the MOSS "
     "rolling-hash scheme): row-local zero-shuffle signatures keeping "
     "~2/(window+1) of shingle hashes with a shared-run match "
     "guarantee, then the co-occurrence-bounded equi-join on exploded "
     "fingerprints. Catches copied passages that whole-document "
-    "Jaccard dilutes away.",
+    "Jaccard dilutes away. Hash-checked against a full DuckDB "
+    "transcription of the winnowing algorithm under the portable "
+    "md5_15 shingle hash (production default stays xxhash64; the "
+    "match guarantee is hash-family-independent and property-tested "
+    "for both).",
     tags=("text", "dedup", "join"),
 )
 def q67_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_kafka_2_spark.operators.text import winnow_overlap_pairs
 
     d = read_table(spark, sf_dir, "documents")
-    return winnow_overlap_pairs(d, min_shared=2)
+    return winnow_overlap_pairs(d, min_shared=2, hash_fn="md5_15")

@@ -9,6 +9,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bigdata_kafka_2_spark.io import read_table
@@ -262,10 +263,13 @@ def test_curation_pipeline_example(spark):
     assert stages["token_accounting"]["ws_tokens"] > 0
 
 
-def test_winnowing_guarantee_and_density(spark):
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5_15"])
+def test_winnowing_guarantee_and_density(spark, hash_fn):
     """Winnowing: docs sharing a long token run share fingerprints
     (the w+k-1 guarantee); unrelated docs share ~none; the signature is
-    ~2/(window+1)-dense; and the whole operator is deterministic."""
+    ~2/(window+1)-dense; and the whole operator is deterministic.
+    Hash-family-independent — asserted for the xxhash64 production
+    default AND the md5_15 portable family q67's oracle grades."""
     from bigdata_kafka_2_spark.operators.text import (
         winnow_fingerprints,
         winnow_overlap_pairs,
@@ -285,20 +289,84 @@ def test_winnowing_guarantee_and_density(spark):
     )
     pairs = {
         (r.id_a, r.id_b): r.n_shared
-        for r in winnow_overlap_pairs(df, min_shared=2).collect()
+        for r in winnow_overlap_pairs(df, min_shared=2, hash_fn=hash_fn).collect()
     }
     assert (1, 2) in pairs          # the copied passage is caught
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
-    fps = winnow_fingerprints(df).collect()
+    fps = winnow_fingerprints(df, hash_fn=hash_fn).collect()
     for r in fps:
         assert r.n_fp == len(set(r.fingerprints))
         assert r.n_fp < 60  # winnowed well below one-per-shingle
 
-    again = winnow_fingerprints(df).collect()
+    again = winnow_fingerprints(df, hash_fn=hash_fn).collect()
     assert {r.doc_id: r.fingerprints for r in fps} == {
         r.doc_id: r.fingerprints for r in again
     }
+
+
+def test_winnow_md5_15_fingerprints_match_duckdb(spark):
+    """Token-hash + polynomial-fold parity, Spark vs the DuckDB
+    expressions token_hash_sql/shingle_hash_sql emit — the premise of
+    q67's generated oracle, checked at the FINGERPRINT level (not just
+    the pair level the oracle gate sees) incl. non-ASCII tokens and a
+    doc shorter than one shingle."""
+    import duckdb
+
+    from bigdata_kafka_2_spark.operators.text import (
+        shingle_hash_sql,
+        token_hash_sql,
+        winnow_fingerprints,
+    )
+
+    docs = [
+        (1, " ".join(f"tok{i}" for i in range(30))),
+        (2, "naïve 日本語 emoji🙂 mixé tökens " * 6),
+        (3, "short doc"),  # fewer tokens than k: degenerate window
+    ]
+    k, w = 5, 4
+    got = {
+        r.doc_id: sorted(r.fingerprints)
+        for r in winnow_fingerprints(
+            spark.createDataFrame(docs, ["doc_id", "text"]), k=k, window=w,
+            hash_fn="md5_15",
+        ).collect()
+    }
+    con = duckdb.connect()
+    vals = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in docs
+    )
+    sql = f"""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM (VALUES {vals}) AS v(doc_id, text)
+    ),
+    th AS (
+      SELECT doc_id, list_transform(toks, t -> {token_hash_sql('t')}) AS ths
+      FROM docs
+    ),
+    pos AS (
+      SELECT doc_id, ths,
+             unnest(range(0, greatest(len(ths) - {k}, 0) + 1)) AS i
+      FROM th
+    ),
+    hashes AS (
+      SELECT doc_id, i, {shingle_hash_sql('ths', 'i', k)} AS h,
+             greatest(len(ths) - {k}, 0) + 1 AS n_sh
+      FROM pos
+    )
+    SELECT DISTINCT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+    FROM hashes
+    QUALIFY i <= greatest(n_sh - {w}, 0)
+    """
+    want: dict[int, list[int]] = {}
+    for doc_id, fp in con.execute(sql).fetchall():
+        want.setdefault(doc_id, []).append(int(fp))
+    assert got == {d: sorted(fps) for d, fps in want.items()}
 
 
 def test_winnowing_equals_textbook_per_position_form(spark):

@@ -86,3 +86,46 @@ def test_sketch_size_bounded_by_grid(spark):
     df = _terms(spark)
     sk = SK.count_min_build(df, "term", depth=4, width=32)
     assert sk.count() <= 4 * 32
+
+def test_md5_15_bucket_parity_with_duckdb(spark):
+    """The portable md5_15 bucket (Spark conv/substr/md5) is
+    bit-identical to the DuckDB expression bucket_sql() emits — the
+    premise of q39's generated oracle. Includes non-ASCII and
+    md5-edge inputs (empty string is excluded: q39 filters '')."""
+    import duckdb
+
+    terms = ["hot_0", "naïve", "日本語", "emoji🙂", "a:b", "':'", "0" * 64]
+    width, seed, depth = 2048, 42, 4
+    df = spark.createDataFrame([(t,) for t in terms], ["term"])
+    got = (
+        df.select(
+            "term",
+            *[
+                SK._bucket(F.col("term"), i, width, seed, "md5_15").alias(f"b{i}")
+                for i in range(depth)
+            ],
+        )
+        .orderBy("term")
+        .collect()
+    )
+    con = duckdb.connect()
+    cells = ", ".join(
+        f"{SK.bucket_sql('term', i, width, seed)} AS b{i}" for i in range(depth)
+    )
+    vals = ", ".join("('{}')".format(t.replace("'", "''")) for t in terms)
+    want = con.execute(
+        f"SELECT term, {cells} FROM (VALUES {vals}) AS v(term) ORDER BY term"
+    ).fetchall()
+    got_rows = [(r.term, *[r[f"b{i}"] for i in range(depth)]) for r in got]
+    want_rows = [(t, *map(int, rest)) for t, *rest in want]
+    assert sorted(got_rows) == sorted(want_rows)
+
+
+def test_topk_md5_15_matches_xxhash64_set(spark):
+    """Graded q39 uses the portable md5_15 family; production default is
+    xxhash64. On the skewed corpus both recover the same top-k set —
+    the hash family changes collisions, not heavy hitters."""
+    df = _terms(spark)
+    a = [r.term for r in SK.count_min_topk(df, "term", k=5).collect()]
+    b = [r.term for r in SK.count_min_topk(df, "term", k=5, hash_fn="md5_15").collect()]
+    assert a == b
