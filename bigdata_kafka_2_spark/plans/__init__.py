@@ -81,19 +81,31 @@ def register(
 #: xxhash64 is not expressible in DuckDB — with their guarantees
 #: property-tested in the suite and q39's output asserted equal to q36
 #: on the driver data).
+#:
+#: Round-5 rotation (q39/q67/q71 now hash-checked, so every slot is a
+#: green oracle row — the lever moves to never-graded families): five
+#: same-family swaps, each keeping the family's representative while
+#: giving a never-graded variant its first slot. q16 rollup → q22 cube
+#: and q17 pivot → q27 unpivot (grouping-sets / reshape families keep
+#: their rep; rollup/pivot stay oracle-mirrored in EXTENDED); q10
+#: global top-k → q98 corr/covar (global TakeOrdered stays graded via
+#: q36's top-terms and q28's order-limit-on-agg); q09 anti join → q02
+#: point lookup and q06 broadcast-dim join → q03 substring filter
+#: (anti join stays graded inside q82, broadcast dims inside q07/q28 —
+#: and P6/P7 regain the dedicated graded rows flagged in the r3
+#: verdict).
 CURATED: tuple[str, ...] = (
     # relational / joins / windows / grouping
     "q01_pricing_summary",
+    "q02_point_lookup",
+    "q03_substring_filter",
     "q04_conditional_label_balance",
-    "q06_join_broadcast_dim",
     "q07_multiway_join_revenue",
     "q08_semi_join",
-    "q09_anti_join",
-    "q10_global_topk",
     "q11_topk_per_group",
     "q14_set_ops",
-    "q16_rollup",
-    "q17_pivot",
+    "q22_cube",
+    "q27_unpivot",
     "q18_count_distinct",
     "q19_cumulative_slice",
     "q20_json_extract",
@@ -104,6 +116,7 @@ CURATED: tuple[str, ...] = (
     "q29_asof_join",
     "q58_salted_join",
     "q82_rich_inactive_customers",
+    "q98_correlation_stats",
     # CDC / sampling / window-family / date / map
     "q97_cdc_apply_changes",
     "q91_split_profile",
