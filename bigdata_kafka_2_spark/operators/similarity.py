@@ -202,13 +202,18 @@ def _sign_bucket(vec_col: str, n_planes: int, dim: int, seed: int):
     builds the identical expression tree JVM-side in one call.
     ``repr(float)`` round-trips exactly, so the plane literals are
     bit-identical to the Python values (and to the DuckDB oracle's).
+    The column reference is backtick-quoted so names with spaces/dots
+    parse the same as the old ``F.col(vec_col)`` form did. (All other
+    fragments are internal numeric literals — no user input reaches
+    the generated SQL.)
     """
+    vec_ref = f"`{vec_col}`"
     terms = []
     for p in range(n_planes):
         plane = [_mix(seed * 1_000_003 + p * 64 + d) for d in range(dim)]
         arr = "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in plane) + ")"
         proj = (
-            f"aggregate(zip_with({vec_col}, {arr}, "
+            f"aggregate(zip_with({vec_ref}, {arr}, "
             f"(x, w) -> CAST(x AS DOUBLE) * w), "
             f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )

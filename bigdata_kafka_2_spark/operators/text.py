@@ -145,10 +145,19 @@ def language_id(
     plans/text_queries._language_id_oracle).
     """
     c = F.col(text_col)
+    # coalesce: NULL text means zero marker hits (not NULL scores), so
+    # the argmax lands on the best==0 'und' branch and the emitted
+    # score columns are well-defined — mirrored in the DuckDB oracle
     scores = {
-        lang: sum(
-            (F.regexp_count(c, F.lit(rf"(?:^|\s){w}(?:\s|$)")) for w in words),
-            start=F.lit(0),
+        lang: F.coalesce(
+            sum(
+                (
+                    F.regexp_count(c, F.lit(rf"(?:^|\s){w}(?:\s|$)"))
+                    for w in words
+                ),
+                start=F.lit(0),
+            ),
+            F.lit(0),
         )
         for lang, words in _LANG_MARKERS.items()
     }

@@ -271,7 +271,9 @@ def _language_id_oracle() -> str:
             f"len(regexp_extract_all(text, '(?:^|\\s){w}(?:\\s|$)'))"
             for w in TX._LANG_MARKERS[lang]
         )
-        score_exprs.append(f"({terms}) AS score_{lang}")
+        # coalesce: NULL text scores 0 (matching the Spark operator's
+        # coalesced scores), so lang_pred lands on 'und', never NULL
+        score_exprs.append(f"coalesce({terms}, 0) AS score_{lang}")
     best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
     # CASE checks ascending-sorted languages so ties resolve to the
     # lexicographically first — same as the Spark fold order.
@@ -282,6 +284,7 @@ def _language_id_oracle() -> str:
     SELECT doc_id, lang,
            CASE WHEN {best} = 0 THEN 'und'
              {pred_branches}
+             ELSE 'und'
            END AS lang_pred,
            {', '.join(f'score_{l}' for l in langs)}
     FROM (
