@@ -68,7 +68,7 @@ def main() -> None:
     # query doesn't pay session startup.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     timings_max: dict[str, float] = {}
     for name in HEADLINE:

@@ -49,6 +49,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         tz = None
     if tz != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # µs-precision parquet timestamps must read as TIMESTAMP (naive-UTC
+    # under the session TZ pinned above), not TIMESTAMP_NTZ — matches the
+    # DuckDB oracle's plain-TIMESTAMP view and keeps epoch functions
+    # (unix_micros etc.) applicable. Set here, not only at session build,
+    # for the same harness-session reason as the TZ pin.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ns_cols = _NANOS_TS_COLUMNS.get(name, ())
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -53,14 +53,19 @@ def q60_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming source over the driver events table.
+def _staged_events_stream(
+    spark: SparkSession, sf_dir: str, prefix: str, copies: tuple[str, ...]
+) -> DataFrame:
+    """Streaming source over the driver events table, staged via
+    symlink(s) in a per-sf temp dir (the file streaming source requires
+    a directory; multiple links simulate at-least-once redelivery).
 
-    events.parquet stores ts as TIMESTAMP(NANOS): stream it as a long
-    (legacy conf, set by read_table) and convert — same µs truncation
-    as the batch reader. The file streaming source requires a
-    directory, so the single parquet file is staged via symlink in a
-    per-sf temp dir.
+    The ts column adapts to how the batch reader sees the file:
+    generators have shipped it both as TIMESTAMP(NANOS) — which the
+    batch path reads as a raw long (``nanosAsLong``) and truncates to
+    µs — and as plain TIMESTAMP(MICROS). Mirror whichever the batch
+    read produced so the streamed frame is column-identical to
+    ``read_table``'s.
     """
     import hashlib
     import os
@@ -71,26 +76,41 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_kafka_2_spark.io import read_table
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = read_table(spark, sf_dir, "events").schema
-    stream_schema = T.StructType(
-        [
-            T.StructField("ts", T.LongType(), True) if f.name == "ts" else f
-            for f in batch_schema.fields
-        ]
-    )
+    batch = read_table(spark, sf_dir, "events")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ns_ts = dict(raw.dtypes).get("ts") == "bigint"
+    if ns_ts:
+        stream_schema = T.StructType(
+            [
+                T.StructField("ts", T.LongType(), True) if f.name == "ts" else f
+                for f in batch.schema.fields
+            ]
+        )
+    else:
+        stream_schema = raw.schema
     stage = os.path.join(
         tempfile.gettempdir(),
-        f"q63_events_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        f"{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    return (
-        spark.readStream.schema(stream_schema)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
-    )
+    for tag in copies:
+        link = os.path.join(stage, f"events{tag}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    out = spark.readStream.schema(stream_schema).parquet(stage)
+    if ns_ts:
+        out = out.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    elif dict(out.dtypes).get("ts") != dict(batch.dtypes).get("ts"):
+        out = out.withColumn("ts", F.col("ts").cast(dict(batch.dtypes)["ts"]))
+    return out
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the driver events table (see
+    :func:`_staged_events_stream`)."""
+    return _staged_events_stream(spark, sf_dir, "q63_events", ("",))
 
 
 def _drain(df: DataFrame, prefix: str, mode: str = "complete") -> str:
@@ -281,36 +301,7 @@ def _events_stream_duplicated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events stream with EVERY event delivered twice (two symlinks
     to the same parquet file in the stage dir) — an at-least-once
     source simulation for the streaming-dedup query."""
-    import hashlib
-    import os
-    import tempfile
-
-    from pyspark.sql import types as T
-
-    from bigdata_kafka_2_spark.io import read_table
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = read_table(spark, sf_dir, "events").schema
-    stream_schema = T.StructType(
-        [
-            T.StructField("ts", T.LongType(), True) if f.name == "ts" else f
-            for f in batch_schema.fields
-        ]
-    )
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"q65_events2x_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
-    os.makedirs(stage, exist_ok=True)
-    for tag in ("a", "b"):
-        link = os.path.join(stage, f"events_{tag}.parquet")
-        if not os.path.exists(link):
-            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    return (
-        spark.readStream.schema(stream_schema)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
-    )
+    return _staged_events_stream(spark, sf_dir, "q65_events2x", ("_a", "_b"))
 
 
 @register(
