@@ -204,9 +204,13 @@ def shingle_hash_sql(th_sql: str, pos_sql: str, k: int) -> str:
     """DuckDB expression equal to the Spark polynomial shingle hash at
     0-based position ``pos_sql`` of the (1-based) reduced-token-hash
     list ``th_sql``: h = fold(a, b -> (a*B + coalesce(b, 0)) % M) over
-    the k hashes starting there — out-of-range hashes coalesce to 0,
-    mirroring zip_with's null padding on the Spark side."""
-    expr = f"{th_sql}[{pos_sql} + 1]"
+    the k hashes starting there — EVERY element, including the first,
+    coalesces out-of-range to 0. On the Spark side kept positions always
+    have an in-range first element (the fold's acc exists), so the
+    coalesce is a no-op there; here it keeps the expression NULL-free
+    even for an empty/NULL token list, where Spark drops the document
+    entirely and an un-coalesced first element would yield NULL."""
+    expr = f"coalesce({th_sql}[{pos_sql} + 1], 0)"
     for j in range(1, k):
         expr = (
             f"((({expr}) * {_POLY_B}"

@@ -172,17 +172,28 @@ def q38_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q36_top_terms",
-    oracle="""
-    SELECT tok, n FROM (
-      SELECT tok, count(*) AS n,
-             row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rn
-      FROM (
+#: Tokenization CTE shared by q36's oracle and the sketch (q39) oracle —
+#: DuckDB transcription of explode(split(normalize_text(text), ' ')).
+#: Both oracles are built from THIS constant so the q36-vs-q39
+#: exact-vs-sketch anchor cannot drift tokenization-wise.
+_TOKS_CTE = """
+    toks AS (
+      SELECT tok FROM (
         SELECT unnest(string_split_regex(
           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
         FROM documents
       ) WHERE tok <> ''
+    )"""
+
+
+@register(
+    "q36_top_terms",
+    oracle=f"""
+    WITH {_TOKS_CTE}
+    SELECT tok, n FROM (
+      SELECT tok, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rn
+      FROM toks
       GROUP BY tok
     ) WHERE rn <= 10
     """,
@@ -315,18 +326,6 @@ def q34_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_pred",
         *[f"score_{l}" for l in sorted(TX._LANG_MARKERS)],
     )
-
-
-#: Tokenization CTE shared by q36's oracle and the sketch oracle —
-#: DuckDB transcription of explode(split(normalize_text(text), ' ')).
-_TOKS_CTE = """
-    toks AS (
-      SELECT tok FROM (
-        SELECT unnest(string_split_regex(
-          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
-        FROM documents
-      ) WHERE tok <> ''
-    )"""
 
 
 def _cms_topk_oracle(

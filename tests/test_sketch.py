@@ -87,6 +87,7 @@ def test_sketch_size_bounded_by_grid(spark):
     sk = SK.count_min_build(df, "term", depth=4, width=32)
     assert sk.count() <= 4 * 32
 
+
 def test_md5_15_bucket_parity_with_duckdb(spark):
     """The portable md5_15 bucket (Spark conv/substr/md5) is
     bit-identical to the DuckDB expression bucket_sql() emits — the
