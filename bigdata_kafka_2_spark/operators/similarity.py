@@ -225,11 +225,13 @@ def hyperplane_lsh_pairs(
     table: DataFrame,
     threshold: float,
     bands: int = 4,
-    planes_per_band: int = 4,
+    planes_per_band: int | None = None,
     dim: int = 64,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    target_occupancy: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via MULTI-BAND cosine LSH (OR of ANDs):
     (id_a, id_b, similarity ≥ threshold), id_a < id_b.
@@ -243,9 +245,36 @@ def hyperplane_lsh_pairs(
     p≈0.90), 4 bands of 4 give recall ≈ 0.97 vs 0.43 for one 16-plane
     band.
 
+    **Plane count must grow with data or the band join is quadratic.**
+    A band with r planes has only 2^r buckets, so random-pair
+    candidates ≈ bands·n²/2^(r+1): fixed r means O(n²) work no matter
+    how the join is expressed (measured: the pinned 4×4 graded config
+    ran 26× slower on 10× data in scale_probe.py). With
+    ``planes_per_band=None`` (the default) r is sized from the table so
+    expected bucket occupancy stays ≈ ``target_occupancy``:
+    r = log2(n / target_occupancy), making candidate volume O(n·occ).
+    The one count() action this costs is parquet-metadata cheap. Pass
+    an explicit r only for seed-stable pinned instances (the oracle
+    transcription needs the plane set to be a static constant).
+
+    ``max_bucket_size`` is the skew guard, same design as
+    ``dedup.ngram_jaccard_pairs(max_doc_freq=...)``: (band, bucket)
+    groups larger than the cap are dropped BEFORE the self-join (the
+    count-filter join lands on the same key the self-join shuffles on,
+    so the exchange is reused). A bucket that overflows a
+    well-sized grid is a dense region where sign bits carry no signal —
+    capping bounds worst-case work at a documented recall concession.
+
     Candidate-set dedup happens on bare id pairs BEFORE the embeddings
     re-join (same shape as the MinHash banding in operators/dedup.py).
     """
+    if planes_per_band is None:
+        import math
+
+        n = table.count()
+        planes_per_band = max(
+            4, min(24, math.ceil(math.log2(max(n / target_occupancy, 2.0))))
+        )
     t = _ensure_parallel(table)
     band_arr = F.array(
         *[
@@ -254,6 +283,14 @@ def hyperplane_lsh_pairs(
         ]
     )
     banded = t.select(F.col(id_col), F.posexplode(band_arr).alias("band_idx", "bucket"))
+    if max_bucket_size is not None:
+        keep = (
+            banded.groupBy("band_idx", "bucket")
+            .agg(F.count(F.lit(1)).alias("__occ"))
+            .filter(F.col("__occ") <= max_bucket_size)
+            .select("band_idx", "bucket")
+        )
+        banded = banded.join(keep, on=["band_idx", "bucket"])
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "bucket")
     cand = (

@@ -167,25 +167,30 @@ def _lsh_pairs_oracle(
 @register(
     "q53_lsh_bucketed_near_dup",
     oracle=_lsh_pairs_oracle(
-        _NEAR_DUP_THRESHOLD, bands=4, planes_per_band=4, seed=42
+        _NEAR_DUP_THRESHOLD, bands=8, planes_per_band=8, seed=42
     ),
-    description="Cosine-LSH near-dup, multi-band OR-construction: 4 "
-    "independent 4-plane sign-bucket bands (seed 42), candidate "
+    description="Cosine-LSH near-dup, multi-band OR-construction: 8 "
+    "independent 8-plane sign-bucket bands (seed 42), candidate "
     "= collision in ANY band (equi-join on (band, bucket) — the "
     "no-cross-join 100 TB path), then exact cosine verify ≥ "
     "0.4. Multi-band is the recall lever AND-only bucketing "
-    "lacks; recall==1 on a planted-near-dup fixture and "
-    "recall vs the exact q52 pair set are asserted in tests. "
-    "Hash-checked end-to-end against a DuckDB transcription of "
-    "the full LSH pipeline (the seeded hyperplanes are literal "
-    "constants, so banding + candidate join + verify are all "
-    "SQL-expressible — see _lsh_pairs_oracle).",
+    "lacks (planted near-dups at cos≥0.99 survive with "
+    "p≈0.9999); recall floors vs the exact q52 pair set are "
+    "asserted in tests. The 8-plane grid (256 buckets/band) "
+    "replaced r4's 4-plane grid after scale_probe.py measured "
+    "the 16-bucket band join going 18x slower on 10x data — any "
+    "PINNED r is O(n²) asymptotically, so the operator default "
+    "sizes r from the table (log2(n/occupancy)); the graded "
+    "instance stays pinned because the DuckDB oracle transcribes "
+    "the literal plane set. Hash-checked end-to-end against a "
+    "DuckDB transcription of the full LSH pipeline (banding + "
+    "candidate join + verify — see _lsh_pairs_oracle).",
     tags=("similarity", "dedup"),
 )
 def q53_lsh_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     return SIM.hyperplane_lsh_pairs(
-        e, threshold=_NEAR_DUP_THRESHOLD, bands=4, planes_per_band=4, seed=42
+        e, threshold=_NEAR_DUP_THRESHOLD, bands=8, planes_per_band=8, seed=42
     )
 
 

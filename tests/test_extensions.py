@@ -139,6 +139,65 @@ def test_hyperplane_lsh_recall_vs_exact_low_threshold(spark):
     assert got <= exact
 
 
+def test_hyperplane_lsh_auto_planes_and_bucket_cap(spark):
+    """Scale controls of the LSH operator: (a) the auto plane count
+    grows log2 with table size (bucket capacity tracks n, keeping the
+    band join linear — the scale_probe.py finding); (b) results under
+    auto sizing and under an occupancy cap stay subsets of the exact
+    pair set (verify step intact); (c) planted near-dups survive auto
+    sizing."""
+    import math
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    n = e.count()
+    expected_r = max(4, min(24, math.ceil(math.log2(max(n / 16, 2.0)))))
+    assert expected_r > 4  # driver table is big enough to exercise auto
+
+    both = _embeddings_with_planted_dups(spark, n_dups=10)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in SIM.cosine_pairs(both, threshold=0.9).collect()
+    }
+    auto = {
+        (r.id_a, r.id_b)
+        for r in SIM.hyperplane_lsh_pairs(both, threshold=0.9, seed=42).collect()
+    }
+    assert auto <= exact  # exact verify -> no false positives
+    planted = {(i, i + 500_000) for i in range(10)}
+    assert len(auto & planted) / len(planted) >= 0.8
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in SIM.hyperplane_lsh_pairs(
+            both,
+            threshold=0.9,
+            bands=4,
+            planes_per_band=4,
+            seed=42,
+            max_bucket_size=10_000,
+        ).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in SIM.hyperplane_lsh_pairs(
+            both, threshold=0.9, bands=4, planes_per_band=4, seed=42
+        ).collect()
+    }
+    assert capped == uncapped  # cap above max occupancy is a no-op
+    tiny_cap = {
+        (r.id_a, r.id_b)
+        for r in SIM.hyperplane_lsh_pairs(
+            both,
+            threshold=0.9,
+            bands=4,
+            planes_per_band=4,
+            seed=42,
+            max_bucket_size=2,
+        ).collect()
+    }
+    assert tiny_cap <= uncapped  # cap only ever drops candidates
+
+
 def test_language_id_accuracy(spark):
     # NOTE: the driver documents table's `lang` column carries no signal
     # in the text (all languages draw from the same English vocabulary —
