@@ -319,6 +319,117 @@ def winnow_fingerprints(
     )
 
 
+def term_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document term counts over normalized whitespace tokens:
+    (id, tok, tf). One explode + one map-side-combinable hash aggregate
+    on (id, tok) — the narrowest possible shuffle for a posting list;
+    at 100 TB this is the standard inverted-index build step.
+    """
+    return (
+        ensure_parallel(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """TF-IDF per (document, term): (id, tok, tf, doc_freq, tfidf).
+
+    Smooth idf (the sklearn formulation): ln((1+N)/(1+df)) + 1 — never
+    zero or negative, defined even for terms in every document.
+
+    Plan shape: the term-frequency aggregate feeds BOTH the per-term
+    document-frequency aggregate (second map-side-combined shuffle, on
+    tok) and the scoring join, which lands on the same ``tok`` key —
+    vocabulary tables are orders of magnitude smaller than posting
+    lists, so AQE broadcasts the df side when it fits. N is a scalar
+    aggregate broadcast via a 1-row cross join (no driver round-trip
+    in the plan).
+    """
+    tf = term_frequencies(df, text_col, id_col)
+    docfreq = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    n_docs = df.select(
+        F.count(F.lit(1)).alias("__n_docs")
+    )
+    idf = F.log((F.lit(1.0) + F.col("__n_docs")) / (F.lit(1.0) + F.col("doc_freq"))) + F.lit(1.0)
+    return (
+        tf.join(docfreq, on="tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "tok",
+            "tf",
+            "doc_freq",
+            F.round(F.col("tf") * idf, 4).alias("tfidf"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 document scores for a bag of query terms:
+    (id, bm25), descending relevance. Documents matching no query term
+    are omitted (score would be 0).
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5));
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
+
+    The query-term filter is applied to the posting list BEFORE the
+    doc-frequency join (pushed equi-IN on ``tok``), so per-query work
+    is proportional to the query terms' postings, not the corpus
+    vocabulary — the shape a retrieval pipeline needs when scoring a
+    100 TB corpus against a few hundred curation queries. Document
+    length and the corpus average come from one extra aggregate over
+    the token explode; avgdl/N are 1-row broadcasts.
+    """
+    terms = [t.lower() for t in query_terms]
+    tf = term_frequencies(df, text_col, id_col)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("__dl"))
+    qtf = tf.filter(F.col("tok").isin(terms))
+    docfreq = qtf.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    stats = df.select(F.count(F.lit(1)).alias("__n_docs")).crossJoin(
+        F.broadcast(dl.agg(F.avg("__dl").alias("__avgdl")))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n_docs") - F.col("doc_freq") + F.lit(0.5))
+        / (F.col("doc_freq") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (F.lit(k1) + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+        )
+    )
+    return (
+        qtf.join(F.broadcast(docfreq), on="tok")
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 4).alias("bm25"))
+    )
+
+
 def winnow_overlap_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -185,6 +185,18 @@ _TOKS_CTE = """
       ) WHERE tok <> ''
     )"""
 
+#: doc_id-carrying variant — posting-list transcription of
+#: operators/text.term_frequencies' explode (shared by the TF-IDF and
+#: BM25 oracles).
+_TOKS_DOC_CTE = """
+    toks_doc AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split_regex(
+          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    )"""
+
 
 @register(
     "q36_top_terms",
@@ -326,6 +338,102 @@ def q34_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_pred",
         *[f"score_{l}" for l in sorted(TX._LANG_MARKERS)],
     )
+
+
+@register(
+    "q45_tfidf_top_terms",
+    oracle=f"""
+    WITH {_TOKS_DOC_CTE},
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks_doc GROUP BY doc_id, tok
+    ),
+    docfreq AS (SELECT tok, count(*) AS doc_freq FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS nd FROM documents),
+    scored AS (
+      SELECT doc_id, tok, tf, doc_freq,
+             round(tf * (ln((1.0 + nd) / (1.0 + doc_freq)) + 1.0), 4) AS tfidf
+      FROM tf JOIN docfreq USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tf, doc_freq, tfidf FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC
+      ) AS rn
+      FROM scored WHERE doc_id < 20
+    ) WHERE rn <= 3
+    """,
+    description="TF-IDF document-term scoring (operators/text.tfidf_"
+    "scores, smooth sklearn-style idf): top-3 characteristic terms per "
+    "document for the first 20 docs, deterministic (score desc, token "
+    "asc) tie-break. The posting-list build is one explode + one "
+    "(doc, tok) hash aggregate; the vocabulary aggregate and scoring "
+    "join land on the same tok key (AQE broadcasts the small side); "
+    "corpus size N rides a 1-row broadcast cross join, never a driver "
+    "round-trip.",
+    tags=("text", "aggregate", "window"),
+)
+def q45_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = TX.tfidf_scores(d).filter(F.col("doc_id") < 20)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tf", "doc_freq", "tfidf")
+    )
+
+
+#: q46's fixed curation query: high-frequency corpus terms so the
+#: scored set is non-vacuous at every sf (df ≈ 0.8·N on the driver
+#: data).
+_BM25_QUERY = ("hash", "join", "scan")
+
+
+@register(
+    "q46_bm25_scores",
+    oracle=f"""
+    WITH {_TOKS_DOC_CTE},
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks_doc GROUP BY doc_id, tok
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents) AS nd,
+             (SELECT avg(dl) FROM dl) AS avgdl
+    ),
+    qtf AS (
+      SELECT * FROM tf WHERE tok IN {_BM25_QUERY!r}
+    ),
+    dfq AS (SELECT tok, count(*) AS doc_freq FROM qtf GROUP BY tok)
+    SELECT q.doc_id,
+           round(sum(
+             ln(1.0 + (nd - doc_freq + 0.5) / (doc_freq + 0.5))
+             * q.tf * (1.2 + 1.0)
+             / (q.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))
+           ), 4) AS bm25
+    FROM qtf q
+    JOIN dfq USING (tok)
+    JOIN dl ON dl.doc_id = q.doc_id
+    CROSS JOIN stats
+    GROUP BY q.doc_id
+    """,
+    description="Okapi BM25 relevance scores (operators/text.bm25_"
+    "scores, k1=1.2 b=0.75) of every document against a fixed "
+    "curation query — the retrieval-scoring primitive for slicing a "
+    "100 TB corpus by topical relevance. The query-term filter is "
+    "applied to the posting list BEFORE any join (per-query work "
+    "proportional to the terms' postings, not the vocabulary); doc "
+    "frequency, corpus size and average doc length are all 1-row/"
+    "small broadcasts. Hash-checked against a full SQL transcription "
+    "of the scoring formula.",
+    tags=("text", "aggregate", "join"),
+)
+def q46_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return TX.bm25_scores(d, list(_BM25_QUERY))
 
 
 def _cms_topk_oracle(

@@ -198,6 +198,32 @@ def test_hyperplane_lsh_auto_planes_and_bucket_cap(spark):
     assert tiny_cap <= uncapped  # cap only ever drops candidates
 
 
+def test_tfidf_and_bm25_ranking_properties(spark):
+    """Retrieval-scoring invariants on a controlled fixture: IDF
+    discounts corpus-wide terms against rare ones at equal tf; BM25
+    ranks the doc with more query hits higher at equal length, and a
+    longer doc lower at equal tf (length normalization)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana banana common common"),
+            (1, "apple cherry cherry common common"),
+            (2, "apple apple apple common common"),
+            (3, "apple common common " + "pad " * 20),
+        ],
+        ["doc_id", "text"],
+    )
+    tfidf = {
+        (r.doc_id, r.tok): r.tfidf for r in TX.tfidf_scores(docs).collect()
+    }
+    # banana (df=1) beats common (df=4) in doc 0 despite equal tf=2
+    assert tfidf[(0, "banana")] > tfidf[(0, "common")]
+
+    bm25 = {r.doc_id: r.bm25 for r in TX.bm25_scores(docs, ["apple"]).collect()}
+    assert set(bm25) == {0, 1, 2, 3}  # every doc matches 'apple'
+    assert bm25[2] > bm25[0]  # tf=3 beats tf=1 at equal length
+    assert bm25[0] > bm25[3]  # equal tf, longer doc is discounted
+
+
 def test_language_id_accuracy(spark):
     # NOTE: the driver documents table's `lang` column carries no signal
     # in the text (all languages draw from the same English vocabulary —
