@@ -194,6 +194,134 @@ def q53_lsh_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_lists_cte(n_sub: int, n_cent: int, sub_dim: int, seed: int) -> str:
+    """Shared CTE: per-subspace centroid-distance lists over the
+    embeddings table, generated from the SAME codebooks and the SAME
+    left-associative distance chain (`similarity._pq_dist_sql`) as the
+    Spark encode — summation order and therefore the argmin are
+    bit-identical across engines."""
+    from bigdata_kafka_2_spark.operators.similarity import (
+        _pq_dist_sql,
+        pq_codebooks,
+    )
+
+    books = pq_codebooks(n_sub, n_cent, sub_dim, seed)
+    lists = []
+    for m in range(n_sub):
+        dists = ",\n         ".join(
+            _pq_dist_sql("embedding", m * sub_dim, books[m][k], one_based=True)
+            for k in range(n_cent)
+        )
+        lists.append(f"[{dists}] AS l{m + 1}")
+    return (
+        "pq_lists AS (\n      SELECT vec_id,\n        "
+        + ",\n        ".join(lists)
+        + "\n      FROM embeddings\n    )"
+    )
+
+
+def _pq_profile_oracle(
+    n_sub: int = 8, n_cent: int = 16, sub_dim: int = 8, seed: int = 7
+) -> str:
+    codes = ",\n           ".join(
+        f"CAST(list_position(l{m + 1}, list_min(l{m + 1})) AS INT) AS code_{m + 1}"
+        for m in range(n_sub)
+    )
+    err = " + ".join(f"list_min(l{m + 1})" for m in range(n_sub))
+    return f"""
+    WITH {_pq_lists_cte(n_sub, n_cent, sub_dim, seed)}
+    SELECT vec_id,
+           {codes},
+           round({err}, 4) AS pq_err
+    FROM pq_lists
+    """
+
+
+def _pq_adc_oracle(
+    probe_id: int = 0,
+    k: int = 5,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    sub_dim: int = 8,
+    seed: int = 7,
+) -> str:
+    """ADC search oracle: re-encode (the same pq_lists CTE), build the
+    probe's distance lists, estimate each vector's distance by code
+    lookup, rank."""
+    from bigdata_kafka_2_spark.operators.similarity import (
+        _pq_dist_sql,
+        pq_codebooks,
+    )
+
+    books = pq_codebooks(n_sub, n_cent, sub_dim, seed)
+    lut = " + ".join(
+        "list_extract(["
+        + ", ".join(
+            _pq_dist_sql("p.embedding", m * sub_dim, books[m][kk], one_based=True)
+            for kk in range(n_cent)
+        )
+        + f"], c.code_{m + 1})"
+        for m in range(n_sub)
+    )
+    codes = ", ".join(
+        f"CAST(list_position(l{m + 1}, list_min(l{m + 1})) AS INT) AS code_{m + 1}"
+        for m in range(n_sub)
+    )
+    return f"""
+    WITH {_pq_lists_cte(n_sub, n_cent, sub_dim, seed)},
+    codes AS (SELECT vec_id, {codes} FROM pq_lists),
+    probe AS (SELECT vec_id AS probe_id, embedding FROM embeddings
+              WHERE vec_id = {probe_id})
+    SELECT probe_id, vec_id, est_dist, rank FROM (
+      SELECT p.probe_id, c.vec_id,
+             round({lut}, 4) AS est_dist,
+             row_number() OVER (
+               PARTITION BY p.probe_id
+               ORDER BY round({lut}, 4) ASC, c.vec_id ASC
+             ) AS rank
+      FROM codes c CROSS JOIN probe p
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "q47_pq_encode",
+    oracle=_pq_profile_oracle(),
+    description="Product-quantization encode (operators/similarity."
+    "pq_encode): 8 subspaces x 16 seeded centroids -> 4-bit code per "
+    "subspace + total squared reconstruction error. The memory half "
+    "of the FAISS-style IVF+PQ ANN architecture: 64x compression "
+    "(256 B float vector -> 4 B of codes), row-local codegen'd "
+    "arithmetic over literal codebooks, zero shuffle, one parsed SQL "
+    "projection. Hash-checked against a DuckDB transcription "
+    "generated from the same codebooks and the same left-associative "
+    "distance chains, so the argmin assignment is bit-identical.",
+    tags=("similarity", "compression"),
+)
+def q47_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    return SIM.pq_encode(e)
+
+
+@register(
+    "q48_pq_adc_topk",
+    oracle=_pq_adc_oracle(),
+    description="PQ asymmetric-distance (ADC) top-5 for probe vec_id=0 "
+    "(operators/similarity.pq_adc_topk): per-probe centroid-distance "
+    "lookup tables over the broadcast probe, candidate distance = 8 "
+    "array lookups by stored code — the codes table scans at 4 "
+    "B/vector, raw vectors never read. Rank-window top-k, "
+    "deterministic (est_dist, vec_id) tie-break. Recall vs exact "
+    "cosine top-k asserted in tests; hash-checked against the full "
+    "SQL transcription of encode + LUT + rank.",
+    tags=("similarity", "compression", "limit"),
+)
+def q48_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0)
+    return SIM.pq_adc_topk(e, probe, k=5)
+
+
 #: q57's fixed IVF centroids: existing vectors doubling as cell centers.
 _IVF_CENTROID_IDS = (10, 20, 30, 40, 50, 60, 70, 80)
 

@@ -198,6 +198,51 @@ def test_hyperplane_lsh_auto_planes_and_bucket_cap(spark):
     assert tiny_cap <= uncapped  # cap only ever drops candidates
 
 
+def test_pq_encode_and_adc_invariants(spark):
+    """Product-quantization invariants: codes are 1..n_cent; ADC is
+    self-consistent (a vector's estimated distance to its own probe
+    equals its reconstruction error — both are Σ_m d(v_m,
+    centroid[code_m]) by definition); ADC top-20 retains a floor of
+    the exact squared-L2 top-20 even with the seeded (unfitted)
+    codebooks the oracle needs (production would pin KMeans-fitted
+    codebooks for tighter cells, same expressions)."""
+    e = read_table(spark, SF_DIR, "embeddings")
+    enc = SIM.pq_encode(e)
+    row = enc.filter(F.col("vec_id") == 0).collect()[0]
+    for m in range(1, 9):
+        assert 1 <= row[f"code_{m}"] <= 16
+    assert row.pq_err >= 0
+
+    probe = e.filter(F.col("vec_id") == 0)
+    adc = SIM.pq_adc_topk(e, probe, k=1_000_000)
+    self_est = adc.filter(F.col("vec_id") == 0).collect()[0].est_dist
+    assert self_est == row.pq_err  # identical rounded formula
+
+    got = {r.vec_id for r in adc.filter(F.col("rank") <= 20).collect()}
+    pv = probe.select(F.col("embedding").alias("__pv"))
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "__pv",
+            lambda x, y: (x.cast("double") - y.cast("double")) ** 2,
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    exact = [
+        r.vec_id
+        for r in e.crossJoin(F.broadcast(pv))
+        .select("vec_id", d2.alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(20)
+        .collect()
+    ]
+    # seeded uniform codebooks are deliberately coarse (16 cells per
+    # 8-dim subspace, unfitted): assert a non-degenerate floor, well
+    # above the ~0.04 a random top-20 of 500 would give
+    assert len(got & set(exact)) / 20 >= 0.1
+
+
 def test_tfidf_and_bm25_ranking_properties(spark):
     """Retrieval-scoring invariants on a controlled fixture: IDF
     discounts corpus-wide terms against rare ones at equal tf; BM25
