@@ -319,6 +319,56 @@ def winnow_fingerprints(
     )
 
 
+def quality_filter_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 90,
+    min_cpt: float = 4.5,
+    max_cpt: float = 6.0,
+    min_ttr: float = 0.45,
+) -> DataFrame:
+    """Gopher-style document-level quality rules: (id, n_tokens, cpt,
+    ttr, pass_tokens, pass_cpt, pass_ttr, keep).
+
+    The composed doc-level filter every LLM-corpus pipeline runs before
+    training (Rae et al.'s Gopher rules, C4's heuristics): token-count
+    bounds, mean-token-length (chars/token) bounds, and a
+    type-token-ratio floor (the doc-level repetition signal — highly
+    duplicated token streams score low). All row-local codegen'd
+    expressions over ONE normalize+split — no shuffle, no UDF; at
+    100 TB this runs at scan speed and is the cheapest 30-50% corpus
+    cut available.
+
+    Rule flags are computed from the ROUNDED (4-dp) statistics so the
+    decision boundary is reproducible across engines and runs —
+    a keep/drop decision must not depend on the last bits of a double.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    n_tokens = F.size(toks)
+    chars = F.length(normalize_text(text_col))
+    cpt = F.round(chars.cast("double") / F.greatest(n_tokens, F.lit(1)), 4)
+    ttr = F.round(
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.greatest(n_tokens, F.lit(1)),
+        4,
+    )
+    pass_tokens = (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+    pass_cpt = (cpt >= min_cpt) & (cpt <= max_cpt)
+    pass_ttr = ttr >= min_ttr
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        cpt.alias("cpt"),
+        ttr.alias("ttr"),
+        pass_tokens.alias("pass_tokens"),
+        pass_cpt.alias("pass_cpt"),
+        pass_ttr.alias("pass_ttr"),
+        (pass_tokens & pass_cpt & pass_ttr).alias("keep"),
+    )
+
+
 def term_frequencies(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -386,6 +386,52 @@ def q45_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q49_quality_filter",
+    oracle="""
+    SELECT doc_id, n_tokens, cpt, ttr,
+           pass_tokens, pass_cpt, pass_ttr,
+           (pass_tokens AND pass_cpt AND pass_ttr) AS keep
+    FROM (
+      SELECT doc_id, n_tokens, cpt, ttr,
+             (n_tokens >= 20 AND n_tokens <= 90) AS pass_tokens,
+             (cpt >= 4.5 AND cpt <= 6.0) AS pass_cpt,
+             (ttr >= 0.45) AS pass_ttr
+      FROM (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               round(length(norm) * 1.0 / greatest(len(toks), 1), 4) AS cpt,
+               round(len(list_distinct(toks)) * 1.0
+                     / greatest(len(toks), 1), 4) AS ttr
+        FROM (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+                 string_split_regex(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                 ) AS toks
+          FROM documents
+        )
+      )
+    )
+    """,
+    description="Gopher-style document quality filter (operators/text."
+    "quality_filter_flags): token-count bounds, chars-per-token "
+    "bounds, type-token-ratio floor (the doc-level repetition "
+    "signal), per-rule flags + composed keep decision. Thresholds "
+    "chosen to split the driver corpus non-trivially (each rule "
+    "passes 50-95%%). All row-local expressions over one "
+    "normalize+split — runs at scan speed, no shuffle; flags are "
+    "computed from 4-dp-rounded statistics so keep/drop never "
+    "depends on double last-bits. The cheapest large-fraction corpus "
+    "cut in an LLM data pipeline, and the composition target for "
+    "with_text_stats/q31.",
+    tags=("text", "filter"),
+)
+def q49_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return TX.quality_filter_flags(d)
+
+
 #: q46's fixed curation query: high-frequency corpus terms so the
 #: scored set is non-vacuous at every sf (df ≈ 0.8·N on the driver
 #: data).
