@@ -94,6 +94,18 @@ def register(
 #: (anti join stays graded inside q82, broadcast dims inside q07/q28 —
 #: and P6/P7 regain the dedicated graded rows flagged in the r3
 #: verdict).
+#: Round-6 rotation (three within-family upgrades so the round's new
+#: operator families hold graded slots; every rotated-out query stays
+#: hash-checked in the EXTENDED oracle mirror): q31 lang-quality
+#: aggregate → q49 composed Gopher-style quality filter (the stronger
+#: representative of the charter's quality-scoring line; q34/q38 keep
+#: lang-id and entropy graded); q55 mean-pool → q46 BM25 retrieval
+#: scoring (first slot for the retrieval-scoring family; HOF vector
+#: aggregation stays graded via q50/q53/q57's dot products); q59 int8
+#: quantization profile → q48 PQ asymmetric-distance top-k (the
+#: compression family's rep upgrades to the FAISS-style encode + LUT
+#: search + rank pipeline, which subsumes the quantize/dequantize
+#: shape).
 CURATED: tuple[str, ...] = (
     # relational / joins / windows / grouping
     "q01_pricing_summary",
@@ -129,8 +141,8 @@ CURATED: tuple[str, ...] = (
     "q41_ngram_jaccard_pairs",
     "q42_minhash_lsh_pairs",
     "q44_near_dedup_survivors",
-    # text analysis
-    "q31_lang_quality_profile",
+    # text analysis / corpus curation
+    "q49_quality_filter",
     "q34_language_id",
     "q35_bpe_token_count",
     "q36_top_terms",
@@ -141,10 +153,10 @@ CURATED: tuple[str, ...] = (
     "q50_cosine_topk",
     "q53_lsh_bucketed_near_dup",
     "q57_ivf_topk",
-    # vector math
-    "q55_mean_pool_by_label",
+    # retrieval scoring / vector math / compression
+    "q46_bm25_scores",
     "q56_range_join_bands",
-    "q59_quantization_profile",
+    "q48_pq_adc_topk",
     # streaming / event-time windows
     "q61_sliding_window",
     "q63_streaming_tumbling_window",
