@@ -469,7 +469,11 @@ def pq_codebooks(
     return [
         [
             [
-                spread * _mix(seed * 7_368_787 + m * 65_599 + k * 977 + d)
+                # 4-dp rounding: the centroid is an arbitrary constant,
+                # and short literals halve the size of the generated SQL
+                # on BOTH engines (the ~17-digit repr of a raw double
+                # dominated parse/analysis time)
+                round(spread * _mix(seed * 7_368_787 + m * 65_599 + k * 977 + d), 4)
                 for d in range(sub_dim)
             ]
             for k in range(n_cent)
@@ -478,19 +482,39 @@ def pq_codebooks(
     ]
 
 
-def _pq_dist_sql(vec_sql: str, base: int, centroid: list[float], one_based: bool) -> str:
-    """Squared L2 distance between a ``sub_dim`` slice of ``vec_sql``
-    (element offset ``base``, 0-based) and a literal centroid, as a
-    LEFT-ASSOCIATIVE ``+`` chain. Both engines' oracles are generated
-    from THIS function, so the floating-point summation order — and
-    therefore every last bit of the distance — is identical, which is
-    what makes the argmin (code assignment) hash-comparable.
+def _pq_partial_sql(vec_sql: str, base: int, centroid: list[float], one_based: bool) -> str:
+    """The SHIFTED squared distance ⟨x, −2c⟩ + ‖c‖² between a subspace
+    slice of ``vec_sql`` and a literal centroid — the true squared L2
+    minus the centroid-independent ‖x‖² term. Argmin over centroids is
+    unchanged (the shift is constant per subspace) and the true
+    distance is recovered by adding :func:`_pq_xx_sql` ONCE per
+    subspace instead of inside all ``n_cent`` expressions — together
+    with folding −2c and ‖c‖² into literals this shrinks the generated
+    SQL ~4× vs the naive (x−c)² chains, and codegen-compile size was
+    the dominant cost of the whole encode at test scale.
+
+    All chains are LEFT-ASSOCIATIVE ``+`` and both engines' oracles
+    are generated from THIS function, so summation order — and
+    therefore every last bit of the partials and the argmin — is
+    identical across engines.
     """
     terms = []
     for d, c in enumerate(centroid):
         idx = base + d + (1 if one_based else 0)
+        terms.append(f"(CAST({vec_sql}[{idx}] AS DOUBLE) * ({-2.0 * c!r}))")
+    cc = 0.0
+    for c in centroid:
+        cc += c * c
+    return "(" + " + ".join(terms) + f" + ({cc!r}))"
+
+
+def _pq_xx_sql(vec_sql: str, base: int, sub_dim: int, one_based: bool) -> str:
+    """Σ_d x_d² over a subspace slice (left-associative chain)."""
+    terms = []
+    for d in range(sub_dim):
+        idx = base + d + (1 if one_based else 0)
         x = f"CAST({vec_sql}[{idx}] AS DOUBLE)"
-        terms.append(f"(({x} - ({c!r})) * ({x} - ({c!r})))")
+        terms.append(f"({x} * {x})")
     return "(" + " + ".join(terms) + ")"
 
 
@@ -529,23 +553,36 @@ def pq_encode(
     """
     sub_dim = dim // n_sub
     books = pq_codebooks(n_sub, n_cent, sub_dim, seed)
+    # Two projections: the first materializes the per-subspace partial
+    # arrays and ‖x_m‖² terms as columns, the second takes argmin/min.
+    # Each array alias is referenced multiple times downstream, and
+    # Catalyst's CollapseProject keeps non-cheap multiply-referenced
+    # aliases in their own projection instead of inlining (re-deriving)
+    # them — so the 16-expression arrays are built once per row.
+    # one_based=False: Spark SQL bracket indexing is 0-based (DuckDB's,
+    # used by the oracle generator, is 1-based).
+    lists = [f"`{id_col}`"]
+    for m in range(n_sub):
+        dists = ", ".join(
+            _pq_partial_sql(f"`{vec_col}`", m * sub_dim, books[m][k], one_based=False)
+            for k in range(n_cent)
+        )
+        lists.append(f"array({dists}) AS __l{m + 1}")
+        lists.append(
+            _pq_xx_sql(f"`{vec_col}`", m * sub_dim, sub_dim, one_based=False)
+            + f" AS __xx{m + 1}"
+        )
+    staged = table.selectExpr(*lists)
     cols = [f"`{id_col}`"]
     err_terms = []
     for m in range(n_sub):
-        # one_based=False: Spark SQL bracket indexing is 0-based
-        # (DuckDB's, used by the oracle generator, is 1-based)
-        dists = ", ".join(
-            _pq_dist_sql(f"`{vec_col}`", m * sub_dim, books[m][k], one_based=False)
-            for k in range(n_cent)
-        )
-        arr = f"array({dists})"
         cols.append(
-            f"CAST(array_position({arr}, array_min({arr})) AS INT)"
+            f"CAST(array_position(__l{m + 1}, array_min(__l{m + 1})) AS INT)"
             f" AS code_{m + 1}"
         )
-        err_terms.append(f"array_min({arr})")
+        err_terms.append(f"(__xx{m + 1} + array_min(__l{m + 1}))")
     cols.append("round(" + " + ".join(err_terms) + ", 4) AS pq_err")
-    return table.selectExpr(*cols)
+    return staged.selectExpr(*cols)
 
 
 def pq_adc_topk(
@@ -574,17 +611,25 @@ def pq_adc_topk(
     """
     sub_dim = dim // n_sub
     books = pq_codebooks(n_sub, n_cent, sub_dim, seed)
-    codes = pq_encode(table, n_sub, n_cent, dim, seed, vec_col, id_col)
+    # Materialize the codes before searching (localCheckpoint severs the
+    # lineage): ADC's whole point is searching a STORED code index —
+    # 4 B/vector — not re-encoding per query. Without the cut, Catalyst
+    # inlines the 8 argmin expression trees (~10^4 nodes each) into
+    # every code_m reference of the LUT lookups and the analyzer/
+    # optimizer walk goes from milliseconds to seconds of driver time.
+    # On a real deployment this line is a parquet write of the index.
+    codes = pq_encode(table, n_sub, n_cent, dim, seed, vec_col, id_col).localCheckpoint()
     p = probe.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__pv")
     )
     lut_terms = []
     for m in range(n_sub):
         dists = ", ".join(
-            _pq_dist_sql("`__pv`", m * sub_dim, books[m][k_], one_based=False)
+            _pq_partial_sql("`__pv`", m * sub_dim, books[m][k_], one_based=False)
             for k_ in range(n_cent)
         )
-        lut_terms.append(f"element_at(array({dists}), code_{m + 1})")
+        xx = _pq_xx_sql("`__pv`", m * sub_dim, sub_dim, one_based=False)
+        lut_terms.append(f"({xx} + element_at(array({dists}), code_{m + 1}))")
     est = F.expr("round(" + " + ".join(lut_terms) + ", 4)")
     from pyspark.sql import Window
 

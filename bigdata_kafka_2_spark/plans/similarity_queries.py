@@ -195,13 +195,14 @@ def q53_lsh_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_lists_cte(n_sub: int, n_cent: int, sub_dim: int, seed: int) -> str:
-    """Shared CTE: per-subspace centroid-distance lists over the
-    embeddings table, generated from the SAME codebooks and the SAME
-    left-associative distance chain (`similarity._pq_dist_sql`) as the
-    Spark encode — summation order and therefore the argmin are
-    bit-identical across engines."""
+    """Shared CTE: per-subspace SHIFTED-distance lists (⟨x,−2c⟩+‖c‖²,
+    `similarity._pq_partial_sql`) and ‖x_m‖² terms over the embeddings
+    table, generated from the SAME codebooks and the SAME
+    left-associative chains as the Spark encode — summation order and
+    therefore the argmin are bit-identical across engines."""
     from bigdata_kafka_2_spark.operators.similarity import (
-        _pq_dist_sql,
+        _pq_partial_sql,
+        _pq_xx_sql,
         pq_codebooks,
     )
 
@@ -209,10 +210,14 @@ def _pq_lists_cte(n_sub: int, n_cent: int, sub_dim: int, seed: int) -> str:
     lists = []
     for m in range(n_sub):
         dists = ",\n         ".join(
-            _pq_dist_sql("embedding", m * sub_dim, books[m][k], one_based=True)
+            _pq_partial_sql("embedding", m * sub_dim, books[m][k], one_based=True)
             for k in range(n_cent)
         )
         lists.append(f"[{dists}] AS l{m + 1}")
+        lists.append(
+            _pq_xx_sql("embedding", m * sub_dim, sub_dim, one_based=True)
+            + f" AS xx{m + 1}"
+        )
     return (
         "pq_lists AS (\n      SELECT vec_id,\n        "
         + ",\n        ".join(lists)
@@ -227,7 +232,7 @@ def _pq_profile_oracle(
         f"CAST(list_position(l{m + 1}, list_min(l{m + 1})) AS INT) AS code_{m + 1}"
         for m in range(n_sub)
     )
-    err = " + ".join(f"list_min(l{m + 1})" for m in range(n_sub))
+    err = " + ".join(f"(xx{m + 1} + list_min(l{m + 1}))" for m in range(n_sub))
     return f"""
     WITH {_pq_lists_cte(n_sub, n_cent, sub_dim, seed)}
     SELECT vec_id,
@@ -249,18 +254,21 @@ def _pq_adc_oracle(
     probe's distance lists, estimate each vector's distance by code
     lookup, rank."""
     from bigdata_kafka_2_spark.operators.similarity import (
-        _pq_dist_sql,
+        _pq_partial_sql,
+        _pq_xx_sql,
         pq_codebooks,
     )
 
     books = pq_codebooks(n_sub, n_cent, sub_dim, seed)
     lut = " + ".join(
-        "list_extract(["
+        "("
+        + _pq_xx_sql("p.embedding", m * sub_dim, sub_dim, one_based=True)
+        + " + list_extract(["
         + ", ".join(
-            _pq_dist_sql("p.embedding", m * sub_dim, books[m][kk], one_based=True)
+            _pq_partial_sql("p.embedding", m * sub_dim, books[m][kk], one_based=True)
             for kk in range(n_cent)
         )
-        + f"], c.code_{m + 1})"
+        + f"], c.code_{m + 1}))"
         for m in range(n_sub)
     )
     codes = ", ".join(
