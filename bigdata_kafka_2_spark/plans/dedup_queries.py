@@ -70,10 +70,10 @@ def q41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (the q41 machinery — candidate-restricted Spark output equals it
 #: because banding recall is 1 for true near-dups; see
 #: operators/dedup.py minhash_lsh_verified_pairs).
-def _exact_pairs_sql(threshold: float) -> str:
+def _exact_pairs_sql(threshold: float, source: str = "documents") -> str:
     return f"""
     toks AS (
-      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM {source}
     ),
     sh AS (
       SELECT DISTINCT doc_id,
@@ -165,3 +165,97 @@ def q44_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q43_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return DD.simhash_near_pairs(d, max_hamming=8)
+
+
+#: q66's quality-keep CTE — the SAME rules/thresholds as q49's graded
+#: quality filter (operators/text.quality_filter_flags defaults),
+#: restricted to the keep predicate.
+_QUALITY_KEPT_CTE = r"""
+    kept AS (
+      SELECT doc_id, lang, n_chars, text FROM (
+        SELECT doc_id, lang, n_chars, text,
+               len(toks) AS n_tokens,
+               round(length(norm) * 1.0 / greatest(len(toks), 1), 4) AS cpt,
+               round(len(list_distinct(toks)) * 1.0
+                     / greatest(len(toks), 1), 4) AS ttr
+        FROM (
+          SELECT doc_id, lang, n_chars, text,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+                 string_split_regex(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '
+                 ) AS toks
+          FROM documents
+        )
+      )
+      WHERE n_tokens >= 20 AND n_tokens <= 90
+        AND cpt >= 4.5 AND cpt <= 6.0
+        AND ttr >= 0.45
+    )
+    """
+
+
+@register(
+    "q66_curation_pipeline",
+    oracle="WITH RECURSIVE "
+    + _QUALITY_KEPT_CTE
+    + ","
+    + _exact_pairs_sql(0.5, source="kept")
+    + """,
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(node, anc) AS (
+      SELECT doc_id, doc_id FROM kept
+      UNION
+      SELECT e.d AS node, r.anc FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    reps AS (SELECT node, min(anc) AS rep FROM reach GROUP BY node),
+    survivors AS (
+      SELECT d.doc_id, d.lang, d.n_chars
+      FROM kept d JOIN reps r ON r.node = d.doc_id
+      WHERE r.rep = d.doc_id
+    )
+    SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+                WHEN doc_id % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM survivors GROUP BY 1
+    """,
+    description="END-TO-END corpus curation — the charter's core use "
+    "case as ONE composed pipeline: Gopher-style quality filter "
+    "(q49's exact rules) → MinHash-LSH near-dedup with exact-Jaccard "
+    "verify and connected-components clustering (q44's machinery, on "
+    "the kept subset) → deterministic train/val/test split (q91's "
+    "modulo scheme) → per-split survivor profile. Every stage is the "
+    "scale path: scan-speed row-local filter, banded equi-join "
+    "candidates, dup-subgraph-restricted label propagation, shuffle-"
+    "free split assignment. Hash-checked against the full SQL "
+    "transcription (quality CTE + recursive-CTE transitive closure + "
+    "split aggregate).",
+    tags=("dedup", "text", "sampling", "flagship"),
+)
+def q66_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bigdata_kafka_2_spark.operators.text import quality_filter_flags
+
+    d = read_table(spark, sf_dir, "documents")
+    keep_ids = quality_filter_flags(d).filter(F.col("keep")).select("doc_id")
+    kept = d.join(keep_ids, on="doc_id", how="left_semi")
+    survivors = DD.near_dedup(kept, est_threshold=0.5, verify=True)
+    split = (
+        F.when(F.col("doc_id") % 10 < 8, F.lit("train"))
+        .when(F.col("doc_id") % 10 == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        survivors.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
