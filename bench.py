@@ -56,6 +56,7 @@ HEADLINE = (
     "q46_bm25_scores",
     "q48_pq_adc_topk",
     "q49_quality_filter",
+    "q66_curation_pipeline",
     "q50_cosine_topk",
     "q53_lsh_bucketed_near_dup",
     "q58_salted_join",
