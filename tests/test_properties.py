@@ -240,3 +240,128 @@ def test_minhash_signature_shape_and_bounds(spark, texts):
     for ids in by_text.values():
         present = [sig_by_id[i] for i in ids if i in sig_by_id]
         assert len(set(present)) <= 1
+
+
+_WORDS = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+_DOC = st.lists(_WORDS, min_size=1, max_size=12).map(" ".join)
+
+
+@given(texts=st.lists(_DOC, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_tfidf_matches_bruteforce(spark, texts):
+    """tfidf_scores == the python-computed sklearn-style smooth idf on
+    arbitrary small corpora (tf per (doc, tok), df per tok, idf =
+    ln((1+N)/(1+df)) + 1)."""
+    import math
+    from collections import Counter
+
+    from bigdata_kafka_2_spark.operators.text import tfidf_scores
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.tok): (r.tf, r.doc_freq, r.tfidf)
+        for r in tfidf_scores(df).collect()
+    }
+    n = len(texts)
+    tf = {
+        (i, w): c
+        for i, t in enumerate(texts)
+        for w, c in Counter(t.split()).items()
+    }
+    docfreq = Counter(w for i, w in tf)
+    exp = {
+        (i, w): (
+            c,
+            docfreq[w],
+            round(c * (math.log((1.0 + n) / (1.0 + docfreq[w])) + 1.0), 4),
+        )
+        for (i, w), c in tf.items()
+    }
+    assert got == exp
+
+
+@given(texts=st.lists(_DOC, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_bm25_matches_bruteforce(spark, texts):
+    """bm25_scores == the python-computed Okapi formula (k1=1.2,
+    b=0.75) for a fixed two-term query on arbitrary small corpora."""
+    import math
+    from collections import Counter
+
+    from bigdata_kafka_2_spark.operators.text import bm25_scores
+
+    query = ["aa", "cc"]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r.doc_id: r.bm25 for r in bm25_scores(df, query).collect()}
+
+    n = len(texts)
+    toks = [t.split() for t in texts]
+    dl = [len(t) for t in toks]
+    avgdl = sum(dl) / n
+    docfreq = {
+        q: sum(1 for t in toks if q in t) for q in query
+    }
+    exp = {}
+    for i, t in enumerate(toks):
+        score = 0.0
+        for q in query:
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            idf = math.log(
+                1.0 + (n - docfreq[q] + 0.5) / (docfreq[q] + 0.5)
+            )
+            score += idf * tf * (1.2 + 1.0) / (
+                tf + 1.2 * (1.0 - 0.75 + 0.75 * dl[i] / avgdl)
+            )
+        if score != 0.0:
+            exp[i] = round(score, 4)
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i] == pytest.approx(exp[i], abs=2e-4)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-0.5, max_value=0.5, allow_nan=False, width=32),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_pq_encode_matches_numpy_argmin(spark, vecs):
+    """pq_encode's code assignment == numpy's nearest-centroid argmin
+    (first-wins ties) on arbitrary vectors, and pq_err == the summed
+    minimal squared distances."""
+    import numpy as np
+    from pyspark.sql import types as T2
+
+    from bigdata_kafka_2_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    schema = T2.StructType(
+        [
+            T2.StructField("vec_id", T2.LongType()),
+            T2.StructField("embedding", T2.ArrayType(T2.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(list(enumerate(vecs)), schema=schema)
+    rows = {r.vec_id: r for r in pq_encode(df).collect()}
+    books = np.array(pq_codebooks())  # (8, 16, 8)
+    for i, v in enumerate(vecs):
+        x = np.array(v, dtype=np.float32).astype(np.float64).reshape(8, 8)
+        err = 0.0
+        for m in range(8):
+            d2 = ((books[m] - x[m]) ** 2).sum(axis=1)
+            k = int(np.argmin(d2))
+            assert rows[i][f"code_{m + 1}"] == k + 1
+            err += d2[k]
+        assert rows[i].pq_err == pytest.approx(err, abs=2e-4)
