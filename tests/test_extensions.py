@@ -243,6 +243,45 @@ def test_pq_encode_and_adc_invariants(spark):
     assert len(got & set(exact)) / 20 >= 0.1
 
 
+def test_pq_fitted_codebooks_beat_seeded(spark):
+    """The production codebook path (per-subspace KMeans,
+    fit_pq_codebooks) must beat the seeded uniform codebooks the
+    oracle pins: strictly lower mean reconstruction error (measured
+    ~1.7×) and a higher ADC recall floor (measured 0.5 vs ≤0.3
+    seeded)."""
+    e = read_table(spark, SF_DIR, "embeddings")
+    fitted = SIM.fit_pq_codebooks(e)
+    assert len(fitted) == 8 and all(len(b) == 16 for b in fitted)
+    seeded_err = SIM.pq_encode(e).agg(F.avg("pq_err")).collect()[0][0]
+    fitted_err = SIM.pq_encode(e, books=fitted).agg(F.avg("pq_err")).collect()[0][0]
+    assert fitted_err < seeded_err
+
+    probe = e.filter(F.col("vec_id") == 0)
+    got = {
+        r.vec_id
+        for r in SIM.pq_adc_topk(e, probe, k=20, books=fitted).collect()
+    }
+    pv = probe.select(F.col("embedding").alias("__pv"))
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "__pv",
+            lambda x, y: (x.cast("double") - y.cast("double")) ** 2,
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    exact = [
+        r.vec_id
+        for r in e.crossJoin(F.broadcast(pv))
+        .select("vec_id", d2.alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(20)
+        .collect()
+    ]
+    assert len(got & set(exact)) / 20 >= 0.3
+
+
 def test_tfidf_and_bm25_ranking_properties(spark):
     """Retrieval-scoring invariants on a controlled fixture: IDF
     discounts corpus-wide terms against rare ones at equal tf; BM25
