@@ -525,9 +525,20 @@ def fit_pq_codebooks(
         )
         km = KMeans(k=n_cent, seed=seed + m, maxIter=20)
         model = km.fit(sub)
-        books.append(
-            [[round(float(c), 4) for c in center] for center in model.clusterCenters()]
+        centers = [
+            [round(float(c), 4) for c in center] for center in model.clusterCenters()
+        ]
+        # KMeans can return < k centers when the (sampled) subspace has
+        # fewer distinct points than k; pq_encode's n_cent-wide code
+        # contract would then silently break. Pad with seeded centroids
+        # so every codebook is exactly n_cent entries.
+        if len(centers) < n_cent:
+            seeded = pq_codebooks(n_sub, n_cent, sub_dim, seed)[m]
+            centers.extend(seeded[len(centers) : n_cent])
+        assert len(centers) == n_cent, (
+            f"subspace {m}: {len(centers)} centroids, expected {n_cent}"
         )
+        books.append(centers)
     return books
 
 

@@ -344,10 +344,18 @@ def quality_filter_flags(
     Rule flags are computed from the ROUNDED (4-dp) statistics so the
     decision boundary is reproducible across engines and runs —
     a keep/drop decision must not depend on the last bits of a double.
+
+    NULL text coalesces to '' BEFORE tokenizing: with Spark's default
+    ``spark.sql.legacy.sizeOfNull=true``, ``size(split(NULL))`` is -1
+    (n_tokens=-1, keep=false) while DuckDB's split of NULL yields NULL
+    flags — coalescing makes both engines treat a NULL document as an
+    empty one (n_tokens=1 from the [''] token, keep=false by the
+    min_tokens rule), so the decision is engine-independent.
     """
-    toks = F.split(normalize_text(text_col), " ")
+    norm = F.coalesce(normalize_text(text_col), F.lit(""))
+    toks = F.split(norm, " ")
     n_tokens = F.size(toks)
-    chars = F.length(normalize_text(text_col))
+    chars = F.length(norm)
     cpt = F.round(chars.cast("double") / F.greatest(n_tokens, F.lit(1)), 4)
     ttr = F.round(
         F.size(F.array_distinct(toks)).cast("double")
@@ -471,12 +479,21 @@ def bm25_scores(
             * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
         )
     )
+    # Per-term contributions are rounded to 4 dp and summed as exact
+    # DECIMALs: double-sum order is partition-dependent in Spark and
+    # engine-dependent vs the oracle, so a total landing on a rounding
+    # boundary could flip the last digit; decimal addition is exact and
+    # associative, making the aggregate order-independent on both sides.
     return (
         qtf.join(F.broadcast(docfreq), on="tok")
         .join(dl, on=id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
-        .agg(F.round(F.sum(contrib), 4).alias("bm25"))
+        .agg(
+            F.sum(F.round(contrib, 4).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("bm25")
+        )
     )
 
 

@@ -180,9 +180,11 @@ _QUALITY_KEPT_CTE = r"""
                      / greatest(len(toks), 1), 4) AS ttr
         FROM (
           SELECT doc_id, lang, n_chars, text,
-                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+                 coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          '') AS norm,
                  string_split_regex(
-                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '
+                   coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                            ''), ' '
                  ) AS toks
           FROM documents
         )

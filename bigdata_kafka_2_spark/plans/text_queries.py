@@ -405,9 +405,11 @@ def q45_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / greatest(len(toks), 1), 4) AS ttr
         FROM (
           SELECT doc_id,
-                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+                 coalesce(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          '') AS norm,
                  string_split_regex(
-                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                   coalesce(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                            ''), ' '
                  ) AS toks
           FROM documents
         )
@@ -455,11 +457,11 @@ _BM25_QUERY = ("hash", "join", "scan")
     ),
     dfq AS (SELECT tok, count(*) AS doc_freq FROM qtf GROUP BY tok)
     SELECT q.doc_id,
-           round(sum(
+           CAST(sum(CAST(round(
              ln(1.0 + (nd - doc_freq + 0.5) / (doc_freq + 0.5))
              * q.tf * (1.2 + 1.0)
              / (q.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))
-           ), 4) AS bm25
+           , 4) AS DECIMAL(18,4))) AS DOUBLE) AS bm25
     FROM qtf q
     JOIN dfq USING (tok)
     JOIN dl ON dl.doc_id = q.doc_id

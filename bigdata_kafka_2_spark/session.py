@@ -23,14 +23,24 @@ import tempfile
 from pyspark.sql import SparkSession
 
 
+#: Minimum free tmpfs space before shuffle scratch prefers RAM over disk.
+#: tmpfs is typically capped at half of RAM; an unexpectedly large spill
+#: (e.g. the 10x scale probe) must degrade to disk, not fail ENOSPC.
+_SHM_MIN_FREE_BYTES = 16 << 30
+
+
 def _local_dir() -> str:
-    """Scratch dir for shuffle files: env override, else tmpfs, else /tmp."""
+    """Scratch dir for shuffle files: env override, else tmpfs (only
+    when comfortably free), else /tmp."""
     env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if env:
         return env
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        return os.path.join(shm, "spark_graft_local")
+        import shutil
+
+        if shutil.disk_usage(shm).free >= _SHM_MIN_FREE_BYTES:
+            return os.path.join(shm, "spark_graft_local")
     return os.path.join(tempfile.gettempdir(), "spark_graft_local")
 
 

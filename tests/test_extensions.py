@@ -620,3 +620,50 @@ def test_winnowing_equals_textbook_per_position_form(spark):
     )
     assert diff == 0
     pre.unpersist()
+
+
+def test_quality_filter_null_text_matches_oracle(spark):
+    """A NULL (or empty) document must get the SAME flags from both
+    engines — the r6 ADVICE divergence: Spark's size(split(NULL)) is -1
+    under legacy.sizeOfNull while DuckDB yields NULL flags. Both sides
+    now coalesce the normalized text to '' first, so NULL == empty ==
+    keep=false everywhere."""
+    import duckdb
+    import pandas as pd
+
+    from bigdata_kafka_2_spark.operators.text import quality_filter_flags
+    from bigdata_kafka_2_spark.plans import load_extended
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "one two three"),
+        (4, "the quick brown fox jumps over the lazy dog " * 4),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.pass_tokens, r.pass_cpt, r.pass_ttr, r.keep)
+        for r in quality_filter_flags(df).collect()
+    }
+    # NULL and empty text behave identically: one '' token (ttr=1.0),
+    # dropped by the min_tokens rule, with non-NULL flags.
+    assert got[0] == got[1] == (1, False, False, True, False)
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    oracle = load_extended()["q49_quality_filter"].oracle
+    exp = {
+        int(r.doc_id): (
+            int(r.n_tokens),
+            bool(r.pass_tokens),
+            bool(r.pass_cpt),
+            bool(r.pass_ttr),
+            bool(r.keep),
+        )
+        for r in con.execute(oracle).df().itertuples()
+    }
+    con.close()
+    assert got == exp
