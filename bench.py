@@ -41,6 +41,9 @@ from bigdata_kafka_2_spark.plans import load_extended
 #: round (BM25 scoring, PQ ADC search, composed quality filter) join
 #: the record; q31 stays for round-over-round comparability even
 #: though its graded slot rotated to q49.
+#: Round 7: q68 (PQ ADC + exact rerank, the graded compressed-search
+#: rep from this round's rotation) joins; q48 stays for
+#: round-over-round comparability of the raw ADC tier.
 HEADLINE = (
     "q01_pricing_summary",
     "q06_join_broadcast_dim",
@@ -55,6 +58,7 @@ HEADLINE = (
     "q44_near_dedup_survivors",
     "q46_bm25_scores",
     "q48_pq_adc_topk",
+    "q68_pq_rerank_topk",
     "q49_quality_filter",
     "q66_curation_pipeline",
     "q50_cosine_topk",

@@ -94,6 +94,16 @@ def register(
 #: (anti join stays graded inside q82, broadcast dims inside q07/q28 —
 #: and P6/P7 regain the dedicated graded rows flagged in the r3
 #: verdict).
+#: Round-7 rotation: q41 n-gram-Jaccard pairs → q66 end-to-end curation
+#: pipeline (quality filter → verified near-dedup + connected
+#: components → splits → per-split profile — the charter's composed
+#: use case finally holds a graded slot; q41's exact-Jaccard join
+#: machinery stays graded inside q42's verify stage and q44/q66's
+#: pair graphs, and q41 itself stays hash-checked in the EXTENDED
+#: mirror). q48 PQ ADC top-k → q68 PQ ADC + exact rerank (the strictly
+#: stronger compressed-search representative: same encode + LUT scan,
+#: plus the FAISS-style exact re-score of the top-m candidates that
+#: lifts recall@5 from ~0.5 to ≥0.9; q48 stays in the mirror).
 #: Round-6 rotation (three within-family upgrades so the round's new
 #: operator families hold graded slots; every rotated-out query stays
 #: hash-checked in the EXTENDED oracle mirror): q31 lang-quality
@@ -136,11 +146,11 @@ CURATED: tuple[str, ...] = (
     "q93_scd2_history",
     "q94_analytic_window_family",
     "q95_date_arithmetic",
-    # dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash, end-to-end)
+    # dedup (exact, MinHash-LSH, end-to-end) + composed curation
     "q40_exact_dedup_groups",
-    "q41_ngram_jaccard_pairs",
     "q42_minhash_lsh_pairs",
     "q44_near_dedup_survivors",
+    "q66_curation_pipeline",
     # text analysis / corpus curation
     "q49_quality_filter",
     "q34_language_id",
@@ -156,7 +166,7 @@ CURATED: tuple[str, ...] = (
     # retrieval scoring / vector math / compression
     "q46_bm25_scores",
     "q56_range_join_bands",
-    "q48_pq_adc_topk",
+    "q68_pq_rerank_topk",
     # streaming / event-time windows
     "q61_sliding_window",
     "q63_streaming_tumbling_window",

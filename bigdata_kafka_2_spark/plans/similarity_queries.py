@@ -194,10 +194,18 @@ def q53_lsh_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_lists_cte(n_sub: int, n_cent: int, sub_dim: int, seed: int) -> str:
+def _pq_lists_cte(
+    n_sub: int,
+    n_cent: int,
+    sub_dim: int,
+    seed: int,
+    source: str = "embeddings",
+    vec: str = "embedding",
+    books: list[list[list[float]]] | None = None,
+) -> str:
     """Shared CTE: per-subspace SHIFTED-distance lists (⟨x,−2c⟩+‖c‖²,
-    `similarity._pq_partial_sql`) and ‖x_m‖² terms over the embeddings
-    table, generated from the SAME codebooks and the SAME
+    `similarity._pq_partial_sql`) and ‖x_m‖² terms over ``source``'s
+    ``vec`` column, generated from the SAME codebooks and the SAME
     left-associative chains as the Spark encode — summation order and
     therefore the argmin are bit-identical across engines."""
     from bigdata_kafka_2_spark.operators.similarity import (
@@ -206,22 +214,41 @@ def _pq_lists_cte(n_sub: int, n_cent: int, sub_dim: int, seed: int) -> str:
         pq_codebooks,
     )
 
-    books = pq_codebooks(n_sub, n_cent, sub_dim, seed)
+    if books is None:
+        books = pq_codebooks(n_sub, n_cent, sub_dim, seed)
     lists = []
     for m in range(n_sub):
         dists = ",\n         ".join(
-            _pq_partial_sql("embedding", m * sub_dim, books[m][k], one_based=True)
+            _pq_partial_sql(vec, m * sub_dim, books[m][k], one_based=True)
             for k in range(n_cent)
         )
         lists.append(f"[{dists}] AS l{m + 1}")
         lists.append(
-            _pq_xx_sql("embedding", m * sub_dim, sub_dim, one_based=True)
+            _pq_xx_sql(vec, m * sub_dim, sub_dim, one_based=True)
             + f" AS xx{m + 1}"
         )
     return (
         "pq_lists AS (\n      SELECT vec_id,\n        "
         + ",\n        ".join(lists)
-        + "\n      FROM embeddings\n    )"
+        + f"\n      FROM {source}\n    )"
+    )
+
+
+def _normalized_cte(dim: int = 64, name: str = "nv", out: str = "nemb") -> str:
+    """DuckDB transcription of `similarity.normalize_vectors`: staged
+    left-associative ‖x‖ column, then per-element division — the same
+    chains the Spark projection parses, so normalized components are
+    bit-identical across engines."""
+    from bigdata_kafka_2_spark.operators.similarity import _pq_xx_sql
+
+    xx = _pq_xx_sql("embedding", 0, dim, one_based=True)
+    elems = ", ".join(
+        f"(CAST(embedding[{i + 1}] AS DOUBLE) / vnorm)" for i in range(dim)
+    )
+    return (
+        f"{name} AS (\n      SELECT vec_id, [{elems}] AS {out}\n"
+        f"      FROM (SELECT vec_id, embedding, sqrt({xx}) AS vnorm\n"
+        f"            FROM embeddings)\n    )"
     )
 
 
@@ -328,6 +355,105 @@ def q48_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     probe = e.filter(F.col("vec_id") == 0)
     return SIM.pq_adc_topk(e, probe, k=5)
+
+
+def _pq_rerank_oracle(
+    probe_id: int = 0,
+    k: int = 5,
+    m: int = 250,
+    n_sub: int = 16,
+    n_cent: int = 16,
+    sub_dim: int = 4,
+    seed: int = 7,
+) -> str:
+    """ADC + exact-rerank oracle, cosine-metric configuration: the
+    normalize CTE, the ADC pipeline (over normalized vectors and the
+    PINNED production codebooks) truncated at top-m, then exact cosine
+    over ONLY the m candidate ids, final top-k — the same two-tier
+    plan the Spark operator runs."""
+    from bigdata_kafka_2_spark.operators.pq_books import PQ_COSINE_BOOKS
+    from bigdata_kafka_2_spark.operators.similarity import (
+        _pq_partial_sql,
+        _pq_xx_sql,
+    )
+
+    books = PQ_COSINE_BOOKS
+    lut = " + ".join(
+        "("
+        + _pq_xx_sql("p.nemb", m_ * sub_dim, sub_dim, one_based=True)
+        + " + list_extract(["
+        + ", ".join(
+            _pq_partial_sql("p.nemb", m_ * sub_dim, books[m_][kk], one_based=True)
+            for kk in range(n_cent)
+        )
+        + f"], c.code_{m_ + 1}))"
+        for m_ in range(n_sub)
+    )
+    codes = ", ".join(
+        f"CAST(list_position(l{m_ + 1}, list_min(l{m_ + 1})) AS INT) AS code_{m_ + 1}"
+        for m_ in range(n_sub)
+    )
+    return f"""
+    WITH {_normalized_cte()},
+    {_pq_lists_cte(n_sub, n_cent, sub_dim, seed, source="nv", vec="nemb",
+                   books=books)},
+    codes AS (SELECT vec_id, {codes} FROM pq_lists),
+    probe AS (SELECT vec_id AS probe_id, nemb FROM nv
+              WHERE vec_id = {probe_id}),
+    probe_raw AS (SELECT vec_id AS probe_id, embedding FROM embeddings
+                  WHERE vec_id = {probe_id}),
+    adc AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY round({lut}, 4) ASC, c.vec_id ASC
+               ) AS adc_rank
+        FROM codes c CROSS JOIN probe p
+      ) WHERE adc_rank <= {m}
+    )
+    SELECT probe_id, vec_id, similarity, rank FROM (
+      SELECT a.probe_id, a.vec_id,
+             round(CAST(list_cosine_similarity(e.embedding, p.embedding)
+                        AS DOUBLE), 4) AS similarity,
+             row_number() OVER (
+               PARTITION BY a.probe_id
+               ORDER BY round(CAST(list_cosine_similarity(e.embedding,
+                                                          p.embedding)
+                                   AS DOUBLE), 4) DESC, a.vec_id ASC
+             ) AS rank
+      FROM adc a
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      JOIN probe_raw p ON p.probe_id = a.probe_id
+      WHERE a.vec_id <> a.probe_id
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "q68_pq_rerank_topk",
+    oracle=_pq_rerank_oracle(),
+    description="PQ ADC search + exact rerank tier, cosine metric "
+    "(operators/similarity.pq_adc_rerank_topk): L2-normalize (ADC over "
+    "unit vectors ranks by cosine), encode with the PINNED "
+    "KMeans-fitted production codebooks (pq_books.PQ_COSINE_BOOKS — "
+    "fit once, pin, serve; 16 subspaces x 16 centroids), ADC top-250 "
+    "candidates from the code-width scan, then exact cosine re-score "
+    "of ONLY those rows per probe via a broadcast candidate join, keep "
+    "top-5 — the FAISS-style accuracy-recovery stage. recall@5 = 1.0 "
+    "vs exact cosine_topk on the driver table (asserted in tests; raw "
+    "ADC@5 ~0.5). m is a constant, not a fraction of n — at 10^8 rows "
+    "the rerank reads 2.5e-6 of the table. Hash-checked against the "
+    "full SQL transcription of normalize + encode + LUT + top-m + "
+    "exact rerank.",
+    tags=("similarity", "compression", "limit"),
+)
+def q68_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0)
+    out = SIM.pq_adc_rerank_topk(e, probe, k=5, m=250)
+    # bigint rank: row_number is int32 in Spark, int64 in DuckDB
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 #: q57's fixed IVF centroids: existing vectors doubling as cell centers.

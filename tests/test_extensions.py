@@ -667,3 +667,49 @@ def test_quality_filter_null_text_matches_oracle(spark):
     }
     con.close()
     assert got == exp
+
+
+def test_pq_rerank_recall_vs_exact(spark):
+    """The rerank tier's whole point: pq_adc_rerank_topk (normalize →
+    ADC top-m with the pinned production codebooks → exact cosine
+    re-score of only those m) must recover exact accuracy — recall@5
+    ≥ 0.9 vs cosine_topk on the driver embeddings, across several
+    probes (the numpy study put the worst true-neighbor ADC rank at
+    121 ≪ m=250). Raw ADC@5 is ~0.5 even with fitted books — the
+    rerank is what closes the gap."""
+    e = read_table(spark, SF_DIR, "embeddings")
+    for probe_id in (0, 7, 42):
+        probe = e.filter(F.col("vec_id") == probe_id)
+        exact = {r.vec_id for r in SIM.cosine_topk(e, probe, k=5).collect()}
+        assert len(exact) == 5
+        got = {
+            r.vec_id
+            for r in SIM.pq_adc_rerank_topk(e, probe, k=5, m=250).collect()
+        }
+        recall = len(got & exact) / 5
+        assert recall >= 0.9, f"probe {probe_id}: rerank recall@5 = {recall}"
+
+
+def test_pq_index_write_search_roundtrip(tmp_path, spark):
+    """The deployment shape pq_adc_topk's localCheckpoint stands in
+    for: write the code index to parquet once, search the STORED index.
+    Results must equal the in-session path, and the search plan must
+    scan only the id + code columns of the index (never pq_err — column
+    pruning reaches the parquet reader)."""
+    e = read_table(spark, SF_DIR, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0)
+    path = str(tmp_path / "pq_index")
+    SIM.pq_index_write(e, path)
+    codes = spark.read.parquet(path)
+    stored = SIM.pq_adc_search(codes, probe, k=5)
+    inline = SIM.pq_adc_topk(e, probe, k=5)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+    import re
+
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    read_schemas = re.findall(r"ReadSchema: ([^\n]+)", plan)
+    idx_schema = next(s for s in read_schemas if "code_1" in s)
+    assert "pq_err" not in idx_schema, f"index scan not pruned: {idx_schema}"
