@@ -20,7 +20,7 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 if _REPO_DIR not in sys.path:
     sys.path.insert(0, _REPO_DIR)
 
-from bigdata_kafka_2_spark.plans import load_all  # noqa: E402
+from bigdata_kafka_2_spark.plans import load_all, resolve_oracle  # noqa: E402
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -37,5 +37,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; non-SQL-expressible ops omitted."""
-    return {name: q.oracle for name, q in load_all().items() if q.oracle is not None}
+    """DuckDB-equivalent SQL per query; non-SQL-expressible ops omitted.
+
+    Dataset-parameterized oracles (e.g. q53's auto-sized LSH planes)
+    resolve against the driver's grading dataset
+    (``$SPARK_GRAFT_ORACLE_SF_DIR``, default sf0.01) — the same count
+    the Spark query reads, so both sides derive identical plans."""
+    out: dict[str, str] = {}
+    for name, q in load_all().items():
+        sql = resolve_oracle(q)
+        if sql is not None:
+            out[name] = sql
+    return out

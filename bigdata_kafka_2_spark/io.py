@@ -71,6 +71,26 @@ def read_tables(spark: SparkSession, sf_dir: str, names) -> dict[str, DataFrame]
     return {n: read_table(spark, sf_dir, n) for n in names}
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a driver table from parquet FOOTER metadata —
+    no Spark job, no data read (a single-file footer or one footer per
+    part file). The cheap n for data-dependent plan sizing
+    (``auto_planes_per_band``): both the Spark query and the generated
+    oracle SQL derive the same parameter from the same count without
+    executing anything."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(glob.glob(os.path.join(path, "*.parquet")))
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def read_csv_dir(
     spark: SparkSession,
     path: str,

@@ -221,6 +221,18 @@ def _sign_bucket(vec_col: str, n_planes: int, dim: int, seed: int):
     return F.expr("CAST(" + " + ".join(terms) + " AS INT)")
 
 
+def auto_planes_per_band(n: int, target_occupancy: int = 16) -> int:
+    """Plane count per band sized so expected bucket occupancy stays
+    ≈ ``target_occupancy``: r = log2(n / occupancy), clamped to
+    [4, 24]. THE scale invariant of the LSH band join — any pinned r
+    makes candidates O(n²/2^r); growing r with n keeps them O(n·occ).
+    One function so the Spark operator and the generated DuckDB oracle
+    derive the SAME r from the same n."""
+    import math
+
+    return max(4, min(24, math.ceil(math.log2(max(n / target_occupancy, 2.0)))))
+
+
 def hyperplane_lsh_pairs(
     table: DataFrame,
     threshold: float,
@@ -232,6 +244,7 @@ def hyperplane_lsh_pairs(
     id_col: str = "vec_id",
     target_occupancy: int = 16,
     max_bucket_size: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via MULTI-BAND cosine LSH (OR of ANDs):
     (id_a, id_b, similarity ≥ threshold), id_a < id_b.
@@ -250,12 +263,18 @@ def hyperplane_lsh_pairs(
     candidates ≈ bands·n²/2^(r+1): fixed r means O(n²) work no matter
     how the join is expressed (measured: the pinned 4×4 graded config
     ran 26× slower on 10× data in scale_probe.py). With
-    ``planes_per_band=None`` (the default) r is sized from the table so
-    expected bucket occupancy stays ≈ ``target_occupancy``:
-    r = log2(n / target_occupancy), making candidate volume O(n·occ).
-    The one count() action this costs is parquet-metadata cheap. Pass
-    an explicit r only for seed-stable pinned instances (the oracle
-    transcription needs the plane set to be a static constant).
+    ``planes_per_band=None`` (the default) r is sized from the table
+    via :func:`auto_planes_per_band` so expected bucket occupancy
+    stays ≈ ``target_occupancy``, making candidate volume O(n·occ).
+    CAVEAT: that auto path runs ``table.count()`` eagerly at CALL
+    time — cheap for a bare parquet scan (metadata only) but for a
+    filtered/derived DataFrame it executes the whole upstream plan an
+    extra time; pass ``n_rows`` (e.g. from parquet footer metadata, or
+    a count the pipeline already has) to skip the job. Note also that
+    auto sizing makes the emitted PAIR SET n-dependent: results change
+    when n crosses a plane-count boundary, so pinned-r instances
+    remain the choice for run-to-run-identical outputs on growing
+    data.
 
     ``max_bucket_size`` is the skew guard, same design as
     ``dedup.ngram_jaccard_pairs(max_doc_freq=...)``: (band, bucket)
@@ -269,12 +288,8 @@ def hyperplane_lsh_pairs(
     re-join (same shape as the MinHash banding in operators/dedup.py).
     """
     if planes_per_band is None:
-        import math
-
-        n = table.count()
-        planes_per_band = max(
-            4, min(24, math.ceil(math.log2(max(n / target_occupancy, 2.0))))
-        )
+        n = table.count() if n_rows is None else n_rows
+        planes_per_band = auto_planes_per_band(n, target_occupancy)
     t = _ensure_parallel(table)
     band_arr = F.array(
         *[

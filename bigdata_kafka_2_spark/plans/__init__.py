@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 class Query:
     name: str
     spark_fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
+    #: ANSI SQL string, or a callable ``(sf_dir) -> str`` for oracles
+    #: whose generated SQL depends on the DATASET (e.g. q53's
+    #: auto-sized LSH plane count derives from the table's row count —
+    #: read from parquet footer metadata, never a Spark job), or None
+    #: for non-SQL-expressible operators (rows-only check).
+    oracle: str | Callable[[str], str] | None
     description: str = ""
     tags: tuple[str, ...] = field(default=())
 
@@ -35,9 +40,28 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
+#: sf dir the driver's correctness gate grades at — callable oracles
+#: are resolved against this dataset when no sf_dir is known
+#: (``__spark_entry__.oracle_sql()`` takes no argument by contract).
+GRADING_SF_DIR = "/root/testdata/sf0.01"
+
+
+def resolve_oracle(q: Query, sf_dir: str | None = None) -> str | None:
+    """The oracle SQL for ``q`` at ``sf_dir`` (default: the driver's
+    grading dataset). Plain-string oracles are sf-independent."""
+    if callable(q.oracle):
+        import os
+
+        return q.oracle(
+            sf_dir
+            or os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", GRADING_SF_DIR)
+        )
+    return q.oracle
+
+
 def register(
     name: str,
-    oracle: str | None,
+    oracle: str | Callable[[str], str] | None,
     description: str = "",
     tags: tuple[str, ...] = (),
 ):

@@ -164,33 +164,54 @@ def _lsh_pairs_oracle(
     """
 
 
+def _q53_oracle(sf_dir: str) -> str:
+    """Dataset-parameterized q53 oracle: derive the SAME auto-sized
+    plane count the Spark operator uses (from the same parquet-footer
+    row count — no Spark job, no data read), then transcribe those
+    literal planes. Graded plan ≡ production plan at every sf."""
+    from bigdata_kafka_2_spark.io import parquet_row_count
+    from bigdata_kafka_2_spark.operators.similarity import auto_planes_per_band
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    return _lsh_pairs_oracle(
+        _NEAR_DUP_THRESHOLD,
+        bands=8,
+        planes_per_band=auto_planes_per_band(n),
+        seed=42,
+    )
+
+
 @register(
     "q53_lsh_bucketed_near_dup",
-    oracle=_lsh_pairs_oracle(
-        _NEAR_DUP_THRESHOLD, bands=8, planes_per_band=8, seed=42
-    ),
+    oracle=_q53_oracle,
     description="Cosine-LSH near-dup, multi-band OR-construction: 8 "
-    "independent 8-plane sign-bucket bands (seed 42), candidate "
-    "= collision in ANY band (equi-join on (band, bucket) — the "
-    "no-cross-join 100 TB path), then exact cosine verify ≥ "
-    "0.4. Multi-band is the recall lever AND-only bucketing "
-    "lacks (planted near-dups at cos≥0.99 survive with "
-    "p≈0.9999); recall floors vs the exact q52 pair set are "
-    "asserted in tests. The 8-plane grid (256 buckets/band) "
-    "replaced r4's 4-plane grid after scale_probe.py measured "
-    "the 16-bucket band join going 18x slower on 10x data — any "
-    "PINNED r is O(n²) asymptotically, so the operator default "
-    "sizes r from the table (log2(n/occupancy)); the graded "
-    "instance stays pinned because the DuckDB oracle transcribes "
-    "the literal plane set. Hash-checked end-to-end against a "
-    "DuckDB transcription of the full LSH pipeline (banding + "
-    "candidate join + verify — see _lsh_pairs_oracle).",
+    "independent sign-bucket bands (seed 42), candidate = collision "
+    "in ANY band (equi-join on (band, bucket) — the no-cross-join "
+    "100 TB path), then exact cosine verify ≥ 0.4. Multi-band is the "
+    "recall lever AND-only bucketing lacks (planted near-dups at "
+    "cos≥0.99 survive with p≈0.9999); recall floors vs the exact q52 "
+    "pair set are asserted in tests. The plane count per band is "
+    "AUTO-SIZED from the table's parquet-footer row count "
+    "(auto_planes_per_band: r = log2(n/16), so expected bucket "
+    "occupancy — and with it candidate volume per row — stays "
+    "constant as n grows; any PINNED r is O(n²) asymptotically, the "
+    "r5/r6 scale-probe finding). The graded instance now RUNS this "
+    "production configuration: the oracle is generated per-dataset "
+    "from the same row count, transcribing the same auto-chosen "
+    "literal planes (banding + candidate join + verify — see "
+    "_q53_oracle/_lsh_pairs_oracle).",
     tags=("similarity", "dedup"),
 )
 def q53_lsh_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.io import parquet_row_count
+
     e = read_table(spark, sf_dir, "embeddings")
     return SIM.hyperplane_lsh_pairs(
-        e, threshold=_NEAR_DUP_THRESHOLD, bands=8, planes_per_band=8, seed=42
+        e,
+        threshold=_NEAR_DUP_THRESHOLD,
+        bands=8,
+        seed=42,
+        n_rows=parquet_row_count(sf_dir, "embeddings"),
     )
 
 

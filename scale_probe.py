@@ -139,25 +139,11 @@ def main() -> None:
         row["ratio"] = round(row["large"] / max(row["small"], 1e-3), 2)
         result[name] = row
         print(f"# {name}: {row}", file=sys.stderr)
-    # q53's graded instance pins planes_per_band=4 (the oracle
-    # transcription needs a static plane set) and is therefore O(n²) by
-    # construction — 2^4 buckets per band. Measure the operator's
-    # scale configuration (auto plane count, occupancy-targeted) next
-    # to it so the probe shows the engine's actual 100 TB path.
-    from bigdata_kafka_2_spark.operators.similarity import hyperplane_lsh_pairs
-
-    row = {}
-    for tag, sf_dir in (("small", src), ("large", dst)):
-        runs = []
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            e = read_table(spark, sf_dir, "embeddings")
-            hyperplane_lsh_pairs(e, threshold=0.4, seed=42).count()
-            runs.append(time.perf_counter() - t0)
-        row[tag] = round(min(runs), 3)
-    row["ratio"] = round(row["large"] / max(row["small"], 1e-3), 2)
-    result["q53_auto_planes"] = row
-    print(f"# q53_auto_planes: {row}", file=sys.stderr)
+    # (r6 carried a separate "q53_auto_planes" sideline here because the
+    # graded q53 pinned its plane grid for oracle transcription; the
+    # graded instance now auto-sizes planes from the dataset's row
+    # count — graded plan ≡ production plan — so HEADLINE's q53 row IS
+    # the scale configuration.)
     superlinear = sorted(
         n for n, r in result.items() if r["ratio"] > 1.3 * factor
     )

@@ -7,13 +7,18 @@ from __future__ import annotations
 
 import pytest
 
-from bigdata_kafka_2_spark.plans import load_extended
+from bigdata_kafka_2_spark.plans import load_extended, resolve_oracle
 from tests.conftest import SF_DIR
 from tests.oracle_utils import canon_frame
 
 REGISTRY = load_extended()
 WITH_ORACLE = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
 ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+
+
+def _oracle(name: str) -> str:
+    # callable oracles resolve against the SAME sf the mirror runs at
+    return resolve_oracle(REGISTRY[name], SF_DIR)
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
@@ -23,7 +28,7 @@ def test_oracle_no_widening_types(duck, name):
     returns int64 — the driver's hasher then stringifies them
     differently even when values are identical (the r2 q59 failure).
     Assert no oracle output column is HUGEINT/UHUGEINT."""
-    rel = duck.sql(REGISTRY[name].oracle)
+    rel = duck.sql(_oracle(name))
     bad = [
         (c, str(t))
         for c, t in zip(rel.columns, rel.types)
@@ -36,7 +41,7 @@ def test_oracle_no_widening_types(duck, name):
 def test_query_matches_oracle(spark, duck, name):
     q = REGISTRY[name]
     spark_pdf = q.spark_fn(spark, SF_DIR).toPandas()
-    duck_pdf = duck.execute(q.oracle).df()
+    duck_pdf = duck.execute(_oracle(name)).df()
 
     # Driver-hash strictness: per-column dtype KIND (int vs float vs
     # object) must agree, not just canonical values — int64 vs float64
