@@ -43,7 +43,10 @@ from bigdata_kafka_2_spark.plans import load_extended
 #: though its graded slot rotated to q49.
 #: Round 7: q68 (PQ ADC + exact rerank, the graded compressed-search
 #: rep from this round's rotation) joins; q48 stays for
-#: round-over-round comparability of the raw ADC tier.
+#: round-over-round comparability of the raw ADC tier. (r6's lone
+#: regression, q01 1.35 s on an unchanged plan, did not reproduce in
+#: r7 pre-runs — 0.59 s min-of-3 — classifying it as co-tenant noise,
+#: not the AQE size-based-coalescing change.)
 HEADLINE = (
     "q01_pricing_summary",
     "q06_join_broadcast_dim",

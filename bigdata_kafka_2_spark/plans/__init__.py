@@ -127,7 +127,12 @@ def register(
 #: mirror). q48 PQ ADC top-k → q68 PQ ADC + exact rerank (the strictly
 #: stronger compressed-search representative: same encode + LUT scan,
 #: plus the FAISS-style exact re-score of the top-m candidates that
-#: lifts recall@5 from ~0.5 to ≥0.9; q48 stays in the mirror).
+#: lifts recall@5 from ~0.5 to ≥0.9; q48 stays in the mirror). q36
+#: exact top-terms → q45 TF-IDF (the one retrieval-scoring surface
+#: never graded; q36 and q39 were two graded slots with IDENTICAL
+#: output on the driver data — q39's CMS estimates equal the exact
+#: counts there, asserted in tests — so the exact heavy-hitter shape
+#: stays graded via q39 and q36 stays hash-checked in the mirror).
 #: Round-6 rotation (three within-family upgrades so the round's new
 #: operator families hold graded slots; every rotated-out query stays
 #: hash-checked in the EXTENDED oracle mirror): q31 lang-quality
@@ -179,7 +184,7 @@ CURATED: tuple[str, ...] = (
     "q49_quality_filter",
     "q34_language_id",
     "q35_bpe_token_count",
-    "q36_top_terms",
+    "q45_tfidf_top_terms",
     "q38_char_entropy",
     "q39_cms_top_terms",
     "q67_winnow_overlap_pairs",
