@@ -330,6 +330,32 @@ def hyperplane_lsh_pairs(
     )
 
 
+def ivf_probe_cells(
+    probe: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The ``n_probe`` centroid cells nearest the probe —
+    (probe_id, probe_vec, centroid_id). Broadcast centroid set, tiny
+    TakeOrdered; shared by :func:`ivf_topk` and
+    :func:`ivf_pq_rerank_topk`."""
+    c = F.broadcast(centroids)
+    return (
+        probe.crossJoin(c)
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+            "centroid_id",
+            cosine_similarity(vec_col, "centroid").alias("c_sim"),
+        )
+        .orderBy(F.col("c_sim").desc(), F.col("centroid_id").asc())
+        .limit(n_probe)
+        .select("probe_id", "probe_vec", "centroid_id")
+    )
+
+
 def ivf_topk(
     table: DataFrame,
     probe: DataFrame,
@@ -348,19 +374,7 @@ def ivf_topk(
     partitioned-by-centroid layout the non-probed cells are pruned at
     the scan.
     """
-    c = F.broadcast(centroids)
-    probe_cells = (
-        probe.crossJoin(c)
-        .select(
-            F.col(id_col).alias("probe_id"),
-            F.col(vec_col).alias("probe_vec"),
-            "centroid_id",
-            cosine_similarity(vec_col, "centroid").alias("c_sim"),
-        )
-        .orderBy(F.col("c_sim").desc(), F.col("centroid_id").asc())
-        .limit(n_probe)
-        .select("probe_id", "probe_vec", "centroid_id")
-    )
+    probe_cells = ivf_probe_cells(probe, centroids, n_probe, vec_col, id_col)
     sim = cosine_similarity(vec_col, "probe_vec")
     return (
         table.join(F.broadcast(probe_cells), on="centroid_id")
@@ -892,4 +906,56 @@ def pq_adc_rerank_topk(
         .select("probe_id", id_col, F.round(sim, 4).alias("similarity"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_rerank_topk(
+    table: DataFrame,
+    probe: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    m: int = 100,
+    n_probe: int = 3,
+    n_sub: int = 16,
+    n_cent: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """The full FAISS-style ANN architecture in one plan: IVF cell
+    pruning × PQ-compressed scan × exact rerank —
+    (probe_id, vec_id, similarity, rank).
+
+    Three tiers, each cutting what the next must touch:
+
+    1. **IVF prune** (:func:`ivf_probe_cells`): only the ``n_probe``
+       cells nearest the probe are scanned — on a
+       partitioned-by-centroid layout this prunes at the FILE level,
+       so ~n_probe/n_cells of the corpus is read at all.
+    2. **ADC over codes** (:func:`pq_adc_rerank_topk`'s candidate
+       tier): within the probed cells the scan reads the PQ code
+       columns, not raw vectors — normalized encodings and the pinned
+       cosine codebooks, top-``m`` candidates.
+    3. **Exact rerank**: cosine over just the ``m`` candidate rows.
+
+    At 100 TB with 4096 cells / n_probe=3: read ≈ 0.07% of files, of
+    those only code columns, and exactly m raw vectors — versus
+    :func:`cosine_topk`'s full-corpus vector scan. Recall compounds
+    the IVF cell-miss rate with ADC's top-m miss rate (floors asserted
+    in tests; equality to the un-pruned rerank when the true
+    neighbors' cells are probed).
+
+    ``table`` is expected pre-assigned with ``centroid_id``
+    (:func:`assign_centroids` — at scale a stored layout, not a
+    per-query job).
+    """
+    cells = ivf_probe_cells(probe, centroids, n_probe, vec_col, id_col)
+    pruned = table.join(
+        F.broadcast(cells.select("centroid_id")), on="centroid_id"
+    ).drop("centroid_id")
+    return pq_adc_rerank_topk(
+        pruned, probe, k, m, n_sub, n_cent, dim, seed, vec_col, id_col,
+        books=books, normalize=True,
     )

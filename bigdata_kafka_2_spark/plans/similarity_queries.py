@@ -255,7 +255,12 @@ def _pq_lists_cte(
     )
 
 
-def _normalized_cte(dim: int = 64, name: str = "nv", out: str = "nemb") -> str:
+def _normalized_cte(
+    dim: int = 64,
+    name: str = "nv",
+    out: str = "nemb",
+    source: str = "embeddings",
+) -> str:
     """DuckDB transcription of `similarity.normalize_vectors`: staged
     left-associative ‖x‖ column, then per-element division — the same
     chains the Spark projection parses, so normalized components are
@@ -269,7 +274,7 @@ def _normalized_cte(dim: int = 64, name: str = "nv", out: str = "nemb") -> str:
     return (
         f"{name} AS (\n      SELECT vec_id, [{elems}] AS {out}\n"
         f"      FROM (SELECT vec_id, embedding, sqrt({xx}) AS vnorm\n"
-        f"            FROM embeddings)\n    )"
+        f"            FROM {source})\n    )"
     )
 
 
@@ -386,12 +391,18 @@ def _pq_rerank_oracle(
     n_cent: int = 16,
     sub_dim: int = 4,
     seed: int = 7,
+    ivf: tuple[tuple[int, ...], int] | None = None,
 ) -> str:
     """ADC + exact-rerank oracle, cosine-metric configuration: the
     normalize CTE, the ADC pipeline (over normalized vectors and the
     PINNED production codebooks) truncated at top-m, then exact cosine
     over ONLY the m candidate ids, final top-k — the same two-tier
-    plan the Spark operator runs."""
+    plan the Spark operator runs.
+
+    ``ivf=(centroid_ids, n_probe)`` prepends the q57 IVF tier: assign
+    every vector to its nearest fixed centroid, keep only the
+    ``n_probe`` cells nearest the probe, and run the whole ADC+rerank
+    pipeline on that pruned subset — the q69 three-tier transcription."""
     from bigdata_kafka_2_spark.operators.pq_books import PQ_COSINE_BOOKS
     from bigdata_kafka_2_spark.operators.similarity import (
         _pq_partial_sql,
@@ -414,12 +425,59 @@ def _pq_rerank_oracle(
         f"CAST(list_position(l{m_ + 1}, list_min(l{m_ + 1})) AS INT) AS code_{m_ + 1}"
         for m_ in range(n_sub)
     )
+    if ivf is None:
+        prefix = ""
+        source = "embeddings"
+        probe_src = "nv"
+    else:
+        centroid_ids, n_probe = ivf
+        prefix = f"""cents AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id IN {tuple(centroid_ids)}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY CAST(list_cosine_similarity(e.embedding, c.centroid)
+                               AS DOUBLE) DESC,
+                          c.centroid_id ASC
+               ) AS rn
+        FROM embeddings e, cents c
+      ) WHERE rn = 1
+    ),
+    probe_cells AS (
+      SELECT c.centroid_id
+      FROM (SELECT embedding FROM embeddings WHERE vec_id = {probe_id}) p,
+           cents c
+      ORDER BY CAST(list_cosine_similarity(p.embedding, c.centroid) AS DOUBLE)
+                 DESC,
+               c.centroid_id ASC
+      LIMIT {n_probe}
+    ),
+    pruned AS (
+      SELECT a.vec_id, a.embedding
+      FROM assigned a JOIN probe_cells pc ON a.centroid_id = pc.centroid_id
+    ),
+    """
+        source = "pruned"
+        # the probe row normalizes from the FULL table (its own cell
+        # need not be probed), mirroring the Spark operator's
+        # normalize_vectors(probe) over the unpruned probe frame
+        probe_src = "probe_nv"
+    probe_nv = (
+        "" if ivf is None
+        else "\n    " + _normalized_cte(
+            name="probe_nv", source=f"(SELECT * FROM embeddings WHERE vec_id = {probe_id})"
+        ) + ","
+    )
     return f"""
-    WITH {_normalized_cte()},
+    WITH {prefix}{_normalized_cte(source=source)},{probe_nv}
     {_pq_lists_cte(n_sub, n_cent, sub_dim, seed, source="nv", vec="nemb",
                    books=books)},
     codes AS (SELECT vec_id, {codes} FROM pq_lists),
-    probe AS (SELECT vec_id AS probe_id, nemb FROM nv
+    probe AS (SELECT vec_id AS probe_id, nemb FROM {probe_src}
               WHERE vec_id = {probe_id}),
     probe_raw AS (SELECT vec_id AS probe_id, embedding FROM embeddings
                   WHERE vec_id = {probe_id}),
@@ -540,3 +598,36 @@ def q57_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = e.filter(F.col("vec_id") == 0)
     assigned = SIM.assign_centroids(e, cents)
     return SIM.ivf_topk(assigned, probe, cents, k=5, n_probe=3)
+
+
+@register(
+    "q69_ivf_pq_rerank_topk",
+    oracle=_pq_rerank_oracle(m=100, ivf=(_IVF_CENTROID_IDS, 3)),
+    description="The COMPLETE FAISS-style ANN architecture as one plan "
+    "(operators/similarity.ivf_pq_rerank_topk): IVF cell pruning "
+    "(q57's 8 fixed centroids, n_probe=3 — at scale a partitioned-by-"
+    "centroid layout prunes at the FILE level) × PQ-compressed scan "
+    "within the probed cells (normalized encodings, pinned "
+    "KMeans-fitted codebooks, code columns only) × exact cosine "
+    "rerank of the ADC top-100 — each tier cuts what the next "
+    "touches: ~3/8 of files read, of those only codes, and exactly "
+    "100 raw vectors. Mirror-registered (the graded board is full); "
+    "hash-checked in the test mirror against the full three-tier SQL "
+    "transcription, recall floor + pruning-identity asserted in "
+    "tests.",
+    tags=("similarity", "compression", "limit"),
+)
+def q69_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id").isin(list(_IVF_CENTROID_IDS)))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+    )
+    probe = e.filter(F.col("vec_id") == 0)
+    assigned = SIM.assign_centroids(e, cents)
+    out = SIM.ivf_pq_rerank_topk(assigned, probe, cents, k=5, m=100, n_probe=3)
+    # bigint rank: row_number is int32 in Spark, int64 in DuckDB
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -747,3 +747,49 @@ def test_q53_graded_config_is_production_config(spark):
         occ_a = n / 2 ** auto_planes_per_band(n)
         occ_b = 2 * n / 2 ** auto_planes_per_band(2 * n)
         assert occ_b <= 2 * occ_a + 1e-9
+
+
+def test_ivf_pq_rerank_composition(spark):
+    """The full three-tier ANN plan (IVF prune × ADC codes × exact
+    rerank, ivf_pq_rerank_topk): (a) with all cells probed the IVF
+    tier is a no-op and the output EQUALS the unpruned ADC+rerank —
+    the composition identity; (b) with n_probe=3 its recall@5 equals
+    plain ivf_topk's at every probe — the compression+rerank tiers
+    lose nothing beyond the inherent IVF cell-miss."""
+    e = read_table(spark, SF_DIR, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id").isin([10, 20, 30, 40, 50, 60, 70, 80]))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+    )
+    assigned = SIM.assign_centroids(e, cents)
+
+    probe = e.filter(F.col("vec_id") == 0)
+    all_cells = {
+        tuple(r)
+        for r in SIM.ivf_pq_rerank_topk(
+            assigned, probe, cents, k=5, m=100, n_probe=8
+        ).collect()
+    }
+    unpruned = {
+        tuple(r)
+        for r in SIM.pq_adc_rerank_topk(e, probe, k=5, m=100).collect()
+    }
+    assert all_cells == unpruned
+
+    for pid in (0, 7, 42):
+        p = e.filter(F.col("vec_id") == pid)
+        exact = {r.vec_id for r in SIM.cosine_topk(e, p, k=5).collect()}
+        got = {
+            r.vec_id
+            for r in SIM.ivf_pq_rerank_topk(
+                assigned, p, cents, k=5, m=100, n_probe=3
+            ).collect()
+        }
+        ivf = {
+            r.vec_id
+            for r in SIM.ivf_topk(assigned, p, cents, k=5, n_probe=3).collect()
+        }
+        assert len(got & exact) == len(ivf & exact), f"probe {pid}"
