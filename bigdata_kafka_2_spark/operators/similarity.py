@@ -648,8 +648,16 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     books: list[list[list[float]]] | None = None,
+    with_error: bool = True,
 ) -> DataFrame:
     """Product-quantization encode: (id, code_1..code_n_sub, pq_err).
+
+    ``with_error=False`` omits ``pq_err`` and the per-subspace ‖x_m‖²
+    chains it needs — the codes themselves use only the SHIFTED
+    distances, whose argmin is ‖x‖-independent. ADC search paths use
+    this: it cuts the generated projection by the 16 xx chains (the
+    dominant driver-side parse/codegen cost after the distance lists)
+    while producing identical codes.
 
     ``books`` overrides the seeded :func:`pq_codebooks` — pass
     :func:`fit_pq_codebooks`' KMeans-fitted centroids for the
@@ -697,10 +705,11 @@ def pq_encode(
             for k in range(n_cent)
         )
         lists.append(f"array({dists}) AS __l{m + 1}")
-        lists.append(
-            _pq_xx_sql(f"`{vec_col}`", m * sub_dim, sub_dim, one_based=False)
-            + f" AS __xx{m + 1}"
-        )
+        if with_error:
+            lists.append(
+                _pq_xx_sql(f"`{vec_col}`", m * sub_dim, sub_dim, one_based=False)
+                + f" AS __xx{m + 1}"
+            )
     staged = table.selectExpr(*lists)
     cols = [f"`{id_col}`"]
     err_terms = []
@@ -709,8 +718,10 @@ def pq_encode(
             f"CAST(array_position(__l{m + 1}, array_min(__l{m + 1})) AS INT)"
             f" AS code_{m + 1}"
         )
-        err_terms.append(f"(__xx{m + 1} + array_min(__l{m + 1}))")
-    cols.append("round(" + " + ".join(err_terms) + ", 4) AS pq_err")
+        if with_error:
+            err_terms.append(f"(__xx{m + 1} + array_min(__l{m + 1}))")
+    if with_error:
+        cols.append("round(" + " + ".join(err_terms) + ", 4) AS pq_err")
     return staged.selectExpr(*cols)
 
 
@@ -815,7 +826,8 @@ def pq_adc_topk(
     deployment path is tested separately via write/read/search.
     """
     codes = pq_encode(
-        table, n_sub, n_cent, dim, seed, vec_col, id_col, books=books
+        table, n_sub, n_cent, dim, seed, vec_col, id_col, books=books,
+        with_error=False,
     ).localCheckpoint()
     return pq_adc_search(
         codes, probe, k, n_sub, n_cent, dim, seed, vec_col, id_col, books=books
