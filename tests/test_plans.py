@@ -87,3 +87,28 @@ def test_no_python_udfs_in_relational_paths(spark, name):
     # relational/text built-in queries must stay fully JVM-side
     p = _plan(spark, name)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_driver_contract_oracle_sql_strings():
+    """__spark_entry__.oracle_sql() must hand the driver PLAIN SQL
+    strings for every graded query: callable (dataset-parameterized)
+    oracles resolve at this boundary, never leak through, and resolve
+    against the grading sf (q53's auto-sized plane count must match
+    what its Spark fn derives from the same dataset)."""
+    import importlib
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    mod = importlib.import_module("__spark_entry__")
+    oracles = mod.oracle_sql()
+    assert len(oracles) == 50
+    bad = {n: type(s).__name__ for n, s in oracles.items() if not isinstance(s, str)}
+    assert not bad, f"non-string oracle SQL: {bad}"
+
+    from bigdata_kafka_2_spark.io import parquet_row_count
+    from bigdata_kafka_2_spark.operators.similarity import auto_planes_per_band
+    from bigdata_kafka_2_spark.plans import GRADING_SF_DIR
+
+    r = auto_planes_per_band(parquet_row_count(GRADING_SF_DIR, "embeddings"))
+    assert oracles["q53_lsh_bucketed_near_dup"].count("list_dot_product") == 8 * r
