@@ -15,9 +15,16 @@ internal structure and copies don't interact:
   (region/nation/part/supplier) stay fixed, as in TPC-H's fixed small
   dims — fact-per-dim density grows, which is the scale direction that
   stresses join plans.
-- documents: doc_id shifted AND every token prefixed with a per-copy
-  tag (``c3_the``), so cross-copy Jaccard/MinHash/winnowing similarity
-  is exactly 0 — dedup pair counts scale ×FACTOR, not ×FACTOR².
+- documents: doc_id shifted AND text passed through a per-copy letter
+  SUBSTITUTION CIPHER (``translate`` over a-z, copy 0 = identity):
+  token/char counts, chars-per-token, and type-token-ratio are
+  IDENTICAL per copy (the cipher is a bijection on tokens), so
+  quality-filter keep rates replicate exactly, while cross-copy
+  token/shingle overlap collapses to ~0 (only all-non-letter tokens
+  survive the cipher unchanged) — dedup pair counts scale ×FACTOR,
+  not ×FACTOR². (r6 used a per-token tag prefix, which inflated
+  chars-per-token and made the quality filter drop most replica
+  docs — q66's large run measured artificially light.)
 - embeddings: doc_id shifted and each vector multiplied element-wise by
   a per-copy random ±1 sign pattern: within-copy cosine structure is
   EXACTLY preserved (cos(s⊙x, s⊙y) = cos(x, y)), cross-copy similarity
@@ -76,7 +83,11 @@ def _sign_pattern(dim: int, copy: int) -> list[int]:
 
 def generate(spark, src: str, dst: str, factor: int) -> None:
     """Write the factor× replica (idempotent: skips if marker matches)."""
-    marker = os.path.join(dst, f".complete_{factor}_{os.path.basename(src.rstrip('/'))}")
+    # v2: cipher-based documents replica (marker version forces regen
+    # when the replication scheme changes)
+    marker = os.path.join(
+        dst, f".complete_v2_{factor}_{os.path.basename(src.rstrip('/'))}"
+    )
     if os.path.exists(marker):
         return
     shutil.rmtree(dst, ignore_errors=True)
@@ -94,9 +105,15 @@ def generate(spark, src: str, dst: str, factor: int) -> None:
             for col in id_cols:
                 cp = cp.withColumn(col, F.col(col) + F.lit(c * _OFFSET))
             if name == "documents":
-                # tag every token: cross-copy shingle/token overlap = 0
+                # per-copy substitution cipher: length-preserving, so
+                # quality stats replicate; cross-copy overlap ~0
+                alpha = "abcdefghijklmnopqrstuvwxyz"
+                rot = alpha[c % 26:] + alpha[: c % 26]
                 cp = cp.withColumn(
-                    "text", F.regexp_replace("text", r"(\S+)", f"c{c}_$1")
+                    "text",
+                    F.translate(
+                        "text", alpha + alpha.upper(), rot + rot.upper()
+                    ),
                 )
             elif name == "embeddings":
                 signs = F.array(
