@@ -25,6 +25,9 @@ loops; collected outputs are bounded summaries):
                  (operators/similarity.quantize_int8) and assigned to
                  IVF centroids (assign_centroids) — the compressed,
                  index-ready store.
+7. ANN-SERVE   — a three-tier similarity query against that store
+                 (ivf_pq_rerank_topk: IVF pruning × PQ codes × exact
+                 rerank) — the retrieval side of the curated corpus.
 
 Prints one JSON summary line per stage.
 """
@@ -126,6 +129,29 @@ def run(spark, sf_dir: str) -> list[dict]:
             "stage": "embed_store",
             "vectors": sum(cells.values()),
             "ivf_cells": len(cells),
+        }
+    )
+
+    # 7. ANN serving over the store: the full three-tier search (IVF
+    #    cell pruning x PQ-compressed candidate scan x exact rerank,
+    #    operators/similarity.ivf_pq_rerank_topk) for the first
+    #    surviving vector as probe — what a retrieval deployment runs
+    #    against the index this pipeline just built.
+    probe = kept.orderBy("vec_id").limit(1)
+    hits = SIM.ivf_pq_rerank_topk(
+        assigned.drop("q_min", "q_scale", "q_codes"),
+        probe,
+        centroids,
+        k=5,
+        m=50,
+        n_probe=3,
+    ).collect()
+    out.append(
+        {
+            "stage": "ann_serve",
+            "probe": int(hits[0].probe_id) if hits else None,
+            "neighbors": [int(r.vec_id) for r in hits],
+            "top_sim": float(hits[0].similarity) if hits else None,
         }
     )
     return out

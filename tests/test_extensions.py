@@ -475,6 +475,10 @@ def test_curation_pipeline_example(spark):
     assert stages["embed_store"]["vectors"] == n_final
     assert stages["embed_store"]["ivf_cells"] == 8
     assert stages["token_accounting"]["ws_tokens"] > 0
+    serve = stages["ann_serve"]
+    assert 1 <= len(serve["neighbors"]) <= 5
+    assert serve["probe"] not in serve["neighbors"]
+    assert -1.0 <= serve["top_sim"] <= 1.0
 
 
 @pytest.mark.parametrize("hash_fn", ["xxhash64", "md5_15"])
