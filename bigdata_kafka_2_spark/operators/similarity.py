@@ -639,6 +639,36 @@ def _pq_xx_sql(vec_sql: str, base: int, sub_dim: int, one_based: bool) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _pq_lut_values(
+    vec: list[float], books: list[list[list[float]]], n_sub: int, sub_dim: int
+) -> list[list[float]]:
+    """Python mirror of the generated ``xx + partial`` chains
+    (:func:`_pq_xx_sql` + :func:`_pq_partial_sql`): the per-probe ADC
+    lookup tables, computed driver-side. Term order and association
+    replicate the generated SQL exactly — CPython and the JVM/DuckDB
+    all execute strict IEEE-754 double ops, so each entry is
+    bit-identical to what the engines' own evaluation of the same
+    chains produces (the oracle-parity argument, moved host-side)."""
+    luts = []
+    for m in range(n_sub):
+        base = m * sub_dim
+        xx = vec[base] * vec[base]
+        for d in range(1, sub_dim):
+            x = vec[base + d]
+            xx = xx + x * x
+        entries = []
+        for centroid in books[m]:
+            partial = vec[base] * (-2.0 * centroid[0])
+            for d in range(1, sub_dim):
+                partial = partial + vec[base + d] * (-2.0 * centroid[d])
+            cc = 0.0
+            for c in centroid:
+                cc += c * c
+            entries.append(xx + (partial + cc))
+        luts.append(entries)
+    return luts
+
+
 def pq_encode(
     table: DataFrame,
     n_sub: int = 8,
@@ -764,38 +794,62 @@ def pq_adc_search(
     vectors minimizing Σ_m d(probe_m, centroid[code_m]) —
     (probe_id, vec_id, est_dist, rank).
 
-    The classic PQ search shape: per probe, distances from each probe
-    subvector to all ``n_cent`` centroids form a lookup table (here an
-    inline ``array(...)`` of ``n_sub × n_cent`` expressions over the
-    broadcast probe columns — literal centroids, so all constant-
-    foldable per probe row); each candidate's estimated distance is
-    ``n_sub`` array lookups by its stored code — the scan touches only
-    the id + code columns (column-pruned at the parquet reader; plan-
-    asserted in tests) and the raw vectors are NEVER read. Top-k via
-    rank-window per probe (TakeOrdered shape, no global sort).
+    The classic PQ search shape — and FAISS's own split: the QUERY
+    lookup table (distances from each probe subvector to all
+    ``n_cent`` centroids) is computed DRIVER-side per probe
+    (:func:`_pq_lut_values` — n_sub×n_cent doubles per probe, bounded
+    by the probe-set contract, never proportional to the table;
+    exactly where FAISS computes query LUTs, CPU-side) and shipped as
+    a broadcast frame of array columns. Each candidate's estimated
+    distance is then ``n_sub`` ``element_at`` lookups by its stored
+    code plus a left-associative sum — 2·n_sub FLOPs per scanned row,
+    a tiny expression that stays inside whole-stage codegen. The r6
+    form instead inlined the whole n_sub×n_cent LUT expression over a
+    runtime probe column: it never constant-folded (≈80× more
+    arithmetic per row), exceeded janino's 64 KB method limit
+    (silently interpreted), and re-attempted the doomed compile every
+    action. The Python chains replicate the generated SQL's term
+    order exactly, so LUT entries are bit-identical to the inline
+    form and the generated DuckDB oracles are unchanged (hash-checked
+    in the mirror). The scan touches only the id + code columns
+    (column-pruned at the parquet reader; plan-asserted in tests) and
+    the raw vectors are NEVER read. Top-k via rank-window per probe
+    (TakeOrdered shape, no global sort).
     """
+    from pyspark.sql import types as T
+
     sub_dim = dim // n_sub
     if books is None:
         books = pq_codebooks(n_sub, n_cent, sub_dim, seed)
     p = probe.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__pv")
     )
-    lut_terms = []
-    for m in range(n_sub):
-        dists = ", ".join(
-            _pq_partial_sql("`__pv`", m * sub_dim, books[m][k_], one_based=False)
-            for k_ in range(n_cent)
-        )
-        xx = _pq_xx_sql("`__pv`", m * sub_dim, sub_dim, one_based=False)
-        lut_terms.append(f"({xx} + element_at(array({dists}), code_{m + 1}))")
-    est = F.expr("round(" + " + ".join(lut_terms) + ", 4)")
+    # bounded driver-side step: probe sets are small by contract (the
+    # broadcast-probe shape shared with cosine_topk_many)
+    lut_rows = [
+        tuple([r["probe_id"]] + _pq_lut_values(list(r["__pv"]), books, n_sub, sub_dim))
+        for r in p.collect()
+    ]
+    lut_schema = T.StructType(
+        [T.StructField("probe_id", p.schema["probe_id"].dataType)]
+        + [
+            T.StructField(f"__lut{m + 1}", T.ArrayType(T.DoubleType()))
+            for m in range(n_sub)
+        ]
+    )
+    plut = codes.sparkSession.createDataFrame(lut_rows, lut_schema)
+    est = F.expr(
+        "round("
+        + " + ".join(f"element_at(__lut{m + 1}, code_{m + 1})" for m in range(n_sub))
+        + ", 4)"
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("probe_id").orderBy(
         F.col("est_dist").asc(), F.col(id_col).asc()
     )
     return (
-        codes.crossJoin(F.broadcast(p))
+        codes.crossJoin(F.broadcast(plut))
         .select("probe_id", id_col, est.alias("est_dist"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
