@@ -377,6 +377,70 @@ def quality_filter_flags(
     )
 
 
+#: PII patterns shared by the detector, the redactor, and the
+#: generated DuckDB oracle. Kept to the regex subset that Java
+#: (Spark) and RE2 (DuckDB) evaluate identically: character classes,
+#: bounded repetition, alternation — no backreferences, no lookaround.
+#: (name, pattern, replacement-tag) in redaction-priority order —
+#: SPECIFIC BEFORE GENERAL: email first (a numeric local-part must be
+#: consumed as part of the address), then SSN-shaped ids and IPv4
+#: (both match the loose phone pattern's digit-run shape), phone
+#: last. Detection counts are computed per-pattern on the ORIGINAL
+#: text, so a digit run may legitimately count under more than one
+#: class; redaction resolves overlaps by this order.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn_like", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII hit counts: (id, n_email, n_ipv4, n_phone,
+    n_ssn_like, has_pii) — the detection half of the scrub step every
+    training-data pipeline runs before release (emails, IPs, phone
+    numbers, SSN-shaped ids; regex-level recall, the production
+    pattern before an NER pass).
+
+    Row-local ``regexp_count`` over the scan — no shuffle, no UDF;
+    at 100 TB this annotates at scan speed and the counts column
+    enables both filtering (drop has_pii) and redaction routing
+    (:func:`redact_pii` only the flagged rows — at typical PII rates
+    the expensive rewrite touches a few % of documents). Patterns are
+    the engine-portable subset (`PII_PATTERNS`), so the operator is
+    oracle-checkable end-to-end.
+    """
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    out = df.select(F.col(id_col), *counts)
+    has = None
+    for name, _, _ in PII_PATTERNS:
+        term = F.col(f"n_{name}") > 0
+        has = term if has is None else (has | term)
+    return out.withColumn("has_pii", has)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Replace every PII match with its type tag (``<EMAIL>`` etc.) —
+    the redaction half. A chain of row-local ``regexp_replace`` in
+    `PII_PATTERNS` order (email before phone, so numeric local-parts
+    are consumed whole). Same portability contract as
+    :func:`pii_flags`.
+    """
+    c = F.col(text_col)
+    for _, pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return df.withColumn(out_col, c)
+
+
 def term_frequencies(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

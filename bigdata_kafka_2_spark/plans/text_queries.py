@@ -630,3 +630,44 @@ def q67_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return winnow_overlap_pairs(d, min_shared=2, hash_fn="md5_15")
+
+
+def _pii_profile_oracle() -> str:
+    """Generated from the SAME `PII_PATTERNS` the operator compiles,
+    q34's portability pattern: len(regexp_extract_all) mirrors
+    regexp_count (both RE2/Java-compatible subset)."""
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in TX.PII_PATTERNS
+    )
+    has = " OR ".join(f"n_{name} > 0" for name, _, _ in TX.PII_PATTERNS)
+    return f"""
+    SELECT doc_id, n_email, n_ipv4, n_phone, n_ssn_like,
+           ({has}) AS has_pii
+    FROM (
+      SELECT doc_id,
+           {counts}
+      FROM documents
+    )
+    """
+
+
+@register(
+    "q72_pii_profile",
+    oracle=_pii_profile_oracle(),
+    description="PII detection profile (operators/text.pii_flags): "
+    "per-document hit counts for email / IPv4 / phone-shaped / "
+    "SSN-shaped patterns plus a composed has_pii flag — the detection "
+    "half of the scrub step a training-data pipeline runs before "
+    "release (redact_pii is the rewrite half, tested with planted "
+    "fixtures). Row-local regexp_count over the scan: no shuffle, no "
+    "UDF, scan-speed at 100 TB; the counts route only flagged rows "
+    "(typically a few %) into the expensive redaction rewrite. "
+    "Patterns restricted to the Java/RE2-portable regex subset and "
+    "shared with the generated oracle, so the operator is "
+    "hash-checkable end-to-end (q34's portability pattern).",
+    tags=("text", "filter"),
+)
+def q72_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return TX.pii_flags(d)

@@ -797,3 +797,60 @@ def test_ivf_pq_rerank_composition(spark):
             for r in SIM.ivf_topk(assigned, p, cents, k=5, n_probe=3).collect()
         }
         assert len(got & exact) == len(ivf & exact), f"probe {pid}"
+
+
+def test_pii_detection_and_redaction(spark):
+    """PII operators on planted fixtures: counts match a DuckDB run of
+    the q72 oracle (engine-portable regex subset), redaction replaces
+    every match with its type tag and is idempotent, and clean text
+    passes through untouched."""
+    import duckdb
+    import pandas as pd
+
+    from bigdata_kafka_2_spark.operators.text import pii_flags, redact_pii
+    from bigdata_kafka_2_spark.plans import load_extended
+
+    rows = [
+        (0, "contact alice.smith+work@example.co.uk or bob@x.io today"),
+        (1, "server at 192.168.0.1 and backup at 10.0.0.255"),
+        (2, "call +1 (415) 555-0199 or 020 7946 0958 now"),
+        (3, "ssn 123-45-6789 on file"),
+        (4, "a perfectly clean sentence with numbers like 42 and 7"),
+        (5, "mixed: eve@corp.com from 8.8.8.8 dialed 415-555-0123"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_email, r.n_ipv4, r.n_phone, r.n_ssn_like, r.has_pii)
+        for r in pii_flags(df).collect()
+    }
+    assert got[0][0] == 2 and got[0][4] is True
+    assert got[1][1] == 2
+    assert got[2][2] >= 2
+    assert got[3][3] == 1
+    assert got[4] == (0, 0, 0, 0, False)
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    exp = {
+        int(r.doc_id): (
+            int(r.n_email), int(r.n_ipv4), int(r.n_phone),
+            int(r.n_ssn_like), bool(r.has_pii),
+        )
+        for r in con.execute(
+            load_extended()["q72_pii_profile"].oracle
+        ).df().itertuples()
+    }
+    con.close()
+    assert got == exp
+
+    red = {r.doc_id: r.text_redacted for r in redact_pii(df).collect()}
+    assert "<EMAIL>" in red[0] and "@" not in red[0]
+    assert red[1].count("<IP>") == 2
+    assert "<ID>" in red[3]
+    assert red[4] == rows[4][1]  # clean text untouched
+    # idempotent: redacting redacted text changes nothing
+    df2 = spark.createDataFrame(
+        [(k, v) for k, v in red.items()], ["doc_id", "text"]
+    )
+    red2 = {r.doc_id: r.text_redacted for r in redact_pii(df2).collect()}
+    assert red2 == red
