@@ -441,6 +441,65 @@ def redact_pii(
     return df.withColumn(out_col, c)
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    max_top_frac: float = 0.2,
+    max_dup_frac: float = 0.3,
+) -> DataFrame:
+    """Gopher-style n-gram repetition signals per document:
+    ``(id, n_grams, top_ngram_frac, dup_ngram_frac, keep)``.
+
+    - ``top_ngram_frac`` — share of the document's token n-grams taken
+      by its single most frequent n-gram (Gopher's "fraction in the
+      most common n-gram" signal; boilerplate and SEO spam score high);
+    - ``dup_ngram_frac`` — share of n-gram occurrences that are
+      repeats, ``(total - distinct) / total`` (Gopher's duplicate
+      n-gram family);
+    - ``keep`` — both fractions at or under their thresholds,
+      decided on the 4-dp-rounded statistics (same cross-engine
+      reproducibility rule as :func:`quality_filter_flags`).
+
+    Plan shape: ONE explode of row-local full n-grams (built inside
+    codegen from a single normalize+split; documents shorter than
+    ``n`` tokens yield no grams and are excluded — the engines agree
+    because no partial/NULL-padded gram is ever formed), then two
+    map-side-combinable hash aggregates — (id, gram) counts, then per
+    id — both keyed by doc, so at 100 TB this is a shuffle of one
+    row per distinct (doc, gram), the narrowest repetition profile
+    available. Complements :func:`quality_filter_flags` (token/char
+    shape) and the dedup family (cross-document repeats): this is
+    WITHIN-document repetition, the one axis those don't measure.
+    """
+    toks = F.split(
+        F.coalesce(normalize_text(text_col), F.lit("")), " "
+    )
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    counts = (
+        ensure_parallel(df)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = F.round(F.max("c") / F.sum("c"), 4)
+    dup = F.round((F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 4)
+    return counts.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        top.alias("top_ngram_frac"),
+        dup.alias("dup_ngram_frac"),
+        (
+            (top <= F.lit(round(max_top_frac, 4)))
+            & (dup <= F.lit(round(max_dup_frac, 4)))
+        ).alias("keep"),
+    )
+
+
 def term_frequencies(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

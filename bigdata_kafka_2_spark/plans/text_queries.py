@@ -671,3 +671,48 @@ def _pii_profile_oracle() -> str:
 def q72_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return TX.pii_flags(d)
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "q73_repetition_profile",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE t[i] || ' ' || t[i+1] <> ''
+    ),
+    counts AS (
+      SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           round(max(c) * 1.0 / sum(c), 4) AS top_ngram_frac,
+           round((sum(c) - count(*)) * 1.0 / sum(c), 4) AS dup_ngram_frac,
+           (round(max(c) * 1.0 / sum(c), 4) <= 0.2
+            AND round((sum(c) - count(*)) * 1.0 / sum(c), 4) <= 0.3)
+             AS keep
+    FROM counts
+    GROUP BY doc_id
+    """,
+    description="Within-document repetition profile "
+    "(operators/text.repetition_stats — the Gopher repetition-filter "
+    "family): per document, the share of token 2-grams taken by the "
+    "most frequent 2-gram and the share of 2-gram occurrences that "
+    "are repeats, plus a keep flag on 4-dp-rounded boundaries. The "
+    "one quality axis quality_filter_flags (shape) and the dedup "
+    "family (cross-document repeats) don't measure. One codegen'd "
+    "explode + two map-side-combinable aggregates keyed by doc — at "
+    "100 TB the shuffle carries one row per distinct (doc, gram). "
+    "Documents shorter than n tokens form no partial/NULL-padded "
+    "grams on either engine.",
+    tags=("text", "filter"),
+)
+def q73_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return TX.repetition_stats(d, n=2)

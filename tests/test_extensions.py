@@ -854,3 +854,43 @@ def test_pii_detection_and_redaction(spark):
     )
     red2 = {r.doc_id: r.text_redacted for r in redact_pii(df2).collect()}
     assert red2 == red
+
+
+def test_repetition_stats_planted_fixtures(spark):
+    rows = [
+        # 0: highly repetitive — one 2-gram dominates
+        (0, "spam ham spam ham spam ham spam ham spam ham"),
+        # 1: all-distinct tokens — every 2-gram unique
+        (1, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+        # 2: shorter than n tokens — must produce no row
+        (2, "one"),
+        # 3: empty / whitespace-only — no row
+        (3, "   "),
+        # 4: NULL text — no row
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.repetition_stats(df, n=2).collect()}
+
+    assert set(out) == {0, 1}
+    rep = out[0]
+    # 10 tokens -> 9 grams: 5x "spam ham" + 4x "ham spam"
+    assert rep.n_grams == 9
+    assert rep.top_ngram_frac == round(5 / 9, 4)
+    assert rep.dup_ngram_frac == round((9 - 2) / 9, 4)
+    assert not rep.keep
+    uniq = out[1]
+    assert uniq.n_grams == 25
+    assert uniq.top_ngram_frac == round(1 / 25, 4)
+    assert uniq.dup_ngram_frac == 0.0
+    assert uniq.keep
+
+
+def test_repetition_keep_boundary_uses_rounded_stats(spark):
+    # 5 grams, top gram appears exactly once rounded to 0.2 boundary:
+    # "x y" once out of 5 grams = 0.2 == max_top_frac -> keep stays true
+    df = spark.createDataFrame(
+        [(0, "x y a b c d")], "doc_id long, text string"
+    )
+    r = TX.repetition_stats(df, n=2, max_top_frac=0.2).collect()[0]
+    assert r.n_grams == 5 and r.top_ngram_frac == 0.2 and r.keep
