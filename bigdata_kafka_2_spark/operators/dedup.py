@@ -69,17 +69,28 @@ def shingles(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    full_only: bool = False,
 ) -> DataFrame:
     """Distinct k-token shingles per document: (id, shingle).
 
     Built with ``split`` + ``sequence`` + ``transform`` + ``slice`` —
     the shingle array is produced inside codegen, then exploded.
+
+    ``full_only=True`` emits only complete k-grams: a document shorter
+    than ``k`` tokens yields NO shingles instead of one short shingle
+    of all its tokens. This is the engine-portable convention (no
+    partial/NULL-padded gram ever forms, so a SQL transcription agrees
+    on short docs too); the default keeps the original behavior the
+    q41/q42/q44 oracles transcribe.
     """
     toks = F.split(normalize_text(text_col), " ")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
+    if full_only:
+        idx = F.when(
+            F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)
+        ).otherwise(F.array().cast("array<int>"))
+    else:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
     return (
         ensure_parallel(df).select(F.col(id_col), F.explode(sh).alias("shingle"))
         .filter(F.col("shingle") != "")
@@ -592,3 +603,70 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --- Benchmark decontamination (train/eval n-gram overlap) ---------------
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_shared: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train docs sharing k-gram shingles with an eval/benchmark set:
+    ``(train_id, eval_id, n_shared)`` — the detection half of the
+    decontamination step every LLM training pipeline runs so the
+    training corpus doesn't contain its own benchmarks (the GPT-3 /
+    Llama n-gram-collision recipe; k=8..13 tokens typical).
+
+    Plan shape: both sides reduce to DISTINCT full k-grams
+    (:func:`shingles` ``full_only=True`` — row-local, built inside
+    codegen), then ONE equi-join on the shingle string and a pair
+    aggregate. The eval side is a benchmark suite — tiny by
+    construction — so it is broadcast (default): at 100 TB the train
+    scan never shuffles; cost is scan + broadcast-hash lookups, and
+    the output is bounded by true collisions, never |train|x|eval|.
+    Set ``broadcast_eval=False`` only for eval sets too big for
+    executor memory (falls back to a shuffle join on the shingle key).
+    """
+    tr = shingles(train, text_col, id_col, k, full_only=True).select(
+        F.col(id_col).alias("train_id"), "shingle"
+    )
+    ev = shingles(eval_df, text_col, id_col, k, full_only=True).select(
+        F.col(id_col).alias("eval_id"), "shingle"
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (
+        tr.join(ev, on="shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Training rows that survive decontamination: drop every train
+    doc that shares ``>= min_shared`` distinct k-grams with ANY eval
+    doc. A left-anti join of the train table against the (small)
+    contaminated-id set — the scan-speed removal half of
+    :func:`contamination_pairs`.
+    """
+    bad = (
+        contamination_pairs(
+            train, eval_df, text_col, id_col, k, min_shared
+        )
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(F.broadcast(bad), on=id_col, how="left_anti")

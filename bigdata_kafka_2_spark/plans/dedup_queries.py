@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bigdata_kafka_2_spark.io import read_table
 from bigdata_kafka_2_spark.operators import dedup as DD
@@ -261,3 +262,45 @@ def q66_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
     )
+
+
+@register(
+    "q74_contamination_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+               AS shingle
+      FROM toks, UNNEST(generate_series(1, len(t) - 3)) AS g(i)
+    ),
+    tr AS (
+      SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 13 <> 0
+    ),
+    ev AS (
+      SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 13 = 0
+    )
+    SELECT train_id, eval_id, count(*) AS n_shared
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY 1, 2
+    """,
+    description="Benchmark decontamination "
+    "(operators/dedup.contamination_pairs — the GPT-3/Llama "
+    "n-gram-collision recipe): train docs sharing full k-gram "
+    "shingles with a held-out eval set (here the doc_id%13==0 slice "
+    "stands in for a benchmark suite; k=4 on the short synthetic "
+    "docs, k=8..13 in production). Both sides reduce row-locally to "
+    "DISTINCT full k-grams inside codegen, then ONE equi-join + pair "
+    "aggregate; the eval side is broadcast, so at 100 TB the train "
+    "scan never shuffles and cost is bounded by true collisions. "
+    "decontaminate() is the removal half (left-anti against the "
+    "contaminated-id set, tested with planted fixtures).",
+    tags=("dedup", "join", "text"),
+)
+def q74_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 13 != 0)
+    ev = d.filter(F.col("doc_id") % 13 == 0)
+    return DD.contamination_pairs(train, ev, k=4, min_shared=1)

@@ -894,3 +894,47 @@ def test_repetition_keep_boundary_uses_rounded_stats(spark):
     )
     r = TX.repetition_stats(df, n=2, max_top_frac=0.2).collect()[0]
     assert r.n_grams == 5 and r.top_ngram_frac == 0.2 and r.keep
+
+
+def test_contamination_pairs_and_decontaminate(spark):
+    train = spark.createDataFrame(
+        [
+            # 0: contains eval doc 100's 4-gram verbatim
+            (0, "alpha beta gamma delta epsilon zeta"),
+            # 1: clean
+            (1, "one two three four five six seven"),
+            # 2: shares TWO distinct 4-grams with eval 101
+            (2, "red green blue cyan magenta yellow black"),
+            # 3: shorter than k — can never be flagged
+            (3, "alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta"),
+            (101, "red green blue cyan magenta yellow"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.train_id, r.eval_id): r.n_shared
+        for r in DD.contamination_pairs(train, ev, k=4).collect()
+    }
+    assert pairs == {(0, 100): 1, (2, 101): 3}
+    # min_shared=2 keeps only the multi-collision pair
+    strict = DD.contamination_pairs(train, ev, k=4, min_shared=2)
+    assert {(r.train_id, r.eval_id) for r in strict.collect()} == {(2, 101)}
+
+    kept = sorted(
+        r.doc_id for r in DD.decontaminate(train, ev, k=4).collect()
+    )
+    assert kept == [1, 3]
+
+
+def test_contamination_eval_side_is_broadcast(spark):
+    d = read_table(spark, SF_DIR, "documents")
+    train = d.filter(F.col("doc_id") % 13 != 0)
+    ev = d.filter(F.col("doc_id") % 13 == 0)
+    plan = DD.contamination_pairs(train, ev, k=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
