@@ -412,6 +412,82 @@ def assign_centroids(
     )
 
 
+# --- Semantic dedup (SemDeDup-style, within-cluster) ---------------------
+
+def semantic_dedup_pairs(
+    table: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs:
+    ``(id_a, id_b, similarity)``, ``id_a < id_b``, cosine ≥ threshold,
+    compared only WITHIN each vector's nearest-centroid cluster.
+
+    The SemDeDup recipe (cluster embeddings, then deduplicate inside
+    clusters only): clustering turns the quadratic all-pairs problem
+    into Σ|cluster|² — at 100 TB you size the centroid set so clusters
+    stay bounded (k ∝ n / target_cluster_size, exactly how the paper
+    runs k-means), and each cluster's pair generation is an
+    independent equi-join task on the ``centroid_id`` shuffle key.
+    Candidates never cross clusters, so recall vs the exact all-pairs
+    baseline is < 1 by construction; it is measured on planted
+    duplicates in tests (near-identical vectors land in the same
+    cluster because their centroid argmax agrees).
+
+    ``centroids``: (centroid_id, centroid array<double>) — small,
+    broadcast by :func:`assign_centroids`; at scale use
+    :func:`fit_pq_codebooks`-style sampled KMeans or any fitted
+    centroid table.
+    """
+    assigned = assign_centroids(table, centroids, vec_col, id_col)
+    t = _with_norm(assigned, vec_col, "__n")
+    a = t.select(
+        "centroid_id",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("__n").alias("__na"),
+    )
+    b = t.select(
+        "centroid_id",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("__n").alias("__nb"),
+    )
+    sim = _pair_sim("vec_a", "vec_b", "__na", "__nb")
+    return (
+        a.join(b, on="centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, 4).alias("similarity"))
+        .filter(F.col("similarity") >= threshold)
+    )
+
+
+def semantic_dedup(
+    table: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Rows surviving semantic dedup: drop every vector that has a
+    smaller-id near-duplicate in its cluster (the deterministic
+    keep-one rule — the min id of each duplicate set survives; a
+    chain a~b~c with a<b<c keeps only ``a`` even if a≁c, matching
+    the greedy SemDeDup sweep). The dropped-id set is a DISTINCT
+    projection of :func:`semantic_dedup_pairs` — tiny relative to the
+    table — broadcast into a left-anti join, so the full table is
+    scanned exactly once.
+    """
+    bad = (
+        semantic_dedup_pairs(table, centroids, threshold, vec_col, id_col)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return table.join(F.broadcast(bad), on=id_col, how="left_anti")
+
+
 # --- Scalar quantization (vector compression) ----------------------------
 
 def quantize_int8(

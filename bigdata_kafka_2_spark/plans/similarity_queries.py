@@ -631,3 +631,57 @@ def q69_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = SIM.ivf_pq_rerank_topk(assigned, probe, cents, k=5, m=100, n_probe=3)
     # bigint rank: row_number is int32 in Spark, int64 in DuckDB
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "q75_semantic_dedup_pairs",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id IN {_IVF_CENTROID_IDS}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY CAST(list_cosine_similarity(e.embedding, c.centroid)
+                               AS DOUBLE) DESC,
+                          c.centroid_id ASC
+               ) AS rn
+        FROM embeddings e, cents c
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                      AS DOUBLE), 4) AS similarity
+    FROM assigned a
+      JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                     AS DOUBLE), 4) >= {_NEAR_DUP_THRESHOLD}
+    """,
+    description="SemDeDup-style semantic near-dup pairs "
+    "(operators/similarity.semantic_dedup_pairs): embeddings "
+    "assigned to their nearest of 8 fixed centroids (q57's IVF "
+    "machinery), cosine pairs generated only WITHIN clusters — the "
+    "clustering turns quadratic all-pairs into Σ|cluster|², with "
+    "cluster size bounded by centroid-set sizing and each cluster an "
+    "independent equi-join task on the centroid_id shuffle key. "
+    "Threshold 0.4 per q52's non-vacuity note; recall vs exact "
+    "all-pairs and the keep-one removal rule (semantic_dedup) are "
+    "asserted in tests on planted duplicates. Fixed centroids make "
+    "the whole pipeline SQL-expressible, so the query is "
+    "hash-checked end-to-end.",
+    tags=("similarity", "dedup"),
+)
+def q75_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id").isin(list(_IVF_CENTROID_IDS)))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+    )
+    return SIM.semantic_dedup_pairs(e, cents, threshold=_NEAR_DUP_THRESHOLD)

@@ -938,3 +938,44 @@ def test_contamination_eval_side_is_broadcast(spark):
     ev = d.filter(F.col("doc_id") % 13 == 0)
     plan = DD.contamination_pairs(train, ev, k=4)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def _embeddings_with_planted_dups(spark):
+    """Driver embeddings + near-copies of the first 15 vectors (one
+    coordinate nudged; ids offset by 1_000_000) — known near-dup pairs
+    with cosine ≈ 1."""
+    e = read_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    return e.unionByName(dup)
+
+
+def test_semantic_dedup_planted_recall_and_removal(spark):
+    t = _embeddings_with_planted_dups(spark)
+    cents = (
+        read_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id").isin([10, 20, 30, 40, 50, 60, 70, 80]))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+    )
+    pairs = SIM.semantic_dedup_pairs(t, cents, threshold=0.95).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    planted = {(i, i + 1_000_000) for i in range(15)}
+    # a vector and its nudged copy share the argmax centroid, so
+    # within-cluster generation must recover every planted pair
+    assert planted <= found
+    assert all(r.similarity >= 0.95 for r in pairs)
+
+    kept = {r.vec_id for r in SIM.semantic_dedup(t, cents, threshold=0.95).collect()}
+    # keep-one rule: the min id of each planted pair survives, the copy dies
+    assert all(i in kept for i in range(15))
+    assert all(i + 1_000_000 not in kept for i in range(15))
+    # nothing else was dropped at this threshold (driver max cosine ~0.5)
+    assert len(kept) == t.count() - 15
