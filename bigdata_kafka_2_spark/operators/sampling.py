@@ -114,3 +114,72 @@ def weighted_sample(
         .limit(k)
         .drop("__ekey")
     )
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-group temperature-scaled mixture weights:
+    ``(group..., n_rows, weight)`` with ``weight ∝ n_rows^alpha``,
+    normalized to sum 1 — the multilingual/domain rebalancing recipe
+    (alpha=1 keeps natural proportions, alpha→0 approaches uniform;
+    alpha≈0.3–0.7 is the usual corpus-mixing range, upsampling tails
+    without letting the head domain drown them).
+
+    One map-side-combined count per group plus a 1-row total,
+    broadcast back — group count is the number of DOMAINS (tiny by
+    construction), so both joins are broadcast and the data path is
+    never touched. ``alpha=0.5`` uses ``sqrt`` (exactly-rounded IEEE,
+    engine-portable); other alphas use ``pow``.
+    """
+    n = F.col("n_rows").cast("double")
+    wexpr = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(float(alpha)))
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = counts.agg(F.sum(wexpr).alias("__ws"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        *group_cols,
+        "n_rows",
+        (wexpr / F.col("__ws")).alias("weight"),
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    total_rows: int,
+    alpha: float = 0.5,
+    seed: int = 42,
+    bucket=None,
+) -> DataFrame:
+    """Deterministic temperature-balanced corpus sample of ≈
+    ``total_rows`` rows: each group keeps a hash fraction
+    ``min(1, total_rows · weight_g / n_g)`` of its rows, where
+    ``weight_g`` comes from :func:`temperature_mixture_weights`.
+
+    The keep decision is a per-row hash threshold (same contract as
+    :func:`deterministic_sample`: membership is a pure function of
+    (key, seed) — stable under re-partitioning and appends), NOT a
+    per-group ``row_number`` — an exact-count take would sort each
+    group through one reducer, which a 100 TB head domain cannot do.
+    The data path is one scan + a broadcast join of the tiny weights
+    table; sampled size concentrates tightly around ``total_rows``.
+
+    ``bucket`` overrides the production xxhash64 bucket with a
+    caller-supplied [0, 1e6) integer column (the oracle gate passes a
+    portable multiplicative-hash bucket, q91's pattern).
+    """
+    w = temperature_mixture_weights(df, group_cols, alpha)
+    frac = F.least(
+        F.lit(1.0), F.lit(float(total_rows)) * F.col("weight") / F.col("n_rows")
+    )
+    thr = F.floor(frac * F.lit(_BUCKETS))
+    w = w.select(*group_cols, thr.alias("__thr"))
+    b = hash_bucket(key_col, seed) if bucket is None else bucket
+    return (
+        df.join(F.broadcast(w), on=list(group_cols))
+        .filter(b < F.col("__thr"))
+        .drop("__thr")
+    )

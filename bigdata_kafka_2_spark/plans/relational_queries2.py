@@ -702,3 +702,53 @@ def q98_correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_disc_covar_pop"
         ),
     )
+
+
+@register(
+    "q76_temperature_mixture",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, source, count(*) AS n_rows
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT sum(sqrt(CAST(n_rows AS DOUBLE))) AS ws FROM counts
+    ),
+    thr AS (
+      SELECT lang, source, n_rows,
+             floor(least(1.0,
+                         200.0 * (sqrt(CAST(n_rows AS DOUBLE)) / ws)
+                           / n_rows) * 1000000) AS t
+      FROM counts, tot
+    )
+    SELECT d.lang, d.source, count(*) AS n_sampled
+    FROM documents d JOIN thr USING (lang, source)
+    WHERE (d.doc_id * 2654435761) % 1000000 < t
+    GROUP BY 1, 2
+    """,
+    description="Temperature-balanced domain mixture sample "
+    "(operators/sampling.temperature_mixture_sample, alpha=0.5): "
+    "per-(lang, source) weights ∝ sqrt(group size) normalized to 1 — "
+    "the multilingual rebalancing recipe that upsamples tail domains "
+    "— then each group keeps a deterministic hash fraction "
+    "min(1, target·w/n) of its rows. The keep decision is a per-row "
+    "hash threshold, NOT a per-group row_number: an exact-count take "
+    "would sort the head domain through one reducer, which 100 TB "
+    "cannot do; this path is one scan + a broadcast join of the tiny "
+    "weights table. Gate uses a portable multiplicative-hash bucket "
+    "(q91's pattern; production path is seeded xxhash64, "
+    "invariant-tested for stability under repartitioning).",
+    tags=("sampling", "aggregate"),
+)
+def q76_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators import sampling as SP
+
+    d = read_table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1_000_000))
+    sampled = SP.temperature_mixture_sample(
+        d, ["lang", "source"], "doc_id", total_rows=200, alpha=0.5,
+        bucket=bucket,
+    )
+    return sampled.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )

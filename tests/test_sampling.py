@@ -104,3 +104,52 @@ def test_weighted_sample_deterministic_and_biased(spark):
     }
     assert rates[0] > 0.8  # the weight-10 item is nearly always sampled
     assert all(rates.get(i, 0.0) < 0.5 for i in range(1, 10))
+
+
+def test_temperature_mixture_weights_properties(spark):
+    from bigdata_kafka_2_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    d = read_table(spark, SF_DIR, "documents")
+    w = temperature_mixture_weights(d, ["lang"], alpha=0.5).collect()
+    assert abs(sum(r.weight for r in w) - 1.0) < 1e-9
+    # alpha<1 compresses the range: weight ratios are sqrt of count ratios
+    by_lang = {r.lang: r for r in w}
+    langs = sorted(by_lang)
+    for a, b in zip(langs, langs[1:]):
+        ra, rb = by_lang[a], by_lang[b]
+        expected = (ra.n_rows / rb.n_rows) ** 0.5
+        assert abs(ra.weight / rb.weight - expected) < 1e-9
+
+
+def test_temperature_mixture_sample_balances_and_is_stable(spark):
+    from bigdata_kafka_2_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    d = read_table(spark, SF_DIR, "documents")
+    kept = temperature_mixture_sample(
+        d, ["lang"], "doc_id", total_rows=200, alpha=0.5
+    )
+    ids = sorted(r.doc_id for r in kept.collect())
+    # size concentrates around the target
+    assert 140 <= len(ids) <= 260
+    # repartitioning never changes membership
+    ids2 = sorted(
+        r.doc_id
+        for r in temperature_mixture_sample(
+            d.repartition(13), ["lang"], "doc_id", total_rows=200, alpha=0.5
+        ).collect()
+    )
+    assert ids == ids2
+    # alpha=0.5 upsamples tails: every group's keep FRACTION shrinks as
+    # group size grows (monotone in n by construction)
+    counts = {r.lang: r for r in d.groupBy("lang").count().collect()}
+    kc = {r.lang: r for r in kept.groupBy("lang").count().collect()}
+    fracs = {
+        lang: kc[lang]["count"] / counts[lang]["count"] for lang in kc
+    }
+    ordered = sorted(counts, key=lambda la: counts[la]["count"])
+    # head group keeps a strictly smaller fraction than the tail group
+    assert fracs[ordered[-1]] < fracs[ordered[0]]
