@@ -456,3 +456,48 @@ def global_row_number(
             off = F.when(F.col("__bkt") == F.lit(b), F.lit(offsets[b])).otherwise(off)
     w = Window.partitionBy("__bkt").orderBy(*[F.col(c) for c in cols])
     return bucketed.withColumn(rn_col, F.row_number().over(w) + off).drop("__bkt")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: str | Sequence[str],
+    weight_col: str,
+    out_col: str = "cum_before",
+) -> DataFrame:
+    """EXCLUSIVE global prefix sum of ``weight_col`` over a total order
+    (``out_col`` = sum of all earlier rows' weights; 0 for the first)
+    — without a single-partition window, using
+    :func:`global_row_number`'s bucket/offset construction:
+
+    1. range-bucket on the leading order column;
+    2. per-bucket weight sums (num_buckets rows) → cumulative bucket
+       offsets on the driver;
+    3. per-bucket exclusive window sum + broadcast bucket offset.
+
+    The driver collect is bounded by the bucket count (≤64), never the
+    data. ``order_cols`` must be a total order (include a unique key).
+    """
+    cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    n_buckets = _shuffle_partitions(df)
+    bucketed, eff = _range_bucket(df, cols[0], min(n_buckets, 64))
+    off = F.lit(0).cast("long")
+    if eff > 1:
+        sums = {
+            r["__bkt"]: r["__s"]
+            for r in bucketed.groupBy("__bkt")
+            .agg(F.sum(F.col(weight_col).cast("long")).alias("__s"))
+            .collect()
+        }
+        acc = 0
+        for b in range(eff):
+            off = F.when(F.col("__bkt") == F.lit(b), F.lit(acc)).otherwise(off)
+            acc += int(sums.get(b) or 0)
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(*[F.col(c) for c in cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(
+        F.sum(F.col(weight_col).cast("long")).over(w), F.lit(0)
+    )
+    return bucketed.withColumn(out_col, cum + off).drop("__bkt")

@@ -650,3 +650,100 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split each document into token windows:
+    ``(id, chunk_idx, chunk_text, n_tokens)`` — the chunking step of a
+    context-window pipeline (RAG passage extraction, long-doc
+    training prep). Windows start at multiples of ``stride`` while the
+    start is inside the document and take up to ``chunk_tokens``
+    tokens; ``stride < chunk_tokens`` gives overlapping windows,
+    default is disjoint.
+
+    Entirely row-local: the window array is built inside codegen from
+    ONE normalize+split (``sequence`` + ``transform`` + ``slice``),
+    then posexploded — no shuffle, scan-speed at 100 TB, output size
+    a fixed multiple of the input. Empty/NULL documents yield no
+    chunks on either engine.
+    """
+    if stride is None:
+        stride = chunk_tokens
+    toks = F.split(F.coalesce(normalize_text(text_col), F.lit("")), " ")
+    n = F.size(toks)
+    n_chunks = F.floor((n + F.lit(stride - 1)) / F.lit(float(stride)))
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda j: F.concat_ws(
+            " ", F.slice(toks, j * stride + 1, chunk_tokens)
+        ),
+    )
+    out = (
+        ensure_parallel(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+        )
+        .filter(F.col("chunk_text") != "")
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.size(F.split(F.col("chunk_text"), " ")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ctx: int = 256,
+) -> DataFrame:
+    """Concat-and-split sequence packing manifest: documents laid out
+    in a deterministic stream (ordered by id), the stream chopped
+    every ``ctx`` tokens — the standard pre-training packing that
+    wastes zero pad tokens. Output per document:
+    ``(id, n_tokens, cum_before, start_bin, end_bin, bin_offset)``
+    where ``start_bin``/``end_bin`` are the first/last context windows
+    the document lands in and ``bin_offset`` its position inside the
+    first.
+
+    The global running total uses
+    :func:`relational.global_prefix_sum` — range-bucketed exclusive
+    prefix sum, NO single-partition window, so the layout of a 100 TB
+    corpus is one ranking shuffle of bounded-width rows plus a ≤64-row
+    driver cumsum. Deterministic: the manifest is a pure function of
+    (ids, token counts), reproducible across partitionings — exactly
+    what a resumable tokenization job needs.
+    """
+    from bigdata_kafka_2_spark.operators.relational import global_prefix_sum
+
+    t = df.select(
+        F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
+    )
+    c = global_prefix_sum(t, id_col, "n_tokens", out_col="cum_before")
+    return c.select(
+        id_col,
+        "n_tokens",
+        "cum_before",
+        F.floor(F.col("cum_before") / F.lit(float(ctx)))
+        .cast("long")
+        .alias("start_bin"),
+        F.floor(
+            (F.col("cum_before") + F.col("n_tokens") - 1) / F.lit(float(ctx))
+        )
+        .cast("long")
+        .alias("end_bin"),
+        F.pmod(F.col("cum_before"), F.lit(ctx)).cast("long").alias(
+            "bin_offset"
+        ),
+    )

@@ -716,3 +716,82 @@ _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 def q73_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return TX.repetition_stats(d, n=2)
+
+
+@register(
+    "q77_chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, j AS chunk_idx,
+             list_aggregate(t[j*8+1 : j*8+16], 'string_agg', ' ')
+               AS chunk_text
+      FROM toks,
+           UNNEST(generate_series(
+             0, CAST(floor((len(t) + 7) / 8.0) AS BIGINT) - 1)) AS g(j)
+    )
+    SELECT doc_id, chunk_idx, chunk_text,
+           len(string_split(chunk_text, ' ')) AS n_tokens
+    FROM chunks WHERE chunk_text <> ''
+    """,
+    description="Document chunking into overlapping token windows "
+    "(operators/text.chunk_documents, chunk=16 stride=8): the RAG / "
+    "long-doc context-window extraction step. Entirely row-local — "
+    "the window array is built inside codegen from ONE "
+    "normalize+split and posexploded, no shuffle, scan-speed at "
+    "100 TB with output a fixed multiple of input. Hash-checked "
+    "against a DuckDB list-slicing transcription.",
+    tags=("text",),
+)
+def q77_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return TX.chunk_documents(d, chunk_tokens=16, stride=8)
+
+
+@register(
+    "q78_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM t
+    )
+    SELECT doc_id, n_tokens, cum_before,
+           CAST(floor(cum_before / 256.0) AS BIGINT) AS start_bin,
+           CAST(floor((cum_before + n_tokens - 1) / 256.0) AS BIGINT)
+             AS end_bin,
+           cum_before % 256 AS bin_offset
+    FROM c
+    """,
+    description="Concat-and-split sequence-packing manifest "
+    "(operators/text.pack_sequences, ctx=256): documents laid out in "
+    "a deterministic id-ordered stream, chopped every 256 tokens — "
+    "the zero-padding pre-training packing. The running total is "
+    "relational.global_prefix_sum: range-bucketed EXCLUSIVE prefix "
+    "sum (per-bucket window + ≤64-row driver cumsum), no "
+    "single-partition window anywhere, so a 100 TB layout is one "
+    "bounded-width ranking shuffle. The oracle states the same "
+    "manifest with a plain SQL window.",
+    tags=("text", "window"),
+)
+def q78_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    out = TX.pack_sequences(d, ctx=256)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_before").cast("long").alias("cum_before"),
+        "start_bin",
+        "end_bin",
+        "bin_offset",
+    )

@@ -979,3 +979,61 @@ def test_semantic_dedup_planted_recall_and_removal(spark):
     assert all(i + 1_000_000 not in kept for i in range(15))
     # nothing else was dropped at this threshold (driver max cosine ~0.5)
     assert len(kept) == t.count() - 15
+
+
+def test_chunk_documents_planted(spark):
+    txt = " ".join(f"t{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(0, txt), (1, "a b c"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = TX.chunk_documents(df, chunk_tokens=8, stride=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r
+    # doc 0: starts 0,4,8,12,16 -> 5 chunks; tail chunk is short
+    assert sorted(by_doc[0]) == [0, 1, 2, 3, 4]
+    assert by_doc[0][0].chunk_text == " ".join(f"t{i}" for i in range(8))
+    assert by_doc[0][1].chunk_text == " ".join(f"t{i}" for i in range(4, 12))
+    assert by_doc[0][4].chunk_text == " ".join(f"t{i}" for i in range(16, 20))
+    assert by_doc[0][4].n_tokens == 4
+    # doc 1 fits in one window; empty/NULL docs yield nothing
+    assert sorted(by_doc) == [0, 1]
+    assert by_doc[1][0].chunk_text == "a b c"
+
+
+def test_chunk_documents_disjoint_reconstructs(spark):
+    d = read_table(spark, SF_DIR, "documents").limit(50)
+    chunks = TX.chunk_documents(d, chunk_tokens=7).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text))
+    norm = {
+        r.doc_id: r.n
+        for r in d.select("doc_id", TX.normalize_text("text").alias("n")).collect()
+    }
+    for doc_id, parts in by_doc.items():
+        joined = " ".join(t for _, t in sorted(parts))
+        assert joined == norm[doc_id]
+
+
+def test_pack_sequences_manifest_invariants(spark):
+    d = read_table(spark, SF_DIR, "documents")
+    out = sorted(
+        TX.pack_sequences(d, ctx=256).collect(), key=lambda r: r.doc_id
+    )
+    # exclusive prefix sum: first doc starts at 0, each next doc starts
+    # where the previous ended — the packed stream is gapless
+    acc = 0
+    for r in out:
+        assert r.cum_before == acc
+        assert r.start_bin == acc // 256
+        assert r.end_bin == (acc + r.n_tokens - 1) // 256
+        assert r.bin_offset == acc % 256
+        acc += r.n_tokens
+    # repartitioning does not change the manifest
+    out2 = sorted(
+        TX.pack_sequences(d.repartition(17), ctx=256).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [tuple(r) for r in out2] == [tuple(r) for r in out]
