@@ -70,6 +70,14 @@ HEADLINE = (
     "q61_sliding_window",
     "q63_streaming_tumbling_window",
     "q94_analytic_window_family",
+    # r7 operator families (all mirror-registered; in the headline so
+    # the bench + 10× scale probe carry ratios for every new family)
+    "q73_repetition_profile",
+    "q74_contamination_pairs",
+    "q75_semantic_dedup_pairs",
+    "q76_temperature_mixture",
+    "q77_chunk_documents",
+    "q78_pack_sequences",
 )
 
 

@@ -391,28 +391,58 @@ def assign_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (broadcast argmax).
+    """Assign each vector to its nearest centroid (broadcast argmax;
+    ties → smallest centroid_id).
+
+    Plan shape: broadcast nest-loop explode (n·k rows, never leaving
+    the map side) folded straight into a ``max_by`` hash aggregate
+    grouped on the ORIGINAL row — so the shuffle carries one partial
+    row per vector, not the n·k scored rows. (The previous window
+    top-1 formulation shuffled and sorted all n·k rows; with
+    auto-sized centroid sets, k grows with n and that shuffle was the
+    dominant cost — measured 2× slower at the 10× probe scale.)
 
     At 100 TB, write the result partitioned by ``centroid_id`` so IVF
     probes prune at the scan.
     """
-    from pyspark.sql import Window
-
     c = F.broadcast(centroids)
-    scored = table.crossJoin(c).select(
-        "*", cosine_similarity(vec_col, "centroid").alias("c_sim")
+    scored = table.crossJoin(c)
+    # argmax as max_by over (similarity, -centroid_id): lexicographic
+    # max = highest similarity, then smallest id — identical tie-break
+    # to the ORDER BY c_sim DESC, centroid_id ASC the oracles state.
+    best = F.max_by(
+        "centroid_id",
+        F.struct(
+            cosine_similarity(vec_col, "centroid").alias("s"),
+            (-F.col("centroid_id")).alias("neg_id"),
+        ),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("c_sim").desc(), F.col("centroid_id").asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "c_sim", "centroid")
-    )
+    # group on the id alone (slim hash key); every scored copy of a row
+    # carries identical payload columns, so first() IS the value.
+    carry = [
+        F.first(col).alias(col) for col in table.columns if col != id_col
+    ]
+    return scored.groupBy(id_col).agg(*carry, best.alias("centroid_id"))
 
 
 # --- Semantic dedup (SemDeDup-style, within-cluster) ---------------------
+
+def auto_centroid_count(n: int, target_cluster_size: int = 64) -> int:
+    """Centroid count that keeps EXPECTED cluster size constant as the
+    table grows: ``ceil(n / target_cluster_size)``.
+
+    Any PINNED centroid count makes within-cluster pair generation
+    O(n²/k) — the same asymptotic trap the 10× scale probe caught for
+    pinned hyperplane-LSH grids (q53, r6). With k ∝ n the pair stage
+    stays O(n·target); the cost that grows instead is the assignment
+    crossJoin (n·k rows — the flat brute-force assign SemDeDup itself
+    uses on GPUs). Flat assign is fine up to ~10⁶-vector clusters
+    per executor; past that, deployment swaps in a hierarchical
+    (coarse-then-fine) assignment with log-depth per-row cost — same
+    operator contract, centroid tree instead of a flat table.
+    """
+    return max(1, -(-n // target_cluster_size))
+
 
 def semantic_dedup_pairs(
     table: DataFrame,

@@ -940,7 +940,7 @@ def test_contamination_eval_side_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def _embeddings_with_planted_dups(spark):
+def _embeddings_with_nudged_copies(spark):
     """Driver embeddings + near-copies of the first 15 vectors (one
     coordinate nudged; ids offset by 1_000_000) — known near-dup pairs
     with cosine ≈ 1."""
@@ -956,7 +956,7 @@ def _embeddings_with_planted_dups(spark):
 
 
 def test_semantic_dedup_planted_recall_and_removal(spark):
-    t = _embeddings_with_planted_dups(spark)
+    t = _embeddings_with_nudged_copies(spark)
     cents = (
         read_table(spark, SF_DIR, "embeddings")
         .filter(F.col("vec_id").isin([10, 20, 30, 40, 50, 60, 70, 80]))
