@@ -24,6 +24,19 @@ def hash_bucket(key_col: str, seed: int = 42, buckets: int = _BUCKETS):
     return F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(buckets))
 
 
+def split_expr(bucket, fractions: Mapping[str, float]):
+    """Named-split label from a [0, 1e6) bucket column by hash range
+    (``fractions`` must sum to ≤ 1; remainder → last split)."""
+    names = list(fractions)
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = bucket < int(acc * _BUCKETS)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,
@@ -38,18 +51,63 @@ def hash_split(
     depends only on (key, seed) — stable under re-partitioning,
     appends, and re-runs.
     """
-    names = list(fractions)
-    bucket = hash_bucket(key_col, seed)
-    expr = None
-    acc = 0.0
-    for name in names[:-1]:
-        acc += fractions[name]
-        cond = bucket < int(acc * _BUCKETS)
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    expr = (
-        F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(
+        out_col, split_expr(hash_bucket(key_col, seed), fractions)
     )
-    return df.withColumn(out_col, expr)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+    out_col: str = "split",
+    bucket_fn=None,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Train/val/test split that near-duplicate documents can NEVER
+    straddle — the leakage guard a naive per-document split lacks
+    (a near-copy of a test document in train inflates eval scores;
+    dedup-then-split still leaks when dedup keeps one member of a
+    pair that crosses the boundary in the undeduped serving set).
+
+    Mechanism: verified near-dup pairs (banded MinHash-LSH candidates
+    + exact-Jaccard verify) → connected components → every document
+    joins its cluster's min-id REPRESENTATIVE, and the split decision
+    hashes the representative, so whole clusters move together;
+    singletons (the overwhelming mass) hash their own id, identical
+    to :func:`hash_split`. Output: input columns + ``cluster_rep`` +
+    ``out_col``.
+
+    Scale shape: the pair graph and label propagation touch only the
+    dup subgraph (operators/dedup.dedup_clusters); the split itself
+    is one broadcast-free equi-join of the cluster map (keyed by id)
+    plus a row-local hash — no new shuffle class beyond the dedup
+    the pipeline already runs. ``bucket_fn`` (Column → [0,1e6)
+    bucket) overrides the production seeded-xxhash64 bucket for the
+    oracle gate (q91's portability pattern).
+    """
+    from bigdata_kafka_2_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_verified_pairs,
+    )
+
+    pairs = minhash_lsh_verified_pairs(
+        df, text_col, id_col, jaccard_threshold=jaccard_threshold,
+        **minhash_kwargs,
+    )
+    clusters = dedup_clusters(pairs, df.select(id_col), id_col)
+    rep = F.col("cluster_rep")
+    bucket = (
+        bucket_fn(rep)
+        if bucket_fn is not None
+        else F.pmod(F.xxhash64(rep, F.lit(seed)), F.lit(_BUCKETS))
+    )
+    return df.join(clusters, on=id_col).withColumn(
+        out_col, split_expr(bucket, fractions)
+    )
 
 
 def deterministic_sample(

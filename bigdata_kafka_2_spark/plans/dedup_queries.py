@@ -304,3 +304,63 @@ def q74_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.filter(F.col("doc_id") % 13 != 0)
     ev = d.filter(F.col("doc_id") % 13 == 0)
     return DD.contamination_pairs(train, ev, k=4, min_shared=1)
+
+
+@register(
+    "q79_leakage_safe_split",
+    oracle="WITH RECURSIVE "
+    + _exact_pairs_sql(0.5)
+    + """,
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(node, anc) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d AS node, r.anc FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    reps AS (SELECT node, min(anc) AS rep FROM reach GROUP BY node),
+    lab AS (
+      SELECT d.doc_id, r.rep,
+             CASE WHEN (r.rep * 2654435761) % 1000000 < 800000 THEN 'train'
+                  WHEN (r.rep * 2654435761) % 1000000 < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d JOIN reps r ON r.node = d.doc_id
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT rep) AS n_clusters
+    FROM lab GROUP BY split
+    """,
+    description="Leakage-safe split profile "
+    "(operators/sampling.leakage_safe_split): verified near-dup "
+    "pairs (q42 machinery) → connected components (q44 machinery) → "
+    "the split decision hashes each document's cluster "
+    "REPRESENTATIVE, so near-duplicates can never straddle "
+    "train/test — the eval-integrity guard a per-document split "
+    "lacks. Singletons hash their own id (identical to hash_split); "
+    "label propagation touches only the dup subgraph; the split is "
+    "one equi-join + a row-local hash. Hash-checked against the "
+    "recursive-CTE closure + portable multiplicative-hash bucket "
+    "(q91's gate pattern; production bucket is seeded xxhash64); "
+    "the no-straddle guarantee itself is asserted in tests on "
+    "planted near-dup pairs.",
+    tags=("sampling", "dedup"),
+)
+def q79_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.sampling import leakage_safe_split
+
+    d = read_table(spark, sf_dir, "documents")
+    labeled = leakage_safe_split(
+        d,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        jaccard_threshold=0.5,
+        bucket_fn=lambda rep: F.pmod(
+            rep * F.lit(2654435761), F.lit(1_000_000)
+        ),
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_rep").alias("n_clusters"),
+    )

@@ -153,3 +153,44 @@ def test_temperature_mixture_sample_balances_and_is_stable(spark):
     ordered = sorted(counts, key=lambda la: counts[la]["count"])
     # head group keeps a strictly smaller fraction than the tail group
     assert fracs[ordered[-1]] < fracs[ordered[0]]
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    from bigdata_kafka_2_spark.operators.dedup import (
+        minhash_lsh_verified_pairs,
+    )
+    from bigdata_kafka_2_spark.operators.sampling import leakage_safe_split
+
+    d = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # plant near-dups of the first 30 docs (strong pairs, J >= ~0.9)
+    dup = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+    )
+    both = d.unionByName(dup)
+    labeled = leakage_safe_split(
+        both, {"train": 0.6, "val": 0.2, "test": 0.2},
+        jaccard_threshold=0.5,
+    )
+    split_of = {r.doc_id: (r.split, r.cluster_rep) for r in labeled.collect()}
+    assert len(split_of) == both.count()
+    # every verified near-dup pair lands in ONE split
+    pairs = minhash_lsh_verified_pairs(
+        both, jaccard_threshold=0.5
+    ).collect()
+    planted = [(r.id_a, r.id_b) for r in pairs]
+    assert len([p for p in planted if p[1] - p[0] == 1_000_000]) >= 28
+    for a, b in planted:
+        assert split_of[a][0] == split_of[b][0], (a, b)
+    # singletons behave exactly like hash_split on their own id
+    singles = [i for i, (s, rep) in split_of.items() if rep == i]
+    assert len(singles) > 400
+    from bigdata_kafka_2_spark.operators.sampling import hash_split
+    plain = {
+        r.doc_id: r.split
+        for r in hash_split(both, "doc_id", {"train": 0.6, "val": 0.2, "test": 0.2}).collect()
+    }
+    for i in singles:
+        assert split_of[i][0] == plain[i]
+    # all three splits are populated
+    assert {s for s, _ in split_of.values()} == {"train", "val", "test"}
