@@ -620,6 +620,53 @@ def bm25_scores(
     )
 
 
+def unigram_logprob_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's OWN
+    add-one-smoothed unigram language model:
+    ``(id, dl, logprob)`` with ``logprob = Σ_t tf·ln((c_t+1)/(T+V)) / dl``
+    — the SQL-expressible stand-in for KenLM perplexity scoring (the
+    CCNet/Llama quality signal): documents dominated by corpus-rare
+    tokens score low (more negative), boilerplate of corpus-common
+    tokens scores high; rank and threshold like any perplexity.
+
+    Plan shape: the posting list (one explode + (id, tok) aggregate)
+    feeds BOTH the vocabulary aggregate (map-side combined on ``tok``)
+    and the scoring join, which lands on the same ``tok`` key — AQE
+    broadcasts the vocabulary side when it fits (a 100 TB corpus's
+    unigram vocab is millions of rows, executor-memory scale); T and V
+    are a 1-row broadcast. Per-token contributions are rounded to 4 dp
+    and summed as exact DECIMALs (the bm25_scores rule) so the
+    aggregate is order-independent across partitionings and engines.
+    """
+    tf = term_frequencies(df, text_col, id_col)
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("ctf"))
+    totals = vocab.agg(
+        F.sum("ctf").alias("__T"), F.count(F.lit(1)).alias("__V")
+    )
+    logp = F.log(
+        (F.col("ctf") + F.lit(1.0)) / (F.col("__T") + F.col("__V"))
+    )
+    contrib = (F.col("tf") * F.round(logp, 4)).cast("decimal(28,4)")
+    return (
+        tf.join(vocab, on="tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("dl"),
+            F.sum(contrib).alias("__s"),
+        )
+        .select(
+            id_col,
+            "dl",
+            F.round(F.col("__s").cast("double") / F.col("dl"), 4).alias(
+                "logprob"
+            ),
+        )
+    )
+
+
 def winnow_overlap_pairs(
     df: DataFrame,
     text_col: str = "text",

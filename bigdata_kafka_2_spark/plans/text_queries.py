@@ -795,3 +795,38 @@ def q78_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end_bin",
         "bin_offset",
     )
+
+
+@register(
+    "q80_unigram_logprob",
+    oracle=f"""
+    WITH {_TOKS_DOC_CTE},
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks_doc GROUP BY 1, 2
+    ),
+    vocab AS (SELECT tok, sum(tf) AS ctf FROM tf GROUP BY tok),
+    tot AS (SELECT sum(ctf) AS T, count(*) AS V FROM vocab)
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS dl,
+           round(CAST(sum(CAST(tf * round(ln((ctf + 1.0) / (T + V)), 4)
+                               AS DECIMAL(28,4))) AS DOUBLE)
+                 / sum(tf), 4) AS logprob
+    FROM tf JOIN vocab USING (tok), tot
+    GROUP BY doc_id
+    """,
+    description="Unigram language-model quality scoring "
+    "(operators/text.unigram_logprob_scores): per-document mean token "
+    "log-probability under the corpus's own add-one-smoothed unigram "
+    "LM — the SQL-expressible stand-in for KenLM perplexity scoring "
+    "(the CCNet/Llama quality signal; rank and threshold like any "
+    "perplexity). The posting list feeds both the vocabulary "
+    "aggregate and the scoring join on the same tok key (AQE "
+    "broadcasts the vocab side when it fits); T/V are a 1-row "
+    "broadcast; per-token contributions are rounded and summed as "
+    "exact DECIMALs (the bm25 order-independence rule). Hash-checked "
+    "against a full DuckDB transcription.",
+    tags=("text", "aggregate"),
+)
+def q80_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return TX.unigram_logprob_scores(d)

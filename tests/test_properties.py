@@ -365,3 +365,40 @@ def test_pq_encode_matches_numpy_argmin(spark, vecs):
             assert rows[i][f"code_{m + 1}"] == k + 1
             err += d2[k]
         assert rows[i].pq_err == pytest.approx(err, abs=2e-4)
+
+
+def test_unigram_logprob_matches_brute_force(spark):
+    """unigram_logprob_scores == the formula computed in plain Python
+    (add-one smoothing over the corpus's own unigram counts; per-token
+    contributions rounded to 4 dp, matching the engine's
+    order-independence rule)."""
+    import math
+    from collections import Counter
+
+    from bigdata_kafka_2_spark.operators.text import unigram_logprob_scores
+
+    docs = {
+        0: "the cat sat on the mat",
+        1: "the dog sat",
+        2: "rare unseen tokens here",
+        3: "the the the the",
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    corpus = Counter()
+    for t in docs.values():
+        corpus.update(t.split())
+    T, V = sum(corpus.values()), len(corpus)
+    expect = {}
+    for i, t in docs.items():
+        toks = t.split()
+        s = sum(round(math.log((corpus[w] + 1.0) / (T + V)), 4) for w in toks)
+        expect[i] = (len(toks), round(s / len(toks), 4))
+    got = {
+        r.doc_id: (r.dl, r.logprob)
+        for r in unigram_logprob_scores(df).collect()
+    }
+    assert got == expect
+    # common-token doc scores higher than the rare-token doc
+    assert got[3][1] > got[2][1]
