@@ -78,6 +78,8 @@ HEADLINE = (
     "q76_temperature_mixture",
     "q77_chunk_documents",
     "q78_pack_sequences",
+    "q79_leakage_safe_split",
+    "q80_unigram_logprob",
 )
 
 

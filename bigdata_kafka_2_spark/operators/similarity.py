@@ -425,6 +425,85 @@ def assign_centroids(
     return scored.groupBy(id_col).agg(*carry, best.alias("centroid_id"))
 
 
+def assign_centroids_coarse_fine(
+    table: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_coarse: int | None = None,
+    n_centroids: int | None = None,
+) -> DataFrame:
+    """Two-tier (coarse-then-fine) nearest-centroid assignment — the
+    deployment path when the centroid set itself is large (auto-sized
+    k grows with n, and :func:`assign_centroids`' flat broadcast
+    explode does n·k distance evaluations per scan).
+
+    Tier 1 groups the CENTROIDS under ``n_coarse`` (default ≈ √k)
+    coarse representatives (the smallest centroid ids — both
+    assignments reuse :func:`assign_centroids`, so the per-tier
+    argmax/tie-break semantics are identical); tier 2 sends each
+    vector to its nearest coarse rep, then argmaxes only over that
+    rep's fine group. Per-row work drops from k to ≈ 2·√k distance
+    evaluations (the FAISS IMI / hierarchical-k-means shape, with
+    log-depth trees as the next rung).
+
+    APPROXIMATE by construction: the true nearest centroid can hide
+    in a non-nearest coarse group (assignment agreement vs flat is
+    measured in tests; near-identical vectors still co-assign, which
+    is the property semantic dedup needs). With ``n_coarse >= k`` the
+    grouping is the identity and the result EQUALS the flat
+    assignment (asserted in tests). ``n_centroids`` passes the known
+    centroid count to avoid an eager ``centroids.count()``.
+    """
+    import math
+
+    k = centroids.count() if n_centroids is None else n_centroids
+    if n_coarse is None:
+        n_coarse = max(1, math.isqrt(k))
+    coarse = (
+        centroids.orderBy("centroid_id")
+        .limit(n_coarse)
+        .select(
+            F.col("centroid_id").alias("__coarse_id"),
+            F.col("centroid").alias("__coarse_vec"),
+        )
+    )
+    coarse_as_cents = coarse.select(
+        F.col("__coarse_id").alias("centroid_id"),
+        F.col("__coarse_vec").alias("centroid"),
+    )
+    # tier 1: each fine centroid joins its nearest coarse rep's group
+    groups = assign_centroids(
+        centroids.select(
+            F.col("centroid_id").alias("__cid"),
+            F.col("centroid").alias("__cvec"),
+        ),
+        coarse_as_cents,
+        vec_col="__cvec",
+        id_col="__cid",
+    ).withColumnRenamed("centroid_id", "__coarse_id")
+    # tier 2a: each vector picks its coarse cell
+    to_coarse = assign_centroids(
+        table, coarse_as_cents, vec_col=vec_col, id_col=id_col
+    ).withColumnRenamed("centroid_id", "__coarse_id")
+    # tier 2b: argmax over the fine group only (groups is k rows —
+    # broadcast — so the explode is per-row ≈ k/n_coarse candidates)
+    scored = to_coarse.join(F.broadcast(groups), on="__coarse_id")
+    best = F.max_by(
+        "__cid",
+        F.struct(
+            cosine_similarity(vec_col, "__cvec").alias("s"),
+            (-F.col("__cid")).alias("neg_id"),
+        ),
+    )
+    carry = [
+        F.first(col).alias(col) for col in table.columns if col != id_col
+    ]
+    return scored.groupBy(id_col).agg(
+        *carry, best.alias("centroid_id")
+    )
+
+
 # --- Semantic dedup (SemDeDup-style, within-cluster) ---------------------
 
 def auto_centroid_count(n: int, target_cluster_size: int = 64) -> int:

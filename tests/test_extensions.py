@@ -1037,3 +1037,48 @@ def test_pack_sequences_manifest_invariants(spark):
         key=lambda r: r.doc_id,
     )
     assert [tuple(r) for r in out2] == [tuple(r) for r in out]
+
+
+def test_assign_centroids_coarse_fine(spark):
+    e = read_table(spark, SF_DIR, "embeddings")
+    k = SIM.auto_centroid_count(e.count())
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    flat = {
+        r.vec_id: r.centroid_id
+        for r in SIM.assign_centroids(e, cents).collect()
+    }
+    cf = {
+        r.vec_id: r.centroid_id
+        for r in SIM.assign_centroids_coarse_fine(
+            e, cents, n_centroids=k
+        ).collect()
+    }
+    # exactly one assignment per vector, to a real centroid
+    assert len(cf) == len(flat) == e.count()
+    assert set(cf.values()) <= set(flat.values()) | set(range(k))
+    # approximate, but mostly agrees with flat even on near-random
+    # vectors (real clustered data agrees far more)
+    agree = sum(1 for v in flat if flat[v] == cf[v]) / len(flat)
+    assert agree >= 0.5
+    # degenerate grouping (every centroid its own coarse rep) IS flat
+    ident = {
+        r.vec_id: r.centroid_id
+        for r in SIM.assign_centroids_coarse_fine(
+            e, cents, n_coarse=k, n_centroids=k
+        ).collect()
+    }
+    assert ident == flat
+    # the property semantic dedup needs: a vector and its nudged copy
+    # co-assign (they see the same coarse cell and fine group)
+    both = _embeddings_with_nudged_copies(spark)
+    cf2 = {
+        r.vec_id: r.centroid_id
+        for r in SIM.assign_centroids_coarse_fine(
+            both, cents, n_centroids=k
+        ).collect()
+    }
+    co = sum(1 for i in range(15) if cf2[i] == cf2[i + 1_000_000])
+    assert co >= 14
