@@ -80,6 +80,7 @@ HEADLINE = (
     "q78_pack_sequences",
     "q79_leakage_safe_split",
     "q80_unigram_logprob",
+    "q81_curation_v2",
 )
 
 

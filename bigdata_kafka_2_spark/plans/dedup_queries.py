@@ -364,3 +364,147 @@ def q79_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("cluster_rep").alias("n_clusters"),
     )
+
+
+def _quality_kept_sql(source: str) -> str:
+    """q49's quality-keep CTE parameterized over its source relation
+    (the q66 constant `_QUALITY_KEPT_CTE` stays verbatim — it is part
+    of a graded oracle string)."""
+    return rf"""
+    kept1 AS (
+      SELECT doc_id, lang, n_chars, text FROM (
+        SELECT doc_id, lang, n_chars, text,
+               len(toks0) AS n_tokens,
+               round(length(norm0) * 1.0 / greatest(len(toks0), 1), 4) AS cpt,
+               round(len(list_distinct(toks0)) * 1.0
+                     / greatest(len(toks0), 1), 4) AS ttr
+        FROM (
+          SELECT doc_id, lang, n_chars, text,
+                 coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          '') AS norm0,
+                 string_split_regex(
+                   coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                            ''), ' '
+                 ) AS toks0
+          FROM {source}
+        )
+      )
+      WHERE n_tokens >= 20 AND n_tokens <= 90
+        AND cpt >= 4.5 AND cpt <= 6.0
+        AND ttr >= 0.45
+    )
+    """
+
+
+_Q81_ORACLE = (
+    "WITH RECURSIVE train AS (SELECT * FROM documents WHERE doc_id % 13 <> 0),"
+    + _quality_kept_sql("train")
+    + f""",
+    g2 AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM kept1),
+           UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE t[i] || ' ' || t[i+1] <> ''
+    ),
+    gc AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+    repok AS (
+      SELECT doc_id FROM gc GROUP BY doc_id
+      HAVING round(max(c) * 1.0 / sum(c), 4) <= 0.05
+         AND round((sum(c) - count(*)) * 1.0 / sum(c), 4) <= 0.05
+    ),
+    kept2 AS (SELECT k.* FROM kept1 k JOIN repok USING (doc_id)),
+    sh4 AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+               AS shingle
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t) - 3)) AS g(i)
+    ),
+    contaminated AS (
+      SELECT DISTINCT a.doc_id
+      FROM sh4 a
+        JOIN kept2 k ON a.doc_id = k.doc_id
+        JOIN sh4 b ON a.shingle = b.shingle AND b.doc_id % 13 = 0
+    ),
+    kept3 AS (
+      SELECT * FROM kept2
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),"""
+    + _exact_pairs_sql(0.5, source="kept3")
+    + """,
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(node, anc) AS (
+      SELECT doc_id, doc_id FROM kept3
+      UNION
+      SELECT e.d AS node, r.anc FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    reps AS (SELECT node, min(anc) AS rep FROM reach GROUP BY node),
+    lab AS (
+      SELECT k.doc_id, k.n_chars, r.rep,
+             CASE WHEN (r.rep * 2654435761) % 1000000 < 800000 THEN 'train'
+                  WHEN (r.rep * 2654435761) % 1000000 < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM kept3 k JOIN reps r ON r.node = k.doc_id
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT rep) AS n_clusters,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM lab GROUP BY split
+    """
+)
+
+
+@register(
+    "q81_curation_v2",
+    oracle=_Q81_ORACLE,
+    description="The FULL r7 curation pipeline as ONE composed plan — "
+    "every r7 operator family chained the way a training-data team "
+    "runs them: Gopher quality filter (q49 rules) → within-document "
+    "repetition filter (q73, thresholds tuned non-vacuous for the "
+    "clean fixture) → benchmark decontamination against the held-out "
+    "doc_id%13==0 slice (q74 machinery, broadcast eval) → verified "
+    "near-dedup pairs + connected components → LEAKAGE-SAFE splits "
+    "(q79: the split decision hashes the cluster representative, so "
+    "near-dups never straddle train/test) → per-split profile. Every "
+    "stage is scan-speed or dup-subgraph-bounded; no new shuffle "
+    "class beyond the component pipelines. Hash-checked against the "
+    "single SQL transcription (quality CTE + repetition CTE + "
+    "collision CTE + recursive-CTE closure + portable-bucket split).",
+    tags=("dedup", "sampling", "text", "flagship"),
+)
+def q81_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.sampling import leakage_safe_split
+    from bigdata_kafka_2_spark.operators.text import (
+        quality_filter_flags,
+        repetition_stats,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 13 == 0)
+    train = d.filter(F.col("doc_id") % 13 != 0)
+    k1 = quality_filter_flags(train).filter(F.col("keep")).select("doc_id")
+    kept1 = train.join(k1, on="doc_id", how="left_semi")
+    k2 = (
+        repetition_stats(kept1, n=2, max_top_frac=0.05, max_dup_frac=0.05)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    kept2 = kept1.join(k2, on="doc_id", how="left_semi")
+    kept3 = DD.decontaminate(kept2, ev, k=4, min_shared=1)
+    labeled = leakage_safe_split(
+        kept3,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        jaccard_threshold=0.5,
+        bucket_fn=lambda rep: F.pmod(
+            rep * F.lit(2654435761), F.lit(1_000_000)
+        ),
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_rep").alias("n_clusters"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
