@@ -133,6 +133,14 @@ def register(
 #: output on the driver data — q39's CMS estimates equal the exact
 #: counts there, asserted in tests — so the exact heavy-hitter shape
 #: stays graded via q39 and q36 stays hash-checked in the mirror).
+#: Late-r7 rotation: q35 BPE token count → q81_curation_v2, the round's
+#: flagship composition (quality → repetition filter → benchmark
+#: decontamination → verified near-dedup + CC → LEAKAGE-SAFE splits →
+#: profile — every r7 operator family in one hash-checked plan; its
+#: components also hold standalone mirror rows q73/q74/q79).
+#: Whitespace token counting stays graded inside q49's token-bound
+#: rules and q80's dl; the BPE-ish regex tokenizer itself moves to the
+#: mirror (q35 stays hash-checked there and in the bench headline).
 #: Round-6 rotation (three within-family upgrades so the round's new
 #: operator families hold graded slots; every rotated-out query stays
 #: hash-checked in the EXTENDED oracle mirror): q31 lang-quality
@@ -183,7 +191,7 @@ CURATED: tuple[str, ...] = (
     # text analysis / corpus curation
     "q49_quality_filter",
     "q34_language_id",
-    "q35_bpe_token_count",
+    "q81_curation_v2",
     "q45_tfidf_top_terms",
     "q38_char_entropy",
     "q39_cms_top_terms",
