@@ -333,3 +333,60 @@ def q65_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def _documents_stream(
+    spark: SparkSession, sf_dir: str, prefix: str = "q84_docs"
+) -> DataFrame:
+    """Streaming source over the driver documents table (the
+    :func:`_staged_events_stream` symlink-dir recipe, minus the
+    events-only timestamp adaptation — documents carry no timestamp)."""
+    import hashlib
+    import os
+    import tempfile
+
+    batch = read_table(spark, sf_dir, "documents")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    return spark.readStream.schema(batch.schema).parquet(stage)
+
+
+def _q84_oracle(sf_dir: str) -> str:
+    """q49's oracle VERBATIM (resolved lazily so the two queries can
+    never drift): the streaming execution must be byte-identical to
+    the batch operator."""
+    from bigdata_kafka_2_spark.plans import REGISTRY
+
+    return REGISTRY["q49_quality_filter"].oracle
+
+
+@register(
+    "q84_streaming_quality_filter",
+    oracle=_q84_oracle,
+    description="Curation-on-ingest: the SAME Gopher-style quality "
+    "filter as graded q49 executed through Structured Streaming "
+    "(readStream over the documents table → quality_filter_flags — "
+    "row-local codegen expressions apply unchanged to a streaming "
+    "DataFrame — → availableNow drain into a memory sink), "
+    "hash-checked against q49's own oracle resolved verbatim: the "
+    "streaming path must produce byte-identical per-document flags "
+    "to the batch path. The streaming shape of the reference's "
+    "process-then-serve lifecycle (README.md:87-93) applied to the "
+    "charter's quality-filter stage; stateless, so at 100 TB it "
+    "runs at source-rate with zero state store.",
+    tags=("streaming", "text", "filter"),
+)
+def q84_streaming_quality_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.text import quality_filter_flags
+
+    flagged = quality_filter_flags(_documents_stream(spark, sf_dir))
+    sink = _drain(flagged, "q84_out", mode="append")
+    return spark.table(sink)
