@@ -670,3 +670,79 @@ def decontaminate(
         .distinct()
     )
     return train.join(F.broadcast(bad), on=id_col, how="left_anti")
+
+
+# --- Incremental near-dedup (delta batch vs existing corpus) -------------
+
+def incremental_near_dedup(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Rows of a NEW batch that survive near-dedup against an existing
+    corpus — the daily-ingest shape: re-deduplicating the whole corpus
+    per batch is O(corpus) per day, while this is O(delta).
+
+    Precedence rule (deterministic): every corpus document precedes
+    every delta document; within the delta, the smaller id precedes.
+    A delta doc is dropped iff some preceding doc matches it at
+    ``jaccard >= threshold`` over k-token shingles — so re-ingesting
+    the same batch twice drops the second copy entirely, and a batch
+    containing its own internal dups keeps exactly the min-id member
+    of each matching pair chain (the :func:`exact_dedup` keep rule,
+    generalized).
+
+    Plan shape: only DELTA shingles drive the similarity join (the
+    corpus side enters as the posting-list build it already has — at
+    100 TB that is a STORED index, written once by the previous
+    ingest, so per-batch cost is proportional to the delta's
+    postings, not the corpus); Jaccard is verified exactly from the
+    per-doc shingle counts; survivors are a broadcast left-anti of
+    the (delta-bounded) dropped-id set.
+    """
+    sd = shingles(delta, text_col, id_col, k)
+    sc = shingles(corpus, text_col, id_col, k)
+    others = (
+        sc.select(F.col(id_col).alias("other_id"), "shingle")
+        .withColumn("is_corpus", F.lit(True))
+        .unionByName(
+            sd.select(F.col(id_col).alias("other_id"), "shingle")
+            .withColumn("is_corpus", F.lit(False))
+        )
+    )
+    mine = sd.select(F.col(id_col).alias("delta_id"), "shingle")
+    common = (
+        mine.join(others, on="shingle")
+        .filter(
+            F.col("is_corpus") | (F.col("other_id") < F.col("delta_id"))
+        )
+        .groupBy("delta_id", "other_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    size_d = sd.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nd"))
+    size_all = (
+        sc.groupBy(id_col).agg(F.count(F.lit(1)).alias("__no"))
+        .unionByName(
+            sd.groupBy(id_col).agg(F.count(F.lit(1)).alias("__no"))
+        )
+    )
+    jac = F.col("n_common") / (
+        F.col("__nd") + F.col("__no") - F.col("n_common")
+    )
+    dropped = (
+        common.join(
+            size_d.select(F.col(id_col).alias("delta_id"), "__nd"),
+            on="delta_id",
+        )
+        .join(
+            size_all.select(F.col(id_col).alias("other_id"), "__no"),
+            on="other_id",
+        )
+        .filter(F.round(jac, 4) >= threshold)
+        .select(F.col("delta_id").alias(id_col))
+        .distinct()
+    )
+    return delta.join(F.broadcast(dropped), on=id_col, how="left_anti")

@@ -508,3 +508,56 @@ def q81_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("cluster_rep").alias("n_clusters"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+@register(
+    "q85_incremental_dedup_survivors",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+      WHERE t[i] || ' ' || t[i+1] || ' ' || t[i+2] <> ''
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    dropped AS (
+      SELECT DISTINCT d.doc_id
+      FROM sh d
+        JOIN sh o ON d.shingle = o.shingle
+        JOIN sizes sd ON sd.doc_id = d.doc_id
+        JOIN sizes so ON so.doc_id = o.doc_id
+      WHERE d.doc_id % 7 = 0
+        AND (o.doc_id % 7 <> 0 OR o.doc_id < d.doc_id)
+      GROUP BY d.doc_id, o.doc_id, sd.n, so.n
+      HAVING round(count(*) * 1.0 / (sd.n + so.n - count(*)), 4) >= 0.5
+    )
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id % 7 = 0
+      AND doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
+    description="Incremental near-dedup "
+    "(operators/dedup.incremental_near_dedup): a NEW ingest batch "
+    "(the doc_id%7==0 slice stands in for today's crawl) deduped "
+    "against the EXISTING corpus plus the batch's own earlier rows — "
+    "the daily-ingest shape where only the delta's shingles drive the "
+    "similarity join (the corpus side is the posting-list index the "
+    "previous ingest already wrote, so per-batch cost ∝ delta, not "
+    "corpus). Precedence is deterministic: corpus precedes delta, "
+    "smaller delta id precedes larger, so re-ingesting a batch drops "
+    "every copy and internal dup chains keep their min-id member. "
+    "Hash-checked against a full DuckDB transcription; idempotence "
+    "and precedence covered by planted-fixture tests.",
+    tags=("dedup", "join"),
+)
+def q85_incremental_dedup_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    delta = d.filter(F.col("doc_id") % 7 == 0)
+    return DD.incremental_near_dedup(corpus, delta, threshold=0.5).select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -1082,3 +1082,40 @@ def test_assign_centroids_coarse_fine(spark):
     }
     co = sum(1 for i in range(15) if cf2[i] == cf2[i + 1_000_000])
     assert co >= 14
+
+
+def test_incremental_near_dedup_precedence_and_idempotence(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            # 100: near-copy of corpus doc 0 -> dropped
+            (100, "alpha beta gamma delta epsilon zeta eta iota"),
+            # 101/102: internal dup chain -> min id (101) survives
+            (101, "red green blue cyan magenta yellow black white"),
+            (102, "red green blue cyan magenta yellow black grey"),
+            # 103: novel -> survives
+            (103, "completely different content with no overlap here"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in DD.incremental_near_dedup(
+            corpus, delta, threshold=0.5
+        ).collect()
+    )
+    assert kept == [101, 103]
+    # idempotence: re-ingesting the survivors against corpus+survivors
+    # drops ALL of them (every one now matches its stored copy exactly)
+    grown = corpus.unionByName(delta.filter(F.col("doc_id").isin(kept)))
+    reingest = delta.filter(F.col("doc_id").isin(kept)).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    again = DD.incremental_near_dedup(grown, reingest, threshold=0.5)
+    assert again.count() == 0
