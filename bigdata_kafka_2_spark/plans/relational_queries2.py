@@ -752,3 +752,123 @@ def q76_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_sampled")
     )
+
+
+@register(
+    "q86_table_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR),
+           CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*),
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_totalprice),
+           CAST(min(o_totalprice) AS VARCHAR),
+           CAST(max(o_totalprice) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR),
+           CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+    description="Per-column dataset profile "
+    "(operators/profile.profile_table): row/null/distinct counts and "
+    "min/max (string-rendered for uniform stacking) for five orders "
+    "columns in ONE scan — every statistic is an aggregate of the "
+    "same pass (multiple exact count-distincts plan via expand), the "
+    "wide 1-row result unpivoted row-locally. The inventory step of "
+    "a data-quality gate; generalizes the reference's runtime "
+    "data-sufficiency guards (spark_model_trainer.py:72,95,121,158) "
+    "into an auditable profile.",
+    tags=("aggregate", "quality"),
+)
+def q86_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import profile_table
+
+    o = read_table(spark, sf_dir, "orders")
+    return profile_table(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderpriority"],
+    )
+
+
+@register(
+    "q87_constraint_check",
+    oracle="""
+    SELECT 'quantity_range' AS rule,
+           sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
+                    THEN 1 ELSE 0 END) AS n_violations,
+           round(sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
+                          THEN 1 ELSE 0 END) * 1.0
+                 / greatest(count(*), 1), 6) AS violation_rate
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_range',
+           sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0.0 AND 0.1, FALSE)
+                    THEN 1 ELSE 0 END),
+           round(sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0.0 AND 0.1, FALSE)
+                          THEN 1 ELSE 0 END) * 1.0
+                 / greatest(count(*), 1), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'positive_price',
+           sum(CASE WHEN NOT coalesce(l_extendedprice > 0.0, FALSE)
+                    THEN 1 ELSE 0 END),
+           round(sum(CASE WHEN NOT coalesce(l_extendedprice > 0.0, FALSE)
+                          THEN 1 ELSE 0 END) * 1.0
+                 / greatest(count(*), 1), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'returnflag_domain',
+           sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE)
+                    THEN 1 ELSE 0 END),
+           round(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE)
+                          THEN 1 ELSE 0 END) * 1.0
+                 / greatest(count(*), 1), 6)
+    FROM lineitem
+    """,
+    description="Data-quality constraint gate "
+    "(operators/profile.check_constraints): named boolean rules "
+    "(range, positivity, domain membership; NULL = violation — a "
+    "rule must AFFIRM the row) folded to conditional counts over ONE "
+    "scan of lineitem, with violation rates for thresholding — the "
+    "dbt-test / great-expectations shape in-engine, the gate every "
+    "curation stage runs before promoting data. Referential "
+    "integrity is the companion foreign_key_violations anti-join, "
+    "planted-fixture-tested.",
+    tags=("aggregate", "quality"),
+)
+def q87_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import check_constraints
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return check_constraints(
+        li,
+        {
+            "quantity_range": F.col("l_quantity").between(1, 50),
+            "discount_range": F.col("l_discount").between(0.0, 0.1),
+            "positive_price": F.col("l_extendedprice") > 0.0,
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )

@@ -1119,3 +1119,57 @@ def test_incremental_near_dedup_precedence_and_idempotence(spark):
     )
     again = DD.incremental_near_dedup(grown, reingest, threshold=0.5)
     assert again.count() == 0
+
+
+def test_profile_and_constraints_planted(spark):
+    from bigdata_kafka_2_spark.operators.profile import (
+        check_constraints,
+        foreign_key_violations,
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", None),
+            (3, None, -5.0),
+            (3, "a", 99.5),
+        ],
+        "id long, cat string, val double",
+    )
+    prof = {r.column: r for r in profile_table(df, ["id", "cat", "val"]).collect()}
+    assert prof["id"].n_rows == 4 and prof["id"].n_nulls == 0
+    assert prof["id"].n_distinct == 3  # duplicate id=3
+    assert prof["cat"].n_nulls == 1 and prof["cat"].n_distinct == 2
+    assert prof["val"].min_value == "-5.0" and prof["val"].max_value == "99.5"
+
+    checks = {
+        r.rule: r
+        for r in check_constraints(
+            df,
+            {
+                "val_positive": F.col("val") > 0,
+                "cat_not_null": F.col("cat").isNotNull(),
+            },
+        ).collect()
+    }
+    # NULL val counts as a violation (rule must affirm)
+    assert checks["val_positive"].n_violations == 2
+    assert checks["cat_not_null"].n_violations == 1
+    assert checks["val_positive"].violation_rate == 0.5
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    orphans = foreign_key_violations(df, parent, "id", "pk")
+    assert sorted(r.id for r in orphans.collect()) == [3, 3]
+
+
+def test_lineitem_fk_integrity_holds_on_driver_data(spark):
+    from bigdata_kafka_2_spark.operators.profile import (
+        foreign_key_violations,
+    )
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    o = read_table(spark, SF_DIR, "orders")
+    assert (
+        foreign_key_violations(li, o, "l_orderkey", "o_orderkey").count() == 0
+    )
