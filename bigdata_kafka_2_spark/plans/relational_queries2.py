@@ -758,34 +758,34 @@ def q76_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q86_table_profile",
     oracle="""
     SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
-           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            count(DISTINCT o_orderkey) AS n_distinct,
            CAST(min(o_orderkey) AS VARCHAR) AS min_value,
            CAST(max(o_orderkey) AS VARCHAR) AS max_value
     FROM orders
     UNION ALL
     SELECT 'o_custkey', count(*),
-           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_custkey),
            CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus', count(*),
-           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_orderstatus),
            CAST(min(o_orderstatus) AS VARCHAR),
            CAST(max(o_orderstatus) AS VARCHAR)
     FROM orders
     UNION ALL
     SELECT 'o_totalprice', count(*),
-           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_totalprice),
            CAST(min(o_totalprice) AS VARCHAR),
            CAST(max(o_totalprice) AS VARCHAR)
     FROM orders
     UNION ALL
     SELECT 'o_orderpriority', count(*),
-           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_orderpriority),
            CAST(min(o_orderpriority) AS VARCHAR),
            CAST(max(o_orderpriority) AS VARCHAR)
@@ -817,32 +817,32 @@ def q86_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q87_constraint_check",
     oracle="""
     SELECT 'quantity_range' AS rule,
-           sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
-                    THEN 1 ELSE 0 END) AS n_violations,
+           CAST(sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
            round(sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
                           THEN 1 ELSE 0 END) * 1.0
                  / greatest(count(*), 1), 6) AS violation_rate
     FROM lineitem
     UNION ALL
     SELECT 'discount_range',
-           sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0.0 AND 0.1, FALSE)
-                    THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0.0 AND 0.1, FALSE)
+                    THEN 1 ELSE 0 END) AS BIGINT),
            round(sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0.0 AND 0.1, FALSE)
                           THEN 1 ELSE 0 END) * 1.0
                  / greatest(count(*), 1), 6)
     FROM lineitem
     UNION ALL
     SELECT 'positive_price',
-           sum(CASE WHEN NOT coalesce(l_extendedprice > 0.0, FALSE)
-                    THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0.0, FALSE)
+                    THEN 1 ELSE 0 END) AS BIGINT),
            round(sum(CASE WHEN NOT coalesce(l_extendedprice > 0.0, FALSE)
                           THEN 1 ELSE 0 END) * 1.0
                  / greatest(count(*), 1), 6)
     FROM lineitem
     UNION ALL
     SELECT 'returnflag_domain',
-           sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE)
-                    THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE)
+                    THEN 1 ELSE 0 END) AS BIGINT),
            round(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE)
                           THEN 1 ELSE 0 END) * 1.0
                  / greatest(count(*), 1), 6)

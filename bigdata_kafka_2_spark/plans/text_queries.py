@@ -760,17 +760,17 @@ def q77_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
       SELECT doc_id, n_tokens,
-             coalesce(sum(n_tokens) OVER (
+             CAST(coalesce(sum(n_tokens) OVER (
                ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cum_before
+               AS BIGINT) AS cum_before
       FROM t
     )
     SELECT doc_id, n_tokens, cum_before,
            CAST(floor(cum_before / 256.0) AS BIGINT) AS start_bin,
            CAST(floor((cum_before + n_tokens - 1) / 256.0) AS BIGINT)
              AS end_bin,
-           cum_before % 256 AS bin_offset
+           CAST(cum_before % 256 AS BIGINT) AS bin_offset
     FROM c
     """,
     description="Concat-and-split sequence-packing manifest "
