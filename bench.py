@@ -81,6 +81,10 @@ HEADLINE = (
     "q79_leakage_safe_split",
     "q80_unigram_logprob",
     "q81_curation_v2",
+    "q84_streaming_quality_filter",
+    "q85_incremental_dedup_survivors",
+    "q86_table_profile",
+    "q87_constraint_check",
 )
 
 
