@@ -495,6 +495,12 @@ def q81_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept2 = kept1.join(k2, on="doc_id", how="left_semi")
     kept3 = DD.decontaminate(kept2, ev, k=4, min_shared=1)
+    # The curated set feeds every stage of the dedup+CC+split tail,
+    # each of which runs multiple jobs — materialize it once instead
+    # of re-executing the quality→repetition→decontamination lineage
+    # per job (measured ~3× on the bench; at deployment scale this is
+    # the stage boundary where the curated subset is WRITTEN anyway).
+    kept3 = kept3.localCheckpoint()
     labeled = leakage_safe_split(
         kept3,
         {"train": 0.8, "val": 0.1, "test": 0.1},
