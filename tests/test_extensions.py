@@ -1173,3 +1173,20 @@ def test_lineitem_fk_integrity_holds_on_driver_data(spark):
     assert (
         foreign_key_violations(li, o, "l_orderkey", "o_orderkey").count() == 0
     )
+
+
+def test_skew_profile_planted(spark):
+    from bigdata_kafka_2_spark.operators.profile import skew_profile
+
+    rows = [(i, "hot") for i in range(80)] + [
+        (100 + i, f"k{i}") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id long, key string")
+    out = {r.entry: r for r in skew_profile(df, "key", top_k=3).collect()}
+    assert out["top:1"].key_value == "hot"
+    assert out["top:1"].n_rows == 80 and out["top:1"].share == 0.8
+    assert out["summary:n_keys"].n_rows == 21
+    assert out["summary:max_per_key"].n_rows == 80
+    assert out["summary:max_per_key"].share == 0.8
+    # deterministic tie-break among the 1-row keys
+    assert out["top:2"].key_value == "k0" and out["top:3"].key_value == "k1"
