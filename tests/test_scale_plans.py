@@ -192,3 +192,47 @@ def test_range_bucket_string_path_is_deterministic(spark):
     pa = a.select("text", "__bkt").toPandas().sort_values("text").reset_index(drop=True)
     pb = b.select("text", "__bkt").toPandas().sort_values("text").reset_index(drop=True)
     assert pa.equals(pb)
+
+
+def test_global_prefix_sum_no_single_partition_window(spark):
+    l = read_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    out = R.global_prefix_sum(
+        l, ["l_orderkey", "l_linenumber"], "l_quantity"
+    )
+    plan = _plan(out)
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(__bkt" in plan
+    # semantics: exclusive prefix sum over the total order
+    rows = out.orderBy("l_orderkey", "l_linenumber").collect()
+    acc = 0
+    for r in rows[:2000]:
+        assert r.cum_before == acc
+        acc += int(r.l_quantity)
+
+
+def test_pack_sequences_no_single_partition_window(spark):
+    from bigdata_kafka_2_spark.operators.text import pack_sequences
+
+    d = read_table(spark, SF_DIR, "documents")
+    plan = _plan(pack_sequences(d, ctx=256))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_semantic_dedup_assignment_aggregates_map_side(spark):
+    """assign_centroids must plan a partial hash aggregate over the
+    broadcast explode (shuffle carries one partial row per vector),
+    never a window sort over the n*k scored rows."""
+    from bigdata_kafka_2_spark.operators import similarity as SIM
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    plan = _plan(SIM.assign_centroids(e, cents))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "max_by" in plan
+    assert "Window" not in plan
