@@ -12,6 +12,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from bigdata_kafka_2_spark import etl
+from bigdata_kafka_2_spark.io import read_table
+from tests.conftest import SF_DIR
 from bigdata_kafka_2_spark.ml import knn, pipelines as P
 from bigdata_kafka_2_spark.schema import FOOD_NUMERIC_COLUMNS
 
@@ -168,3 +170,41 @@ def test_insufficient_data_gate(spark):
     tiny = spark.createDataFrame([(1.0, 2.0)] * 3, ["x", "y"])
     with pytest.raises(P.InsufficientDataError):
         P.train_kmeans(tiny, ["x", "y"])
+
+
+def test_distilled_quality_classifier(spark, tmp_path):
+    from bigdata_kafka_2_spark.ml.quality import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from bigdata_kafka_2_spark.ml.pipelines import load_model, save_model
+    from bigdata_kafka_2_spark.operators.text import quality_filter_flags
+
+    d = read_table(spark, SF_DIR, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    held = d.filter(F.col("doc_id") % 5 == 0)
+
+    model = train_quality_classifier(train, seed=1)
+    scored = score_quality(model, held)
+    rows = scored.select("doc_id", "quality_score").collect()
+    assert len(rows) == held.count()
+    assert all(0.0 <= r.quality_score <= 1.0 for r in rows)
+
+    # the distilled score must actually separate the rule classes on
+    # HELD-OUT docs: mean P(keep) of rule-kept docs well above rule-dropped
+    truth = {
+        r.doc_id: r.keep for r in quality_filter_flags(held).collect()
+    }
+    kept = [r.quality_score for r in rows if truth[r.doc_id]]
+    dropped = [r.quality_score for r in rows if not truth[r.doc_id]]
+    assert kept and dropped
+    assert sum(kept) / len(kept) > sum(dropped) / len(dropped) + 0.2
+
+    # uniform persistence (S9) round-trips the whole pipeline
+    path = str(tmp_path / "quality_model")
+    save_model(model, path)
+    re_scored = score_quality(load_model(path), held)
+    assert (
+        sorted((r.doc_id, r.quality_score) for r in re_scored.select("doc_id", "quality_score").collect())
+        == sorted((r.doc_id, r.quality_score) for r in rows)
+    )
