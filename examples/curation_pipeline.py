@@ -14,12 +14,20 @@ loops; collected outputs are bounded summaries):
                  (operators/dedup.near_dedup, verify=True).
 3. QUALITY     — quality-stat gates: keep docs with enough tokens
                  and a sane alpha ratio (operators/text.with_text_stats
-                 — one projection, no shuffle).
+                 — one projection, no shuffle); then the r7 gates:
+                 repetition filter (repetition_stats), PII scrub
+                 (pii_flags routing only flagged rows into
+                 redact_pii), benchmark decontamination vs a held-out
+                 slice (dedup.decontaminate), and the unigram-LM
+                 perplexity-proxy score (unigram_logprob_scores).
 4. TOKENS      — corpus token accounting on the survivors (whitespace
                  + BPE-ish regex counts, operators/text).
 5. SPLIT       — append-stable hash splits train/val/test
                  (operators/sampling.hash_split; membership depends
-                 only on (key, seed), stable under appends/re-runs).
+                 only on (key, seed), stable under appends/re-runs);
+                 then the 256-token sequence-packing manifest
+                 (text.pack_sequences) and the constraint promotion
+                 gate (profile.check_constraints).
 6. EMBED       — the survivors' embeddings (vec_id == doc_id on the
                  driver tables) are int8-quantized
                  (operators/similarity.quantize_int8) and assigned to
@@ -77,6 +85,59 @@ def run(spark, sf_dir: str) -> list[dict]:
     n3 = docs3.count()
     out.append({"stage": "quality_filter", "in": n2, "out": n3})
 
+    # 3b. repetition gate (r7): drop boilerplate/spam-shaped docs whose
+    #     token 2-grams concentrate (operators/text.repetition_stats)
+    rep_keep = (
+        TX.repetition_stats(docs3, n=2, max_top_frac=0.2, max_dup_frac=0.3)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    docs3 = docs3.join(rep_keep, "doc_id", "left_semi")
+    n3b = docs3.count()
+    out.append({"stage": "repetition_filter", "in": n3, "out": n3b})
+
+    # 3c. PII scrub (r7): count hits, redact ONLY flagged rows (the
+    #     expensive rewrite touches a few %; operators/text.pii_flags)
+    flags = TX.pii_flags(docs3)
+    n_pii = flags.filter(F.col("has_pii")).count()
+    flagged = docs3.join(
+        flags.filter(F.col("has_pii")).select("doc_id"), "doc_id", "left_semi"
+    )
+    clean = docs3.join(flagged.select("doc_id"), "doc_id", "left_anti")
+    docs3 = clean.unionByName(
+        TX.redact_pii(flagged).select(
+            "doc_id", F.col("text_redacted").alias("text")
+        )
+    )
+    out.append({"stage": "pii_scrub", "flagged": int(n_pii), "out": n3b})
+
+    # 3d. benchmark decontamination (r7): drop docs sharing 4-grams
+    #     with a held-out eval slice (operators/dedup.decontaminate —
+    #     eval side broadcast, train scan never shuffles)
+    ev = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 13 == 0
+    ).select("doc_id", "text")
+    docs3 = DD.decontaminate(
+        docs3.filter(F.col("doc_id") % 13 != 0), ev, k=4
+    )
+    # stage boundary: every downstream stage (tokens, split, pack,
+    # gate, embed) re-reads the curated set across several jobs —
+    # materialize the dedup->quality->scrub lineage once (the q81
+    # lesson; a deployment writes the curated table here anyway)
+    docs3 = docs3.localCheckpoint()
+    n3d = docs3.count()
+    out.append({"stage": "decontaminate", "in": n3b, "out": n3d})
+
+    # 3e. LM quality score (r7): mean unigram log-prob under the
+    #     corpus's own LM — the perplexity-proxy ranking signal
+    lp = TX.unigram_logprob_scores(docs3).agg(
+        F.round(F.avg("logprob"), 4).alias("avg"),
+        F.round(F.min("logprob"), 4).alias("min"),
+    ).first()
+    out.append(
+        {"stage": "lm_score", "avg_logprob": float(lp.avg), "min_logprob": float(lp.min)}
+    )
+
     # 4. corpus token accounting on survivors
     from bigdata_kafka_2_spark.plans.text_queries import _BPE_PATTERN
 
@@ -103,6 +164,36 @@ def run(spark, sf_dir: str) -> list[dict]:
         for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     out.append({"stage": "split", **profile})
+
+    # 5b. sequence-packing manifest (r7): lay the curated corpus into
+    #     256-token context windows (operators/text.pack_sequences —
+    #     range-bucketed prefix sum, no single-partition window)
+    pack = TX.pack_sequences(docs3, ctx=256).agg(
+        F.max("end_bin").alias("bins"), F.sum("n_tokens").alias("toks")
+    ).first()
+    out.append(
+        {
+            "stage": "pack_manifest",
+            "context_windows": int(pack.bins) + 1,
+            "packed_tokens": int(pack.toks),
+        }
+    )
+
+    # 5c. promotion gate (r7): constraint checks must pass before the
+    #     curated set ships (operators/profile.check_constraints)
+    from bigdata_kafka_2_spark.operators.profile import check_constraints
+
+    gate = {
+        r.rule: int(r.n_violations)
+        for r in check_constraints(
+            docs3,
+            {
+                "id_not_null": F.col("doc_id").isNotNull(),
+                "text_not_empty": F.length(F.trim("text")) > 0,
+            },
+        ).collect()
+    }
+    out.append({"stage": "promotion_gate", **gate})
 
     # 6. compressed, index-ready embedding store for the survivors
     emb = read_table(spark, sf_dir, "embeddings")

@@ -469,12 +469,25 @@ def test_curation_pipeline_example(spark):
     assert stages["dedup_exact"]["out"] <= stages["dedup_exact"]["in"]
     assert stages["dedup_near"]["out"] <= stages["dedup_near"]["in"]
     assert stages["quality_filter"]["out"] <= stages["quality_filter"]["in"]
-    n_final = stages["quality_filter"]["out"]
+    assert (
+        stages["repetition_filter"]["out"] <= stages["repetition_filter"]["in"]
+    )
+    assert stages["pii_scrub"]["flagged"] >= 0
+    assert stages["decontaminate"]["out"] <= stages["decontaminate"]["in"]
+    assert stages["lm_score"]["min_logprob"] <= stages["lm_score"]["avg_logprob"] <= 0
+    n_final = stages["decontaminate"]["out"]
     split = stages["split"]
     assert split["train"] + split.get("val", 0) + split.get("test", 0) == n_final
     assert stages["embed_store"]["vectors"] == n_final
     assert stages["embed_store"]["ivf_cells"] == 8
     assert stages["token_accounting"]["ws_tokens"] > 0
+    assert stages["pack_manifest"]["packed_tokens"] > 0
+    assert (
+        stages["pack_manifest"]["context_windows"]
+        >= stages["pack_manifest"]["packed_tokens"] // 256
+    )
+    assert stages["promotion_gate"]["id_not_null"] == 0
+    assert stages["promotion_gate"]["text_not_empty"] == 0
     serve = stages["ann_serve"]
     assert 1 <= len(serve["neighbors"]) <= 5
     assert serve["probe"] not in serve["neighbors"]
