@@ -1,0 +1,135 @@
+"""Time-series analytics over event tables (charter extension — the
+`events` surface beyond windows/sessionization: gap-filling resample
+and ordered-funnel analysis, the two event-analytics staples the
+window family doesn't cover).
+
+All deterministic; fp-summing follows the engine's exact-DECIMAL rule
+so aggregates are partition-order-independent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Daily resample with forward fill:
+    ``(user, day, day_value, filled_value)`` — one row per (user, day)
+    over the table's FULL day range, ``day_value`` the day's exact
+    value sum (NULL on gap days), ``filled_value`` the last observed
+    day carried forward (NULL until the user's first event).
+
+    Plan shape: the day grid is users × sequence(min_day, max_day)
+    (bounds are a 1-row broadcast; the grid explodes row-locally), the
+    observed sums join on (user, day) — the same key the fill window
+    partitions by, so the exchange is reused — and the forward fill is
+    ``last(ignorenulls)`` over an unbounded-preceding row frame. Sums
+    are exact DECIMALs (order-independent across partitionings and
+    engines). At 100 TB the grid is |users|·|days| rows — the OUTPUT
+    size of any gap-filled resample — and every shuffle is keyed by
+    user.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        events.groupBy(
+            F.col(user_col), day.alias("__day")
+        )
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__v")
+        )
+    )
+    bounds = events.agg(
+        F.date_trunc("day", F.min(ts_col)).alias("__lo"),
+        F.date_trunc("day", F.max(ts_col)).alias("__hi"),
+    )
+    grid = (
+        events.select(user_col)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            user_col,
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr("interval 1 day"))
+            ).alias("__day"),
+        )
+    )
+    joined = grid.join(daily, on=[user_col, "__day"], how="left")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("__day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        user_col,
+        F.date_format("__day", "yyyy-MM-dd").alias("day"),
+        F.col("__v").cast("double").alias("day_value"),
+        F.last("__v", ignorenulls=True).over(w).cast("double").alias(
+            "filled_value"
+        ),
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+) -> DataFrame:
+    """Ordered-funnel completion: ``(step_idx, step, n_users)`` —
+    users whose FIRST qualifying occurrence of each step strictly
+    follows their time for the previous step, optionally within a
+    ``within`` horizon of it (e.g. ``"12 hours"`` — the
+    product-analytics conversion window). Greedy earliest-anchor
+    semantics: each step's time is the user's first qualifying
+    occurrence, which makes the result deterministic (a later anchor
+    that would have converted is not explored — the standard funnel
+    definition).
+
+    Plan shape: one filtered min-aggregate per step, each joined to
+    the previous frontier on the user key — k narrow user-keyed
+    shuffles for a k-step funnel, never an explode or self cross
+    join. The final counts are k scalar aggregates unioned row-
+    locally.
+    """
+    frontier = None
+    counts = []
+    for i, step in enumerate(steps):
+        ev = events.filter(F.col(type_col) == step)
+        if frontier is None:
+            frontier = ev.groupBy(user_col).agg(
+                F.min(ts_col).alias("__t")
+            )
+        else:
+            qual = (
+                ev.join(frontier.select(user_col, "__t"), on=user_col)
+                .filter(F.col(ts_col) > F.col("__t"))
+            )
+            if within is not None:
+                qual = qual.filter(
+                    F.col(ts_col)
+                    <= F.col("__t") + F.expr(f"interval {within}")
+                )
+            frontier = qual.groupBy(user_col).agg(
+                F.min(ts_col).alias("__t")
+            )
+        counts.append(
+            frontier.agg(
+                F.lit(i + 1).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

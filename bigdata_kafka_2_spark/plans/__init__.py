@@ -224,6 +224,7 @@ def _import_all() -> None:
         similarity_queries,
         streaming_queries,
         text_queries,
+        timeseries_queries,
         tpch_queries,
         vector_queries,
     )

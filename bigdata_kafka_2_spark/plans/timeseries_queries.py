@@ -1,0 +1,106 @@
+"""Time-series analytics queries over ``events`` (charter extension:
+gap-filling resample + ordered funnel — the event-analytics staples
+beyond the window/sessionization family)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdata_kafka_2_spark.io import read_table
+from bigdata_kafka_2_spark.plans import register
+
+
+@register(
+    "q89_resample_ffill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             sum(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('day', min(ts)) AS lo,
+             date_trunc('day', max(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT u.user_id, g.d
+      FROM (SELECT DISTINCT user_id FROM events) u,
+           bounds,
+           UNNEST(generate_series(bounds.lo, bounds.hi,
+                                  INTERVAL '1 day')) AS g(d)
+    )
+    SELECT g.user_id,
+           strftime(g.d, '%Y-%m-%d') AS day,
+           CAST(daily.v AS DOUBLE) AS day_value,
+           CAST(last_value(daily.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS filled_value
+    FROM grid g
+      LEFT JOIN daily ON daily.user_id = g.user_id AND daily.d = g.d
+    """,
+    description="Gap-filling daily resample with forward fill "
+    "(operators/timeseries.resample_ffill): one row per (user, day) "
+    "over the table's full range — exact-DECIMAL day sums (NULL on "
+    "gap days) plus last-observed-day carried forward. The grid is "
+    "users × day-sequence (bounds a 1-row broadcast, the sequence "
+    "exploded row-locally); the observed-sum join and the fill "
+    "window share the user key. The time-series normalization step "
+    "the window family doesn't cover (dashboards, training-feature "
+    "alignment).",
+    tags=("window", "aggregate"),
+)
+def q89_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import resample_ffill
+
+    e = read_table(spark, sf_dir, "events")
+    return resample_ffill(e)
+
+
+@register(
+    "q99_funnel_counts",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t
+        AND e.ts <= s1.t + INTERVAL '12 hours'
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        AND e.ts <= s2.t + INTERVAL '12 hours'
+      GROUP BY 1
+    )
+    SELECT 1 AS step_idx, 'view' AS step,
+           (SELECT count(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    """,
+    description="Ordered conversion funnel "
+    "(operators/timeseries.funnel_counts): users whose first 'view' "
+    "is followed by a 'click' within 12 hours and then a 'purchase' "
+    "within 12 hours of that click — greedy earliest-anchor "
+    "semantics (deterministic, the standard product-analytics "
+    "funnel; horizon chosen non-vacuous on the driver events: "
+    "150→37→7 at sf0.01). One filtered min-aggregate per step joined "
+    "to the previous frontier on the user key — k narrow user-keyed "
+    "shuffles, no explode, no self cross join.",
+    tags=("aggregate", "join"),
+)
+def q99_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import funnel_counts
+
+    e = read_table(spark, sf_dir, "events")
+    return funnel_counts(
+        e, ["view", "click", "purchase"], within="12 hours"
+    )

@@ -1203,3 +1203,62 @@ def test_skew_profile_planted(spark):
     assert out["summary:max_per_key"].share == 0.8
     # deterministic tie-break among the 1-row keys
     assert out["top:2"].key_value == "k0" and out["top:3"].key_value == "k1"
+
+
+def test_resample_ffill_planted(spark):
+    from bigdata_kafka_2_spark.operators.timeseries import resample_ffill
+
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, 5.0),
+        (1, "2024-01-01 11:00:00", 1, 2.5),   # same day, sums to 7.5
+        (2, "2024-01-04 09:00:00", 1, 1.0),   # 2-day gap -> ffill 7.5
+        (3, "2024-01-02 09:00:00", 2, 3.0),   # user 2 starts day 2
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r.user_id, r.day): r
+        for r in resample_ffill(df).collect()
+    }
+    # grid spans the full table range for every user (4 days x 2 users)
+    assert len(out) == 8
+    assert out[(1, "2024-01-01")].day_value == 7.5
+    assert out[(1, "2024-01-02")].day_value is None
+    assert out[(1, "2024-01-02")].filled_value == 7.5
+    assert out[(1, "2024-01-03")].filled_value == 7.5
+    assert out[(1, "2024-01-04")].day_value == 1.0
+    # user 2 has no observation on day 1: NULL until first event
+    assert out[(2, "2024-01-01")].filled_value is None
+    assert out[(2, "2024-01-02")].filled_value == 3.0
+    assert out[(2, "2024-01-04")].filled_value == 3.0
+
+
+def test_funnel_counts_planted(spark):
+    from bigdata_kafka_2_spark.operators.timeseries import funnel_counts
+
+    rows = [
+        # user 1 converts fully within the horizon
+        (0, "2024-01-01 10:00:00", 1, "view"),
+        (1, "2024-01-01 10:30:00", 1, "click"),
+        (2, "2024-01-01 11:00:00", 1, "purchase"),
+        # user 2 clicks too late (after the 1 hour horizon)
+        (3, "2024-01-01 10:00:00", 2, "view"),
+        (4, "2024-01-01 12:30:00", 2, "click"),
+        # user 3 purchases BEFORE clicking -> ordering violated
+        (5, "2024-01-01 10:00:00", 3, "view"),
+        (6, "2024-01-01 10:40:00", 3, "purchase"),
+        (7, "2024-01-01 10:50:00", 3, "click"),
+        # user 4 never views
+        (8, "2024-01-01 10:00:00", 4, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.step: r.n_users
+        for r in funnel_counts(
+            df, ["view", "click", "purchase"], within="1 hour"
+        ).collect()
+    }
+    assert out == {"view": 3, "click": 2, "purchase": 1}
