@@ -85,6 +85,9 @@ HEADLINE = (
     "q85_incremental_dedup_survivors",
     "q86_table_profile",
     "q87_constraint_check",
+    "q88_skew_profile",
+    "q89_resample_ffill",
+    "q99_funnel_counts",
 )
 
 
