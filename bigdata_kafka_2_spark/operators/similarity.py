@@ -1210,3 +1210,111 @@ def ivf_pq_rerank_topk(
         pruned, probe, k, m, n_sub, n_cent, dim, seed, vec_col, id_col,
         books=books, normalize=True,
     )
+
+
+# --- Stored ANN index (IVF-partitioned + PQ codes + raw vectors) ---------
+
+def ann_index_write(
+    table: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    n_sub: int = 16,
+    n_cent: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    books: list[list[list[float]]] | None = None,
+) -> None:
+    """Build and persist the COMPLETE serving index in one layout:
+    centroid assignment as the parquet PARTITION key (IVF probes prune
+    at the file level), PQ codes over L2-normalized vectors (the
+    code-width ADC candidate tier), and the raw vector (the exact
+    rerank tier) — everything :func:`ann_index_search` needs, written
+    once. The deployment shape of :func:`ivf_pq_rerank_topk`: at
+    100 TB the assignment/encode cost is paid at INGEST (this
+    function), and every query touches ~n_probe/n_cells of the files,
+    of those only the id+code columns, and exactly m raw vectors.
+
+    ``books=None`` pins the production cosine codebooks
+    (``pq_books.PQ_COSINE_BOOKS``) — fit once, pin, serve.
+    """
+    if books is None:
+        from bigdata_kafka_2_spark.operators.pq_books import PQ_COSINE_BOOKS
+
+        books = PQ_COSINE_BOOKS
+    assigned = assign_centroids(table, centroids, vec_col, id_col)
+    normd = normalize_vectors(assigned, vec_col, "__nv", dim)
+    codes = pq_encode(
+        normd, n_sub, n_cent, dim, seed, "__nv", id_col,
+        books=books, with_error=False,
+    )
+    out = assigned.join(codes, on=id_col)
+    out.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ann_index_search(
+    index: DataFrame,
+    probe: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    m: int = 100,
+    n_probe: int = 3,
+    n_sub: int = 16,
+    n_cent: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Three-tier search over a STORED index
+    (``spark.read.parquet`` of :func:`ann_index_write`'s layout):
+    file-level IVF pruning on the partition column → ADC over the
+    STORED codes (no per-query encode — the difference from
+    :func:`ivf_pq_rerank_topk`, which encodes its candidate tier in
+    the query plan) → exact cosine rerank reading only the ``m``
+    candidate rows' raw vectors. Output
+    ``(probe_id, vec_id, similarity, rank)`` — identical to the
+    in-session composition (asserted in tests).
+    """
+    from pyspark.sql import Window
+
+    if books is None:
+        from bigdata_kafka_2_spark.operators.pq_books import PQ_COSINE_BOOKS
+
+        books = PQ_COSINE_BOOKS
+    cells = ivf_probe_cells(probe, centroids, n_probe, vec_col, id_col)
+    pruned = index.join(
+        F.broadcast(cells.select("centroid_id")), on="centroid_id"
+    )
+    pnorm = normalize_vectors(probe, vec_col, "__pv", dim).select(
+        F.col(id_col), "__pv"
+    )
+    cand = pq_adc_search(
+        pruned, pnorm, m, n_sub, n_cent, dim, seed,
+        vec_col="__pv", id_col=id_col, books=books,
+    ).select("probe_id", id_col)
+    t = _with_norm(index.select(id_col, vec_col), vec_col, "__tn")
+    p = F.broadcast(
+        _with_norm(
+            probe.select(
+                F.col(id_col).alias("probe_id"),
+                F.col(vec_col).alias("probe_vec"),
+            ),
+            "probe_vec",
+            "__pn",
+        )
+    )
+    sim = _pair_sim(vec_col, "probe_vec", "__tn", "__pn")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("similarity").desc(), F.col(id_col).asc()
+    )
+    return (
+        t.join(F.broadcast(cand), on=id_col)
+        .join(p, on="probe_id")
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", id_col, F.round(sim, 4).alias("similarity"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1262,3 +1262,47 @@ def test_funnel_counts_planted(spark):
         ).collect()
     }
     assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_ann_index_write_search_roundtrip(tmp_path, spark):
+    """The stored serving index (ann_index_write → read → search)
+    returns IDENTICAL results to the in-session three-tier composition
+    (ivf_pq_rerank_topk) with the same parameters, the candidate scan
+    reads stored codes (no per-query encode in the plan), and the
+    probed cells prune at the file level."""
+    e = read_table(spark, SF_DIR, "embeddings")
+    cents = e.filter(F.col("vec_id").isin([10, 20, 30, 40, 50, 60, 70, 80])).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    probe = e.filter(F.col("vec_id") == 0)
+    path = str(tmp_path / "ann_index")
+    SIM.ann_index_write(e, cents, path)
+
+    index = spark.read.parquet(path)
+    got = SIM.ann_index_search(
+        index, probe, cents, k=5, m=100, n_probe=3
+    )
+    want = SIM.ivf_pq_rerank_topk(
+        SIM.assign_centroids(e, cents), probe, cents, k=5, m=100, n_probe=3
+    )
+    as_rows = lambda df: sorted(
+        (r.probe_id, r.vec_id, r.similarity, r.rank) for r in df.collect()
+    )
+    assert as_rows(got) == as_rows(want)
+    assert len(as_rows(got)) == 5
+
+    # file-level pruning: only probed cells' files are read (filter on
+    # the partition column — input_file_name needs a single source)
+    cells = sorted(
+        r.centroid_id
+        for r in SIM.ivf_probe_cells(probe, cents, 3).collect()
+    )
+    assert len(cells) == 3
+    pruned = index.filter(F.col("centroid_id").isin(cells))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    files = pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    assert files and all(
+        any(f"centroid_id={c}" in r.f for c in cells) for r in files
+    )
