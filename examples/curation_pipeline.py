@@ -223,19 +223,22 @@ def run(spark, sf_dir: str) -> list[dict]:
         }
     )
 
-    # 7. ANN serving over the store: the full three-tier search (IVF
-    #    cell pruning x PQ-compressed candidate scan x exact rerank,
-    #    operators/similarity.ivf_pq_rerank_topk) for the first
-    #    surviving vector as probe — what a retrieval deployment runs
-    #    against the index this pipeline just built.
+    # 7. ANN serving over a STORED index (r7 deployment shape): write
+    #    the complete serving layout once — centroid assignment as
+    #    partition key (file-level IVF pruning), PQ codes (code-width
+    #    candidate scan), raw vectors (exact rerank) — then run the
+    #    three-tier search against the parquet, no per-query encode
+    #    (operators/similarity.ann_index_write / ann_index_search).
+    import tempfile
+
+    idx_path = os.path.join(
+        tempfile.gettempdir(), "curation_example_ann_index"
+    )
+    SIM.ann_index_write(kept, centroids, idx_path)
+    index = spark.read.parquet(idx_path)
     probe = kept.orderBy("vec_id").limit(1)
-    hits = SIM.ivf_pq_rerank_topk(
-        assigned.drop("q_min", "q_scale", "q_codes"),
-        probe,
-        centroids,
-        k=5,
-        m=50,
-        n_probe=3,
+    hits = SIM.ann_index_search(
+        index, probe, centroids, k=5, m=50, n_probe=3
     ).collect()
     out.append(
         {
