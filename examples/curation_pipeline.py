@@ -33,9 +33,11 @@ loops; collected outputs are bounded summaries):
                  (operators/similarity.quantize_int8) and assigned to
                  IVF centroids (assign_centroids) — the compressed,
                  index-ready store.
-7. ANN-SERVE   — a three-tier similarity query against that store
-                 (ivf_pq_rerank_topk: IVF pruning × PQ codes × exact
-                 rerank) — the retrieval side of the curated corpus.
+7. ANN-SERVE   — write the STORED serving index once
+                 (ann_index_write: partition-pruned IVF cells + PQ
+                 codes + raw vectors) and answer a three-tier query
+                 from the parquet (ann_index_search) — the retrieval
+                 deployment over the curated corpus.
 
 Prints one JSON summary line per stage.
 """
