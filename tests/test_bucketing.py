@@ -107,3 +107,30 @@ def test_zorder_write_tightens_both_columns(spark, tmp_path):
     # worst-dimension range is what bounds skipping when predicates can
     # hit either column; the z-curve keeps it strictly tighter
     assert max(zu, zv) < max(su, sv)
+
+
+def test_compact_parquet_roundtrip(tmp_path, spark):
+    from bigdata_kafka_2_spark.io import compact_parquet, read_table
+
+    d = read_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "fragmented")
+    # simulate a fragmented ingest: 64 tiny files
+    d.repartition(64).write.parquet(path)
+    before = sorted(r.doc_id for r in spark.read.parquet(path).collect())
+
+    stats = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1  # everything fits one target file
+    after = sorted(r.doc_id for r in spark.read.parquet(path).collect())
+    assert after == before  # rows preserved exactly
+
+    # target smaller than total -> splits back into multiple files
+    # (stats2["bytes"] is the compacted single-file layout, smaller
+    # than the fragmented total because 64 files carry 64 footers)
+    stats2 = compact_parquet(
+        spark, path, target_file_bytes=max(1, stats["bytes"] // 4)
+    )
+    assert stats2["files_before"] == 1
+    assert stats2["files_after"] >= 2
+    again = sorted(r.doc_id for r in spark.read.parquet(path).collect())
+    assert again == before
