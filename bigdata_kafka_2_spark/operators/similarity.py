@@ -1318,3 +1318,84 @@ def ann_index_search(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def truncated_rerank_topk(
+    table: DataFrame,
+    probe: DataFrame,
+    k: int = 5,
+    m: int = 50,
+    d_prefix: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-style two-tier search: rank candidates by cosine
+    over only the FIRST ``d_prefix`` dimensions (a d_prefix/dim-width
+    scan — with MRL-trained embeddings the leading dims carry most of
+    the signal, so this is the modern alternative to PQ for the
+    candidate tier), then exact full-dimension rerank of the top-``m``
+    — (probe_id, vec_id, similarity, rank), the q50/q68 output shape.
+
+    Cost shape at 100 TB: the scan reads (and dot-products)
+    d_prefix/dim of each vector — with a column layout that stores the
+    prefix separately, d_prefix/dim of the BYTES — and the exact tier
+    reads m full vectors per probe, m a constant. Same accuracy
+    contract as :func:`pq_adc_rerank_topk`: recall is governed by
+    whether true neighbors reach the top-m of the truncated ranking
+    (asserted vs exact on the driver table in tests; both tiers are
+    plain column expressions, so the whole pipeline is
+    SQL-expressible and hash-checked).
+    """
+    from pyspark.sql import Window
+
+    tt = _with_norm(
+        _ensure_parallel(table).withColumn(
+            "__tv", F.slice(F.col(vec_col), 1, d_prefix)
+        ),
+        "__tv",
+        "__ttn",
+    )
+    tp = F.broadcast(
+        _with_norm(
+            probe.select(
+                F.col(id_col).alias("probe_id"),
+                F.slice(F.col(vec_col), 1, d_prefix).alias("__pv"),
+            ),
+            "__pv",
+            "__tpn",
+        )
+    )
+    tsim = _pair_sim("__tv", "__pv", "__ttn", "__tpn")
+    wc = Window.partitionBy("probe_id").orderBy(
+        F.col("__ts").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        tt.crossJoin(tp)
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", F.col(id_col), F.round(tsim, 4).alias("__ts"))
+        .withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") <= m)
+        .select("probe_id", id_col)
+    )
+    t = _with_norm(table.select(id_col, vec_col), vec_col, "__tn")
+    p = F.broadcast(
+        _with_norm(
+            probe.select(
+                F.col(id_col).alias("probe_id"),
+                F.col(vec_col).alias("probe_vec"),
+            ),
+            "probe_vec",
+            "__pn",
+        )
+    )
+    sim = _pair_sim(vec_col, "probe_vec", "__tn", "__pn")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("similarity").desc(), F.col(id_col).asc()
+    )
+    return (
+        t.join(F.broadcast(cand), on=id_col)
+        .join(p, on="probe_id")
+        .select("probe_id", id_col, F.round(sim, 4).alias("similarity"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -704,3 +704,55 @@ def q75_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("centroid"),
     )
     return SIM.semantic_dedup_pairs(e, cents, threshold=_NEAR_DUP_THRESHOLD)
+
+
+@register(
+    "q100_truncated_rerank_topk",
+    oracle="""
+    WITH tr AS (
+      SELECT vec_id,
+             CAST(list_cosine_similarity(e.embedding[1:16],
+                                         p.embedding[1:16]) AS DOUBLE)
+               AS ts
+      FROM embeddings e, (SELECT embedding FROM embeddings
+                          WHERE vec_id = 0) p
+      WHERE e.vec_id <> 0
+    ),
+    cand AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY round(ts, 4) DESC,
+                                  vec_id ASC) AS r
+        FROM tr
+      ) WHERE r <= 50
+    )
+    SELECT 0 AS probe_id, e.vec_id,
+           round(CAST(list_cosine_similarity(e.embedding, p.embedding)
+                      AS DOUBLE), 4) AS similarity,
+           CAST(row_number() OVER (
+             ORDER BY round(CAST(list_cosine_similarity(
+                        e.embedding, p.embedding) AS DOUBLE), 4) DESC,
+                      e.vec_id ASC) AS BIGINT) AS rank
+    FROM embeddings e
+      JOIN cand USING (vec_id),
+      (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+    QUALIFY rank <= 5
+    """,
+    description="Matryoshka-style truncated-dimension ANN "
+    "(operators/similarity.truncated_rerank_topk): candidates ranked "
+    "by cosine over only the FIRST 16 of 64 dimensions — a "
+    "quarter-width scan; with MRL-trained embeddings the leading "
+    "dims carry most of the signal, the modern alternative to PQ for "
+    "the candidate tier — then exact full-dimension rerank of the "
+    "top-50. Both tiers are plain column expressions, so the whole "
+    "pipeline is SQL-expressible and hash-checked; recall vs exact "
+    "q50 asserted in tests.",
+    tags=("similarity", "limit"),
+)
+def q100_truncated_rerank_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0)
+    out = SIM.truncated_rerank_topk(e, probe, k=5, m=50, d_prefix=16)
+    return out.withColumn("rank", F.col("rank").cast("long"))

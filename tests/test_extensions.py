@@ -1306,3 +1306,31 @@ def test_ann_index_write_search_roundtrip(tmp_path, spark):
     assert files and all(
         any(f"centroid_id={c}" in r.f for c in cells) for r in files
     )
+
+
+def test_truncated_rerank_recall_vs_exact(spark):
+    e = read_table(spark, SF_DIR, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0)
+    exact = [r.vec_id for r in SIM.cosine_topk(e, probe, k=5).collect()]
+
+    def recall(d_prefix, m=100):
+        got = {
+            r.vec_id
+            for r in SIM.truncated_rerank_topk(
+                e, probe, k=5, m=m, d_prefix=d_prefix
+            ).collect()
+        }
+        return len(got & set(exact)) / len(exact)
+
+    # the driver embeddings are RANDOM (not MRL-trained — no dimension
+    # carries privileged signal), the hardest case for truncation:
+    # recall must still be monotone in the prefix width, and a half-
+    # width prefix recovers the exact top-5 through the m=100 rerank
+    assert recall(32) == 1.0
+    assert recall(16) <= recall(32)
+    assert recall(16, m=250) >= recall(16, m=100)
+    # degenerate configuration (full prefix, m = n) IS the exact top-k
+    full = SIM.truncated_rerank_topk(
+        e, probe, k=5, m=e.count(), d_prefix=64
+    ).collect()
+    assert [r.vec_id for r in sorted(full, key=lambda r: r.rank)] == exact
