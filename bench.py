@@ -88,6 +88,7 @@ HEADLINE = (
     "q88_skew_profile",
     "q89_resample_ffill",
     "q99_funnel_counts",
+    "q100_truncated_rerank_topk",
 )
 
 
