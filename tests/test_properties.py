@@ -402,3 +402,138 @@ def test_unigram_logprob_matches_brute_force(spark):
     assert got == expect
     # common-token doc scores higher than the rare-token doc
     assert got[3][1] > got[2][1]
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=0, max_size=30
+        ).map(lambda toks: " ".join(toks)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_repetition_stats_matches_bruteforce(spark, docs):
+    from collections import Counter
+
+    from bigdata_kafka_2_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in repetition_stats(df, n=2).collect()}
+    for i, text in enumerate(docs):
+        toks = text.split()
+        grams = [
+            f"{toks[j]} {toks[j+1]}" for j in range(len(toks) - 1)
+        ]
+        if not grams:
+            assert i not in got
+            continue
+        c = Counter(grams)
+        r = got[i]
+        assert r.n_grams == len(grams)
+        assert r.top_ngram_frac == round(max(c.values()) / len(grams), 4)
+        assert r.dup_ngram_frac == round(
+            (len(grams) - len(c)) / len(grams), 4
+        )
+
+
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=40), min_size=1, max_size=8
+    )
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_gapless_on_random_docs(spark, counts):
+    from bigdata_kafka_2_spark.operators.text import pack_sequences
+
+    rows = [(i, " ".join(["tok"] * n)) for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(pack_sequences(df, ctx=16).collect(), key=lambda r: r.doc_id)
+    acc = 0
+    for r, n in zip(out, counts):
+        assert r.n_tokens == n
+        assert r.cum_before == acc
+        assert r.start_bin == acc // 16
+        assert r.end_bin == (acc + n - 1) // 16
+        acc += n
+
+
+@given(
+    sizes=st.lists(
+        st.integers(min_value=1, max_value=200), min_size=2, max_size=6
+    )
+)
+@settings(**_SETTINGS)
+def test_temperature_weights_match_bruteforce(spark, sizes):
+    import math
+
+    from bigdata_kafka_2_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    rows = [
+        (i * 1000 + j, f"g{i}") for i, n in enumerate(sizes) for j in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    w = {
+        r.grp: r.weight
+        for r in temperature_mixture_weights(df, ["grp"], alpha=0.5).collect()
+    }
+    tot = sum(math.sqrt(n) for n in sizes)
+    for i, n in enumerate(sizes):
+        assert abs(w[f"g{i}"] - math.sqrt(n) / tot) < 1e-9
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),   # user
+            st.integers(min_value=0, max_value=50),  # minute
+            st.sampled_from(["a", "b"]),             # type
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_funnel_counts_match_bruteforce(spark, events):
+    from datetime import datetime, timedelta
+
+    from bigdata_kafka_2_spark.operators.timeseries import funnel_counts
+
+    epoch = datetime(2024, 1, 1)
+    rows = [
+        (i, epoch + timedelta(minutes=m), u, t)
+        for i, (u, m, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r.step: r.n_users
+        for r in funnel_counts(
+            df, ["a", "b"], within="10 minutes"
+        ).collect()
+    }
+    # brute force: greedy earliest-anchor with a 10-minute horizon
+    s1, s2 = set(), set()
+    by_user = {}
+    for u, m, t in events:
+        by_user.setdefault(u, []).append((m, t))
+    for u, evs in by_user.items():
+        a_times = sorted(m for m, t in evs if t == "a")
+        if not a_times:
+            continue
+        s1.add(u)
+        t1 = a_times[0]
+        b_times = sorted(
+            m for m, t in evs if t == "b" and t1 < m <= t1 + 10
+        )
+        if b_times:
+            s2.add(u)
+    assert got.get("a", 0) == len(s1)
+    assert got.get("b", 0) == len(s2)
