@@ -702,6 +702,11 @@ def incremental_near_dedup(
     postings, not the corpus); Jaccard is verified exactly from the
     per-doc shingle counts; survivors are a broadcast left-anti of
     the (delta-bounded) dropped-id set.
+
+    CONTRACT: corpus and delta ids must be disjoint (they are by
+    construction in an ingest pipeline — the delta is new). An id
+    present on both sides would double its row in the size union and
+    silently skew its Jaccard denominators.
     """
     sd = shingles(delta, text_col, id_col, k)
     sc = shingles(corpus, text_col, id_col, k)
