@@ -89,6 +89,7 @@ HEADLINE = (
     "q89_resample_ffill",
     "q99_funnel_counts",
     "q100_truncated_rerank_topk",
+    "q101_stream_stream_join",
 )
 
 

@@ -390,3 +390,52 @@ def q84_streaming_quality_filter(
     flagged = quality_filter_flags(_documents_stream(spark, sf_dir))
     sink = _drain(flagged, "q84_out", mode="append")
     return spark.table(sink)
+
+
+@register(
+    "q101_stream_stream_join",
+    oracle="""
+    SELECT v.user_id, count(*) AS n_pairs
+    FROM events v JOIN events c ON v.user_id = c.user_id
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+      AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '1 hour'
+    GROUP BY 1
+    """,
+    description="STREAM-STREAM interval join through the gate: two "
+    "streaming readers over the events source (views and clicks), "
+    "watermarked on both sides, inner-joined on user with the "
+    "event-time range constraint c.ts ∈ [v.ts, v.ts + 1 hour] — the "
+    "one streaming shape the window/dedup family doesn't cover; the "
+    "watermark + range bound is exactly what lets Spark expire "
+    "buffered state, so at 100 TB/day the join state holds one "
+    "watermark-horizon of events, not the stream. availableNow drain "
+    "into a memory sink, then per-user pair counts hash-checked "
+    "against the batch SQL join (streaming ≡ batch).",
+    tags=("streaming", "join"),
+)
+def q101_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        _staged_events_stream(spark, sf_dir, "q101_v", ("",))
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+    )
+    clicks = (
+        _staged_events_stream(spark, sf_dir, "q101_c", ("",))
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND c_ts >= v_ts "
+            "AND c_ts <= v_ts + interval 1 hour"
+        ),
+    )
+    sink = _drain(joined, "q101_out", mode="append")
+    return (
+        spark.table(sink)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
