@@ -90,6 +90,7 @@ HEADLINE = (
     "q99_funnel_counts",
     "q100_truncated_rerank_topk",
     "q101_stream_stream_join",
+    "q102_negative_samples",
 )
 
 

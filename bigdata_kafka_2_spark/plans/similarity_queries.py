@@ -756,3 +756,62 @@ def q100_truncated_rerank_topk(
     probe = e.filter(F.col("vec_id") == 0)
     out = SIM.truncated_rerank_topk(e, probe, k=5, m=50, d_prefix=16)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "q102_negative_samples",
+    oracle="""
+    WITH anchors AS (SELECT vec_id FROM embeddings WHERE vec_id < 3),
+    nbr AS (
+      SELECT p_id AS anchor_id, e_id FROM (
+        SELECT a.vec_id AS p_id, e.vec_id AS e_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(CAST(list_cosine_similarity(
+                            e.embedding, p.embedding) AS DOUBLE), 4) DESC,
+                          e.vec_id ASC
+               ) AS r
+        FROM embeddings e, anchors a
+          JOIN embeddings p ON p.vec_id = a.vec_id
+        WHERE e.vec_id <> a.vec_id
+      ) WHERE r <= 10
+    ),
+    cand AS (
+      SELECT a.vec_id AS anchor_id, e.vec_id
+      FROM embeddings e, anchors a
+      WHERE e.vec_id <> a.vec_id
+        AND NOT EXISTS (
+          SELECT 1 FROM nbr
+          WHERE nbr.anchor_id = a.vec_id AND nbr.e_id = e.vec_id
+        )
+    )
+    SELECT anchor_id, vec_id AS neg_id, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT anchor_id, vec_id,
+             row_number() OVER (
+               PARTITION BY anchor_id
+               ORDER BY (anchor_id * 2654435761 + vec_id * 40503)
+                          % 999999937 ASC,
+                        vec_id ASC
+             ) AS rank
+      FROM cand
+    ) WHERE rank <= 5
+    """,
+    description="Deterministic contrastive negative sampling "
+    "(operators/similarity.negative_samples): per anchor (vec_id<3), "
+    "5 uniform negatives drawn in a multiplicative-hash order, "
+    "excluding the anchor's 10 exact nearest neighbors — the "
+    "false-negative guard of contrastive training-pair construction. "
+    "The anchor set broadcasts against the table (nest-loop, table "
+    "never shuffles), the exclusion is a broadcast anti join of the "
+    "tiny neighbor list, the per-anchor top-k a window on the anchor "
+    "key; the pure-integer order hash makes the draw reproducible "
+    "across partitionings AND fully SQL-transcribable, so the query "
+    "is hash-checked end-to-end.",
+    tags=("similarity", "sampling"),
+)
+def q102_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 3)
+    out = SIM.negative_samples(e, anchors, k=5, exclude_top=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))

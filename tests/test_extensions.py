@@ -1334,3 +1334,29 @@ def test_truncated_rerank_recall_vs_exact(spark):
         e, probe, k=5, m=e.count(), d_prefix=64
     ).collect()
     assert [r.vec_id for r in sorted(full, key=lambda r: r.rank)] == exact
+
+
+def test_negative_samples_guarantees(spark):
+    e = read_table(spark, SF_DIR, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 3)
+    out = SIM.negative_samples(e, anchors, k=7, exclude_top=10).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    assert set(by_anchor) == {0, 1, 2}
+    nbrs = {
+        (r.probe_id, r.vec_id)
+        for r in SIM.cosine_topk_many(e, anchors, k=10).collect()
+    }
+    for a, rows in by_anchor.items():
+        assert len(rows) == 7
+        assert sorted(r.rank for r in rows) == list(range(1, 8))
+        for r in rows:
+            assert r.neg_id != a
+            # never a near neighbor (the false-negative guard)
+            assert (a, r.neg_id) not in nbrs
+    # deterministic across repartitioning
+    out2 = SIM.negative_samples(
+        e.repartition(13), anchors, k=7, exclude_top=10
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
