@@ -1408,53 +1408,75 @@ def negative_samples(
     exclude_top: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    semi_hard: bool = False,
 ) -> DataFrame:
-    """Deterministic uniform negatives for contrastive training:
-    ``(anchor_id, neg_id, rank)`` — per anchor, the ``k`` first
-    candidates in a seeded pseudo-random order, EXCLUDING the anchor
-    itself and its ``exclude_top`` nearest neighbors (the standard
-    guard against false negatives; semi-hard mining would rank by
-    similarity instead — same plan shape, different order key).
+    """Deterministic negatives for contrastive training:
+    ``(anchor_id, neg_id, rank)`` — per anchor, ``k`` candidates
+    EXCLUDING the anchor itself and its ``exclude_top`` nearest
+    neighbors (the standard guard against false negatives).
 
-    The candidate order is a multiplicative hash of (anchor, cand) —
-    a pure integer expression, so the draw is reproducible across
-    runs/partitionings AND transcribable by the SQL oracle (no
-    xxhash64 dependency). Plan shape: the anchor set broadcasts
-    against the table (the cosine_topk_many nest-loop — the table
-    never shuffles), the exclusion is a broadcast anti join of the
-    tiny (anchors × exclude_top) neighbor list, and the per-anchor
-    top-k is a window on the anchor key.
+    ``semi_hard=False`` (default) draws UNIFORM negatives in a
+    multiplicative-hash order — a pure integer expression, so the
+    draw is reproducible across runs/partitionings AND transcribable
+    by the SQL oracle. ``semi_hard=True`` orders by similarity
+    DESCENDING instead: the negatives become the most similar
+    candidates OUTSIDE the excluded neighbor band — the semi-hard
+    mining recipe that gives contrastive losses informative
+    gradients. Same plan shape either way: the anchor set broadcasts
+    against the table (nest-loop — the table never shuffles), the
+    exclusion is a broadcast anti join of the tiny
+    (anchors × exclude_top) neighbor list, and the per-anchor top-k
+    is a window on the anchor key.
     """
     from pyspark.sql import Window
 
     nbr = cosine_topk_many(
         table, anchors, k=exclude_top, vec_col=vec_col, id_col=id_col
-    ).select("probe_id", F.col(id_col).alias("__nbr"))
-    a = F.broadcast(anchors.select(F.col(id_col).alias("anchor_id")))
-    h = F.pmod(
-        F.col("anchor_id") * F.lit(2654435761)
-        + F.col(id_col) * F.lit(40503),
-        F.lit(999999937),
+    ).select(
+        F.col("probe_id").alias("anchor_id"),
+        F.col(id_col).alias("__nbr"),
     )
-    cand = (
-        _ensure_parallel(table)
-        .select(id_col)
-        .crossJoin(a)
-        .filter(F.col(id_col) != F.col("anchor_id"))
-        .join(
-            F.broadcast(
-                nbr.select(
-                    F.col("probe_id").alias("anchor_id"),
-                    F.col("__nbr").alias(id_col),
-                )
-            ),
-            on=["anchor_id", id_col],
-            how="left_anti",
+    if semi_hard:
+        t = _with_norm(_ensure_parallel(table), vec_col, "__tn")
+        p = F.broadcast(
+            _with_norm(
+                anchors.select(
+                    F.col(id_col).alias("anchor_id"),
+                    F.col(vec_col).alias("__av"),
+                ),
+                "__av",
+                "__an",
+            )
         )
+        sim = _pair_sim(vec_col, "__av", "__tn", "__an")
+        cand = (
+            t.crossJoin(p)
+            .filter(F.col(id_col) != F.col("anchor_id"))
+            .select(
+                "anchor_id", id_col, F.round(sim, 4).alias("__ord")
+            )
+        )
+        order = [F.col("__ord").desc(), F.col(id_col).asc()]
+    else:
+        a = F.broadcast(anchors.select(F.col(id_col).alias("anchor_id")))
+        h = F.pmod(
+            F.col("anchor_id") * F.lit(2654435761)
+            + F.col(id_col) * F.lit(40503),
+            F.lit(999999937),
+        )
+        cand = (
+            _ensure_parallel(table)
+            .select(id_col)
+            .crossJoin(a)
+            .filter(F.col(id_col) != F.col("anchor_id"))
+        )
+        order = [h.asc(), F.col(id_col).asc()]
+    cand = cand.join(
+        F.broadcast(nbr.withColumnRenamed("__nbr", id_col)),
+        on=["anchor_id", id_col],
+        how="left_anti",
     )
-    w = Window.partitionBy("anchor_id").orderBy(
-        h.asc(), F.col(id_col).asc()
-    )
+    w = Window.partitionBy("anchor_id").orderBy(*order)
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

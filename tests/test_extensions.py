@@ -1360,3 +1360,21 @@ def test_negative_samples_guarantees(spark):
         e.repartition(13), anchors, k=7, exclude_top=10
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_negative_samples_semi_hard(spark):
+    e = read_table(spark, SF_DIR, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 2)
+    hard = SIM.negative_samples(
+        e, anchors, k=5, exclude_top=10, semi_hard=True
+    ).collect()
+    # semi-hard negatives are EXACTLY ranks 11..15 of the full
+    # similarity ranking (the band just outside the excluded top-10)
+    full = SIM.cosine_topk_many(e, anchors, k=15).collect()
+    want = {
+        (r.probe_id, r.vec_id, r.rank - 10)
+        for r in full
+        if r.rank > 10
+    }
+    got = {(r.anchor_id, r.neg_id, r.rank) for r in hard}
+    assert got == want
