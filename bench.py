@@ -91,6 +91,7 @@ HEADLINE = (
     "q100_truncated_rerank_topk",
     "q101_stream_stream_join",
     "q102_negative_samples",
+    "q103_value_histogram",
 )
 
 

@@ -159,3 +159,82 @@ def skew_profile(
         ).alias("p")
     ).select("p.*")
     return top_rows.unionByName(summary)
+
+
+def value_histogram(
+    df: DataFrame, col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Equal-width histogram: ``(bucket, lo, hi, n_rows)`` over the
+    column's observed [min, max] — the distribution half of a data
+    profile (drift dashboards, binning sanity checks). One pass for
+    the bounds (1-row broadcast), one map-side-combined bucket count;
+    values AT max land in the last bucket (the width_bucket edge
+    convention both engines share when clamped).
+    """
+    bounds = df.agg(
+        F.min(F.col(col).cast("double")).alias("__lo"),
+        F.max(F.col(col).cast("double")).alias("__hi"),
+    )
+    b = F.least(
+        F.lit(n_buckets),
+        F.greatest(
+            F.lit(1),
+            F.when(
+                F.col("__hi") > F.col("__lo"),
+                F.floor(
+                    (F.col(col).cast("double") - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo")) / n_buckets)
+                ).cast("int")
+                + 1,
+            ).otherwise(F.lit(1)),
+        ),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / n_buckets
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .filter(F.col(col).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(
+            F.round(F.min("__lo") + (F.min(b) - 1) * F.min(width), 4).alias("lo"),
+            F.round(F.min("__lo") + F.min(b) * F.min(width), 4).alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def profile_diff(
+    before: DataFrame, after: DataFrame
+) -> DataFrame:
+    """Drift report between two :func:`profile_table` outputs:
+    ``(column, status, null_rate_before, null_rate_after,
+    distinct_before, distinct_after)`` with status ``added`` /
+    ``removed`` / ``common`` — the schema-and-stats comparison a
+    pipeline runs between yesterday's and today's snapshot before
+    promoting data (null-rate spikes and distinct-count collapses are
+    the classic silent-breakage signals). A full outer join of two
+    tiny profile frames — driver-scale by construction.
+    """
+    a = before.select(
+        "column",
+        (F.col("n_nulls") / F.greatest("n_rows", F.lit(1))).alias("__nr_a"),
+        F.col("n_distinct").alias("__d_a"),
+    )
+    b = after.select(
+        "column",
+        (F.col("n_nulls") / F.greatest("n_rows", F.lit(1))).alias("__nr_b"),
+        F.col("n_distinct").alias("__d_b"),
+    )
+    joined = a.join(b, on="column", how="full_outer")
+    status = (
+        F.when(F.col("__nr_a").isNull(), F.lit("added"))
+        .when(F.col("__nr_b").isNull(), F.lit("removed"))
+        .otherwise(F.lit("common"))
+    )
+    return joined.select(
+        "column",
+        status.alias("status"),
+        F.round("__nr_a", 6).alias("null_rate_before"),
+        F.round("__nr_b", 6).alias("null_rate_after"),
+        F.col("__d_a").alias("distinct_before"),
+        F.col("__d_b").alias("distinct_after"),
+    )

@@ -917,3 +917,42 @@ def q88_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = read_table(spark, sf_dir, "orders")
     return skew_profile(o, "o_custkey", top_k=5)
+
+
+@register(
+    "q103_value_histogram",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+             max(CAST(o_totalprice AS DOUBLE)) AS hi
+      FROM orders
+    ),
+    bucketed AS (
+      SELECT least(10, greatest(1,
+               CAST(floor((CAST(o_totalprice AS DOUBLE) - lo)
+                          / ((hi - lo) / 10)) AS INT) + 1)) AS bucket,
+             lo, hi
+      FROM orders, bounds
+      WHERE o_totalprice IS NOT NULL
+    )
+    SELECT bucket,
+           round(min(lo) + (min(bucket) - 1) * min((hi - lo) / 10), 4)
+             AS lo,
+           round(min(lo) + min(bucket) * min((hi - lo) / 10), 4) AS hi,
+           count(*) AS n_rows
+    FROM bucketed
+    GROUP BY bucket
+    """,
+    description="Equal-width value histogram "
+    "(operators/profile.value_histogram over orders.o_totalprice, 10 "
+    "buckets): the distribution half of a data profile — one bounds "
+    "pass (1-row broadcast) plus one map-side-combined bucket count, "
+    "max values clamped into the last bucket on both engines. "
+    "Hash-checked against a DuckDB transcription.",
+    tags=("aggregate", "quality"),
+)
+def q103_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import value_histogram
+
+    o = read_table(spark, sf_dir, "orders")
+    return value_histogram(o, "o_totalprice", n_buckets=10)

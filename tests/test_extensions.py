@@ -1378,3 +1378,41 @@ def test_negative_samples_semi_hard(spark):
     }
     got = {(r.anchor_id, r.neg_id, r.rank) for r in hard}
     assert got == want
+
+
+def test_value_histogram_and_profile_diff(spark):
+    from bigdata_kafka_2_spark.operators.profile import (
+        profile_diff,
+        profile_table,
+        value_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)], "v double"
+    )
+    hist = {r.bucket: r for r in value_histogram(df, "v", n_buckets=4).collect()}
+    # 100 values over [0, 99]: NULL excluded, max lands in the last bucket
+    assert sum(r.n_rows for r in hist.values()) == 100
+    assert set(hist) == {1, 2, 3, 4}
+    assert hist[1].lo == 0.0 and hist[4].hi == 99.0
+    # constant column degenerates to one bucket, not a divide-by-zero
+    const = spark.createDataFrame([(5.0,)] * 7, "v double")
+    chist = value_histogram(const, "v", n_buckets=4).collect()
+    assert len(chist) == 1 and chist[0].n_rows == 7
+
+    before = profile_table(
+        spark.createDataFrame([(1, "a"), (2, None)], "id long, cat string"),
+        ["id", "cat"],
+    )
+    after = profile_table(
+        spark.createDataFrame(
+            [(1, 1.0), (2, None), (3, None)], "id long, val double"
+        ),
+        ["id", "val"],
+    )
+    diff = {r.column: r for r in profile_diff(before, after).collect()}
+    assert diff["cat"].status == "removed"
+    assert diff["val"].status == "added"
+    assert diff["id"].status == "common"
+    assert diff["cat"].null_rate_before == 0.5
+    assert diff["val"].null_rate_after == round(2 / 3, 6)
