@@ -93,10 +93,25 @@ def _staged_events_stream(
         f"{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     os.makedirs(stage, exist_ok=True)
+    # the source may be a single parquet FILE (driver test data) or a
+    # parquet DIRECTORY (e.g. the scale probe's Spark-written replica);
+    # the file streaming source does not traverse a symlinked
+    # directory, so directory sources are linked file-by-file — the
+    # probe's large-side streaming runs otherwise read an EMPTY stream
+    # and report meaningless ratios (caught in the r7 probe record).
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        parts = sorted(
+            f for f in os.listdir(src) if f.endswith(".parquet")
+        )
+        sources = [(os.path.join(src, f), f"_{i}") for i, f in enumerate(parts)]
+    else:
+        sources = [(src, "")]
     for tag in copies:
-        link = os.path.join(stage, f"events{tag}.parquet")
-        if not os.path.exists(link):
-            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        for src_file, part in sources:
+            link = os.path.join(stage, f"events{tag}{part}.parquet")
+            if not os.path.exists(link):
+                os.symlink(src_file, link)
     out = spark.readStream.schema(stream_schema).parquet(stage)
     if ns_ts:
         out = out.withColumn(
@@ -351,9 +366,21 @@ def _documents_stream(
         f"{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    # file-vs-directory source handling: see _staged_events_stream
+    src = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(src):
+        sources = [
+            (os.path.join(src, f), f"_{i}")
+            for i, f in enumerate(
+                sorted(x for x in os.listdir(src) if x.endswith(".parquet"))
+            )
+        ]
+    else:
+        sources = [(src, "")]
+    for src_file, part in sources:
+        link = os.path.join(stage, f"documents{part}.parquet")
+        if not os.path.exists(link):
+            os.symlink(src_file, link)
     return spark.readStream.schema(batch.schema).parquet(stage)
 
 
