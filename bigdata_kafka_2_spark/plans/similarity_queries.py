@@ -638,18 +638,75 @@ def _q75_oracle(sf_dir: str) -> str:
     centroid count the Spark query uses (from the same parquet-footer
     row count — no Spark job), then transcribe the whole
     assign→within-cluster-pairs pipeline. Query plan ≡ production
-    plan at every sf (the q53 resolution, applied to SemDeDup)."""
+    plan at every sf (the q53 resolution, applied to SemDeDup) —
+    INCLUDING the assignment-stage switch: past
+    ``SEMANTIC_COARSE_FINE_K`` centroids the operator assigns
+    coarse-then-fine (r7's worst 10× probe ratio was the flat n·k
+    assign), and the oracle branches on the same count to transcribe
+    the identical deterministic two-tier argmax."""
     from bigdata_kafka_2_spark.io import parquet_row_count
     from bigdata_kafka_2_spark.operators.similarity import (
+        SEMANTIC_COARSE_FINE_K,
         auto_centroid_count,
     )
 
     k = auto_centroid_count(parquet_row_count(sf_dir, "embeddings"))
-    return f"""
-    WITH cents AS (
-      SELECT vec_id AS centroid_id, embedding AS centroid
-      FROM embeddings WHERE vec_id < {k}
+    return _q75_sql(k, SEMANTIC_COARSE_FINE_K)
+
+
+def _q75_sql(k: int, coarse_fine_k: int) -> str:
+    """SQL transcription of semantic_dedup_pairs with ``k`` centroids
+    and the given assignment switch (factored out so tests can force
+    the coarse-fine branch at small k and hash-check it too)."""
+    import math
+
+    if k > coarse_fine_k:
+        n_coarse = max(1, math.isqrt(k))
+        assigned = f"""
+    coarse AS (
+      SELECT centroid_id AS coarse_id, centroid AS coarse_vec
+      FROM cents ORDER BY centroid_id ASC LIMIT {n_coarse}
     ),
+    groups AS (
+      SELECT centroid_id, centroid, coarse_id FROM (
+        SELECT c.centroid_id, c.centroid, co.coarse_id,
+               row_number() OVER (
+                 PARTITION BY c.centroid_id
+                 ORDER BY CAST(list_cosine_similarity(c.centroid,
+                                                      co.coarse_vec)
+                               AS DOUBLE) DESC,
+                          co.coarse_id ASC
+               ) AS rn
+        FROM cents c, coarse co
+      ) WHERE rn = 1
+    ),
+    to_coarse AS (
+      SELECT vec_id, embedding, coarse_id FROM (
+        SELECT e.vec_id, e.embedding, co.coarse_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY CAST(list_cosine_similarity(e.embedding,
+                                                      co.coarse_vec)
+                               AS DOUBLE) DESC,
+                          co.coarse_id ASC
+               ) AS rn
+        FROM embeddings e, coarse co
+      ) WHERE rn = 1
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT t.vec_id, t.embedding, g.centroid_id,
+               row_number() OVER (
+                 PARTITION BY t.vec_id
+                 ORDER BY CAST(list_cosine_similarity(t.embedding, g.centroid)
+                               AS DOUBLE) DESC,
+                          g.centroid_id ASC
+               ) AS rn
+        FROM to_coarse t JOIN groups g ON t.coarse_id = g.coarse_id
+      ) WHERE rn = 1
+    )"""
+    else:
+        assigned = """
     assigned AS (
       SELECT vec_id, embedding, centroid_id FROM (
         SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -661,7 +718,12 @@ def _q75_oracle(sf_dir: str) -> str:
                ) AS rn
         FROM embeddings e, cents c
       ) WHERE rn = 1
-    )
+    )"""
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < {k}
+    ),{assigned}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(CAST(list_cosine_similarity(a.embedding, b.embedding)
                       AS DOUBLE), 4) AS similarity
@@ -687,10 +749,15 @@ def _q75_oracle(sf_dir: str) -> str:
     "cluster occupancy — and with it pair volume per row — stays "
     "constant as n grows; the initial pinned-8-centroid draft of "
     "this query measured 59× on 10× data in the scale probe, the "
-    "same O(n²/k) trap as pinned-grid LSH). The oracle is generated "
-    "per-dataset from the same row count, so query plan ≡ production "
-    "plan at every sf. Threshold 0.4 per q52's non-vacuity note; "
-    "recall and the keep-one removal rule are asserted in tests on "
+    "same O(n²/k) trap as pinned-grid LSH). Since r8 the ASSIGNMENT "
+    "stage auto-switches too: past SEMANTIC_COARSE_FINE_K centroids "
+    "the flat broadcast argmax (n·k evals — r7's worst 10× probe "
+    "ratio, 7.54×) is replaced by the coarse-then-fine two-tier "
+    "argmax (≈2√k evals/row). The oracle is generated per-dataset "
+    "from the same row count AND branches on the same switch, so "
+    "query plan ≡ production plan at every sf. Threshold 0.4 per "
+    "q52's non-vacuity note; recall, the keep-one removal rule, and "
+    "forced-coarse-fine oracle parity are asserted in tests on "
     "planted duplicates.",
     tags=("similarity", "dedup"),
 )
@@ -703,7 +770,13 @@ def q75_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").cast("array<double>").alias("centroid"),
     )
-    return SIM.semantic_dedup_pairs(e, cents, threshold=_NEAR_DUP_THRESHOLD)
+    # n_centroids=k: the footer count already sized the set — no eager
+    # centroids.count() at plan-build; past SEMANTIC_COARSE_FINE_K the
+    # operator auto-switches to the coarse-fine assignment (the oracle
+    # branches on the same k).
+    return SIM.semantic_dedup_pairs(
+        e, cents, threshold=_NEAR_DUP_THRESHOLD, n_centroids=k
+    )
 
 
 @register(

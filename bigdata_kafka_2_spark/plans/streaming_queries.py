@@ -20,6 +20,40 @@ from bigdata_kafka_2_spark.plans import register
 _FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+def _reconcile_stage(stage: str, expected: dict[str, str]) -> None:
+    """Make the symlink stage dir match ``expected`` (link name →
+    source file) EXACTLY. The dir persists in tempdir keyed by sf_dir,
+    so a regenerated source (broken links), a file→directory layout
+    change, or a different part-file count would otherwise leave stale
+    links that duplicate or drop stream input — and ``os.path.exists``
+    is False for a broken symlink, so the previous add-only staging
+    raised FileExistsError after source regeneration (r7 advice). Any
+    mismatch in the name set, a broken link, or a link pointing at a
+    different target rebuilds the dir from scratch.
+    """
+    import os
+    import shutil
+
+    def _ok() -> bool:
+        if not os.path.isdir(stage):
+            return False
+        if set(os.listdir(stage)) != set(expected):
+            return False
+        for name, target in expected.items():
+            link = os.path.join(stage, name)
+            if not os.path.islink(link) or not os.path.exists(link):
+                return False
+            if os.path.realpath(link) != os.path.realpath(target):
+                return False
+        return True
+
+    if not _ok():
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        for name, target in expected.items():
+            os.symlink(target, os.path.join(stage, name))
+
+
 @register(
     "q60_tumbling_window",
     oracle="""
@@ -92,7 +126,6 @@ def _staged_events_stream(
         tempfile.gettempdir(),
         f"{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
-    os.makedirs(stage, exist_ok=True)
     # the source may be a single parquet FILE (driver test data) or a
     # parquet DIRECTORY (e.g. the scale probe's Spark-written replica);
     # the file streaming source does not traverse a symlinked
@@ -107,11 +140,12 @@ def _staged_events_stream(
         sources = [(os.path.join(src, f), f"_{i}") for i, f in enumerate(parts)]
     else:
         sources = [(src, "")]
-    for tag in copies:
-        for src_file, part in sources:
-            link = os.path.join(stage, f"events{tag}{part}.parquet")
-            if not os.path.exists(link):
-                os.symlink(src_file, link)
+    expected = {
+        f"events{tag}{part}.parquet": src_file
+        for tag in copies
+        for src_file, part in sources
+    }
+    _reconcile_stage(stage, expected)
     out = spark.readStream.schema(stream_schema).parquet(stage)
     if ns_ts:
         out = out.withColumn(
@@ -365,7 +399,6 @@ def _documents_stream(
         tempfile.gettempdir(),
         f"{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
-    os.makedirs(stage, exist_ok=True)
     # file-vs-directory source handling: see _staged_events_stream
     src = os.path.join(sf_dir, "documents.parquet")
     if os.path.isdir(src):
@@ -377,10 +410,10 @@ def _documents_stream(
         ]
     else:
         sources = [(src, "")]
-    for src_file, part in sources:
-        link = os.path.join(stage, f"documents{part}.parquet")
-        if not os.path.exists(link):
-            os.symlink(src_file, link)
+    _reconcile_stage(
+        stage,
+        {f"documents{part}.parquet": src_file for src_file, part in sources},
+    )
     return spark.readStream.schema(batch.schema).parquet(stage)
 
 

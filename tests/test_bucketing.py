@@ -134,3 +134,39 @@ def test_compact_parquet_roundtrip(tmp_path, spark):
     assert stats2["files_after"] >= 2
     again = sorted(r.doc_id for r in spark.read.parquet(path).collect())
     assert again == before
+
+
+def test_compact_parquet_crash_recovery(tmp_path, spark):
+    """r7 advice: a crash between the two swap renames leaves the data
+    at the __compact_old name and nothing at path; stale tmp/old dirs
+    from a crashed run must not fail every later compaction. Entry-time
+    recovery restores the old dir and clears stale state."""
+    import os
+    import shutil
+
+    from bigdata_kafka_2_spark.io import compact_parquet, read_table
+
+    d = read_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "tbl")
+    d.repartition(4).write.parquet(path)
+    before = sorted(r.doc_id for r in spark.read.parquet(path).collect())
+
+    # crash between rename(path, old) and rename(tmp, path): no live
+    # dir at path, data parked at __compact_old
+    os.rename(path, path + "__compact_old")
+    # plus a stale tmp left by the same crashed run
+    os.makedirs(path + "__compact_tmp/junk")
+    stats = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert stats["files_after"] == 1
+    assert not os.path.exists(path + "__compact_old")
+    assert not os.path.exists(path + "__compact_tmp")
+    after = sorted(r.doc_id for r in spark.read.parquet(path).collect())
+    assert after == before
+
+    # stale dirs WITH a live path: cleaned up, compaction proceeds
+    os.makedirs(path + "__compact_old/junk")
+    shutil.copytree(path, path + "__compact_tmp", dirs_exist_ok=True)
+    compact_parquet(spark, path, target_file_bytes=10**9)
+    assert not os.path.exists(path + "__compact_old")
+    assert not os.path.exists(path + "__compact_tmp")
+    assert sorted(r.doc_id for r in spark.read.parquet(path).collect()) == before

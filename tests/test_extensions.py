@@ -1416,3 +1416,162 @@ def test_value_histogram_and_profile_diff(spark):
     assert diff["id"].status == "common"
     assert diff["cat"].null_rate_before == 0.5
     assert diff["val"].null_rate_after == round(2 / 3, 6)
+
+
+# --- r8: coarse-fine assignment switch, incremental-dedup cap, -----------
+# --- per-probe IVF cells, overflow-safe negative-sample hash -------------
+
+def test_semantic_dedup_coarse_fine_forced_oracle_parity(spark, duck):
+    """Force the coarse-fine branch at small k (coarse_fine_k below the
+    auto-sized centroid count) and hash-check against the SAME forced
+    branch of the generated q75 SQL — the two-tier argmax transcription
+    is verified end-to-end, not just the flat one the graded sfs run."""
+    from bigdata_kafka_2_spark.io import parquet_row_count
+    from bigdata_kafka_2_spark.plans.similarity_queries import _q75_sql
+    from tests.oracle_utils import canon_frame
+
+    n = parquet_row_count(SF_DIR, "embeddings")
+    k = SIM.auto_centroid_count(n)
+    assert k > 4  # the forced switch must actually engage
+    e = read_table(spark, SF_DIR, "embeddings")
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    got = SIM.semantic_dedup_pairs(
+        e, cents, threshold=0.4, n_centroids=k, coarse_fine_k=4
+    ).toPandas()
+    want = duck.execute(_q75_sql(k, 4)).df()
+    s_cols, s_rows = canon_frame(got)
+    d_cols, d_rows = canon_frame(want)
+    assert s_cols == d_cols
+    assert s_rows == d_rows
+
+
+def test_semantic_dedup_coarse_fine_keeps_planted_recall(spark):
+    """Planted near-identical copies still co-assign (and are found)
+    under the coarse-fine assignment — the property semantic dedup
+    needs from ANY assignment strategy."""
+    t = _embeddings_with_nudged_copies(spark)
+    cents = (
+        read_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id").isin([10, 20, 30, 40, 50, 60, 70, 80]))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+    )
+    pairs = SIM.semantic_dedup_pairs(
+        t, cents, threshold=0.95, n_centroids=8, coarse_fine_k=4
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert {(i, i + 1_000_000) for i in range(15)} <= found
+
+
+def test_semantic_dedup_identity_below_switch(spark):
+    """At k <= coarse_fine_k the default path IS the flat assignment:
+    results identical to coarse_fine_k=None (flat forced)."""
+    e = read_table(spark, SF_DIR, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    auto = {
+        (r.id_a, r.id_b, r.similarity)
+        for r in SIM.semantic_dedup_pairs(
+            e, cents, threshold=0.4, n_centroids=8
+        ).collect()
+    }
+    flat = {
+        (r.id_a, r.id_b, r.similarity)
+        for r in SIM.semantic_dedup_pairs(
+            e, cents, threshold=0.4, n_centroids=8, coarse_fine_k=None
+        ).collect()
+    }
+    assert auto == flat
+
+
+def test_incremental_dedup_hot_shingle_cap(spark):
+    """Planted hot-shingle fixture: a stop-word-like phrase shared by
+    every corpus doc must not (a) explode candidates nor (b) drag
+    unrelated delta docs over the threshold when the cap is set; true
+    near-dups (overlap on RARE shingles) are still dropped."""
+    hot = "x y z w v"  # 3 hot shingles at k=3
+    corpus = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b u{i}c {hot}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (1_000, hot),                       # shares ONLY hot shingles
+            (1_001, "u0a u0b u0c " + hot),      # true copy of doc 0
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        r.doc_id
+        for r in DD.incremental_near_dedup(
+            corpus, delta, k=3, threshold=0.5
+        ).collect()
+    }
+    capped = {
+        r.doc_id
+        for r in DD.incremental_near_dedup(
+            corpus, delta, k=3, threshold=0.5, max_doc_freq=5
+        ).collect()
+    }
+    # uncapped: the hot-only doc reaches jaccard 3/6 = 0.5 -> dropped
+    assert uncapped == set()
+    # capped: hot shingles (corpus df=30 > 5) are dropped from BOTH
+    # sides; the hot-only doc has no shingles left -> kept; the true
+    # copy still matches doc 0 on its rare shingles -> dropped
+    assert capped == {1_000}
+
+
+def test_ivf_probe_cells_rank_per_probe(spark):
+    """Each probe keeps its OWN n_probe nearest cells (r7 advice: the
+    old global LIMIT let one probe's cells evict another's)."""
+    e = read_table(spark, SF_DIR, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    probes = e.filter(F.col("vec_id").isin([0, 1, 2]))
+    cells = SIM.ivf_probe_cells(probes, cents, n_probe=3).collect()
+    by_probe = {}
+    for r in cells:
+        by_probe.setdefault(r.probe_id, set()).add(r.centroid_id)
+    assert set(by_probe) == {0, 1, 2}
+    assert all(len(c) == 3 for c in by_probe.values())
+    # single-probe call agrees with the multi-probe result per probe
+    for pid in (0, 1, 2):
+        solo = {
+            r.centroid_id
+            for r in SIM.ivf_probe_cells(
+                e.filter(F.col("vec_id") == pid), cents, n_probe=3
+            ).collect()
+        }
+        assert solo == by_probe[pid]
+
+
+def test_negative_samples_large_ids_match_exact_hash(spark):
+    """Ids above 2^33: the Spark-side multiplicative hash must equal
+    the exact-integer value (the old a*2654435761+b*40503 form wrapped
+    in 64-bit and diverged from the arbitrary-precision oracle)."""
+    base = 2 ** 34
+    ids = [base + i for i in range(12)]
+    vec = [1.0, 0.0]
+    rows = [(i, [float(i % 3 == 0), 1.0]) for i in ids]
+    t = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = t.filter(F.col("vec_id") == ids[0])
+    out = SIM.negative_samples(
+        t, anchors, k=5, exclude_top=0
+    ).collect()
+    # exact-arithmetic expectation (Python ints are unbounded)
+    a = ids[0]
+    expected = sorted(
+        (i for i in ids if i != a),
+        key=lambda b: ((a * 2654435761 + b * 40503) % 999999937, b),
+    )[:5]
+    got = [r.neg_id for r in sorted(out, key=lambda r: r.rank)]
+    assert got == expected

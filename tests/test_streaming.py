@@ -289,3 +289,42 @@ def test_dedup_stream_drops_redeliveries(spark, tmp_path):
     # bounded state: one entry per distinct key within the horizon
     state = q.lastProgress["stateOperators"][0]
     assert state["numRowsTotal"] == 3
+
+
+def test_reconcile_stage_rebuilds_on_layout_change(tmp_path):
+    """r7 advice: the persistent symlink stage dir must reconcile with
+    the CURRENT source layout — broken links (regenerated source),
+    renamed part files, and stale extra links all force a rebuild
+    instead of FileExistsError / silent duplication."""
+    import os
+
+    from bigdata_kafka_2_spark.plans.streaming_queries import _reconcile_stage
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.parquet").write_bytes(b"A")
+    (src / "b.parquet").write_bytes(b"B")
+    stage = str(tmp_path / "stage")
+
+    exp = {
+        "events_0.parquet": str(src / "a.parquet"),
+        "events_1.parquet": str(src / "b.parquet"),
+    }
+    _reconcile_stage(stage, exp)
+    assert sorted(os.listdir(stage)) == sorted(exp)
+    # idempotent: second call leaves the links untouched
+    inode = os.lstat(os.path.join(stage, "events_0.parquet")).st_ino
+    _reconcile_stage(stage, exp)
+    assert os.lstat(os.path.join(stage, "events_0.parquet")).st_ino == inode
+
+    # source regenerated: old files gone, new file set -> broken links
+    # must NOT raise and the stale extra link must disappear
+    os.remove(src / "a.parquet")
+    os.remove(src / "b.parquet")
+    (src / "c.parquet").write_bytes(b"C")
+    exp2 = {"events_0.parquet": str(src / "c.parquet")}
+    _reconcile_stage(stage, exp2)
+    assert os.listdir(stage) == ["events_0.parquet"]
+    assert os.path.realpath(os.path.join(stage, "events_0.parquet")) == str(
+        src / "c.parquet"
+    )
