@@ -153,23 +153,44 @@ def register(
 #: compression family's rep upgrades to the FAISS-style encode + LUT
 #: search + rank pipeline, which subsumes the quantize/dequantize
 #: shape).
+#: Round-8 rotation (five swaps so never-graded r7 families hold
+#: driver-graded slots, per r7 verdict #4/#5; every outgoing query
+#: stays hash-checked in the EXTENDED oracle mirror, and every
+#: outgoing FAMILY keeps a graded representative):
+#: q27_unpivot → q86_table_profile (q86's one-scan profile row-locally
+#: unpivots the wide stats row, so the reshape shape stays graded
+#: inside it; the dbt-style profiling family gets its first slot);
+#: q02_point_lookup → q89_resample_ffill (point lookup stays graded
+#: inside q82's composed filter + the HTTP food_details e2e — the
+#: pre-r5 state; time series gets its first slot);
+#: q03_substring_filter → q75_semantic_dedup_pairs (substring
+#: predicate stays graded via q82's contains + HTTP find_allergen
+#: e2e; the r8 coarse-fine-switch SemDeDup plan is driver-verified);
+#: q25_array_agg → q85_incremental_dedup_survivors (collect_list /
+#: array reshaping stays graded through the similarity family's HOF
+#: pipelines q50/q53/q57/q68 and q92's map functions; the r8
+#: heavy-hitter-capped incremental dedup plan is driver-verified);
+#: q61_sliding_window → q101_stream_stream_join (sliding-window
+#: machinery stays graded via q63's streamed tumbling window + q94's
+#: analytic family; the streaming family's graded slots now cover
+#: joins, not just windows/sessions/dedup).
 CURATED: tuple[str, ...] = (
     # relational / joins / windows / grouping
     "q01_pricing_summary",
-    "q02_point_lookup",
-    "q03_substring_filter",
+    "q89_resample_ffill",
+    "q75_semantic_dedup_pairs",
     "q04_conditional_label_balance",
     "q07_multiway_join_revenue",
     "q08_semi_join",
     "q11_topk_per_group",
     "q14_set_ops",
     "q22_cube",
-    "q27_unpivot",
+    "q86_table_profile",
     "q18_count_distinct",
     "q19_cumulative_slice",
     "q20_json_extract",
     "q23_percentiles",
-    "q25_array_agg",
+    "q85_incremental_dedup_survivors",
     "q26_correlated_subquery",
     "q28_tpch_q3_shipping_priority",
     "q29_asof_join",
@@ -205,7 +226,7 @@ CURATED: tuple[str, ...] = (
     "q56_range_join_bands",
     "q68_pq_rerank_topk",
     # streaming / event-time windows
-    "q61_sliding_window",
+    "q101_stream_stream_join",
     "q63_streaming_tumbling_window",
     "q64_streaming_session_window",
     "q65_streaming_dedup",
