@@ -390,20 +390,83 @@ def quality_filter_flags(
 #: class; redaction resolves overlaps by this order.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IPv6: full 8-group form plus ::-compressed forms anchored by hex
+    # groups on BOTH sides (h::h, a:b::c:d, ...). Leading-/trailing-::
+    # forms (::1, fe80::) are NOT matched: \b needs a word char beside
+    # it and the portable subset has no lookaround to anchor a bare
+    # colon — an accepted recall bound, rare in prose. Requires ≥7
+    # colons or a double colon, so times (12:30:45) and MACs
+    # (6 single-colon groups) don't hit.
+    (
+        "ipv6",
+        r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"
+        r"|\b(?:[0-9A-Fa-f]{1,4}:){1,6}(?::[0-9A-Fa-f]{1,4}){1,6}\b",
+        "<IP6>",
+    ),
     ("ssn_like", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
     ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    # card-shaped: 13-19 digits with optional single space/dash
+    # separators; digit-anchored \b means no partial match inside a
+    # longer digit run. Shape-level (redaction) class; the DETECTION
+    # count that matters is the Luhn-validated `n_cc_luhn` column
+    # pii_flags adds on top (see _luhn_valid_count).
+    ("cc_like", r"\b[0-9](?:[ -]?[0-9]){12,18}\b", "<CC>"),
     ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
 )
+
+
+def _luhn_valid_count(text_col: str) -> "F.Column":
+    """Count of card-shaped matches that PASS the Luhn checksum —
+    row-local HOFs only (regexp_extract_all → filter → aggregate over
+    the reversed digit positions), so the validation runs inside the
+    scan with no UDF and is SQL-transcribable (the oracle mirrors the
+    same lambda algebra in DuckDB's list functions). Luhn: from the
+    right, double every second digit (subtract 9 when > 9); valid iff
+    the sum ≡ 0 (mod 10)."""
+    cc_pat = dict((n, p) for n, p, _ in PII_PATTERNS)["cc_like"]
+    pat_lit = cc_pat.replace("\\", "\\\\").replace("'", "\\'")
+    d = "regexp_replace(x, '[^0-9]', '')"
+    digit = f"ascii(substring(reverse({d}), i, 1)) - 48"
+    return F.expr(
+        f"size(filter(regexp_extract_all(`{text_col}`, '{pat_lit}', 0), "
+        f"x -> aggregate(sequence(1, length({d})), 0, (acc, i) -> acc + ("
+        f"CASE WHEN (i - 1) % 2 = 0 THEN {digit} "
+        f"WHEN ({digit}) * 2 > 9 THEN ({digit}) * 2 - 9 "
+        f"ELSE ({digit}) * 2 END)) % 10 = 0))"
+    )
+
+
+def luhn_count_sql(text_col: str = "text") -> str:
+    """DuckDB transcription of :func:`_luhn_valid_count` (kept beside
+    the operator so the two lambda algebras can never drift apart
+    silently)."""
+    cc_pat = dict((n, p) for n, p, _ in PII_PATTERNS)["cc_like"]
+    pat_lit = cc_pat.replace("'", "''")
+    d = "regexp_replace(x, '[^0-9]', '', 'g')"
+    digit = f"ascii(substring(reverse({d}), i, 1)) - 48"
+    return (
+        f"len(list_filter(regexp_extract_all({text_col}, '{pat_lit}'), "
+        f"x -> list_sum(list_transform(range(1, length({d}) + 1), i -> ("
+        f"CASE WHEN (i - 1) % 2 = 0 THEN {digit} "
+        f"WHEN ({digit}) * 2 > 9 THEN ({digit}) * 2 - 9 "
+        f"ELSE ({digit}) * 2 END))) % 10 = 0))"
+    )
 
 
 def pii_flags(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-document PII hit counts: (id, n_email, n_ipv4, n_phone,
-    n_ssn_like, has_pii) — the detection half of the scrub step every
-    training-data pipeline runs before release (emails, IPs, phone
-    numbers, SSN-shaped ids; regex-level recall, the production
-    pattern before an NER pass).
+    """Per-document PII hit counts: (id, n_email, n_ipv6, n_ssn_like,
+    n_ipv4, n_cc_like, n_phone, n_cc_luhn, has_pii) — the detection
+    half of the scrub step every training-data pipeline runs before
+    release (emails, IPv4/IPv6 addresses, phone numbers, SSN-shaped
+    ids, card-shaped digit runs; regex-level recall, the production
+    pattern before an NER pass). ``n_cc_luhn`` refines ``n_cc_like``
+    with the Luhn checksum (row-local HOF aggregate over the reversed
+    digit positions — no UDF), separating real card numbers from
+    arbitrary digit runs; ``has_pii`` composes the shape counts
+    (cc participates via its Luhn-validated count, not the raw shape
+    count, so invoice/tracking numbers alone don't flag a document).
 
     Row-local ``regexp_count`` over the scan — no shuffle, no UDF;
     at 100 TB this annotates at scan speed and the counts column
@@ -418,10 +481,16 @@ def pii_flags(
         F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
     ]
-    out = df.select(F.col(id_col), *counts)
+    out = df.select(
+        F.col(id_col),
+        *counts,
+        _luhn_valid_count(text_col).alias("n_cc_luhn"),
+    )
     has = None
     for name, _, _ in PII_PATTERNS:
-        term = F.col(f"n_{name}") > 0
+        # cc participates via the Luhn-validated count (see docstring)
+        flag_col = "n_cc_luhn" if name == "cc_like" else f"n_{name}"
+        term = F.col(flag_col) > 0
         has = term if has is None else (has | term)
     return out.withColumn("has_pii", has)
 

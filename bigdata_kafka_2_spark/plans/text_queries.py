@@ -635,18 +635,26 @@ def q67_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pii_profile_oracle() -> str:
     """Generated from the SAME `PII_PATTERNS` the operator compiles,
     q34's portability pattern: len(regexp_extract_all) mirrors
-    regexp_count (both RE2/Java-compatible subset)."""
+    regexp_count (both RE2/Java-compatible subset); the Luhn
+    validation transcribes via TX.luhn_count_sql (DuckDB list HOFs
+    mirroring the Spark array HOFs, kept in one module so they can't
+    drift)."""
     counts = ",\n           ".join(
         f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
         for name, pat, _ in TX.PII_PATTERNS
     )
-    has = " OR ".join(f"n_{name} > 0" for name, _, _ in TX.PII_PATTERNS)
+    names = ", ".join(f"n_{name}" for name, _, _ in TX.PII_PATTERNS)
+    has = " OR ".join(
+        "n_cc_luhn > 0" if name == "cc_like" else f"n_{name} > 0"
+        for name, _, _ in TX.PII_PATTERNS
+    )
     return f"""
-    SELECT doc_id, n_email, n_ipv4, n_phone, n_ssn_like,
+    SELECT doc_id, {names}, n_cc_luhn,
            ({has}) AS has_pii
     FROM (
       SELECT doc_id,
-           {counts}
+           {counts},
+           {TX.luhn_count_sql("text")} AS n_cc_luhn
       FROM documents
     )
     """

@@ -830,24 +830,35 @@ def test_pii_detection_and_redaction(spark):
         (3, "ssn 123-45-6789 on file"),
         (4, "a perfectly clean sentence with numbers like 42 and 7"),
         (5, "mixed: eve@corp.com from 8.8.8.8 dialed 415-555-0123"),
+        # r8 classes: IPv6 (full + compressed) and cards (Luhn)
+        (6, "v6 2001:0db8:85a3:0000:0000:8a2e:0370:7334 and 2001:db8::1428:57ab"),
+        (7, "pay with 4111 1111 1111 1111 thanks"),       # Luhn-valid
+        (8, "tracking 4111-1111-1111-1112 is not a card"),  # Luhn-invalid
+        (9, "meeting at 12:30:45 mac 01:23:45:67:89:ab"),   # no v6 hits
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {
-        r.doc_id: (r.n_email, r.n_ipv4, r.n_phone, r.n_ssn_like, r.has_pii)
+        r.doc_id: (r.n_email, r.n_ipv4, r.n_phone, r.n_ssn_like,
+                   r.n_ipv6, r.n_cc_like, r.n_cc_luhn, r.has_pii)
         for r in pii_flags(df).collect()
     }
-    assert got[0][0] == 2 and got[0][4] is True
+    assert got[0][0] == 2 and got[0][-1] is True
     assert got[1][1] == 2
     assert got[2][2] >= 2
     assert got[3][3] == 1
-    assert got[4] == (0, 0, 0, 0, False)
+    assert got[4] == (0, 0, 0, 0, 0, 0, 0, False)
+    assert got[6][4] == 2 and got[6][-1] is True
+    assert got[7][5] == 1 and got[7][6] == 1      # card shape + Luhn pass
+    assert got[8][5] == 1 and got[8][6] == 0      # shape only, Luhn fails
+    assert got[9][4] == 0                          # time/MAC don't hit v6
 
     con = duckdb.connect()
     con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
     exp = {
         int(r.doc_id): (
             int(r.n_email), int(r.n_ipv4), int(r.n_phone),
-            int(r.n_ssn_like), bool(r.has_pii),
+            int(r.n_ssn_like), int(r.n_ipv6), int(r.n_cc_like),
+            int(r.n_cc_luhn), bool(r.has_pii),
         )
         for r in con.execute(
             load_extended()["q72_pii_profile"].oracle
@@ -861,6 +872,11 @@ def test_pii_detection_and_redaction(spark):
     assert red[1].count("<IP>") == 2
     assert "<ID>" in red[3]
     assert red[4] == rows[4][1]  # clean text untouched
+    assert red[6].count("<IP6>") == 2
+    # card-shaped runs redact as <CC> (shape-level), not <PHONE>
+    assert "<CC>" in red[7] and "<PHONE>" not in red[7]
+    assert "<CC>" in red[8]
+    assert red[9] == rows[9][1]  # time/MAC untouched
     # idempotent: redacting redacted text changes nothing
     df2 = spark.createDataFrame(
         [(k, v) for k, v in red.items()], ["doc_id", "text"]
