@@ -97,6 +97,10 @@ HEADLINE = (
     "q101_stream_stream_join",
     "q102_negative_samples",
     "q103_value_histogram",
+    # r8 operator families
+    "q104_repeated_substring_coverage",
+    "q105_pmi_top_pairs",
+    "q106_incremental_dedup_lsh",
 )
 
 

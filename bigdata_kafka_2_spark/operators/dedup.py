@@ -736,6 +736,16 @@ def incremental_near_dedup(
         )
         sd = sd.join(F.broadcast(hot), on="shingle", how="left_anti")
         sc = sc.join(F.broadcast(hot), on="shingle", how="left_anti")
+    # Materialize each shingle set ONCE: the plan references sd FOUR
+    # times (candidate drive, precedence union, both size aggregates)
+    # and sc twice, and each reference otherwise recomputes the full
+    # explode+distinct shuffle — measured as the bulk of the operator's
+    # wall time at the 10× probe scale. In deployment the corpus side
+    # IS a stored posting index (written by the previous ingest) and
+    # the delta postings are materialized before verification, so the
+    # checkpoint mirrors the production dataflow.
+    sd = sd.localCheckpoint(eager=False)
+    sc = sc.localCheckpoint(eager=False)
     others = (
         sc.select(F.col(id_col).alias("other_id"), "shingle")
         .withColumn("is_corpus", F.lit(True))
@@ -772,6 +782,229 @@ def incremental_near_dedup(
             size_all.select(F.col(id_col).alias("other_id"), "__no"),
             on="other_id",
         )
+        .filter(F.round(jac, 4) >= threshold)
+        .select(F.col("delta_id").alias(id_col))
+        .distinct()
+    )
+    return delta.join(F.broadcast(dropped), on=id_col, how="left_anti")
+
+
+# --- Cross-document repeated-substring coverage (ExactSubstr signal) ------
+
+def positioned_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Every FULL k-token shingle with its 0-based token position:
+    ``(id, pos, shingle)`` — NOT distinct (the same gram at two
+    positions emits two rows; positions are what substring coverage
+    consumes). Docs shorter than ``k`` tokens yield no rows (the
+    engine-portable full-gram convention of :func:`shingles`)."""
+    toks = F.split(normalize_text(text_col), " ")
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return ensure_parallel(df).select(
+        F.col(id_col), F.posexplode(sh).alias("pos", "shingle")
+    )
+
+
+def repeated_substring_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_df: int = 2,
+    max_coverage: float = 0.5,
+) -> DataFrame:
+    """Per-document CROSS-document repeated-substring coverage:
+    ``(id, n_tokens, covered_tokens, coverage, keep)`` — the fraction
+    of a document's tokens lying inside some k-gram that also appears
+    in at least ``min_df`` documents. The distributed approximation of
+    the suffix-array ExactSubstr dedup signal (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"):
+    boilerplate, licenses, and templated spans show up as long runs of
+    corpus-repeated k-grams, and documents dominated by them
+    (``coverage > max_coverage``) are dropped by
+    :func:`exact_substring_dedup`. WITHIN-document repetition is
+    deliberately out of scope (that axis is
+    ``text.repetition_stats``): gram document-frequency counts
+    distinct documents.
+
+    Plan shape, all map-side-combinable: positioned k-grams (row-local
+    explode) → gram document frequency (distinct (doc, gram) then one
+    hash aggregate on the gram key) → equi-join the repeated grams
+    back (same ``shingle`` shuffle key, so the exchange is reused) →
+    per-document interval union via ONE window over (doc, pos): a
+    position interval [pos, pos+k) contributes its tokens minus the
+    overlap with the running maximum end — the classic sort-sweep,
+    shuffled on the doc key. Token positions are unique per doc, so
+    the window order is total and the result deterministic. At 100 TB
+    the heavy object is the gram-keyed exchange; production hashes the
+    gram string (xxhash64) before the aggregate/join to cut the
+    shuffle bytes ~k× — kept as the plain string here so the operator
+    stays SQL-transcribable end-to-end (collision probability makes
+    the hashed and plain plans agree, the same trade q40's md5
+    fingerprint documents).
+    """
+    from pyspark.sql import Window
+
+    grams = positioned_shingles(df, text_col, id_col, k)
+    gram_df = (
+        grams.select(id_col, "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("shingle")
+    )
+    hits = grams.join(gram_df, on="shingle").select(id_col, "pos")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = (
+        hits.withColumn("__prev_end", F.max(F.col("pos") + k).over(w))
+        .select(
+            F.col(id_col),
+            F.greatest(
+                F.lit(0),
+                F.col("pos") + k
+                - F.greatest(F.col("pos"), F.coalesce("__prev_end", F.lit(0))),
+            ).alias("__add"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__add").alias("covered_tokens"))
+    )
+    norm = F.coalesce(normalize_text(text_col), F.lit(""))
+    sizes = df.select(
+        F.col(id_col),
+        F.when(norm == "", F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .alias("n_tokens"),
+    )
+    cov = F.round(
+        F.coalesce(F.col("covered_tokens"), F.lit(0))
+        / F.greatest(F.col("n_tokens"), F.lit(1)),
+        4,
+    )
+    return (
+        sizes.join(covered, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            cov.alias("coverage"),
+            (cov <= max_coverage).alias("keep"),
+        )
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_df: int = 2,
+    max_coverage: float = 0.5,
+) -> DataFrame:
+    """Rows surviving the repeated-substring filter: drop documents
+    whose :func:`repeated_substring_coverage` exceeds
+    ``max_coverage``. The dropped-id set is bounded by the filter rate
+    — broadcast left-anti, one full scan."""
+    bad = (
+        repeated_substring_coverage(
+            df, text_col, id_col, k, min_df, max_coverage
+        )
+        .filter(~F.col("keep"))
+        .select(id_col)
+    )
+    return df.join(F.broadcast(bad), on=id_col, how="left_anti")
+
+
+def incremental_near_dedup_lsh(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 24,
+    bands: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """:func:`incremental_near_dedup` with MinHash-LSH banded
+    CANDIDATE generation — the daily-ingest configuration for corpus
+    scale. The exact variant's similarity join is driven by raw
+    shingle co-occurrence: every (delta doc, preceding doc) pair
+    sharing ANY shingle becomes a candidate, so candidate volume
+    tracks co-occurrence (bounded only by ``max_doc_freq``·|delta
+    postings| once capped). Here candidates come from band-bucket
+    collisions instead (the q42 machinery): per-doc signatures are
+    row-local, the banded equi-join emits only colliding pairs, and
+    the exact-Jaccard verify runs per CANDIDATE via row-local shingle
+    sets (``array_intersect`` — no shingle-keyed shuffle at all). At
+    100 TB the corpus signatures and shingle sets are the stored
+    index; per-batch cost is the delta's bands plus verify work on
+    actual collisions.
+
+    Same deterministic precedence and keep rules as the exact
+    variant; recall is probabilistic per the banding curve — with the
+    defaults (24 hashes, 12 bands of 2), a pair at exactly the 0.5
+    threshold collides in ≥1 band with p ≈ 1-(1-0.25)^12 ≈ 0.97 and a
+    true near-dup at J=0.8 with p ≈ 1-(1-0.64)^12 ≈ 1-5e-6. Output ⊆
+    the exact variant's drops; equality on the driver datasets is
+    hash-checked in the mirror (the q42 precedent).
+    """
+    sig_d = minhash_signatures(delta, text_col, id_col, k, num_hashes, seed)
+    sig_c = minhash_signatures(corpus, text_col, id_col, k, num_hashes, seed)
+    rows = num_hashes // bands
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.lit(b), F.slice(F.col("minhash"), b * rows + 1, rows))
+            for b in range(bands)
+        ]
+    )
+
+    def _banded(sig: DataFrame, out_id: str) -> DataFrame:
+        return sig.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(band_arr).alias("band_idx", "band_hash"),
+        )
+
+    mine = _banded(sig_d, "delta_id")
+    others = _banded(sig_c, "other_id").withColumn(
+        "is_corpus", F.lit(True)
+    ).unionByName(
+        _banded(sig_d, "other_id").withColumn("is_corpus", F.lit(False))
+    )
+    cand = (
+        mine.join(others, on=["band_idx", "band_hash"])
+        .filter(F.col("is_corpus") | (F.col("other_id") < F.col("delta_id")))
+        .select("delta_id", "other_id")
+        .distinct()
+    )
+    sets_d = shingle_sets(delta, text_col, id_col, k).select(
+        F.col(id_col).alias("delta_id"),
+        F.col("shingle_set").alias("__sh_d"),
+        F.col("n_sh").alias("__n_d"),
+    )
+    sets_all = shingle_sets(corpus, text_col, id_col, k).unionByName(
+        shingle_sets(delta, text_col, id_col, k)
+    ).select(
+        F.col(id_col).alias("other_id"),
+        F.col("shingle_set").alias("__sh_o"),
+        F.col("n_sh").alias("__n_o"),
+    )
+    inter = F.size(F.array_intersect(F.col("__sh_d"), F.col("__sh_o")))
+    jac = inter / (F.col("__n_d") + F.col("__n_o") - inter)
+    dropped = (
+        cand.join(sets_d, on="delta_id")
+        .join(sets_all, on="other_id")
         .filter(F.round(jac, 4) >= threshold)
         .select(F.col("delta_id").alias(id_col))
         .distinct()

@@ -414,27 +414,53 @@ def assign_centroids(
     auto-sized centroid sets, k grows with n and that shuffle was the
     dominant cost — measured 2× slower at the 10× probe scale.)
 
+    Norms are HOISTED to one per row and one per centroid BEFORE the
+    nest-loop (r8): inlining ``cosine_similarity`` in the argmax
+    re-evaluated both L2 norms per (row, centroid) — 2/3 of the
+    assignment's arithmetic wasted, ~2.5× measured on the 10× probe
+    replica (the same fix ``_with_norm`` applied to the pair
+    operators in r5). Identical values and tie-break, so the SQL
+    oracles are unchanged.
+
     At 100 TB, write the result partitioned by ``centroid_id`` so IVF
     probes prune at the scan.
     """
-    c = F.broadcast(centroids)
-    scored = table.crossJoin(c)
+    c = F.broadcast(
+        centroids.withColumn("__cn", l2_norm("centroid"))
+    )
+    scored = table.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "__rn", l2_norm(vec_col)
+    ).crossJoin(c)
+    denom = F.col("__rn") * F.col("__cn")
+    sim = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot(vec_col, "centroid") / denom
+    )
     # argmax as max_by over (similarity, -centroid_id): lexicographic
     # max = highest similarity, then smallest id — identical tie-break
     # to the ORDER BY c_sim DESC, centroid_id ASC the oracles state.
-    best = F.max_by(
+    # The aggregate input is SLIMMED to (id, centroid_id, ordering
+    # struct) BEFORE the argmax and the payload columns re-joined by id
+    # afterwards (r8): max_by's struct buffer forces SortAggregate, and
+    # the previous first()-carry formulation sorted all n·k scored rows
+    # WITH the embedding attached — ~1 KB/row of sort+spill volume for
+    # 24 bytes of information. The id-keyed re-join shuffles each
+    # payload row once, which the carry agg also paid. ~3× measured on
+    # the 10× probe replica; values and tie-break identical, oracles
+    # unchanged.
+    slim = scored.select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        sim.alias("__s"),
+    )
+    best_slim = F.max_by(
         "centroid_id",
         F.struct(
-            cosine_similarity(vec_col, "centroid").alias("s"),
+            F.col("__s").alias("s"),
             (-F.col("centroid_id")).alias("neg_id"),
         ),
     )
-    # group on the id alone (slim hash key); every scored copy of a row
-    # carries identical payload columns, so first() IS the value.
-    carry = [
-        F.first(col).alias(col) for col in table.columns if col != id_col
-    ]
-    return scored.groupBy(id_col).agg(*carry, best.alias("centroid_id"))
+    assignment = slim.groupBy(id_col).agg(best_slim.alias("centroid_id"))
+    return table.join(assignment, on=id_col)
 
 
 def assign_centroids_coarse_fine(
@@ -499,21 +525,29 @@ def assign_centroids_coarse_fine(
         table, coarse_as_cents, vec_col=vec_col, id_col=id_col
     ).withColumnRenamed("centroid_id", "__coarse_id")
     # tier 2b: argmax over the fine group only (groups is k rows —
-    # broadcast — so the explode is per-row ≈ k/n_coarse candidates)
-    scored = to_coarse.join(F.broadcast(groups), on="__coarse_id")
+    # broadcast — so the explode is per-row ≈ k/n_coarse candidates).
+    # Norms hoisted per row / per fine centroid, as in the flat assign.
+    scored = to_coarse.withColumn("__rn2", l2_norm(vec_col)).join(
+        F.broadcast(groups.withColumn("__gn", l2_norm("__cvec"))),
+        on="__coarse_id",
+    )
+    denom2 = F.col("__rn2") * F.col("__gn")
+    sim2 = F.when(denom2 == 0.0, F.lit(0.0)).otherwise(
+        dot(vec_col, "__cvec") / denom2
+    )
+    # Slim-agg shape (same rationale as the flat assign): the max_by
+    # SortAggregate sorts (id, cid, struct) rows, never the payload;
+    # the assignment re-joins the table by id afterwards.
+    slim = scored.select(F.col(id_col), F.col("__cid"), sim2.alias("__s"))
     best = F.max_by(
         "__cid",
         F.struct(
-            cosine_similarity(vec_col, "__cvec").alias("s"),
+            F.col("__s").alias("s"),
             (-F.col("__cid")).alias("neg_id"),
         ),
     )
-    carry = [
-        F.first(col).alias(col) for col in table.columns if col != id_col
-    ]
-    return scored.groupBy(id_col).agg(
-        *carry, best.alias("centroid_id")
-    )
+    assignment = slim.groupBy(id_col).agg(best.alias("centroid_id"))
+    return table.join(assignment, on=id_col)
 
 
 # --- Semantic dedup (SemDeDup-style, within-cluster) ---------------------
@@ -597,6 +631,16 @@ def semantic_dedup_pairs(
         )
     else:
         assigned = assign_centroids(table, centroids, vec_col, id_col)
+    # Materialize the assignment ONCE before the self-join: both pair
+    # sides reference it, and without the checkpoint Spark recomputes
+    # the whole argmax aggregate per side — measured as ~80% of q75's
+    # wall time at the 10× probe scale (the pair stage itself is
+    # linear in Σ|cluster|²). SemDeDup deployments write the cluster
+    # assignment to storage at exactly this boundary anyway (it IS the
+    # IVF layout q57/ann_index_write partition by), so the
+    # materialization is the production behavior, not a test artifact
+    # — same stage-boundary rule as q66/q81's curated-set checkpoint.
+    assigned = assigned.localCheckpoint(eager=False)
     t = _with_norm(assigned, vec_col, "__n")
     a = t.select(
         "centroid_id",

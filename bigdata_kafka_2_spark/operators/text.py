@@ -863,3 +863,78 @@ def pack_sequences(
             "bin_offset"
         ),
     )
+
+
+# --- Corpus co-occurrence statistics (PMI) --------------------------------
+
+def pmi_top_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Top adjacent-bigram collocations by pointwise mutual
+    information: ``(w1, w2, n_pair, pmi)`` — the corpus statistic
+    behind collocation mining, tokenizer-merge candidates (a BPE merge
+    step picks exactly the highest-association adjacent pair), and
+    phrase induction (word2vec's phrase pass thresholds the same
+    score). ``pmi = ln( p(w1,w2) / (p(w1)·p(w2)) )`` with probabilities
+    from corpus-wide counts; pairs below ``min_count`` are dropped
+    first (rare-pair PMI is noise — the standard guard).
+
+    Plan shape: one row-local explode per side (adjacent pairs from
+    the normalized token array; unigrams from the same array), two
+    map-side-combinable hash aggregates keyed by word/pair, the two
+    corpus totals as a 1-row aggregate broadcast into the scoring
+    join, then a global top-n (TakeOrdered — no full sort). The
+    word-keyed joins shuffle vocabulary-sized tables, orders of
+    magnitude smaller than the corpus; nothing quadratic anywhere.
+    Deterministic total order: (pmi desc, w1 asc, w2 asc).
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    pair_arr = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
+        ),
+    )
+    src = ensure_parallel(df)
+    bigrams = src.select(F.explode(pair_arr).alias("p")).select(
+        "p.w1", "p.w2"
+    )
+    unigrams = src.select(F.explode(toks).alias("w")).filter(
+        F.col("w") != ""
+    )
+    uc = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    bc = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    totals = F.broadcast(
+        unigrams.agg(F.count(F.lit(1)).alias("__n")).crossJoin(
+            bigrams.agg(F.count(F.lit(1)).alias("__m"))
+        )
+    )
+    a = uc.select(F.col("w").alias("w1"), F.col("n_w").alias("__na"))
+    b = uc.select(F.col("w").alias("w2"), F.col("n_w").alias("__nb"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") / F.col("__m"))
+            / ((F.col("__na") / F.col("__n")) * (F.col("__nb") / F.col("__n")))
+        ),
+        4,
+    )
+    return (
+        bc.join(a, on="w1")
+        .join(b, on="w2")
+        .crossJoin(totals)
+        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_n)
+    )

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from bigdata_kafka_2_spark.io import read_table
 from bigdata_kafka_2_spark.operators import dedup as DD
-from bigdata_kafka_2_spark.plans import register
+from bigdata_kafka_2_spark.plans import REGISTRY, register
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
@@ -567,3 +567,101 @@ def q85_incremental_dedup_survivors(
     return DD.incremental_near_dedup(corpus, delta, threshold=0.5).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@register(
+    "q106_incremental_dedup_lsh",
+    oracle=lambda sf_dir: REGISTRY["q85_incremental_dedup_survivors"].oracle,
+    description="Incremental near-dedup with MinHash-LSH banded "
+    "candidates (operators/dedup.incremental_near_dedup_lsh) — the "
+    "corpus-scale configuration of q85: instead of the raw shingle "
+    "co-occurrence join (candidate volume = co-occurrence, bounded "
+    "only by the max_doc_freq cap), candidates come from band-bucket "
+    "collisions on row-local MinHash signatures and the exact-Jaccard "
+    "verify runs per candidate via row-local shingle sets "
+    "(array_intersect — NO shingle-keyed shuffle anywhere; at 100 TB "
+    "both corpus-side structures are the stored index of the previous "
+    "ingest, so per-batch cost is the delta's bands plus actual "
+    "collisions). Same precedence/keep semantics and the SAME exact "
+    "oracle as q85 — the banded plan hash-matching the all-pairs "
+    "transcription is the recall proof at grading scale (the q42 "
+    "precedent: a true pair at J=0.8 misses all 12 bands of 2 with "
+    "p~5e-6).",
+    tags=("dedup", "join"),
+)
+def q106_incremental_dedup_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    delta = d.filter(F.col("doc_id") % 7 == 0)
+    return DD.incremental_near_dedup_lsh(
+        corpus, delta, threshold=0.5
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "q104_repeated_substring_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS shingle
+      FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS gs(i)
+      WHERE len(t) >= 8
+    ),
+    dup AS (
+      SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM g)
+      GROUP BY shingle HAVING count(*) >= 2
+    ),
+    hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (shingle)),
+    cov AS (
+      SELECT doc_id,
+             CAST(sum(greatest(0, pos + 8 -
+                      greatest(pos, coalesce(prev_end, 0)))) AS BIGINT)
+               AS covered_tokens
+      FROM (
+        SELECT doc_id, pos,
+               max(pos + 8) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM hits
+      )
+      GROUP BY doc_id
+    ),
+    sizes AS (
+      SELECT doc_id,
+             CASE WHEN {_NORM} = '' OR text IS NULL THEN 0
+                  ELSE len(string_split({_NORM}, ' ')) END AS n_tokens
+      FROM documents
+    )
+    SELECT s.doc_id, s.n_tokens,
+           coalesce(c.covered_tokens, 0) AS covered_tokens,
+           round(coalesce(c.covered_tokens, 0) * 1.0
+                 / greatest(s.n_tokens, 1), 4) AS coverage,
+           round(coalesce(c.covered_tokens, 0) * 1.0
+                 / greatest(s.n_tokens, 1), 4) <= 0.5 AS keep
+    FROM sizes s LEFT JOIN cov c ON s.doc_id = c.doc_id
+    """,
+    description="Cross-document repeated-substring coverage "
+    "(operators/dedup.repeated_substring_coverage): fraction of each "
+    "document's tokens inside an 8-gram that appears in >= 2 docs — "
+    "the distributed form of the suffix-array ExactSubstr dedup "
+    "signal (Lee et al.: boilerplate/licenses/templates show up as "
+    "corpus-repeated spans; exact_substring_dedup drops documents "
+    "dominated by them). Plan: positioned grams (row-local explode) "
+    "-> gram document frequency (one hash agg) -> join repeated grams "
+    "back on the SAME shingle key (exchange reuse) -> per-doc "
+    "interval union via one window sweep over (doc, pos). All stages "
+    "map-side-combinable or doc-keyed; nothing quadratic. Complements "
+    "q73 (WITHIN-doc repetition) and q41/q42 (whole-doc similarity): "
+    "this is the span-level cross-doc axis neither measures.",
+    tags=("dedup", "text", "window"),
+)
+def q104_repeated_substring_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return DD.repeated_substring_coverage(d, k=8, min_df=2, max_coverage=0.5)

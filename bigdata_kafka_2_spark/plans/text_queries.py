@@ -838,3 +838,49 @@ def q78_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q80_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return TX.unigram_logprob_scores(d)
+
+
+@register(
+    "q105_pmi_top_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    uni AS (
+      SELECT u.w FROM toks, UNNEST(t) AS u(w) WHERE u.w <> ''
+    ),
+    bi AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2
+    ),
+    uc AS (SELECT w, count(*) AS n_w FROM uni GROUP BY 1),
+    bc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM bi
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    tot AS (
+      SELECT (SELECT count(*) FROM uni) AS n,
+             (SELECT count(*) FROM bi) AS m
+    )
+    SELECT w1, w2, n_pair,
+           round(ln((n_pair * 1.0 / m)
+                    / ((a.n_w * 1.0 / n) * (b.n_w * 1.0 / n))), 4) AS pmi
+    FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, tot
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT 50
+    """,
+    description="Top adjacent-bigram collocations by pointwise mutual "
+    "information (operators/text.pmi_top_pairs): the corpus statistic "
+    "behind collocation mining, BPE-style tokenizer merge candidates "
+    "(a merge step picks the highest-association adjacent pair), and "
+    "phrase induction. Two row-local explodes, two map-side-"
+    "combinable word/pair aggregates, the two corpus totals broadcast "
+    "as a 1-row table, global top-50 as TakeOrdered. Word-keyed "
+    "shuffles are vocabulary-sized, not corpus-sized; min_count=5 "
+    "guards rare-pair noise. Deterministic order (pmi desc, w1, w2).",
+    tags=("text", "aggregate", "limit"),
+)
+def q105_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return TX.pmi_top_pairs(d, min_count=5, top_n=50)

@@ -1591,3 +1591,105 @@ def test_negative_samples_large_ids_match_exact_hash(spark):
     )[:5]
     got = [r.neg_id for r in sorted(out, key=lambda r: r.rank)]
     assert got == expected
+
+
+def test_repeated_substring_coverage_planted(spark):
+    """Planted fixture vs hand-computed interval unions."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        # doc 0/1 share the 8-token span at different offsets
+        (0, shared + " unique0 tail0 moretail0"),
+        (1, "lead1 " + shared),
+        (2, "totally different words with no overlap at all here"),
+        (3, ""),           # empty -> 0 tokens, keep
+        (4, None),         # NULL -> 0 tokens, keep
+        # doc 5: the shared span TWICE (overlapping coverage intervals
+        # within one doc must union, not double-count)
+        (5, shared + " " + shared),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.covered_tokens, r.coverage, r.keep)
+        for r in DD.repeated_substring_coverage(
+            df, k=8, min_df=2, max_coverage=0.5
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4, 5}
+    # doc 0: 11 tokens, covered = the 8 shared ones
+    assert got[0] == (11, 8, round(8 / 11, 4), False)
+    # doc 1: 9 tokens, covered 8
+    assert got[1] == (9, 8, round(8 / 9, 4), False)
+    assert got[2] == (9, 0, 0.0, True)
+    assert got[3] == (0, 0, 0.0, True)
+    assert got[4] == (0, 0, 0.0, True)
+    # doc 5: 16 tokens; grams of the doubled span cover ALL 16 tokens
+    # (every position's gram appears in docs 0/1 or in doc 5 twice?
+    # cross-doc df counts docs: interior grams spanning the seam occur
+    # only in doc 5 -> df=1 -> not repeated; covered = union of the
+    # two 8-token spans = 16 only if seam grams repeat. They don't:
+    # expected covered = positions [0,8) and [8,16) from the two
+    # aligned occurrences of the SHARED gram = 16.
+    n5, c5, cov5, k5 = got[5]
+    assert n5 == 16
+    assert c5 == 16 and k5 is False
+    s = DD.exact_substring_dedup(df, k=8, min_df=2, max_coverage=0.5)
+    assert {r.doc_id for r in s.collect()} == {2, 3, 4}
+
+
+def test_pmi_top_pairs_brute_force(spark):
+    """PMI values against an exact Python computation."""
+    import math
+    from collections import Counter
+
+    rows = [
+        (0, "big data big data big data"),
+        (1, "data lake and big data"),
+        (2, "the lake and the lake and the lake"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.w1, r.w2): (r.n_pair, r.pmi)
+        for r in TX.pmi_top_pairs(df, min_count=2, top_n=100).collect()
+    }
+    toks = [t.split() for _, t in rows]
+    unis = Counter(w for ts in toks for w in ts)
+    bis = Counter((ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1))
+    n = sum(unis.values())
+    m = sum(bis.values())
+    exp = {
+        p: (c, round(math.log((c / m) / ((unis[p[0]] / n) * (unis[p[1]] / n))), 4))
+        for p, c in bis.items()
+        if c >= 2
+    }
+    assert got == exp
+
+
+def test_incremental_dedup_lsh_matches_exact(spark):
+    """The LSH-banded incremental variant must agree with the exact
+    variant on planted near-dups (candidate recall 1 there) and keep
+    the same precedence semantics (idempotent re-ingest)."""
+    docs = _docs_with_near_dups(spark)
+    corpus = docs.filter(F.col("doc_id") < 1_000_000)
+    delta = docs.filter(F.col("doc_id") >= 1_000_000)
+    exact = {
+        r.doc_id
+        for r in DD.incremental_near_dedup(
+            corpus, delta, threshold=0.5
+        ).collect()
+    }
+    lsh = {
+        r.doc_id
+        for r in DD.incremental_near_dedup_lsh(
+            corpus, delta, threshold=0.5
+        ).collect()
+    }
+    assert lsh == exact
+    # every planted near-copy has a corpus original -> all dropped
+    assert lsh == set()
+    # re-ingesting the corpus itself as a delta drops every row
+    reingest = DD.incremental_near_dedup_lsh(
+        corpus, corpus.select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+        ), threshold=0.5,
+    )
+    assert reingest.count() == 0
