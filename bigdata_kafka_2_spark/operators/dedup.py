@@ -819,6 +819,7 @@ def repeated_substring_coverage(
     k: int = 8,
     min_df: int = 2,
     max_coverage: float = 0.5,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Per-document CROSS-document repeated-substring coverage:
     ``(id, n_tokens, covered_tokens, coverage, keep)`` — the fraction
@@ -853,6 +854,15 @@ def repeated_substring_coverage(
     from pyspark.sql import Window
 
     grams = positioned_shingles(df, text_col, id_col, k)
+    if hash_grams:
+        # production path: the gram-keyed exchange carries an 8-byte
+        # xxhash64 instead of the ~k-token string (~1.25x end-to-end at
+        # the 10x probe — the shuffle shrinks ~6x but the row-local
+        # gram build dominates; identical output measured, the usual
+        # 64-bit-collision trade per q40's md5 rationale). Default
+        # False so the registered query stays string-exact for the
+        # SQL oracle.
+        grams = grams.withColumn("shingle", F.xxhash64("shingle"))
     gram_df = (
         grams.select(id_col, "shingle")
         .distinct()
@@ -1010,3 +1020,106 @@ def incremental_near_dedup_lsh(
         .distinct()
     )
     return delta.join(F.broadcast(dropped), on=id_col, how="left_anti")
+
+
+# --- Fuzzy (near-duplicate) benchmark decontamination ---------------------
+
+def fuzzy_contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 24,
+    bands: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Train documents NEAR-DUPLICATING an eval/benchmark document:
+    ``(train_id, eval_id, jaccard)`` with exact Jaccard ≥ threshold —
+    the fuzzy half of decontamination. :func:`contamination_pairs`
+    catches verbatim inclusions (full k-gram collisions); this catches
+    paraphrased/reformatted benchmark copies that share most but not
+    all shingles (the Llama-style fuzzy decontamination pass).
+
+    Plan shape: row-local MinHash signatures on both sides, banded
+    candidates from an equi-join where the EVAL side (a benchmark
+    suite — tiny by construction) is broadcast, then exact-Jaccard
+    verify per candidate via row-local shingle sets
+    (``array_intersect``) with the eval sets broadcast too — the
+    train table is scanned once and NEVER shuffles. Recall follows
+    the banding curve (see :func:`incremental_near_dedup_lsh`);
+    equality with the exact all-pairs transcription on the driver
+    datasets is hash-checked in the mirror.
+    """
+    sig_t = minhash_signatures(train, text_col, id_col, k, num_hashes, seed)
+    sig_e = minhash_signatures(eval_df, text_col, id_col, k, num_hashes, seed)
+    rows = num_hashes // bands
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.lit(b), F.slice(F.col("minhash"), b * rows + 1, rows))
+            for b in range(bands)
+        ]
+    )
+
+    def _banded(sig: DataFrame, out_id: str) -> DataFrame:
+        return sig.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(band_arr).alias("band_idx", "band_hash"),
+        )
+
+    cand = (
+        _banded(sig_t, "train_id")
+        .join(F.broadcast(_banded(sig_e, "eval_id")), on=["band_idx", "band_hash"])
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    sets_t = shingle_sets(train, text_col, id_col, k).select(
+        F.col(id_col).alias("train_id"),
+        F.col("shingle_set").alias("__sh_t"),
+        F.col("n_sh").alias("__n_t"),
+    )
+    sets_e = F.broadcast(
+        shingle_sets(eval_df, text_col, id_col, k).select(
+            F.col(id_col).alias("eval_id"),
+            F.col("shingle_set").alias("__sh_e"),
+            F.col("n_sh").alias("__n_e"),
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("__sh_t"), F.col("__sh_e")))
+    jac = inter / (F.col("__n_t") + F.col("__n_e") - inter)
+    return (
+        cand.join(sets_t, on="train_id")
+        .join(sets_e, on="eval_id")
+        .select(
+            "train_id", "eval_id", F.round(jac, 4).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 24,
+    bands: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Training rows surviving FUZZY decontamination: drop every train
+    doc near-duplicating (Jaccard ≥ threshold) any eval doc. Broadcast
+    left-anti of the (contamination-rate-bounded) dropped-id set —
+    one train scan. Run AFTER :func:`decontaminate` (exact k-gram
+    inclusion) for the full Llama-style two-pass."""
+    bad = (
+        fuzzy_contamination_pairs(
+            train, eval_df, text_col, id_col, k, threshold,
+            num_hashes, bands, seed,
+        )
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(F.broadcast(bad), on=id_col, how="left_anti")

@@ -256,3 +256,50 @@ def temperature_mixture_sample(
         .filter(b < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def score_buckets(
+    df: DataFrame,
+    score_col: str,
+    group_col: str | None = None,
+    cuts: tuple[float, ...] = (1 / 3, 2 / 3),
+    labels: tuple[str, ...] = ("tail", "middle", "head"),
+    out_col: str = "bucket",
+) -> DataFrame:
+    """CCNet-style per-group score bucketing: label each row by which
+    quantile band of its group's score distribution it falls in —
+    ``labels[i]`` for scores in [q(cuts[i-1]), q(cuts[i])), the last
+    label for the top band. CCNet splits each language by the
+    perplexity terciles of its own corpus (head/middle/tail) and
+    trains on head+middle; with ``score_col`` = the unigram-LM
+    logprob (operators/text.unigram_logprob_scores), higher = more
+    probable = "head", so labels run tail→head in score order.
+
+    Thresholds are EXACT interpolated percentiles (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, the q23 parity), one
+    tiny per-group row each, broadcast into the labeling join — one
+    aggregate pass + one scan, no window over the full table (a
+    percent_rank formulation would sort every group). Rows with NULL
+    score label NULL. Requires ``len(labels) == len(cuts) + 1``.
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need exactly len(cuts)+1 labels")
+    gcols = [group_col] if group_col else []
+    thr_aggs = [
+        F.percentile(score_col, F.lit(float(c))).alias(f"__t{i}")
+        for i, c in enumerate(cuts)
+    ]
+    thr = df.groupBy(*gcols).agg(*thr_aggs) if gcols else df.agg(*thr_aggs)
+    joined = (
+        df.join(F.broadcast(thr), on=gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(thr))
+    )
+    s = F.col(score_col)
+    label = F.lit(labels[-1])
+    for i in range(len(cuts) - 1, -1, -1):
+        label = F.when(s < F.col(f"__t{i}"), F.lit(labels[i])).otherwise(label)
+    label = F.when(s.isNull(), F.lit(None).cast("string")).otherwise(label)
+    return joined.withColumn(out_col, label).drop(
+        *[f"__t{i}" for i in range(len(cuts))]
+    )

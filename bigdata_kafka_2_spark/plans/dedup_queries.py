@@ -664,4 +664,58 @@ def q104_repeated_substring_coverage(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return DD.repeated_substring_coverage(d, k=8, min_df=2, max_coverage=0.5)
+    out = DD.repeated_substring_coverage(d, k=8, min_df=2, max_coverage=0.5)
+    # trivially-true predicate on the COMPUTED column: without a
+    # reference to the coverage side, a bare count() (the bench
+    # action) lets Catalyst eliminate the outer join and measure only
+    # the sizes scan — the r8 probe recorded identical small/large
+    # times for a query whose gram stage grows 10x. No row is dropped
+    # (coverage is never NULL), so the oracle is unchanged.
+    return out.filter(F.col("coverage").isNotNull())
+
+
+@register(
+    "q107_fuzzy_contamination_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+      WHERE t[i] || ' ' || t[i+1] || ' ' || t[i+2] <> ''
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.doc_id % 13 <> 0 AND b.doc_id % 13 = 0
+      GROUP BY 1, 2
+    )
+    SELECT train_id, eval_id,
+           round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM pairs
+      JOIN sizes sa ON train_id = sa.doc_id
+      JOIN sizes sb ON eval_id = sb.doc_id
+    WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.5
+    """,
+    description="FUZZY benchmark decontamination "
+    "(operators/dedup.fuzzy_contamination_pairs): train docs "
+    "NEAR-duplicating an eval doc at exact Jaccard >= 0.5 — catches "
+    "the paraphrased/reformatted benchmark copies q74's verbatim "
+    "full-k-gram collision misses (the Llama-style two-pass: exact "
+    "inclusion, then fuzzy). Banded MinHash candidates with the tiny "
+    "eval side broadcast at BOTH stages (bands and row-local shingle "
+    "sets), exact array_intersect verify per candidate — the train "
+    "table scans once and never shuffles. Hash-checked against the "
+    "exact all-pairs transcription (the q42 recall precedent).",
+    tags=("dedup", "join"),
+)
+def q107_fuzzy_contamination_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 13 != 0)
+    ev = d.filter(F.col("doc_id") % 13 == 0)
+    return DD.fuzzy_contamination_pairs(train, ev, threshold=0.5)

@@ -884,3 +884,67 @@ def q80_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q105_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return TX.pmi_top_pairs(d, min_count=5, top_n=50)
+
+
+@register(
+    "q108_perplexity_buckets",
+    oracle=f"""
+    WITH {_TOKS_DOC_CTE},
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks_doc GROUP BY 1, 2
+    ),
+    vocab AS (SELECT tok, sum(tf) AS ctf FROM tf GROUP BY tok),
+    tot AS (SELECT sum(ctf) AS T, count(*) AS V FROM vocab),
+    scores AS (
+      SELECT doc_id,
+             round(CAST(sum(CAST(tf * round(ln((ctf + 1.0) / (T + V)), 4)
+                                 AS DECIMAL(28,4))) AS DOUBLE)
+                   / sum(tf), 4) AS logprob
+      FROM tf JOIN vocab USING (tok), tot
+      GROUP BY doc_id
+    ),
+    sl AS (
+      SELECT s.doc_id, s.logprob, d.lang
+      FROM scores s JOIN documents d USING (doc_id)
+    ),
+    thr AS (
+      SELECT lang,
+             quantile_cont(logprob, 0.3333333333333333) AS t0,
+             quantile_cont(logprob, 0.6666666666666666) AS t1
+      FROM sl GROUP BY lang
+    )
+    SELECT lang,
+           CASE WHEN logprob < t0 THEN 'tail'
+                WHEN logprob < t1 THEN 'middle'
+                ELSE 'head' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(logprob), 4) AS avg_logprob
+    FROM sl JOIN thr USING (lang)
+    GROUP BY 1, 2
+    """,
+    description="CCNet-style per-language perplexity buckets "
+    "(operators/sampling.score_buckets over "
+    "operators/text.unigram_logprob_scores): each language's docs "
+    "split at the terciles of that language's OWN quality-score "
+    "distribution into head/middle/tail — the bucketing CCNet uses "
+    "to keep head+middle and drop the tail, per language so "
+    "high-resource languages don't set the bar for low-resource "
+    "ones. Thresholds are exact interpolated percentiles (Spark "
+    "percentile == DuckDB quantile_cont, the q23 parity), one tiny "
+    "row per language broadcast into the labeling join — no "
+    "percent_rank window over the full table. Hash-checked "
+    "end-to-end through the composed unigram-LM + bucketing plan.",
+    tags=("text", "sampling", "aggregate"),
+)
+def q108_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators import sampling as SP
+
+    d = read_table(spark, sf_dir, "documents")
+    scores = TX.unigram_logprob_scores(d).join(
+        d.select("doc_id", "lang"), on="doc_id"
+    )
+    b = SP.score_buckets(scores, "logprob", group_col="lang")
+    return b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("logprob"), 4).alias("avg_logprob"),
+    )

@@ -1693,3 +1693,51 @@ def test_incremental_dedup_lsh_matches_exact(spark):
         ), threshold=0.5,
     )
     assert reingest.count() == 0
+
+
+def test_fuzzy_decontaminate_planted(spark):
+    """Planted near-copies of eval docs in train are caught by the
+    fuzzy pass even when the exact full-k-gram pass misses them."""
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") < 10)
+    # train = clean docs + light paraphrases of eval (few tokens added)
+    clean = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 200))
+    near = ev.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+    )
+    train = clean.unionByName(near)
+    pairs = DD.fuzzy_contamination_pairs(train, ev, threshold=0.5).collect()
+    found = {(r.train_id, r.eval_id) for r in pairs}
+    assert {(i + 2_000_000, i) for i in range(10)} <= found
+    surv = DD.fuzzy_decontaminate(train, ev, threshold=0.5)
+    kept = {r.doc_id for r in surv.collect()}
+    assert all(i + 2_000_000 not in kept for i in range(10))
+    contaminated = {t for t, _ in found}
+    assert kept >= {r.doc_id for r in clean.collect()} - contaminated
+
+
+def test_score_buckets_brute_force(spark, duck):
+    """Bucket labels vs DuckDB quantile_cont thresholds per group (the
+    engine-parity contract — Spark percentile == quantile_cont; a
+    NumPy formulation differs by float epsilon when a cut lands
+    exactly on a datum, which is exactly the agreement that matters)."""
+    from bigdata_kafka_2_spark.operators.sampling import score_buckets
+
+    rows = [(i, "g" + str(i % 2), float(i * i % 37)) for i in range(21)]
+    rows.append((100, "g0", None))
+    df = spark.createDataFrame(rows, "id long, g string, s double")
+    got = {r.id: r.bucket for r in score_buckets(df, "s", group_col="g").collect()}
+    for gname in ("g0", "g1"):
+        vals = [v for i, g, v in rows if g == gname and v is not None]
+        t0, t1 = duck.execute(
+            "SELECT quantile_cont(v, 0.3333333333333333), "
+            "quantile_cont(v, 0.6666666666666666) FROM (SELECT unnest(?) v)",
+            [vals],
+        ).fetchone()
+        for i, g, v in rows:
+            if g != gname or v is None:
+                continue
+            exp = "tail" if v < t0 else ("middle" if v < t1 else "head")
+            assert got[i] == exp, (i, v, t0, t1, got[i])
+    assert got[100] is None  # NULL score -> NULL bucket
