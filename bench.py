@@ -101,6 +101,9 @@ HEADLINE = (
     "q104_repeated_substring_coverage",
     "q105_pmi_top_pairs",
     "q106_incremental_dedup_lsh",
+    "q107_fuzzy_contamination_pairs",
+    "q108_perplexity_buckets",
+    "q110_curation_v3",
 )
 
 

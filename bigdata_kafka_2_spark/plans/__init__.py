@@ -174,6 +174,11 @@ def register(
 #: machinery stays graded via q63's streamed tumbling window + q94's
 #: analytic family; the streaming family's graded slots now cover
 #: joins, not just windows/sessions/dedup).
+#: Late-r8 swap: q66_curation_pipeline (v1) → q110_curation_v3 — the
+#: composed-curation family keeps TWO graded slots (q81 v2 and q110
+#: v3, the strict superset adding fuzzy decontamination and the
+#: repeated-substring filter); q66 stays hash-checked in the mirror
+#: and its machinery is graded inside both successors.
 CURATED: tuple[str, ...] = (
     # relational / joins / windows / grouping
     "q01_pricing_summary",
@@ -208,7 +213,7 @@ CURATED: tuple[str, ...] = (
     "q40_exact_dedup_groups",
     "q42_minhash_lsh_pairs",
     "q44_near_dedup_survivors",
-    "q66_curation_pipeline",
+    "q110_curation_v3",
     # text analysis / corpus curation
     "q49_quality_filter",
     "q34_language_id",

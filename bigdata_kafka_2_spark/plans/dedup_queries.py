@@ -719,3 +719,199 @@ def q107_fuzzy_contamination_pairs(
     train = d.filter(F.col("doc_id") % 13 != 0)
     ev = d.filter(F.col("doc_id") % 13 == 0)
     return DD.fuzzy_contamination_pairs(train, ev, threshold=0.5)
+
+
+_Q110_ORACLE = (
+    "WITH RECURSIVE train AS (SELECT * FROM documents WHERE doc_id % 13 <> 0),"
+    + _quality_kept_sql("train")
+    + f""",
+    g2 AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM kept1),
+           UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE t[i] || ' ' || t[i+1] <> ''
+    ),
+    gc AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+    repok AS (
+      SELECT doc_id FROM gc GROUP BY doc_id
+      HAVING round(max(c) * 1.0 / sum(c), 4) <= 0.05
+         AND round((sum(c) - count(*)) * 1.0 / sum(c), 4) <= 0.05
+    ),
+    kept2 AS (SELECT k.* FROM kept1 k JOIN repok USING (doc_id)),
+    sh4 AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+               AS shingle
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t) - 3)) AS g(i)
+    ),
+    contaminated AS (
+      SELECT DISTINCT a.doc_id
+      FROM sh4 a
+        JOIN kept2 k ON a.doc_id = k.doc_id
+        JOIN sh4 b ON a.shingle = b.shingle AND b.doc_id % 13 = 0
+    ),
+    kept3 AS (
+      SELECT * FROM kept2
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    sh3k AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM kept3),
+           UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+      WHERE t[i] || ' ' || t[i+1] || ' ' || t[i+2] <> ''
+    ),
+    sh3e AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS t
+            FROM documents WHERE doc_id % 13 = 0),
+           UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+      WHERE t[i] || ' ' || t[i+1] || ' ' || t[i+2] <> ''
+    ),
+    szk AS (SELECT doc_id, count(*) AS n FROM sh3k GROUP BY 1),
+    sze AS (SELECT doc_id, count(*) AS n FROM sh3e GROUP BY 1),
+    fzc AS (
+      SELECT a.doc_id, b.doc_id AS eid, count(*) AS c
+      FROM sh3k a JOIN sh3e b USING (shingle) GROUP BY 1, 2
+    ),
+    fuzzy_bad AS (
+      SELECT DISTINCT fzc.doc_id
+      FROM fzc JOIN szk ON fzc.doc_id = szk.doc_id
+               JOIN sze ON fzc.eid = sze.doc_id
+      WHERE round(c * 1.0 / (szk.n + sze.n - c), 4) >= 0.3
+    ),
+    kept4 AS (
+      SELECT * FROM kept3
+      WHERE doc_id NOT IN (SELECT doc_id FROM fuzzy_bad)
+    ),
+    g4p AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+3], ' ') AS shingle
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM kept4),
+           UNNEST(generate_series(1, len(t) - 3)) AS gs(i)
+      WHERE len(t) >= 4
+    ),
+    dupg AS (
+      SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM g4p)
+      GROUP BY shingle HAVING count(*) >= 2
+    ),
+    covhits AS (SELECT g4p.doc_id, pos FROM g4p JOIN dupg USING (shingle)),
+    cov AS (
+      SELECT doc_id,
+             sum(greatest(0, pos + 4 -
+                 greatest(pos, coalesce(prev_end, 0)))) AS covered
+      FROM (
+        SELECT doc_id, pos,
+               max(pos + 4) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM covhits
+      ) GROUP BY doc_id
+    ),
+    szt AS (
+      SELECT doc_id,
+             CASE WHEN {_NORM} = '' OR text IS NULL THEN 0
+                  ELSE len(string_split({_NORM}, ' ')) END AS n_tokens
+      FROM kept4
+    ),
+    kept5 AS (
+      SELECT k.* FROM kept4 k
+        JOIN szt USING (doc_id)
+        LEFT JOIN cov USING (doc_id)
+      WHERE round(coalesce(covered, 0) * 1.0
+                  / greatest(n_tokens, 1), 4) <= 0.5
+    ),"""
+    + _exact_pairs_sql(0.5, source="kept5")
+    + """,
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(node, anc) AS (
+      SELECT doc_id, doc_id FROM kept5
+      UNION
+      SELECT e.d AS node, r.anc FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    reps AS (SELECT node, min(anc) AS rep FROM reach GROUP BY node),
+    lab AS (
+      SELECT k.doc_id, k.n_chars, r.rep,
+             CASE WHEN (r.rep * 2654435761) % 1000000 < 800000 THEN 'train'
+                  WHEN (r.rep * 2654435761) % 1000000 < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM kept5 k JOIN reps r ON r.node = k.doc_id
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT rep) AS n_clusters,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM lab GROUP BY split
+    """
+)
+
+
+@register(
+    "q110_curation_v3",
+    oracle=_Q110_ORACLE,
+    description="The FULL curation pipeline, r8 edition — q81's chain "
+    "extended with this round's stages, composed as ONE hash-checked "
+    "plan: Gopher quality filter → within-doc repetition filter → "
+    "EXACT benchmark decontamination (verbatim 4-gram collisions, "
+    "eval broadcast) → FUZZY decontamination (3-gram Jaccard >= 0.3 "
+    "vs eval — catches paraphrased benchmark copies; "
+    "operators/dedup.fuzzy_decontaminate) → cross-document "
+    "repeated-substring filter (4-gram coverage <= 0.5 over the "
+    "surviving set — drops boilerplate/template-dominated docs; "
+    "operators/dedup.exact_substring_dedup) → verified near-dedup "
+    "pairs + connected components → leakage-safe splits → per-split "
+    "profile. Every stage scan-speed, broadcast-bounded, or "
+    "dup-subgraph-bounded; the curated set is checkpointed once at "
+    "the stage boundary deployment writes anyway (q81's rule). All "
+    "stages non-vacuous on the driver data (each drops documents).",
+    tags=("dedup", "sampling", "text", "flagship"),
+)
+def q110_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.sampling import leakage_safe_split
+    from bigdata_kafka_2_spark.operators.text import (
+        quality_filter_flags,
+        repetition_stats,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 13 == 0)
+    train = d.filter(F.col("doc_id") % 13 != 0)
+    k1 = quality_filter_flags(train).filter(F.col("keep")).select("doc_id")
+    kept1 = train.join(k1, on="doc_id", how="left_semi")
+    k2 = (
+        repetition_stats(kept1, n=2, max_top_frac=0.05, max_dup_frac=0.05)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    kept2 = kept1.join(k2, on="doc_id", how="left_semi")
+    # Each downstream stage references its input several times
+    # (signatures + shingle sets + the anti join), so every curated
+    # intermediate is materialized once at its stage boundary — the
+    # q81 rule applied per stage (deployment writes each curated
+    # subset anyway; without the checkpoints the quality→…→decontam
+    # lineage re-executes per reference).
+    kept3 = DD.decontaminate(kept2, ev, k=4, min_shared=1).localCheckpoint()
+    kept4 = DD.fuzzy_decontaminate(
+        kept3, ev, k=3, threshold=0.3
+    ).localCheckpoint()
+    kept5 = DD.exact_substring_dedup(
+        kept4, k=4, min_df=2, max_coverage=0.5
+    ).localCheckpoint()
+    labeled = leakage_safe_split(
+        kept5,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        jaccard_threshold=0.5,
+        bucket_fn=lambda rep: F.pmod(
+            rep * F.lit(2654435761), F.lit(1_000_000)
+        ),
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_rep").alias("n_clusters"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
