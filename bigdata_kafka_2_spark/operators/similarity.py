@@ -397,6 +397,55 @@ def ivf_topk(
     )
 
 
+def ivf_topk_many(
+    table: DataFrame,
+    probes: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch IVF approximate top-k: EACH probe scans only its own
+    ``n_probe`` nearest cells (``ivf_probe_cells`` ranks per probe —
+    the r8 fix; a global cell limit would let one probe's cells evict
+    another's and silently prune its true candidates), then an exact
+    per-probe window top-k inside them. Output
+    ``(probe_id, vec_id, similarity, rank)``.
+
+    The batch-serving shape of :func:`ivf_topk`: the (tiny) per-probe
+    cell table broadcasts into the pruned scan — on a
+    partitioned-by-centroid layout each probe touches
+    ~n_probe/n_cells of the files — and the ranking window shuffles
+    only the pruned candidate rows on the probe key. Norms are
+    hoisted per table row and per cells row (the assign_centroids
+    rule).
+    """
+    from pyspark.sql import Window
+
+    cells = F.broadcast(
+        _with_norm(
+            ivf_probe_cells(probes, centroids, n_probe, vec_col, id_col),
+            "probe_vec",
+            "__pn",
+        )
+    )
+    t = _with_norm(table, vec_col, "__tn")
+    sim = _pair_sim(vec_col, "probe_vec", "__tn", "__pn")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("similarity").desc(), F.col(id_col).asc()
+    )
+    return (
+        t.join(cells, on="centroid_id")
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id", F.col(id_col), F.round(sim, 4).alias("similarity")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def assign_centroids(
     table: DataFrame,
     centroids: DataFrame,

@@ -888,3 +888,83 @@ def q102_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors = e.filter(F.col("vec_id") < 3)
     out = SIM.negative_samples(e, anchors, k=5, exclude_top=10)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "q109_ivf_topk_many",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings
+      WHERE vec_id IN ({", ".join(str(i) for i in _IVF_CENTROID_IDS)})
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY CAST(list_cosine_similarity(e.embedding, c.centroid)
+                               AS DOUBLE) DESC,
+                          c.centroid_id ASC
+               ) AS rn
+        FROM embeddings e, cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, embedding AS probe_vec
+      FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ),
+    cells AS (
+      SELECT probe_id, probe_vec, centroid_id FROM (
+        SELECT p.probe_id, p.probe_vec, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY CAST(list_cosine_similarity(p.probe_vec, c.centroid)
+                               AS DOUBLE) DESC,
+                          c.centroid_id ASC
+               ) AS rn
+        FROM probes p, cents c
+      ) WHERE rn <= 3
+    )
+    SELECT probe_id, vec_id, similarity,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT cl.probe_id, a.vec_id,
+             round(CAST(list_cosine_similarity(a.embedding, cl.probe_vec)
+                        AS DOUBLE), 4) AS similarity,
+             row_number() OVER (
+               PARTITION BY cl.probe_id
+               ORDER BY round(CAST(list_cosine_similarity(a.embedding,
+                                                          cl.probe_vec)
+                                   AS DOUBLE), 4) DESC,
+                        a.vec_id ASC
+             ) AS rank
+      FROM assigned a JOIN cells cl ON a.centroid_id = cl.centroid_id
+      WHERE a.vec_id <> cl.probe_id
+    ) WHERE rank <= 5
+    """,
+    description="BATCH IVF approximate nearest-neighbor "
+    "(operators/similarity.ivf_topk_many): three probes, each "
+    "scanning only ITS OWN n_probe=3 nearest of the 8 fixed centroid "
+    "cells (ivf_probe_cells ranks per probe since r8 — the advice "
+    "fix: a global cell limit let one probe's cells evict another's "
+    "and silently prune its true candidates; this query is the "
+    "regression lock, since per-probe and global-limit plans give "
+    "DIFFERENT answers for these probes) — then an exact per-probe "
+    "window top-5 inside the pruned cells. The batch-serving shape "
+    "of q57; hash-checked end-to-end.",
+    tags=("similarity", "limit", "window"),
+)
+def q109_ivf_topk_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id").isin(list(_IVF_CENTROID_IDS)))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+    )
+    probes = e.filter(F.col("vec_id").isin([0, 1, 2]))
+    assigned = SIM.assign_centroids(e, cents)
+    out = SIM.ivf_topk_many(assigned, probes, cents, k=5, n_probe=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
