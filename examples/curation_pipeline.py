@@ -19,7 +19,13 @@ loops; collected outputs are bounded summaries):
                  (pii_flags routing only flagged rows into
                  redact_pii), benchmark decontamination vs a held-out
                  slice (dedup.decontaminate), and the unigram-LM
-                 perplexity-proxy score (unigram_logprob_scores).
+                 perplexity-proxy score (unigram_logprob_scores);
+                 then the r8 gates: FUZZY decontamination
+                 (dedup.fuzzy_decontaminate — paraphrased benchmark
+                 copies), the cross-document repeated-substring
+                 filter (dedup.exact_substring_dedup — ExactSubstr
+                 boilerplate signal), and CCNet-style perplexity
+                 buckets (sampling.score_buckets).
 4. TOKENS      — corpus token accounting on the survivors (whitespace
                  + BPE-ish regex counts, operators/text).
 5. SPLIT       — append-stable hash splits train/val/test
@@ -122,23 +128,57 @@ def run(spark, sf_dir: str) -> list[dict]:
     docs3 = DD.decontaminate(
         docs3.filter(F.col("doc_id") % 13 != 0), ev, k=4
     )
-    # stage boundary: every downstream stage (tokens, split, pack,
-    # gate, embed) re-reads the curated set across several jobs —
-    # materialize the dedup->quality->scrub lineage once (the q81
-    # lesson; a deployment writes the curated table here anyway)
+    # stage boundary #1: the lineage up to here includes the CC loop
+    # and every quality gate — materialize before the r8 stages
+    # re-reference it (fuzzy candidates + sets + anti = 3 references)
     docs3 = docs3.localCheckpoint()
     n3d = docs3.count()
     out.append({"stage": "decontaminate", "in": n3b, "out": n3d})
 
+    # 3d2. FUZZY decontamination (r8): near-duplicates of eval docs
+    #      (paraphrased benchmark copies the verbatim pass misses) —
+    #      banded MinHash candidates, eval broadcast at both stages
+    #      (operators/dedup.fuzzy_decontaminate)
+    docs3 = DD.fuzzy_decontaminate(docs3, ev, k=3, threshold=0.3)
+    n3d2 = docs3.count()
+    out.append({"stage": "fuzzy_decontaminate", "in": n3d, "out": n3d2})
+
+    # 3d3. repeated-substring filter (r8): drop docs dominated by
+    #      corpus-repeated spans — the ExactSubstr boilerplate signal
+    #      (operators/dedup.exact_substring_dedup)
+    docs3 = DD.exact_substring_dedup(
+        docs3, k=4, min_df=2, max_coverage=0.5
+    )
+    # stage boundary #2: every downstream stage (tokens, split, pack,
+    # gate, embed) re-reads the curated set across several jobs —
+    # materialize once more (the q81 lesson; a deployment writes the
+    # curated table here anyway)
+    docs3 = docs3.localCheckpoint()
+    n3d3 = docs3.count()
+    out.append({"stage": "substring_filter", "in": n3d2, "out": n3d3})
+
     # 3e. LM quality score (r7): mean unigram log-prob under the
     #     corpus's own LM — the perplexity-proxy ranking signal
-    lp = TX.unigram_logprob_scores(docs3).agg(
+    scores = TX.unigram_logprob_scores(docs3)
+    lp = scores.agg(
         F.round(F.avg("logprob"), 4).alias("avg"),
         F.round(F.min("logprob"), 4).alias("min"),
     ).first()
     out.append(
         {"stage": "lm_score", "avg_logprob": float(lp.avg), "min_logprob": float(lp.min)}
     )
+
+    # 3f. perplexity buckets (r8): CCNet's head/middle/tail banding at
+    #     the corpus's own score terciles (operators/sampling.
+    #     score_buckets) — a deployment keeps head+middle
+    buckets = {
+        r.bucket: r.n
+        for r in SMP.score_buckets(scores, "logprob")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out.append({"stage": "perplexity_buckets", **buckets})
 
     # 4. corpus token accounting on survivors
     from bigdata_kafka_2_spark.plans.text_queries import _BPE_PATTERN

@@ -236,3 +236,60 @@ def test_semantic_dedup_assignment_aggregates_map_side(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "max_by" in plan
     assert "Window" not in plan
+
+
+def test_fuzzy_contamination_eval_side_broadcast(spark):
+    """Both stages of the fuzzy decontamination join must broadcast
+    the (tiny) eval side — the train table never shuffles."""
+    from bigdata_kafka_2_spark.operators import dedup as DD
+
+    d = read_table(spark, SF_DIR, "documents")
+    train = d.filter(F.col("doc_id") % 13 != 0)
+    ev = d.filter(F.col("doc_id") % 13 == 0)
+    plan = _plan(DD.fuzzy_contamination_pairs(train, ev))
+    assert plan.count("BroadcastHashJoin") >= 2  # bands + shingle sets
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_ivf_topk_many_cells_broadcast_and_per_probe_window(spark):
+    """The per-probe cell table broadcasts into the pruned scan and
+    the ranking window partitions on the probe key (never a global
+    single-partition sort)."""
+    from bigdata_kafka_2_spark.operators import similarity as SIM
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    probes = e.filter(F.col("vec_id").isin([0, 1, 2]))
+    assigned = SIM.assign_centroids(e, cents)
+    plan = _plan(SIM.ivf_topk_many(assigned, probes, cents, k=5, n_probe=3))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(probe_id" in plan
+
+
+def test_score_buckets_thresholds_broadcast(spark):
+    """Per-group quantile thresholds join back via broadcast — the
+    table is never shuffled for the labeling."""
+    from bigdata_kafka_2_spark.operators.sampling import score_buckets
+
+    d = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("s")
+    )
+    plan = _plan(score_buckets(d, "s", group_col="lang"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repeated_substring_coverage_no_single_partition(spark):
+    """The interval-union window partitions on the doc key; the gram
+    document-frequency aggregate is map-side combinable (hash agg on
+    the shingle key)."""
+    from bigdata_kafka_2_spark.operators import dedup as DD
+
+    d = read_table(spark, SF_DIR, "documents")
+    plan = _plan(DD.repeated_substring_coverage(d, k=8))
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(doc_id" in plan
