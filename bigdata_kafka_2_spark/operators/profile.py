@@ -238,3 +238,66 @@ def profile_diff(
         F.col("__d_a").alias("distinct_before"),
         F.col("__d_b").alias("distinct_after"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    col: str,
+    group_col: str | None = None,
+    threshold: float = 3.5,
+    keep_stats: bool = False,
+) -> DataFrame:
+    """Robust outlier flags via the modified z-score:
+    input columns + ``mod_z`` (``0.6745·(x − median) / MAD``, rounded
+    4 dp) + ``is_outlier`` (``|mod_z| > threshold`` — 3.5 is the
+    Iglewicz–Hoaglin convention). Median/MAD instead of mean/stddev
+    because the statistics being estimated must not themselves be
+    dragged by the outliers they're hunting — the robust profiling
+    pass a data-quality gate runs on numeric feature columns before
+    training.
+
+    Two aggregate passes over the scan (median, then the median of
+    absolute deviations — MAD is not algebraic, so two passes is the
+    exact-computation floor), each producing one tiny per-group row
+    broadcast back into the labeling projection; no window over the
+    full table. Exact interpolated percentiles (Spark ``percentile``
+    ≡ DuckDB ``quantile_cont``, the q23 parity) keep the operator
+    SQL-transcribable. Degenerate groups (MAD = 0: over half the
+    values identical) yield ``mod_z`` NULL and ``is_outlier`` false —
+    documented, mirrored in the oracle. NULL values pass through with
+    NULL ``mod_z``/false flag.
+    """
+    gcols = [group_col] if group_col else []
+    med_agg = F.percentile(col, F.lit(0.5)).alias("__med")
+    med = df.groupBy(*gcols).agg(med_agg) if gcols else df.agg(med_agg)
+    j1 = (
+        df.join(F.broadcast(med), on=gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(med))
+    )
+    dev = F.abs(F.col(col) - F.col("__med"))
+    mad_agg = F.percentile(dev, F.lit(0.5)).alias("__mad")
+    mad = j1.groupBy(*gcols).agg(mad_agg) if gcols else j1.agg(mad_agg)
+    j2 = (
+        j1.join(F.broadcast(mad), on=gcols)
+        if gcols
+        else j1.crossJoin(F.broadcast(mad))
+    )
+    z = F.round(
+        F.lit(0.6745) * (F.col(col) - F.col("__med")) / F.col("__mad"), 4
+    )
+    z = F.when(
+        F.col(col).isNotNull() & (F.col("__mad") != 0.0), z
+    ).otherwise(F.lit(None).cast("double"))
+    out = j2.withColumn("mod_z", z).withColumn(
+        "is_outlier",
+        F.coalesce(F.abs(F.col("mod_z")) > threshold, F.lit(False)),
+    )
+    if keep_stats:
+        # expose the per-group robust statistics alongside the flags
+        # (profile consumers aggregate them; re-deriving would cost
+        # the same two passes again)
+        return out.withColumnRenamed("__med", "med").withColumnRenamed(
+            "__mad", "mad"
+        )
+    return out.drop("__med", "__mad")

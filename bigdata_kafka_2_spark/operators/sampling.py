@@ -303,3 +303,109 @@ def score_buckets(
     return joined.withColumn(out_col, label).drop(
         *[f"__t{i}" for i in range(len(cuts))]
     )
+
+
+def distribution_matched_sample(
+    df: DataFrame,
+    ref: DataFrame,
+    col: str,
+    key_col: str,
+    n_buckets: int = 10,
+    seed: int = 42,
+    bucket=None,
+    keep_bucket: bool = False,
+) -> DataFrame:
+    """Largest deterministic subsample of ``df`` whose distribution
+    over ``col`` matches ``ref``'s — the eval-set/ablation
+    construction primitive (e.g. carve a training subset whose length
+    distribution matches a benchmark's, so comparisons aren't
+    confounded by length). Rows are kept by seeded hash threshold, so
+    the sample is reproducible across runs and partitionings (the
+    module's sampling contract).
+
+    Mechanism: equal-width buckets over the REFERENCE's [min, max]
+    (one 1-row broadcast bounds pass; df values outside clamp into
+    the edge buckets, same convention as ``profile.value_histogram``);
+    per-bucket keep rate = ``α · ref_frac_b / df_frac_b`` with
+    ``α = min_b (df_frac_b / ref_frac_b)`` over buckets present in
+    BOTH — the largest uniform scaling under which no bucket needs
+    more rows than df has. Buckets with no reference mass are dropped
+    (df-only mass has nothing to match). The bucket/rate table is
+    ≤ n_buckets rows, broadcast into the keep filter; expected match
+    is exact in distribution, realized counts are hash-binomial
+    (q76's temperature-mixture convention). NULL ``col`` rows are
+    dropped.
+    """
+    b = F.broadcast(
+        ref.agg(
+            F.min(col).cast("double").alias("__lo"),
+            F.max(col).cast("double").alias("__hi"),
+        )
+    )
+
+    def bucketed(d: DataFrame) -> DataFrame:
+        width = (F.col("__hi") - F.col("__lo")) / F.lit(n_buckets)
+        raw = F.when(
+            F.col("__hi") == F.col("__lo"), F.lit(0)
+        ).otherwise(
+            F.floor((F.col(col).cast("double") - F.col("__lo")) / width)
+        )
+        bkt = F.least(
+            F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1)
+        ).cast("int")
+        return (
+            d.filter(F.col(col).isNotNull())
+            .crossJoin(b)
+            .withColumn("__bkt", bkt)
+        )
+
+    rf = (
+        bucketed(ref)
+        .groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__rn"))
+        .crossJoin(
+            F.broadcast(ref.filter(F.col(col).isNotNull()).agg(
+                F.count(F.lit(1)).alias("__rt")
+            ))
+        )
+        .select("__bkt", (F.col("__rn") / F.col("__rt")).alias("__rfrac"))
+    )
+    dfb = bucketed(df)
+    dfr = (
+        dfb.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__dn"))
+        .crossJoin(
+            F.broadcast(df.filter(F.col(col).isNotNull()).agg(
+                F.count(F.lit(1)).alias("__dt")
+            ))
+        )
+        .select("__bkt", (F.col("__dn") / F.col("__dt")).alias("__dfrac"))
+    )
+    rates = rf.join(dfr, on="__bkt")
+    alpha = F.broadcast(
+        rates.agg(F.min(F.col("__dfrac") / F.col("__rfrac")).alias("__a"))
+    )
+    rates = rates.crossJoin(alpha).select(
+        "__bkt",
+        F.least(
+            F.lit(1.0), F.col("__a") * F.col("__rfrac") / F.col("__dfrac")
+        ).alias("__rate"),
+    )
+    # ``bucket`` overrides the production seeded-xxhash64 keep hash
+    # with a portable expression for the oracle gate (q91's pattern);
+    # floor() before the cast — Spark's double->long cast truncates
+    # while DuckDB's rounds, so the raw cast would disagree on the
+    # threshold row.
+    keep_hash = hash_bucket(key_col, seed) if bucket is None else bucket
+    kept = (
+        dfb.join(F.broadcast(rates), on="__bkt")
+        .filter(
+            keep_hash < F.floor(F.col("__rate") * _BUCKETS).cast("long")
+        )
+    )
+    kept = kept.drop("__lo", "__hi", "__rate")
+    if keep_bucket:
+        # expose the matching bucket (distribution-audit consumers
+        # aggregate on it; re-deriving needs the ref bounds again)
+        return kept.withColumnRenamed("__bkt", "bucket")
+    return kept.drop("__bkt")

@@ -956,3 +956,143 @@ def q103_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = read_table(spark, sf_dir, "orders")
     return value_histogram(o, "o_totalprice", n_buckets=10)
+
+
+@register(
+    "q111_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority,
+             quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS m
+      FROM orders GROUP BY 1
+    ),
+    mad AS (
+      SELECT o.o_orderpriority,
+             quantile_cont(abs(CAST(o_totalprice AS DOUBLE) - m.m), 0.5)
+               AS d
+      FROM orders o JOIN med m USING (o_orderpriority)
+      GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (
+             WHERE o_totalprice IS NOT NULL AND d <> 0
+               AND abs(round(0.6745 * (CAST(o_totalprice AS DOUBLE) - m)
+                             / d, 4)) > 3.5
+           ) AS BIGINT) AS n_outliers,
+           round(min(m), 4) AS median_price,
+           round(min(d), 4) AS mad_price
+    FROM orders JOIN med USING (o_orderpriority)
+                JOIN mad USING (o_orderpriority)
+    GROUP BY 1
+    """,
+    description="Robust per-group outlier profile "
+    "(operators/profile.mad_outliers over orders.o_totalprice, "
+    "grouped by priority): modified z-score 0.6745*(x-median)/MAD "
+    "with the Iglewicz-Hoaglin 3.5 threshold — median/MAD so the "
+    "statistics aren't dragged by the outliers being hunted, the "
+    "robust pass a data-quality gate runs on numeric features before "
+    "training. Two aggregate passes (MAD isn't algebraic — the "
+    "exact-computation floor), each one tiny per-group row broadcast "
+    "back; exact interpolated percentiles (q23 parity) keep it "
+    "hash-checkable.",
+    tags=("aggregate", "quality"),
+)
+def q111_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import mad_outliers
+
+    o = read_table(spark, sf_dir, "orders")
+    out = mad_outliers(
+        o, "o_totalprice", group_col="o_orderpriority", threshold=3.5,
+        keep_stats=True,
+    )
+    return out.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        F.round(F.min("med"), 4).alias("median_price"),
+        F.round(F.min("mad"), 4).alias("mad_price"),
+    )
+
+
+@register(
+    "q112_distribution_matched_sample",
+    oracle="""
+    WITH refd AS (
+      SELECT n_chars FROM documents WHERE doc_id % 13 = 0
+    ),
+    trn AS (
+      SELECT doc_id, n_chars FROM documents
+      WHERE doc_id % 13 <> 0 AND n_chars IS NOT NULL
+    ),
+    bounds AS (
+      SELECT min(CAST(n_chars AS DOUBLE)) AS lo,
+             max(CAST(n_chars AS DOUBLE)) AS hi
+      FROM refd
+    ),
+    rb AS (
+      SELECT least(9, greatest(0,
+               CAST(floor((CAST(n_chars AS DOUBLE) - lo)
+                          / ((hi - lo) / 10)) AS INT))) AS bkt
+      FROM refd, bounds WHERE n_chars IS NOT NULL
+    ),
+    rf AS (
+      SELECT bkt,
+             count(*) * 1.0 / (SELECT count(*) FROM rb) AS rfrac
+      FROM rb GROUP BY 1
+    ),
+    db AS (
+      SELECT doc_id, n_chars,
+             least(9, greatest(0,
+               CAST(floor((CAST(n_chars AS DOUBLE) - lo)
+                          / ((hi - lo) / 10)) AS INT))) AS bkt
+      FROM trn, bounds
+    ),
+    dfr AS (
+      SELECT bkt,
+             count(*) * 1.0 / (SELECT count(*) FROM db) AS dfrac
+      FROM db GROUP BY 1
+    ),
+    rates AS (
+      SELECT bkt,
+             least(1.0,
+               (SELECT min(dfrac / rfrac) FROM rf JOIN dfr USING (bkt))
+               * rfrac / dfrac) AS rate
+      FROM rf JOIN dfr USING (bkt)
+    )
+    SELECT bkt AS bucket, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM db JOIN rates USING (bkt)
+    WHERE (db.doc_id * 2654435761) % 1000000
+            < CAST(floor(rate * 1000000) AS BIGINT)
+    GROUP BY 1
+    """,
+    description="Distribution-matched subsampling "
+    "(operators/sampling.distribution_matched_sample): the largest "
+    "deterministic train subset whose n_chars distribution matches "
+    "the held-out eval slice's — the ablation/eval-construction "
+    "primitive that de-confounds comparisons from length. Equal-width "
+    "buckets over the REFERENCE bounds (1-row broadcast), per-bucket "
+    "keep rate alpha*ref_frac/df_frac with alpha the largest uniform "
+    "scaling no bucket can exceed, kept by hash threshold (stable "
+    "under re-partitioning/appends; portable multiplicative hash for "
+    "the oracle gate, q91's pattern). Output aggregated per bucket "
+    "for a stable hash check.",
+    tags=("sampling", "aggregate"),
+)
+def q112_distribution_matched_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.sampling import (
+        distribution_matched_sample,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 13 == 0)
+    trn = d.filter(F.col("doc_id") % 13 != 0)
+    out = distribution_matched_sample(
+        trn, ref, "n_chars", "doc_id", n_buckets=10,
+        bucket=F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1_000_000)),
+        keep_bucket=True,
+    )
+    return out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )

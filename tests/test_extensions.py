@@ -1741,3 +1741,77 @@ def test_score_buckets_brute_force(spark, duck):
             exp = "tail" if v < t0 else ("middle" if v < t1 else "head")
             assert got[i] == exp, (i, v, t0, t1, got[i])
     assert got[100] is None  # NULL score -> NULL bucket
+
+
+def test_mad_outliers_planted(spark):
+    """Planted fixture: one extreme value flags, the robust statistics
+    don't move with it; MAD=0 (constant-majority) group yields NULL
+    mod_z and never flags."""
+    from bigdata_kafka_2_spark.operators.profile import mad_outliers
+
+    rows = (
+        [(i, "a", float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 1000])]
+        + [(10 + i, "b", 5.0) for i in range(5)]
+        + [(20, "b", 9.0), (21, "a", None)]
+    )
+    df = spark.createDataFrame(rows, "id long, g string, x double")
+    out = {
+        r.id: (r.mod_z, r.is_outlier)
+        for r in mad_outliers(df, "x", group_col="g", keep_stats=True).collect()
+    }
+    # group a: median 12.5, MAD 1.5 -> 1000 is a massive outlier
+    assert out[5][1] is True
+    assert all(out[i][1] is False for i in range(5))
+    # group b: >half identical -> MAD 0 -> NULL z, no flag (documented)
+    assert all(out[i][0] is None and out[i][1] is False for i in (10, 14, 20))
+    # NULL value passes through unflagged
+    assert out[21] == (None, False)
+    stats = {
+        r.g: (r.med, r.mad)
+        for r in mad_outliers(df, "x", group_col="g", keep_stats=True)
+        .select("g", "med", "mad").distinct().collect()
+    }
+    assert stats["a"] == (12.5, 1.5)
+    assert stats["b"] == (5.0, 0.0)
+
+
+def test_distribution_matched_sample_matches_ref_shape(spark):
+    """The sampled bucket fractions track the reference's, the sample
+    is deterministic under repartitioning, and df mass outside the
+    reference's support is dropped."""
+    from bigdata_kafka_2_spark.operators.sampling import (
+        distribution_matched_sample,
+    )
+
+    # ref: uniform over [0, 100); df: heavily skewed to low values,
+    # plus mass far outside the ref bounds (clamps into edge buckets)
+    ref = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(200)], "id long, v double"
+    )
+    df = spark.createDataFrame(
+        [(1000 + i, float(i % 20)) for i in range(800)]
+        + [(2000 + i, 80.0 + (i % 20)) for i in range(100)],
+        "id long, v double",
+    )
+    out = distribution_matched_sample(
+        df, ref, "v", "id", n_buckets=5, keep_bucket=True
+    )
+    got = {r.bucket: r.n for r in out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(got.values())
+    assert total > 0
+    # df only has mass in buckets 0 and 4 (ref buckets 1-3 are
+    # unmatchable and contribute nothing); within the covered buckets
+    # the sample must track the ref's shape — equal ref mass in 0 and
+    # 4, so the two counts come out ~equal despite df being 8:1
+    # skewed toward bucket 0 (hash-binomial tolerance)
+    assert set(got) == {0, 4}
+    assert abs(got[0] - got[4]) <= max(8, 0.25 * total), got
+    # deterministic under repartitioning
+    again = {
+        r.bucket: r.n
+        for r in distribution_matched_sample(
+            df.repartition(7), ref, "v", "id", n_buckets=5, keep_bucket=True
+        ).groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == again
