@@ -104,6 +104,9 @@ HEADLINE = (
     "q107_fuzzy_contamination_pairs",
     "q108_perplexity_buckets",
     "q110_curation_v3",
+    "q111_mad_outliers",
+    "q112_distribution_matched_sample",
+    "q113_media_probe_roundtrip",
 )
 
 

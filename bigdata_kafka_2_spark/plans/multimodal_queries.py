@@ -89,3 +89,57 @@ def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("feature", 1).cast("double").alias("f0"),
         F.element_at("feature", 2).cast("double").alias("f1"),
     )
+
+
+@register(
+    "q113_media_probe_roundtrip",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(doc_id % 16 + 1 AS INT) END AS width,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(n_chars % 16 + 1 AS INT) END AS height,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(8000 AS INT) END
+             AS sample_rate,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(1 AS INT) END AS n_channels,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST((n_chars % 50 + 1) * 10 AS BIGINT) END
+             AS duration_ms,
+           CASE WHEN doc_id % 2 = 0
+                THEN round(CAST(n_chars % 256 AS DOUBLE), 4) END
+             AS mean_luma,
+           CASE WHEN doc_id % 2 = 1 THEN 0.5 END AS rms
+    FROM documents
+    """,
+    description="REAL media decode round-trip "
+    "(operators/multimodal.synthesize_assets -> probe_media): even "
+    "doc_ids become genuine solid-gray 24-bit BMP files, odd ones "
+    "genuine 16-bit PCM WAV square waves (struct.pack writers), and "
+    "the INDEPENDENT stdlib parser recovers dimensions, pixel mean "
+    "luma, sample rate, duration, and RMS — hash-checked against the "
+    "closed-form expectations derived from the driving columns "
+    "(solid gray g has luma exactly g; a +-a square wave has RMS "
+    "exactly a/32768). No pillow/ffmpeg, no stub: the decode path "
+    "exercised here parses actual file bytes; only codec-library "
+    "formats (JPEG pixels, non-PCM audio, video) remain stubbed.",
+    tags=("multimodal", "udf"),
+)
+def q113_media_probe_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    params = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("modality"),
+        (F.col("doc_id") % 16 + 1).cast("int").alias("width"),
+        (F.col("n_chars") % 16 + 1).cast("int").alias("height"),
+        (F.col("n_chars") % 256).cast("int").alias("luma"),
+        F.lit(8000).alias("sample_rate"),
+        ((F.col("n_chars") % 50 + 1) * 80).cast("int").alias("n_samples"),
+        F.lit(16384).alias("amplitude"),
+    )
+    assets = MM.synthesize_assets(params)
+    return MM.probe_media(assets).drop("modality")

@@ -76,3 +76,124 @@ def test_repartition_for_payloads(assets):
     out = MM.repartition_for_payloads(assets, target_partition_bytes=8)
     assert out.count() == 5
     assert out.rdd.getNumPartitions() >= 2
+
+
+def _bmp_bytes(w, h, rgb):
+    """Minimal uncompressed 24-bit BMP with every pixel = rgb."""
+    import struct
+
+    row = (w * 3 + 3) & ~3
+    pixels = bytearray()
+    r, g, b = rgb
+    for _ in range(h):
+        line = bytes([b, g, r] * w)
+        pixels += line + b"\x00" * (row - len(line))
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 0, 0, 0, 0
+    )
+    return bytes(header + pixels)
+
+
+def _png_bytes(w, h, gray, filters=(0,)):
+    """8-bit grayscale PNG, constant value, cycling scanline filters."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes([gray] * w)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        line = bytes([gray] * w)
+        if ft == 0:
+            enc = line
+        elif ft == 1:  # Sub
+            enc = bytes([(line[i] - (line[i - 1] if i else 0)) & 0xFF for i in range(w)])
+        elif ft == 2:  # Up
+            enc = bytes([(line[i] - prev[i]) & 0xFF for i in range(w)])
+        else:
+            raise ValueError(ft)
+        raw += bytes([ft]) + enc
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _wav_bytes(rate, seconds, amplitude):
+    """16-bit mono PCM square wave via the stdlib wave module."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        n = int(rate * seconds)
+        frames = b"".join(
+            struct.pack("<h", amplitude if i % 2 == 0 else -amplitude)
+            for i in range(n)
+        )
+        wf.writeframes(frames)
+    return buf.getvalue()
+
+
+def _jpeg_header_bytes(w, h):
+    """Minimal JPEG prefix: SOI + APP0 + SOF0 carrying dimensions."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 1, 8, h, w, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof
+
+
+def test_probe_media_real_stdlib_decode(spark):
+    """probe_media REALLY decodes BMP/PNG/WAV (pixels and samples, not
+    just headers) and parses JPEG dimensions — no stub, no external
+    libs; garbage comes back 'unknown'."""
+    from bigdata_kafka_2_spark.operators.multimodal import probe_media
+
+    rows = [
+        (1, "image", "image/bmp", _bmp_bytes(4, 3, (255, 0, 0)), None),
+        (2, "image", "image/png", _png_bytes(5, 4, 100, filters=(0, 1, 2)), None),
+        (3, "image", "image/jpeg", _jpeg_header_bytes(640, 480), None),
+        (4, "audio", "audio/wav", _wav_bytes(8000, 0.5, 16384), None),
+        (5, "image", None, b"not really an image", None),
+        (6, "image", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+    got = {r.asset_id: r.asDict() for r in probe_media(df).collect()}
+
+    assert got[1]["format"] == "bmp"
+    assert (got[1]["width"], got[1]["height"]) == (4, 3)
+    # all-red: luma = 0.299*255
+    assert abs(got[1]["mean_luma"] - 0.299 * 255) < 0.01
+
+    assert got[2]["format"] == "png"
+    assert (got[2]["width"], got[2]["height"]) == (5, 4)
+    assert got[2]["mean_luma"] == 100.0  # constant gray, filters reversed
+
+    assert got[3]["format"] == "jpeg"
+    assert (got[3]["width"], got[3]["height"]) == (640, 480)
+    assert got[3]["mean_luma"] is None  # honest: pixel decode needs a codec
+
+    assert got[4]["format"] == "wav"
+    assert got[4]["sample_rate"] == 8000
+    assert got[4]["n_channels"] == 1
+    assert got[4]["duration_ms"] == 500
+    # full-scale square wave at 16384/32768 -> rms = 0.5
+    assert abs(got[4]["rms"] - 0.5) < 0.001
+
+    assert got[5]["format"] == "unknown"
+    assert got[6]["format"] == "unknown"
