@@ -107,6 +107,7 @@ HEADLINE = (
     "q111_mad_outliers",
     "q112_distribution_matched_sample",
     "q113_media_probe_roundtrip",
+    "q114_bpe_merges",
 )
 
 

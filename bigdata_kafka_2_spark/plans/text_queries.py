@@ -948,3 +948,105 @@ def q108_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("logprob"), 4).alias("avg_logprob"),
     )
+
+
+def _q114_oracle(sf_dir: str) -> str:
+    """Golden-reference oracle for the ITERATIVE BPE learner: an
+    INDEPENDENT pure-Python Sennrich implementation (word-frequency
+    dict + regex-style non-overlapping merge, no Spark, no shared
+    code with operators/bpe.py) runs over the parquet at
+    oracle-resolution time and emits its merge sequence as a VALUES
+    literal. An iterative driver-coordinated algorithm is not
+    expressible as one SQL query; this is strictly stronger than the
+    rows-only fallback — every merge, count, and tie-break is checked
+    against a second implementation of the algorithm (the q47/q68
+    pinned-literal precedent, applied to a computed golden result)."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    wf: Counter = Counter()
+    for t in tbl.column("text").to_pylist():
+        if t is None:
+            continue
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        for w in norm.split(" "):
+            if w:
+                wf[w] += 1
+    sym = {w: list(w) + ["</w>"] for w in wf}
+    merges = []
+    for _ in range(20):
+        pc: Counter = Counter()
+        for w, n in wf.items():
+            s = sym[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        top = max(pc.values())
+        if top < 2:
+            break
+        a, b = sorted(p for p, c in pc.items() if c == top)[0]
+        merges.append((a, b, top))
+        for w in sym:
+            s = sym[w]
+            out, jm = [], False
+            for tok in s:
+                if out and not jm and out[-1] == a and tok == b:
+                    out[-1] = a + b
+                    jm = True
+                else:
+                    out.append(tok)
+                    jm = False
+            sym[w] = out
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ",\n      ".join(
+        f"({i + 1}, {q(a)}, {q(b)}, {c})"
+        for i, (a, b, c) in enumerate(merges)
+    )
+    return f"""
+    SELECT CAST(rank AS BIGINT) AS rank, left_sym, right_sym,
+           CAST(pair_count AS BIGINT) AS pair_count
+    FROM (VALUES
+      {rows}
+    ) AS t(rank, left_sym, right_sym, pair_count)
+    """
+
+
+@register(
+    "q114_bpe_merges",
+    oracle=_q114_oracle,
+    description="Distributed BPE vocabulary induction "
+    "(operators/bpe.learn_bpe_merges): the Sennrich tokenizer-training "
+    "loop with every round running on the WORD FREQUENCY table "
+    "(vocabulary-sized — the corpus is touched exactly once, by the "
+    "initial word count), one argmax row to the driver per round (the "
+    "connected-components bounded-decision pattern), merge application "
+    "as a row-local HOF fold with reference regex semantics. 20 "
+    "merges, ties broken (count desc, pair asc). The oracle is a "
+    "golden reference: an independent pure-Python Sennrich learner "
+    "runs at oracle-resolution time and its merge sequence is "
+    "hash-compared — stronger than rows-only for an iterative "
+    "algorithm no single SQL query can express; exact merge-sequence "
+    "AND tokenization parity are additionally property-tested.",
+    tags=("text", "aggregate"),
+)
+def q114_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators import bpe as BP
+
+    d = read_table(spark, sf_dir, "documents")
+    merges = BP.learn_bpe_merges(d, n_merges=20, min_pair_count=2)
+    return spark.createDataFrame(
+        [
+            (i + 1, a, b, c)
+            for i, (a, b, c) in enumerate(merges)
+        ],
+        "rank long, left_sym string, right_sym string, pair_count long",
+    )

@@ -1815,3 +1815,99 @@ def test_distribution_matched_sample_matches_ref_shape(spark):
         ).groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == again
+
+
+def _reference_bpe(texts, n_merges, min_pair_count=2):
+    """Pure-Python Sennrich BPE learner (word-frequency dict, regex-
+    style non-overlapping merge), the parity reference."""
+    import re
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        for w in norm.split(" "):
+            if w:
+                wf[w] += 1
+    sym = {w: list(w) + ["</w>"] for w in wf}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, n in wf.items():
+            s = sym[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        best = max(pc.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0][0]], [-ord(c) for c in kv[0][1]]))
+        # deterministic tie-break: count desc, then lexicographically
+        # smallest pair — recompute properly
+        top_count = max(pc.values())
+        cands = sorted(p for p, c in pc.items() if c == top_count)
+        best = (cands[0], top_count)
+        if top_count < min_pair_count:
+            break
+        (a, b), cnt = best
+        merges.append((a, b, cnt))
+        for w in sym:
+            s = sym[w]
+            out, jm = [], False
+            for tok in s:
+                if out and not jm and out[-1] == a and tok == b:
+                    out[-1] = a + b
+                    jm = True
+                else:
+                    out.append(tok)
+                    jm = False
+            sym[w] = out
+    return merges, sym
+
+
+def test_bpe_learner_matches_reference(spark):
+    """Exact merge-sequence parity (incl. tie-breaks) with the pure-
+    Python Sennrich learner, and apply_bpe reproduces the reference
+    tokenization word-for-word."""
+    from bigdata_kafka_2_spark.operators import bpe as BP
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wider wide wide wider widest",
+        None,
+        "low new wide lower",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = BP.learn_bpe_merges(df, n_merges=8, min_pair_count=2)
+    want, ref_sym = _reference_bpe(texts, 8, 2)
+    assert got == want
+
+    applied = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in BP.apply_bpe(df, got).collect()
+    }
+    import re
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        exp = []
+        for w in norm.split(" "):
+            if w:
+                exp.extend(ref_sym[w])
+        assert applied[i] == exp, (i, applied[i], exp)
+
+
+def test_bpe_learner_on_driver_documents(spark):
+    """Sanity at fixture scale: merges are learned, deterministic
+    across runs, and counts are positive/monotonically sane."""
+    from bigdata_kafka_2_spark.operators import bpe as BP
+
+    d = read_table(spark, SF_DIR, "documents").limit(100)
+    m1 = BP.learn_bpe_merges(d, n_merges=5)
+    m2 = BP.learn_bpe_merges(d, n_merges=5)
+    assert m1 == m2
+    assert len(m1) == 5
+    assert all(c >= 2 for _, _, c in m1)
