@@ -108,6 +108,7 @@ HEADLINE = (
     "q112_distribution_matched_sample",
     "q113_media_probe_roundtrip",
     "q114_bpe_merges",
+    "q115_remove_repeated_spans",
 )
 
 

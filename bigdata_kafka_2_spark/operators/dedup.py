@@ -1123,3 +1123,96 @@ def fuzzy_decontaminate(
         .distinct()
     )
     return train.join(F.broadcast(bad), on=id_col, how="left_anti")
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """PARTIAL-document dedup: remove corpus-repeated spans, keep the
+    rest of the document — the "remove the repeated substring, not
+    the document" half of ExactSubstr dedup (Lee et al.) and the span
+    analogue of C4's line-level dedup. Documents are cut into
+    non-overlapping k-token spans (aligned blocks + the trailing
+    partial); every span that occurs more than once corpus-wide
+    survives only at its FIRST occurrence (lexicographically smallest
+    (doc id, block) — deterministic), all other occurrences are cut,
+    and each document is reassembled from its kept spans in order.
+    Output: ``(id, text_clean, n_tokens, n_tokens_clean)`` — one row
+    per input document (fully-deduplicated docs come back with empty
+    ``text_clean``).
+
+    Plan shape: row-local span build (codegen) → one explode →
+    map-side-combined ``min_by`` winner per span → the winner table
+    joins back on the SAME span key (exchange reuse) → per-document
+    reassembly as one sort-free aggregate (``array_sort`` over the
+    collected (block, span) structs is row-local). Nothing quadratic;
+    the heavy object is the span-keyed exchange, which production
+    shrinks with the same ``xxhash64`` trick as
+    :func:`repeated_substring_coverage` (kept as strings here for the
+    SQL oracle).
+    """
+    norm = F.coalesce(normalize_text(text_col), F.lit(""))
+    toks = F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    n = F.size(toks)
+    n_blocks = F.ceil(n / F.lit(k)).cast("int")
+    idx = F.when(
+        n_blocks > 0, F.sequence(F.lit(0), n_blocks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(
+        idx,
+        lambda b: F.struct(
+            b.alias("block"),
+            F.concat_ws(" ", F.slice(toks, b * k + 1, k)).alias("span"),
+        ),
+    )
+    base = df.select(
+        F.col(id_col), n.alias("n_tokens"), spans.alias("__spans")
+    )
+    exploded = base.select(
+        F.col(id_col), F.explode("__spans").alias("s")
+    ).select(F.col(id_col), F.col("s.block"), F.col("s.span"))
+    winners = exploded.groupBy("span").agg(
+        F.min_by(
+            F.struct(F.col(id_col).alias("wid"), F.col("block").alias("wblock")),
+            F.struct(F.col(id_col), F.col("block")),
+        ).alias("w")
+    )
+    kept = (
+        exploded.join(winners, on="span")
+        .filter(
+            (F.col(id_col) == F.col("w.wid"))
+            & (F.col("block") == F.col("w.wblock"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("block", "span"))
+                    ),
+                    lambda s: s.getField("span"),
+                ),
+            ).alias("text_clean")
+        )
+    )
+    return (
+        base.select(F.col(id_col), "n_tokens")
+        .join(kept, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.when(
+                F.coalesce(F.col("text_clean"), F.lit("")) == "", F.lit(0)
+            )
+            .otherwise(F.size(F.split(F.col("text_clean"), " ")))
+            .cast("long")
+            .alias("n_tokens_clean"),
+        )
+    )

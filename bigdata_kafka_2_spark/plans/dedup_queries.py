@@ -915,3 +915,62 @@ def q110_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("cluster_rep").alias("n_clusters"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+@register(
+    "q115_remove_repeated_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN {_NORM} = '' OR text IS NULL
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split({_NORM}, ' ') END AS t
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, i - 1 AS block,
+             array_to_string(t[(i - 1) * 8 + 1 : least((i - 1) * 8 + 8,
+                                                       len(t))], ' ')
+               AS span
+      FROM toks,
+           UNNEST(generate_series(1, CAST(ceil(len(t) / 8.0) AS INT)))
+             AS g(i)
+    ),
+    winners AS (
+      SELECT span,
+             min(struct_pack(doc_id := doc_id, block := block)) AS w
+      FROM spans GROUP BY span
+    ),
+    kept AS (
+      SELECT s.doc_id,
+             string_agg(s.span, ' ' ORDER BY s.block) AS text_clean
+      FROM spans s JOIN winners USING (span)
+      WHERE s.doc_id = w.doc_id AND s.block = w.block
+      GROUP BY s.doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(k.text_clean, '') AS text_clean,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN coalesce(k.text_clean, '') = '' THEN 0
+                     ELSE len(string_split(k.text_clean, ' ')) END
+                AS BIGINT) AS n_tokens_clean
+    FROM toks t LEFT JOIN kept k USING (doc_id)
+    """,
+    description="Partial-document dedup "
+    "(operators/dedup.remove_repeated_spans): remove corpus-repeated "
+    "8-token spans but KEEP the rest of the document — the 'remove "
+    "the repeated substring, not the document' half of ExactSubstr "
+    "dedup and the span analogue of C4's line-level dedup. Every "
+    "duplicated span survives only at its first (min doc, min block) "
+    "occurrence; documents reassemble from their kept spans in order. "
+    "Row-local span build -> one explode -> map-side min_by winner "
+    "per span -> winner join on the same span key (exchange reuse) -> "
+    "row-local array_sort reassembly. Hash-checked end-to-end incl. "
+    "the reassembled text.",
+    tags=("dedup", "text"),
+)
+def q115_remove_repeated_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return DD.remove_repeated_spans(d, k=8)

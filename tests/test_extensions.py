@@ -1911,3 +1911,27 @@ def test_bpe_learner_on_driver_documents(spark):
     assert m1 == m2
     assert len(m1) == 5
     assert all(c >= 2 for _, _, c in m1)
+
+
+def test_remove_repeated_spans_planted(spark):
+    """Planted fixture: a duplicated aligned span survives only at its
+    first (doc, block) occurrence; unique spans are untouched; a doc
+    that is entirely duplicate spans comes back empty."""
+    span = "a b c d e f g h"          # exactly one 8-token block
+    rows = [
+        (0, span + " u0a u0b u0c"),    # first occurrence -> kept whole
+        (1, span + " u1a u1b u1c"),    # duplicate block -> span cut
+        (2, span),                     # entirely duplicate -> empty
+        (3, "totally different words here"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_clean, r.n_tokens, r.n_tokens_clean)
+        for r in DD.remove_repeated_spans(df, k=8).collect()
+    }
+    assert got[0] == (span + " u0a u0b u0c", 11, 11)
+    assert got[1] == ("u1a u1b u1c", 11, 3)
+    assert got[2] == ("", 8, 0)
+    assert got[3] == ("totally different words here", 4, 4)
+    assert got[4] == ("", 0, 0)
