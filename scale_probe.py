@@ -150,7 +150,11 @@ def main() -> None:
             runs = []
             for _ in range(n_runs):
                 t0 = time.perf_counter()
-                q.spark_fn(spark, sf_dir).count()
+                # noop sink = full materialization (count() lets
+                # Catalyst prune projection-only work; see bench.py).
+                q.spark_fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 runs.append(time.perf_counter() - t0)
             row[tag] = round(min(runs), 3)
         row["ratio"] = round(row["large"] / max(row["small"], 1e-3), 2)
