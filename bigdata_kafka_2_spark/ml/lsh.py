@@ -32,12 +32,20 @@ from bigdata_kafka_2_spark.operators.text import normalize_text
 def _shingle_vectors(
     df: DataFrame, text_col: str, id_col: str, k: int, num_features: int
 ) -> DataFrame:
-    toks = F.split(normalize_text(text_col), " ")
+    # Staged token array (the shingles() rule — an inlined
+    # normalize+split inside the lambda re-splits per shingle index).
+    staged = df.select(
+        F.col(id_col),
+        F.split(normalize_text(text_col), " ").alias("__toks"),
+    )
+    toks = F.col("__toks")
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
-    with_sh = df.select(F.col(id_col), F.array_remove(sh, "").alias("shingles"))
+    with_sh = staged.select(
+        F.col(id_col), F.array_remove(sh, "").alias("shingles")
+    )
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=num_features,
         binary=True,

@@ -83,7 +83,19 @@ def shingles(
     on short docs too); the default keeps the original behavior the
     q41/q42/q44 oracles transcribe.
     """
-    toks = F.split(normalize_text(text_col), " ")
+    # Token array staged as a REAL column before the shingle lambda:
+    # an expression subtree referenced inside a higher-order-function
+    # lambda is re-evaluated per element, so inlining the
+    # normalize+split would re-split the whole document once per
+    # shingle index — O(tokens²) per document (measured 6.4× at
+    # 500-token docs; grows linearly with length). The staged column
+    # is referenced more than once (size + lambda), which keeps
+    # CollapseProject from re-inlining it.
+    staged = ensure_parallel(df).select(
+        F.col(id_col),
+        F.split(normalize_text(text_col), " ").alias("__toks"),
+    )
+    toks = F.col("__toks")
     if full_only:
         idx = F.when(
             F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)
@@ -92,7 +104,7 @@ def shingles(
         idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
     return (
-        ensure_parallel(df).select(F.col(id_col), F.explode(sh).alias("shingle"))
+        staged.select(F.col(id_col), F.explode(sh).alias("shingle"))
         .filter(F.col("shingle") != "")
         .distinct()
     )
@@ -245,14 +257,21 @@ def minhash_signatures(
     every consumer, recomputing the whole shingle-hash array 24× per
     row (~77 CPU-s vs ~5 CPU-s for this form at sf0.1).
     """
-    toks = F.split(normalize_text(text_col), " ")
+    # Stage the token array as a real column first (the shingles()
+    # rule): slicing an inlined normalize+split inside the lambda
+    # would re-split the document once per shingle index — O(tokens²).
+    staged = ensure_parallel(df).select(
+        F.col(id_col),
+        F.split(normalize_text(text_col), " ").alias("__toks"),
+    )
+    toks = F.col("__toks")
     pre_hash = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
         lambda i: F.pmod(
             F.xxhash64(F.slice(toks, i + 1, k)), F.lit(_MERSENNE_P)
         ),
     )
-    pre = ensure_parallel(df).select(F.col(id_col), pre_hash.alias("__hs"))
+    pre = staged.select(F.col(id_col), pre_hash.alias("__hs"))
     params = _hash_params(num_hashes, seed)
     per_elem = F.transform(
         F.col("__hs"),
@@ -335,7 +354,13 @@ def shingle_sets(
     arrays only flow through the (small) candidate join, never through
     a shingle-keyed shuffle.
     """
-    toks = F.split(normalize_text(text_col), " ")
+    # Staged token array (the shingles() rule — an inlined
+    # normalize+split inside the lambda re-splits per shingle index).
+    staged = ensure_parallel(df).select(
+        F.col(id_col),
+        F.split(normalize_text(text_col), " ").alias("__toks"),
+    )
+    toks = F.col("__toks")
     sh = F.array_distinct(
         F.filter(
             F.transform(
@@ -345,7 +370,7 @@ def shingle_sets(
             lambda s: s != "",
         )
     )
-    return ensure_parallel(df).select(
+    return staged.select(
         F.col(id_col),
         sh.alias("shingle_set"),
         F.size(sh).alias("n_sh"),
@@ -802,12 +827,18 @@ def positioned_shingles(
     positions emits two rows; positions are what substring coverage
     consumes). Docs shorter than ``k`` tokens yield no rows (the
     engine-portable full-gram convention of :func:`shingles`)."""
-    toks = F.split(normalize_text(text_col), " ")
+    # Staged token array (the shingles() rule — an inlined
+    # normalize+split inside the lambda re-splits per index).
+    staged = ensure_parallel(df).select(
+        F.col(id_col),
+        F.split(normalize_text(text_col), " ").alias("__toks"),
+    )
+    toks = F.col("__toks")
     idx = F.when(
         F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)
     ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    return ensure_parallel(df).select(
+    return staged.select(
         F.col(id_col), F.posexplode(sh).alias("pos", "shingle")
     )
 
@@ -1145,11 +1176,14 @@ def remove_repeated_spans(
     ``text_clean``).
 
     Plan shape: row-local span build (codegen) → one explode →
-    map-side-combined ``min_by`` winner per span → the winner table
-    joins back on the SAME span key (exchange reuse) → per-document
-    reassembly as one sort-free aggregate (``array_sort`` over the
-    collected (block, span) structs is row-local). Nothing quadratic;
-    the heavy object is the span-keyed exchange, which production
+    map-side-combined count + ``min_by`` winner per span → the winner
+    table FILTERED to duplicated spans only (``__n > 1``; unique spans
+    are trivially their own winner), so the join-back is a broadcast
+    left-join against the rare repeated subset instead of a second
+    full span-keyed exchange → per-document reassembly as one
+    sort-free aggregate (``array_sort`` over the collected
+    (block, span) structs is row-local). Nothing quadratic; the one
+    full-data exchange is the winner aggregate, which production
     shrinks with the same ``xxhash64`` trick as
     :func:`repeated_substring_coverage` (kept as strings here for the
     SQL oracle).
@@ -1158,7 +1192,14 @@ def remove_repeated_spans(
     toks = F.when(norm == "", F.array().cast("array<string>")).otherwise(
         F.split(norm, " ")
     )
-    n = F.size(toks)
+    # Stage the token array as a REAL column before the span lambda:
+    # an expression embedded inside a higher-order-function lambda is
+    # re-evaluated per element, so inlining ``toks`` would re-normalize
+    # and re-split the whole document once per block — O(blocks ×
+    # doc_length) per document (measured ~4× the operator's cost at
+    # sf0.1 before staging).
+    staged = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
     n_blocks = F.ceil(n / F.lit(k)).cast("int")
     idx = F.when(
         n_blocks > 0, F.sequence(F.lit(0), n_blocks - 1)
@@ -1167,26 +1208,47 @@ def remove_repeated_spans(
         idx,
         lambda b: F.struct(
             b.alias("block"),
-            F.concat_ws(" ", F.slice(toks, b * k + 1, k)).alias("span"),
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), b * k + 1, k)
+            ).alias("span"),
         ),
     )
-    base = df.select(
+    base = staged.select(
         F.col(id_col), n.alias("n_tokens"), spans.alias("__spans")
     )
     exploded = base.select(
         F.col(id_col), F.explode("__spans").alias("s")
     ).select(F.col(id_col), F.col("s.block"), F.col("s.span"))
-    winners = exploded.groupBy("span").agg(
-        F.min_by(
-            F.struct(F.col(id_col).alias("wid"), F.col("block").alias("wblock")),
-            F.struct(F.col(id_col), F.col("block")),
-        ).alias("w")
+    # Only spans occurring MORE than once need adjudication — a unique
+    # span is trivially its own winner. Filtering the winner table to
+    # duplicated spans shrinks the join side from the full span
+    # vocabulary to the (rare) repeated subset, so the join-back is a
+    # broadcast left-join (AQE picks it from the post-agg size) instead
+    # of a second full span-keyed exchange; an occurrence survives if
+    # its span was never duplicated (join miss) or it IS the winner.
+    dup_winners = (
+        exploded.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min_by(
+                F.struct(
+                    F.col(id_col).alias("wid"),
+                    F.col("block").alias("wblock"),
+                ),
+                F.struct(F.col(id_col), F.col("block")),
+            ).alias("w"),
+        )
+        .filter(F.col("__n") > 1)
+        .select("span", "w")
     )
     kept = (
-        exploded.join(winners, on="span")
+        exploded.join(dup_winners, on="span", how="left")
         .filter(
-            (F.col(id_col) == F.col("w.wid"))
-            & (F.col("block") == F.col("w.wblock"))
+            F.col("w").isNull()
+            | (
+                (F.col(id_col) == F.col("w.wid"))
+                & (F.col("block") == F.col("w.wblock"))
+            )
         )
         .groupBy(id_col)
         .agg(

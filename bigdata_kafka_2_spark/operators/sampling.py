@@ -258,6 +258,90 @@ def temperature_mixture_sample(
     )
 
 
+def dsir_logweights(
+    df: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance log-weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document in the raw pool by how much more likely its tokens
+    are under the TARGET distribution than under the raw pool's own —
+    ``(id, dl, dsir_logweight, avg_logratio)`` where
+
+        dsir_logweight = Σ_tok tf · [ln p_t(tok) − ln p_r(tok)]
+
+    with both unigram models add-one smoothed over the SHARED raw
+    vocabulary (a token unseen in the target scores 1/(T_t+V), never
+    −inf). ``target_pred`` is a boolean Column marking the in-domain
+    exemplar docs (e.g. ``F.col("lang") == "en"`` or a curated-subset
+    flag); selection = rank by weight and keep the top fraction (or
+    feed :func:`score_buckets` for banded sampling). ``avg_logratio``
+    is the length-normalized variant (Σ/dl) for rankings that should
+    not favor long documents. The paper hashes n-grams into a fixed
+    bucket count to bound the feature space; the unigram-vocabulary
+    form here is the SQL-transcribable equivalent with V playing the
+    bucket count (at 100 TB the vocab table is millions of rows —
+    executor-broadcast scale, same as unigram_logprob_scores).
+
+    Plan shape: ONE token explode + (id, tok) aggregate feeds both
+    vocabulary aggregates (raw and target — target counts ride the
+    same shuffle, flagged per doc before the explode) and the scoring
+    join on the same ``tok`` key; totals are a 1-row broadcast.
+    Per-token log-ratios are rounded to 4 dp and summed as exact
+    DECIMALs (the bm25 order-independence rule).
+    """
+    from bigdata_kafka_2_spark.operators.text import normalize_text
+
+    toks = (
+        df.select(
+            F.col(id_col),
+            target_pred.alias("__tgt"),
+            F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy(id_col, "__tgt", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.sum("tf").alias("__cr"),
+        F.sum(F.when(F.col("__tgt"), F.col("tf")).otherwise(0)).alias(
+            "__ct"
+        ),
+    )
+    totals = vocab.agg(
+        F.sum("__cr").alias("__Tr"),
+        F.sum("__ct").alias("__Tt"),
+        F.count(F.lit(1)).alias("__V"),
+    )
+    logratio = F.log(
+        (F.col("__ct") + F.lit(1.0)) / (F.col("__Tt") + F.col("__V"))
+    ) - F.log(
+        (F.col("__cr") + F.lit(1.0)) / (F.col("__Tr") + F.col("__V"))
+    )
+    contrib = (F.col("tf") * F.round(logratio, 4)).cast("decimal(28,4)")
+    return (
+        toks.join(vocab, on="tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("dl"),
+            F.sum(contrib).alias("__s"),
+        )
+        .select(
+            id_col,
+            "dl",
+            F.round(F.col("__s").cast("double"), 4).alias(
+                "dsir_logweight"
+            ),
+            F.round(
+                F.col("__s").cast("double") / F.col("dl"), 4
+            ).alias("avg_logratio"),
+        )
+    )
+
+
 def score_buckets(
     df: DataFrame,
     score_col: str,

@@ -267,13 +267,18 @@ def winnow_fingerprints(
     big = 1 << 30
     toks = F.split(normalize_text(text_col), " ")
     if hash_fn == "xxhash64":
+        # Stage the token array first (the shingles() rule): slicing
+        # an inlined normalize+split inside the lambda re-splits the
+        # document once per shingle index — O(tokens²) per document.
+        staged = ensure_parallel(df).select(
+            F.col(id_col), toks.alias("__toks")
+        )
+        tc = F.col("__toks")
         shingle_hashes = F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-            lambda i: F.xxhash64(F.slice(toks, i + 1, k)),
+            F.sequence(F.lit(0), F.greatest(F.size(tc) - k, F.lit(0))),
+            lambda i: F.xxhash64(F.slice(tc, i + 1, k)),
         )
-        pre = ensure_parallel(df).select(
-            F.col(id_col), shingle_hashes.alias("__hs")
-        )
+        pre = staged.select(F.col(id_col), shingle_hashes.alias("__hs"))
     elif hash_fn == "md5_15":
         # one md5 per TOKEN (lambda body touches only its element),
         # then the polynomial fold over k shifted suffixes — all
@@ -542,16 +547,21 @@ def repetition_stats(
     shape) and the dedup family (cross-document repeats): this is
     WITHIN-document repetition, the one axis those don't measure.
     """
-    toks = F.split(
-        F.coalesce(normalize_text(text_col), F.lit("")), " "
+    # Staged token array (the shingles() rule — an inlined
+    # normalize+split inside the lambda re-splits per gram index).
+    staged = ensure_parallel(df).select(
+        F.col(id_col),
+        F.split(
+            F.coalesce(normalize_text(text_col), F.lit("")), " "
+        ).alias("__toks"),
     )
+    toks = F.col("__toks")
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     counts = (
-        ensure_parallel(df)
-        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        staged.select(F.col(id_col), F.explode(grams).alias("gram"))
         .filter(F.col("gram") != "")
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -754,8 +764,18 @@ def winnow_overlap_pairs(
     ngram_jaccard_pairs), but over the winnowed ~2/(window+1)-density
     signature instead of every shingle — the cheap screen for copied
     passages that whole-document Jaccard dilutes away.
+
+    The signature table is ``localCheckpoint``-ed (lazily) before the
+    explode: the optimizer inlines the fingerprint expression chain
+    into the generator and both join sides — the zip_with/hash tree
+    replicates 60× in the optimized plan (measured 23× slower per
+    row) — and at scale the signature table is the artifact a dedup
+    pipeline materializes once and reuses anyway (the q105 stage-
+    boundary precedent).
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k, window, hash_fn)
+    fps = winnow_fingerprints(
+        df, text_col, id_col, k, window, hash_fn
+    ).localCheckpoint(eager=False)
     ex = fps.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
     a = ex.select(F.col(id_col).alias("id_a"), "fp")
     b = ex.select(F.col(id_col).alias("id_b"), "fp")
@@ -791,7 +811,15 @@ def chunk_documents(
     """
     if stride is None:
         stride = chunk_tokens
-    toks = F.split(F.coalesce(normalize_text(text_col), F.lit("")), " ")
+    # Staged token array (the shingles() rule — an inlined
+    # normalize+split inside the lambda re-splits per window index).
+    staged = ensure_parallel(df).select(
+        F.col(id_col),
+        F.split(
+            F.coalesce(normalize_text(text_col), F.lit("")), " "
+        ).alias("__toks"),
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     n_chunks = F.floor((n + F.lit(stride - 1)) / F.lit(float(stride)))
     chunks = F.transform(
@@ -801,8 +829,7 @@ def chunk_documents(
         ),
     )
     out = (
-        ensure_parallel(df)
-        .select(
+        staged.select(
             F.col(id_col),
             F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
         )
@@ -892,7 +919,12 @@ def pmi_top_pairs(
     magnitude smaller than the corpus; nothing quadratic anywhere.
     Deterministic total order: (pmi desc, w1 asc, w2 asc).
     """
-    toks = F.split(normalize_text(text_col), " ")
+    # Staged token array (the shingles() rule — an inlined
+    # normalize+split inside the lambda re-splits per bigram index).
+    src = ensure_parallel(df).select(
+        F.split(normalize_text(text_col), " ").alias("__toks")
+    )
+    toks = F.col("__toks")
     idx = F.when(
         F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
     ).otherwise(F.array().cast("array<int>"))
@@ -903,7 +935,6 @@ def pmi_top_pairs(
             F.element_at(toks, i + 2).alias("w2"),
         ),
     )
-    src = ensure_parallel(df)
     bigrams = src.select(F.explode(pair_arr).alias("p")).select(
         "p.w1", "p.w2"
     )

@@ -77,6 +77,62 @@ def resample_ffill(
     )
 
 
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition statistics over per-user event
+    streams: ``(from_type, to_type, n_transitions, prob)`` where
+    ``prob`` is the row-normalized transition probability (6 dp) —
+    the sequence-analytics complement to :func:`funnel_counts` (a
+    funnel checks ONE prescribed path; the transition matrix measures
+    every observed path, the input to next-event prediction, journey
+    clustering, and anomalous-flow detection).
+
+    Each user's events are ordered by ``(ts, id)`` — the id tie-break
+    makes simultaneous events deterministic — and consecutive pairs
+    are counted. A user's last event has no successor and contributes
+    nothing.
+
+    Plan shape: ONE user-keyed window (``lead`` over the per-user
+    order) followed by a map-side-combinable hash aggregate on the
+    (from, to) pair; the per-from totals for normalization come from a
+    second aggregate over the tiny k×k count table, joined back on
+    ``from_type``. At 100 TB the only full-data shuffle is the window's
+    user-key exchange — the same key sessionization already shuffles
+    on — and the normalization join touches k² rows (k = distinct
+    event types), never the event table.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("__tot")
+    )
+    return (
+        pairs.join(totals, on="from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("__tot"), 6).alias(
+                "prob"
+            ),
+        )
+    )
+
+
 def funnel_counts(
     events: DataFrame,
     steps: Sequence[str],
