@@ -114,6 +114,9 @@ HEADLINE = (
     "q113_media_probe_roundtrip",
     "q114_bpe_merges",
     "q115_remove_repeated_spans",
+    "q116_markov_transitions",
+    "q117_dsir_logweights",
+    "q118_fuzzy_entity_matches",
 )
 
 
@@ -162,15 +165,21 @@ def main() -> None:
             json.dump(detail, fh, indent=1)
     except OSError:
         pass  # detail file is best-effort; the stdout lines are canonical
-    # Compact separators: the driver's tail capture keeps ~2 KB; the
-    # 53-entry dict serializes to ~1.7 KB this way (vs ~1.9 KB with
-    # default separators — too close to the window for comfort).
+    # The driver's tail capture keeps ~2 KB of stdout, so the final
+    # line must always fit: per-query keys are shortened to their
+    # unique "qNN" prefix (the full names live in the detail line
+    # above and BENCH_DETAIL.json), and compact separators are used.
+    # 56 full-name entries serialize to ~1.8 KB — one growth step from
+    # unparseable (round 7's fate); qNN keys keep it under ~1 KB with
+    # headroom for dozens more queries.
+    short = {name.split("_", 1)[0]: t for name, t in timings.items()}
+    assert len(short) == len(timings), "qNN prefixes must stay unique"
     final = json.dumps(
         {
             "metric": "headline_queries_total",
             "value": total,
             "unit": "sec",
-            "queries": timings,
+            "queries": short,
             "runs_per_query": n_runs,
             "sf": sf_val,
         },

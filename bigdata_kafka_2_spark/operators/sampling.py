@@ -329,14 +329,26 @@ def dsir_logweights(
             F.sum("tf").cast("long").alias("dl"),
             F.sum(contrib).alias("__s"),
         )
+        .withColumn(
+            "__a", (F.col("__s") * 10000).cast("long")
+        )
         .select(
             id_col,
             "dl",
-            F.round(F.col("__s").cast("double"), 4).alias(
-                "dsir_logweight"
-            ),
-            F.round(
-                F.col("__s").cast("double") / F.col("dl"), 4
+            # __s is an exact DECIMAL(28,4): casting to double is
+            # value-preserving at 4 dp (no re-rounding, no ties).
+            F.col("__s").cast("double").alias("dsir_logweight"),
+            # round(__s/dl, 4) hits EXACT .5 ties (e.g. -0.1488/32 =
+            # -0.00465) where Spark's HALF_UP and DuckDB's double
+            # rounding disagree — found by the r8 driver-simulation
+            # verify at sf0.01.  Do the rounding in exact integer
+            # arithmetic instead (half away from zero), identical in
+            # both engines: a = __s·10⁴ (exact BIGINT), q =
+            # sign(a)·((|a|·2 + dl) div (2·dl)).
+            (
+                F.when(F.col("__a") < 0, -F.lit(1)).otherwise(F.lit(1))
+                * F.expr("(abs(__a) * 2 + dl) div (dl * 2)")
+                / F.lit(10000.0)
             ).alias("avg_logratio"),
         )
     )

@@ -1096,3 +1096,56 @@ def q112_distribution_matched_sample(
     return out.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_sampled")
     )
+
+
+@register(
+    "q118_fuzzy_entity_matches",
+    oracle="""
+    WITH b AS (
+      SELECT c_custkey AS id, c_name AS name,
+             substring(c_name, 1, 16) AS blk
+      FROM customer
+    )
+    SELECT a.id AS id_a, bb.id AS id_b,
+           a.name AS name_a, bb.name AS name_b,
+           CAST(levenshtein(a.name, bb.name) AS INTEGER) AS distance
+    FROM b a JOIN b bb ON a.blk = bb.blk AND a.id < bb.id
+    WHERE levenshtein(a.name, bb.name) <= 1
+    """,
+    description="Blocked fuzzy entity matching "
+    "(operators/entity.blocked_fuzzy_matches): record-linkage "
+    "candidates within a deterministic blocking key (here a 16-char "
+    "name prefix), verified by Levenshtein distance <= 1 — the "
+    "master-data / entity-resolution primitive. Blocking turns the "
+    "O(n^2) all-pairs comparison into an equi-join (candidate volume "
+    "= sum of block sizes squared), and the string distance runs "
+    "only on candidates inside codegen — the same candidate-bounding "
+    "discipline as the dedup family's shingle/LSH joins. The filter "
+    "is non-vacuous on driver data (a block holds 100 names "
+    "differing in their last two digits; distance 1 keeps 18 "
+    "neighbors per name, dropping 82% of candidates). Skew guard: "
+    "max_block_size caps degenerate blocking keys (heavy-hitter "
+    "pattern, default None for oracle parity).",
+    tags=("join", "text"),
+)
+def q118_fuzzy_entity_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bigdata_kafka_2_spark.operators.entity import (
+        blocked_fuzzy_matches,
+    )
+
+    c = read_table(spark, sf_dir, "customer")
+    return blocked_fuzzy_matches(
+        c,
+        "c_custkey",
+        "c_name",
+        block=F.expr("substring(c_name, 1, 16)"),
+        max_distance=1,
+    ).select(
+        F.col("id_a"),
+        F.col("id_b"),
+        F.col("name_a"),
+        F.col("name_b"),
+        F.col("distance"),
+    )

@@ -1050,3 +1050,66 @@ def q114_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rank long, left_sym string, right_sym string, pair_count long",
     )
+
+
+@register(
+    "q117_dsir_logweights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, tgt, tok FROM (
+        SELECT doc_id, (lang = 'en') AS tgt,
+               unnest(string_split_regex({_NORM_SQL}, ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    tf AS (
+      SELECT doc_id, tgt, tok, count(*) AS tf FROM toks GROUP BY 1, 2, 3
+    ),
+    vocab AS (
+      SELECT tok, sum(tf) AS cr,
+             sum(CASE WHEN tgt THEN tf ELSE 0 END) AS ct
+      FROM tf GROUP BY tok
+    ),
+    tot AS (
+      SELECT sum(cr) AS Tr, sum(ct) AS Tt, count(*) AS V FROM vocab
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS dl,
+             sum(CAST(tf * round(
+                 ln((ct + 1.0) / (Tt + V)) - ln((cr + 1.0) / (Tr + V)),
+               4) AS DECIMAL(28,4))) AS s
+      FROM tf JOIN vocab USING (tok), tot
+      GROUP BY doc_id
+    )
+    SELECT doc_id, dl,
+           CAST(s AS DOUBLE) AS dsir_logweight,
+           -- exact half-away-from-zero rounding of s/dl to 4 dp in
+           -- integer arithmetic (round() on doubles diverges between
+           -- engines at exact .5 ties like -0.1488/32)
+           (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+             * ((abs(CAST(s * 10000 AS BIGINT)) * 2 + dl) // (dl * 2))
+             / 10000.0 AS avg_logratio
+    FROM agg
+    """,
+    description="DSIR-style importance log-weights "
+    "(operators/sampling.dsir_logweights; Xie et al. 2023): every "
+    "document in the raw pool scored by sum_tok tf * [ln p_target - "
+    "ln p_raw] with both unigram models add-one smoothed over the "
+    "shared raw vocabulary — the data-selection recipe that picks "
+    "raw-corpus documents distributionally closest to a target "
+    "domain (here lang='en' as the in-domain exemplar set). One "
+    "token explode + (id, tgt, tok) aggregate feeds both vocabulary "
+    "counts (target counts ride the same shuffle) and the scoring "
+    "join on the tok key; totals are a 1-row broadcast; per-token "
+    "log-ratios rounded and summed as exact DECIMALs (the bm25 "
+    "order-independence rule).",
+    tags=("text", "sampling", "aggregate"),
+)
+def q117_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bigdata_kafka_2_spark.operators.sampling import dsir_logweights
+
+    d = read_table(spark, sf_dir, "documents")
+    return dsir_logweights(d, F.col("lang") == "en")

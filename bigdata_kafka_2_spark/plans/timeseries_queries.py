@@ -104,3 +104,46 @@ def q99_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(
         e, ["view", "click", "purchase"], within="12 hours"
     )
+
+
+@register(
+    "q116_markov_transitions",
+    oracle="""
+    WITH nxt AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT from_type, to_type,
+             CAST(count(*) AS BIGINT) AS n_transitions
+      FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT from_type, sum(n_transitions) AS t FROM cnt GROUP BY 1
+    )
+    SELECT c.from_type, c.to_type, c.n_transitions,
+           round(c.n_transitions * 1.0 / t.t, 6) AS prob
+    FROM cnt c JOIN tot t USING (from_type)
+    """,
+    description="First-order Markov transition matrix over per-user "
+    "event streams (operators/timeseries.markov_transitions): "
+    "consecutive event-type pairs per user — ordered by (ts, "
+    "event_id) for deterministic ties — counted and row-normalized "
+    "into transition probabilities. The sequence-analytics "
+    "complement to the funnel (q99 checks ONE prescribed path; this "
+    "measures every observed path — next-event prediction, journey "
+    "clustering, anomalous-flow detection). One user-keyed lead "
+    "window + one map-side-combinable (from, to) aggregate; the "
+    "normalization join touches k x k rows, never the event table.",
+    tags=("window", "aggregate"),
+)
+def q116_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        markov_transitions,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    return markov_transitions(e)

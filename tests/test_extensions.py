@@ -1935,3 +1935,58 @@ def test_remove_repeated_spans_planted(spark):
     assert got[2] == ("", 8, 0)
     assert got[3] == ("totally different words here", 4, 4)
     assert got[4] == ("", 0, 0)
+
+
+def test_blocked_fuzzy_matches_planted(spark):
+    """Planted typo pairs within a block are found with their exact
+    Levenshtein distance; a pair whose names differ in the blocking
+    key itself is never compared (the documented blocking recall
+    bound); id_a < id_b with no self/duplicate pairs."""
+    from pyspark.sql import functions as F
+
+    from bigdata_kafka_2_spark.operators.entity import (
+        blocked_fuzzy_matches,
+    )
+
+    rows = [
+        (1, "acme corp"),
+        (2, "acme c0rp"),   # 1 sub from acme corp, same block
+        (3, "acme corpx"),  # 1 insert, same block (prefix 6: "acme c")
+        (4, "zzme corp"),   # differs in the BLOCK key -> never compared
+        (5, "acme dorp"),   # block "acme d" differs -> never compared
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in blocked_fuzzy_matches(
+            df, "id", "name",
+            block=F.expr("substring(name, 1, 6)"), max_distance=2,
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+
+
+def test_blocked_fuzzy_matches_block_size_guard(spark):
+    """max_block_size drops degenerate blocks entirely (the
+    heavy-hitter guard): a block over the cap contributes no pairs,
+    smaller blocks are unaffected."""
+    from pyspark.sql import functions as F
+
+    from bigdata_kafka_2_spark.operators.entity import (
+        blocked_fuzzy_matches,
+    )
+
+    rows = [(i, f"hot{i:02d}") for i in range(10)] + [
+        (100, "cool1"),
+        (101, "cool2"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    blk = F.expr("substring(name, 1, 3)")
+    unguarded = blocked_fuzzy_matches(
+        df, "id", "name", block=blk, max_distance=2
+    ).count()
+    guarded = blocked_fuzzy_matches(
+        df, "id", "name", block=blk, max_distance=2, max_block_size=5
+    ).collect()
+    assert unguarded > 1
+    assert {(r.id_a, r.id_b) for r in guarded} == {(100, 101)}

@@ -537,3 +537,118 @@ def test_funnel_counts_match_bruteforce(spark, events):
             s2.add(u)
     assert got.get("a", 0) == len(s1)
     assert got.get("b", 0) == len(s2)
+
+
+def test_dsir_logweights_match_brute_force(spark):
+    """dsir_logweights == the DSIR formula computed in plain Python
+    (add-one smoothing over the SHARED raw vocabulary; per-token
+    log-ratios rounded to 4 dp, matching the engine's
+    order-independence rule), and target-like documents score
+    higher than off-target ones."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from bigdata_kafka_2_spark.operators.sampling import dsir_logweights
+
+    docs = {
+        0: ("en", "the cat sat on the mat"),
+        1: ("en", "the dog sat on the rug"),
+        2: ("de", "der hund sitzt auf dem teppich"),
+        3: ("de", "the cat sat on dem teppich"),
+        4: ("en", ""),
+    }
+    df = spark.createDataFrame(
+        [(i, lang, t) for i, (lang, t) in docs.items()],
+        "doc_id long, lang string, text string",
+    )
+    raw, tgt = Counter(), Counter()
+    for lang, t in docs.values():
+        raw.update(t.split())
+        if lang == "en":
+            tgt.update(t.split())
+    Tr, Tt, V = sum(raw.values()), sum(tgt.values()), len(raw)
+    expect = {}
+    for i, (lang, t) in docs.items():
+        toks = t.split()
+        if not toks:
+            continue  # empty doc yields no posting rows
+        # exact integer ticks of 1e-4, mirroring the engine's DECIMAL
+        # sum + half-away-from-zero integer rounding of the average
+        a = sum(
+            int(
+                round(
+                    round(
+                        math.log((tgt[w] + 1.0) / (Tt + V))
+                        - math.log((raw[w] + 1.0) / (Tr + V)),
+                        4,
+                    )
+                    * 10000
+                )
+            )
+            for w in toks
+        )
+        dl = len(toks)
+        q = (1 if a >= 0 else -1) * ((abs(a) * 2 + dl) // (dl * 2))
+        expect[i] = (dl, a / 10000.0, q / 10000.0)
+    got = {
+        r.doc_id: (r.dl, r.dsir_logweight, r.avg_logratio)
+        for r in dsir_logweights(df, F.col("lang") == "en").collect()
+    }
+    assert got == expect
+    # pure-target docs outrank the pure-off-target doc; the mixed doc
+    # lands between them
+    assert got[0][2] > got[3][2] > got[2][2]
+
+
+def test_markov_transitions_match_brute_force(spark):
+    """markov_transitions == consecutive-pair counting in plain Python
+    under the same (ts, id) order, with row-normalized probabilities."""
+    from collections import Counter, defaultdict
+    from datetime import datetime, timedelta
+
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        markov_transitions,
+    )
+
+    epoch = datetime(2024, 1, 1)
+    # user 1: a->b->a->c; user 2: b->b (tie on ts broken by event_id);
+    # user 3: single event (no transition)
+    rows = [
+        (0, 1, epoch + timedelta(minutes=0), "a"),
+        (1, 1, epoch + timedelta(minutes=1), "b"),
+        (2, 1, epoch + timedelta(minutes=2), "a"),
+        (3, 1, epoch + timedelta(minutes=3), "c"),
+        (4, 2, epoch + timedelta(minutes=0), "b"),
+        (5, 2, epoch + timedelta(minutes=0), "b"),
+        (6, 3, epoch + timedelta(minutes=5), "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    by_user = defaultdict(list)
+    for eid, uid, ts, et in rows:
+        by_user[uid].append((ts, eid, et))
+    counts = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, x), (_, _, y) in zip(seq, seq[1:]):
+            counts[(x, y)] += 1
+    totals = Counter()
+    for (x, _), n in counts.items():
+        totals[x] += n
+    expect = {
+        (x, y): (n, round(n / totals[x], 6))
+        for (x, y), n in counts.items()
+    }
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.prob)
+        for r in markov_transitions(df).collect()
+    }
+    assert got == expect
+    # probabilities row-normalize to 1 per from_type
+    sums = defaultdict(float)
+    for (x, _), (_, p) in got.items():
+        sums[x] += p
+    assert all(abs(s - 1.0) < 1e-4 for s in sums.values())
