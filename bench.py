@@ -117,6 +117,8 @@ HEADLINE = (
     "q116_markov_transitions",
     "q117_dsir_logweights",
     "q118_fuzzy_entity_matches",
+    "q119_session_stats",
+    "q120_kmv_distinct_tokens",
 )
 
 

@@ -189,3 +189,78 @@ def funnel_counts(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch gap-based sessionization: the input plus a
+    ``session_seq`` column — the user's 1-based session number, where
+    a new session starts whenever the gap since the user's previous
+    event exceeds ``gap``. The batch complement to the streaming
+    session window (streaming/windows.py session aggregation): the
+    streaming path emits per-session aggregates as data arrives; this
+    labels a HISTORICAL event table so sessions can join back to
+    events, feed funnels, or partition training sequences.
+
+    Deterministic: events order by ``(ts, id)`` within a user, so
+    equal timestamps break ties stably.
+
+    Plan shape: ONE user-keyed window carries both the lag and the
+    running new-session sum (same partition key, same ordering — one
+    shuffle, one sort, two frame passes Catalyst fuses into a single
+    Window node). No self-join, no explode; per-user state is the
+    sort buffer, which at 100 TB is bounded by the largest single
+    user's history — the same bound any per-user sequence analysis
+    carries.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.col(ts_col) > prev + F.expr(f"interval {gap}")),
+        1,
+    ).otherwise(0)
+    return events.withColumn(
+        "session_seq",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-session summary over :func:`sessionize`'s labels:
+    ``(user, session_seq, n_events, n_types, started, ended,
+    duration_sec)`` — the session-level feature table behind
+    engagement metrics, bot detection (impossibly long/dense
+    sessions), and sequence-model sample selection.
+
+    Plan shape: the sessionize window hash-partitions by user; the
+    follow-up ``groupBy(user, session_seq)`` aggregates within the
+    same key prefix, so AQE keeps the exchange (partial aggregation
+    collapses each session to one row map-side). ``duration_sec`` via
+    ``unix_micros`` difference — exact integer µs, no float drift.
+    """
+    s = sessionize(events, gap, user_col, ts_col, id_col)
+    return s.groupBy(user_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(type_col).alias("n_types"),
+        F.min(ts_col).alias("started"),
+        F.max(ts_col).alias("ended"),
+        (
+            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+            / F.lit(1000000)
+        ).alias("duration_sec"),
+    )

@@ -1113,3 +1113,66 @@ def q117_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return dsir_logweights(d, F.col("lang") == "en")
+
+
+@register(
+    "q120_kmv_distinct_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, tok FROM (
+        SELECT lang,
+               unnest(string_split_regex({_NORM_SQL}, ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    hashed AS (
+      SELECT DISTINCT lang,
+             CAST('0x' || substr(md5(tok || ':7'), 1, 15) AS BIGINT)
+               AS h
+      FROM toks
+    ),
+    ranked AS (
+      SELECT lang, h,
+             row_number() OVER (PARTITION BY lang ORDER BY h) AS r
+      FROM hashed
+    ),
+    agg AS (
+      SELECT lang, max(CASE WHEN r = 64 THEN h END) AS hk,
+             count(*) AS nd
+      FROM ranked GROUP BY lang
+    )
+    SELECT lang,
+           CAST(CASE WHEN nd < 64 THEN nd
+                ELSE floor(63.0 * (1152921504606846976.0 / hk))
+                END AS BIGINT) AS est_distinct
+    FROM agg
+    """,
+    description="KMV (k-minimum-values) distinct-token estimate per "
+    "language (operators/sketch.kmv_distinct, k=64, Bar-Yossef et "
+    "al. 2002): the mergeable approximate-distinct sketch that "
+    "replaces q18's exact count-distinct when the value set is "
+    "vocabulary-sized. Build is an Arrow-batched per-partition fold "
+    "to <= k smallest distinct hashes per group (bounded state, a "
+    "guaranteed superset of the global bottom-k), so the shuffle "
+    "carries partitions*k rows instead of the full distinct set; "
+    "estimate = (k-1)*M/h_k with M = 2^60 exactly double-"
+    "representable, giving bit-identical IEEE arithmetic in Spark "
+    "and the SQL oracle (portable md5_15 hash family, q39's "
+    "pattern). Deterministic and partition-invariant: the k-th "
+    "smallest distinct hash does not depend on data layout.",
+    tags=("text", "aggregate", "sketch"),
+)
+def q120_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bigdata_kafka_2_spark.operators.sketch import kmv_distinct
+    from bigdata_kafka_2_spark.operators.text import normalize_text
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.split(normalize_text("text"), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return kmv_distinct(
+        toks, "tok", "lang", k=64, seed=7, hash_fn="md5_15"
+    )

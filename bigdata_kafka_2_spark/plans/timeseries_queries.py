@@ -147,3 +147,52 @@ def q116_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return markov_transitions(e)
+
+
+@register(
+    "q119_session_stats",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(sum(CASE WHEN prev IS NULL
+                             OR ts > prev + INTERVAL 24 HOUR
+                           THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS session_seq
+      FROM lagged
+    )
+    SELECT user_id, session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           min(ts) AS started, max(ts) AS ended,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0
+             AS duration_sec
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    description="Batch gap-based sessionization + per-session summary "
+    "(operators/timeseries.sessionize/session_stats, 24-hour gap): "
+    "each user's event stream cut into sessions wherever the "
+    "inter-event gap exceeds the threshold, then one summary row per "
+    "session (event count, distinct types, span, exact-microsecond "
+    "duration). The batch complement to the streaming session window "
+    "(q64): labels HISTORICAL data so sessions can join back to "
+    "events, feed funnels, or bound training sequences. One "
+    "user-keyed window carries both the lag and the running "
+    "new-session sum (one shuffle, one sort); the follow-up "
+    "groupBy(user, session_seq) aggregates within the same key "
+    "prefix with map-side partials.",
+    tags=("window", "aggregate"),
+)
+def q119_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import session_stats
+
+    e = read_table(spark, sf_dir, "events")
+    return session_stats(e, gap="24 hours")

@@ -652,3 +652,124 @@ def test_markov_transitions_match_brute_force(spark):
     for (x, _), (_, p) in got.items():
         sums[x] += p
     assert all(abs(s - 1.0) < 1e-4 for s in sums.values())
+
+
+def test_kmv_distinct_properties(spark):
+    """KMV estimate == the estimator formula computed in plain Python
+    over the same md5 hashes; exact for groups under k; invariant to
+    repartitioning; and sketches of disjoint shards merge to the
+    sketch of the union."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from bigdata_kafka_2_spark.operators.sketch import (
+        KMV_M,
+        kmv_candidates,
+        kmv_distinct,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    k, seed = 16, 7
+    vals = [f"v{i}" for i in range(500)]
+    rows = [("a", v) for v in vals for _ in (0, 1)] + [
+        ("b", v) for v in vals[:5]
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+
+    def h(v):
+        return int(hashlib.md5(f"{v}:{seed}".encode()).hexdigest()[:15], 16)
+
+    hs = sorted({h(v) for v in vals})
+    expect_a = int((k - 1) * (float(KMV_M) / hs[k - 1]))
+    got = {
+        r.g: r.est_distinct
+        for r in kmv_distinct(df, "v", "g", k=k, seed=seed).collect()
+    }
+    assert got["b"] == 5  # under-k group counted exactly
+    assert got["a"] == expect_a
+    # within the theoretical ~1/sqrt(k-2) SE band (3 sigma)
+    assert abs(got["a"] - 500) / 500 < 3 / (k - 2) ** 0.5
+
+    # partition invariance
+    got2 = {
+        r.g: r.est_distinct
+        for r in kmv_distinct(
+            df.repartition(13), "v", "g", k=k, seed=seed
+        ).collect()
+    }
+    assert got2 == got
+
+    # mergeability: shard sketches merge to the union's sketch
+    d1 = df.filter(F.col("v") < "v25")
+    d2 = df.filter(F.col("v") >= "v25")
+    merged = kmv_estimate(
+        kmv_merge(
+            kmv_candidates(d1, "v", "g", k=k, seed=seed),
+            kmv_candidates(d2, "v", "g", k=k, seed=seed),
+        ),
+        "g",
+        k=k,
+    )
+    got3 = {r.g: r.est_distinct for r in merged.collect()}
+    assert got3 == got
+
+
+def test_session_stats_match_brute_force(spark):
+    """session_stats == gap-splitting computed in plain Python under
+    the same (ts, event_id) order."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from bigdata_kafka_2_spark.operators.timeseries import session_stats
+
+    epoch = datetime(2024, 1, 1)
+    rows = [
+        # user 1: two sessions (gap 31 > 30)
+        (0, 1, epoch, "a", None, None),
+        (1, 1, epoch + timedelta(minutes=10), "b", None, None),
+        (2, 1, epoch + timedelta(minutes=42), "a", None, None),
+        # user 2: one session, tie ts broken by event_id
+        (3, 2, epoch, "a", None, None),
+        (4, 2, epoch, "b", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    gap = timedelta(minutes=30)
+    by_user = defaultdict(list)
+    for eid, uid, ts, et, _, _ in rows:
+        by_user[uid].append((ts, eid, et))
+    expect = {}
+    for uid, seq in by_user.items():
+        seq.sort()
+        sess, prev = 0, None
+        cur = defaultdict(list)
+        for ts, eid, et in seq:
+            if prev is None or ts - prev > gap:
+                sess += 1
+            prev = ts
+            cur[sess].append((ts, et))
+        for s, evs in cur.items():
+            tss = [t for t, _ in evs]
+            expect[(uid, s)] = (
+                len(evs),
+                len({e for _, e in evs}),
+                min(tss),
+                max(tss),
+                (max(tss) - min(tss)).total_seconds(),
+            )
+    got = {
+        (r.user_id, r.session_seq): (
+            r.n_events,
+            r.n_types,
+            r.started,
+            r.ended,
+            r.duration_sec,
+        )
+        for r in session_stats(df, gap="30 minutes").collect()
+    }
+    assert got == expect
