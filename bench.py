@@ -119,6 +119,7 @@ HEADLINE = (
     "q118_fuzzy_entity_matches",
     "q119_session_stats",
     "q120_kmv_distinct_tokens",
+    "q121_ndcg_bm25",
 )
 
 

@@ -1,0 +1,95 @@
+"""Retrieval-evaluation metrics (charter extension — the eval half of
+the retrieval family: the BM25/TF-IDF/ANN operators rank, these score
+the rankings against relevance judgments).
+
+The reference has no evaluation machinery; a curation pipeline tuning
+its retrieval slice (query set, BM25 params, ANN recall tier) needs a
+ranking-quality metric computed ON the cluster, over every query at
+once — not a driver-side loop per query.
+
+Determinism discipline: per-rank gain/discount terms are rounded to
+6 dp and summed as exact DECIMALs (the engine's bm25 rule), and the
+rank discounts 1/log2(rank+1) enter as PRE-COMPUTED double literals
+(Python ``math.log2``) shared verbatim with the SQL oracle — no
+engine libm call appears anywhere in the metric, so Spark and the
+oracle run the identical IEEE sequence.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def log2_discounts(k: int) -> list[float]:
+    """``[log2(r+1) for rank r in 1..k]`` — the DCG discount ladder as
+    Python-computed doubles, embedded as literals on BOTH engine
+    sides (see module docstring)."""
+    return [math.log2(r + 1) for r in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    judged: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query nDCG@k over a judged ranking: ``(query, ndcg)``.
+
+    ``judged`` holds one row per (query, candidate document) with the
+    system's ``score`` and a graded relevance judgment ``rel`` ≥ 0.
+    DCG ranks by (score desc, id asc — deterministic ties), IDCG by
+    (rel desc, id asc); gain is 2^rel − 1; ndcg = DCG/IDCG, 0 for a
+    query with no relevant candidate. The final ratio is rounded to
+    4 dp in exact integer arithmetic (half away from zero — the q117
+    tie rule), so the metric hash-matches the SQL oracle at every
+    dataset.
+
+    Plan shape: two row_number windows over the SAME query-keyed
+    partitioning (one exchange, two sorts), per-rank decimal terms,
+    one aggregate. Per-query candidate lists are the window state —
+    bounded by the retrieval cut, not the corpus. Scales to any
+    number of queries at once; nothing collects to the driver.
+    """
+    disc = log2_discounts(k)
+    w_score = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    w_rel = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).desc(), F.col(id_col).asc()
+    )
+    gain = F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - F.lit(1.0)
+    ladder = F.array(*[F.lit(d) for d in disc])
+
+    def term(rank_col):
+        return (
+            F.when(
+                rank_col <= k,
+                F.round(
+                    gain / F.element_at(ladder, rank_col.cast("int")), 6
+                ).cast("decimal(28,6)"),
+            )
+            .otherwise(F.lit(0).cast("decimal(28,6)"))
+        )
+
+    ranked = judged.select(
+        query_col,
+        term(F.row_number().over(w_score)).alias("__dt"),
+        term(F.row_number().over(w_rel)).alias("__it"),
+    )
+    agg = ranked.groupBy(query_col).agg(
+        (F.sum("__dt") * 1000000).cast("long").alias("__a"),
+        (F.sum("__it") * 1000000).cast("long").alias("__b"),
+    )
+    return agg.select(
+        query_col,
+        F.when(F.col("__b") == 0, F.lit(0.0))
+        .otherwise(
+            F.expr("(__a * 20000 + __b) div (__b * 2)") / F.lit(10000.0)
+        )
+        .alias("ndcg"),
+    )

@@ -636,7 +636,7 @@ def tfidf_scores(
     )
 
 
-def bm25_scores(
+def bm25_term_scores(
     df: DataFrame,
     query_terms: list[str],
     text_col: str = "text",
@@ -644,20 +644,16 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """Okapi BM25 document scores for a bag of query terms:
-    (id, bm25), descending relevance. Documents matching no query term
-    are omitted (score would be 0).
+    """Per-(query-term, document) BM25 contributions:
+    ``(tok, id, tf, bm25_term)`` with ``bm25_term`` the term's scoring
+    summand, rounded to an exact DECIMAL(18,4). :func:`bm25_scores`
+    sums these per document; retrieval EVALUATION (nDCG over
+    single-term curation queries, q121) consumes them directly — each
+    term's contribution IS that query's document score.
 
-    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5));
-    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
-
-    The query-term filter is applied to the posting list BEFORE the
-    doc-frequency join (pushed equi-IN on ``tok``), so per-query work
-    is proportional to the query terms' postings, not the corpus
-    vocabulary — the shape a retrieval pipeline needs when scoring a
-    100 TB corpus against a few hundred curation queries. Document
-    length and the corpus average come from one extra aggregate over
-    the token explode; avgdl/N are 1-row broadcasts.
+    Same plan discipline as :func:`bm25_scores` (which see): the
+    query-term filter hits the posting list before any join, doc
+    frequency / N / avgdl are broadcasts.
     """
     terms = [t.lower() for t in query_terms]
     tf = term_frequencies(df, text_col, id_col)
@@ -681,21 +677,52 @@ def bm25_scores(
             * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
         )
     )
-    # Per-term contributions are rounded to 4 dp and summed as exact
-    # DECIMALs: double-sum order is partition-dependent in Spark and
-    # engine-dependent vs the oracle, so a total landing on a rounding
-    # boundary could flip the last digit; decimal addition is exact and
-    # associative, making the aggregate order-independent on both sides.
     return (
         qtf.join(F.broadcast(docfreq), on="tok")
         .join(dl, on=id_col)
         .crossJoin(F.broadcast(stats))
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.round(contrib, 4).cast("decimal(18,4)"))
-            .cast("double")
-            .alias("bm25")
+        .select(
+            "tok",
+            id_col,
+            "tf",
+            F.round(contrib, 4).cast("decimal(18,4)").alias("bm25_term"),
         )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 document scores for a bag of query terms:
+    (id, bm25), descending relevance. Documents matching no query term
+    are omitted (score would be 0).
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5));
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
+
+    The query-term filter is applied to the posting list BEFORE the
+    doc-frequency join (pushed equi-IN on ``tok``), so per-query work
+    is proportional to the query terms' postings, not the corpus
+    vocabulary — the shape a retrieval pipeline needs when scoring a
+    100 TB corpus against a few hundred curation queries. Document
+    length and the corpus average come from one extra aggregate over
+    the token explode; avgdl/N are 1-row broadcasts.
+
+    Per-term contributions are rounded to 4 dp and summed as exact
+    DECIMALs: double-sum order is partition-dependent in Spark and
+    engine-dependent vs the oracle, so a total landing on a rounding
+    boundary could flip the last digit; decimal addition is exact and
+    associative, making the aggregate order-independent on both sides.
+    """
+    return (
+        bm25_term_scores(df, query_terms, text_col, id_col, k1, b)
+        .groupBy(id_col)
+        .agg(F.sum("bm25_term").cast("double").alias("bm25"))
     )
 
 

@@ -1176,3 +1176,181 @@ def q120_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(
         toks, "tok", "lang", k=64, seed=7, hash_fn="md5_15"
     )
+
+
+#: Multi-term curation queries for the retrieval-eval family (q121).
+#: Terms chosen to be present at every driver SF; three terms per
+#: query give a graded 1-3 relevance (distinct query terms matched).
+_NDCG_QUERIES = {
+    "q_exec": ("hash", "join", "scan"),
+    "q_ops": ("filter", "sort", "query"),
+    "q_corpus": ("data", "table", "spark"),
+}
+
+
+def _ndcg_oracle(sf_dir: str | None = None) -> str:
+    """DuckDB transcription of q121: multi-term BM25 judged lists →
+    nDCG@10 windows, with the SAME Python-computed log2 discount
+    literals the Spark operator embeds (no engine libm anywhere) and
+    the q117 integer half-away-from-zero rounding for the final
+    ratio."""
+    from bigdata_kafka_2_spark.operators.evalmetrics import log2_discounts
+
+    disc = "[" + ", ".join(repr(d) for d in log2_discounts(10)) + "]"
+    all_terms = tuple(t for ts in _NDCG_QUERIES.values() for t in ts)
+    qvals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in _NDCG_QUERIES.items() for t in ts
+    )
+    return f"""
+    WITH {_TOKS_DOC_CTE},
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks_doc GROUP BY doc_id, tok
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents) AS nd,
+             (SELECT avg(dl) FROM dl) AS avgdl
+    ),
+    queries(query_id, tok) AS (VALUES {qvals}),
+    qtf AS (
+      SELECT * FROM tf WHERE tok IN {all_terms!r}
+    ),
+    dfq AS (SELECT tok, count(*) AS doc_freq FROM qtf GROUP BY tok),
+    contrib AS (
+      SELECT qq.query_id, q.doc_id,
+             CAST(round(
+               ln(1.0 + (nd - doc_freq + 0.5) / (doc_freq + 0.5))
+               * q.tf * (1.2 + 1.0)
+               / (q.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))
+             , 4) AS DECIMAL(18,4)) AS bm25_term,
+             q.tf, q.tok
+      FROM qtf q
+      JOIN queries qq USING (tok)
+      JOIN dfq USING (tok)
+      JOIN dl ON dl.doc_id = q.doc_id
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             CAST(sum(tf) AS BIGINT) AS score,
+             CAST(sum(bm25_term) AS DOUBLE) AS bm25
+      FROM contrib GROUP BY query_id, doc_id
+    ),
+    judged AS (
+      SELECT query_id, doc_id, score,
+             CASE WHEN bm25_rank <= 3 THEN 3
+                  WHEN bm25_rank <= 10 THEN 2
+                  WHEN bm25_rank <= 30 THEN 1
+                  ELSE 0 END AS rel
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC
+        ) AS bm25_rank
+        FROM scored
+      )
+    ),
+    ranked AS (
+      SELECT query_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+             ) AS r1,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY rel DESC, doc_id ASC
+             ) AS r2,
+             (pow(2.0, rel) - 1.0) AS gain
+      FROM judged
+    ),
+    terms AS (
+      SELECT query_id,
+             CASE WHEN r1 <= 10
+               THEN CAST(round(gain / list_extract({disc}, r1), 6)
+                         AS DECIMAL(28,6))
+               ELSE CAST(0 AS DECIMAL(28,6)) END AS dt,
+             CASE WHEN r2 <= 10
+               THEN CAST(round(gain / list_extract({disc}, r2), 6)
+                         AS DECIMAL(28,6))
+               ELSE CAST(0 AS DECIMAL(28,6)) END AS it
+      FROM ranked
+    ),
+    agg AS (
+      SELECT query_id,
+             CAST(sum(dt) * 1000000 AS BIGINT) AS a,
+             CAST(sum(it) * 1000000 AS BIGINT) AS b
+      FROM terms GROUP BY query_id
+    )
+    SELECT query_id,
+           CASE WHEN b = 0 THEN 0.0
+                ELSE ((a * 20000 + b) // (b * 2)) / 10000.0
+           END AS ndcg
+    FROM agg
+    """
+
+
+@register(
+    "q121_ndcg_bm25",
+    oracle=_ndcg_oracle,
+    description="Retrieval-quality evaluation: nDCG@10 per multi-term "
+    "curation query (operators/evalmetrics.ndcg_at_k over "
+    "text.bm25_term_scores), answering the at-scale question a "
+    "curation team actually asks: how faithfully does the CHEAP "
+    "tf-only ranking reproduce the full BM25 ordering? The judged "
+    "system ranks candidates by summed raw tf; graded relevance "
+    "derives from the BM25 rank (top-3 -> 3, top-10 -> 2, top-30 -> "
+    "1) — a pseudo-relevance transfer eval, so the metric measures "
+    "real ranking disagreement (dl-normalization + idf weighting), "
+    "not an identity. Determinism: DCG/IDCG rank discounts are "
+    "Python-precomputed double literals shared verbatim with the "
+    "oracle (no engine libm), per-rank terms are 6-dp exact "
+    "DECIMALs, the final ratio rounds half-away-from-zero in "
+    "integer arithmetic (the q117 tie rule), and all rank ties "
+    "break on doc_id. Plan: the posting list filters to the query "
+    "terms before any join; the query map is a broadcast; the "
+    "bm25-rank window and the two DCG windows share one query-keyed "
+    "exchange.",
+    tags=("text", "window", "aggregate"),
+)
+def q121_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.evalmetrics import ndcg_at_k
+
+    d = read_table(spark, sf_dir, "documents")
+    all_terms = [t for ts in _NDCG_QUERIES.values() for t in ts]
+    ts = TX.bm25_term_scores(d, all_terms)
+    qmap = F.broadcast(
+        spark.createDataFrame(
+            [(qid, t) for qid, terms in _NDCG_QUERIES.items() for t in terms],
+            "query_id string, tok string",
+        )
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        ts.join(qmap, on="tok")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("score"),
+            F.sum("bm25_term").cast("double").alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    judged = scored.withColumn(
+        "__br", F.row_number().over(w)
+    ).select(
+        "query_id",
+        "doc_id",
+        "score",
+        F.when(F.col("__br") <= 3, 3)
+        .when(F.col("__br") <= 10, 2)
+        .when(F.col("__br") <= 30, 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    return ndcg_at_k(
+        judged,
+        query_col="query_id",
+        id_col="doc_id",
+        score_col="score",
+        rel_col="rel",
+        k=10,
+    )

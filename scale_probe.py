@@ -14,7 +14,10 @@ internal structure and copies don't interact:
   intra-copy joins match and copies never join each other. Dims
   (region/nation/part/supplier) stay fixed, as in TPC-H's fixed small
   dims — fact-per-dim density grows, which is the scale direction that
-  stresses join plans.
+  stresses join plans. ``c_name`` is regenerated from the SHIFTED key
+  (it derives from the key in the source data), so name-keyed
+  operators (q118's entity blocking) see disjoint per-copy name
+  spaces with identical within-copy structure.
 - documents: doc_id shifted AND text passed through a per-copy letter
   SUBSTITUTION CIPHER (``translate`` over a-z, copy 0 = identity):
   token/char counts, chars-per-token, and type-token-ratio are
@@ -83,10 +86,10 @@ def _sign_pattern(dim: int, copy: int) -> list[int]:
 
 def generate(spark, src: str, dst: str, factor: int) -> None:
     """Write the factor× replica (idempotent: skips if marker matches)."""
-    # v2: cipher-based documents replica (marker version forces regen
-    # when the replication scheme changes)
+    # v3: c_name regenerated from the shifted key (marker version
+    # forces regen when the replication scheme changes)
     marker = os.path.join(
-        dst, f".complete_v2_{factor}_{os.path.basename(src.rstrip('/'))}"
+        dst, f".complete_v3_{factor}_{os.path.basename(src.rstrip('/'))}"
     )
     if os.path.exists(marker):
         return
@@ -104,7 +107,20 @@ def generate(spark, src: str, dst: str, factor: int) -> None:
             cp = df
             for col in id_cols:
                 cp = cp.withColumn(col, F.col(col) + F.lit(c * _OFFSET))
-            if name == "documents":
+            if name == "customer":
+                # c_name derives from c_custkey in the source data
+                # ("Customer#%09d"); regenerate it from the SHIFTED key
+                # so each copy keeps the exact within-copy name<->key
+                # structure while copies stay disjoint. Copying names
+                # verbatim merged all 10 copies of a name into one
+                # entity-matching block (q118), turning the blocked
+                # join quadratic across copies — a replication
+                # artifact, not a plan property.
+                cp = cp.withColumn(
+                    "c_name",
+                    F.format_string("Customer#%09d", F.col("c_custkey")),
+                )
+            elif name == "documents":
                 # per-copy substitution cipher: length-preserving, so
                 # quality stats replicate; cross-copy overlap ~0
                 alpha = "abcdefghijklmnopqrstuvwxyz"

@@ -773,3 +773,57 @@ def test_session_stats_match_brute_force(spark):
         for r in session_stats(df, gap="30 minutes").collect()
     }
     assert got == expect
+
+
+def test_ndcg_at_k_match_brute_force(spark):
+    """ndcg_at_k == the textbook nDCG computed in plain Python under
+    the same tie-breaking and rounding rules; perfect ranking gives
+    1.0; all-zero relevance gives 0.0."""
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        log2_discounts,
+        ndcg_at_k,
+    )
+
+    k = 3
+    disc = log2_discounts(k)
+    rows = [
+        # q1: system ranks rel [2, 0, 3, 1] by score -> imperfect
+        ("q1", 1, 9.0, 2),
+        ("q1", 2, 8.0, 0),
+        ("q1", 3, 7.0, 3),
+        ("q1", 4, 6.0, 1),
+        # q2: perfect ranking
+        ("q2", 1, 5.0, 2),
+        ("q2", 2, 4.0, 1),
+        # q3: nothing relevant
+        ("q3", 1, 5.0, 0),
+        ("q3", 2, 4.0, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id string, doc_id long, score double, rel long"
+    )
+
+    def brute(items):
+        by_score = sorted(items, key=lambda x: (-x[1], x[0]))
+        by_rel = sorted(items, key=lambda x: (-x[2], x[0]))
+        a = sum(
+            int(round(round((2.0 ** r - 1) / disc[i], 6) * 1e6))
+            for i, (_, _, r) in enumerate(by_score[:k])
+        )
+        b = sum(
+            int(round(round((2.0 ** r - 1) / disc[i], 6) * 1e6))
+            for i, (_, _, r) in enumerate(by_rel[:k])
+        )
+        if b == 0:
+            return 0.0
+        return ((a * 20000 + b) // (b * 2)) / 10000.0
+
+    groups = {}
+    for q, d, s, r in rows:
+        groups.setdefault(q, []).append((d, s, r))
+    expect = {q: brute(items) for q, items in groups.items()}
+    got = {r.query_id: r.ndcg for r in ndcg_at_k(df, k=k).collect()}
+    assert got == expect
+    assert got["q2"] == 1.0
+    assert got["q3"] == 0.0
+    assert 0.0 < got["q1"] < 1.0
