@@ -120,6 +120,7 @@ HEADLINE = (
     "q119_session_stats",
     "q120_kmv_distinct_tokens",
     "q121_ndcg_bm25",
+    "q122_bitmap_semi_join",
 )
 
 

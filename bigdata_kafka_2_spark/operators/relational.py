@@ -501,3 +501,59 @@ def global_prefix_sum(
         F.sum(F.col(weight_col).cast("long")).over(w), F.lit(0)
     )
     return bucketed.withColumn(out_col, cum + off).drop("__bkt")
+
+
+# --- Bitmap-prefiltered semi join (shuffle-volume reduction) -------------
+
+def bitmap_semi_join(
+    big: DataFrame,
+    keys: DataFrame,
+    on: str,
+    m_bits: int = 1 << 20,
+    seed: int = 11,
+) -> DataFrame:
+    """Semi join of ``big`` against ``keys``' key set, prefiltered by a
+    compact hash bitmap — result EXACTLY equals
+    ``semi_join(big, keys.select(on).distinct(), on)``; the bitmap is
+    a transparent shuffle-volume optimization.
+
+    The 100 TB gap this fills: a broadcast semi join needs the raw key
+    SET to fit on every executor, and a shuffle semi join moves the
+    whole probe side. When the key set is too big to broadcast raw
+    (say 10^8 64-bit keys ≈ 800 MB) its BITMAP at ``m_bits`` = 2^27 is
+    16 MB — broadcastable — and filtering ``big`` against it BEFORE
+    the exact join removes ~(1 − fill) of non-matching rows from the
+    shuffle (single-hash Bloom: false-positive rate = fill ratio ≤
+    n_keys/m_bits; false positives are then removed by the exact
+    join, false negatives are impossible). Spark's own runtime bloom
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) injects the
+    same shape opportunistically; this operator is the explicit,
+    plannable form.
+
+    Plan shape: the bitmap is ≤ m_bits/64 ``(word, bits)`` rows — one
+    map-side-combined ``bit_or`` aggregate over the key side, then a
+    BROADCAST join on the word index + a bitwise membership filter on
+    ``big`` (no explode, codegen'd), then the exact shuffle semi join
+    over the surviving rows. ``big`` is never shuffled before the
+    filter.
+    """
+    h_sql = f"pmod(xxhash64(`{on}`, {seed}), {m_bits})"
+    word = F.expr(f"CAST({h_sql} div 64 AS LONG)")
+    bit = F.expr(f"shiftleft(CAST(1 AS LONG), CAST({h_sql} % 64 AS INT))")
+    bitmap = (
+        keys.select(word.alias("__word"), bit.alias("__bit"))
+        .groupBy("__word")
+        .agg(F.bit_or("__bit").alias("__bits"))
+    )
+    probe = big.withColumn("__word", word).withColumn("__probe_bit", bit)
+    filtered = (
+        probe.join(F.broadcast(bitmap), on="__word", how="left")
+        .filter(
+            F.col("__bits").isNotNull()
+            & (F.col("__bits").bitwiseAND(F.col("__probe_bit")) != 0)
+        )
+        .drop("__word", "__probe_bit", "__bits")
+    )
+    return filtered.join(
+        keys.select(on).distinct(), on=on, how="left_semi"
+    )

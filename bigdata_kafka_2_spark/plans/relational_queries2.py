@@ -1149,3 +1149,52 @@ def q118_fuzzy_entity_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("name_b"),
         F.col("distance"),
     )
+
+
+@register(
+    "q122_bitmap_semi_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag
+    """,
+    description="Bitmap-prefiltered semi join "
+    "(operators/relational.bitmap_semi_join): lineitems of urgent "
+    "orders, with the probe side filtered against a compact hash "
+    "BITMAP of the key set before the exact semi join — the "
+    "shuffle-volume pattern for key sets too large to broadcast raw "
+    "(10^8 keys = 800 MB raw, 16 MB as a 2^27 bitmap). Single-hash "
+    "Bloom semantics: false positives = fill ratio (removed by the "
+    "exact join that follows), false negatives impossible, so the "
+    "result EXACTLY equals the plain semi join the oracle runs — "
+    "the bitmap is plan-transparent. Bitmap build is one map-side-"
+    "combined bit_or aggregate (<= m/64 rows, broadcast); the big "
+    "side is never shuffled before the membership filter. The "
+    "explicit form of Spark's runtime bloom-filter injection.",
+    tags=("join", "aggregate"),
+)
+def q122_bitmap_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bigdata_kafka_2_spark.operators.relational import (
+        bitmap_semi_join,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    keys = o.select(F.col("o_orderkey").alias("l_orderkey"))
+    return bitmap_semi_join(li, keys, "l_orderkey").groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -293,3 +293,41 @@ def test_repeated_substring_coverage_no_single_partition(spark):
     plan = _plan(DD.repeated_substring_coverage(d, k=8))
     assert "Exchange SinglePartition" not in plan
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_bitmap_semi_join_exact_and_fp_removal(spark):
+    """bitmap_semi_join == the plain semi join even when m_bits is
+    forced tiny (every probe row passes the bitmap as a false
+    positive — the exact join must remove them all); and with a
+    normal bitmap the result is identical too."""
+    from pyspark.sql import functions as F
+
+    from bigdata_kafka_2_spark.operators.relational import (
+        bitmap_semi_join,
+        semi_join,
+    )
+
+    big = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    keys = spark.range(100).select((F.col("id") * 13).alias("k"))
+    exact = sorted(tuple(r) for r in semi_join(big, keys.distinct(), "k").collect())
+    for m in (8, 1 << 20):  # m=8: bitmap saturates, all rows pass
+        got = sorted(
+            tuple(r)
+            for r in bitmap_semi_join(big, keys, "k", m_bits=m).collect()
+        )
+        assert got == exact, m
+
+
+def test_bitmap_semi_join_plan_broadcasts_bitmap(spark):
+    """The bitmap side reaches the probe filter via broadcast (no
+    shuffle of the big side before the membership filter)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_kafka_2_spark.operators.relational import bitmap_semi_join
+
+    big = spark.range(2000).select(F.col("id").alias("k"))
+    keys = spark.range(100).select((F.col("id") * 3).alias("k"))
+    plan = bitmap_semi_join(big, keys, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
