@@ -474,6 +474,32 @@ def assign_centroids(
     At 100 TB, write the result partitioned by ``centroid_id`` so IVF
     probes prune at the scan.
     """
+    assignment = _assign_ids(table, centroids, vec_col, id_col)
+    return table.join(assignment, on=id_col)
+
+
+def _assign_ids(
+    table: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Slim nearest-centroid assignment: ``(id, centroid_id)`` only —
+    the argmax core of :func:`assign_centroids` without the payload
+    re-join, so multi-stage assignments (coarse-fine) can chain argmax
+    rounds and pay the table-payload join exactly ONCE at the end.
+
+    argmax as max_by over (similarity, -centroid_id): lexicographic
+    max = highest similarity, then smallest id — identical tie-break
+    to the ORDER BY c_sim DESC, centroid_id ASC the oracles state.
+    The aggregate input is SLIMMED to (id, centroid_id, ordering
+    struct) BEFORE the argmax (r8): max_by's struct buffer forces
+    SortAggregate, and the previous first()-carry formulation sorted
+    all n·k scored rows WITH the embedding attached — ~1 KB/row of
+    sort+spill volume for 24 bytes of information. ~3× measured on
+    the 10× probe replica; values and tie-break identical, oracles
+    unchanged.
+    """
     c = F.broadcast(
         centroids.withColumn("__cn", l2_norm("centroid"))
     )
@@ -484,18 +510,6 @@ def assign_centroids(
     sim = F.when(denom == 0.0, F.lit(0.0)).otherwise(
         dot(vec_col, "centroid") / denom
     )
-    # argmax as max_by over (similarity, -centroid_id): lexicographic
-    # max = highest similarity, then smallest id — identical tie-break
-    # to the ORDER BY c_sim DESC, centroid_id ASC the oracles state.
-    # The aggregate input is SLIMMED to (id, centroid_id, ordering
-    # struct) BEFORE the argmax and the payload columns re-joined by id
-    # afterwards (r8): max_by's struct buffer forces SortAggregate, and
-    # the previous first()-carry formulation sorted all n·k scored rows
-    # WITH the embedding attached — ~1 KB/row of sort+spill volume for
-    # 24 bytes of information. The id-keyed re-join shuffles each
-    # payload row once, which the carry agg also paid. ~3× measured on
-    # the 10× probe replica; values and tie-break identical, oracles
-    # unchanged.
     slim = scored.select(
         F.col(id_col),
         F.col("centroid_id"),
@@ -508,8 +522,7 @@ def assign_centroids(
             (-F.col("centroid_id")).alias("neg_id"),
         ),
     )
-    assignment = slim.groupBy(id_col).agg(best_slim.alias("centroid_id"))
-    return table.join(assignment, on=id_col)
+    return slim.groupBy(id_col).agg(best_slim.alias("centroid_id"))
 
 
 def assign_centroids_coarse_fine(
@@ -569,10 +582,17 @@ def assign_centroids_coarse_fine(
         vec_col="__cvec",
         id_col="__cid",
     ).withColumnRenamed("centroid_id", "__coarse_id")
-    # tier 2a: each vector picks its coarse cell
-    to_coarse = assign_centroids(
-        table, coarse_as_cents, vec_col=vec_col, id_col=id_col
-    ).withColumnRenamed("centroid_id", "__coarse_id")
+    # tier 2a: each vector picks its coarse cell — SLIM assignment
+    # (id, coarse_id), no payload re-join (r8: the previous
+    # full-assign call shuffled the embedding payload an extra round;
+    # both tiers now chain slim argmaxes and the table pays exactly
+    # ONE id-keyed join at the end, same join count as the flat path).
+    to_coarse = table.select(F.col(id_col), F.col(vec_col)).join(
+        _assign_ids(
+            table, coarse_as_cents, vec_col, id_col
+        ).withColumnRenamed("centroid_id", "__coarse_id"),
+        on=id_col,
+    )
     # tier 2b: argmax over the fine group only (groups is k rows —
     # broadcast — so the explode is per-row ≈ k/n_coarse candidates).
     # Norms hoisted per row / per fine centroid, as in the flat assign.

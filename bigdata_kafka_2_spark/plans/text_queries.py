@@ -1354,3 +1354,120 @@ def q121_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel_col="rel",
         k=10,
     )
+
+
+def _q123_oracle(sf_dir: str) -> str:
+    """Golden-reference oracle for BPE tokenization: the SAME
+    independent pure-Python Sennrich learner q114's oracle uses
+    (re-implemented here, no shared code with operators/bpe.py)
+    learns 20 merges, tokenizes every document, and emits per-doc
+    token count + an md5 fingerprint of the token stream as a VALUES
+    literal."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    norm_words = {}
+    wf: Counter = Counter()
+    for i, t in zip(ids, texts):
+        words = []
+        if t is not None:
+            norm = re.sub(r"\s+", " ", t.lower()).strip()
+            words = [w for w in norm.split(" ") if w]
+        norm_words[i] = words
+        wf.update(words)
+    sym = {w: list(w) + ["</w>"] for w in wf}
+    for _ in range(20):
+        pc: Counter = Counter()
+        for w, n in wf.items():
+            s = sym[w]
+            for j in range(len(s) - 1):
+                pc[(s[j], s[j + 1])] += n
+        if not pc:
+            break
+        top = max(pc.values())
+        if top < 2:
+            break
+        a, b = sorted(p for p, c in pc.items() if c == top)[0]
+        for w in sym:
+            s = sym[w]
+            out, jm = [], False
+            for tok in s:
+                if out and not jm and out[-1] == a and tok == b:
+                    out[-1] = a + b
+                    jm = True
+                else:
+                    out.append(tok)
+                    jm = False
+            sym[w] = out
+    rows = []
+    for i in ids:
+        toks = [t for w in norm_words[i] for t in sym.get(w, [])]
+        fp = hashlib.md5("\x01".join(toks).encode()).hexdigest()
+        rows.append((i, len(toks), fp))
+    vals = ",\n      ".join(
+        f"({i}, {n}, '{fp}')" for i, n, fp in rows
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+           bpe_fp
+    FROM (VALUES
+      {vals}
+    ) AS t(doc_id, n_bpe_tokens, bpe_fp)
+    """
+
+
+@register(
+    "q123_bpe_tokenize",
+    oracle=_q123_oracle,
+    description="BPE tokenization of the full corpus with the learned "
+    "merge list (operators/bpe.apply_bpe over learn_bpe_merges' 20 "
+    "merges): the deployment half of the tokenizer family — q114 "
+    "trains the vocabulary, this runs it over every document. The "
+    "merge folds apply to the DISTINCT-WORD table only (vocabulary-"
+    "sized) and each document picks its tokenization up through a "
+    "broadcast word lookup; word order is restored by a per-doc "
+    "sort aggregate — the corpus is scanned once, tokenized "
+    "row-locally, never re-folded per occurrence. Output is the "
+    "per-doc token count plus an md5 fingerprint of the exact token "
+    "stream, hash-compared against an INDEPENDENT pure-Python "
+    "Sennrich learner+tokenizer resolved at oracle time (q114's "
+    "golden-reference pattern) — every merge, boundary and token "
+    "order is checked, strictly stronger than rows-only for an "
+    "iterative algorithm no single SQL query can express.",
+    tags=("text", "join", "aggregate"),
+)
+def q123_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators import bpe as BP
+
+    import hashlib
+
+    d = read_table(spark, sf_dir, "documents")
+    merges = BP.learn_bpe_merges(d, n_merges=20, min_pair_count=2)
+    toked = BP.apply_bpe(d, merges)
+    # left join back to the full id set: a document with no words
+    # produces no posting rows (and so no groupBy row) but still owns
+    # an output row — zero tokens, fingerprint of the empty stream.
+    empty_fp = hashlib.md5(b"").hexdigest()
+    return (
+        d.select("doc_id")
+        .join(toked, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bpe_tokens"), F.lit(0).cast("long")).alias(
+                "n_bpe_tokens"
+            ),
+            F.coalesce(
+                F.md5(F.concat_ws("\x01", F.col("bpe_tokens"))),
+                F.lit(empty_fp),
+            ).alias("bpe_fp"),
+        )
+    )
