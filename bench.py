@@ -121,6 +121,7 @@ HEADLINE = (
     "q120_kmv_distinct_tokens",
     "q121_ndcg_bm25",
     "q122_bitmap_semi_join",
+    "q123_bpe_tokenize",
 )
 
 
