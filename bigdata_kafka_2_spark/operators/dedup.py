@@ -551,28 +551,55 @@ def near_dedup(
     return df.join(keep, on=id_col, how="left_semi")
 
 
-def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """64-bit SimHash per document: (id, simhash).
+def simhash_bit_width(hash_fn: str) -> int:
+    """Signature width per hash family: 63 usable bits for xxhash64
+    (bit 63 kept clear — signed-long range), 60 for the
+    SQL-transcribable ``md5_15`` (15 hex digits)."""
+    return 60 if hash_fn == "md5_15" else 63
 
-    Per token: ``xxhash64``; per bit position: sum of ±1 across tokens;
-    the sign vector re-packs into a 64-bit signature. 64 small integer
-    aggregates in one shuffle — wide but cheap, all codegen.
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash per document: (id, simhash).
+
+    Per token: one 64-bit hash; per bit position: sum of ±1 across
+    tokens; the sign vector re-packs into the signature. ~60 small
+    integer aggregates in one shuffle — wide but cheap, all codegen.
+
+    ``hash_fn``: ``xxhash64`` (production default — one JVM hash, 63
+    signature bits) or ``md5_15`` (the sketch family's portable hash:
+    first 15 hex digits of ``md5(tok || ':0')`` parsed base-16 — 60
+    signature bits, bit-identical in DuckDB, which makes the WHOLE
+    SimHash pipeline SQL-transcribable and q43 hash-checkable).
     """
+    n_bits = simhash_bit_width(hash_fn)
+    if hash_fn == "md5_15":
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.col("tok"), F.lit(":0"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64("tok")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     toks = (
         ensure_parallel(df).select(
             F.col(id_col),
             F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
         )
         .filter(F.col("tok") != "")
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", h)
     )
     bit_aggs = [
         F.sum(
             F.when(F.getbit("h", F.lit(i)) == 1, F.lit(1)).otherwise(F.lit(-1))
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     per_doc = toks.groupBy(id_col).agg(*bit_aggs)
     sig = sum(
@@ -580,7 +607,7 @@ def simhash_signatures(
             F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i)).otherwise(
                 F.lit(0).cast("long")
             )
-            for i in range(63)  # keep bit 63 clear: stay in signed-long range
+            for i in range(n_bits)
         ),
         start=F.lit(0).cast("long"),
     )
@@ -593,17 +620,22 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance:
     (id_a, id_b, hamming ≤ max_hamming).
 
-    Candidate generation via band equi-join (16-bit bands — pairs with
-    few flipped bits agree on ≥1 band with high probability), then an
-    exact ``bit_count(xor)`` verify. Same no-cross-join scale property
-    as MinHash LSH.
+    Candidate generation via band equi-join (~width-bit bands — pairs
+    with few flipped bits agree on ≥1 band with high probability),
+    then an exact ``bit_count(xor)`` verify. Same no-cross-join scale
+    property as MinHash LSH. ``hash_fn`` selects the token-hash
+    family (see :func:`simhash_signatures`).
     """
-    width = 64 // bands
-    sig = simhash_signatures(df, text_col, id_col)
+    # band layout: 64//bands for xxhash64 (bit 63 is always clear, so
+    # the top band carries 15 live bits — unchanged semantics from the
+    # original single-family implementation), 60//bands for md5_15.
+    width = (64 if hash_fn == "xxhash64" else simhash_bit_width(hash_fn)) // bands
+    sig = simhash_signatures(df, text_col, id_col, hash_fn)
     band_arr = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(

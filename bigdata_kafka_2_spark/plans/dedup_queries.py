@@ -155,17 +155,83 @@ def q44_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q43_oracle(sf_dir: str | None = None) -> str:
+    """Full DuckDB transcription of the SimHash pipeline under the
+    portable md5_15 token hash (60 signature bits): 60 generated
+    sign-sum aggregates, signature packing, 15-bit band candidate
+    equi-join, exact bit_count(xor) verify. Generated the same way
+    the CMS/LSH oracles are — the algorithm itself is transcribed."""
+    bit_aggs = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split_regex(
+          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok || ':0'), 1, 15) AS BIGINT) AS h
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id,
+             {bit_aggs}
+      FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits
+    ),
+    banded AS (
+      SELECT doc_id, simhash, band_idx,
+             (simhash >> (band_idx * 15)) & 32767 AS band_val
+      FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+             a.simhash AS sh_a, bb.simhash AS sh_b
+      FROM banded a
+      JOIN banded bb
+        ON a.band_idx = bb.band_idx AND a.band_val = bb.band_val
+       AND a.doc_id < bb.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= 8
+    """
+
+
 @register(
     "q43_simhash_near_pairs",
-    oracle=None,  # 64 bitwise aggregates are not practically SQL-portable
-    description="SimHash(64-bit) near-dup pairs with Hamming ≤ 8, "
-    "candidates via 16-bit band equi-join + exact "
-    "bit_count(xor) verify. Deterministic.",
+    oracle=_q43_oracle,
+    description="SimHash near-dup pairs with Hamming ≤ 8 "
+    "(operators/dedup.simhash_near_pairs): per-token hash, ±1 "
+    "sign-sum per bit position (one wide codegen aggregate), "
+    "signature packing, 15-bit band equi-join candidates, exact "
+    "bit_count(xor) verify — no cross join, the MinHash-LSH scale "
+    "shape. Runs the md5_15 portable hash family (60 signature "
+    "bits) so the ENTIRE pipeline transcribes to the generated SQL "
+    "oracle — hash-checked since r8 (rows-only before); the "
+    "operator's production default stays xxhash64 (one JVM hash, "
+    "no string materialization), same plan shape, "
+    "equivalence-tested.",
     tags=("dedup",),
 )
 def q43_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     d = read_table(spark, sf_dir, "documents")
-    return DD.simhash_near_pairs(d, max_hamming=8)
+    return DD.simhash_near_pairs(d, max_hamming=8, hash_fn="md5_15").select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 #: q66's quality-keep CTE — the SAME rules/thresholds as q49's graded
