@@ -763,12 +763,22 @@ def unigram_logprob_scores(
             F.sum("tf").cast("long").alias("dl"),
             F.sum(contrib).alias("__s"),
         )
+        .withColumn("__a", (F.col("__s") * 10000).cast("long"))
         .select(
             id_col,
             "dl",
-            F.round(F.col("__s").cast("double") / F.col("dl"), 4).alias(
-                "logprob"
-            ),
+            # round(__s/dl, 4) on doubles hits EXACT .5 ties (the q117
+            # bug class: a 4-dp DECIMAL sum divided by an integer
+            # length lands on the boundary whenever dl divides the
+            # tick sum oddly) where Spark HALF_UP and DuckDB double
+            # rounding disagree. Exact integer half-away-from-zero
+            # rounding instead: a = __s·10⁴ (exact), q =
+            # sign(a)·((|a|·2 + dl) div (2·dl)).
+            (
+                F.when(F.col("__a") < 0, -F.lit(1)).otherwise(F.lit(1))
+                * F.expr("(abs(__a) * 2 + dl) div (dl * 2)")
+                / F.lit(10000.0)
+            ).alias("logprob"),
         )
     )
 

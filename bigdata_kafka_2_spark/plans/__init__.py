@@ -179,6 +179,18 @@ def register(
 #: v3, the strict superset adding fuzzy decontamination and the
 #: repeated-substring filter); q66 stays hash-checked in the mirror
 #: and its machinery is graded inside both successors.
+#: Second late-r8 swap pair (the §2.11 utility family held NINE graded
+#: slots — q14/q18/q19/q22/q23/q26/q92/q94/q95 — while two
+#: charter-named operators held none):
+#: q92_map_functions → q43_simhash_near_pairs (SimHash is one of the
+#: charter's five named dedup recipes and is hash-checked since r8
+#: under the portable md5_15 family; map functions stay
+#: oracle-mirrored and their HOF machinery is graded inside the
+#: similarity/profile pipelines);
+#: q95_date_arithmetic → q117_dsir_logweights (DSIR importance
+#: weighting is the data-selection centerpiece of the LLM-pipeline
+#: charter; date arithmetic stays oracle-mirrored and date handling
+#: is graded via q28/q29/q63/q89's timestamp plans).
 CURATED: tuple[str, ...] = (
     # relational / joins / windows / grouping
     "q01_pricing_summary",
@@ -205,10 +217,10 @@ CURATED: tuple[str, ...] = (
     # CDC / sampling / window-family / date / map
     "q97_cdc_apply_changes",
     "q91_split_profile",
-    "q92_map_functions",
+    "q43_simhash_near_pairs",
     "q93_scd2_history",
     "q94_analytic_window_family",
-    "q95_date_arithmetic",
+    "q117_dsir_logweights",
     # dedup (exact, MinHash-LSH, end-to-end) + composed curation
     "q40_exact_dedup_groups",
     "q42_minhash_lsh_pairs",

@@ -813,14 +813,22 @@ def q78_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, tok, count(*) AS tf FROM toks_doc GROUP BY 1, 2
     ),
     vocab AS (SELECT tok, sum(tf) AS ctf FROM tf GROUP BY tok),
-    tot AS (SELECT sum(ctf) AS T, count(*) AS V FROM vocab)
-    SELECT doc_id,
-           CAST(sum(tf) AS BIGINT) AS dl,
-           round(CAST(sum(CAST(tf * round(ln((ctf + 1.0) / (T + V)), 4)
-                               AS DECIMAL(28,4))) AS DOUBLE)
-                 / sum(tf), 4) AS logprob
-    FROM tf JOIN vocab USING (tok), tot
-    GROUP BY doc_id
+    tot AS (SELECT sum(ctf) AS T, count(*) AS V FROM vocab),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS dl,
+             sum(CAST(tf * round(ln((ctf + 1.0) / (T + V)), 4)
+                      AS DECIMAL(28,4))) AS s
+      FROM tf JOIN vocab USING (tok), tot
+      GROUP BY doc_id
+    )
+    SELECT doc_id, dl,
+           -- exact half-away-from-zero rounding of s/dl at 4 dp (the
+           -- q117 tie rule; engine round() diverges at exact .5)
+           (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+             * ((abs(CAST(s * 10000 AS BIGINT)) * 2 + dl) // (dl * 2))
+             / 10000.0 AS logprob
+    FROM agg
     """,
     description="Unigram language-model quality scoring "
     "(operators/text.unigram_logprob_scores): per-document mean token "
@@ -895,13 +903,20 @@ def q105_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     vocab AS (SELECT tok, sum(tf) AS ctf FROM tf GROUP BY tok),
     tot AS (SELECT sum(ctf) AS T, count(*) AS V FROM vocab),
-    scores AS (
+    sagg AS (
       SELECT doc_id,
-             round(CAST(sum(CAST(tf * round(ln((ctf + 1.0) / (T + V)), 4)
-                                 AS DECIMAL(28,4))) AS DOUBLE)
-                   / sum(tf), 4) AS logprob
+             CAST(sum(tf) AS BIGINT) AS dl,
+             sum(CAST(tf * round(ln((ctf + 1.0) / (T + V)), 4)
+                      AS DECIMAL(28,4))) AS s
       FROM tf JOIN vocab USING (tok), tot
       GROUP BY doc_id
+    ),
+    scores AS (
+      SELECT doc_id,
+             (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+               * ((abs(CAST(s * 10000 AS BIGINT)) * 2 + dl) // (dl * 2))
+               / 10000.0 AS logprob
+      FROM sagg
     ),
     sl AS (
       SELECT s.doc_id, s.logprob, d.lang

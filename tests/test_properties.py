@@ -393,8 +393,15 @@ def test_unigram_logprob_matches_brute_force(spark):
     expect = {}
     for i, t in docs.items():
         toks = t.split()
-        s = sum(round(math.log((corpus[w] + 1.0) / (T + V)), 4) for w in toks)
-        expect[i] = (len(toks), round(s / len(toks), 4))
+        # exact integer ticks + half-away-from-zero rounding of the
+        # average (the engine's q117 tie rule)
+        a = sum(
+            int(round(round(math.log((corpus[w] + 1.0) / (T + V)), 4) * 10000))
+            for w in toks
+        )
+        dl = len(toks)
+        q = (1 if a >= 0 else -1) * ((abs(a) * 2 + dl) // (dl * 2))
+        expect[i] = (dl, q / 10000.0)
     got = {
         r.doc_id: (r.dl, r.logprob)
         for r in unigram_logprob_scores(df).collect()
