@@ -122,6 +122,7 @@ HEADLINE = (
     "q121_ndcg_bm25",
     "q122_bitmap_semi_join",
     "q123_bpe_tokenize",
+    "q124_bigram_logprob",
 )
 
 

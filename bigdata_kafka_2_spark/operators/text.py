@@ -1017,3 +1017,70 @@ def pmi_top_pairs(
         .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(top_n)
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean BIGRAM log-probability under the corpus's own
+    add-one-smoothed bigram language model:
+    ``(id, n_bigrams, logprob)`` with
+    ``logprob = Σ_(w1,w2) tf·ln((c(w1,w2)+1)/(c(w1·)+H)) / n_bigrams``
+    where ``c(w1·)`` is the history count (bigrams starting with w1)
+    and ``H`` the number of distinct histories — the sequence-aware
+    upgrade of :func:`unigram_logprob_scores`' KenLM stand-in:
+    word-salad text with plausible unigrams but implausible
+    transitions scores low. Documents with fewer than two tokens are
+    omitted (no bigram to score).
+
+    Plan shape: bigrams are built ROW-LOCALLY (an indexed ``transform``
+    over the token array — no window, no self-join), one (id, w1, w2)
+    aggregate feeds both the corpus bigram counts (map-side combined
+    on the pair key) and the scoring join on the same key; history
+    counts reduce from the pair counts; H is a 1-row broadcast.
+    Per-bigram contributions are rounded to 4 dp and summed as exact
+    DECIMALs, and the length-normalized average rounds
+    half-away-from-zero in exact integer arithmetic (the q117 tie
+    rule), so the score is order-independent and engine-portable.
+    """
+    toks_arr = F.filter(
+        F.split(normalize_text(text_col), " "), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col), toks_arr.alias("__l")).filter(
+        F.size("__l") >= 2
+    )
+    bi = base.select(
+        F.col(id_col),
+        F.expr(
+            "explode(transform(slice(__l, 1, size(__l) - 1),"
+            " (x, i) -> struct(x AS w1, element_at(__l, i + 2) AS w2)))"
+        ).alias("__b"),
+    ).select(id_col, F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+    tf = bi.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    c2 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    hist = c1.agg(F.count(F.lit(1)).alias("__H"))
+    logp = F.log(
+        (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("__H"))
+    )
+    contrib = (F.col("tf") * F.round(logp, 4)).cast("decimal(28,4)")
+    return (
+        tf.join(c2, on=["w1", "w2"])
+        .join(c1, on="w1")
+        .crossJoin(F.broadcast(hist))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(contrib).alias("__s"),
+        )
+        .withColumn("__a", (F.col("__s") * 10000).cast("long"))
+        .select(
+            id_col,
+            "n_bigrams",
+            (
+                F.when(F.col("__a") < 0, -F.lit(1)).otherwise(F.lit(1))
+                * F.expr("(abs(__a) * 2 + n_bigrams) div (n_bigrams * 2)")
+                / F.lit(10000.0)
+            ).alias("logprob"),
+        )
+    )

@@ -1486,3 +1486,56 @@ def q123_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bpe_fp"),
         )
     )
+
+
+@register(
+    "q124_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex({_NORM_SQL}, ' '),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(l) - 1)) AS t(i)
+    ),
+    tf AS (
+      SELECT doc_id, w1, w2, count(*) AS tf FROM bi GROUP BY 1, 2, 3
+    ),
+    c2 AS (SELECT w1, w2, sum(tf) AS c2 FROM tf GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+    h AS (SELECT count(*) AS H FROM c1),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             sum(CAST(tf * round(ln((c2 + 1.0) / (c1 + H)), 4)
+                      AS DECIMAL(28,4))) AS s
+      FROM tf JOIN c2 USING (w1, w2) JOIN c1 USING (w1), h
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+             * ((abs(CAST(s * 10000 AS BIGINT)) * 2 + n_bigrams)
+                // (n_bigrams * 2))
+             / 10000.0 AS logprob
+    FROM agg
+    """,
+    description="Bigram language-model quality scoring "
+    "(operators/text.bigram_logprob_scores): per-document mean "
+    "bigram log-probability under the corpus's own add-one-smoothed "
+    "bigram LM — the sequence-aware upgrade of q80's unigram KenLM "
+    "stand-in (word salad with plausible unigrams but implausible "
+    "transitions scores low). Bigrams are built ROW-LOCALLY via an "
+    "indexed transform over the token array (no window, no "
+    "self-join); one (doc, w1, w2) aggregate feeds both the corpus "
+    "pair counts and the scoring join on the same key; history "
+    "counts reduce from pair counts; H is a 1-row broadcast. "
+    "Contributions 4-dp exact DECIMALs; the average rounds "
+    "half-away-from-zero in integer arithmetic (the q117 tie rule).",
+    tags=("text", "aggregate"),
+)
+def q124_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return TX.bigram_logprob_scores(d)

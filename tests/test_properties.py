@@ -834,3 +834,57 @@ def test_ndcg_at_k_match_brute_force(spark):
     assert got["q2"] == 1.0
     assert got["q3"] == 0.0
     assert 0.0 < got["q1"] < 1.0
+
+
+def test_bigram_logprob_matches_brute_force(spark):
+    """bigram_logprob_scores == the add-one bigram formula computed in
+    plain Python (integer ticks + half-away-from-zero average), and a
+    scrambled-transition doc scores lower than a natural one."""
+    import math
+    from collections import Counter
+
+    from bigdata_kafka_2_spark.operators.text import bigram_logprob_scores
+
+    docs = {
+        0: "the cat sat on the mat",
+        1: "the cat sat on the rug",
+        2: "mat the on sat cat the",  # same unigrams, scrambled order
+        3: "one",                     # single token -> no row
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    c2, c1 = Counter(), Counter()
+    for t in docs.values():
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    H = len(c1)
+    expect = {}
+    for i, t in docs.items():
+        ws = t.split()
+        if len(ws) < 2:
+            continue
+        a = sum(
+            int(
+                round(
+                    round(
+                        math.log((c2[(x, y)] + 1.0) / (c1[x] + H)), 4
+                    )
+                    * 10000
+                )
+            )
+            for x, y in zip(ws, ws[1:])
+        )
+        nb = len(ws) - 1
+        q = (1 if a >= 0 else -1) * ((abs(a) * 2 + nb) // (nb * 2))
+        expect[i] = (nb, q / 10000.0)
+    got = {
+        r.doc_id: (r.n_bigrams, r.logprob)
+        for r in bigram_logprob_scores(df).collect()
+    }
+    assert got == expect
+    assert 3 not in got
+    # natural transitions outrank the scrambled doc
+    assert got[0][1] > got[2][1]
