@@ -1418,6 +1418,51 @@ def ann_index_write(
     out.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
 
+def ann_index_append(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    n_sub: int = 16,
+    n_cent: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    books: list[list[list[float]]] | None = None,
+) -> None:
+    """Incrementally extend a stored :func:`ann_index_write` layout
+    with a batch of NEW vectors — the daily-ingest half of index
+    maintenance: assign the delta to the SAME frozen centroid table,
+    encode with the SAME pinned codebooks, and append into the
+    centroid-partitioned layout. The result is bit-identical to
+    rebuilding the index over the union (asserted in tests): with
+    centroids and codebooks frozen, assignment and codes are pure
+    per-row functions, so append ≡ rebuild — the IVF property that
+    makes a 100 TB index maintainable (cost ∝ delta, never the
+    corpus; the alternative, re-clustering per ingest, would also
+    invalidate every stored code).
+
+    Caller contract: ids in the delta must be new (the layout is
+    append-only — CDC-style replacement goes through
+    :func:`~bigdata_kafka_2_spark.operators.cdc` materialization
+    instead). Appends create one small file per touched partition per
+    batch; pair with ``io.compact_parquet`` on the usual maintenance
+    cadence.
+    """
+    if books is None:
+        from bigdata_kafka_2_spark.operators.pq_books import PQ_COSINE_BOOKS
+
+        books = PQ_COSINE_BOOKS
+    assigned = assign_centroids(new_vectors, centroids, vec_col, id_col)
+    normd = normalize_vectors(assigned, vec_col, "__nv", dim)
+    codes = pq_encode(
+        normd, n_sub, n_cent, dim, seed, "__nv", id_col,
+        books=books, with_error=False,
+    )
+    out = assigned.join(codes, on=id_col)
+    out.write.mode("append").partitionBy("centroid_id").parquet(path)
+
+
 def ann_index_search(
     index: DataFrame,
     probe: DataFrame,

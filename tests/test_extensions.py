@@ -1990,3 +1990,50 @@ def test_blocked_fuzzy_matches_block_size_guard(spark):
     ).collect()
     assert unguarded > 1
     assert {(r.id_a, r.id_b) for r in guarded} == {(100, 101)}
+
+
+def test_ann_index_append_equals_rebuild(spark, tmp_path):
+    """Appending a delta batch to a stored ANN index equals rebuilding
+    the index over the union (frozen centroids + pinned codebooks make
+    assignment/encode pure per-row functions), and search results over
+    the appended layout match the rebuilt one exactly."""
+    from pyspark.sql import functions as F
+
+    from bigdata_kafka_2_spark.io import read_table
+    from bigdata_kafka_2_spark.operators.similarity import (
+        ann_index_append,
+        ann_index_search,
+        ann_index_write,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = read_table(spark, sf, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    old = e.filter(F.col("vec_id") % 5 != 0)
+    delta = e.filter(F.col("vec_id") % 5 == 0)
+
+    p_inc = str(tmp_path / "inc")
+    p_full = str(tmp_path / "full")
+    ann_index_write(old, cents, p_inc)
+    ann_index_append(delta, cents, p_inc)
+    ann_index_write(e, cents, p_full)
+
+    inc = spark.read.parquet(p_inc)
+    full = spark.read.parquet(p_full)
+    cols = sorted(inc.columns)
+    assert cols == sorted(full.columns)
+    rows_inc = sorted(tuple(r) for r in inc.select(*cols).collect())
+    rows_full = sorted(tuple(r) for r in full.select(*cols).collect())
+    assert rows_inc == rows_full
+
+    probe = e.filter(F.col("vec_id") == 123)
+    got_inc = sorted(
+        tuple(r) for r in ann_index_search(inc, probe, cents, k=5).collect()
+    )
+    got_full = sorted(
+        tuple(r) for r in ann_index_search(full, probe, cents, k=5).collect()
+    )
+    assert got_inc == got_full and len(got_inc) == 5
