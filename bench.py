@@ -123,6 +123,8 @@ HEADLINE = (
     "q122_bitmap_semi_join",
     "q123_bpe_tokenize",
     "q124_bigram_logprob",
+    "q125_winsorized_stats",
+    "q126_chi_square",
 )
 
 

@@ -313,3 +313,109 @@ def mad_outliers(
             "__mad", "mad"
         )
     return out.drop("__med", "__mad")
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    group_col: str | None = None,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorize a numeric column: input columns + ``<col>_wins`` (or
+    ``out_col``), values clipped to the [``lower``, ``upper``]
+    exact interpolated percentiles — per group when ``group_col`` is
+    given. The standard heavy-tail taming pass a feature pipeline
+    runs before scaling/training (clipping, unlike dropping, keeps
+    the row and its other features). NULLs pass through as NULL.
+
+    Plan shape: ONE aggregate pass computes both cut points (exact
+    percentiles — Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
+    the q23 parity), one tiny per-group row broadcast into the
+    clipping projection. No window over the full table, no second
+    scan.
+    """
+    gcols = [group_col] if group_col else []
+    aggs = [
+        F.percentile(col, F.lit(lower)).alias("__lo"),
+        F.percentile(col, F.lit(upper)).alias("__hi"),
+    ]
+    cuts = df.groupBy(*gcols).agg(*aggs) if gcols else df.agg(*aggs)
+    j = (
+        df.join(F.broadcast(cuts), on=gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(cuts))
+    )
+    name = out_col or f"{col}_wins"
+    # NULL passthrough must be EXPLICIT: Spark's greatest/least skip
+    # NULL operands (greatest(NULL, lo) = lo — a NULL value would
+    # silently clip to the low cut), and DuckDB's propagate NULL — a
+    # cross-engine divergence on NULL-bearing columns either way.
+    clipped = F.when(
+        F.col(col).isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi"))
+    )
+    return j.withColumn(name, clipped).drop("__lo", "__hi")
+
+
+def chi_square_profile(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Chi-square independence statistic between two categorical
+    columns: one row ``(n, dof, chi2)`` — the drift/association gate a
+    profiling pass runs over categorical feature pairs (a chi2 far
+    above dof says the columns are associated; compare across
+    snapshots to detect drift in the JOINT distribution that the
+    per-column profiles miss). NULL categories count as their own
+    level (mirrors the contingency-table convention).
+
+    Plan shape: ONE hash aggregate over (a, b) builds the contingency
+    cells; marginals reduce FROM the cells (two tiny aggregates —
+    never a second scan of the table); expected counts come from a
+    broadcast join of the two marginal tables; chi2 = Σ (obs−exp)²/exp
+    over observed cells PLUS the expected mass of unobserved cells
+    (Σ_unobs exp = n − Σ_obs exp — closed form, no dense cross join of
+    the level sets). Rounded to 4 dp via the exact-DECIMAL sum rule.
+    """
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("\x00null"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("\x00null"))
+    cells = df.select(a.alias("__a"), b.alias("__b")).groupBy(
+        "__a", "__b"
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    ma = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    mb = cells.groupBy("__b").agg(F.sum("__o").alias("__rb"))
+    tot = cells.agg(F.sum("__o").alias("__n"))
+    joined = (
+        cells.join(F.broadcast(ma), on="__a")
+        .join(F.broadcast(mb), on="__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = F.col("__ra") * F.col("__rb") / F.col("__n")
+    term = F.round(
+        (F.col("__o") - exp) * (F.col("__o") - exp) / exp, 6
+    ).cast("decimal(28,6)")
+    exp_obs = F.round(exp, 6).cast("decimal(28,6)")
+    agg = joined.agg(
+        F.first("__n").alias("n"),
+        F.countDistinct("__a").alias("__ka"),
+        F.countDistinct("__b").alias("__kb"),
+        F.sum(term).alias("__chi_obs"),
+        F.sum(exp_obs).alias("__exp_obs"),
+    )
+    # unobserved cells contribute (0−exp)²/exp = exp each; their total
+    # expected mass is n − Σ_obs exp (marginals sum to n)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        ((F.col("__ka") - 1) * (F.col("__kb") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.round(
+            F.col("__chi_obs").cast("double")
+            + (F.col("n") - F.col("__exp_obs").cast("double")),
+            4,
+        ).alias("chi2"),
+    )

@@ -1198,3 +1198,103 @@ def q122_bitmap_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@register(
+    "q125_winsorized_stats",
+    oracle="""
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    , w AS (
+      SELECT event_type,
+             CASE WHEN value IS NULL THEN NULL
+                  ELSE least(greatest(value, lo), hi) END AS vw
+      FROM events JOIN cuts USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           min(vw) AS min_wins,
+           max(vw) AS max_wins,
+           CAST(sum(CAST(round(vw, 4) AS DECIMAL(28,4))) AS DOUBLE)
+             AS sum_wins4
+    FROM w
+    GROUP BY event_type
+    """,
+    description="Winsorized per-type value statistics "
+    "(operators/profile.winsorize, p05/p95 per event_type): the "
+    "heavy-tail taming pass a feature pipeline runs before "
+    "scaling/training — values clip to their group's exact "
+    "interpolated percentiles (Spark percentile == DuckDB "
+    "quantile_cont, the q23 parity) so outliers stop dominating "
+    "means while their rows keep their other features. One aggregate "
+    "pass computes both cut points per group (tiny broadcast rows — "
+    "no window over the table, no second scan); the summary sums "
+    "4-dp exact DECIMALs (order-independent).",
+    tags=("aggregate", "profile"),
+)
+def q125_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bigdata_kafka_2_spark.operators.profile import winsorize
+
+    e = read_table(spark, sf_dir, "events")
+    w = winsorize(e, "value", group_col="event_type", lower=0.05, upper=0.95)
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value_wins").alias("min_wins"),
+        F.max("value_wins").alias("max_wins"),
+        F.sum(F.round(F.col("value_wins"), 4).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sum_wins4"),
+    )
+
+
+@register(
+    "q126_chi_square",
+    oracle="""
+    WITH cells AS (
+      SELECT coalesce(CAST(lang AS VARCHAR), chr(0) || 'null') AS a,
+             coalesce(CAST(source AS VARCHAR), chr(0) || 'null') AS b,
+             count(*) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    ma AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+    mb AS (SELECT b, sum(o) AS rb FROM cells GROUP BY b),
+    tot AS (SELECT sum(o) AS n FROM cells),
+    agg AS (
+      SELECT any_value(n) AS n,
+             count(DISTINCT a) AS ka,
+             count(DISTINCT b) AS kb,
+             sum(CAST(round((o - ra * rb / n) * (o - ra * rb / n)
+                            / (ra * rb / n), 6) AS DECIMAL(28,6)))
+               AS chi_obs,
+             sum(CAST(round(ra * rb / n, 6) AS DECIMAL(28,6))) AS exp_obs
+      FROM cells JOIN ma USING (a) JOIN mb USING (b), tot
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+           round(CAST(chi_obs AS DOUBLE) + (n - CAST(exp_obs AS DOUBLE)), 4)
+             AS chi2
+    FROM agg
+    """,
+    description="Chi-square independence profile between two "
+    "categorical columns (operators/profile.chi_square_profile over "
+    "documents lang x source): the association/drift gate a "
+    "profiling pass runs on categorical feature pairs — chi2 far "
+    "above dof flags joint-distribution structure the per-column "
+    "profiles miss. ONE hash aggregate builds the contingency cells; "
+    "marginals reduce FROM the cells (never a second table scan); "
+    "unobserved cells enter in closed form (their expected mass is "
+    "n - sum of observed expectations) so no dense level cross join "
+    "exists anywhere; per-cell terms are 6-dp exact DECIMALs.",
+    tags=("aggregate", "profile"),
+)
+def q126_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import chi_square_profile
+
+    d = read_table(spark, sf_dir, "documents")
+    return chi_square_profile(d, "lang", "source")

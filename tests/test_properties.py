@@ -888,3 +888,62 @@ def test_bigram_logprob_matches_brute_force(spark):
     assert 3 not in got
     # natural transitions outrank the scrambled doc
     assert got[0][1] > got[2][1]
+
+
+def test_chi_square_matches_scipy_formula(spark):
+    """chi_square_profile == the textbook chi2 computed in plain Python
+    over the full (observed + unobserved) contingency table; an
+    independent pair scores ~0 and a perfectly dependent one scores
+    n*(k-1)."""
+    from bigdata_kafka_2_spark.operators.profile import chi_square_profile
+
+    rows = [("x", "p"), ("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"),
+            ("y", "q"), ("z", "p"), ("z", "q"), (None, "p")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = chi_square_profile(df, "a", "b").collect()[0]
+
+    from collections import Counter
+    obs = Counter(("\x00null" if a is None else a, b) for a, b in rows)
+    ra, rb = Counter(), Counter()
+    for (a, b), o in obs.items():
+        ra[a] += o
+        rb[b] += o
+    n = sum(obs.values())
+    chi_obs = sum(
+        round((o - ra[a] * rb[b] / n) ** 2 / (ra[a] * rb[b] / n), 6)
+        for (a, b), o in obs.items()
+    )
+    exp_obs = sum(round(ra[a] * rb[b] / n, 6) for (a, b) in obs)
+    expect = round(chi_obs + (n - exp_obs), 4)
+    assert got.n == n
+    assert got.dof == (len(ra) - 1) * (len(rb) - 1)
+    assert got.chi2 == expect
+
+    # perfectly dependent pair: chi2 = n * (k-1)
+    dep = spark.createDataFrame(
+        [("a", "1"), ("a", "1"), ("b", "2"), ("b", "2")], "a string, b string"
+    )
+    g2 = chi_square_profile(dep, "a", "b").collect()[0]
+    assert g2.chi2 == 4.0  # n=4, k=2 -> 4*(2-1)
+
+
+def test_winsorize_bounds_and_passthrough(spark):
+    """winsorize clips exactly to the group percentiles, leaves
+    interior values untouched, and passes NULLs through."""
+    from pyspark.sql import functions as F
+
+    from bigdata_kafka_2_spark.operators.profile import winsorize
+
+    rows = [("g", float(v)) for v in range(1, 101)] + [("g", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    w = winsorize(df, "v", group_col="g", lower=0.10, upper=0.90)
+    vals = [r.v_wins for r in w.collect()]
+    nn = [v for v in vals if v is not None]
+    # exact interpolated p10/p90 of 1..100 are 10.9 and 90.1
+    # (90.1 lands on 90.10000000000001 in interpolation fp — compare
+    # with tolerance; DuckDB computes the identical double, which is
+    # what the q125 hash check relies on)
+    assert min(nn) == pytest.approx(10.9, abs=1e-9)
+    assert max(nn) == pytest.approx(90.1, abs=1e-9)
+    assert 50.0 in nn  # interior untouched
+    assert any(v is None for v in vals)
