@@ -125,6 +125,7 @@ HEADLINE = (
     "q124_bigram_logprob",
     "q125_winsorized_stats",
     "q126_chi_square",
+    "q127_curation_v4",
 )
 
 

@@ -1040,3 +1040,139 @@ def q115_remove_repeated_spans(
 ) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return DD.remove_repeated_spans(d, k=8)
+
+
+#: q127 = q110's chain + a DSIR data-selection stage between the
+#: repeated-substring filter and pair mining: survivors are scored by
+#: DSIR importance toward the lang='en' target (the model fit on the
+#: SURVIVING set itself — selection adapts as upstream filters
+#: change) and the top 80% by length-normalized log-ratio are kept
+#: (threshold = the exact interpolated 20th percentile, one tiny
+#: broadcast row — q108's banding pattern, no global sort).
+_Q127_DSIR_CTES = """,
+    dtf AS (
+      SELECT doc_id, tgt, tok, count(*) AS tf FROM (
+        SELECT k.doc_id, (k.lang = 'en') AS tgt, u.tok
+        FROM (SELECT doc_id, lang,
+                     unnest(string_split({norm}, ' ')) AS tok
+              FROM kept5) AS u(doc_id, lang, tok)
+        JOIN kept5 k USING (doc_id)
+        WHERE u.tok <> ''
+      ) GROUP BY 1, 2, 3
+    ),
+    dvocab AS (
+      SELECT tok, sum(tf) AS cr,
+             sum(CASE WHEN tgt THEN tf ELSE 0 END) AS ct
+      FROM dtf GROUP BY tok
+    ),
+    dtot AS (SELECT sum(cr) AS Tr, sum(ct) AS Tt, count(*) AS V FROM dvocab),
+    dagg AS (
+      SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS dl,
+             sum(CAST(tf * round(
+                 ln((ct + 1.0) / (Tt + V)) - ln((cr + 1.0) / (Tr + V)),
+               4) AS DECIMAL(28,4))) AS s
+      FROM dtf JOIN dvocab USING (tok), dtot
+      GROUP BY doc_id
+    ),
+    dsir AS (
+      SELECT doc_id,
+             (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+               * ((abs(CAST(s * 10000 AS BIGINT)) * 2 + dl) // (dl * 2))
+               / 10000.0 AS avg_logratio
+      FROM dagg
+    ),
+    dthr AS (SELECT quantile_cont(avg_logratio, 0.2) AS thr FROM dsir),
+    kept6 AS (
+      SELECT k.* FROM kept5 k
+        JOIN dsir USING (doc_id), dthr
+      WHERE avg_logratio >= thr
+    )"""
+
+
+def _q127_oracle(sf_dir: str | None = None) -> str:
+    base = _Q110_ORACLE
+    dsir = _Q127_DSIR_CTES.replace("{norm}", _NORM)
+    # splice: insert the DSIR CTEs after kept5's definition, then point
+    # every downstream stage (pair mining, reach seeding, labeling) at
+    # kept6 instead of kept5.
+    marker = "\n                  / greatest(n_tokens, 1), 4) <= 0.5\n    ),"
+    assert marker in base
+    head, tail = base.split(marker, 1)
+    tail = tail.replace("kept5", "kept6")
+    # _exact_pairs_sql(source=...) begins immediately after the marker
+    return head + marker.rstrip(",") + dsir + "," + tail
+
+
+@register(
+    "q127_curation_v4",
+    oracle=_q127_oracle,
+    description="The FULL curation pipeline, late-r8 edition — q110's "
+    "chain plus a DSIR data-selection stage (Xie et al. 2023): "
+    "Gopher quality filter → repetition filter → exact + fuzzy "
+    "benchmark decontamination → repeated-substring filter → DSIR "
+    "importance scoring toward the lang='en' target with the model "
+    "fit ON the surviving set (selection adapts as upstream filters "
+    "change), keeping the top 80% by length-normalized log-ratio "
+    "(threshold = exact interpolated 20th percentile, one broadcast "
+    "row — no global sort) → verified near-dedup pairs + connected "
+    "components → leakage-safe splits → per-split profile. One "
+    "hash-checked plan; every stage scan-speed, broadcast-bounded, "
+    "or dup-subgraph-bounded; curated intermediates checkpointed at "
+    "the stage boundaries deployment writes anyway (q81's rule).",
+    tags=("dedup", "sampling", "text", "flagship"),
+)
+def q127_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.sampling import (
+        dsir_logweights,
+        leakage_safe_split,
+    )
+    from bigdata_kafka_2_spark.operators.text import (
+        quality_filter_flags,
+        repetition_stats,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 13 == 0)
+    train = d.filter(F.col("doc_id") % 13 != 0)
+    k1 = quality_filter_flags(train).filter(F.col("keep")).select("doc_id")
+    kept1 = train.join(k1, on="doc_id", how="left_semi")
+    k2 = (
+        repetition_stats(kept1, n=2, max_top_frac=0.05, max_dup_frac=0.05)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    kept2 = kept1.join(k2, on="doc_id", how="left_semi")
+    kept3 = DD.decontaminate(kept2, ev, k=4, min_shared=1).localCheckpoint()
+    kept4 = DD.fuzzy_decontaminate(
+        kept3, ev, k=3, threshold=0.3
+    ).localCheckpoint()
+    kept5 = DD.exact_substring_dedup(
+        kept4, k=4, min_df=2, max_coverage=0.5
+    ).localCheckpoint()
+    scores = dsir_logweights(kept5, F.col("lang") == "en").select(
+        "doc_id", "avg_logratio"
+    )
+    thr = scores.agg(
+        F.percentile("avg_logratio", F.lit(0.2)).alias("__thr")
+    )
+    kept6 = (
+        kept5.join(scores, on="doc_id")
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("avg_logratio") >= F.col("__thr"))
+        .drop("avg_logratio", "__thr")
+        .localCheckpoint()
+    )
+    labeled = leakage_safe_split(
+        kept6,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        jaccard_threshold=0.5,
+        bucket_fn=lambda rep: F.pmod(
+            rep * F.lit(2654435761), F.lit(1_000_000)
+        ),
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_rep").alias("n_clusters"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
