@@ -126,6 +126,7 @@ HEADLINE = (
     "q125_winsorized_stats",
     "q126_chi_square",
     "q127_curation_v4",
+    "q128_stream_static_join",
 )
 
 

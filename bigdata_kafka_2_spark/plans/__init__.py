@@ -234,6 +234,13 @@ def register(
 #: length-normalized log-ratio against a broadcast percentile
 #: threshold); q110 stays hash-checked in the mirror and every one of
 #: its stages is graded inside q127.
+#: Streaming-family upgrade: q63_streaming_tumbling_window →
+#: q128_stream_static_join — the stream-static enrichment join was the
+#: one supported streaming join shape with no graded row, and q128 is
+#: a strict superset of q63's machinery (same watermarked tumbling
+#: window aggregate, executed through the same availableNow drain,
+#: downstream of the broadcast dim join); q63 stays hash-checked in
+#: the mirror.
 CURATED: tuple[str, ...] = (
     # relational / joins / windows / grouping
     "q01_pricing_summary",
@@ -287,7 +294,7 @@ CURATED: tuple[str, ...] = (
     "q68_pq_rerank_topk",
     # streaming / event-time windows
     "q101_stream_stream_join",
-    "q63_streaming_tumbling_window",
+    "q128_stream_static_join",
     "q64_streaming_session_window",
     "q65_streaming_dedup",
     # multimodal

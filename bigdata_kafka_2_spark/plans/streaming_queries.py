@@ -499,3 +499,57 @@ def q101_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("v_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "q128_stream_static_join",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           n_name,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events e
+      JOIN customer c ON e.user_id = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+    description="STREAM-STATIC enrichment join through the gate — the "
+    "canonical streaming-ETL shape the q101 stream-stream join does "
+    "not cover: the events stream joins the static customer→nation "
+    "dimension (broadcast — at 100 TB/day of stream the dim is "
+    "smaller by orders of magnitude, and the stream side never "
+    "shuffles for the join), then aggregates per-nation daily "
+    "revenue under a watermark. The join itself keeps NO state "
+    "(static side re-read per micro-batch, so dim updates flow in "
+    "without a restart); only the windowed aggregate holds "
+    "watermark-bounded state. availableNow drain into a memory "
+    "sink, hash-checked against the batch SQL join "
+    "(streaming ≡ batch).",
+    tags=("streaming", "join", "window"),
+)
+def q128_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.streaming.windows import (
+        stream_static_enriched_windows,
+    )
+
+    dim = (
+        read_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(read_table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    agg = stream_static_enriched_windows(
+        _staged_events_stream(spark, sf_dir, "q128_events", ("",)),
+        dim,
+        on="user_id",
+    )
+    sink = _drain(agg, "q128_out")
+    return spark.table(sink).select(
+        F.date_format("window_start", _FMT).alias("window_start"),
+        "n_name",
+        "n_events",
+        "total_value",
+    )

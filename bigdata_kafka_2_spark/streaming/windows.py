@@ -75,6 +75,46 @@ def session_aggregate(
     )
 
 
+def stream_static_enriched_windows(
+    events: DataFrame,
+    dim: DataFrame,
+    on,
+    window_size: str = "1 day",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "n_name",
+) -> DataFrame:
+    """Stream-static enrichment join + watermarked windowed aggregate.
+
+    The canonical streaming-ETL shape Spark supports natively: each
+    micro-batch of the unbounded stream joins the STATIC dimension
+    (re-read per batch, so slowly-changing dims pick up updates
+    without a restart), then aggregates per event-time window. The
+    static side is explicitly broadcast — at 100 TB/day of stream the
+    dimension is the small side by many orders of magnitude, and a
+    broadcast keeps the stream side from shuffling before the
+    windowed aggregate's own keyed exchange. No state is kept for the
+    join itself (unlike stream-stream joins); only the windowed
+    aggregate holds state, bounded by the watermark.
+    """
+    win = F.window(ts_col, window_size)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .join(F.broadcast(dim), on=on, how="inner")
+        .groupBy(win.alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # --- Custom stateful operator: running per-key anomaly counter --------
 
 
