@@ -127,6 +127,8 @@ HEADLINE = (
     "q126_chi_square",
     "q127_curation_v4",
     "q128_stream_static_join",
+    "q129_token_spectrum",
+    "q130_vocab_growth",
 )
 
 

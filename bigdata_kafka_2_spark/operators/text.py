@@ -1084,3 +1084,100 @@ def bigram_logprob_scores(
             ).alias("logprob"),
         )
     )
+
+
+def token_frequency_spectrum(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Zipf frequency-of-frequencies: how many distinct token TYPES
+    occur exactly c times in the corpus — (occurrences, n_types).
+
+    The one-scan corpus shape a curation team reads before choosing
+    vocabulary cutoffs and hapax-pruning thresholds (the n_types row
+    at occurrences=1 IS the hapax count, typically ~half the
+    vocabulary by Zipf's law). Two chained hash aggregates, both with
+    map-side partial combine: corpus tokens reduce to the vocabulary
+    (|V| rows), the vocabulary reduces to the spectrum (distinct
+    frequency VALUES — tiny by the long Zipf tail). Nothing here is
+    super-linear and no row carries text past the first aggregate.
+    """
+    toks = df.select(
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("occurrences"))
+    return vocab.groupBy("occurrences").agg(
+        F.count(F.lit(1)).alias("n_types")
+    )
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: at each of ``n_checkpoints``
+    corpus positions (deciles of the ``id_col`` order by default),
+    the cumulative token count and the cumulative number of DISTINCT
+    token types seen so far — (checkpoint, n_docs, cum_tokens,
+    vocab_size).
+
+    Scale shape: "distinct so far" is NOT computed as a running
+    distinct (unbounded state); each type is attributed to the ONE
+    document where it first appears (min(id) per token — a hash
+    aggregate), so per-document new-type counts sum to the running
+    vocabulary. Both cumulative sums use
+    :func:`~bigdata_kafka_2_spark.operators.relational.global_prefix_sum`
+    (range-bucketed, no single-partition window; driver state = one
+    bucket-offset row per bucket). Checkpoint thresholds are the
+    exact interpolated percentiles of ``id_col`` (one broadcast row);
+    the per-checkpoint reduction groups each row under every
+    checkpoint at or past it — ``n_checkpoints``× row inflation on
+    (id, two longs) rows only, never on text.
+    """
+    from bigdata_kafka_2_spark.operators.relational import global_prefix_sum
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_doc = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nt"))
+    new_types = (
+        toks.groupBy("tok")
+        .agg(F.min(id_col).alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__new"))
+    )
+    base = (
+        df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .join(new_types, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("__nt", F.lit(0)).alias("__nt"),
+            F.coalesce("__new", F.lit(0)).alias("__new"),
+        )
+    )
+    cum = global_prefix_sum(base, id_col, "__nt", "__ct_before")
+    cum = global_prefix_sum(cum, id_col, "__new", "__cv_before").select(
+        id_col,
+        (F.col("__ct_before") + F.col("__nt")).alias("__cum_tokens"),
+        (F.col("__cv_before") + F.col("__new")).alias("__vocab"),
+    )
+    fracs = [i / n_checkpoints for i in range(1, n_checkpoints + 1)]
+    thr = df.agg(
+        F.percentile(
+            F.col(id_col), F.array(*[F.lit(f) for f in fracs])
+        ).alias("__thr")
+    ).select(
+        F.posexplode("__thr").alias("__i", "__t")
+    ).select((F.col("__i") + 1).alias("checkpoint"), "__t")
+    return (
+        cum.join(F.broadcast(thr), F.col(id_col) <= F.col("__t"))
+        .groupBy("checkpoint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("__cum_tokens").alias("cum_tokens"),
+            F.max("__vocab").alias("vocab_size"),
+        )
+    )

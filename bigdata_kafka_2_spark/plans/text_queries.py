@@ -1539,3 +1539,89 @@ def q123_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q124_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return TX.bigram_logprob_scores(d)
+
+
+@register(
+    "q129_token_spectrum",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS occurrences
+      FROM toks WHERE tok <> '' GROUP BY tok
+    )
+    SELECT occurrences, CAST(count(*) AS BIGINT) AS n_types
+    FROM vocab GROUP BY occurrences
+    """,
+    description="Zipf frequency-of-frequencies spectrum "
+    "(operators/text.token_frequency_spectrum): how many distinct "
+    "token TYPES occur exactly c times — the corpus profile behind "
+    "vocabulary cutoffs and hapax pruning (the occurrences=1 row is "
+    "the hapax count). Two chained map-side-combined hash "
+    "aggregates: corpus tokens -> vocabulary -> spectrum; no row "
+    "carries text past the first aggregate and output is bounded by "
+    "the number of distinct frequency values (tiny under the Zipf "
+    "tail).",
+    tags=("text", "profile"),
+)
+def q129_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return TX.token_frequency_spectrum(d)
+
+
+@register(
+    "q130_vocab_growth",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    tt AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    pd AS (SELECT doc_id, count(*) AS nt FROM tt GROUP BY 1),
+    nw AS (
+      SELECT fd AS doc_id, count(*) AS nv
+      FROM (SELECT tok, min(doc_id) AS fd FROM tt GROUP BY tok)
+      GROUP BY 1
+    ),
+    base AS (
+      SELECT d.doc_id, coalesce(nt, 0) AS nt, coalesce(nv, 0) AS nv
+      FROM documents d LEFT JOIN pd USING (doc_id)
+        LEFT JOIN nw USING (doc_id)
+    ),
+    cum AS (
+      SELECT doc_id,
+             sum(nt) OVER (ORDER BY doc_id) AS ct,
+             sum(nv) OVER (ORDER BY doc_id) AS cv
+      FROM base
+    ),
+    thr AS (
+      SELECT i AS checkpoint, q[i] AS t
+      FROM (
+        SELECT quantile_cont(doc_id,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]) AS q
+        FROM documents
+      ), generate_series(1, 10) g(i)
+    )
+    SELECT checkpoint,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(ct) AS BIGINT) AS cum_tokens,
+           CAST(max(cv) AS BIGINT) AS vocab_size
+    FROM cum JOIN thr ON doc_id <= t
+    GROUP BY checkpoint
+    """,
+    description="Heaps-law vocabulary-growth curve "
+    "(operators/text.vocab_growth): cumulative tokens and cumulative "
+    "DISTINCT types at each doc_id-order decile. 'Distinct so far' "
+    "is attributed to each type's FIRST document (min-id hash "
+    "aggregate) so per-doc new-type counts sum to the running "
+    "vocabulary — no running-distinct state; both cumulative sums "
+    "run through the range-bucketed global_prefix_sum (no "
+    "single-partition window), and the decile thresholds are one "
+    "broadcast exact-percentile row (the q23 Spark/DuckDB "
+    "interpolation parity).",
+    tags=("text", "profile", "window"),
+)
+def q130_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return TX.vocab_growth(d)
