@@ -129,6 +129,7 @@ HEADLINE = (
     "q128_stream_static_join",
     "q129_token_spectrum",
     "q130_vocab_growth",
+    "q131_quantile_sketch",
 )
 
 

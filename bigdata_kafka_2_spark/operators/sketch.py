@@ -328,3 +328,145 @@ def kmv_distinct(
         group_col,
         k,
     )
+
+
+# --- Mergeable weighted-sample quantile sketch ------------------------
+
+
+def quantile_sketch_build(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    k: int = 64,
+    n_blocks: int = 32,
+) -> DataFrame:
+    """Per-group weighted rank samples ``(group, value, w)`` — the
+    build half of a mergeable quantile sketch (the at-scale companion
+    to the exact interpolated percentiles q23/q108 use: exact
+    percentiles shuffle every value to its group; this keeps
+    ``n_blocks × k`` rows per group no matter how many values).
+
+    Construction is DETERMINISTIC and integer-exact, so the whole
+    sketch is SQL-transcribable and hash-checkable — no randomized
+    compaction (the place classic KLL gives up determinism):
+
+    1. rows land in ``n_blocks`` content-keyed blocks
+       (``id mod n_blocks`` — partitioning-invariant by construction);
+    2. within each (group, block), rank by ``(value, id)`` (a
+       block-keyed window — state bounded by the block, never the
+       group);
+    3. keep the elements at boundary ranks ``b_i = (i·n) div k``
+       (i = 1..k), each weighted by ``b_i − b_{i−1}`` — integer
+       weights that sum to EXACTLY n, so downstream rank targets are
+       exact. Blocks smaller than k keep every element at weight 1
+       (the boundary diffs collapse to a 0/1 indicator).
+
+    Rank-error guarantee (property-tested): attributing positions
+    ``b_{i−1}+1..b_i`` to the boundary element displaces any rank by
+    at most ``n_b/k`` per block, ≤ N/k per group overall.
+
+    Merging sketches built over DISJOINT datasets is sample-set union
+    (:func:`quantile_sketch_merge`) with additive error — the
+    weighted-sample mergeability that lets 1000 executors sketch
+    their shards and a coordinator answer global quantiles. (Unlike
+    KMV, re-sketching a different SPLIT of the same rows is not
+    bit-identical — blocks must be sketched whole; the content-keyed
+    block hash makes that a repartition, not a correctness hazard.)
+    """
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).alias("__blk"),
+        F.col(value_col).alias("v"),
+        F.col(id_col).alias("__id"),
+    )
+    ranked = base.withColumn(
+        "__r",
+        F.row_number().over(
+            Window.partitionBy("g", "__blk").orderBy("v", "__id")
+        ),
+    )
+    sizes = base.groupBy("g", "__blk").agg(F.count(F.lit(1)).alias("__n"))
+    bounds = (
+        sizes.select(
+            "g",
+            "__blk",
+            "__n",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("__i"),
+        )
+        .select(
+            "g",
+            "__blk",
+            F.expr(f"(__i * __n) div {k}").alias("__r"),
+            (
+                F.expr(f"(__i * __n) div {k}")
+                - F.expr(f"((__i - 1) * __n) div {k}")
+            ).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    return (
+        ranked.join(bounds, on=["g", "__blk", "__r"])
+        .groupBy(F.col("g").alias(group_col), F.col("v").alias(value_col))
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+
+
+def quantile_sketch_merge(*sketches: DataFrame) -> DataFrame:
+    """Union weighted-sample frames built over disjoint datasets;
+    duplicate values re-collapse in the estimate's tie-merge."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def quantile_sketch_estimate(
+    sketch: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Answer p50/p90/p99 from a quantile sketch: ``(group, n, p50,
+    p90, p99)`` where each estimate is the smallest sampled value
+    whose cumulative weight reaches ``ceil(q·N)`` — N is EXACT
+    because block weights sum to block sizes.
+
+    All arithmetic is integer (ceil targets via div); the value
+    column is only compared and min'd, never operated on — so
+    estimates are bit-identical cross-engine with no float-rounding
+    protocol. The cumulative window is per group over the sketch's
+    ≤ n_blocks×k collapsed values — bounded state, asserted in plan
+    tests as a group-partitioned (never single-partition) window.
+    """
+    # build() frames already collapse value ties; merged unions may
+    # reintroduce them, so collapse defensively (also kills any
+    # cross-engine tie-order ambiguity in the cumulative window).
+    g = group_col
+    s = (
+        sketch.groupBy(g, value_col)
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    cum = s.withColumn(
+        "__cw",
+        F.sum("w").over(
+            Window.partitionBy(g)
+            .orderBy(value_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    totals = s.groupBy(g).agg(F.sum("w").cast("long").alias("n"))
+    return (
+        cum.join(totals, on=g)
+        .groupBy(g, "n")
+        .agg(
+            F.min(
+                F.when(F.col("__cw") >= F.expr("(n + 1) div 2"), F.col(value_col))
+            ).alias("p50"),
+            F.min(
+                F.when(F.col("__cw") >= F.expr("(9 * n + 9) div 10"), F.col(value_col))
+            ).alias("p90"),
+            F.min(
+                F.when(F.col("__cw") >= F.expr("(99 * n + 99) div 100"), F.col(value_col))
+            ).alias("p99"),
+        )
+    )

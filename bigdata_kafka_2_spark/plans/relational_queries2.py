@@ -1298,3 +1298,72 @@ def q126_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return chi_square_profile(d, "lang", "source")
+
+
+@register(
+    "q131_quantile_sketch",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS g, event_id % 32 AS blk, value AS v, event_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT g, blk, v,
+             row_number() OVER (PARTITION BY g, blk ORDER BY v, event_id)
+               AS r
+      FROM base
+    ),
+    sizes AS (SELECT g, blk, count(*) AS n FROM base GROUP BY 1, 2),
+    bounds AS (
+      SELECT g, blk, (i * n) // 64 AS r,
+             (i * n) // 64 - ((i - 1) * n) // 64 AS w
+      FROM sizes, generate_series(1, 64) gs(i)
+      WHERE (i * n) // 64 - ((i - 1) * n) // 64 > 0
+    ),
+    sample AS (
+      SELECT g, v, CAST(sum(w) AS BIGINT) AS w
+      FROM ranked JOIN bounds USING (g, blk, r)
+      GROUP BY g, v
+    ),
+    cum AS (
+      SELECT g, v, w,
+             CAST(sum(w) OVER (
+               PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cw
+      FROM sample
+    ),
+    totals AS (SELECT g, CAST(sum(w) AS BIGINT) AS n FROM sample GROUP BY g)
+    SELECT g AS event_type, n,
+           min(CASE WHEN cw >= (n + 1) // 2 THEN v END) AS p50,
+           min(CASE WHEN cw >= (9 * n + 9) // 10 THEN v END) AS p90,
+           min(CASE WHEN cw >= (99 * n + 99) // 100 THEN v END) AS p99
+    FROM cum JOIN totals USING (g)
+    GROUP BY g, n
+    """,
+    description="Mergeable quantile sketch per event type "
+    "(operators/sketch.quantile_sketch_build/estimate, k=64 boundary "
+    "ranks x 32 content-keyed blocks): the at-scale companion to the "
+    "exact interpolated percentiles (q23/q108) — exact percentiles "
+    "shuffle every value to its group, the sketch keeps n_blocks*k "
+    "weighted samples per group with rank error <= N/k. Construction "
+    "is deterministic and INTEGER-exact (boundary ranks (i*n) div k, "
+    "weights the boundary diffs summing to exactly n; ceil rank "
+    "targets in integer div; values only compared, never operated "
+    "on) so the whole sketch hash-matches the SQL transcription with "
+    "no float-rounding protocol. Windows are block- or group-keyed, "
+    "never single-partition; sketches over disjoint corpora merge by "
+    "sample union with additive error (property-tested).",
+    tags=("profile", "sketch", "window"),
+)
+def q131_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.sketch import (
+        quantile_sketch_build,
+        quantile_sketch_estimate,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    sk = quantile_sketch_build(
+        e, "value", "event_type", "event_id", k=64, n_blocks=32
+    )
+    return quantile_sketch_estimate(sk, "value", "event_type")

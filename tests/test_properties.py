@@ -947,3 +947,72 @@ def test_winsorize_bounds_and_passthrough(spark):
     assert max(nn) == pytest.approx(90.1, abs=1e-9)
     assert 50.0 in nn  # interior untouched
     assert any(v is None for v in vals)
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=300,
+    ),
+)
+@settings(**_SETTINGS)
+def test_quantile_sketch_rank_error_bound(spark, values):
+    """Each estimate's EXACT rank is within N/k + 1 of its target rank
+    (the boundary-attribution displacement bound in the docstring)."""
+    from bigdata_kafka_2_spark.operators.sketch import (
+        quantile_sketch_build,
+        quantile_sketch_estimate,
+    )
+
+    k = 8
+    pdf = pd.DataFrame(
+        {"id": range(len(values)), "v": values, "g": "a"}
+    )
+    df = spark.createDataFrame(pdf)
+    sk = quantile_sketch_build(df, "v", "g", "id", k=k, n_blocks=4)
+    est = quantile_sketch_estimate(sk, "v", "g").collect()[0]
+    s = sorted(values)
+    n = len(s)
+    for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        target = -(-int(q * 100 * n) // 100)  # ceil(q*n) in int arithmetic
+        # exact rank range occupied by the estimated value
+        lo = 1 + sum(1 for x in s if x < est[col])
+        hi = sum(1 for x in s if x <= est[col])
+        slack = n / k + 1
+        assert lo - slack <= target <= hi + slack, (
+            f"{col}: target {target} vs [{lo},{hi}] n={n}"
+        )
+
+
+def test_quantile_sketch_merge_disjoint_shards(spark):
+    """Sketches built over disjoint shards, merged, estimate with the
+    additive bound — and N is exact across the merge."""
+    from bigdata_kafka_2_spark.operators.sketch import (
+        quantile_sketch_build,
+        quantile_sketch_estimate,
+        quantile_sketch_merge,
+    )
+
+    import random
+
+    rng = random.Random(13)
+    vals = [rng.uniform(0, 1000) for _ in range(500)]
+    pdf = pd.DataFrame({"id": range(500), "v": vals, "g": "a"})
+    df = spark.createDataFrame(pdf)
+    k = 16
+    a = df.filter("id % 2 = 0")
+    b = df.filter("id % 2 = 1")
+    merged = quantile_sketch_merge(
+        quantile_sketch_build(a, "v", "g", "id", k=k, n_blocks=4),
+        quantile_sketch_build(b, "v", "g", "id", k=k, n_blocks=4),
+    )
+    est = quantile_sketch_estimate(merged, "v", "g").collect()[0]
+    assert est["n"] == 500
+    s = sorted(vals)
+    for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        target = -(-int(q * 100 * 500) // 100)
+        lo = 1 + sum(1 for x in s if x < est[col])
+        hi = sum(1 for x in s if x <= est[col])
+        slack = 250 / k + 250 / k + 1  # additive over the two shards
+        assert lo - slack <= target <= hi + slack
