@@ -331,3 +331,34 @@ def test_bitmap_semi_join_plan_broadcasts_bitmap(spark):
     keys = spark.range(100).select((F.col("id") * 3).alias("k"))
     plan = bitmap_semi_join(big, keys, "k")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_vocab_growth_no_single_partition_window(spark):
+    """q130's cumulative token/type sums run through the range-bucketed
+    prefix machinery — no global unkeyed window. The ONE permitted
+    single-partition exchange is the checkpoint-threshold percentile's
+    final merge: it carries one partial-aggregate buffer per task
+    (bounded by task count), never data rows."""
+    from bigdata_kafka_2_spark.operators.text import vocab_growth
+
+    d = read_table(spark, SF_DIR, "documents")
+    plan = _plan(vocab_growth(d))
+    assert "hashpartitioning(__bkt" in plan  # prefix sums are bucketed
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "partial_percentile" in plan  # ...and it's the scalar merge
+
+
+def test_quantile_sketch_windows_are_keyed(spark):
+    """q131's ranking window is (group, block)-keyed and the estimate's
+    cumulative window is group-keyed — never single-partition — and
+    the broadcast-free plan keeps every exchange hash-partitioned."""
+    from bigdata_kafka_2_spark.operators.sketch import (
+        quantile_sketch_build,
+        quantile_sketch_estimate,
+    )
+
+    e = read_table(spark, SF_DIR, "events")
+    sk = quantile_sketch_build(e, "value", "event_type", "event_id")
+    plan = _plan(quantile_sketch_estimate(sk, "value", "event_type"))
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
