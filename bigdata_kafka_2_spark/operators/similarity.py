@@ -1530,6 +1530,109 @@ def ann_index_search(
     )
 
 
+def ann_index_delete(
+    ids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Tombstone-delete from a stored :func:`ann_index_write` layout:
+    append the ids to a SIBLING ``<path>__tombstones`` parquet dir
+    (sibling, not subdirectory — the index's own readers must never
+    scan it). O(|delete batch|), no index rewrite: the corpus-scale
+    delete path is logical, with physical reclamation deferred to
+    :func:`ann_index_compact` on the maintenance cadence — the same
+    split every LSM/lakehouse delete uses, because rewriting a
+    centroid partition per delete batch would make deletes cost
+    O(partition), not O(batch). Re-deleting an id is idempotent
+    (tombstones are a set under the anti-join).
+    """
+    ids.select(id_col).distinct().write.mode("append").parquet(
+        path.rstrip("/") + "__tombstones"
+    )
+
+
+def ann_index_tombstones(
+    spark, path: str, id_col: str = "vec_id"
+) -> DataFrame | None:
+    """The live tombstone set for a stored index (None if empty)."""
+    import os
+
+    tpath = path.rstrip("/") + "__tombstones"
+    if not os.path.isdir(tpath):
+        return None
+    return spark.read.parquet(tpath).select(id_col).distinct()
+
+
+def ann_index_live(
+    spark, path: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """The index frame with tombstoned rows filtered out — what every
+    search should read. The filter is a BROADCAST anti-join (the
+    tombstone set is bounded by the compaction cadence), applied
+    BEFORE the candidate tier so deleted vectors can neither rank nor
+    displace live candidates."""
+    index = spark.read.parquet(path)
+    tomb = ann_index_tombstones(spark, path, id_col)
+    if tomb is None:
+        return index
+    return index.join(F.broadcast(tomb), on=id_col, how="left_anti")
+
+
+def ann_index_compact(spark, path: str, id_col: str = "vec_id") -> dict:
+    """Materialize tombstones: rewrite ONLY the centroid partitions
+    that contain deleted rows (dynamic partition overwrite — the
+    untouched partitions' files are not read or rewritten), then drop
+    the tombstone dir. After compaction the stored layout is
+    bit-equal in content to the live view (asserted in tests), and
+    cost is O(touched partitions), never the index.
+    """
+    import os
+    import shutil
+
+    tpath = path.rstrip("/") + "__tombstones"
+    tomb = ann_index_tombstones(spark, path, id_col)
+    if tomb is None:
+        return {"touched_partitions": 0, "deleted_rows": 0}
+    index = spark.read.parquet(path)
+    doomed = index.join(F.broadcast(tomb), on=id_col, how="left_semi")
+    touched = [
+        r["centroid_id"]
+        for r in doomed.select("centroid_id").distinct().collect()
+    ]
+    n_deleted = doomed.count()
+    if touched:
+        survivors = index.filter(
+            F.col("centroid_id").isin(touched)
+        ).join(F.broadcast(tomb), on=id_col, how="left_anti")
+        # localCheckpoint: the survivor frame READS the partitions the
+        # overwrite is about to replace — materialize first.
+        survivors = survivors.localCheckpoint()
+        kept = {
+            r["centroid_id"]
+            for r in survivors.select("centroid_id").distinct().collect()
+        }
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            if kept:
+                survivors.write.mode("overwrite").partitionBy(
+                    "centroid_id"
+                ).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # dynamic overwrite only touches partitions PRESENT in the
+        # written frame — a partition whose every row was deleted has
+        # no survivor rows and must be dropped explicitly.
+        for c in set(touched) - kept:
+            shutil.rmtree(
+                os.path.join(path, f"centroid_id={c}"), ignore_errors=True
+            )
+    shutil.rmtree(tpath, ignore_errors=True)
+    return {"touched_partitions": len(touched), "deleted_rows": n_deleted}
+
+
 def truncated_rerank_topk(
     table: DataFrame,
     probe: DataFrame,

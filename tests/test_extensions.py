@@ -2037,3 +2037,102 @@ def test_ann_index_append_equals_rebuild(spark, tmp_path):
         tuple(r) for r in ann_index_search(full, probe, cents, k=5).collect()
     )
     assert got_inc == got_full and len(got_inc) == 5
+
+
+def test_ann_index_delete_compact_lifecycle(tmp_path, spark):
+    """Tombstone delete → live view excludes deleted ids and EQUALS a
+    rebuild over the remaining vectors; compaction rewrites only the
+    touched partitions, empties fully-deleted ones, drops the
+    tombstone dir, and leaves the stored layout content-equal to the
+    pre-compaction live view."""
+    import os
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    cents = e.filter(
+        F.col("vec_id").isin([10, 20, 30, 40, 50, 60, 70, 80])
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    probe = e.filter(F.col("vec_id") == 0)
+    path = str(tmp_path / "ann_idx")
+    SIM.ann_index_write(e, cents, path)
+
+    base = SIM.ann_index_search(
+        spark.read.parquet(path), probe, cents, k=5, m=100, n_probe=3
+    ).collect()
+    doomed_ids = [r.vec_id for r in base[:2]]  # delete two of the top-5
+    SIM.ann_index_delete(
+        e.filter(F.col("vec_id").isin(doomed_ids)), path
+    )
+    # idempotent re-delete
+    SIM.ann_index_delete(
+        e.filter(F.col("vec_id").isin(doomed_ids[:1])), path
+    )
+
+    live = SIM.ann_index_live(spark, path)
+    got = SIM.ann_index_search(live, probe, cents, k=5, m=100, n_probe=3)
+    remaining = e.join(
+        F.broadcast(e.filter(F.col("vec_id").isin(doomed_ids)).select("vec_id")),
+        on="vec_id",
+        how="left_anti",
+    )
+    want = SIM.ivf_pq_rerank_topk(
+        SIM.assign_centroids(remaining, cents), probe, cents,
+        k=5, m=100, n_probe=3,
+    )
+    rows = lambda df: sorted(
+        (r.probe_id, r.vec_id, r.similarity, r.rank) for r in df.collect()
+    )
+    assert rows(got) == rows(want)
+    assert not {r[1] for r in rows(got)} & set(doomed_ids)
+
+    # compaction: untouched partitions' files survive byte-identical
+    doomed_cells = {
+        r.centroid_id
+        for r in SIM.ann_index_live(spark, path)
+        .sparkSession.read.parquet(path)
+        .join(
+            F.broadcast(
+                e.filter(F.col("vec_id").isin(doomed_ids)).select("vec_id")
+            ),
+            on="vec_id",
+        )
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    }
+    listing = lambda: {
+        os.path.join(d, f): os.path.getmtime(os.path.join(d, f))
+        for d, _s, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    before = listing()
+    live_rows = rows(
+        SIM.ann_index_search(live, probe, cents, k=5, m=100, n_probe=3)
+    )
+    stats = SIM.ann_index_compact(spark, path)
+    assert stats["deleted_rows"] == 2
+    assert stats["touched_partitions"] == len(doomed_cells)
+    assert not os.path.isdir(path + "__tombstones")
+    after = listing()
+    untouched_before = {
+        p: t
+        for p, t in before.items()
+        if not any(f"centroid_id={c}" in p for c in doomed_cells)
+    }
+    for p, t in untouched_before.items():
+        assert after.get(p) == t, f"untouched file rewritten: {p}"
+    # post-compaction plain search == pre-compaction live search
+    post = rows(
+        SIM.ann_index_search(
+            spark.read.parquet(path), probe, cents, k=5, m=100, n_probe=3
+        )
+    )
+    assert post == live_rows
+    # second compaction is a no-op
+    assert SIM.ann_index_compact(spark, path) == {
+        "touched_partitions": 0,
+        "deleted_rows": 0,
+    }
