@@ -1416,6 +1416,12 @@ def ann_index_write(
     )
     out = assigned.join(codes, on=id_col)
     out.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    # a fresh build invalidates tombstones from any prior index at
+    # this path (ids are a new namespace — stale tombstones would
+    # silently hide live vectors)
+    import shutil
+
+    shutil.rmtree(path.rstrip("/") + "__tombstones", ignore_errors=True)
 
 
 def ann_index_append(

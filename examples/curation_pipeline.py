@@ -290,6 +290,26 @@ def run(spark, sf_dir: str) -> list[dict]:
             "top_sim": float(hits[0].similarity) if hits else None,
         }
     )
+    # 8. index maintenance (late r8): a post-hoc removal (takedown /
+    #    re-curation) tombstones vectors in O(batch) — searches read
+    #    the live view immediately — then compaction materializes the
+    #    deletes, rewriting ONLY the touched centroid partitions
+    #    (operators/similarity.ann_index_delete / ann_index_live /
+    #    ann_index_compact).
+    doomed = kept.orderBy(F.desc("vec_id")).limit(2).select("vec_id")
+    SIM.ann_index_delete(doomed, idx_path)
+    live_hits = SIM.ann_index_search(
+        SIM.ann_index_live(spark, idx_path),
+        probe,
+        centroids,
+        k=5,
+        m=50,
+        n_probe=3,
+    ).count()
+    stats = SIM.ann_index_compact(spark, idx_path)
+    out.append(
+        {"stage": "index_maintenance", "live_hits": int(live_hits), **stats}
+    )
     return out
 
 
