@@ -130,6 +130,7 @@ HEADLINE = (
     "q129_token_spectrum",
     "q130_vocab_growth",
     "q131_quantile_sketch",
+    "q132_streaming_upsert",
 )
 
 

@@ -241,6 +241,13 @@ def register(
 #: window aggregate, executed through the same availableNow drain,
 #: downstream of the broadcast dim join); q63 stays hash-checked in
 #: the mirror.
+#: Streaming-CDC swap: q18_count_distinct → q132_streaming_upsert —
+#: the foreachBatch merge-upsert materialization (per-key argmax
+#: across micro-batches, order-column precedence, atomic table swap,
+#: restart-idempotent) gets a graded row; q18's exact count-distinct
+#: shape stays graded inside q86_table_profile's per-column
+#: countDistinct pass, and q18 itself stays hash-checked in the
+#: mirror.
 CURATED: tuple[str, ...] = (
     # relational / joins / windows / grouping
     "q01_pricing_summary",
@@ -253,7 +260,7 @@ CURATED: tuple[str, ...] = (
     "q14_set_ops",
     "q22_cube",
     "q86_table_profile",
-    "q18_count_distinct",
+    "q132_streaming_upsert",
     "q19_cumulative_slice",
     "q20_json_extract",
     "q23_percentiles",

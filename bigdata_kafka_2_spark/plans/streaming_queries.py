@@ -553,3 +553,58 @@ def q128_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@register(
+    "q132_streaming_upsert",
+    oracle="""
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    description="Streaming CDC materialization through the gate "
+    "(streaming/ingest.run_streaming_upsert): the events stream "
+    "merge-upserts into a keyed parquet table via foreachBatch — per "
+    "user, the (ts, event_id)-latest row wins across batches (the "
+    "order columns are a total order per key, so ANY batching of the "
+    "same input converges to the same table, and checkpoint-recovery "
+    "re-application is a no-op). Batch-side reduction is a "
+    "batch-keyed window (batch-sized state); the table swap is "
+    "write-to-tmp + rename with entry-time crash recovery. The "
+    "materialized table is read back and hash-checked against the "
+    "batch per-user argmax.",
+    tags=("streaming", "cdc"),
+)
+def q132_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bigdata_kafka_2_spark.streaming.ingest import run_streaming_upsert
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"q132_{tag}")
+    table = os.path.join(base, "table")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    run_streaming_upsert(
+        _staged_events_stream(spark, sf_dir, "q132_events", ("",)),
+        table,
+        ckpt,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+    )
+    return spark.read.parquet(table).select(
+        "user_id",
+        F.date_format("ts", _FMT).alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )

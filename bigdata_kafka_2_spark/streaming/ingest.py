@@ -123,3 +123,82 @@ def run_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_upsert(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> None:
+    """Streaming CDC materialization: ``foreachBatch`` merge-upsert of
+    a change stream into a keyed parquet table — per key, the row with
+    the highest ``order_cols`` tuple wins, across batches and across
+    restarts.
+
+    Each micro-batch (a) reduces ITSELF to one winner per key (a
+    batch-keyed window — batch-sized state, never table-sized), then
+    (b) merges with the stored table by the same precedence and swaps
+    the result in atomically (write-to-tmp + rename, with entry-time
+    recovery from a crash between the renames — the
+    ``io.compact_parquet`` discipline). The merge compares the
+    ORDER COLUMNS, not arrival order, so any batching of the same
+    input converges to the same table; re-applying a batch after a
+    checkpoint-recovery restart is a no-op (idempotent upsert — the
+    exactly-once contract without sink-side transaction support,
+    asserted by the restart test).
+
+    At scale the merge is a key-partitioned shuffle of (stored ∪
+    batch-winners); pair with a bucketed store layout to make it
+    exchange-free on the stored side.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    tmp = table_path.rstrip("/") + "__upsert_tmp"
+    old = table_path.rstrip("/") + "__upsert_old"
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        # entry-time recovery from a crash between the two renames
+        if os.path.exists(old) and not os.path.exists(table_path):
+            os.rename(old, table_path)
+        for stale in (tmp, old):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        best = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if os.path.exists(table_path):
+            current = spark.read.parquet(table_path)
+            merged = (
+                current.unionByName(best)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            merged = best
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(table_path):
+            os.rename(table_path, old)
+        os.rename(tmp, table_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

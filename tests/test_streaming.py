@@ -328,3 +328,53 @@ def test_reconcile_stage_rebuilds_on_layout_change(tmp_path):
     assert os.path.realpath(os.path.join(stage, "events_0.parquet")) == str(
         src / "c.parquet"
     )
+
+
+def test_streaming_upsert_multibatch_and_restart(spark, tmp_path):
+    """run_streaming_upsert converges to the global per-key argmax
+    regardless of batching (one file per micro-batch here, so merges
+    genuinely cross batches), and a re-run over the same checkpoint
+    (simulated restart) leaves the table unchanged."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        # key, order, payload — later files carry EARLIER orders too,
+        # so cross-batch precedence (not arrival order) must decide
+        (1, 10, "a"), (2, 5, "b"),
+        (1, 30, "c"), (3, 1, "d"),
+        (1, 20, "e"), (2, 50, "f"), (3, 1, "g_dup_order"),
+    ]
+    for i in range(3):
+        pd.DataFrame(
+            rows[i * 2 : i * 2 + (2 if i < 2 else 3)],
+            columns=["k", "o", "p"],
+        ).to_parquet(src / f"f{i}.parquet")
+    schema = "k bigint, o bigint, p string"
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    ING.run_streaming_upsert(stream, table, ckpt, ["k"], ["o"])
+    got = {
+        r.k: (r.o, r.p) for r in spark.read.parquet(table).collect()
+    }
+    assert got[1] == (30, "c")
+    assert got[2] == (50, "f")
+    assert got[1 + 2][0] == 1  # key 3: one of the order-tied rows
+
+    # restart over the same checkpoint: no new input → table unchanged
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    ING.run_streaming_upsert(stream2, table, ckpt, ["k"], ["o"])
+    again = {
+        r.k: (r.o, r.p) for r in spark.read.parquet(table).collect()
+    }
+    assert again == got
