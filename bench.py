@@ -131,6 +131,7 @@ HEADLINE = (
     "q130_vocab_growth",
     "q131_quantile_sketch",
     "q132_streaming_upsert",
+    "q133_ewma",
 )
 
 

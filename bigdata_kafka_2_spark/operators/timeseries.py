@@ -264,3 +264,75 @@ def session_stats(
             / F.lit(1000000)
         ).alias("duration_sec"),
     )
+
+
+def ewma_latest(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    order_cols: Sequence[str],
+    alpha: float = 0.3,
+    m: int = 16,
+) -> DataFrame:
+    """Per-key truncated exponentially-weighted moving average of the
+    last ``m`` observations — ``(key, n_used, ewma)``. The smoothing
+    signal a feature pipeline derives per user/entity ("recent
+    activity level") where a plain mean over-weights history.
+
+    Truncation is what makes the operator both bounded and exact: the
+    infinite EWMA recursion needs every historical row, but the
+    weights decay geometrically, so the last ``m`` rows carry all but
+    ``(1−α)^m`` of the mass — and a FIXED m means the weight ladder
+    ``α(1−α)^j`` is a Python-precomputed literal array shared
+    verbatim with the SQL oracle (no engine libm/pow in the plan, the
+    q121 discount-ladder rule). Weights are renormalized by the
+    partial ladder sum actually used, so keys with fewer than m rows
+    get a true weighted mean.
+
+    Plan: one key-partitioned window ranks rows newest-first (rows
+    beyond m are DROPPED before any arithmetic — per-key cost is m,
+    not history); contributions round to 6 dp into an exact DECIMAL
+    sum (order-independent), and the final ratio rounds
+    half-away-from-zero in integer arithmetic (the q117 tie rule) —
+    bit-identical cross-engine.
+    """
+    w = [alpha * (1.0 - alpha) ** j for j in range(m)]
+    cum6 = []
+    acc = 0.0
+    for x in w:
+        acc += round(x, 6)
+        cum6.append(int(round(acc * 1_000_000)))
+    rank_w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    ranked = (
+        df.withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") <= m)
+        .withColumn(
+            "__w", F.element_at(F.array(*[F.lit(x) for x in w]), F.col("__rn"))
+        )
+        .withColumn(
+            "__c",
+            F.round(F.col(value_col) * F.col("__w"), 6).cast(
+                "decimal(28,6)"
+            ),
+        )
+    )
+    cum_arr = F.array(*[F.lit(c).cast("long") for c in cum6])
+    return (
+        ranked.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_used"),
+            (F.sum("__c") * 1_000_000).cast("long").alias("__s6"),
+        )
+        .withColumn("__d6", F.element_at(cum_arr, F.col("n_used")))
+        .select(
+            key_col,
+            "n_used",
+            (
+                F.when(F.col("__s6") < 0, -F.lit(1)).otherwise(F.lit(1))
+                * F.expr("(abs(__s6) * 10000 * 2 + __d6) div (__d6 * 2)")
+                / F.lit(10000.0)
+            ).alias("ewma"),
+        )
+    )

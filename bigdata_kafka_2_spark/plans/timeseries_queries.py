@@ -196,3 +196,71 @@ def q119_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return session_stats(e, gap="24 hours")
+
+
+def _ewma_literals(alpha: float = 0.3, m: int = 16):
+    """The Python-precomputed weight ladder + cumulative 6-dp integer
+    denominators, shared VERBATIM between the Spark plan and the SQL
+    oracle (repr() round-trips doubles exactly in both engines)."""
+    w = [alpha * (1.0 - alpha) ** j for j in range(m)]
+    cum6, acc = [], 0.0
+    for x in w:
+        acc += round(x, 6)
+        cum6.append(int(round(acc * 1_000_000)))
+    return w, cum6
+
+
+_EWMA_W, _EWMA_CUM6 = _ewma_literals()
+
+
+@register(
+    "q133_ewma",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ),
+    contrib AS (
+      SELECT user_id, rn,
+             CAST(round(value * ([{', '.join(repr(x) for x in _EWMA_W)}])[rn], 6)
+                  AS DECIMAL(28,6)) AS c
+      FROM ranked WHERE rn <= 16
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(count(*) AS INT) AS n_used,
+             CAST(sum(c) * 1000000 AS BIGINT) AS s6
+      FROM contrib GROUP BY user_id
+    )
+    SELECT user_id, n_used,
+           (CASE WHEN s6 < 0 THEN -1 ELSE 1 END)
+             * ((abs(s6) * 10000 * 2 + d6) // (d6 * 2)) / 10000.0 AS ewma
+    FROM (
+      SELECT *, ([{', '.join(str(c) for c in _EWMA_CUM6)}])[n_used] AS d6
+      FROM agg
+    )
+    """,
+    description="Per-user truncated EWMA of the last 16 event values "
+    "(operators/timeseries.ewma_latest, alpha=0.3): the recency-"
+    "weighted activity feature where a plain mean over-weights "
+    "history. The geometric ladder makes truncation exact to "
+    "(1-alpha)^16 of the mass, and a FIXED window means the weights "
+    "are Python-precomputed literals shared verbatim with the oracle "
+    "(no engine pow in the plan — the q121 discount-ladder rule); "
+    "rows beyond 16 are dropped BEFORE any arithmetic so per-key "
+    "cost is the window, not history. Contributions 6-dp exact "
+    "DECIMALs; final ratio rounds half-away-from-zero in integer "
+    "arithmetic (the q117 tie rule). Partial ladders renormalize "
+    "keys with fewer than 16 rows.",
+    tags=("window", "aggregate", "profile"),
+)
+def q133_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import ewma_latest
+
+    e = read_table(spark, sf_dir, "events")
+    return ewma_latest(
+        e, "value", "user_id", ["ts", "event_id"], alpha=0.3, m=16
+    )
