@@ -132,6 +132,7 @@ HEADLINE = (
     "q131_quantile_sketch",
     "q132_streaming_upsert",
     "q133_ewma",
+    "q134_leakage_safe_folds",
 )
 
 

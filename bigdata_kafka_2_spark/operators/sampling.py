@@ -505,3 +505,49 @@ def distribution_matched_sample(
         # aggregate on it; re-deriving needs the ref bounds again)
         return kept.withColumnRenamed("__bkt", "bucket")
     return kept.drop("__bkt")
+
+
+def leakage_safe_folds(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+    out_col: str = "fold",
+    bucket_fn=None,
+    **minhash_kwargs,
+) -> DataFrame:
+    """K-fold cross-validation assignment where discovered
+    near-duplicate documents always share a fold — the CV counterpart
+    of :func:`leakage_safe_split` (same recall bound, same cluster
+    machinery): rotating a fold out as the validation set never
+    leaves a near-copy of a validation document in the training
+    folds. Fold = hash of the cluster REPRESENTATIVE mod k, so whole
+    clusters move together and singletons (the overwhelming mass)
+    hash their own id. Output: input columns + ``cluster_rep`` +
+    ``out_col`` (0..k-1).
+
+    Same scale shape as the split: pair graph and label propagation
+    bounded by the dup subgraph, then one equi-join of the cluster
+    map plus a row-local hash.
+    """
+    from bigdata_kafka_2_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_verified_pairs,
+    )
+
+    pairs = minhash_lsh_verified_pairs(
+        df, text_col, id_col, jaccard_threshold=jaccard_threshold,
+        **minhash_kwargs,
+    )
+    clusters = dedup_clusters(pairs, df.select(id_col), id_col)
+    rep = F.col("cluster_rep")
+    bucket = (
+        bucket_fn(rep)
+        if bucket_fn is not None
+        else F.pmod(F.xxhash64(rep, F.lit(seed)), F.lit(_BUCKETS))
+    )
+    return df.join(clusters, on=id_col).withColumn(
+        out_col, F.pmod(bucket, F.lit(k)).cast("int")
+    )

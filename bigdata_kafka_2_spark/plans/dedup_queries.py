@@ -1176,3 +1176,58 @@ def q127_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("cluster_rep").alias("n_clusters"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+@register(
+    "q134_leakage_safe_folds",
+    oracle="WITH RECURSIVE "
+    + _exact_pairs_sql(0.5)
+    + """,
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(node, anc) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d AS node, r.anc FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    reps AS (SELECT node, min(anc) AS rep FROM reach GROUP BY node),
+    lab AS (
+      SELECT d.doc_id, r.rep,
+             CAST(((r.rep * 2654435761) % 1000000) % 5 AS INT) AS fold
+      FROM documents d JOIN reps r ON r.node = d.doc_id
+    )
+    SELECT fold, count(*) AS n_docs,
+           count(DISTINCT rep) AS n_clusters
+    FROM lab GROUP BY fold
+    """,
+    description="Leakage-safe 5-fold cross-validation profile "
+    "(operators/sampling.leakage_safe_folds): the CV counterpart of "
+    "q79 — fold = hash of each document's near-dup cluster "
+    "REPRESENTATIVE mod k, so rotating any fold out as the "
+    "validation set never leaves a near-copy of a validation "
+    "document in the training folds. Same machinery and scale shape "
+    "as q79 (pair graph and closure bounded by the dup subgraph, "
+    "then one equi-join + row-local hash); same recall bound and "
+    "oracle-verifies-recall property (the exact all-pairs closure "
+    "transcription would hash-mismatch if LSH missed a pair).",
+    tags=("sampling", "dedup"),
+)
+def q134_leakage_safe_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.sampling import leakage_safe_folds
+
+    d = read_table(spark, sf_dir, "documents")
+    labeled = leakage_safe_folds(
+        d,
+        k=5,
+        jaccard_threshold=0.5,
+        bucket_fn=lambda rep: F.pmod(
+            rep * F.lit(2654435761), F.lit(1_000_000)
+        ),
+    )
+    return labeled.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_rep").alias("n_clusters"),
+    )

@@ -194,3 +194,27 @@ def test_leakage_safe_split_never_straddles_clusters(spark):
         assert split_of[i][0] == plain[i]
     # all three splits are populated
     assert {s for s, _ in split_of.values()} == {"train", "val", "test"}
+
+
+def test_leakage_safe_folds_share_folds_and_cover_range(spark):
+    """Planted near-dup pairs always land in the SAME fold; folds are
+    0..k-1 and all non-empty at corpus scale."""
+    from bigdata_kafka_2_spark.operators.dedup import (
+        minhash_lsh_verified_pairs,
+    )
+    from bigdata_kafka_2_spark.operators.sampling import leakage_safe_folds
+
+    d = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+    )
+    both = d.unionByName(dup)
+    labeled = leakage_safe_folds(both, k=5, jaccard_threshold=0.5)
+    fold_of = {r.doc_id: r.fold for r in labeled.collect()}
+    assert set(fold_of.values()) == {0, 1, 2, 3, 4}
+    pairs = minhash_lsh_verified_pairs(
+        both, jaccard_threshold=0.5
+    ).collect()
+    for r in pairs:
+        assert fold_of[r.id_a] == fold_of[r.id_b], (r.id_a, r.id_b)
