@@ -133,6 +133,7 @@ HEADLINE = (
     "q132_streaming_upsert",
     "q133_ewma",
     "q134_leakage_safe_folds",
+    "q135_budget_fill",
 )
 
 

@@ -551,3 +551,35 @@ def leakage_safe_folds(
     return df.join(clusters, on=id_col).withColumn(
         out_col, F.pmod(bucket, F.lit(k)).cast("int")
     )
+
+
+def budget_fill(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget-constrained selection: keep the highest-``score``
+    rows until their cumulative ``weight`` reaches ``budget`` — "fill
+    a 1B-token training budget with the best-scoring documents", the
+    selection step after quality scoring that a fraction-based sample
+    cannot express (the budget is in TOKENS, not documents, and the
+    cut point depends on the score distribution).
+
+    Deterministic: rows order by (score DESC, id) — a total order —
+    and a row is kept iff the weight of all STRICTLY better rows is
+    under budget (so the output overshoots by at most one document,
+    never undershoots; the greedy knapsack rule every curation run
+    uses). The cumulative weight runs through
+    :func:`~bigdata_kafka_2_spark.operators.relational.global_prefix_sum`
+    — range-bucketed, no single-partition window, driver state one
+    offset per bucket. Output: input columns + ``cum_before``.
+    """
+    from bigdata_kafka_2_spark.operators.relational import global_prefix_sum
+
+    ordered = df.withColumn("__ord", -F.col(score_col))
+    cum = global_prefix_sum(
+        ordered, ["__ord", id_col], weight_col, "cum_before"
+    )
+    return cum.filter(F.col("cum_before") < budget).drop("__ord")

@@ -1625,3 +1625,71 @@ def q129_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q130_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return TX.vocab_growth(d)
+
+
+@register(
+    "q135_budget_fill",
+    oracle=f"""
+    WITH {_TOKS_DOC_CTE},
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks_doc GROUP BY 1, 2
+    ),
+    vocab AS (SELECT tok, sum(tf) AS ctf FROM tf GROUP BY tok),
+    tot AS (SELECT sum(ctf) AS T, count(*) AS V FROM vocab),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS dl,
+             sum(CAST(tf * round(ln((ctf + 1.0) / (T + V)), 4)
+                      AS DECIMAL(28,4))) AS s
+      FROM tf JOIN vocab USING (tok), tot
+      GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT doc_id, dl,
+             (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+               * ((abs(CAST(s * 10000 AS BIGINT)) * 2 + dl) // (dl * 2))
+               / 10000.0 AS logprob
+      FROM agg
+    ),
+    cum AS (
+      SELECT doc_id, dl,
+             CAST(coalesce(sum(dl) OVER (
+               ORDER BY logprob DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_before
+      FROM scored
+    ),
+    kept AS (SELECT * FROM cum WHERE cum_before < 10000)
+    SELECT lang, count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tokens
+    FROM kept JOIN documents USING (doc_id)
+    GROUP BY lang
+    """,
+    description="Token-budget-constrained selection "
+    "(operators/sampling.budget_fill over q80's unigram-LM scores): "
+    "keep the highest-scoring documents until their cumulative token "
+    "count reaches a 10k-token budget — the greedy knapsack rule a "
+    "curation run uses to fill a fixed training budget with the best "
+    "data (a fraction-based sample cannot express a TOKEN budget). "
+    "Deterministic total order (score DESC, doc_id); a row is kept "
+    "iff strictly-better rows are under budget, so the output "
+    "overshoots by at most one document. The cumulative weight runs "
+    "through the range-bucketed global_prefix_sum — no "
+    "single-partition window; the oracle transcribes the window "
+    "cumsum exactly.",
+    tags=("sampling", "text"),
+)
+def q135_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.sampling import budget_fill
+
+    d = read_table(spark, sf_dir, "documents")
+    kept = budget_fill(
+        TX.unigram_logprob_scores(d), "logprob", "dl", 10_000
+    )
+    return (
+        kept.join(d.select("doc_id", "lang"), on="doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").cast("long").alias("tokens"),
+        )
+    )
