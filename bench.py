@@ -134,6 +134,7 @@ HEADLINE = (
     "q133_ewma",
     "q134_leakage_safe_folds",
     "q135_budget_fill",
+    "q136_embedding_profile",
 )
 
 

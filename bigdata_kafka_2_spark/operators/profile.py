@@ -419,3 +419,53 @@ def chi_square_profile(
             4,
         ).alias("chi2"),
     )
+
+
+def embedding_dim_profile(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-DIMENSION profile of an embedding column: ``(dim, n,
+    mean_val, min_val, max_val)`` — the embedding-space counterpart
+    of :func:`profile_table`, and the input :func:`profile_diff`
+    needs to flag embedding drift (a model/version change shifts
+    per-dimension means long before any row-level check fires;
+    downstream ANN recall quietly degrades when serving and index
+    vectors come from different encoders).
+
+    One ``posexplode`` + one dim-keyed hash aggregate with map-side
+    partials — rows × dim values through a 64-key shuffle, nothing
+    else. Mean is an exact-DECIMAL sum with the integer
+    half-away-from-zero final rounding (the q117 tie rule); min/max
+    are raw comparisons (cast to double pre-round so both engines
+    carry the same width).
+    """
+    ex = df.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "__v")
+    ).select(
+        "dim", F.col("__v").cast("double").alias("__v")
+    )
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum(F.round(F.col("__v"), 6).cast("decimal(28,6)")) * 1_000_000)
+            .cast("long")
+            .alias("__num"),
+            F.round(F.min("__v"), 6).alias("min_val"),
+            F.round(F.max("__v"), 6).alias("max_val"),
+        )
+        .select(
+            "dim",
+            "n",
+            (
+                F.when(F.col("__num") < 0, -F.lit(1)).otherwise(F.lit(1))
+                * F.expr(
+                    "(abs(__num) * 10000 * 2 + n * 1000000)"
+                    " div (n * 1000000 * 2)"
+                )
+                / F.lit(10000.0)
+            ).alias("mean_val"),
+            "min_val",
+            "max_val",
+        )
+    )

@@ -140,3 +140,46 @@ def q59_quantization_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("q_codes").cast("long").alias("code_max"),
         F.array_min("q_codes").cast("long").alias("code_min"),
     )
+
+
+@register(
+    "q136_embedding_profile",
+    oracle="""
+    WITH ex AS (
+      SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS g(i)
+    ),
+    agg AS (
+      SELECT dim,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(v, 6) AS DECIMAL(28,6))) * 1000000
+                  AS BIGINT) AS num,
+             round(min(v), 6) AS min_val,
+             round(max(v), 6) AS max_val
+      FROM ex GROUP BY dim
+    )
+    SELECT dim, n,
+           (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+             * ((abs(num) * 10000 * 2 + n * 1000000)
+                // (n * 1000000 * 2)) / 10000.0 AS mean_val,
+           min_val, max_val
+    FROM agg
+    """,
+    description="Per-dimension embedding-space profile "
+    "(operators/profile.embedding_dim_profile): mean/min/max of each "
+    "of the 64 dimensions — the drift gate for embedding columns (an "
+    "encoder/version change shifts per-dimension means long before "
+    "any row-level check fires, and ANN recall quietly degrades when "
+    "serving and index vectors come from different encoders; feed "
+    "two snapshots through profile_diff to alarm). One posexplode + "
+    "one dim-keyed map-side-combined aggregate — rows x dims values "
+    "through a 64-key shuffle. Mean is an exact-DECIMAL sum with "
+    "integer half-away-from-zero rounding (the q117 tie rule).",
+    tags=("profile", "vector"),
+)
+def q136_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import embedding_dim_profile
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return embedding_dim_profile(e)
