@@ -135,6 +135,7 @@ HEADLINE = (
     "q134_leakage_safe_folds",
     "q135_budget_fill",
     "q136_embedding_profile",
+    "q137_compressibility",
 )
 
 

@@ -1181,3 +1181,51 @@ def vocab_growth(
             F.max("__vocab").alias("vocab_size"),
         )
     )
+
+
+def compression_ratio_udf(level: int = 6):
+    """Arrow-batched scalar Pandas UDF: zlib-compressed size over raw
+    UTF-8 size per text — the compressibility quality signal modern
+    curation stacks pair with entropy (boilerplate/templated/looping
+    text compresses far below natural prose; machine-generated spam
+    sits at the extremes in BOTH directions, so pipelines band it
+    like perplexity). Deterministic for a fixed zlib level, but not
+    SQL-expressible — registered rows-only, with planted fixtures and
+    ordering properties in tests.
+
+    Same escape-hatch shape as :func:`char_entropy_udf`: vectorized
+    Arrow batches, self-contained body, no row-at-a-time Python.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+
+    @pandas_udf("double")
+    def ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return round(len(zlib.compress(raw, lvl)) / len(raw), 4)
+
+        return pd.Series([one(t) for t in texts], dtype="float64")
+
+    return ratio
+
+
+def compressibility_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document compressibility: ``(id, raw_bytes, ratio)`` —
+    band/threshold downstream like any quality score (a Gopher-style
+    composed filter takes ``ratio`` between ~0.3 and ~0.9 for prose).
+    Row-local (one UDF projection, no shuffle)."""
+    return df.select(
+        F.col(id_col),
+        F.octet_length(text_col).cast("long").alias("raw_bytes"),
+        compression_ratio_udf()(F.col(text_col)).alias("ratio"),
+    ).filter(F.col("ratio").isNotNull())

@@ -1693,3 +1693,22 @@ def q135_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dl").cast("long").alias("tokens"),
         )
     )
+
+
+@register(
+    "q137_compressibility",
+    oracle=None,  # zlib is not expressible in SQL — rows-only +
+    # planted-fixture/determinism tests (the q39/q67 precedent before
+    # their hash families landed)
+    description="Per-document zlib compressibility "
+    "(operators/text.compressibility_profile): compressed/raw byte "
+    "ratio — the quality signal curation stacks band alongside "
+    "entropy and perplexity (boilerplate/templated text compresses "
+    "far below natural prose; spam sits at the extremes in both "
+    "directions). One Arrow-batched pandas_udf projection, row-local "
+    "— no shuffle; deterministic for the fixed zlib level.",
+    tags=("text", "profile", "udf"),
+)
+def q137_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return TX.compressibility_profile(d)

@@ -1016,3 +1016,26 @@ def test_quantile_sketch_merge_disjoint_shards(spark):
         hi = sum(1 for x in s if x <= est[col])
         slack = 250 / k + 250 / k + 1  # additive over the two shards
         assert lo - slack <= target <= hi + slack
+
+
+def test_compression_ratio_orders_repetitive_below_prose(spark):
+    """Planted fixtures: pathological repetition compresses far below
+    varied prose; empty/NULL rows drop; the UDF is deterministic."""
+    from bigdata_kafka_2_spark.operators.text import compressibility_profile
+
+    rows = [
+        (1, "aa " * 300),
+        (2, "the quick brown fox jumps over the lazy dog and then "
+            "wanders through seventeen unrelated topics with varied "
+            "vocabulary including zebras quartz fjords and sphinxes"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.ratio for r in compressibility_profile(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1] < 0.1 < got[2] < 1.0
+    again = {
+        r.doc_id: r.ratio for r in compressibility_profile(df).collect()
+    }
+    assert again == got
