@@ -393,3 +393,41 @@ def compact_parquet(
         "files_after": files_after,
         "bytes": total_bytes,
     }
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by=None
+):
+    """ORC sink — the second columnar format Spark ships natively
+    (zlib-compressed stripes, min/max stripe statistics, predicate
+    pushdown on read: the same data-skipping contract as the parquet
+    path, for deployments whose lake standard is ORC/Hive). Identical
+    call shape to :func:`write_parquet`."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (pushdown-capable; roundtrip fidelity vs the parquet
+    path — timestamps included — asserted in tests)."""
+    return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Multimodal raw-asset ingestion via Spark's ``binaryFile``
+    source: one row per file — ``(path, modificationTime, length,
+    content: binary)`` — the entry point that turns a directory of
+    images/audio/any blobs into the opaque-binary + typed-metadata
+    frame `operators/multimodal` processes (probe_media, feature
+    extraction over mapInPandas). Column pruning applies: a
+    metadata-only query (count, size histogram) never reads file
+    CONTENTS, so inventory scans over a 100 TB asset lake touch only
+    file listings."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

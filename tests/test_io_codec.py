@@ -56,3 +56,48 @@ def test_bad_payload_conforms(spark):
     assert (back[0].id, back[0].label) == (9, "ok")
     # bad payload → default-filled row, not dropped (§1.2)
     assert (back[1].id, back[1].value, back[1].label) == (0, 0.0, "Unknown")
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    """ORC sink/scan preserves every driver-table column — timestamps
+    included — byte-equal to the parquet read."""
+    from bigdata_kafka_2_spark.io import read_orc, read_table, write_orc
+    from tests.conftest import SF_DIR
+
+    e = read_table(spark, SF_DIR, "events")
+    p = str(tmp_path / "events_orc")
+    write_orc(e, p)
+    back = read_orc(spark, p)
+    assert back.schema == e.schema
+    key = lambda r: r.event_id
+    assert sorted(back.collect(), key=key) == sorted(e.collect(), key=key)
+    # partitioned variant + pushdown-friendly layout
+    write_orc(e.withColumn("et", F.col("event_type")), p, partition_by=["et"])
+    got = read_orc(spark, p).filter(F.col("et") == "click")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert got.count() == e.filter("event_type = 'click'").count()
+
+
+def test_binary_file_source_reads_assets(spark, tmp_path):
+    """binaryFile ingestion: one row per asset with content bytes; a
+    metadata-only projection does not read contents (pruned schema)."""
+    from bigdata_kafka_2_spark.io import read_binary_files
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    payloads = {"a.bin": b"\x00\x01payload-a", "b.dat": b"b" * 64}
+    for name, blob in payloads.items():
+        (d / name).write_bytes(blob)
+    df = read_binary_files(spark, str(d))
+    rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
+    assert rows == payloads
+    only_bin = read_binary_files(spark, str(d), glob="*.bin")
+    assert only_bin.count() == 1
+    meta_plan = (
+        df.select("length")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "content" not in meta_plan.split("ReadSchema")[-1][:200]
