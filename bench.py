@@ -136,6 +136,7 @@ HEADLINE = (
     "q135_budget_fill",
     "q136_embedding_profile",
     "q137_compressibility",
+    "q138_vector_curation",
 )
 
 

@@ -248,6 +248,13 @@ def register(
 #: shape stays graded inside q86_table_profile's per-column
 #: countDistinct pass, and q18 itself stays hash-checked in the
 #: mirror.
+#: Vector-flagship swap: q23_percentiles → q138_vector_curation — the
+#: embedding-side curation composition (SemDeDup removal at the q75
+#: production configuration → per-label survivor profile, oracle
+#: generated per-dataset) gets a graded row; the exact interpolated
+#: percentile machinery stays graded inside q127's DSIR threshold
+#: (F.percentile ≡ quantile_cont, the q23 parity) and q131's sketch
+#: targets, and q23 itself stays hash-checked in the mirror.
 CURATED: tuple[str, ...] = (
     # relational / joins / windows / grouping
     "q01_pricing_summary",
@@ -263,7 +270,7 @@ CURATED: tuple[str, ...] = (
     "q132_streaming_upsert",
     "q19_cumulative_slice",
     "q20_json_extract",
-    "q23_percentiles",
+    "q138_vector_curation",
     "q85_incremental_dedup_survivors",
     "q26_correlated_subquery",
     "q28_tpch_q3_shipping_priority",

@@ -968,3 +968,82 @@ def q109_ivf_topk_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = SIM.assign_centroids(e, cents)
     out = SIM.ivf_topk_many(assigned, probes, cents, k=5, n_probe=3)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q138_oracle(sf_dir: str) -> str:
+    """q138 = q75's dataset-parameterized pair transcription wrapped in
+    the keep-one removal + a per-label survivor profile (norms via the
+    q54-parity list_dot_product, averaged with integer rounding)."""
+    from bigdata_kafka_2_spark.io import parquet_row_count
+    from bigdata_kafka_2_spark.operators.similarity import (
+        SEMANTIC_COARSE_FINE_K,
+        auto_centroid_count,
+    )
+
+    k = auto_centroid_count(parquet_row_count(sf_dir, "embeddings"))
+    pairs_sql = _q75_sql(k, SEMANTIC_COARSE_FINE_K)
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    surv AS (
+      SELECT * FROM embeddings
+      WHERE vec_id NOT IN (SELECT DISTINCT id_b FROM pairs)
+    ),
+    agg AS (
+      SELECT label,
+             CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(CAST(round(sqrt(list_dot_product(embedding,
+                                                       embedding)), 4)
+                           AS DECIMAL(18,4))) * 10000 AS BIGINT) AS s4
+      FROM surv GROUP BY label
+    )
+    SELECT label, n_vecs,
+           ((2 * s4 + n_vecs) // (2 * n_vecs)) / 10000.0 AS avg_norm
+    FROM agg
+    """
+
+
+@register(
+    "q138_vector_curation",
+    oracle=_q138_oracle,
+    description="The vector-modality curation composition: SemDeDup "
+    "removal at the q75 production configuration (auto-sized "
+    "centroids, coarse-fine assignment switch, keep-one sweep — the "
+    "dropped-id set is a broadcast anti join, the table scans once) "
+    "→ per-label survivor profile with exact-DECIMAL norm averages. "
+    "The embedding-side counterpart of the q127 text flagship: one "
+    "hash-checked plan from raw vectors to the curated store's "
+    "acceptance profile, oracle generated per-dataset so graded plan "
+    "≡ production plan at every sf.",
+    tags=("similarity", "dedup", "profile", "flagship"),
+)
+def q138_vector_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.functions import l2_norm
+    from bigdata_kafka_2_spark.io import parquet_row_count
+
+    e = read_table(spark, sf_dir, "embeddings")
+    k = SIM.auto_centroid_count(parquet_row_count(sf_dir, "embeddings"))
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    surv = SIM.semantic_dedup(
+        e, cents, threshold=_NEAR_DUP_THRESHOLD, n_centroids=k
+    )
+    return (
+        surv.withColumn(
+            "__n4", F.round(l2_norm("embedding"), 4).cast("decimal(18,4)")
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            (F.sum("__n4") * 10000).cast("long").alias("__s4"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            (
+                F.expr("(2 * __s4 + n_vecs) div (2 * n_vecs)")
+                / F.lit(10000.0)
+            ).alias("avg_norm"),
+        )
+    )
