@@ -137,6 +137,7 @@ HEADLINE = (
     "q136_embedding_profile",
     "q137_compressibility",
     "q138_vector_curation",
+    "q139_lsh_multiprobe_topk",
 )
 
 

@@ -1810,3 +1810,90 @@ def negative_samples(
         .filter(F.col("rank") <= k)
         .select("anchor_id", F.col(id_col).alias("neg_id"), "rank")
     )
+
+
+def lsh_multiprobe_topk(
+    table: DataFrame,
+    probe: DataFrame,
+    k: int = 5,
+    bands: int = 8,
+    planes_per_band: int | None = None,
+    seed: int = 42,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_rows: int | None = None,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """LSH-bucketed ANN serving with MULTI-PROBE: top-k cosine
+    neighbors per probe, candidates drawn from each band's exact
+    sign-bucket PLUS every one-bit-flip neighbor bucket (Lv et al.
+    2007) — the recall lever that does not touch the stored layout:
+    a near neighbor differing in one marginal sign bit is found by
+    probing the flipped bucket instead of adding bands (more bands =
+    bigger index; more probes = same index, slightly wider read).
+
+    Scale shape: the table is banded ONCE (the q53 generated-SQL sign
+    buckets); the probe side expands to bands × (r+1) bucket keys —
+    tiny — and is BROADCAST into the equi-join, so the table never
+    shuffles for candidate generation; candidates are bounded by
+    bands × (r+1) × occupancy per probe, and only those rows reach
+    the exact rerank. With auto-sized r (occupancy invariant), the
+    per-probe read stays constant as n grows. Output
+    ``(probe_id, vec_id, similarity, rank)``.
+    """
+    if planes_per_band is None:
+        n = table.count() if n_rows is None else n_rows
+        planes_per_band = auto_planes_per_band(n)
+    t = _ensure_parallel(table)
+    band_arr = F.array(
+        *[
+            _sign_bucket(vec_col, planes_per_band, dim, seed * 1_000_003 + b * 97)
+            for b in range(bands)
+        ]
+    )
+    banded = t.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band_idx", "bucket")
+    )
+    pbuck = probe.select(
+        F.col(id_col).alias("probe_id"),
+        F.posexplode(band_arr).alias("band_idx", "bucket"),
+    )
+    if multiprobe:
+        variants = F.array(
+            F.col("bucket"),
+            *[F.expr(f"bucket ^ {1 << j}") for j in range(planes_per_band)],
+        )
+        pbuck = pbuck.select(
+            "probe_id", "band_idx", F.explode(variants).alias("bucket")
+        )
+    cand = (
+        banded.join(F.broadcast(pbuck), on=["band_idx", "bucket"])
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", id_col)
+        .distinct()
+    )
+    withn = _with_norm(t, vec_col, "__tn")
+    p = F.broadcast(
+        _with_norm(
+            probe.select(
+                F.col(id_col).alias("probe_id"),
+                F.col(vec_col).alias("__pv"),
+            ),
+            "__pv",
+            "__pn",
+        )
+    )
+    sim = _pair_sim(vec_col, "__pv", "__tn", "__pn")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("similarity").desc(), F.col(id_col).asc()
+    )
+    return (
+        withn.join(F.broadcast(cand), on=id_col)
+        .join(p, on="probe_id")
+        .select("probe_id", id_col, F.round(sim, 4).alias("similarity"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1047,3 +1047,97 @@ def q138_vector_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_norm"),
         )
     )
+
+
+def _q139_oracle(sf_dir: str) -> str:
+    """Dataset-parameterized multi-probe LSH top-k transcription: the
+    SAME auto-sized plane count and literal planes as the operator
+    (q53's parity), probe buckets expanded with every one-bit flip,
+    then the exact-cosine rerank."""
+    from bigdata_kafka_2_spark.io import parquet_row_count
+    from bigdata_kafka_2_spark.operators.similarity import (
+        _mix,
+        auto_planes_per_band,
+    )
+
+    bands, seed, dim = 8, 42, 64
+    r = auto_planes_per_band(parquet_row_count(sf_dir, "embeddings"))
+    band_selects = []
+    for b in range(bands):
+        band_seed = seed * 1_000_003 + b * 97
+        terms = []
+        for p in range(r):
+            plane = [
+                _mix(band_seed * 1_000_003 + p * 64 + d) for d in range(dim)
+            ]
+            arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),\n"
+                f"        {arr}) > 0 THEN {1 << p} ELSE 0 END)"
+            )
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band_idx,\n"
+            + "\n + ".join(terms)
+            + " AS bucket FROM embeddings"
+        )
+    banded = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH banded AS (
+      {banded}
+    ),
+    pb AS (SELECT band_idx, bucket FROM banded WHERE vec_id = 0),
+    pexp AS (
+      SELECT band_idx, bucket FROM pb
+      UNION
+      SELECT band_idx, CAST(xor(bucket, 1 << j) AS INT) AS bucket
+      FROM pb, generate_series(0, {r - 1}) g(j)
+    ),
+    cand AS (
+      SELECT DISTINCT t.vec_id
+      FROM banded t JOIN pexp USING (band_idx, bucket)
+      WHERE t.vec_id <> 0
+    ),
+    scored AS (
+      SELECT c.vec_id,
+             round(CAST(list_cosine_similarity(e.embedding, p.embedding)
+                        AS DOUBLE), 4) AS similarity
+      FROM cand c
+        JOIN embeddings e ON e.vec_id = c.vec_id,
+        (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+    )
+    SELECT CAST(0 AS BIGINT) AS probe_id, vec_id, similarity, rank
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY similarity DESC, vec_id ASC
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@register(
+    "q139_lsh_multiprobe_topk",
+    oracle=_q139_oracle,
+    description="Multi-probe LSH ANN serving "
+    "(operators/similarity.lsh_multiprobe_topk, Lv et al. 2007): "
+    "top-5 cosine neighbors from each band's exact sign-bucket PLUS "
+    "every one-bit-flip neighbor bucket — the recall lever that "
+    "leaves the stored layout untouched (more probes, not more "
+    "bands). The table is banded once with q53's generated-SQL "
+    "hyperplanes (auto-sized from the parquet footer, occupancy "
+    "invariant); the probe expands to bands x (r+1) bucket keys and "
+    "is BROADCAST, so the table never shuffles for candidates; only "
+    "candidates reach the exact rerank. Oracle transcribes the same "
+    "literal planes, flips, and rerank per-dataset — graded plan ≡ "
+    "production plan at every sf.",
+    tags=("similarity",),
+)
+def q139_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.io import parquet_row_count
+
+    e = read_table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0)
+    return SIM.lsh_multiprobe_topk(
+        e, probe, k=5, bands=8,
+        n_rows=parquet_row_count(sf_dir, "embeddings"),
+    )

@@ -2136,3 +2136,29 @@ def test_ann_index_delete_compact_lifecycle(tmp_path, spark):
         "touched_partitions": 0,
         "deleted_rows": 0,
     }
+
+
+def test_lsh_multiprobe_lifts_recall_over_exact_bucket(spark):
+    """Multi-probe candidates are a superset of exact-bucket
+    candidates, so recall@5 vs exact cosine is monotone — and on the
+    driver data strictly usable (>= 3/5)."""
+    from bigdata_kafka_2_spark.io import parquet_row_count
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0)
+    n = parquet_row_count(SF_DIR, "embeddings")
+    exact = {
+        r.vec_id for r in SIM.cosine_topk(e, probe, k=5).collect()
+    }
+
+    def got(mp):
+        return {
+            r.vec_id
+            for r in SIM.lsh_multiprobe_topk(
+                e, probe, k=5, bands=8, n_rows=n, multiprobe=mp
+            ).collect()
+        }
+
+    single, multi = got(False), got(True)
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi & exact) >= 3
