@@ -138,6 +138,7 @@ HEADLINE = (
     "q137_compressibility",
     "q138_vector_curation",
     "q139_lsh_multiprobe_topk",
+    "q140_chunk_dedup",
 )
 
 

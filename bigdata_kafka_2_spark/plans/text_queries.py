@@ -1712,3 +1712,65 @@ def q135_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q137_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return TX.compressibility_profile(d)
+
+
+@register(
+    "q140_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, j AS chunk_idx,
+             list_aggregate(t[j*16+1 : j*16+16], 'string_agg', ' ')
+               AS chunk_text
+      FROM toks,
+           UNNEST(generate_series(
+             0, CAST(floor((len(t) + 15) / 16.0) AS BIGINT) - 1)) AS g(j)
+    ),
+    fp AS (
+      SELECT doc_id, md5(chunk_text) AS h
+      FROM chunks WHERE chunk_text <> ''
+    ),
+    grp AS (SELECT h, count(*) AS c FROM fp GROUP BY h),
+    per_doc AS (SELECT doc_id, lang FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_dup_groups
+    FROM fp JOIN grp USING (h) JOIN per_doc USING (doc_id)
+    GROUP BY lang
+    """,
+    description="Chunk-level exact dedup profile "
+    "(operators/text.chunk_documents + fingerprint): 16-token "
+    "disjoint chunks fingerprinted with md5 and grouped — per "
+    "language, how many chunks exist, how many are unique, and how "
+    "many sit in a corpus-repeated group. The RAG-ingestion "
+    "counterpart of document dedup: repeated passages (boilerplate, "
+    "headers, licenses) dominate retrieval indexes long before whole "
+    "documents collide. Chunking is row-local codegen (q77), the "
+    "fingerprint groupBy is the q40 hash-aggregate shape on 8-byte "
+    "keys — no text crosses the dedup shuffle beyond the chunk "
+    "fingerprint.",
+    tags=("text", "dedup"),
+)
+def q140_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    chunks = TX.chunk_documents(d, chunk_tokens=16, stride=16)
+    fp = chunks.select(
+        "doc_id", F.md5(F.col("chunk_text")).alias("h")
+    )
+    grp = fp.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        fp.join(grp, on="h")
+        .join(d.select("doc_id", "lang"), on="doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.countDistinct("h").cast("long").alias("n_unique"),
+            F.sum((F.col("c") > 1).cast("int")).cast("long").alias(
+                "n_in_dup_groups"
+            ),
+        )
+    )
