@@ -139,6 +139,7 @@ HEADLINE = (
     "q138_vector_curation",
     "q139_lsh_multiprobe_topk",
     "q140_chunk_dedup",
+    "q141_coherent_sample",
 )
 
 

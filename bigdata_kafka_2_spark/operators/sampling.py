@@ -583,3 +583,46 @@ def budget_fill(
         ordered, ["__ord", id_col], weight_col, "cum_before"
     )
     return cum.filter(F.col("cum_before") < budget).drop("__ord")
+
+
+def coherent_sample(
+    parent: DataFrame,
+    parent_key: str,
+    fraction: float,
+    children: Mapping[str, tuple[DataFrame, str]] | None = None,
+    seed: int = 42,
+    bucket_fn=None,
+) -> dict[str, DataFrame]:
+    """Referentially-consistent sampling: draw a deterministic hash
+    sample of the PARENT keys, then pull each child table's rows for
+    exactly those keys — the way a usable dev/test dataset is cut
+    from a 100 TB lake (independent per-table samples break every
+    join: a 1% orders sample x 1% lineitem sample intersects on
+    ~0.01% of orders).
+
+    Returns ``{"parent": sampled_parent, <child_name>:
+    sampled_child, ...}``. The parent filter is a row-local hash
+    threshold (any partitioning, no shuffle); each child follows via
+    a LEFT SEMI join on its foreign key — Spark broadcasts the
+    sampled key set when it fits, and the child never shuffles
+    otherwise more than its join requires. Downstream fractions
+    compose: the children keep their parents' full fan-out, so join
+    densities match production (the property per-table sampling
+    destroys). ``bucket_fn`` overrides the production seeded-xxhash64
+    bucket with an SQL-portable hash for oracle gates (q91's
+    pattern).
+    """
+    key = F.col(parent_key)
+    bucket = (
+        bucket_fn(key)
+        if bucket_fn is not None
+        else F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BUCKETS))
+    )
+    sampled = parent.filter(bucket < int(fraction * _BUCKETS))
+    out = {"parent": sampled}
+    keys = sampled.select(parent_key)
+    for name, (child, fk) in (children or {}).items():
+        out[name] = child.join(
+            keys.withColumnRenamed(parent_key, fk), on=fk, how="left_semi"
+        )
+    return out

@@ -1367,3 +1367,92 @@ def q131_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "value", "event_type", "event_id", k=64, n_blocks=32
     )
     return quantile_sketch_estimate(sk, "value", "event_type")
+
+
+@register(
+    "q141_coherent_sample",
+    oracle="""
+    WITH sc AS (
+      SELECT * FROM customer
+      WHERE (c_custkey * 2654435761) % 1000000 < 200000
+    ),
+    so AS (
+      SELECT o.* FROM orders o
+        JOIN sc ON o.o_custkey = sc.c_custkey
+    ),
+    sl AS (
+      SELECT l.* FROM lineitem l
+        JOIN (SELECT DISTINCT o_orderkey FROM so) k
+          ON l.l_orderkey = k.o_orderkey
+    )
+    SELECT n_name,
+           count(DISTINCT c_custkey) AS n_customers,
+           count(DISTINCT o_orderkey) AS n_orders,
+           count(l.l_orderkey) AS n_lineitems,
+           round(coalesce(sum(CAST(round(
+                   l.l_extendedprice * (1 - l.l_discount), 4)
+                 AS DECIMAL(18,4))), 0), 2) AS revenue
+    FROM sc
+      JOIN nation n ON sc.c_nationkey = n.n_nationkey
+      LEFT JOIN so ON so.o_custkey = sc.c_custkey
+      LEFT JOIN sl l ON l.l_orderkey = so.o_orderkey
+    GROUP BY n_name
+    """,
+    description="Referentially-consistent 20% sample "
+    "(operators/sampling.coherent_sample, chained two levels): "
+    "customers drawn by a deterministic hash threshold, their orders "
+    "via left-semi join, those orders' lineitems via a second "
+    "left-semi — the way a usable dev/test cut comes out of a 100 TB "
+    "lake (independent per-table samples intersect joins away to "
+    "~f² of rows; this keeps every sampled parent's FULL fan-out so "
+    "join densities match production). Parent filter is row-local "
+    "(no shuffle); each child adds only its own semi join. Output: "
+    "per-nation sample profile, hash-checked with the portable "
+    "multiplicative-hash bucket (q91's gate pattern; production uses "
+    "seeded xxhash64).",
+    tags=("sampling", "join"),
+)
+def q141_coherent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.sampling import coherent_sample
+
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    n = read_table(spark, sf_dir, "nation")
+    lvl1 = coherent_sample(
+        c,
+        "c_custkey",
+        0.2,
+        children={"orders": (o, "o_custkey")},
+        bucket_fn=lambda key: F.pmod(
+            key * F.lit(2654435761), F.lit(1_000_000)
+        ),
+    )
+    sc, so = lvl1["parent"], lvl1["orders"]
+    sl = l.join(
+        so.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+        on="l_orderkey",
+        how="left_semi",
+    )
+    joined = (
+        sc.join(F.broadcast(n), sc.c_nationkey == n.n_nationkey)
+        .join(so, so.o_custkey == sc.c_custkey, "left")
+        .join(sl, sl.l_orderkey == so.o_orderkey, "left")
+    )
+    return joined.groupBy("n_name").agg(
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.count("l_orderkey").alias("n_lineitems"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                        4,
+                    ).cast("decimal(18,4)")
+                ),
+                F.lit(0),
+            ),
+            2,
+        ).cast("double").alias("revenue"),
+    )
