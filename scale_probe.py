@@ -158,8 +158,17 @@ def main() -> None:
     generate(spark, src, dst, factor)
     gen_s = round(time.perf_counter() - t0, 1)
     registry = load_extended()
+    # optional subset (comma-separated names): deep-probe a few watched
+    # queries at a HIGHER factor than the full-headline 10x run — at
+    # 10x the sub-second small side is mostly fixed overhead, which
+    # inflates ratios; a 30x subset run amortizes it and shows the
+    # actual growth exponent.
+    subset = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
+    names = (
+        [n for n in subset.split(",") if n] if subset else list(HEADLINE)
+    )
     result: dict[str, dict[str, float]] = {}
-    for name in HEADLINE:
+    for name in names:
         q = registry[name]
         row: dict[str, float] = {}
         for tag, sf_dir in (("small", src), ("large", dst)):
