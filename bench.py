@@ -140,6 +140,7 @@ HEADLINE = (
     "q139_lsh_multiprobe_topk",
     "q140_chunk_dedup",
     "q141_coherent_sample",
+    "q142_filelog_stream",
 )
 
 

@@ -255,6 +255,13 @@ def register(
 #: percentile machinery stays graded inside q127's DSIR threshold
 #: (F.percentile ≡ quantile_cont, the q23 parity) and q131's sketch
 #: targets, and q23 itself stays hash-checked in the mirror.
+#: Custom-source swap: q20_json_extract → q142_filelog_stream — the
+#: Kafka-semantics segmented-log Python DataSource (Spark 4
+#: DataSource V2 API, (segment, line) offset protocol, the
+#: functional stand-in for the env-blocked format("kafka")) is
+#: driver-verified end-to-end; q20's from_json machinery is graded
+#: inside q142's wire-format parse, and q20 stays hash-checked in
+#: the mirror.
 CURATED: tuple[str, ...] = (
     # relational / joins / windows / grouping
     "q01_pricing_summary",
@@ -269,7 +276,7 @@ CURATED: tuple[str, ...] = (
     "q86_table_profile",
     "q132_streaming_upsert",
     "q19_cumulative_slice",
-    "q20_json_extract",
+    "q142_filelog_stream",
     "q138_vector_curation",
     "q85_incremental_dedup_survivors",
     "q26_correlated_subquery",

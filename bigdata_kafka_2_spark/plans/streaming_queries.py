@@ -608,3 +608,77 @@ def q132_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.col("value").alias("last_value"),
     )
+
+
+@register(
+    "q142_filelog_stream",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    description="The custom Kafka-semantics Python DataSource through "
+    "the gate (sources/filelog — Spark 4 DataSource V2 API): events "
+    "staged as an append-only segmented JSON-lines log, streamed via "
+    "the source's (segment, line) OFFSET protocol "
+    "(initialOffset/latestOffset/partitions/commit — the consumer-"
+    "group contract the env-blocked format('kafka') would provide), "
+    "JSON-parsed and aggregated per event type, drained availableNow "
+    "into a memory sink, hash-checked against the batch SQL "
+    "aggregate. Driver-side work is offset dicts only; record bytes "
+    "stay in executors (one input split per segment delta).",
+    tags=("streaming", "source"),
+)
+def q142_filelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    from bigdata_kafka_2_spark.sources import register_filelog
+    from bigdata_kafka_2_spark.sources.filelog import append_records
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"q142_topic_{tag}")
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    n_expected = e.count()
+    done = os.path.join(base, "_STAGED")
+    staged_n = None
+    if os.path.exists(done):
+        with open(done) as fh:
+            staged_n = int(fh.read().strip() or 0)
+    if staged_n != n_expected:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        rows = e.orderBy("event_id").collect()
+        for seg in range(4):
+            append_records(
+                base,
+                (
+                    {"event_id": r.event_id, "event_type": r.event_type,
+                     "value": r.value}
+                    for r in rows
+                    if r.event_id % 4 == seg
+                ),
+                segment=seg,
+            )
+        with open(done, "w") as fh:
+            fh.write(str(n_expected))
+    register_filelog(spark)
+    stream = (
+        spark.readStream.format("filelog").option("path", base).load()
+    )
+    parsed = stream.select(
+        F.from_json(
+            "value", "event_id long, event_type string, value double"
+        ).alias("j")
+    ).select("j.*")
+    agg = parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    sink = _drain(agg, "q142_out")
+    return spark.table(sink)

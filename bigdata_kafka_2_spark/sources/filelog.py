@@ -1,0 +1,150 @@
+"""``filelog`` — a Kafka-semantics segmented-log data source.
+
+Layout: a topic is a DIRECTORY of append-only JSON-lines segments
+named ``segment-<n>.jsonl``. Producers append to the highest segment
+or roll a new one; consumers address every record by the offset pair
+``(segment, line)`` — exactly a Kafka (partition, offset) with the
+segment playing the partition's role.
+
+Batch reads scan a snapshot of all segments in parallel (one Spark
+input partition per segment). Stream reads implement the
+``DataSourceStreamReader`` offset protocol: ``initialOffset`` (the
+empty log), ``latestOffset`` (current line counts per segment — the
+only driver-side work is a line count, no data), ``partitions``
+(one input split per segment DELTA between the two offsets), and
+``commit`` (a no-op — Spark's checkpoint persists the committed
+offset, which is what makes restart exactly-once: re-running after a
+crash re-reads only the uncommitted tail, asserted in tests).
+
+Scale notes: the driver handles only offset dicts (segments × one
+int); record bytes stay in executors. A 100 TB deployment would
+point this at object-store segments — the reader opens one file per
+split and seeks by line index; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SCHEMA = "value string, segment int, line bigint"
+
+
+def _segments(path: str) -> list[tuple[int, str]]:
+    out = []
+    for f in sorted(os.listdir(path)):
+        if f.startswith("segment-") and f.endswith(".jsonl"):
+            out.append((int(f[len("segment-"):-len(".jsonl")]),
+                        os.path.join(path, f)))
+    return sorted(out)
+
+
+def _line_counts(path: str) -> dict[str, int]:
+    counts = {}
+    for seg, fp in _segments(path):
+        with open(fp, "rb") as fh:
+            counts[str(seg)] = sum(1 for _ in fh)
+    return counts
+
+
+class _SegmentSlice(InputPartition):
+    def __init__(self, filepath: str, segment: int, start: int, end: int):
+        self.filepath = filepath
+        self.segment = segment
+        self.start = start
+        self.end = end
+
+
+def _read_slice(p: _SegmentSlice):
+    with open(p.filepath, "r", encoding="utf-8") as fh:
+        for i, line in enumerate(fh):
+            if i >= p.end:
+                break
+            if i >= p.start:
+                yield (line.rstrip("\n"), p.segment, i)
+
+
+class _FileLogBatchReader(DataSourceReader):
+    def __init__(self, path: str):
+        self._path = path
+
+    def partitions(self):
+        return [
+            _SegmentSlice(fp, seg, 0, 1 << 62)
+            for seg, fp in _segments(self._path)
+        ]
+
+    def read(self, partition):
+        yield from _read_slice(partition)
+
+
+class _FileLogStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str):
+        self._path = path
+
+    def initialOffset(self) -> dict:
+        return {}
+
+    def latestOffset(self) -> dict:
+        return _line_counts(self._path)
+
+    def partitions(self, start: dict, end: dict):
+        segs = dict(_segments(self._path))
+        out = []
+        for seg_str, hi in end.items():
+            lo = int(start.get(seg_str, 0))
+            if int(hi) > lo:
+                out.append(
+                    _SegmentSlice(segs[int(seg_str)], int(seg_str), lo, int(hi))
+                )
+        return out
+
+    def read(self, partition):
+        yield from _read_slice(partition)
+
+    def commit(self, end: dict) -> None:
+        # Spark's checkpoint persists the committed offset; the log
+        # itself is immutable-append, so nothing to do — the Kafka
+        # consumer-group commit made explicit.
+        return None
+
+
+class FileLogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "filelog"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _FileLogBatchReader(self.options["path"])
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _FileLogStreamReader(self.options["path"])
+
+
+def register_filelog(spark) -> None:
+    """Register the source on a session (idempotent)."""
+    spark.dataSource.register(FileLogDataSource)
+
+
+def append_records(path: str, records, segment: int | None = None) -> int:
+    """Producer helper: append JSON records to the topic dir (creates
+    ``segment-<n>.jsonl``; rolls to ``segment`` if given). Returns the
+    segment written."""
+    os.makedirs(path, exist_ok=True)
+    segs = _segments(path)
+    n = segment if segment is not None else (segs[-1][0] if segs else 0)
+    fp = os.path.join(path, f"segment-{n}.jsonl")
+    with open(fp, "a", encoding="utf-8") as fh:
+        for r in records:
+            fh.write(json.dumps(r) + "\n")
+    return n
