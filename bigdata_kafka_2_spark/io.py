@@ -431,3 +431,63 @@ def read_binary_files(
     if glob:
         r = r.option("pathGlobFilter", glob)
     return r.load(path)
+
+
+def versioned_write(df: DataFrame, base: str) -> int:
+    """Write a NEW immutable version of a table and atomically publish
+    it: data lands in ``base/v=<n+1>/`` first, then a one-line
+    manifest (``base/_latest.json``) flips via write-to-tmp +
+    ``os.rename`` — the poor-man's lakehouse commit. Readers pin the
+    manifest they opened, so a writer never mutates files under a
+    running query (snapshot isolation), a crash before the rename
+    leaves readers on the previous version (no torn table), and old
+    versions remain addressable (:func:`versioned_read` time travel).
+    Returns the published version number.
+
+    At 100 TB this is the pattern object-store tables need anyway:
+    parquet files are immutable, commits are one small-object swap,
+    and cleanup of superseded versions is a separate retention pass
+    (never the writer's job).
+    """
+    import json
+    import os
+
+    os.makedirs(base, exist_ok=True)
+    current = [
+        int(d[2:])
+        for d in os.listdir(base)
+        if d.startswith("v=") and d[2:].isdigit()
+    ]
+    version = max(current, default=0) + 1
+    df.write.mode("overwrite").parquet(os.path.join(base, f"v={version}"))
+    tmp = os.path.join(base, "_latest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version}, fh)
+    os.rename(tmp, os.path.join(base, "_latest.json"))
+    return version
+
+
+def versioned_read(
+    spark: SparkSession, base: str, version: int | None = None
+) -> DataFrame:
+    """Read a versioned table: the published version by default, or an
+    explicit ``version`` for time travel. Unpublished (crashed) data
+    dirs are invisible — only the manifest makes a version live."""
+    import json
+    import os
+
+    if version is None:
+        with open(os.path.join(base, "_latest.json")) as fh:
+            version = int(json.load(fh)["version"])
+    return spark.read.parquet(os.path.join(base, f"v={version}"))
+
+
+def table_versions(base: str) -> list[int]:
+    """All data versions present on disk (published or not)."""
+    import os
+
+    return sorted(
+        int(d[2:])
+        for d in os.listdir(base)
+        if d.startswith("v=") and d[2:].isdigit()
+    )

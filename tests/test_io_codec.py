@@ -101,3 +101,27 @@ def test_binary_file_source_reads_assets(spark, tmp_path):
         .toString()
     )
     assert "content" not in meta_plan.split("ReadSchema")[-1][:200]
+
+
+def test_versioned_table_snapshot_isolation_and_time_travel(spark, tmp_path):
+    from bigdata_kafka_2_spark.io import (
+        table_versions,
+        versioned_read,
+        versioned_write,
+    )
+
+    base = str(tmp_path / "vt")
+    v1 = versioned_write(spark.range(5), base)
+    v2 = versioned_write(spark.range(9), base)
+    assert (v1, v2) == (1, 2)
+    assert versioned_read(spark, base).count() == 9
+    assert versioned_read(spark, base, version=1).count() == 5
+    assert table_versions(base) == [1, 2]
+    # a crashed writer (data dir, no manifest flip) stays invisible
+    spark.range(99).write.parquet(base + "/v=3")
+    assert versioned_read(spark, base).count() == 9
+    assert table_versions(base) == [1, 2, 3]
+    # next successful write skips past the orphan and publishes v4
+    v4 = versioned_write(spark.range(2), base)
+    assert v4 == 4
+    assert versioned_read(spark, base).count() == 2
