@@ -202,3 +202,43 @@ def run_streaming_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def drain_with_metrics(
+    df: DataFrame,
+    sink_name: str,
+    mode: str = "complete",
+) -> tuple[str, list[dict]]:
+    """availableNow drain into a memory sink, returning
+    ``(sink_name, per-batch progress records)`` — the operational
+    observability a production stream needs (rows per batch, batch
+    duration, state-store rows) surfaced from Spark's own
+    ``recentProgress`` rather than a side channel. Each record keeps
+    ``{batchId, numInputRows, durationMs, stateRows}``; totals are
+    asserted against the drained input in tests, so the metrics are
+    verified numbers, not log strings.
+    """
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = []
+    for p in q.recentProgress:
+        state = p.get("stateOperators") or []
+        out.append(
+            {
+                "batchId": p.get("batchId"),
+                "numInputRows": p.get("numInputRows", 0),
+                "durationMs": (p.get("durationMs") or {}).get(
+                    "triggerExecution"
+                ),
+                "stateRows": sum(
+                    s.get("numRowsTotal", 0) for s in state
+                ),
+            }
+        )
+    return sink_name, out

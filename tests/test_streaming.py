@@ -378,3 +378,27 @@ def test_streaming_upsert_multibatch_and_restart(spark, tmp_path):
         r.k: (r.o, r.p) for r in spark.read.parquet(table).collect()
     }
     assert again == got
+
+
+def test_drain_with_metrics_accounts_for_every_input_row(spark, tmp_path):
+    """recentProgress-derived metrics: input-row totals equal the
+    staged source exactly; windowed state is visible as state rows."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        pd.DataFrame(
+            {"k": [1, 2, 3], "v": [float(i)] * 3}
+        ).to_parquet(src / f"f{i}.parquet")
+    stream = (
+        spark.readStream.schema("k bigint, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = stream.groupBy("k").count()
+    sink, metrics = ING.drain_with_metrics(agg, "metrics_sink_t")
+    assert spark.table(sink).count() == 3
+    assert sum(m["numInputRows"] for m in metrics) == 9
+    assert any(m["stateRows"] > 0 for m in metrics)
+    assert all(m["durationMs"] is not None for m in metrics)
