@@ -141,6 +141,7 @@ HEADLINE = (
     "q140_chunk_dedup",
     "q141_coherent_sample",
     "q142_filelog_stream",
+    "q143_jenks_breaks",
 )
 
 

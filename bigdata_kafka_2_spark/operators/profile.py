@@ -469,3 +469,83 @@ def embedding_dim_profile(
             "max_val",
         )
     )
+
+
+def jenks_breaks(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 3,
+    n_iter: int = 25,
+) -> DataFrame:
+    """Per-group OPTIMAL 1-D bucketing (Jenks natural breaks ≈ 1-D
+    k-means): ``(group, breaks array<double>, sse, n)`` — the
+    histogram-boundary choice that minimizes within-bucket variance,
+    where :func:`value_histogram`'s equal-width grid wastes buckets
+    on empty ranges of skewed data.
+
+    This is the designated GROUPED-MAP escape hatch
+    (``applyInPandas`` — the third member of the Arrow UDF trio next
+    to the scalar ``pandas_udf`` entropy and the ``mapInPandas``
+    multimodal path): Lloyd's algorithm is iterative per group, which
+    no SQL rewrite expresses. Each group's values arrive as ONE Arrow
+    batch (bounded by the group, the same state contract as any
+    groupBy); init is DETERMINISTIC (k-quantile seeds, ties resolved
+    by sorted order), so output is stable across partitionings and
+    runs (asserted in tests, alongside SSE ≤ the equal-width
+    baseline on skewed fixtures).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} string, breaks array<double>, sse double, n bigint"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = str(pdf[group_col].iloc[0])
+        x = np.sort(pdf[value_col].to_numpy(dtype="float64"))
+        x = x[~np.isnan(x)]
+        n = len(x)
+        if n == 0:
+            return pd.DataFrame(
+                {group_col: [g], "breaks": [[]], "sse": [0.0], "n": [0]}
+            )
+        kk = min(k, len(np.unique(x)))
+        # deterministic quantile seeds
+        cents = np.quantile(x, [(i + 0.5) / kk for i in range(kk)])
+        for _ in range(n_iter):
+            # assign to nearest centroid (1-D: searchsorted on edges)
+            edges = (cents[1:] + cents[:-1]) / 2.0
+            lab = np.searchsorted(edges, x)
+            new = np.array(
+                [
+                    x[lab == j].mean() if np.any(lab == j) else cents[j]
+                    for j in range(kk)
+                ]
+            )
+            if np.allclose(new, cents, rtol=0, atol=1e-12):
+                break
+            cents = new
+        edges = (cents[1:] + cents[:-1]) / 2.0
+        lab = np.searchsorted(edges, x)
+        sse = float(
+            sum(
+                ((x[lab == j] - x[lab == j].mean()) ** 2).sum()
+                for j in range(kk)
+                if np.any(lab == j)
+            )
+        )
+        return pd.DataFrame(
+            {
+                group_col: [g],
+                "breaks": [[round(float(e), 6) for e in edges]],
+                "sse": [round(sse, 4)],
+                "n": [n],
+            }
+        )
+
+    return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
+        fit, out_schema
+    )

@@ -1456,3 +1456,26 @@ def q141_coherent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).cast("double").alias("revenue"),
     )
+
+
+@register(
+    "q143_jenks_breaks",
+    oracle=None,  # Lloyd's algorithm is iterative — no SQL rewrite;
+    # rows-only + determinism/SSE-dominance property tests
+    description="Per-event-type optimal 1-D bucketing "
+    "(operators/profile.jenks_breaks, Jenks natural breaks ≈ 1-D "
+    "k-means, k=3): histogram boundaries that minimize within-bucket "
+    "variance where the equal-width grid (q103) wastes buckets on "
+    "empty ranges of skewed data. The designated GROUPED-MAP escape "
+    "hatch — applyInPandas completes the Arrow UDF trio (scalar "
+    "pandas_udf entropy q38, mapInPandas multimodal q70/q71): "
+    "iterative per-group refinement no SQL rewrite expresses, one "
+    "Arrow batch per group, deterministic quantile seeding so output "
+    "is stable across partitionings.",
+    tags=("profile", "udf"),
+)
+def q143_jenks_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import jenks_breaks
+
+    e = read_table(spark, sf_dir, "events")
+    return jenks_breaks(e, "value", "event_type", k=3)

