@@ -491,3 +491,29 @@ def table_versions(base: str) -> list[int]:
         for d in os.listdir(base)
         if d.startswith("v=") and d[2:].isdigit()
     )
+
+
+def vacuum_versions(base: str, keep_last: int = 2) -> list[int]:
+    """Retention pass for :func:`versioned_write` tables: delete data
+    dirs older than the last ``keep_last`` PUBLISHED-or-newer
+    versions, never touching the live manifest's version (or
+    anything newer — an in-flight writer's unpublished dir is not
+    garbage). Returns the versions removed. Runs as its own job on a
+    cadence — the writer never cleans up (the lakehouse split that
+    keeps commits O(1))."""
+    import json
+    import os
+    import shutil
+
+    with open(os.path.join(base, "_latest.json")) as fh:
+        live = int(json.load(fh)["version"])
+    versions = table_versions(base)
+    keep = set(v for v in versions if v >= live) | set(
+        sorted([v for v in versions if v <= live])[-keep_last:]
+    )
+    removed = []
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(os.path.join(base, f"v={v}"), ignore_errors=True)
+            removed.append(v)
+    return removed

@@ -125,3 +125,23 @@ def test_versioned_table_snapshot_isolation_and_time_travel(spark, tmp_path):
     v4 = versioned_write(spark.range(2), base)
     assert v4 == 4
     assert versioned_read(spark, base).count() == 2
+
+
+def test_vacuum_keeps_live_and_recent_versions(spark, tmp_path):
+    from bigdata_kafka_2_spark.io import (
+        table_versions,
+        vacuum_versions,
+        versioned_read,
+        versioned_write,
+    )
+
+    base = str(tmp_path / "vt2")
+    for n in (3, 4, 5, 6):
+        versioned_write(spark.range(n), base)
+    # unpublished in-flight writer dir newer than live
+    spark.range(99).write.parquet(base + "/v=9")
+    removed = vacuum_versions(base, keep_last=2)
+    assert removed == [1, 2]
+    assert table_versions(base) == [3, 4, 9]
+    assert versioned_read(spark, base).count() == 6
+    assert versioned_read(spark, base, version=3).count() == 5
