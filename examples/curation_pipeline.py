@@ -180,6 +180,26 @@ def run(spark, sf_dir: str) -> list[dict]:
     }
     out.append({"stage": "perplexity_buckets", **buckets})
 
+    # 3g. token-budget selection (late r8): the greedy knapsack cut a
+    #     deployment makes when the training budget is in TOKENS —
+    #     reported here against a 10k-token budget
+    #     (operators/sampling.budget_fill over the LM scores)
+    sel = (
+        SMP.budget_fill(scores, "logprob", "dl", 10_000)
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("dl").alias("kept_tokens"),
+        )
+        .first()
+    )
+    out.append(
+        {
+            "stage": "budget_select",
+            "kept_docs": int(sel.kept_docs),
+            "kept_tokens": int(sel.kept_tokens),
+        }
+    )
+
     # 4. corpus token accounting on survivors
     from bigdata_kafka_2_spark.plans.text_queries import _BPE_PATTERN
 

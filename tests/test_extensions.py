@@ -488,6 +488,12 @@ def test_curation_pipeline_example(spark):
     )
     assert stages["promotion_gate"]["id_not_null"] == 0
     assert stages["promotion_gate"]["text_not_empty"] == 0
+    assert (
+        0
+        < stages["budget_select"]["kept_tokens"]
+        < 10_000 + 256  # budget + at-most-one-doc overshoot
+    )
+    assert stages["budget_select"]["kept_docs"] <= n_final
     serve = stages["ann_serve"]
     assert 1 <= len(serve["neighbors"]) <= 5
     assert serve["probe"] not in serve["neighbors"]
