@@ -208,3 +208,42 @@ def test_distilled_quality_classifier(spark, tmp_path):
         sorted((r.doc_id, r.quality_score) for r in re_scored.select("doc_id", "quality_score").collect())
         == sorted((r.doc_id, r.quality_score) for r in rows)
     )
+
+
+def test_word2vec_embeddings_deterministic_and_feed_similarity(
+    spark, tmp_path
+):
+    """Seeded single-partition Word2Vec: fit twice -> byte-equal
+    vectors (the seeded-ML invariant class); save/load roundtrip;
+    doc embeddings drop into the similarity stack (cosine_topk)."""
+    from bigdata_kafka_2_spark.io import read_table
+    from bigdata_kafka_2_spark.ml.embeddings import (
+        doc_embeddings,
+        fit_word2vec,
+    )
+    from bigdata_kafka_2_spark.operators.similarity import cosine_topk
+    from tests.conftest import SF_DIR
+
+    d = read_table(spark, SF_DIR, "documents")
+    m1 = fit_word2vec(d, dim=16)
+    m2 = fit_word2vec(d, dim=16)
+    v1 = {r.word: list(r.vector) for r in m1.getVectors().collect()}
+    v2 = {r.word: list(r.vector) for r in m2.getVectors().collect()}
+    assert v1 == v2 and len(v1) > 0
+
+    p = str(tmp_path / "w2v")
+    m1.save(p)
+    from pyspark.ml.feature import Word2VecModel
+
+    m3 = Word2VecModel.load(p)
+    assert {
+        r.word: list(r.vector) for r in m3.getVectors().collect()
+    } == v1
+
+    emb = doc_embeddings(m1, d).withColumnRenamed("doc_id", "vec_id")
+    assert emb.count() == d.count()
+    probe = emb.filter("vec_id = 0")
+    top = cosine_topk(emb, probe, k=3).collect()
+    assert len(top) == 3
+    assert all(-1.0001 <= r.similarity <= 1.0001 for r in top)
+    assert all(r.vec_id != 0 for r in top)
