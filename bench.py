@@ -142,6 +142,8 @@ HEADLINE = (
     "q141_coherent_sample",
     "q142_filelog_stream",
     "q143_jenks_breaks",
+    "q144_pagerank",
+    "q145_domain_similarity",
 )
 
 

@@ -1,0 +1,328 @@
+"""Graph analytics over relational edge tables (charter extension —
+link-based centrality, the quality signal web-scale curation pipelines
+derive from their hyperlink / citation graphs; the reference's data
+model has no graph operator, so this is net-new Spark-first surface
+alongside the connected-components closure in ``operators/dedup.py``).
+
+The centerpiece is weighted PageRank as a FIXED-ITERATION unrolled
+dataflow: every iteration is one rank⋈edge join plus one dst-keyed
+aggregate — the exact shape Pregel/GraphX lowers to, expressed in pure
+DataFrame ops so Catalyst/AQE handle skew and partial aggregation.
+
+Determinism discipline (the engine's exact-sum rule, in its FAST
+form): per-edge contributions are rounded to integer units of 1e-12
+and summed as plain BIGINTs — order-independent like the DECIMAL(38,x)
+pattern the money queries use, but whole-stage-codegen-friendly (the
+DECIMAL formulation measured ~4 s/iteration at sf0.1; the long-unit
+formulation ~1 s). Unit sums cannot overflow: total rank mass is 1, so
+any dst's contribution sum is ≤ 1e12 ≪ 2^63. Each iteration's rank
+vector is re-rounded to 12 dp, so the whole power iteration is
+bit-reproducible against the unrolled-CTE SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: decimal scale for rank arithmetic — 12 dp keeps ~9 significant
+#: digits at rank ~1e-3 (1600-node graph) while staying far inside
+#: BIGINT headroom for exact unit sums (mass ≤ 1 → sums ≤ 1e12).
+_RANK_SCALE = 12
+_UNIT = 10**_RANK_SCALE
+
+#: node-id encoding: key*4 + tier. Long keys keep the three key
+#: spaces disjoint while staying codegen-friendly (string-keyed joins
+#: and windows measured ~2× slower across the whole query at sf0.1);
+#: the human-readable label is projected once on the FINAL |V|-row
+#: output, never carried through the loop.
+_TIERS = (("c", 0), ("s", 1), ("p", 2))
+
+
+def build_purchase_graph(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Directed three-tier purchase graph from the order history:
+    ``(src, dst, w)`` with customer→supplier edges (weighted by the
+    supplier's share of that customer's total spend) unioned with
+    supplier→part edges (weighted by the part's share of that
+    supplier's revenue). Node ids are tier-tagged longs (``key*4 +
+    tier``; see ``_TIERS``); per-src weights sum to 1 — the
+    row-stochastic transition matrix PageRank walks. Parts have no
+    out-edges, so the part tier is the graph's dangling frontier and
+    rank must propagate two hops (c→s→p) — iteration count is
+    load-bearing.
+
+    Plan shape: one orderkey equi-join feeds the customer tier; the
+    supplier tier needs no join at all (both endpoints live on the
+    lineitem row). Each tier is one (src, dst) aggregate with
+    map-side partial sums, normalized by a src-partitioned window
+    that REUSES the aggregate's src clustering — no extra exchange.
+    Revenue is summed as exact ``DECIMAL(18,4)``
+    (order-independent); the final share is one double division per
+    edge.
+    """
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    cust_supp = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 4).alias("src"),
+            (F.col("l_suppkey") * 4 + 1).alias("dst"),
+            rev.alias("__rev"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("__rev").alias("__erev"))
+    )
+    supp_part = (
+        lineitem.select(
+            (F.col("l_suppkey") * 4 + 1).alias("src"),
+            (F.col("l_partkey") * 4 + 2).alias("dst"),
+            rev.alias("__rev"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("__rev").alias("__erev"))
+    )
+    edges = cust_supp.union(supp_part)
+    tot = F.sum("__erev").over(Window.partitionBy("src"))
+    return edges.select(
+        "src",
+        "dst",
+        (
+            F.col("__erev").cast("double") / tot.cast("double")
+        ).alias("w"),
+    )
+
+
+def node_label(name: str) -> F.Column:
+    """Tier-tagged long node id column ``name`` → human-readable label
+    (``'c'||custkey`` / ``'s'||suppkey`` / ``'p'||partkey``)."""
+    col = F.col(name)
+    key = F.expr(f"{name} div 4").cast("string")
+    expr = F.lit(None).cast("string")
+    for prefix, tag in _TIERS:
+        expr = F.when(
+            col % 4 == tag, F.concat(F.lit(prefix), key)
+        ).otherwise(expr)
+    return expr
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 5,
+    broadcast_nodes: int = 2_000_000,
+    label: bool = False,
+) -> DataFrame:
+    """Weighted PageRank with dangling-mass redistribution:
+    ``(node, rank)`` after ``iterations`` rounds of
+
+        r'(v) = (1-d)/N + d·(Σ_{u→v} r(u)·w(u,v) + dangling/N)
+
+    where ``dangling = Σ r(u)`` over nodes with no out-edges (in the
+    purchase graph every part is a sink, so this term is load-bearing,
+    not a formality) and ``N`` is the node count of the edge-derived
+    node set. With ``label=True`` the final projection adds the
+    human-readable ``node`` label for tier-tagged purchase-graph ids.
+
+    Scale plan, audited stage by stage:
+
+    - ``edges`` and the derived node/src sets are ``localCheckpoint``ed
+      ONCE up front: every iteration re-reads them, and each
+      iteration's rank vector is consumed twice (contribution join +
+      dangling aggregate) — without truncation the lineage re-executes
+      the whole prefix per consumer, 2^k plans by iteration k (the
+      dataflow twin of DuckDB inlining shared CTEs, which the oracle
+      counters with ``AS MATERIALIZED``). Checkpointing per iteration
+      makes the loop LINEAR in k: k edge-join passes total.
+    - Per iteration: one rank⋈edges join, one dst-keyed sum with
+      map-side partial aggregation, one broadcast 1-row dangling
+      aggregate (left-anti against the src set — never a driver
+      collect), one join back onto the node set. The rank vector is
+      |V| rows — orders of magnitude smaller than the edge table — so
+      when ``|V| ≤ broadcast_nodes`` BOTH rank-sized sides are
+      EXPLICITLY broadcast (rank vector into the edge join, contribs
+      into the node update): the checkpointed edge table then never
+      re-shuffles and the only exchange per iteration is the |V|-row
+      partial-aggregate shuffle. Past the threshold the plan degrades
+      gracefully to src/dst-keyed shuffle joins — the Pregel shape —
+      which is the correct regime for billion-node graphs.
+    - ``N`` is read once from the checkpointed node set (bounded
+      driver scalar, same rule as the LSH footer counts).
+
+    Contributions ``r(u)·w(u,v)`` are rounded to integer 1e-12 units
+    and summed as BIGINTs (exact, order-independent, codegen-fast);
+    each new rank is re-rounded to 12 dp — the induction that keeps
+    Spark and the unrolled-CTE oracle bit-identical at every
+    iteration.
+
+    CAVEAT (rounding boundary): Spark's ``round(double, s)`` rounds
+    the SHORTEST round-trip decimal repr (``BigDecimal.valueOf``)
+    HALF_UP, which can differ from exact-binary-expansion rounding
+    when digit s+1 of the expansion sits on a tie — adversarially
+    constructible (see the planted cycle graph in tests/test_graph),
+    vanishingly rare for real-valued weights, and bit-verified
+    Spark≡DuckDB on the driver datasets.
+    """
+    edges = edges.localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    srcs = edges.select("src").distinct().localCheckpoint()
+    n = float(nodes.count())
+
+    base = F.lit((1.0 - damping) / n)
+    bc = F.broadcast if n <= broadcast_nodes else (lambda df: df)
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0 / n), _RANK_SCALE).alias("rank")
+    )
+    for _ in range(iterations):
+        contribs = (
+            edges.join(bc(ranks), edges.src == ranks.node)
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("rank") * F.col("w") * F.lit(float(_UNIT)), 0
+                    ).cast("long")
+                ).alias("__cu")
+            )
+        )
+        dangling = (
+            ranks.join(bc(srcs), ranks.node == srcs.src, "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.round(
+                            F.col("rank") * F.lit(float(_UNIT)), 0
+                        ).cast("long")
+                    ),
+                    F.lit(0).cast("long"),
+                ).alias("__mu")
+            )
+        )
+        ranks = (
+            nodes.join(bc(contribs), nodes.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    base
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(
+                            F.col("__cu").cast("double"), F.lit(0.0)
+                        )
+                        / F.lit(float(_UNIT))
+                        + F.col("__mu").cast("double")
+                        / F.lit(float(_UNIT))
+                        / F.lit(n)
+                    ),
+                    _RANK_SCALE,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    if label:
+        return ranks.select(node_label("node").alias("node"), "rank")
+    return ranks
+
+
+def pagerank_oracle_sql(
+    damping: float = 0.85, iterations: int = 5
+) -> str:
+    """Unrolled-iteration DuckDB transcription of
+    :func:`build_purchase_graph` + :func:`pagerank` (kept beside the
+    operator so the rounding schedule stays in lockstep). Every
+    iteration CTE is referenced ≥2× (next iteration's contribution
+    join + dangling filter), so ``plans.resolve_oracle`` auto-adds
+    ``AS MATERIALIZED`` — without which DuckDB's CTE inlining would
+    re-evaluate the chain exponentially (the same blowup the Spark
+    side's per-iteration checkpoint prevents)."""
+    s = _RANK_SCALE
+    u = float(_UNIT)
+    d = repr(damping)
+    parts = [
+        f"""
+    WITH base AS (
+      SELECT src, dst,
+             CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY src)
+                                        AS DOUBLE) AS w
+      FROM (
+        SELECT o.o_custkey * 4 AS src,
+               l.l_suppkey * 4 + 1 AS dst,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                        AS DECIMAL(18,4))) AS rev
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+        UNION ALL
+        SELECT l.l_suppkey * 4 + 1 AS src,
+               l.l_partkey * 4 + 2 AS dst,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                        AS DECIMAL(18,4))) AS rev
+        FROM lineitem l
+        GROUP BY 1, 2
+      )
+    ),
+    nodes AS (
+      SELECT src AS node FROM base
+      UNION
+      SELECT dst FROM base
+    ),
+    srcs AS (SELECT DISTINCT src FROM base),
+    meta AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (
+      SELECT node, round(1.0 / (SELECT n FROM meta), {s}) AS rank
+      FROM nodes
+    )"""
+    ]
+    for i in range(iterations):
+        p, q = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f""",
+    c{q} AS (
+      SELECT b.dst,
+             CAST(sum(CAST(round({p}.rank * b.w * {u!r}, 0) AS BIGINT))
+                  AS BIGINT) AS cu
+      FROM base b JOIN {p} ON {p}.node = b.src
+      GROUP BY b.dst
+    ),
+    d{q} AS (
+      SELECT CAST(coalesce(
+               sum(CAST(round(rank * {u!r}, 0) AS BIGINT)), 0)
+             AS BIGINT) AS mu
+      FROM {p}
+      WHERE NOT EXISTS (SELECT 1 FROM srcs WHERE srcs.src = {p}.node)
+    ),
+    {q} AS (
+      SELECT n.node,
+             round((1 - {d}) / (SELECT n FROM meta)
+                   + {d} * (coalesce(CAST(c{q}.cu AS DOUBLE), 0.0)
+                              / {u!r}
+                            + CAST((SELECT mu FROM d{q}) AS DOUBLE)
+                              / {u!r}
+                              / (SELECT n FROM meta)),
+                   {s}) AS rank
+      FROM nodes n LEFT JOIN c{q} ON c{q}.dst = n.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CASE node % 4 WHEN 0 THEN 'c' || CAST(node // 4 AS VARCHAR)
+                         WHEN 1 THEN 's' || CAST(node // 4 AS VARCHAR)
+                         ELSE 'p' || CAST(node // 4 AS VARCHAR) END
+             AS node,
+           rank
+    FROM r{iterations}
+    """
+    )
+    return "".join(parts)

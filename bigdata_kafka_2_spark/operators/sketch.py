@@ -470,3 +470,84 @@ def quantile_sketch_estimate(
             ).alias("p99"),
         )
     )
+
+
+def domain_minhash_similarity(
+    documents: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Pairwise DOMAIN similarity matrix via mergeable MinHash
+    sketches: ``(domain_a, domain_b, n_match, jaccard_est)`` for every
+    unordered domain pair, where ``jaccard_est = n_match/num_hashes``
+    estimates the Jaccard similarity of the two domains' k-token
+    shingle SETS. The corpus-level complement of the per-document
+    dedup family: mixture design and contamination triage start from
+    "how much does source A overlap source B" long before any
+    per-document pair is worth mining.
+
+    Sketch shape (the reason this scales): each domain's signature is
+    ``num_hashes`` per-seed MINIMA — min is associative/commutative,
+    so the groupBy computes per-partition partial minima map-side and
+    shuffles only |domains| partial rows per partition, NEVER the
+    shingles. The pairwise stage runs on |domains| wide rows (a
+    broadcast nested-loop over the tiny signature table); at 100 TB
+    the only data-scale stages are the shingle scan and the distinct,
+    both shingle-keyed and linear.
+
+    Portability: hashes are the sketch family's ``md5_15`` (first 15
+    hex digits of ``md5(shingle || ':' || seed)`` parsed base-16 —
+    bit-identical in DuckDB, so the whole matrix is hash-checkable);
+    shingle generation reuses :func:`operators.dedup.shingles` (the
+    q41-transcribed convention, including short-document handling).
+    ``jaccard_est`` is ``n/num_hashes`` — exact in binary for the
+    default 32, so no rounding discipline is needed.
+    """
+    from bigdata_kafka_2_spark.operators.dedup import shingles
+
+    sh = shingles(documents, text_col=text_col, id_col=domain_col, k=k)
+    hash_cols = [
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("shingle"), F.lit(f":{j}"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias(f"__h{j}")
+        for j in range(num_hashes)
+    ]
+    sig = (
+        sh.select(F.col(domain_col), *hash_cols)
+        .groupBy(domain_col)
+        .agg(*[F.min(f"__h{j}").alias(f"__h{j}") for j in range(num_hashes)])
+        .select(
+            F.col(domain_col),
+            F.array(*[f"__h{j}" for j in range(num_hashes)]).alias("__sig"),
+        )
+    )
+    a = sig.select(
+        F.col(domain_col).alias("domain_a"), F.col("__sig").alias("__sa")
+    )
+    b = sig.select(
+        F.col(domain_col).alias("domain_b"), F.col("__sig").alias("__sb")
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda m: m
+        )
+    )
+    return (
+        a.join(F.broadcast(b), F.col("domain_a") < F.col("domain_b"))
+        .select(
+            "domain_a",
+            "domain_b",
+            n_match.cast("long").alias("n_match"),
+            (n_match.cast("double") / F.lit(float(num_hashes))).alias(
+                "jaccard_est"
+            ),
+        )
+    )

@@ -327,6 +327,7 @@ CURATED: tuple[str, ...] = (
 def _import_all() -> None:
     from bigdata_kafka_2_spark.plans import (  # noqa: F401
         dedup_queries,
+        graph_queries,
         multimodal_queries,
         relational_queries,
         relational_queries2,

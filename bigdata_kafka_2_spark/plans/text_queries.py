@@ -1774,3 +1774,53 @@ def q140_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q145_domain_similarity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+      WHERE t[i] || ' ' || t[i+1] || ' ' || t[i+2] <> ''
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 31)) AS seed),
+    mins AS (
+      SELECT source, seed,
+             min(CAST('0x' || substr(
+                   md5(shingle || ':' || CAST(seed AS VARCHAR)), 1, 15)
+                 AS BIGINT)) AS h
+      FROM sh, seeds
+      GROUP BY 1, 2
+    )
+    SELECT a.source AS domain_a, b.source AS domain_b,
+           CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_match,
+           CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS DOUBLE)
+             / 32.0 AS jaccard_est
+    FROM mins a JOIN mins b ON a.seed = b.seed AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    description="Pairwise domain similarity matrix via mergeable "
+    "MinHash sketches (operators/sketch.domain_minhash_similarity): "
+    "per-domain signatures are 32 per-seed minima of the portable "
+    "md5_15 shingle hash — min is associative, so the groupBy "
+    "shuffles |domains| partial rows per partition, never the "
+    "shingles — and the pair stage is a broadcast nested-loop over "
+    "the tiny signature table. The corpus-level overlap measure "
+    "mixture design and contamination triage start from; "
+    "jaccard_est = n_match/32 is exact in binary, so the whole "
+    "matrix hash-checks with no rounding discipline.",
+    tags=("sketch", "dedup", "aggregate"),
+)
+def q145_domain_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.sketch import (
+        domain_minhash_similarity,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return domain_minhash_similarity(d)

@@ -1,0 +1,138 @@
+"""Graph-analytics operator tests: weighted PageRank vs a numpy
+reference power iteration (same rounding schedule), invariants, and
+the purchase-graph builder's stochasticity."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_kafka_2_spark.operators.graph import (
+    _RANK_SCALE,
+    build_purchase_graph,
+    pagerank,
+)
+from tests.conftest import SF_DIR
+
+
+def _round_half_up(x: float) -> float:
+    """Spark's round(double, 12): BigDecimal.valueOf(double) — i.e.
+    the SHORTEST round-trip decimal repr, not the exact binary
+    expansion — then setScale(12, HALF_UP). Python's repr() produces
+    the same shortest string, so Decimal(repr(x)) reproduces it; both
+    Decimal(x) (exact expansion) and built-in round() (banker's)
+    diverge on the boundary cases the planted cycle graph hits."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal(f"1e-{_RANK_SCALE}"), ROUND_HALF_UP
+        )
+    )
+
+
+def _as_units(x: float) -> int:
+    """Spark's round(x * 1e12, 0) cast to long: the double product's
+    shortest repr, HALF_UP to an integer count of 1e-12 units."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(x * 10.0**_RANK_SCALE)).quantize(
+            Decimal(1), ROUND_HALF_UP
+        )
+    )
+
+
+def _numpy_pagerank(edges, damping=0.85, iterations=5):
+    """Reference implementation with the operator's exact rounding
+    schedule: 12-dp HALF_UP round of contributions before an exact
+    integer-unit sum, 12-dp HALF_UP round of each iteration's rank."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    srcs = {s for s, _, _ in edges}
+    r = [_round_half_up(1.0 / n)] * n
+    for _ in range(iterations):
+        acc = [0] * n
+        for s, d, w in edges:
+            acc[idx[d]] += _as_units(r[idx[s]] * w)
+        contrib = [a / 10**_RANK_SCALE for a in acc]
+        dang = (
+            sum(_as_units(r[idx[u]]) for u in nodes if u not in srcs)
+            / 10**_RANK_SCALE
+        )
+        r = [
+            _round_half_up(
+                (1 - damping) / n + damping * (contrib[i] + dang / n)
+            )
+            for i in range(n)
+        ]
+    return dict(zip(nodes, r))
+
+
+PLANTED = [
+    # a hub (h) fed by three spokes, one sink (z) fed by the hub, and
+    # a two-node cycle (x<->y) isolated from the hub
+    ("a", "h", 1.0),
+    ("b", "h", 1.0),
+    ("c", "h", 0.5),
+    ("c", "z", 0.5),
+    ("h", "z", 1.0),
+    ("x", "y", 1.0),
+    ("y", "x", 1.0),
+]
+
+
+def test_pagerank_matches_reference(spark):
+    edges = spark.createDataFrame(PLANTED, "src string, dst string, w double")
+    got = {
+        row["node"]: row["rank"]
+        for row in pagerank(spark, edges, iterations=5).collect()
+    }
+    want = _numpy_pagerank(PLANTED, iterations=5)
+    assert got == want
+
+
+def test_pagerank_mass_conserved_and_ordering(spark):
+    edges = spark.createDataFrame(PLANTED, "src string, dst string, w double")
+    ranks = {
+        row["node"]: row["rank"]
+        for row in pagerank(spark, edges, iterations=8).collect()
+    }
+    # dangling redistribution keeps total mass at 1 (up to rounding)
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
+    # the sink fed by the hub outranks the hub; the hub outranks its
+    # spokes; all ranks at least the teleport floor
+    assert ranks["z"] > ranks["h"] > ranks["a"]
+    n = len(ranks)
+    assert all(r >= 0.15 / n - 1e-12 for r in ranks.values())
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """Decimal-sum contributions make the result independent of the
+    edge table's physical partitioning."""
+    edges = spark.createDataFrame(PLANTED, "src string, dst string, w double")
+    base = sorted(pagerank(spark, edges, iterations=3).collect())
+    shuffled = sorted(
+        pagerank(spark, edges.repartition(7), iterations=3).collect()
+    )
+    assert base == shuffled
+
+
+def test_purchase_graph_row_stochastic(spark):
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    g = build_purchase_graph(orders, lineitem)
+    sums = (
+        g.groupBy("src").agg(F.sum("w").alias("s")).collect()
+    )
+    assert sums and all(
+        abs(row["s"] - 1.0) < 1e-9 for row in sums
+    )
+    # three disjoint tier tags, edges only c(0)->s(1) and s(1)->p(2)
+    kinds = {
+        (row["src"] % 4, row["dst"] % 4)
+        for row in g.select("src", "dst").collect()
+    }
+    assert kinds == {(0, 1), (1, 2)}
