@@ -144,6 +144,7 @@ HEADLINE = (
     "q143_jenks_breaks",
     "q144_pagerank",
     "q145_domain_similarity",
+    "q146_rendezvous_shards",
 )
 
 

@@ -626,3 +626,58 @@ def coherent_sample(
             keys.withColumnRenamed(parent_key, fk), on=fk, how="left_semi"
         )
     return out
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment:
+    ``(key, shard)`` where ``shard = argmax_s hash(key, s)`` over
+    ``s ∈ [0, n_shards)`` — the consistent-routing primitive for a
+    served ANN/feature index: when a shard is ADDED, only the keys
+    whose argmax lands on the new shard move (exactly ``~1/(n+1)`` of
+    them, property-tested as an exact set identity in
+    tests/test_sampling_hrw.py), versus ``mod n`` routing where
+    nearly every key moves.
+
+    Entirely ROW-LOCAL: the candidate hashes are a ``transform`` over
+    a literal shard sequence and the winner an ``array_max`` over
+    ``(hash, shard)`` structs — no shuffle, no join, no state; at 100
+    TB this is a scan-speed projection. Hashing uses the engine's
+    portable ``md5_15`` family (first 15 hex digits of
+    ``md5(key || '#' || shard)`` parsed base-16), so assignments are
+    bit-identical in DuckDB and stable across engines and releases —
+    the property that lets a Spark-built index be routed to by any
+    non-Spark serving tier. Ties (never observed for a 60-bit hash;
+    would need an md5 prefix collision between two shard suffixes of
+    the SAME key) break toward the larger shard id via the struct
+    ordering, mirrored in the oracle's ``ORDER BY hv DESC, shard
+    DESC``.
+    """
+    key_str = F.col(key_col).cast("string")
+    candidates = F.transform(
+        F.sequence(F.lit(0), F.lit(n_shards - 1)),
+        lambda s: F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(key_str, F.lit("#"), s.cast("string"))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+            s.alias("shard"),
+        ),
+    )
+    return df.select(
+        F.col(key_col),
+        F.array_max(candidates)["shard"].alias(out_col),
+    )

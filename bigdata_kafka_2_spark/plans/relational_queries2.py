@@ -1479,3 +1479,41 @@ def q143_jenks_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return jenks_breaks(e, "value", "event_type", k=3)
+
+
+@register(
+    "q146_rendezvous_shards",
+    oracle="""
+    WITH s AS (SELECT unnest(generate_series(0, 7)) AS shard),
+    h AS (
+      SELECT d.doc_id, s.shard,
+             CAST('0x' || substr(
+               md5(CAST(d.doc_id AS VARCHAR) || '#'
+                   || CAST(s.shard AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+      FROM documents d, s
+    ),
+    r AS (
+      SELECT doc_id, shard,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY hv DESC, shard DESC) AS rn
+      FROM h
+    )
+    SELECT doc_id, shard FROM r WHERE rn = 1
+    """,
+    description="Rendezvous (highest-random-weight) shard assignment "
+    "over 8 shards (operators/sampling.rendezvous_assign): shard = "
+    "argmax over md5_15(key || '#' || shard) — the consistent-routing "
+    "primitive for a served index, where adding a shard moves ONLY "
+    "the keys won by the new shard (exact-set property test) instead "
+    "of re-routing nearly everything like mod-n. Entirely row-local "
+    "(transform over a literal shard sequence + array_max over "
+    "(hash, shard) structs): no shuffle, no join — a scan-speed "
+    "projection at any scale, portable to non-Spark serving tiers "
+    "via the engine-stable md5_15 hash.",
+    tags=("sampling", "serving", "row-local"),
+)
+def q146_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.sampling import rendezvous_assign
+
+    d = read_table(spark, sf_dir, "documents")
+    return rendezvous_assign(d, key_col="doc_id", n_shards=8)

@@ -1,0 +1,44 @@
+"""Rendezvous-hash shard assignment: the minimal-movement guarantee
+as an EXACT set identity, plus balance and determinism."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from bigdata_kafka_2_spark.operators.sampling import rendezvous_assign
+from tests.conftest import SF_DIR
+
+
+def _assign(spark, n):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return {
+        r["doc_id"]: r["shard"]
+        for r in rendezvous_assign(d, "doc_id", n_shards=n).collect()
+    }
+
+
+def test_hrw_minimal_movement(spark):
+    """Adding shard n: every reassigned key moves TO the new shard —
+    keys the new shard doesn't win keep their argmax over the old
+    shard set exactly (the HRW guarantee, not a statistical claim)."""
+    a8 = _assign(spark, 8)
+    a9 = _assign(spark, 9)
+    assert a8.keys() == a9.keys()
+    moved = {k for k in a8 if a8[k] != a9[k]}
+    assert moved, "some keys should move to the new shard"
+    assert all(a9[k] == 8 for k in moved)
+    # expected ~1/9 of keys move; allow wide slack for a small table
+    frac = len(moved) / len(a8)
+    assert 0.02 < frac < 0.30, frac
+
+
+def test_hrw_balance_and_range(spark):
+    a = _assign(spark, 8)
+    counts = Counter(a.values())
+    assert set(counts) <= set(range(8))
+    # uniform-ish: no shard holds more than 3x its fair share
+    assert max(counts.values()) <= 3 * len(a) / 8
+
+
+def test_hrw_deterministic(spark):
+    assert _assign(spark, 8) == _assign(spark, 8)
