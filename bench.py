@@ -145,6 +145,7 @@ HEADLINE = (
     "q144_pagerank",
     "q145_domain_similarity",
     "q146_rendezvous_shards",
+    "q147_prefix_filter_pairs",
 )
 
 

@@ -1231,3 +1231,28 @@ def q134_leakage_safe_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("cluster_rep").alias("n_clusters"),
     )
+
+
+@register(
+    "q147_prefix_filter_pairs",
+    oracle="WITH "
+    + _exact_pairs_sql(0.25)
+    + "SELECT id_a, id_b, jaccard FROM pairs",
+    description="EXACT Jaccard pairs (J ≥ 0.25) via PREFIX FILTERING "
+    "(operators/dedup.prefix_filter_jaccard_pairs, PPJoin-style): "
+    "shingles are ranked per-doc by global document frequency "
+    "(rarest first) and only the first L - ceil(t*L) + 1 join — by "
+    "the published prefix-filter theorem no true pair can be missed, "
+    "so the output EQUALS the all-pairs exact oracle while the "
+    "frequent shingles (the candidate-count killers in a full "
+    "inverted index) never generate a candidate. Lossless where "
+    "MinHash-LSH is probabilistic and max_doc_freq capping changes "
+    "the measure; verify is array_intersect over row-local shingle "
+    "sets restricted to candidates. The frequency rank is a window "
+    "partitioned BY DOC — no global sort, no single-partition "
+    "exchange.",
+    tags=("dedup", "join"),
+)
+def q147_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return DD.prefix_filter_jaccard_pairs(d, k=3, threshold=0.25)
