@@ -146,6 +146,7 @@ HEADLINE = (
     "q145_domain_similarity",
     "q146_rendezvous_shards",
     "q147_prefix_filter_pairs",
+    "q148_point_in_time_join",
 )
 
 

@@ -133,3 +133,81 @@ def apply_changes(
     survivors = target.join(last.select(*keys), on=keys, how="left_anti")
     upserts = last.filter(F.col(op_col) != "D").drop(op_col, version_col)
     return survivors.unionByName(upserts)
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    fact_ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (temporal) join: enrich each fact row with the
+    SCD2 dimension version that was valid AT the fact's timestamp —
+    ``valid_from <= fact_ts`` and (``valid_to`` IS NULL or ``fact_ts <
+    valid_to``). Facts falling in a coverage gap (key churned: its
+    last version was closed before the fact) keep NULL dim columns —
+    the feature-store correctness rule ("no future leakage, no
+    resurrection") for training-data assembly.
+
+    NOT an inequality join: the naive ``ON key AND from <= ts < to``
+    plan multiplies every fact by its key's version count and (in
+    engines without a range-join optimizer) degenerates to a
+    nested-loop. Instead the AS-OF construction: union dim-version
+    START events with fact events, one window per key ordered by
+    (time, dim-before-fact), and ``last(version_struct,
+    ignorenulls=True)`` picks the latest version whose valid_from <=
+    fact_ts — ONE shuffle on the key, zero amplification, window
+    partitions bounded by per-key row counts (never a global sort).
+    ``valid_to`` rides INSIDE the picked struct (an open version's
+    NULL valid_to must not make ``last(ignorenulls)`` skip past it);
+    the gap rule is applied as a row-local filter on the picked
+    struct afterwards.
+
+    Dim columns other than keys/validity are returned for matched
+    facts, NULL otherwise, plus ``__matched`` (boolean). A fact at
+    exactly ``valid_from`` sees the NEW version (dim events sort
+    before fact events at equal time).
+    """
+    keys = list(on)
+    payload = [
+        c for c in dim.columns if c not in keys + [valid_from, valid_to]
+    ]
+    ver_struct = F.struct(
+        *[F.col(c) for c in payload], F.col(valid_to).alias("__vt")
+    )
+    d = dim.select(
+        *keys,
+        F.col(valid_from).alias("__t"),
+        F.lit(0).alias("__src"),
+        ver_struct.alias("__ver"),
+    )
+    f = facts.withColumn("__t", F.col(fact_ts)).withColumn(
+        "__src", F.lit(1)
+    )
+    u = d.unionByName(f, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__src").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked = F.last("__ver", ignorenulls=True).over(w)
+    out = (
+        u.withColumn("__picked", picked)
+        .filter(F.col("__src") == 1)
+        .withColumn(
+            "__matched",
+            F.col("__picked").isNotNull()
+            & (
+                F.col("__picked")["__vt"].isNull()
+                | (F.col(fact_ts) < F.col("__picked")["__vt"])
+            ),
+        )
+    )
+    sel = [c for c in facts.columns] + [
+        F.when(F.col("__matched"), F.col("__picked")[c])
+        .alias(c)
+        for c in payload
+    ] + [F.col("__matched")]
+    return out.select(*sel)

@@ -1517,3 +1517,78 @@ def q146_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return rendezvous_assign(d, key_col="doc_id", n_shards=8)
+
+
+@register(
+    "q148_point_in_time_join",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey AS user_id, round(c_acctbal, 2) AS bal,
+             TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+             CASE WHEN c_custkey < 50
+                  THEN TIMESTAMP '2024-01-15 00:00:00' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, round(c_acctbal + 100.0, 2),
+             TIMESTAMP '2024-01-15 00:00:00',
+             CASE WHEN c_custkey % 10 = 7
+                  THEN TIMESTAMP '2024-01-22 00:00:00' END
+      FROM customer WHERE c_custkey < 50
+    )
+    SELECT e.event_id, e.user_id, d.bal,
+           strftime(d.valid_from, '%Y-%m-%d') AS vf,
+           d.user_id IS NOT NULL AS matched
+    FROM events e LEFT JOIN dim d ON d.user_id = e.user_id
+      AND d.valid_from <= e.ts
+      AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    """,
+    description="Point-in-time join (operators/cdc.point_in_time_join): "
+    "every event enriched with the SCD2 customer version valid AT the "
+    "event's timestamp — the feature-store correctness rule (no "
+    "future leakage, no resurrecting churned keys: facts in a "
+    "coverage gap keep NULL dims and matched=false). NOT executed as "
+    "an inequality join (which multiplies facts by version count and "
+    "nested-loops in engines without a range optimizer): dim-version "
+    "START events union with facts, one per-key window picks "
+    "last(version, ignorenulls) — one shuffle, zero amplification, "
+    "valid_to carried inside the picked struct so open versions' "
+    "NULLs can't be skipped. Dim: v1 for all keys from 2024-01-01 "
+    "(closed 01-15 for key<50), v2 from 01-15 (closed 01-22 for "
+    "key%10=7 — the churn gap the oracle's left join reproduces).",
+    tags=("cdc", "join", "timeseries"),
+)
+def q148_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.cdc import point_in_time_join
+
+    c = read_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    v1 = c.select(
+        key.alias("user_id"),
+        F.round("c_acctbal", 2).alias("bal"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.when(
+            key < 50, F.lit("2024-01-15 00:00:00").cast("timestamp")
+        ).alias("valid_to"),
+    )
+    v2 = c.filter(key < 50).select(
+        key.alias("user_id"),
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("bal"),
+        F.lit("2024-01-15 00:00:00").cast("timestamp").alias("valid_from"),
+        F.when(
+            key % 10 == 7, F.lit("2024-01-22 00:00:00").cast("timestamp")
+        ).alias("valid_to"),
+    )
+    dim = v1.unionByName(v2).withColumn(
+        "vf", F.date_format("valid_from", "yyyy-MM-dd")
+    )
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    out = point_in_time_join(e, dim, ["user_id"], fact_ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "bal",
+        "vf",
+        F.col("__matched").alias("matched"),
+    )
