@@ -147,6 +147,7 @@ HEADLINE = (
     "q146_rendezvous_shards",
     "q147_prefix_filter_pairs",
     "q148_point_in_time_join",
+    "q149_skyline_orders",
 )
 
 

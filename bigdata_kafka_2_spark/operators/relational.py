@@ -557,3 +557,66 @@ def bitmap_semi_join(
     return filtered.join(
         keys.select(on).distinct(), on=on, how="left_semi"
     )
+
+
+# --- 2-D skyline (Pareto frontier) ---------------------------------------
+
+def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """2-D skyline (Pareto frontier), MAXIMIZING both columns: the rows
+    not dominated by any other row, where p dominates q iff ``p.x >=
+    q.x AND p.y >= q.y`` and p is strictly greater in at least one.
+    Equal (x, y) duplicates don't dominate each other — all survive.
+    Rows with NULL in either column are excluded (dominance is
+    undefined on NULL).
+
+    The naive plan is the dominance ANTI join — a quadratic
+    inequality join no optimizer saves. The 2-D structure collapses
+    it to one pass: a point is on the frontier iff its y is (a) the
+    maximum among its own x value and (b) strictly greater than the
+    best y of every HIGHER x. So:
+
+    1. per-distinct-x max y — one map-side-combined aggregate;
+    2. EXCLUSIVE prefix-max of those maxima over x DESCENDING, built
+       with the bucket/offset construction (:func:`global_prefix_sum`'s
+       machinery with max instead of sum): range-bucket on x, per-
+       bucket maxima collected to the driver (≤64 values, never the
+       data), per-bucket window + broadcast higher-bucket offset — NO
+       single-partition exchange;
+    3. frontier x values filter row-locally; original rows return via
+       an equi semi join on (x, y).
+
+    Linear, two shuffles (group-by x, semi join), at 100 TB the
+    frontier is tiny so the semi join broadcasts under AQE.
+    """
+    pts = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    g = pts.groupBy(x_col).agg(F.max(y_col).alias("__ymax"))
+    n_buckets = _shuffle_partitions(g)
+    bucketed, eff = _range_bucket(g, x_col, min(n_buckets, 64))
+    # max of __ymax over all HIGHER buckets (x strictly greater there)
+    off = F.lit(None).cast(dict(g.dtypes)["__ymax"])
+    if eff > 1:
+        maxes = {
+            r["__bkt"]: r["__m"]
+            for r in bucketed.groupBy("__bkt")
+            .agg(F.max("__ymax").alias("__m"))
+            .collect()
+        }
+        acc = None
+        for b in range(eff - 1, -1, -1):
+            off = F.when(F.col("__bkt") == F.lit(b), F.lit(acc)).otherwise(off)
+            v = maxes.get(b)
+            if v is not None:
+                acc = v if acc is None else max(acc, v)
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.col(x_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.max("__ymax").over(w)
+    gt_max = F.greatest(within, off)  # greatest skips NULLs
+    frontier = (
+        bucketed.withColumn("__gt", gt_max)
+        .filter(F.col("__gt").isNull() | (F.col("__ymax") > F.col("__gt")))
+        .select(F.col(x_col), F.col("__ymax").alias(y_col))
+    )
+    return pts.join(frontier, on=[x_col, y_col], how="left_semi")

@@ -1592,3 +1592,52 @@ def q148_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vf",
         F.col("__matched").alias("matched"),
     )
+
+
+@register(
+    "q149_skyline_orders",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderkey, o_totalprice AS x, o_orderdate AS y FROM orders
+    ),
+    g AS (SELECT x, max(y) AS ymax FROM pts GROUP BY x),
+    p AS (
+      SELECT x, ymax,
+             max(ymax) OVER (
+               ORDER BY x DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM g
+    ),
+    f AS (SELECT x, ymax FROM p WHERE pm IS NULL OR ymax > pm)
+    SELECT pts.o_orderkey, round(pts.x, 2) AS price,
+           strftime(pts.y, '%Y-%m-%d') AS od
+    FROM pts JOIN f ON pts.x = f.x AND pts.y = f.ymax
+    """,
+    description="2-D skyline / Pareto frontier over orders "
+    "(operators/relational.skyline_2d): the orders no other order "
+    "beats on BOTH total price and recency — the non-dominated set. "
+    "The naive plan is a quadratic dominance anti-join; the 2-D "
+    "structure collapses it to one pass: per-distinct-price max "
+    "date, then an EXCLUSIVE prefix-max over price descending built "
+    "with the bucket/offset construction (range-bucket, <=64 "
+    "per-bucket maxima to the driver, per-bucket window + broadcast "
+    "offset — no single-partition exchange), then a semi join back. "
+    "Equality with the brute-force NOT EXISTS dominance definition "
+    "is asserted in tests; the oracle transcribes the one-pass form "
+    "so DuckDB also avoids the quadratic plan at grading sf.",
+    tags=("relational", "window"),
+)
+def q149_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.relational import skyline_2d
+
+    o = read_table(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("x"),
+        F.col("o_orderdate").alias("y"),
+    )
+    return skyline_2d(pts, "x", "y").select(
+        "o_orderkey",
+        F.round("x", 2).alias("price"),
+        F.date_format("y", "yyyy-MM-dd").alias("od"),
+    )
