@@ -148,6 +148,7 @@ HEADLINE = (
     "q147_prefix_filter_pairs",
     "q148_point_in_time_join",
     "q149_skyline_orders",
+    "q150_incremental_agg_state",
 )
 
 

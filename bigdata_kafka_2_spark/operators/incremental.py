@@ -1,0 +1,116 @@
+"""Incremental aggregate maintenance (charter extension — the
+operational pattern for 100 TB pipelines: never rescan the corpus).
+
+Algebraic aggregates (count / sum / sum-of-squares / min / max) carry
+a mergeable STATE: state(A ∪ B) = combine(state(A), state(B)). So a
+daily pipeline keeps one small per-key state table, folds each new
+batch into it with one outer join, and derives the display metrics
+(mean, population variance) row-locally at read time — cost per day
+∝ |delta| + |state|, never ∝ |corpus|. Sums are kept as EXACT
+DECIMALs of 4-dp-rounded values (the engine's money-sum discipline):
+merging is then order- and partitioning-independent, so
+``merge(state(old), state(delta))`` is bit-identical to a full
+recompute — which is exactly what the q150 oracle checks.
+
+The same algebra is what Spark's own partial aggregation does WITHIN
+a job (map-side combine); these operators lift it ACROSS jobs with a
+persistable state schema (plain parquet-writable columns, no UDAF
+state blobs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Exact-decimal types for the summable state components. (18,4)
+#: per-row values square to (37,8) products — inside DECIMAL(38)
+#: in both Spark and DuckDB, so every sum is exact in both engines.
+_DEC4 = "decimal(18,4)"
+
+
+def agg_state(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """Per-key mergeable aggregate state over ``value_col``:
+    (keys..., n, sum4, sumsq8, vmin, vmax).
+
+    ``n`` counts non-NULL values; ``sum4``/``sumsq8`` are exact
+    DECIMAL sums of the 4-dp-rounded value and its square — order-
+    independent, parquet-persistable. One map-side-combined shuffle.
+    """
+    v = F.round(F.col(value_col), 4).cast(_DEC4)
+    return df.groupBy(*keys).agg(
+        F.count(F.col(value_col)).alias("n"),
+        F.sum(v).alias("sum4"),
+        F.sum(v * v).alias("sumsq8"),
+        F.min(F.col(value_col)).alias("vmin"),
+        F.max(F.col(value_col)).alias("vmax"),
+    )
+
+
+def merge_agg_states(
+    a: DataFrame, b: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Combine two state tables: state(A ∪ B) from state(A), state(B).
+
+    One full-outer equi-join on the keys (both sides are per-key
+    states — tiny relative to the data they summarize); components
+    combine with NULL-absorbing coalesce/least/greatest. Exact: the
+    DECIMAL sums make the merge independent of how rows were split
+    between the two states.
+    """
+    ks = list(keys)
+    an = a.select(
+        *ks,
+        F.col("n").alias("__n_a"),
+        F.col("sum4").alias("__s_a"),
+        F.col("sumsq8").alias("__q_a"),
+        F.col("vmin").alias("__mn_a"),
+        F.col("vmax").alias("__mx_a"),
+    )
+    bn = b.select(
+        *ks,
+        F.col("n").alias("__n_b"),
+        F.col("sum4").alias("__s_b"),
+        F.col("sumsq8").alias("__q_b"),
+        F.col("vmin").alias("__mn_b"),
+        F.col("vmax").alias("__mx_b"),
+    )
+    j = an.join(bn, on=ks, how="full_outer")
+    zero = F.lit(0)
+    return j.select(
+        *ks,
+        (F.coalesce("__n_a", zero) + F.coalesce("__n_b", zero)).alias("n"),
+        (
+            F.coalesce(F.col("__s_a"), F.lit(0).cast(_DEC4))
+            + F.coalesce(F.col("__s_b"), F.lit(0).cast(_DEC4))
+        ).alias("sum4"),
+        (
+            F.coalesce(F.col("__q_a"), F.lit(0).cast("decimal(38,8)"))
+            + F.coalesce(F.col("__q_b"), F.lit(0).cast("decimal(38,8)"))
+        ).alias("sumsq8"),
+        F.least("__mn_a", "__mn_b").alias("vmin"),
+        F.greatest("__mx_a", "__mx_b").alias("vmax"),
+    )
+
+
+def finalize_agg_state(state: DataFrame) -> DataFrame:
+    """Row-local derived metrics from a state table: mean and
+    population variance (computed in double from the exact decimal
+    components — identical inputs give identical IEEE results in any
+    engine), alongside the raw components.
+    """
+    s = F.col("sum4").cast("double")
+    q = F.col("sumsq8").cast("double")
+    n = F.col("n").cast("double")
+    mean = s / n
+    var = q / n - mean * mean
+    return state.select(
+        *[c for c in state.columns if c not in ("sum4", "sumsq8")],
+        s.alias("sum4"),
+        F.round(mean, 4).alias("mean4"),
+        F.round(var, 4).alias("var4"),
+    )

@@ -1641,3 +1641,55 @@ def q149_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("x", 2).alias("price"),
         F.date_format("y", "yyyy-MM-dd").alias("od"),
     )
+
+
+@register(
+    "q150_incremental_agg_state",
+    oracle="""
+    WITH comp AS (
+      SELECT event_type,
+             CAST(count(value) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4)))
+                  AS DOUBLE) AS s,
+             CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))
+                      * CAST(round(value, 4) AS DECIMAL(18,4)))
+                  AS DOUBLE) AS q,
+             min(value) AS vmin, max(value) AS vmax
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, s AS sum4,
+           round(s / CAST(n AS DOUBLE), 4) AS mean4,
+           round(q / CAST(n AS DOUBLE)
+                 - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)),
+                 4) AS var4,
+           vmin, vmax
+    FROM comp
+    """,
+    description="Incremental aggregate maintenance "
+    "(operators/incremental.agg_state/merge_agg_states/"
+    "finalize_agg_state): per-type stats built as TWO separate "
+    "states (events before/after 2024-01-15) and MERGED — the "
+    "operational pattern where a daily pipeline folds each batch "
+    "into a persisted state table instead of rescanning the corpus "
+    "(cost per day ∝ delta + state, never ∝ corpus). Sums are exact "
+    "DECIMALs of 4-dp-rounded values, so the merge is order- and "
+    "split-independent and the oracle can simply recompute over ALL "
+    "events: merge(state(old), state(delta)) == full recompute, "
+    "hash-checked. Mean/population variance derive row-locally in "
+    "double from the exact components.",
+    tags=("aggregate", "incremental"),
+)
+def q150_incremental_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.incremental import (
+        agg_state,
+        finalize_agg_state,
+        merge_agg_states,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    old = agg_state(e.filter(F.col("ts") < cut), ["event_type"], "value")
+    delta = agg_state(e.filter(F.col("ts") >= cut), ["event_type"], "value")
+    return finalize_agg_state(
+        merge_agg_states(old, delta, ["event_type"])
+    ).select("event_type", "n", "sum4", "mean4", "var4", "vmin", "vmax")

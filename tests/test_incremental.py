@@ -1,0 +1,86 @@
+"""Incremental aggregate state: merge == full recompute (any split),
+parquet persistence roundtrip, and key asymmetry handling."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from bigdata_kafka_2_spark.operators.incremental import (
+    agg_state,
+    finalize_agg_state,
+    merge_agg_states,
+)
+from tests.conftest import SF_DIR
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def _rows(df):
+    return {
+        r["event_type"]: (r["n"], r["sum4"], r["mean4"], r["var4"],
+                          r["vmin"], r["vmax"])
+        for r in df.collect()
+    }
+
+
+def test_merge_equals_full_recompute_any_split(spark):
+    e = _events(spark)
+    full = _rows(finalize_agg_state(agg_state(e, ["event_type"], "value")))
+    # two different splits: by time, and by a hash (interleaved)
+    for pred in (
+        F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"),
+        F.xxhash64("event_id") % 2 == 0,
+    ):
+        a = agg_state(e.filter(pred), ["event_type"], "value")
+        b = agg_state(e.filter(~pred), ["event_type"], "value")
+        merged = _rows(
+            finalize_agg_state(merge_agg_states(a, b, ["event_type"]))
+        )
+        assert merged == full
+
+
+def test_merge_handles_one_sided_keys(spark):
+    """A key present only in one state must pass through unchanged."""
+    a = agg_state(
+        spark.createDataFrame([("x", 1.0), ("x", 3.0)], ["k", "value"]),
+        ["k"],
+        "value",
+    )
+    b = agg_state(
+        spark.createDataFrame([("y", 10.0)], ["k", "value"]), ["k"], "value"
+    )
+    m = _rowmap(merge_agg_states(a, b, ["k"]))
+    assert m["x"]["n"] == 2 and float(m["x"]["sum4"]) == 4.0
+    assert m["y"]["n"] == 1 and float(m["y"]["sum4"]) == 10.0
+    assert m["x"]["vmin"] == 1.0 and m["x"]["vmax"] == 3.0
+
+
+def _rowmap(df):
+    return {r["k"]: r.asDict() for r in df.collect()}
+
+
+def test_state_parquet_roundtrip(spark, tmp_path):
+    """The operational claim: states persist as plain parquet (exact
+    decimal columns included) and merge after reload."""
+    e = _events(spark)
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    agg_state(e.filter(F.col("ts") < cut), ["event_type"], "value")\
+        .write.parquet(p1)
+    agg_state(e.filter(F.col("ts") >= cut), ["event_type"], "value")\
+        .write.parquet(p2)
+    merged = _rows(
+        finalize_agg_state(
+            merge_agg_states(
+                spark.read.parquet(p1), spark.read.parquet(p2),
+                ["event_type"],
+            )
+        )
+    )
+    full = _rows(finalize_agg_state(agg_state(e, ["event_type"], "value")))
+    assert merged == full
+    assert os.path.isdir(p1)
