@@ -149,6 +149,7 @@ HEADLINE = (
     "q148_point_in_time_join",
     "q149_skyline_orders",
     "q150_incremental_agg_state",
+    "q151_containment_pairs",
 )
 
 

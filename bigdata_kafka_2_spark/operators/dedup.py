@@ -1406,3 +1406,59 @@ def remove_repeated_spans(
             .alias("n_tokens_clean"),
         )
     )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """DIRECTIONAL containment pairs: (id_a, id_b, containment) where
+    ``containment = |S_a ∩ S_b| / |S_a| >= threshold`` and id_a ≠ id_b
+    — "document a's shingles are mostly inside document b".
+
+    The asymmetric complement of Jaccard dedup: a short document
+    quoted wholesale inside a long one has containment 1.0 but
+    near-zero Jaccard (the union is dominated by the long side), so a
+    symmetric near-dup pass never flags it. Training-data curation
+    wants exactly this direction — embedded duplicates, boilerplate
+    wrappers, quote-expansions — with the CONTAINED doc as id_a (the
+    usual removal candidate).
+
+    Same plan family as :func:`ngram_jaccard_pairs` (explode distinct
+    shingles → equi-join on shingle → pair agg), but the pair keeps
+    BOTH orientations (``<>`` not ``<``) and normalizes by |S_a|
+    alone, so each direction is judged independently. Cost is bounded
+    by shingle co-occurrence; ``max_doc_freq`` caps hot-shingle blowup
+    exactly as in the Jaccard join (default None = the oracle-checked
+    exact measure).
+    """
+    sh = shingles(df, text_col, id_col, k)
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, on="shingle")
+    sh = sh.cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cont = F.round(F.col("n_common") / F.col("n_a"), 4)
+    return (
+        common.join(sa, "id_a")
+        .select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

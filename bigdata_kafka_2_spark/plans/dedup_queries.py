@@ -1256,3 +1256,41 @@ def q134_leakage_safe_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q147_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return DD.prefix_filter_jaccard_pairs(d, k=3, threshold=0.25)
+
+
+@register(
+    "q151_containment_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+      WHERE t[i] || ' ' || t[i+1] || ' ' || t[i+2] <> ''
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+                         AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(c * 1.0 / sa.n, 4) AS containment
+    FROM common JOIN sizes sa ON id_a = sa.doc_id
+    WHERE round(c * 1.0 / sa.n, 4) >= 0.5
+    """,
+    description="DIRECTIONAL shingle containment pairs (operators/"
+    "dedup.shingle_containment_pairs): |Sa ∩ Sb| / |Sa| >= 0.5 with "
+    "id_a the CONTAINED doc — the asymmetric dedup measure that "
+    "catches a short document quoted wholesale inside a long one "
+    "(containment 1.0, Jaccard near 0: the symmetric near-dup pass "
+    "never flags it). Same co-occurrence-bounded inverted-index plan "
+    "as the Jaccard join but both orientations survive and each is "
+    "normalized by its own side's size.",
+    tags=("dedup", "join"),
+)
+def q151_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return DD.shingle_containment_pairs(d, k=3, threshold=0.5)
