@@ -150,6 +150,8 @@ HEADLINE = (
     "q149_skyline_orders",
     "q150_incremental_agg_state",
     "q151_containment_pairs",
+    "q152_frequent_pairs",
+    "q153_triangle_counts",
 )
 
 
