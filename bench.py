@@ -152,6 +152,8 @@ HEADLINE = (
     "q151_containment_pairs",
     "q152_frequent_pairs",
     "q153_triangle_counts",
+    "q154_snapshot_diff",
+    "q155_sequence_patterns",
 )
 
 

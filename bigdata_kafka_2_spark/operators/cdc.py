@@ -211,3 +211,61 @@ def point_in_time_join(
         for c in payload
     ] + [F.col("__matched")]
     return out.select(*sel)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Table diff between two snapshot versions: one row per key that
+    changed, with ``status`` ∈ ('added', 'removed', 'changed') and
+    ``changed_cols`` — the comma-joined names (in schema order) of
+    compared columns whose values differ (NULL-safe; empty string for
+    added/removed). Unchanged keys are dropped.
+
+    The data-lake audit primitive (what Delta's table_changes answers)
+    without a table format: ONE full-outer equi-join on the keys and
+    row-local NULL-safe comparisons — no window, no sort; with both
+    snapshots stored bucketed on the key the join is shuffle-free.
+    Scale cost is |old| + |new| regardless of how many rows changed.
+    """
+    ks = list(keys)
+    cols = (
+        [c for c in old.columns if c not in ks]
+        if compare_cols is None
+        else list(compare_cols)
+    )
+    o = old.select(
+        *ks, *[F.col(c).alias(f"__o_{c}") for c in cols],
+        F.lit(True).alias("__in_o"),
+    )
+    n = new.select(
+        *ks, *[F.col(c).alias(f"__n_{c}") for c in cols],
+        F.lit(True).alias("__in_n"),
+    )
+    j = o.join(n, on=ks, how="full_outer")
+    diffs = [
+        F.when(
+            ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+        )
+        for c in cols
+    ]
+    changed = F.concat_ws(",", *diffs)
+    status = (
+        F.when(F.col("__in_o").isNull(), F.lit("added"))
+        .when(F.col("__in_n").isNull(), F.lit("removed"))
+        .when(changed != "", F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(
+            *ks,
+            "status",
+            F.when(F.col("status") == "changed", changed)
+            .otherwise(F.lit(""))
+            .alias("changed_cols"),
+        )
+    )

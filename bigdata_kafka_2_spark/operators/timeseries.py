@@ -336,3 +336,64 @@ def ewma_latest(
             ).alias("ewma"),
         )
     )
+
+
+def sequence_pattern_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    pattern: str,
+    encoding: dict[str, str] | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: per key, encode the time-ordered event
+    sequence as a one-letter-per-event string and count NON-OVERLAPPING
+    (leftmost-first) regex matches of ``pattern``: (key, seq_len,
+    n_matches).
+
+    ``encoding`` maps event values to single letters (default: first
+    character of the event value — caller must ensure distinctness);
+    unmapped events encode as '.' (literal dot is regex-escaped by the
+    caller if it matters). ``tiebreak_col`` makes equal-timestamp
+    ordering total (required for determinism — pass the event id).
+
+    Plan: ONE aggregation per key — ``array_sort`` over collected
+    (ts, tiebreak, letter) structs, then a row-local concat +
+    ``regexp_count``. The per-key array is bounded by that key's
+    event count (the sessionization assumption; a key with millions
+    of events needs session-chunking first, as :func:`sessionize`
+    provides). Leftmost-non-overlapping is the shared semantics of
+    Java regex ``Matcher.find`` and RE2 ``regexp_extract_all``, so
+    the SQL transcription agrees. No window over the whole table, no
+    explode — the heavy operation is the single groupBy shuffle.
+    """
+    if encoding is not None:
+        letter = F.coalesce(
+            *[
+                F.when(F.col(event_col) == k, F.lit(v))
+                for k, v in encoding.items()
+            ],
+            F.lit("."),
+        )
+    else:
+        letter = F.substring(F.col(event_col), 1, 1)
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    ev = F.struct(
+        F.col(ts_col).alias("t"), tb.alias("tb"), letter.alias("l")
+    )
+    seq = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(F.collect_list(ev)), lambda s: s["l"]
+        ),
+    )
+    return (
+        df.groupBy(F.col(key_col))
+        .agg(seq.alias("__seq"))
+        .select(
+            key_col,
+            F.length("__seq").alias("seq_len"),
+            F.regexp_count("__seq", F.lit(pattern)).alias("n_matches"),
+        )
+    )

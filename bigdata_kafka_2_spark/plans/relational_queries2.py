@@ -1693,3 +1693,79 @@ def q150_incremental_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_agg_state(
         merge_agg_states(old, delta, ["event_type"])
     ).select("event_type", "n", "sum4", "mean4", "var4", "vmin", "vmax")
+
+
+@register(
+    "q154_snapshot_diff",
+    oracle="""
+    WITH new_snap AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 3
+                  THEN round(c_acctbal + 50.0, 2)
+                  ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey % 11 = 5 THEN 'MOVED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 97 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 13 = 0
+    ),
+    old_snap AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+    j AS (
+      SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+             o.c_custkey IS NULL AS is_add,
+             n.c_custkey IS NULL AS is_rm,
+             concat_ws(',',
+               CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                    THEN 'c_acctbal' END,
+               CASE WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                    THEN 'c_mktsegment' END) AS ch
+      FROM old_snap o FULL OUTER JOIN new_snap n USING (c_custkey)
+    )
+    SELECT c_custkey,
+           CASE WHEN is_add THEN 'added'
+                WHEN is_rm THEN 'removed'
+                ELSE 'changed' END AS status,
+           CASE WHEN is_add OR is_rm THEN '' ELSE ch END AS changed_cols
+    FROM j
+    WHERE is_add OR is_rm OR ch <> ''
+    """,
+    description="Snapshot diff between two table versions "
+    "(operators/cdc.snapshot_diff): per-key status added/removed/"
+    "changed plus the NULL-safe list of changed columns — the "
+    "data-lake audit primitive (Delta's table_changes) without a "
+    "table format. ONE full-outer equi-join on the key and row-local "
+    "comparisons: no window, no sort, cost |old|+|new| regardless of "
+    "change volume; bucketed snapshots make the join shuffle-free. "
+    "The new snapshot is derived deterministically (deletes at "
+    "key%97=0, balance change at %7=3, segment change at %11=5, "
+    "adds at %13=0 shifted by 1e6) so the oracle can rebuild both "
+    "sides.",
+    tags=("cdc", "join"),
+)
+def q154_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.cdc import snapshot_diff
+
+    c = read_table(spark, sf_dir, "customer")
+    old = c.select("c_custkey", "c_acctbal", "c_mktsegment")
+    key = F.col("c_custkey")
+    new = (
+        old.filter(key % 97 != 0)
+        .select(
+            "c_custkey",
+            F.when(key % 7 == 3, F.round(F.col("c_acctbal") + 50.0, 2))
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            F.when(key % 11 == 5, F.lit("MOVED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+        .unionByName(
+            old.filter(key % 13 == 0).select(
+                (key + 1000000).alias("c_custkey"),
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+    )
+    return snapshot_diff(old, new, ["c_custkey"])

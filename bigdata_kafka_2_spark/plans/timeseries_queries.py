@@ -5,6 +5,7 @@ beyond the window/sessionization family)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bigdata_kafka_2_spark.io import read_table
 from bigdata_kafka_2_spark.plans import register
@@ -263,4 +264,49 @@ def q133_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
     return ewma_latest(
         e, "value", "user_id", ["ts", "event_id"], alpha=0.3, m=16
+    )
+
+
+@register(
+    "q155_sequence_patterns",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(length(seq) AS INT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS INT)
+             AS n_matches
+    FROM seqs
+    """,
+    description="Per-user event-sequence pattern matching "
+    "(operators/timeseries.sequence_pattern_counts, the "
+    "MATCH_RECOGNIZE shape): each user's time-ordered events encode "
+    "one letter each (c/e/p/s/v) and 'v[^p]*p' counts "
+    "view→…→purchase conversions with no purchase in between — "
+    "leftmost non-overlapping, the shared semantics of Java "
+    "Matcher.find and RE2 regexp_extract_all, so Spark and DuckDB "
+    "agree. ONE groupBy aggregation: array_sort over collected "
+    "(ts, id, letter) structs then a row-local concat + "
+    "regexp_count — no table-wide window, no explode; per-key state "
+    "bounded by that user's event count (chunk via sessionize for "
+    "pathological keys).",
+    tags=("timeseries", "text"),
+)
+def q155_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        sequence_pattern_counts,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    out = sequence_pattern_counts(
+        e, "user_id", "ts", "event_type", "v[^p]*p",
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("seq_len").cast("int").alias("seq_len"),
+        F.col("n_matches").cast("int").alias("n_matches"),
     )

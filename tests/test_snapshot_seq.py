@@ -1,0 +1,73 @@
+"""snapshot_diff and sequence_pattern_counts: planted fixtures with
+hand-computed ground truth."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from bigdata_kafka_2_spark.operators.cdc import snapshot_diff
+from bigdata_kafka_2_spark.operators.timeseries import (
+    sequence_pattern_counts,
+)
+
+
+def test_snapshot_diff_planted(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, None, "C"), (4, 40.0, "D")],
+        ["k", "bal", "seg"],
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),      # unchanged -> dropped
+            (2, 25.0, "B2"),     # two columns changed
+            (3, None, "C"),      # NULL == NULL (null-safe) -> unchanged
+            (5, 50.0, "E"),      # added
+        ],
+        ["k", "bal", "seg"],
+    )
+    got = {
+        r["k"]: (r["status"], r["changed_cols"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        2: ("changed", "bal,seg"),
+        4: ("removed", ""),
+        5: ("added", ""),
+    }
+
+
+def test_snapshot_diff_null_transitions(spark):
+    """NULL -> value and value -> NULL are both 'changed' (null-safe
+    comparison, not SQL three-valued logic)."""
+    old = spark.createDataFrame([(1, None), (2, 5.0)], ["k", "bal"])
+    new = spark.createDataFrame([(1, 9.0), (2, None)], ["k", "bal"])
+    got = {
+        r["k"]: (r["status"], r["changed_cols"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {1: ("changed", "bal"), 2: ("changed", "bal")}
+
+
+def test_sequence_patterns_planted(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: v c p v p  -> 'v[^p]*p' matches twice (vcp, vp)
+    for i, ev in enumerate(["view", "click", "purchase", "view",
+                            "purchase"]):
+        rows.append((1, i, base + dt.timedelta(minutes=i), ev))
+    # user 2: p v c -> no complete conversion
+    for i, ev in enumerate(["purchase", "view", "click"]):
+        rows.append((2, i, base + dt.timedelta(minutes=i), ev))
+    # user 3: equal timestamps — tiebreak on event_id orders v before p
+    rows.append((3, 0, base, "view"))
+    rows.append((3, 1, base, "purchase"))
+    d = spark.createDataFrame(rows, ["user_id", "event_id", "ts",
+                                     "event_type"])
+    got = {
+        r["user_id"]: (r["seq_len"], r["n_matches"])
+        for r in sequence_pattern_counts(
+            d, "user_id", "ts", "event_type", "v[^p]*p",
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert got == {1: (5, 2), 2: (3, 0), 3: (2, 1)}
