@@ -154,6 +154,7 @@ HEADLINE = (
     "q153_triangle_counts",
     "q154_snapshot_diff",
     "q155_sequence_patterns",
+    "q156_kmv_overlap",
 )
 
 

@@ -551,3 +551,67 @@ def domain_minhash_similarity(
             ),
         )
     )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    k: int = 64,
+    seed: int = 7,
+    hash_fn: str = "md5_15",
+) -> DataFrame:
+    """Set-algebra on KMV sketches: distinct-count estimates for two
+    groups' value sets, their UNION, and (by inclusion-exclusion)
+    their INTERSECTION — one row ``(group_a, group_b, est_a, est_b,
+    est_union, est_intersection)`` — computed from the sketches
+    alone, never from the exact sets.
+
+    The union estimate is EXACTLY a KMV sketch of the union: the k
+    smallest distinct hashes of A ∪ B are a subset of
+    candidates(A) ∪ candidates(B), so merging candidate frames and
+    re-finalizing is the union sketch (the mergeability that makes
+    KMV shard-parallel also makes it an algebra). Intersection =
+    max(0, est_a + est_b − est_union) — inclusion-exclusion over
+    deterministic estimates, so the result is itself deterministic
+    and SQL-transcribable. At 100 TB this answers "how many users do
+    these two segments share" from two ≤k-row sketch tables, with no
+    join over the raw sets.
+
+    All inputs flow through ONE :func:`kmv_candidates` build over the
+    two groups (bounded per-partition state); the three finalizes run
+    over ≤ partitions×k candidate rows each; the single-row combine
+    is a broadcast cross join of 1-row aggregates.
+    """
+    two = df.filter(F.col(group_col).isin([group_a, group_b]))
+    cand = kmv_candidates(two, value_col, group_col, k, seed, hash_fn)
+    est = kmv_estimate(cand, group_col, k)
+    est_u = kmv_estimate(
+        cand.select(F.lit("__union").alias(group_col), "h"),
+        group_col,
+        k,
+    )
+    ea = est.filter(F.col(group_col) == group_a).select(
+        F.col("est_distinct").alias("est_a")
+    )
+    eb = est.filter(F.col(group_col) == group_b).select(
+        F.col("est_distinct").alias("est_b")
+    )
+    eu = est_u.select(F.col("est_distinct").alias("est_union"))
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .select(
+            F.lit(group_a).alias("group_a"),
+            F.lit(group_b).alias("group_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+            ).alias("est_intersection"),
+        )
+    )

@@ -1769,3 +1769,65 @@ def q154_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(old, new, ["c_custkey"])
+
+
+@register(
+    "q156_kmv_overlap",
+    oracle="""
+    WITH vals AS (
+      SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS v
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    hashed AS (
+      SELECT g,
+             CAST('0x' || substr(md5(v || ':7'), 1, 15) AS BIGINT) AS h
+      FROM vals
+    ),
+    all_g AS (
+      SELECT g, h FROM hashed
+      UNION
+      SELECT '__union' AS g, h FROM hashed
+    ),
+    ranked AS (
+      SELECT g, h,
+             row_number() OVER (PARTITION BY g ORDER BY h) AS r
+      FROM all_g
+    ),
+    agg AS (
+      SELECT g, max(CASE WHEN r = 64 THEN h END) AS hk, count(*) AS nd
+      FROM ranked GROUP BY g
+    ),
+    est AS (
+      SELECT g,
+             CAST(CASE WHEN nd < 64 THEN nd
+                  ELSE floor(63.0 * (1152921504606846976.0 / hk))
+                  END AS BIGINT) AS e
+      FROM agg
+    )
+    SELECT 'view' AS group_a, 'purchase' AS group_b,
+           ea.e AS est_a, eb.e AS est_b, eu.e AS est_union,
+           greatest(0, ea.e + eb.e - eu.e) AS est_intersection
+    FROM (SELECT e FROM est WHERE g = 'view') ea,
+         (SELECT e FROM est WHERE g = 'purchase') eb,
+         (SELECT e FROM est WHERE g = '__union') eu
+    """,
+    description="KMV sketch SET ALGEBRA (operators/sketch.kmv_overlap): "
+    "distinct-user estimates for the 'view' and 'purchase' segments, "
+    "their union, and — by inclusion-exclusion — their intersection, "
+    "computed from the sketches alone. The union estimate IS a KMV "
+    "sketch of the union (the k smallest hashes of A ∪ B are a "
+    "subset of the merged candidates — the same mergeability that "
+    "makes the sketch shard-parallel makes it an algebra), so 'how "
+    "many users do two segments share' resolves from two <=k-row "
+    "sketch tables with no join over the raw sets. Deterministic "
+    "(portable md5_15 hashes, M = 2^60 exactly double-representable) "
+    "and hash-checked against the full SQL transcription.",
+    tags=("sketch", "aggregate"),
+)
+def q156_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.sketch import kmv_overlap
+
+    e = read_table(spark, sf_dir, "events")
+    return kmv_overlap(
+        e, "user_id", "event_type", "view", "purchase", k=64, seed=7
+    )

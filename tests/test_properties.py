@@ -1071,3 +1071,40 @@ def test_jenks_breaks_deterministic_and_beats_equal_width(spark):
         + ((vals[vals >= 50] - vals[vals >= 50].mean()) ** 2).sum()
     )
     assert r1.sse <= opt * 1.001
+
+
+def test_kmv_overlap_properties(spark):
+    """Inclusion-exclusion overlap from KMV sketches: (a) the union
+    estimate equals the estimate of the relabeled concatenation (the
+    merge IS a union sketch); (b) on a planted overlap the
+    intersection estimate lands within the sketch's error band."""
+    from bigdata_kafka_2_spark.operators.sketch import (
+        kmv_candidates,
+        kmv_estimate,
+        kmv_overlap,
+    )
+    from pyspark.sql import functions as F
+
+    # planted: A = 0..599, B = 400..999  -> |A|=600 |B|=600 |A∩B|=200
+    rows = [("a", i) for i in range(600)] + [
+        ("b", i) for i in range(400, 1000)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = kmv_overlap(df, "v", "g", "a", "b", k=64, seed=7).collect()[0]
+    # (a) union sketch identity
+    union_direct = kmv_estimate(
+        kmv_candidates(
+            df.select(F.lit("u").alias("g"), "v"), "v", "g", k=64, seed=7
+        ),
+        "g",
+        k=64,
+    ).collect()[0]["est_distinct"]
+    assert out["est_union"] == union_direct
+    # (b) error bands: ~13% stderr at k=64; allow 4 sigma
+    assert abs(out["est_a"] - 600) < 600 * 0.52
+    assert abs(out["est_union"] - 1000) < 1000 * 0.52
+    assert 0 <= out["est_intersection"] < 600
+    # intersection is exactly the inclusion-exclusion of the estimates
+    assert out["est_intersection"] == max(
+        0, out["est_a"] + out["est_b"] - out["est_union"]
+    )
