@@ -155,6 +155,7 @@ HEADLINE = (
     "q154_snapshot_diff",
     "q155_sequence_patterns",
     "q156_kmv_overlap",
+    "q157_boolean_search",
 )
 
 

@@ -1229,3 +1229,58 @@ def compressibility_profile(
         F.octet_length(text_col).cast("long").alias("raw_bytes"),
         compression_ratio_udf()(F.col(text_col)).alias("ratio"),
     ).filter(F.col("ratio").isNotNull())
+
+
+def boolean_search(
+    df: DataFrame,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boolean retrieval over the inverted index: documents containing
+    ALL ``must`` terms, at least one ``should`` term (when the clause
+    is non-empty), and NO ``must_not`` term — (id, n_must, n_should).
+    The AND/OR/NOT layer a retrieval stack puts under its scorer
+    (BM25 ranks what this selects).
+
+    Plan: the posting list (:func:`term_frequencies`) is filtered to
+    the QUERY TERMS FIRST — an ``isin`` over a literal list pushed to
+    the scan side, so the aggregate that follows is proportional to
+    the query terms' postings, not the corpus. Clause logic is then
+    ONE per-doc aggregate: conditional distinct-term counts per
+    clause and a row-local HAVING — no self-joins per term (the
+    classic k-way posting intersection becomes one count == k check),
+    no second scan for NOT (its postings are counted in the same
+    pass and required zero). Term matching is on the engine's
+    normalized whitespace tokens (lowercased), exact-term — not
+    substring.
+    """
+    must = list(must or [])
+    should = list(should or [])
+    must_not = list(must_not or [])
+    terms = sorted(set(must) | set(should) | set(must_not))
+    tf = term_frequencies(df, text_col, id_col).filter(
+        F.col("tok").isin(terms)
+    )
+    n_must = F.count_distinct(
+        F.when(F.col("tok").isin(must), F.col("tok"))
+    ) if must else F.lit(0).cast("long")
+    n_should = F.count_distinct(
+        F.when(F.col("tok").isin(should), F.col("tok"))
+    ) if should else F.lit(0).cast("long")
+    n_not = F.count_distinct(
+        F.when(F.col("tok").isin(must_not), F.col("tok"))
+    ) if must_not else F.lit(0).cast("long")
+    agg = tf.groupBy(id_col).agg(
+        n_must.alias("n_must"),
+        n_should.alias("n_should"),
+        n_not.alias("__n_not"),
+    )
+    cond = F.col("__n_not") == 0
+    if must:
+        cond = cond & (F.col("n_must") == len(must))
+    if should:
+        cond = cond & (F.col("n_should") >= 1)
+    return agg.filter(cond).select(id_col, "n_must", "n_should")

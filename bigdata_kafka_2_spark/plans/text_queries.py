@@ -1824,3 +1824,47 @@ def q145_domain_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return domain_minhash_similarity(d)
+
+
+@register(
+    "q157_boolean_search",
+    oracle=f"""
+    WITH {_TOKS_DOC_CTE},
+    q AS (
+      SELECT doc_id,
+             count(DISTINCT CASE WHEN tok IN ('data', 'table')
+                                 THEN tok END) AS n_must,
+             count(DISTINCT CASE WHEN tok IN ('spark', 'hash')
+                                 THEN tok END) AS n_should,
+             count(DISTINCT CASE WHEN tok = 'scan'
+                                 THEN tok END) AS n_not
+      FROM toks_doc
+      WHERE tok IN ('data', 'table', 'spark', 'hash', 'scan')
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_must AS BIGINT) AS n_must,
+           CAST(n_should AS BIGINT) AS n_should
+    FROM q
+    WHERE n_must = 2 AND n_should >= 1 AND n_not = 0
+    """,
+    description="Boolean retrieval over the inverted index "
+    "(operators/text.boolean_search): docs matching data AND table "
+    "AND (spark OR hash) AND NOT scan — the AND/OR/NOT layer a "
+    "retrieval stack puts under its BM25 scorer. The posting list "
+    "filters to the five query terms BEFORE any aggregation (work ∝ "
+    "query-term postings, not corpus), then ONE per-doc aggregate "
+    "turns the classic k-way posting intersection into a "
+    "distinct-count == k check and the NOT into a zero-count check "
+    "in the same pass — no per-term self-joins, no second scan.",
+    tags=("text", "retrieval"),
+)
+def q157_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.text import boolean_search
+
+    d = read_table(spark, sf_dir, "documents")
+    return boolean_search(
+        d,
+        must=["data", "table"],
+        should=["spark", "hash"],
+        must_not=["scan"],
+    )

@@ -71,3 +71,40 @@ def test_sequence_patterns_planted(spark):
         ).collect()
     }
     assert got == {1: (5, 2), 2: (3, 0), 3: (2, 1)}
+
+
+def test_boolean_search_planted(spark):
+    from bigdata_kafka_2_spark.operators.text import boolean_search
+
+    d = spark.createDataFrame(
+        [
+            (1, "data table spark extra"),      # must+should, no NOT -> in
+            (2, "data table hash scan"),        # NOT term -> out
+            (3, "data table other words"),      # no should term -> out
+            (4, "data spark hash"),             # missing 'table' -> out
+            (5, "Data TABLE Spark"),            # case-normalized -> in
+            (6, "data data table table spark"), # repeats counted once -> in
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_must"], r["n_should"])
+        for r in boolean_search(
+            d, must=["data", "table"], should=["spark", "hash"],
+            must_not=["scan"],
+        ).collect()
+    }
+    assert out == {1: (2, 1), 5: (2, 1), 6: (2, 1)}
+
+
+def test_boolean_search_empty_clauses(spark):
+    from bigdata_kafka_2_spark.operators.text import boolean_search
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], ["doc_id", "text"]
+    )
+    # only must_not: every doc containing the term is excluded, but
+    # docs with NO query term at all have no posting row -> absent.
+    got = {r["doc_id"] for r in boolean_search(
+        d, must=["beta"], must_not=["gamma"]).collect()}
+    assert got == {1}
