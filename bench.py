@@ -156,6 +156,7 @@ HEADLINE = (
     "q155_sequence_patterns",
     "q156_kmv_overlap",
     "q157_boolean_search",
+    "q158_curation_v5",
 )
 
 

@@ -1294,3 +1294,126 @@ def q147_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q151_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return DD.shingle_containment_pairs(d, k=3, threshold=0.5)
+
+
+@register(
+    "q158_curation_v5",
+    oracle="WITH RECURSIVE "
+    + _QUALITY_KEPT_CTE
+    + r""",
+    toks5 AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                                              'g')), ' ') AS t
+      FROM kept
+    ),
+    sh5 AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks5, UNNEST(generate_series(1, greatest(len(t) - 2, 1)))
+        AS g(i)
+      WHERE t[i] || ' ' || t[i+1] || ' ' || t[i+2] <> ''
+    ),
+    sizes5 AS (SELECT doc_id, count(*) AS n FROM sh5 GROUP BY doc_id),
+    common5 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh5 a JOIN sh5 b ON a.shingle = b.shingle
+                           AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    cont AS (
+      SELECT id_a, id_b
+      FROM common5 JOIN sizes5 sa ON id_a = sa.doc_id
+      WHERE round(c * 1.0 / sa.n, 4) >= 0.6
+    ),
+    removal AS (
+      SELECT DISTINCT p.id_a
+      FROM cont p LEFT JOIN cont r
+        ON r.id_a = p.id_b AND r.id_b = p.id_a
+      WHERE r.id_a IS NULL OR p.id_a > p.id_b
+    ),
+    kept2 AS (
+      SELECT * FROM kept
+      WHERE doc_id NOT IN (SELECT id_a FROM removal)
+    ),
+    pairs5 AS (
+      SELECT a.id_a, a.id_b
+      FROM (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS c
+        FROM sh5 x JOIN sh5 y ON x.shingle = y.shingle
+                             AND x.doc_id < y.doc_id
+        WHERE x.doc_id IN (SELECT doc_id FROM kept2)
+          AND y.doc_id IN (SELECT doc_id FROM kept2)
+        GROUP BY 1, 2
+      ) a
+        JOIN sizes5 sa ON a.id_a = sa.doc_id
+        JOIN sizes5 sb ON a.id_b = sb.doc_id
+      WHERE round(a.c * 1.0 / (sa.n + sb.n - a.c), 4) >= 0.5
+    ),
+    edges5 AS (
+      SELECT id_a AS s, id_b AS d FROM pairs5
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs5
+    ),
+    reach5(node, anc) AS (
+      SELECT doc_id, doc_id FROM kept2
+      UNION
+      SELECT e.d AS node, r.anc FROM reach5 r JOIN edges5 e ON e.s = r.node
+    ),
+    reps5 AS (SELECT node, min(anc) AS rep FROM reach5 GROUP BY node)
+    SELECT k.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(k.n_chars), 4) AS avg_chars
+    FROM kept2 k JOIN reps5 r ON r.node = k.doc_id AND r.rep = k.doc_id
+    GROUP BY k.lang
+    """,
+    description="Curation v5 — this round's LOSSLESS dedup chain as "
+    "one hash-checked plan: Gopher quality filter (scan-speed, "
+    "row-local) → DIRECTIONAL containment removal (drop docs ≥0.6 "
+    "contained in a surviving doc; mutual containments keep the "
+    "lower id — embedded quotes and boilerplate wrappers that "
+    "symmetric Jaccard never flags) → PREFIX-FILTERED exact Jaccard "
+    "pairs at 0.5 (the PPJoin theorem: identical output to all-pairs "
+    "with a fraction of the candidates — no LSH recall bound "
+    "anywhere in this pipeline, so the oracle equality is exact by "
+    "construction, not by measured recall) → connected components → "
+    "min-id survivors → per-language profile. Every stage "
+    "co-occurrence-bounded or dup-subgraph-bounded; shingles build "
+    "once and serve both dedup stages.",
+    tags=("dedup", "text", "flagship"),
+)
+def q158_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.text import quality_filter_flags
+
+    d = read_table(spark, sf_dir, "documents")
+    k1 = quality_filter_flags(d).filter(F.col("keep")).select("doc_id")
+    kept1 = d.join(k1, on="doc_id", how="left_semi").localCheckpoint()
+
+    cont = DD.shingle_containment_pairs(kept1, k=3, threshold=0.6)
+    rev = cont.select(
+        F.col("id_a").alias("__ra"), F.col("id_b").alias("__rb")
+    )
+    removal = (
+        cont.join(
+            rev,
+            (cont["id_a"] == rev["__rb"]) & (cont["id_b"] == rev["__ra"]),
+            "left",
+        )
+        .filter(F.col("__ra").isNull() | (F.col("id_a") > F.col("id_b")))
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    kept2 = kept1.join(removal, on="doc_id", how="left_anti").localCheckpoint()
+
+    pairs = DD.prefix_filter_jaccard_pairs(kept2, k=3, threshold=0.5)
+    clusters = DD.dedup_clusters(pairs, kept2.select("doc_id"))
+    survivors = kept2.join(
+        clusters.filter(F.col("doc_id") == F.col("cluster_rep")).select(
+            "doc_id"
+        ),
+        on="doc_id",
+        how="left_semi",
+    )
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
