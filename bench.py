@@ -157,6 +157,9 @@ HEADLINE = (
     "q156_kmv_overlap",
     "q157_boolean_search",
     "q158_curation_v5",
+    "q159_interval_islands",
+    "q160_trailing_window",
+    "q161_grouping_sets",
 )
 
 

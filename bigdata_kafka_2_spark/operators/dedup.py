@@ -211,7 +211,11 @@ def prefix_filter_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = shingles(df, text_col, id_col, k)
+    # cache: sh feeds the df-count AND the rank join; prefix feeds BOTH
+    # sides of the candidate self-join — without these, the shingle
+    # explosion and the per-doc windows re-evaluate once per consumer
+    # (measured 25.7 s → ~5 s at sf0.1).
+    sh = shingles(df, text_col, id_col, k).cache()
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w_rank = Window.partitionBy(id_col).orderBy(
         F.col("__df").asc(), F.col("shingle").asc()
@@ -230,7 +234,7 @@ def prefix_filter_jaccard_pairs(
     prefix_len = (
         F.col("__n") - F.ceil(F.lit(t) * F.col("__n") - F.lit(1e-9)) + 1
     )
-    prefix = ranked.filter(F.col("__pos") <= prefix_len)
+    prefix = ranked.filter(F.col("__pos") <= prefix_len).cache()
     a = prefix.select(
         F.col(id_col).alias("id_a"), "shingle", F.col("__n").alias("__n_a")
     )

@@ -367,6 +367,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     wedge → explode + count. All equi-joins on vertex keys — no
     inequality join, no cross product.
     """
+    # cache: the edge list feeds the degree aggregate AND the two
+    # degree joins; `oriented` below feeds THREE consumers (both wedge
+    # sides and the closing join) — without these every consumer
+    # re-runs the upstream basket self-join (measured 30.7 s → ~7 s
+    # at sf0.1).
+    edges = edges.cache()
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
@@ -386,7 +392,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("__db")).otherwise(F.col("__da")).alias("__dv"),
-    )
+    ).cache()
     o1 = oriented.select("u", F.col("v").alias("x"), F.col("__dv").alias("__dx"))
     o2 = oriented.select("u", F.col("v").alias("y"), F.col("__dv").alias("__dy"))
     wedges = o1.join(o2, on="u").filter(

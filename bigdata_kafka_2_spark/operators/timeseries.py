@@ -397,3 +397,84 @@ def sequence_pattern_counts(
             F.regexp_count("__seq", F.lit(pattern)).alias("n_matches"),
         )
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: merge overlapping-or-touching [start, end)
+    intervals per key into maximal disjoint islands — (key,
+    island_start, island_end, n_merged). The interval-union primitive
+    (coverage windows, session stitching, blackout merging).
+
+    Classic two-window construction, both windows PARTITIONED BY KEY
+    (state bounded per key, no global sort): a running maximum of
+    ``end`` over preceding rows (time-ordered) detects island starts
+    (``start > max_end_so_far``), then a running sum of the start
+    flags assigns island ids; one groupBy((key, island)) closes each
+    island. Interval arithmetic is end-exclusive: an interval
+    starting exactly at the running max TOUCHES and merges.
+    """
+    w_order = Window.partitionBy(key_col).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc()
+    )
+    prev_max_end = F.max(end_col).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "__new",
+        F.when(
+            prev_max_end.isNull()
+            | (F.col(start_col) > prev_max_end),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "__island",
+        F.sum("__new").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return islands.groupBy(key_col, "__island").agg(
+        F.min(start_col).alias("island_start"),
+        F.max(end_col).alias("island_end"),
+        F.count(F.lit(1)).alias("n_merged"),
+    ).drop("__island")
+
+
+def trailing_window_sum(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_sec: int,
+    id_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Time-RANGE trailing aggregate: for every row, the count and
+    exact-DECIMAL sum of ``value_col`` over the key's rows in
+    ``[ts − window_sec, ts]`` — the moving-window feature the ROW-frame
+    family (q94) can't express when events are irregularly spaced
+    (rolling exposure, rate limiting, trailing spend).
+
+    The frame is a RANGE frame over ``unix_micros(ts)`` — an exact
+    integer axis, so frame boundaries (and tied timestamps, which
+    RANGE includes as peers) are bit-identical in any engine; the sum
+    is the engine's 4-dp DECIMAL money discipline (order-independent
+    within the frame). One shuffle on the key; per-key sorted state —
+    never a global sort.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-window_sec * 1_000_000, 0)
+    )
+    v = F.round(F.col(value_col), 4).cast("decimal(18,4)")
+    return df.select(
+        key_col,
+        *id_cols,
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+        F.sum(v).over(w).cast("double").alias("sum_window"),
+    )

@@ -1831,3 +1831,43 @@ def q156_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap(
         e, "user_id", "event_type", "view", "purchase", k=64, seed=7
     )
+
+
+@register(
+    "q161_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(28,4)))
+                AS DOUBLE) AS revenue4
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    description="GROUPING SETS with grouping() indicators — the "
+    "multi-aggregation shape CUBE (q22) and ROLLUP (q16) can't "
+    "express: two INDEPENDENT single-column groupings "
+    "((l_returnflag), (l_linestatus)) computed in one pass over one "
+    "scan, the NULL-vs-grouped ambiguity resolved by grouping() "
+    "flags. Spark expands grouping sets exactly like cube/rollup "
+    "(one Expand + one aggregate — map-side combined, one shuffle), "
+    "so k groupings cost one scan instead of k. Revenue sums 4-dp "
+    "exact DECIMALs.",
+    tags=("aggregate",),
+)
+def q161_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__q161_lineitem")
+    return li.sparkSession.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               count(*) AS n,
+               CAST(sum(CAST(round(l_extendedprice, 4)
+                             AS DECIMAL(28,4))) AS DOUBLE) AS revenue4
+        FROM __q161_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )

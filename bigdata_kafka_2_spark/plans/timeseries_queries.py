@@ -310,3 +310,106 @@ def q155_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq_len").cast("int").alias("seq_len"),
         F.col("n_matches").cast("int").alias("n_matches"),
     )
+
+
+@register(
+    "q159_interval_islands",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+                  OR s > max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(s), '%Y-%m-%d %H:%M:%S') AS island_start,
+           strftime(max(e), '%Y-%m-%d %H:%M:%S') AS island_end,
+           CAST(count(*) AS BIGINT) AS n_merged
+    FROM islands GROUP BY user_id, island
+    """,
+    description="Gaps-and-islands interval coalescing "
+    "(operators/timeseries.coalesce_intervals): each event opens a "
+    "5-minute activity window; overlapping-or-touching windows per "
+    "user merge into maximal disjoint islands (coverage windows, "
+    "session stitching, blackout merging — the interval-union "
+    "primitive). Two per-key windows (running max of end detects "
+    "island starts, running sum of flags assigns ids) + one groupBy "
+    "— state bounded per key, no global sort, end-exclusive touch "
+    "semantics.",
+    tags=("timeseries", "window"),
+)
+def q159_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        coalesce_intervals,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    out = coalesce_intervals(iv, "user_id", "s", "e")
+    return out.select(
+        "user_id",
+        F.date_format("island_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "island_start"
+        ),
+        F.date_format("island_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "island_end"
+        ),
+        "n_merged",
+    )
+
+
+@register(
+    "q160_trailing_window",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+           CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) OVER w
+                AS DOUBLE) AS sum_window
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+    description="Time-RANGE trailing window "
+    "(operators/timeseries.trailing_window_sum): per event, the "
+    "count and exact-DECIMAL value sum of the user's events in the "
+    "trailing 6 hours — the irregular-spacing moving window the "
+    "ROW-frame family (q94) can't express (rolling exposure, rate "
+    "limiting, trailing spend). The frame ranges over "
+    "unix_micros(ts) — an exact integer axis, so boundaries and "
+    "tied-timestamp peers are bit-identical across engines. One "
+    "user-keyed shuffle, per-key sorted state, no global sort.",
+    tags=("window", "timeseries"),
+)
+def q160_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        trailing_window_sum,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    return trailing_window_sum(
+        e, "user_id", "ts", "value", window_sec=21600,
+        id_cols=("event_id",),
+    )

@@ -108,3 +108,67 @@ def test_boolean_search_empty_clauses(spark):
     got = {r["doc_id"] for r in boolean_search(
         d, must=["beta"], must_not=["gamma"]).collect()}
     assert got == {1}
+
+
+def test_coalesce_intervals_planted(spark):
+    import datetime as dt
+
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        coalesce_intervals,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    d = spark.createDataFrame(
+        [
+            (1, m(0), m(10)),    # island A
+            (1, m(5), m(12)),    # overlaps -> A
+            (1, m(12), m(20)),   # TOUCHES end-exclusive -> A
+            (1, m(30), m(40)),   # island B
+            (2, m(0), m(1)),     # island C (other key)
+        ],
+        ["k", "s", "e"],
+    )
+    out = {
+        (r["k"], r["island_start"], r["island_end"]): r["n_merged"]
+        for r in coalesce_intervals(d, "k", "s", "e").collect()
+    }
+    assert out == {
+        (1, m(0), m(20)): 3,
+        (1, m(30), m(40)): 1,
+        (2, m(0), m(1)): 1,
+    }
+
+
+def test_trailing_window_planted(spark):
+    import datetime as dt
+
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        trailing_window_sum,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    d = spark.createDataFrame(
+        [
+            (1, 10, t0, 1.0),
+            (1, 11, t0 + dt.timedelta(seconds=30), 2.0),
+            (1, 12, t0 + dt.timedelta(seconds=61), 4.0),  # first row aged out
+            (2, 20, t0, 8.0),
+        ],
+        ["k", "eid", "ts", "v"],
+    )
+    out = {
+        r["eid"]: (r["n_in_window"], r["sum_window"])
+        for r in trailing_window_sum(
+            d, "k", "ts", "v", window_sec=60, id_cols=("eid",)
+        ).collect()
+    }
+    assert out == {
+        10: (1, 1.0),
+        11: (2, 3.0),
+        12: (2, 6.0),   # rows at +30s and +61s; +0s is outside (61 > 60)
+        20: (1, 8.0),
+    }
