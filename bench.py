@@ -160,6 +160,7 @@ HEADLINE = (
     "q159_interval_islands",
     "q160_trailing_window",
     "q161_grouping_sets",
+    "q162_cohort_retention",
 )
 
 

@@ -478,3 +478,35 @@ def trailing_window_sum(
         F.count(F.lit(1)).over(w).alias("n_in_window"),
         F.sum(v).over(w).cast("double").alias("sum_window"),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    grain: str = "day",
+) -> DataFrame:
+    """Cohort retention counts: (cohort, offset, n_active) — users
+    bucketed by the period of their FIRST event; ``n_active`` =
+    distinct users of that cohort active ``offset`` periods later.
+    The product-analytics retention triangle (offset 0 row = cohort
+    size; n_active / cohort size = the retention curve).
+
+    Plan: one per-key min aggregate (map-side combined) for the
+    cohort anchor, one equi-join back on the key, one distinct-count
+    aggregate over (cohort, offset) — two key shuffles + one
+    group-by, no window, no self-join of the event table with
+    itself. Output is periods², independent of event volume.
+    """
+    ev = df.select(
+        F.col(key_col).alias("__k"),
+        F.date_trunc(grain, F.col(ts_col)).alias("__p"),
+    )
+    first = ev.groupBy("__k").agg(F.min("__p").alias("__cohort"))
+    joined = ev.join(first, on="__k")
+    offset = F.datediff(F.col("__p"), F.col("__cohort"))
+    return (
+        joined.select("__k", F.col("__cohort").alias("cohort"), offset.alias("offset"))
+        .groupBy("cohort", "offset")
+        .agg(F.count_distinct("__k").alias("n_active"))
+    )

@@ -413,3 +413,37 @@ def q160_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "user_id", "ts", "value", window_sec=21600,
         id_cols=("event_id",),
     )
+
+
+@register(
+    "q162_cohort_retention",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS k, date_trunc('day', ts) AS p FROM events
+    ),
+    first AS (SELECT k, min(p) AS cohort FROM ev GROUP BY k)
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+           CAST(date_diff('day', f.cohort, e.p) AS INT) AS offset,
+           CAST(count(DISTINCT e.k) AS BIGINT) AS n_active
+    FROM ev e JOIN first f USING (k)
+    GROUP BY 1, 2
+    """,
+    description="Cohort retention triangle "
+    "(operators/timeseries.cohort_retention): users bucketed by "
+    "first-event day; n_active = distinct cohort users active N days "
+    "later (offset 0 = cohort size; the ratio is the retention "
+    "curve). One per-user min aggregate + one equi-join back + one "
+    "distinct-count — two key shuffles, no window, no event-table "
+    "self-join; output is periods², independent of event volume.",
+    tags=("timeseries", "aggregate"),
+)
+def q162_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import cohort_retention
+
+    e = read_table(spark, sf_dir, "events")
+    out = cohort_retention(e, "user_id", "ts", grain="day")
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        F.col("offset").cast("int").alias("offset"),
+        "n_active",
+    )
