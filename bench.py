@@ -161,6 +161,7 @@ HEADLINE = (
     "q160_trailing_window",
     "q161_grouping_sets",
     "q162_cohort_retention",
+    "q163_label_propagation",
 )
 
 

@@ -435,3 +435,65 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .agg(F.sum("__c").alias("n_triangles"))
         .filter(F.col("n_triangles") > 0)
     )
+
+
+def label_propagation(
+    edges: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007), FIXED
+    iteration count, fully deterministic: (node, label). Labels start
+    as node ids; each round every node adopts the most frequent label
+    among its neighbors, ties broken toward the SMALLEST label;
+    isolated-this-round nodes keep their label. The community-
+    detection complement to the dedup family's connected components
+    (CC merges anything reachable; LPA finds densely-linked groups
+    inside one component).
+
+    Determinism: the argmax is ``max(struct(count, -label))`` — max
+    count then min label, a total order, so the unrolled-CTE SQL
+    transcription (row_number ordered by count DESC, label ASC)
+    agrees bit-for-bit. Each round is one src-keyed join + one
+    (node, label) map-side-combined count + one struct-max aggregate;
+    the label vector is |V| rows and is ``localCheckpoint``ed per
+    round so the k-round lineage stays LINEAR (the PageRank rule).
+
+    ``edges``: undirected (a, b) distinct; both directions are walked.
+    """
+    both = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        both.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        nb = both.join(
+            labels.withColumnRenamed("node", "src"), on="src"
+        ).select(F.col("dst").alias("node"), "label")
+        counts = nb.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        best = (
+            counts.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__c"), (-F.col("label")).alias("__nl")
+                    )
+                ).alias("__m")
+            )
+            .select("node", (-F.col("__m")["__nl"]).alias("__new"))
+        )
+        labels = (
+            labels.join(best, on="node", how="left")
+            .select(
+                "node",
+                F.coalesce(F.col("__new"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels

@@ -134,3 +134,89 @@ def q153_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return triangle_counts(edges)
+
+
+def _q163_oracle(sf_dir: str | None = None) -> str:
+    """Unrolled 3-iteration LPA transcription; each round's argmax is
+    row_number ordered by (count DESC, label ASC) — the SQL face of
+    the operator's max(struct(count, -label))."""
+    head = """
+    WITH it AS (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem
+    ),
+    e0 AS (
+      SELECT a.item AS a, b.item AS b
+      FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    ed AS (
+      SELECT a AS src, b AS dst FROM e0
+      UNION ALL SELECT b, a FROM e0
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM ed)
+    """
+    rounds = []
+    for i in range(1, 4):
+        p = i - 1
+        rounds.append(f"""
+    c{i} AS (
+      SELECT e.dst AS node, l.lab, count(*) AS c
+      FROM ed e JOIN l{p} l ON e.src = l.node GROUP BY 1, 2
+    ),
+    b{i} AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (
+                 PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    ),
+    l{i} AS (
+      SELECT p.node, coalesce(b.lab, p.lab) AS lab
+      FROM l{p} p LEFT JOIN b{i} b USING (node)
+    )""")
+    return (
+        head + "," + ",".join(rounds)
+        + "\n    SELECT node, lab AS label FROM l3"
+    )
+
+
+@register(
+    "q163_label_propagation",
+    oracle=_q163_oracle,
+    description="Synchronous label propagation (Raghavan et al. 2007), "
+    "3 unrolled deterministic iterations over the support>=2 "
+    "co-purchase graph (operators/graph.label_propagation): each "
+    "round every part adopts its neighbors' most frequent label, "
+    "ties to the smallest — max(struct(count, -label)), the total "
+    "order the oracle's row_number(count DESC, label ASC) mirrors. "
+    "The community-detection complement to connected components (CC "
+    "merges anything reachable; LPA finds densely-linked groups "
+    "inside one component) and the engine's second iterative graph "
+    "dataflow beyond PageRank: one src-keyed join + one map-side "
+    "count + one struct-max per round, label vector checkpointed so "
+    "the lineage stays linear.",
+    tags=("graph", "iterative", "aggregate"),
+)
+def q163_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bigdata_kafka_2_spark.operators.graph import label_propagation
+
+    li = read_table(spark, sf_dir, "lineitem")
+    it = li.select("l_orderkey", "l_partkey").distinct()
+    a = it.select(
+        F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("a")
+    )
+    b = it.select(
+        F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("b")
+    )
+    edges = (
+        a.join(b, on="__bk")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("__s"))
+        .filter(F.col("__s") >= 2)
+        .select("a", "b")
+    )
+    return label_propagation(edges, iterations=3)

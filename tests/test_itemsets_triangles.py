@@ -64,3 +64,18 @@ def test_frequent_pairs_prune_is_lossless(spark):
     s, conf, lift = got[("a", "b")]
     assert s == 3 and conf == 1.0
     assert lift == round(3 * 4 / (3 * 3), 4)
+
+
+def test_label_propagation_planted_communities(spark):
+    """Two K4 cliques joined by one bridge edge: after 3 rounds every
+    clique member carries its clique's minimum id; the bridge does
+    not merge them (each side's internal majority dominates)."""
+    from bigdata_kafka_2_spark.operators.graph import label_propagation
+
+    k4a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k4b = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = spark.createDataFrame(k4a + k4b + [(3, 10)], ["a", "b"])
+    got = {r["node"]: r["label"] for r in
+           label_propagation(edges, iterations=3).collect()}
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(10, 14)} == {10}
