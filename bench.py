@@ -162,6 +162,7 @@ HEADLINE = (
     "q161_grouping_sets",
     "q162_cohort_retention",
     "q163_label_propagation",
+    "q164_auc_feature_screen",
 )
 
 

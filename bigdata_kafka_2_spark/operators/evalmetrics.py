@@ -93,3 +93,58 @@ def ndcg_at_k(
         )
         .alias("ndcg"),
     )
+
+
+def auc_exact(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """EXACT Mann-Whitney AUC of a score against a binary label, with
+    proper average-rank tie handling: one row ``(auc, n_pos, n_neg)``.
+    The feature-screening / model-eval staple (probability a random
+    positive outranks a random negative).
+
+    All-integer construction — no floating accumulation anywhere:
+    group by DISTINCT score (map-side combined) to (n, p) per value,
+    EXCLUSIVE global prefix count of n over ascending score via
+    ``relational.global_prefix_sum`` (range-bucketed — no
+    single-partition window), then
+
+        2·Σ_pos avg_rank  =  Σ_values p·(2·before + n + 1)
+
+    which is an exact BIGINT sum (order- and partition-independent),
+    and AUC = (that − P·(P+1)) / (2·P·N) in ONE double division at
+    the end. Bit-identical in any engine; ties exercise the
+    average-rank path exactly.
+    """
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    g = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(label_col).cast("long")).alias("__p"),
+    )
+    ranked = global_prefix_sum(g, "__s", "__n", out_col="__before")
+    # rank-sum terms widen to DECIMAL(38,0): at corpus scale the sum
+    # approaches T² which overflows BIGINT long before the data stops
+    # fitting the cluster (ANSI mode would error, not wrap).
+    dec = "decimal(38,0)"
+    term = F.col("__p").cast(dec) * (
+        2 * F.col("__before") + F.col("__n") + 1
+    ).cast(dec)
+    agg = ranked.agg(
+        F.sum(term).alias("__2s"),
+        F.sum("__p").alias("__P"),
+        F.sum("__n").alias("__T"),
+    )
+    P = F.col("__P")
+    N = F.col("__T") - P
+    auc = (
+        (F.col("__2s") - P.cast(dec) * (P + 1).cast(dec)).cast("double")
+        / (2 * P.cast(dec) * N.cast(dec)).cast("double")
+    )
+    return agg.select(
+        F.when((P > 0) & (N > 0), F.round(auc, 6)).alias("auc"),
+        P.alias("n_pos"),
+        N.alias("n_neg"),
+    )

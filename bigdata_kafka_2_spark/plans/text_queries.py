@@ -1868,3 +1868,73 @@ def q157_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         should=["spark", "hash"],
         must_not=["scan"],
     )
+
+
+@register(
+    "q164_auc_feature_screen",
+    oracle=r"""
+    WITH stats AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             round(length(norm) * 1.0 / greatest(len(toks), 1), 4) AS cpt,
+             round(len(list_distinct(toks)) * 1.0
+                   / greatest(len(toks), 1), 4) AS ttr
+      FROM (
+        SELECT doc_id,
+               coalesce(trim(regexp_replace(lower(text), '\s+', ' ',
+                                            'g')), '') AS norm,
+               string_split_regex(
+                 coalesce(trim(regexp_replace(lower(text), '\s+', ' ',
+                                              'g')), ''), ' ') AS toks
+        FROM documents
+      )
+    ),
+    lab AS (
+      SELECT cpt AS s,
+             CASE WHEN n_tokens >= 20 AND n_tokens <= 90
+                       AND cpt >= 4.5 AND cpt <= 6.0
+                       AND ttr >= 0.45
+                  THEN 1 ELSE 0 END AS y
+      FROM stats
+    ),
+    g AS (SELECT s, count(*) AS n, sum(y) AS p FROM lab GROUP BY s),
+    r AS (
+      SELECT s, n, p,
+             coalesce(sum(n) OVER (
+               ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM g
+    ),
+    a AS (
+      SELECT sum(p * (2 * before + n + 1)) AS s2,
+             sum(p) AS bigp, sum(n) AS t
+      FROM r
+    )
+    SELECT CASE WHEN bigp > 0 AND t - bigp > 0
+                THEN round(CAST(s2 - bigp * (bigp + 1) AS DOUBLE)
+                           / CAST(2 * bigp * (t - bigp) AS DOUBLE), 6)
+           END AS auc,
+           CAST(bigp AS BIGINT) AS n_pos,
+           CAST(t - bigp AS BIGINT) AS n_neg
+    FROM a
+    """,
+    description="Univariate feature screening via EXACT Mann-Whitney "
+    "AUC (operators/evalmetrics.auc_exact): how well chars-per-token "
+    "alone predicts the composed Gopher keep decision — the "
+    "probability a random kept doc out-scores a random dropped one, "
+    "with proper average-rank tie handling. All-integer "
+    "construction: distinct-score groups, EXCLUSIVE global prefix "
+    "count via the range-bucketed machinery (no single-partition "
+    "window), rank-sums as exact DECIMAL(38,0) (BIGINT would "
+    "overflow near T² at corpus scale), ONE double division at the "
+    "end — bit-identical in any engine.",
+    tags=("text", "aggregate", "ml-eval"),
+)
+def q164_auc_feature_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.evalmetrics import auc_exact
+    from bigdata_kafka_2_spark.operators.text import quality_filter_flags
+
+    d = read_table(spark, sf_dir, "documents")
+    qf = quality_filter_flags(d)
+    return auc_exact(qf, "cpt", "keep")

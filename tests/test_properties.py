@@ -1108,3 +1108,36 @@ def test_kmv_overlap_properties(spark):
     assert out["est_intersection"] == max(
         0, out["est_a"] + out["est_b"] - out["est_union"]
     )
+
+
+def test_auc_exact_vs_sklearn_formula(spark):
+    """Exact AUC vs a brute-force pair count (ties = 1/2) on a planted
+    score/label set with heavy ties, plus the perfect/random edges."""
+    from bigdata_kafka_2_spark.operators.evalmetrics import auc_exact
+
+    rows = [
+        (0.1, 0), (0.2, 0), (0.2, 1), (0.3, 0), (0.3, 1), (0.3, 1),
+        (0.5, 1), (0.5, 0), (0.9, 1),
+    ]
+    d = spark.createDataFrame(rows, ["s", "y"])
+    got = auc_exact(d, "s", "y").collect()[0]
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    brute = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+    assert got["auc"] == round(brute, 6)
+    assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
+    # perfect separation -> 1.0; inverted -> 0.0
+    perf = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], ["s", "y"]
+    )
+    assert auc_exact(perf, "s", "y").collect()[0]["auc"] == 1.0
+    inv = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 0)], ["s", "y"]
+    )
+    assert auc_exact(inv, "s", "y").collect()[0]["auc"] == 0.0
+    # single-class -> NULL auc, not a division error
+    one = spark.createDataFrame([(1.0, 1), (2.0, 1)], ["s", "y"])
+    assert auc_exact(one, "s", "y").collect()[0]["auc"] is None
