@@ -163,6 +163,8 @@ HEADLINE = (
     "q162_cohort_retention",
     "q163_label_propagation",
     "q164_auc_feature_screen",
+    "q165_last_touch_attribution",
+    "q166_shuffle_rank",
 )
 
 

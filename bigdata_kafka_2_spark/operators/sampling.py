@@ -681,3 +681,49 @@ def rendezvous_assign(
         F.col(key_col),
         F.array_max(candidates)["shard"].alias(out_col),
     )
+
+
+def shuffle_rank(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Deterministic global SHUFFLE ORDER: every row gets its
+    position (1-based) in a seed-keyed pseudorandom permutation —
+    the reproducible training-order primitive (epoch e reads the
+    corpus ordered by ``shuffle_rank`` with seed e; re-runs, resumes
+    and audits see the byte-identical order, unlike
+    ``df.orderBy(rand())`` whose sample is neither seed-portable
+    across engines nor stable across partitionings).
+
+    Order key = the engine-portable ``md5_15`` hash of
+    ``id || ':' || seed`` (uniform in [0, 2^60) — collision-free in
+    practice, id as total tie-break), ranked with
+    :func:`relational.global_row_number`'s bucket/offset
+    construction — range-bucketed, NO single-partition window, so
+    assigning a shuffle order to 100 TB costs one bucketed sort. A
+    writer that ``repartitionByRange``s on the rank gets skew-free
+    shuffled shards for sequential training reads.
+    """
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_row_number,
+    )
+
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(f":{seed}")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    withkey = df.withColumn("__shuf", key)
+    return global_row_number(
+        withkey, ["__shuf", id_col], rn_col=out_col
+    ).drop("__shuf")

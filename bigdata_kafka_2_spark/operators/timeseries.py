@@ -510,3 +510,59 @@ def cohort_retention(
         .groupBy("cohort", "offset")
         .agg(F.count_distinct("__k").alias("n_active"))
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    conversion: str,
+    touch: str,
+    horizon_sec: int,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: for every CONVERSION event, the most
+    recent preceding TOUCH event by the same key within
+    ``horizon_sec`` — (key, conversion id/ts, touch id or NULL,
+    seconds_since_touch or NULL). The marketing/product-analytics
+    question ("which view gets credit for this purchase") and the
+    event-level complement to the funnel's cohort counts (q99).
+
+    The as-of-per-row construction (the :func:`point_in_time_join`
+    idea, one table): ONE per-key time-ordered window carries
+    ``last(touch_struct, ignorenulls=True)`` — each conversion row
+    sees the latest touch at-or-before it without any self-join of
+    the event table (the naive correlated-subquery plan the oracle
+    transcribes); the horizon check is row-local afterwards. Strictly
+    one shuffle; ties at equal timestamps order by ``id_col``
+    (touch-before-conversion at the exact same instant counts —
+    matched by the oracle's ``<=`` with id disambiguation).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tstruct = F.when(
+        F.col(event_col) == touch,
+        F.struct(
+            F.col(ts_col).alias("t"), F.col(id_col).alias("i")
+        ),
+    )
+    flagged = df.withColumn(
+        "__touch", F.last(tstruct, ignorenulls=True).over(w)
+    ).filter(F.col(event_col) == conversion)
+    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+        F.col("__touch")["t"]
+    )
+    in_horizon = F.col("__touch").isNotNull() & (
+        gap <= horizon_sec * 1_000_000
+    )
+    return flagged.select(
+        F.col(key_col),
+        F.col(id_col).alias("conversion_id"),
+        F.col(ts_col).alias("conversion_ts"),
+        F.when(in_horizon, F.col("__touch")["i"]).alias("touch_id"),
+        F.when(in_horizon, (gap / 1_000_000.0)).alias("sec_since_touch"),
+    )

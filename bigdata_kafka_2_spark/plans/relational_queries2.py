@@ -1871,3 +1871,33 @@ def q161_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
     )
+
+
+@register(
+    "q166_shuffle_rank",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (
+             ORDER BY CAST('0x' || substr(
+               md5(CAST(doc_id AS VARCHAR) || ':17'), 1, 15) AS BIGINT),
+             doc_id) AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+    description="Deterministic corpus shuffle order "
+    "(operators/sampling.shuffle_rank, seed=17): every document's "
+    "position in a seed-keyed pseudorandom permutation — the "
+    "reproducible training-order primitive (epoch e orders by seed "
+    "e; re-runs and resumes see the byte-identical order, which "
+    "orderBy(rand()) can't give across engines or partitionings). "
+    "Order key = portable md5_15(id ':' seed); ranking via the "
+    "range-bucketed global row_number (no single-partition window), "
+    "so ordering 100 TB costs one bucketed sort.",
+    tags=("sampling", "window"),
+)
+def q166_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.sampling import shuffle_rank
+
+    d = read_table(spark, sf_dir, "documents")
+    return shuffle_rank(d, "doc_id", seed=17).select(
+        "doc_id", "lang", "shuffle_rank"
+    )

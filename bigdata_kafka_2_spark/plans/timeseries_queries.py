@@ -447,3 +447,58 @@ def q162_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("offset").cast("int").alias("offset"),
         "n_active",
     )
+
+
+@register(
+    "q165_last_touch_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT c.user_id, c.event_id AS conversion_id,
+           c.ts AS conversion_ts,
+           CASE WHEN b.ts IS NOT NULL
+                     AND epoch_us(c.ts) - epoch_us(b.ts)
+                         <= CAST(43200 AS BIGINT) * 1000000
+                THEN b.event_id END AS touch_id,
+           CASE WHEN b.ts IS NOT NULL
+                     AND epoch_us(c.ts) - epoch_us(b.ts)
+                         <= CAST(43200 AS BIGINT) * 1000000
+                THEN (epoch_us(c.ts) - epoch_us(b.ts)) / 1000000.0
+           END AS sec_since_touch
+    FROM conv c LEFT JOIN LATERAL (
+      SELECT event_id, ts FROM t
+      WHERE t.user_id = c.user_id
+        AND (t.ts < c.ts
+             OR (t.ts = c.ts AND t.event_id < c.event_id))
+      ORDER BY ts DESC, event_id DESC LIMIT 1
+    ) b ON true
+    """,
+    description="Last-touch attribution "
+    "(operators/timeseries.last_touch_attribution): every purchase "
+    "credited to the same user's most recent preceding view within "
+    "12 hours, NULL when none — the event-level complement to q99's "
+    "cohort funnel. ONE per-key time-ordered window carries "
+    "last(touch_struct, ignorenulls) so each conversion sees its "
+    "latest touch with NO self-join of the event table (the oracle "
+    "transcribes the naive correlated LATERAL the window replaces); "
+    "horizon check row-local; ties at equal timestamps ordered by "
+    "event id.",
+    tags=("timeseries", "window"),
+)
+def q165_last_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        last_touch_attribution,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    return last_touch_attribution(
+        e, "user_id", "ts", "event_type",
+        conversion="purchase", touch="view", horizon_sec=43200,
+    )

@@ -42,3 +42,23 @@ def test_hrw_balance_and_range(spark):
 
 def test_hrw_deterministic(spark):
     assert _assign(spark, 8) == _assign(spark, 8)
+
+
+def test_shuffle_rank_properties(spark):
+    """Permutation validity, seed sensitivity, partitioning
+    invariance."""
+    from bigdata_kafka_2_spark.operators.sampling import shuffle_rank
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = d.count()
+    r17 = {r["doc_id"]: r["shuffle_rank"]
+           for r in shuffle_rank(d, "doc_id", seed=17).collect()}
+    assert sorted(r17.values()) == list(range(1, n + 1))  # a permutation
+    r18 = {r["doc_id"]: r["shuffle_rank"]
+           for r in shuffle_rank(d, "doc_id", seed=18).collect()}
+    assert r17 != r18  # different epoch, different order
+    # stable under a different input partitioning
+    r17b = {r["doc_id"]: r["shuffle_rank"]
+            for r in shuffle_rank(d.repartition(7), "doc_id",
+                                  seed=17).collect()}
+    assert r17 == r17b
