@@ -165,6 +165,7 @@ HEADLINE = (
     "q164_auc_feature_screen",
     "q165_last_touch_attribution",
     "q166_shuffle_rank",
+    "q167_pca_spectrum",
 )
 
 

@@ -183,3 +183,40 @@ def q136_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "embeddings")
     return embedding_dim_profile(e)
+
+
+@register(
+    "q167_pca_spectrum",
+    oracle=None,  # eigendecomposition: numerically iterative, rows-only
+    description="PCA variance spectrum of the embedding column "
+    "(operators/decomp.fit_pca, k=16): per-component explained "
+    "variance and cumulative share — the profiling step that decides "
+    "whether a reduced-dimension serving tier is viable at all (the "
+    "driver embeddings are near-isotropic: top-8/64 carry ~20%, so "
+    "the honest answer here is 'no tier'; anisotropic real "
+    "embeddings answer differently, and pca_rerank_topk is the "
+    "normalize-then-reduce two-tier search for that case — planted "
+    "anisotropic recall test in tests/test_pca.py). Fit is ONE pass: "
+    "per-partition (n, Σx, Σxxᵀ) sufficient statistics via "
+    "mapInPandas (bounded state), driver-side d×d eigh (O(d³), "
+    "data-volume independent, the bounded-driver-decision rule). "
+    "Rows-only by design: float-parallel moment sums vary at 1e-12 "
+    "with partitioning (the q143 Jenks precedent).",
+    tags=("vector", "ml-eval"),
+)
+def q167_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.decomp import fit_pca
+
+    e = read_table(spark, sf_dir, "embeddings")
+    # fit the FULL spectrum (k = d) so cum_share is a share of the
+    # true total variance, then report the first 16 components
+    _, _, ev = fit_pca(e, "embedding", k=64)
+    total = sum(ev) if ev else 1.0
+    rows = []
+    cum = 0.0
+    for i, v in enumerate(ev[:16]):
+        cum += v
+        rows.append((i, float(v), float(cum / max(total, 1e-12))))
+    return spark.createDataFrame(
+        rows, "component int, variance double, cum_share double"
+    )
