@@ -166,6 +166,7 @@ HEADLINE = (
     "q165_last_touch_attribution",
     "q166_shuffle_rank",
     "q167_pca_spectrum",
+    "q168_rolling_active_users",
 )
 
 

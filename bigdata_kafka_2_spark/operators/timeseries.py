@@ -566,3 +566,59 @@ def last_touch_attribution(
         F.when(in_horizon, F.col("__touch")["i"]).alias("touch_id"),
         F.when(in_horizon, (gap / 1_000_000.0)).alias("sec_since_touch"),
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling distinct-actives: per calendar day, the DAU and the
+    exact W-day rolling active-user count — (day, dau, wau). Rolling
+    DISTINCT does not decompose into daily sums (a user active twice
+    in the window counts once), which is why naive rollups get WAU
+    wrong.
+
+    The exact linear construction: dedup to (user, active day) — one
+    map-side-combined distinct — then each (user, day) row COVERS the
+    W days it keeps the user active for (a row-local ``sequence`` +
+    explode, ×W volume, W a small constant), then one distinct-count
+    per covered day. No day×day self-join, no window over the event
+    table, no inequality join: cost is W·|user-days|, partitioned on
+    the day key. Days beyond the data's max day are clipped so the
+    output range equals the observed range.
+    """
+    ud = (
+        df.select(
+            F.col(key_col).alias("__u"),
+            F.date_trunc("day", F.col(ts_col)).alias("__d"),
+        )
+        .distinct()
+    )
+    bounds = ud.agg(F.max("__d").alias("__max_d"))
+    covered = (
+        ud.crossJoin(F.broadcast(bounds))
+        .select(
+            "__u",
+            "__d",
+            F.explode(
+                F.sequence(
+                    F.col("__d"),
+                    F.least(
+                        F.col("__d")
+                        + F.expr(f"INTERVAL {window_days - 1} DAYS"),
+                        F.col("__max_d"),
+                    ),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("__cover"),
+        )
+    )
+    wau = covered.groupBy(F.col("__cover").alias("day")).agg(
+        F.count_distinct("__u").alias("wau")
+    )
+    dau = ud.groupBy(F.col("__d").alias("day")).agg(
+        F.count_distinct("__u").alias("dau")
+    )
+    return dau.join(wau, on="day", how="inner")

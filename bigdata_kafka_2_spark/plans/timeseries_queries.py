@@ -502,3 +502,50 @@ def q165_last_touch_attribution(
         e, "user_id", "ts", "event_type",
         conversion="purchase", touch="view", horizon_sec=43200,
     )
+
+
+@register(
+    "q168_rolling_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    wau AS (
+      SELECT d2.d AS day, count(DISTINCT ud.u) AS wau
+      FROM days d2 JOIN ud
+        ON ud.d <= d2.d AND ud.d > d2.d - INTERVAL 7 DAY
+      GROUP BY 1
+    ),
+    dau AS (SELECT d AS day, count(DISTINCT u) AS dau FROM ud GROUP BY 1)
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau
+    FROM dau JOIN wau USING (day)
+    """,
+    description="Exact rolling active users "
+    "(operators/timeseries.rolling_active_users): per day, DAU and "
+    "the 7-day rolling DISTINCT actives — rolling distinct does not "
+    "decompose into daily sums, the classic WAU trap. Linear "
+    "construction: dedup to (user, day), each row row-locally "
+    "COVERS the 7 days it keeps the user active (sequence + "
+    "explode, x7 bounded volume), one distinct-count per covered "
+    "day — no day-by-day inequality self-join over events (the "
+    "oracle transcribes exactly that naive interval join and "
+    "hash-matches). Day range clipped to the observed max so both "
+    "constructions agree at the boundary.",
+    tags=("timeseries", "aggregate"),
+)
+def q168_rolling_active_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        rolling_active_users,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    out = rolling_active_users(e, "user_id", "ts", window_days=7)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau"
+    )
