@@ -1284,3 +1284,65 @@ def boolean_search(
     if should:
         cond = cond & (F.col("n_should") >= 1)
     return agg.filter(cond).select(id_col, "n_must", "n_should")
+
+
+def more_like_this(
+    df: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse "more like this": the k documents most TF-IDF-cosine-
+    similar to ``probe_id`` — (id, cosine), descending, probe
+    excluded. The classic lexical document-to-document retrieval
+    (Lucene's MLT), the sparse complement to the dense embedding
+    ANN stack.
+
+    Plan: the probe's weight vector is a handful of (term, weight)
+    rows — broadcast onto the posting list, so the dot products are
+    ONE tok-keyed join bounded by the probe terms' postings (the
+    query-filter-pushdown rule from BM25: work ∝ probe postings,
+    never corpus × corpus). Per-doc norms come from one map-side
+    aggregate over the same TF-IDF table. All weight sums are
+    exact 4-dp DECIMAL products (order-independent — the money-sum
+    discipline), with one double sqrt/division at the end; top-k is
+    ordered (cosine DESC, id ASC) for deterministic ties.
+    """
+    w = tfidf_scores(df, text_col, id_col)
+    dec = "decimal(18,4)"
+    wd = w.select(
+        F.col(id_col),
+        "tok",
+        F.col("tfidf").cast(dec).alias("__w"),
+    ).cache()
+    probe = F.broadcast(
+        wd.filter(F.col(id_col) == probe_id).select(
+            "tok", F.col("__w").alias("__wp")
+        )
+    )
+    norms = wd.groupBy(id_col).agg(
+        F.sqrt(
+            F.sum(F.col("__w") * F.col("__w")).cast("double")
+        ).alias("__norm")
+    )
+    dots = (
+        wd.filter(F.col(id_col) != probe_id)
+        .join(probe, on="tok")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__w") * F.col("__wp")).alias("__dot"))
+    )
+    probe_norm = norms.filter(F.col(id_col) == probe_id).select(
+        F.col("__norm").alias("__pnorm")
+    )
+    cos = F.col("__dot").cast("double") / (
+        F.col("__norm") * F.col("__pnorm")
+    )
+    return (
+        dots.join(norms, on=id_col)
+        .crossJoin(F.broadcast(probe_norm))
+        .withColumn("__cos", cos)
+        .orderBy(F.col("__cos").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round("__cos", 4).alias("cosine"))
+    )

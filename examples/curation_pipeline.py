@@ -85,6 +85,28 @@ def run(spark, sf_dir: str) -> list[dict]:
     n2 = docs2.count()
     out.append({"stage": "dedup_near", "in": n1, "out": n2})
 
+    # 2b. containment removal (r8 cont.): embedded quotes/boilerplate
+    #     wrappers that symmetric Jaccard never flags — drop docs
+    #     ≥0.7 contained in a surviving doc (mutual containments keep
+    #     the lower id); operators/dedup.shingle_containment_pairs
+    cont = DD.shingle_containment_pairs(docs2, k=3, threshold=0.7)
+    rev = cont.select(
+        F.col("id_a").alias("__ra"), F.col("id_b").alias("__rb")
+    )
+    removal = (
+        cont.join(
+            rev,
+            (cont["id_a"] == rev["__rb"]) & (cont["id_b"] == rev["__ra"]),
+            "left",
+        )
+        .filter(F.col("__ra").isNull() | (F.col("id_a") > F.col("id_b")))
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    docs2 = docs2.join(removal, "doc_id", "left_anti")
+    n2b = docs2.count()
+    out.append({"stage": "containment_removal", "in": n2, "out": n2b})
+
     # 3. quality gates: enough tokens, sane alpha ratio
     q = TX.with_text_stats(docs2)
     docs3 = q.filter(
@@ -329,6 +351,23 @@ def run(spark, sf_dir: str) -> list[dict]:
     stats = SIM.ann_index_compact(spark, idx_path)
     out.append(
         {"stage": "index_maintenance", "live_hits": int(live_hits), **stats}
+    )
+    # 9. reproducible training order (r8 cont.): every curated doc's
+    #    position in a seed-keyed permutation — epoch e orders by seed
+    #    e, byte-identical across reruns/engines/partitionings
+    #    (operators/sampling.shuffle_rank; a writer repartitionByRange
+    #    on the rank gets skew-free shuffled shards)
+    from bigdata_kafka_2_spark.operators.sampling import shuffle_rank
+
+    ranked = shuffle_rank(docs3, "doc_id", seed=1)
+    first = ranked.orderBy("shuffle_rank").limit(3).collect()
+    out.append(
+        {
+            "stage": "shuffle_order",
+            "epoch_seed": 1,
+            "first_docs": [int(r.doc_id) for r in first],
+            "n_ranked": int(ranked.count()),
+        }
     )
     return out
 
