@@ -167,6 +167,7 @@ HEADLINE = (
     "q166_shuffle_rank",
     "q167_pca_spectrum",
     "q168_rolling_active_users",
+    "q169_more_like_this",
 )
 
 

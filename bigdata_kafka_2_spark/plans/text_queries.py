@@ -1938,3 +1938,56 @@ def q164_auc_feature_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     qf = quality_filter_flags(d)
     return auc_exact(qf, "cpt", "keep")
+
+
+@register(
+    "q169_more_like_this",
+    oracle=f"""
+    WITH {_TOKS_DOC_CTE},
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks_doc GROUP BY doc_id, tok
+    ),
+    docfreq AS (SELECT tok, count(*) AS doc_freq FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS nd FROM documents),
+    w AS (
+      SELECT doc_id, tok,
+             CAST(round(tf * (ln((1.0 + nd) / (1.0 + doc_freq)) + 1.0),
+                        4) AS DECIMAL(18,4)) AS wv
+      FROM tf JOIN docfreq USING (tok) CROSS JOIN n
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(sum(wv * wv) AS DOUBLE)) AS nrm
+      FROM w GROUP BY doc_id
+    ),
+    probe AS (SELECT tok, wv AS wp FROM w WHERE doc_id = 7),
+    pn AS (SELECT nrm AS pnorm FROM norms WHERE doc_id = 7),
+    dots AS (
+      SELECT w.doc_id, sum(w.wv * p.wp) AS dot
+      FROM w JOIN probe p USING (tok)
+      WHERE w.doc_id <> 7 GROUP BY 1
+    )
+    SELECT d.doc_id,
+           round(CAST(d.dot AS DOUBLE) / (n2.nrm * pn.pnorm), 4)
+             AS cosine
+    FROM dots d JOIN norms n2 USING (doc_id) CROSS JOIN pn
+    ORDER BY CAST(d.dot AS DOUBLE) / (n2.nrm * pn.pnorm) DESC,
+             d.doc_id ASC
+    LIMIT 10
+    """,
+    description="Sparse 'more like this' (operators/text."
+    "more_like_this): the 10 documents most TF-IDF-cosine-similar to "
+    "doc 7 — Lucene's MLT, the lexical complement to the dense "
+    "embedding ANN stack. The probe's weight vector broadcasts onto "
+    "the posting list so dot products are one tok-keyed join bounded "
+    "by the probe terms' postings (work ∝ probe postings, never "
+    "corpus²); per-doc norms from one map-side aggregate over the "
+    "same TF-IDF table; weight sums as exact 4-dp DECIMAL products, "
+    "one double sqrt/division at the end, (cosine DESC, id) "
+    "deterministic ties.",
+    tags=("text", "retrieval"),
+)
+def q169_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.text import more_like_this
+
+    d = read_table(spark, sf_dir, "documents")
+    return more_like_this(d, probe_id=7, k=10)
