@@ -168,6 +168,7 @@ HEADLINE = (
     "q167_pca_spectrum",
     "q168_rolling_active_users",
     "q169_more_like_this",
+    "q170_personalized_pagerank",
 )
 
 

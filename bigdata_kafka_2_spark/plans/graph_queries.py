@@ -11,6 +11,7 @@ from bigdata_kafka_2_spark.operators.graph import (
     build_purchase_graph,
     pagerank,
     pagerank_oracle_sql,
+    ppr_oracle_sql,
 )
 from bigdata_kafka_2_spark.plans import register
 
@@ -220,3 +221,46 @@ def q163_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
     )
     return label_propagation(edges, iterations=3)
+
+
+@register(
+    "q170_personalized_pagerank",
+    oracle=ppr_oracle_sql(
+        restart_pred="node % 4 = 0 AND node // 4 IN "
+        "(SELECT c_custkey FROM customer WHERE c_nationkey = 0)",
+        damping=0.85,
+        iterations=5,
+    ),
+    description="Personalized (topic-sensitive) PageRank "
+    "(operators/graph.personalized_pagerank): teleport vector "
+    "concentrated on nation-0 customers — rank mass flows outward "
+    "from the seed segment, scoring suppliers and parts by "
+    "centrality RELATIVE TO that segment (the trusted-seeds / "
+    "domain-focused quality signal; global PageRank answers "
+    "'central overall'). Same unrolled deterministic dataflow as "
+    "q144 — integer-unit contribution sums, 12-dp re-rounding, "
+    "per-iteration checkpoint — with e(v) = 1/|S∩V| on members, 0 "
+    "elsewhere, in both the restart term and the dangling "
+    "redistribution; oracle transcribes the 5 iterations with the "
+    "same membership predicate.",
+    tags=("graph", "iterative", "join", "aggregate"),
+)
+def q170_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bigdata_kafka_2_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    customer = read_table(spark, sf_dir, "customer")
+    edges = build_purchase_graph(orders, lineitem)
+    seeds = customer.filter(F.col("c_nationkey") == 0).select(
+        (F.col("c_custkey") * 4).alias("node")
+    )
+    return personalized_pagerank(
+        spark, edges, seeds, damping=0.85, iterations=5, label=True
+    )

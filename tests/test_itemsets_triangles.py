@@ -79,3 +79,30 @@ def test_label_propagation_planted_communities(spark):
            label_propagation(edges, iterations=3).collect()}
     assert {got[n] for n in range(4)} == {0}
     assert {got[n] for n in range(10, 14)} == {10}
+
+
+def test_personalized_pagerank_properties(spark):
+    """Seed locality: mass stays in the seed's reachable component;
+    a disconnected component scores 0; ranks sum to ~1."""
+    from bigdata_kafka_2_spark.operators.graph import (
+        personalized_pagerank,
+    )
+    from pyspark.sql import functions as F
+
+    # two components: 1->2->3 (seeded at 1) and 10->11
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (10, 11, 1.0)],
+        ["src", "dst", "w"],
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    r = {
+        row["node"]: row["rank"]
+        for row in personalized_pagerank(
+            spark, edges, seeds, iterations=8
+        ).collect()
+    }
+    assert r[10] == 0.0 and r[11] == 0.0      # unreachable from seed
+    assert r[1] > 0 and r[2] > 0 and r[3] > 0  # mass flows out
+    assert abs(sum(r.values()) - 1.0) < 1e-6   # conservation
+    # (no decay assertion: 3 is a sink and correctly ACCUMULATES —
+    # its dangling mass teleports back to the seed each round)
