@@ -169,6 +169,7 @@ HEADLINE = (
     "q168_rolling_active_users",
     "q169_more_like_this",
     "q170_personalized_pagerank",
+    "q171_weighted_jaccard_pairs",
 )
 
 

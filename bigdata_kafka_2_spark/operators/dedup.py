@@ -1466,3 +1466,65 @@ def shingle_containment_pairs(
         .select("id_a", "id_b", cont.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.4,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """WEIGHTED (multiset) Jaccard pairs over token frequencies:
+    ``J_w(a,b) = Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b)`` ≥
+    threshold, id_a < id_b — the bag-of-words refinement of set
+    Jaccard: a doc that repeats "buy now" 50 times and one that says
+    it once share the same shingle SET but little weighted mass, and
+    conversely near-dups with shifted word frequencies score closer
+    to their true overlap.
+
+    Same co-occurrence-bounded plan family as
+    :func:`ngram_jaccard_pairs`, with the identity
+    ``Σ max = T_a + T_b − Σ min`` (T = each doc's total token count)
+    so only the SHARED-term mins ever cross the join: one tok-keyed
+    equi-join computing ``Σ min(tf_a, tf_b)`` per pair, one join to
+    the per-doc totals, row-local division. ``max_doc_freq``
+    optionally caps hot-token candidate blowup (default None = the
+    oracle-checked exact measure).
+    """
+    from bigdata_kafka_2_spark.operators.text import term_frequencies
+
+    tf = term_frequencies(df, text_col, id_col)
+    if max_doc_freq is not None:
+        keep = (
+            tf.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("tok")
+        )
+        tf = tf.join(keep, on="tok")
+    tf = tf.cache()
+    totals = tf.groupBy(id_col).agg(F.sum("tf").alias("__T"))
+    a = tf.select(
+        F.col(id_col).alias("id_a"), "tok", F.col("tf").alias("__tfa")
+    )
+    b = tf.select(
+        F.col(id_col).alias("id_b"), "tok", F.col("tf").alias("__tfb")
+    )
+    shared = (
+        a.join(b, on="tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("__tfa", "__tfb")).alias("__smin"))
+    )
+    ta = totals.select(F.col(id_col).alias("id_a"), F.col("__T").alias("__Ta"))
+    tb = totals.select(F.col(id_col).alias("id_b"), F.col("__T").alias("__Tb"))
+    jw = F.col("__smin") / (
+        F.col("__Ta") + F.col("__Tb") - F.col("__smin")
+    )
+    return (
+        shared.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", F.round(jw, 4).alias("wjaccard"))
+        .filter(F.col("wjaccard") >= threshold)
+    )

@@ -1417,3 +1417,47 @@ def q158_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+@register(
+    "q171_weighted_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split({_NORM}, ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok <> '' GROUP BY 1, 2
+    ),
+    totals AS (SELECT doc_id, sum(tf) AS t FROM tf GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             sum(least(a.tf, b.tf)) AS smin
+      FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(smin * 1.0 / (ta.t + tb.t - smin), 4) AS wjaccard
+    FROM shared
+      JOIN totals ta ON id_a = ta.doc_id
+      JOIN totals tb ON id_b = tb.doc_id
+    WHERE round(smin * 1.0 / (ta.t + tb.t - smin), 4) >= 0.4
+    """,
+    description="WEIGHTED (multiset) Jaccard pairs "
+    "(operators/dedup.weighted_jaccard_pairs): Σ min(tf) / Σ max(tf) "
+    "over token frequencies ≥ 0.4 — the bag-of-words refinement of "
+    "set Jaccard (repeat-heavy spam shares a shingle SET but little "
+    "weighted mass; frequency-shifted near-dups score their true "
+    "overlap). The identity Σmax = Ta + Tb − Σmin means only "
+    "shared-term mins cross the tok-keyed join — same "
+    "co-occurrence-bounded plan family as the set-Jaccard join, "
+    "token-level instead of shingle-level.",
+    tags=("dedup", "join"),
+)
+def q171_weighted_jaccard_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return DD.weighted_jaccard_pairs(d, threshold=0.4)

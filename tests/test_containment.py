@@ -49,3 +49,53 @@ def test_containment_bruteforce_parity(spark):
                 brute[(a, b)] = c
     assert got == brute
     assert brute, "fixture should contain containment pairs"
+
+
+def test_weighted_vs_set_jaccard_distinguishes_repeats(spark):
+    """Repeat-heavy doc vs its single-copy source: the shared token
+    SET is identical (set-Jaccard on 1-grams would be 1.0) but the
+    weighted measure collapses toward 1/k for a k-fold repeat."""
+    base = "alpha beta gamma delta epsilon"
+    d = spark.createDataFrame(
+        [(1, base), (2, " ".join([base] * 10))], ["doc_id", "text"]
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["wjaccard"]
+        for r in DD.weighted_jaccard_pairs(d, threshold=0.0).collect()
+    }
+    assert out[(1, 2)] == round(5 / 50, 4)  # sum min=5, sum max=50
+    # brute parity on the fixture at the registered threshold
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        (r["id_a"], r["id_b"]): r["wjaccard"]
+        for r in DD.weighted_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from bigdata_kafka_2_spark.operators.text import normalize_text
+
+    def r4(x):
+        # Spark round() is HALF_UP; Python round() is banker's
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"),
+                                               rounding=ROUND_HALF_UP))
+
+    rows = docs.select(
+        "doc_id", normalize_text("text").alias("t")
+    ).collect()
+    tfs = {
+        r["doc_id"]: Counter(w for w in r["t"].split(" ") if w)
+        for r in rows
+    }
+    brute = {}
+    ids = sorted(tfs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ca, cb = tfs[a], tfs[b]
+            smin = sum(min(ca[t], cb[t]) for t in ca.keys() & cb.keys())
+            if not smin:
+                continue
+            j = r4(smin / (sum(ca.values()) + sum(cb.values()) - smin))
+            if j >= 0.4:
+                brute[(a, b)] = j
+    assert got == brute
