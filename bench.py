@@ -170,6 +170,7 @@ HEADLINE = (
     "q169_more_like_this",
     "q170_personalized_pagerank",
     "q171_weighted_jaccard_pairs",
+    "q172_clustering_coefficients",
 )
 
 

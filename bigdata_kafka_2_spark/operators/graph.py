@@ -700,3 +700,41 @@ def ppr_oracle_sql(
     """
     )
     return "".join(parts)
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per vertex: (node, degree,
+    n_triangles, coeff) with ``coeff = triangles / C(degree, 2)``
+    (0 for degree < 2) — how close each vertex's neighborhood is to
+    a clique; the standard graph-cohesion signal on top of
+    :func:`triangle_counts`. One extra degree aggregate + one
+    equi-join on the (tiny) per-vertex tables; vertices with zero
+    triangles still appear (left join from the degree side).
+    """
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(edges)
+    possible = F.col("degree") * (F.col("degree") - 1) / 2
+    return (
+        deg.join(tri, on="node", how="left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.coalesce(F.col("n_triangles"), F.lit(0)) / possible,
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coeff"),
+        )
+    )

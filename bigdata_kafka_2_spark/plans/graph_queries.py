@@ -264,3 +264,60 @@ def q170_personalized_pagerank(
     return personalized_pagerank(
         spark, edges, seeds, damping=0.85, iterations=5, label=True
     )
+
+
+@register(
+    "q172_clustering_coefficients",
+    oracle="""
+    WITH it AS (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT a.item AS a, b.item AS b
+      FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+    ),
+    deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    tc AS (SELECT node, count(*) AS n_triangles FROM corners GROUP BY node)
+    SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN round(coalesce(tc.n_triangles, 0) * 1.0
+                           / (d.degree * (d.degree - 1) / 2), 4)
+                ELSE 0.0 END AS coeff
+    FROM deg d LEFT JOIN tc USING (node)
+    """,
+    description="Local clustering coefficient per part "
+    "(operators/graph.clustering_coefficients): triangles / "
+    "C(degree, 2) over the co-purchase graph — how clique-like each "
+    "vertex's neighborhood is, the cohesion signal on top of q153's "
+    "adjacency-intersection triangle counts. One extra degree "
+    "aggregate + one left join on |V|-row tables; zero-triangle "
+    "vertices kept.",
+    tags=("graph", "aggregate"),
+)
+def q172_clustering_coefficients(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.graph import (
+        clustering_coefficients,
+        cooccurrence_edges,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return clustering_coefficients(edges)
