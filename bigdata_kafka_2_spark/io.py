@@ -517,3 +517,36 @@ def vacuum_versions(base: str, keep_last: int = 2) -> list[int]:
             shutil.rmtree(os.path.join(base, f"v={v}"), ignore_errors=True)
             removed.append(v)
     return removed
+
+
+def write_with_metrics(
+    df: DataFrame,
+    path: str,
+    metric_cols: dict[str, "F.Column"] | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Parquet write with SINGLE-PASS pipeline metrics via Spark's
+    Observation API: the returned dict carries ``n_rows`` plus any
+    caller-supplied aggregate expressions (null counts, sums, min/max
+    quality gates), all computed DURING the write itself — at 100 TB
+    the difference between metrics-for-free and a second full scan
+    (``df.count()`` after a write re-executes the whole lineage
+    unless the caller remembered to cache). The observation hooks the
+    exact rows the writer consumed, so the numbers are guaranteed to
+    describe THIS output — a post-hoc scan of a concurrently-updated
+    table is not.
+
+    ``metric_cols``: name → aggregate Column (e.g. ``{"null_text":
+    F.count(F.when(F.col("text").isNull(), 1))}``).
+    """
+    from pyspark.sql import Observation
+
+    metrics = dict(metric_cols or {})
+    obs = Observation()
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        *[c.alias(k) for k, c in metrics.items()],
+    )
+    observed.write.mode(mode).parquet(path)
+    return dict(obs.get)

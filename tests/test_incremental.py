@@ -84,3 +84,30 @@ def test_state_parquet_roundtrip(spark, tmp_path):
     full = _rows(finalize_agg_state(agg_state(e, ["event_type"], "value")))
     assert merged == full
     assert os.path.isdir(p1)
+
+
+def test_write_with_metrics_single_pass(spark, tmp_path):
+    from bigdata_kafka_2_spark.io import write_with_metrics
+
+    e = _events(spark)
+    out = str(tmp_path / "obs")
+    m = write_with_metrics(
+        e,
+        out,
+        {
+            "null_values": F.count(F.when(F.col("value").isNull(), 1)),
+            "sum_value4": F.sum(
+                F.round("value", 4).cast("decimal(18,4)")
+            ).cast("double"),
+            "max_ts": F.max("ts"),
+        },
+    )
+    n = spark.read.parquet(out).count()
+    assert m["n_rows"] == n == e.count()
+    agg = e.agg(
+        F.count(F.when(F.col("value").isNull(), 1)),
+        F.sum(F.round("value", 4).cast("decimal(18,4)")).cast("double"),
+    ).collect()[0]
+    assert m["null_values"] == agg[0]
+    assert m["sum_value4"] == agg[1]
+    assert m["max_ts"] is not None

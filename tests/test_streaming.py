@@ -402,3 +402,50 @@ def test_drain_with_metrics_accounts_for_every_input_row(spark, tmp_path):
     assert sum(m["numInputRows"] for m in metrics) == 9
     assert any(m["stateRows"] > 0 for m in metrics)
     assert all(m["durationMs"] is not None for m in metrics)
+
+
+def test_transform_with_state_matches_v1(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas twin: identical final state
+    to the applyInPandasWithState operator on the same two-batch
+    stream. SKIPs where the API's protobuf-RPC worker can't run
+    (this sandbox ships a broken google.protobuf)."""
+    import pytest
+
+    if not SW.transform_with_state_available():
+        pytest.skip("transformWithStateInPandas env-blocked: "
+                    "google.protobuf broken in sandbox")
+    d = tmp_path / "tws_ev"
+    d.mkdir()
+    rows1 = [{"user_id": 1, "value": 10.0}, {"user_id": 1, "value": 95.0}]
+    rows2 = [{"user_id": 1, "value": 99.0}, {"user_id": 2, "value": 5.0}]
+    for i, rows in enumerate([rows1, rows2]):
+        with open(d / f"f{i}.jsonl", "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    _drain_to_memory(
+        SW.running_user_stats_v2(stream, threshold=90.0),
+        "tws_out",
+        "update",
+    )
+    rows = spark.sql("select * from tws_out").collect()
+    final_u1 = max(
+        (r for r in rows if r.user_id == 1), key=lambda r: r.n_events
+    )
+    assert final_u1.n_events == 3
+    assert final_u1.total_value == 204.0
+    assert final_u1.n_over == 2
+    final_u2 = max(
+        (r for r in rows if r.user_id == 2), key=lambda r: r.n_events
+    )
+    assert final_u2.n_events == 1 and final_u2.n_over == 0
