@@ -362,3 +362,55 @@ def test_quantile_sketch_windows_are_keyed(spark):
     plan = _plan(quantile_sketch_estimate(sk, "value", "event_type"))
     assert "Exchange SinglePartition" not in plan
     assert "Window" in plan
+
+
+def test_prefix_filter_plan_no_cartesian(spark):
+    """q147's candidate stage must be an equi-join on the shingle key
+    with per-doc (never single-partition) windows."""
+    from bigdata_kafka_2_spark.operators import dedup as DD
+
+    d = read_table(spark, SF_DIR, "documents")
+    plan = _plan(DD.prefix_filter_jaccard_pairs(d, k=3, threshold=0.25))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_weighted_jaccard_plan_no_cartesian(spark):
+    """q171: prefix+positional candidates equi-join on tok; verify is
+    the row-local map path (no token-keyed shuffle of full maps)."""
+    from bigdata_kafka_2_spark.operators import dedup as DD
+
+    d = read_table(spark, SF_DIR, "documents")
+    plan = _plan(DD.weighted_jaccard_pairs(d, threshold=0.8))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "map_zip_with" in plan  # the verify runs row-locally
+
+
+def test_triangle_plan_equi_joins_only(spark):
+    """q153: degree orientation + adjacency intersection — every join
+    is an equi-join on a vertex key; the intersection is codegen'd
+    array work, not a wedge shuffle."""
+    from bigdata_kafka_2_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    plan = _plan(triangle_counts(cooccurrence_edges(li, "l_orderkey", "l_partkey")))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "array_intersect" in plan
+
+
+def test_frequent_pairs_prunes_before_pair_join(spark):
+    """q152: the a-priori semi join must appear UPSTREAM of the
+    per-basket self-join, and the basket-count 1-row aggregate rides
+    in as a broadcast."""
+    from bigdata_kafka_2_spark.operators.itemsets import frequent_pairs
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    plan = _plan(frequent_pairs(li, "l_orderkey", "l_partkey", 3))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row cross join only
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
