@@ -171,6 +171,7 @@ HEADLINE = (
     "q170_personalized_pagerank",
     "q171_weighted_jaccard_pairs",
     "q172_clustering_coefficients",
+    "q173_k_anonymity",
 )
 
 

@@ -549,3 +549,41 @@ def jenks_breaks(
     return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
         fit, out_schema
     )
+
+
+def k_anonymity_profile(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """Privacy gate for dataset release: per quasi-identifier group,
+    (quasi..., n, n_sensitive, k_ok, l_ok) — ``k_ok`` when the group
+    hides each member among ≥ k records (k-anonymity), ``l_ok`` when
+    it carries ≥ l distinct sensitive values (l-diversity: a
+    k-anonymous group whose members ALL share one sensitive value
+    still leaks it). The release rule is one scan-speed filter on
+    this profile: suppress or generalize every failing group before
+    a corpus ships.
+
+    ONE map-side-combined aggregate over the quasi columns — the
+    cheapest possible shape (the same hash-groupBy as exact dedup);
+    no window, no join. NULL quasi values form their own group
+    (SQL GROUP BY semantics), which is the conservative reading.
+    """
+    qs = list(quasi_cols)
+    return (
+        df.groupBy(*qs)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(sensitive_col)).alias("n_sensitive"),
+        )
+        .select(
+            *qs,
+            "n",
+            "n_sensitive",
+            (F.col("n") >= k).alias("k_ok"),
+            (F.col("n_sensitive") >= l).alias("l_ok"),
+        )
+    )

@@ -1901,3 +1901,37 @@ def q166_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_rank(d, "doc_id", seed=17).select(
         "doc_id", "lang", "shuffle_rank"
     )
+
+
+@register(
+    "q173_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_sensitive,
+           count(*) >= 5 AS k_ok,
+           count(DISTINCT c_acctbal) >= 2 AS l_ok
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+    description="k-anonymity / l-diversity release gate "
+    "(operators/profile.k_anonymity_profile, k=5, l=2): per "
+    "(nation, segment) quasi-identifier group, the member count and "
+    "distinct sensitive-value (balance) count with pass flags — a "
+    "k-anonymous group whose members all share one sensitive value "
+    "still leaks it, hence both checks. The pre-release privacy "
+    "profile for a curated corpus, shaped as ONE map-side-combined "
+    "hash aggregate (the exact-dedup shuffle): no window, no join, "
+    "scan-speed at any scale; failing groups route to suppression "
+    "or generalization.",
+    tags=("profile", "aggregate"),
+)
+def q173_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import (
+        k_anonymity_profile,
+    )
+
+    c = read_table(spark, sf_dir, "customer")
+    return k_anonymity_profile(
+        c, ["c_nationkey", "c_mktsegment"], "c_acctbal", k=5, l=2
+    )

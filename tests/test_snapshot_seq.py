@@ -172,3 +172,26 @@ def test_trailing_window_planted(spark):
         12: (2, 6.0),   # rows at +30s and +61s; +0s is outside (61 > 60)
         20: (1, 8.0),
     }
+
+
+def test_k_anonymity_planted(spark):
+    from bigdata_kafka_2_spark.operators.profile import (
+        k_anonymity_profile,
+    )
+
+    rows = (
+        [("us", "A", 100.0)] * 5          # k ok; l FAILS (one value)
+        + [("us", "B", float(i)) for i in range(3)]   # k fails; l ok
+        + [("de", "A", float(i % 2)) for i in range(6)]  # both ok
+    )
+    d = spark.createDataFrame(rows, ["country", "seg", "salary"])
+    got = {
+        (r["country"], r["seg"]): (r["n"], r["n_sensitive"],
+                                   r["k_ok"], r["l_ok"])
+        for r in k_anonymity_profile(
+            d, ["country", "seg"], "salary", k=5, l=2
+        ).collect()
+    }
+    assert got[("us", "A")] == (5, 1, True, False)
+    assert got[("us", "B")] == (3, 3, False, True)
+    assert got[("de", "A")] == (6, 2, True, True)
