@@ -172,6 +172,7 @@ HEADLINE = (
     "q171_weighted_jaccard_pairs",
     "q172_clustering_coefficients",
     "q173_k_anonymity",
+    "q174_k_anonymize_release",
 )
 
 

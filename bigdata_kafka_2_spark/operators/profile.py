@@ -587,3 +587,42 @@ def k_anonymity_profile(
             (F.col("n_sensitive") >= l).alias("l_ok"),
         )
     )
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+    redaction: str = "*",
+) -> DataFrame:
+    """The release transform behind :func:`k_anonymity_profile`:
+    every row whose quasi-identifier group fails k-anonymity or
+    l-diversity gets its quasi columns SUPPRESSED (replaced by the
+    redaction token, string-typed) — the simplest generalization
+    ladder, collapsing all failing rows into one residual group. All
+    other columns pass through unchanged.
+
+    One aggregate over the quasi columns plus one equi-join back on
+    the same keys (exchange reuse) — row volume never amplifies. The
+    residual '*' group is itself k-anonymous whenever the failing
+    rows number ≥ k (true in practice; verify with a second profile
+    pass before shipping, as the tests do).
+    """
+    qs = list(quasi_cols)
+    prof = k_anonymity_profile(df, qs, sensitive_col, k, l).select(
+        *qs, (F.col("k_ok") & F.col("l_ok")).alias("__pass")
+    )
+    joined = df.join(prof, on=qs, how="left")
+    out_cols = []
+    for c in df.columns:
+        if c in qs:
+            out_cols.append(
+                F.when(F.col("__pass"), F.col(c).cast("string"))
+                .otherwise(F.lit(redaction))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)

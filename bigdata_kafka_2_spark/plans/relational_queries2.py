@@ -1935,3 +1935,52 @@ def q173_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_profile(
         c, ["c_nationkey", "c_mktsegment"], "c_acctbal", k=5, l=2
     )
+
+
+@register(
+    "q174_k_anonymize_release",
+    oracle="""
+    WITH prof AS (
+      SELECT c_nationkey, c_mktsegment,
+             count(*) >= 5 AND count(DISTINCT c_acctbal) >= 2 AS ok
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    released AS (
+      SELECT c.c_custkey,
+             CASE WHEN p.ok THEN CAST(c.c_nationkey AS VARCHAR)
+                  ELSE '*' END AS c_nationkey,
+             CASE WHEN p.ok THEN c.c_mktsegment ELSE '*' END
+               AS c_mktsegment
+      FROM customer c
+        JOIN prof p USING (c_nationkey, c_mktsegment)
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(c_custkey) AS BIGINT) AS min_key
+    FROM released GROUP BY 1, 2
+    """,
+    description="k-anonymization release transform "
+    "(operators/profile.k_anonymize, k=5, l=2): rows in failing "
+    "quasi-identifier groups get their quasi columns suppressed to "
+    "'*' (the one-step generalization ladder, collapsing failures "
+    "into one residual group); the query profiles the RELEASED "
+    "table per surviving quasi group. One aggregate + one equi-join "
+    "back on the same keys (exchange reuse), no row amplification; "
+    "the residual group's own k-anonymity is asserted in tests.",
+    tags=("profile", "aggregate"),
+)
+def q174_k_anonymize_release(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import k_anonymize
+
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    rel = k_anonymize(
+        c, ["c_nationkey", "c_mktsegment"], "c_acctbal", k=5, l=2
+    )
+    return rel.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_custkey").alias("min_key"),
+    )

@@ -195,3 +195,37 @@ def test_k_anonymity_planted(spark):
     assert got[("us", "A")] == (5, 1, True, False)
     assert got[("us", "B")] == (3, 3, False, True)
     assert got[("de", "A")] == (6, 2, True, True)
+
+
+def test_k_anonymize_residual_group(spark):
+    """Failing groups collapse into '*' rows; passing groups keep
+    their values; the residual group is itself k-anonymous here."""
+    from bigdata_kafka_2_spark.operators.profile import (
+        k_anonymity_profile,
+        k_anonymize,
+    )
+
+    rows = (
+        [("us", "A", float(i % 3), i) for i in range(6)]     # pass
+        + [("us", "B", float(i), 100 + i) for i in range(3)]  # k-fail
+        + [("de", "C", 1.0, 200), ("de", "C", 1.0, 201),
+           ("de", "C", 1.0, 202), ("de", "C", 1.0, 203),
+           ("de", "C", 1.0, 204)]                             # l-fail
+    )
+    d = spark.createDataFrame(rows, ["country", "seg", "salary", "rid"])
+    rel = k_anonymize(d, ["country", "seg"], "salary", k=5, l=2)
+    got = {(r["country"], r["seg"]) for r in rel.collect()}
+    assert got == {("us", "A"), ("*", "*")}
+    n_star = rel.filter("country = '*'").count()
+    assert n_star == 8  # 3 k-fail + 5 l-fail rows
+    # the residual group itself passes a second profile pass
+    second = {
+        (r["country"], r["seg"]): (r["k_ok"], r["l_ok"])
+        for r in k_anonymity_profile(
+            rel, ["country", "seg"], "salary", k=5, l=2
+        ).collect()
+    }
+    assert second[("*", "*")] == (True, True)
+    assert second[("us", "A")] == (True, True)
+    # non-quasi columns pass through untouched
+    assert rel.filter("rid = 0").count() == 1
