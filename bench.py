@@ -173,6 +173,7 @@ HEADLINE = (
     "q172_clustering_coefficients",
     "q173_k_anonymity",
     "q174_k_anonymize_release",
+    "q175_hybrid_rrf",
 )
 
 

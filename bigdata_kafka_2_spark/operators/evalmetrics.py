@@ -148,3 +148,43 @@ def auc_exact(
         P.alias("n_pos"),
         N.alias("n_neg"),
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    id_col: str,
+    k0: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists:
+    ``rrf(d) = Σ_lists 1/(k0 + rank_list(d))`` over the UNION of the
+    lists (a doc missing from a list contributes nothing there) —
+    the standard hybrid-retrieval combiner (BM25 ⊕ dense embeddings)
+    that needs no score calibration because it consumes only RANKS.
+
+    ``rankings``: (name, DataFrame with (id_col, rank)) pairs; output:
+    (id, rank_<name>... , rrf) top-``topk`` by (rrf desc, id asc).
+    Plan: the lists are already top-m tables (constant rows), so the
+    fusion is a chain of full-outer equi-joins over bounded inputs —
+    nothing here scales with the corpus; the heavy lifting happened
+    in the per-list retrieval stages.
+    """
+    out = None
+    names = []
+    for name, r in rankings:
+        names.append(name)
+        cur = r.select(
+            F.col(id_col), F.col("rank").alias(f"rank_{name}")
+        )
+        out = cur if out is None else out.join(cur, on=id_col, how="full_outer")
+    rrf = None
+    for name in names:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k0) + F.col(f"rank_{name}")), F.lit(0.0)
+        )
+        rrf = term if rrf is None else rrf + term
+    return (
+        out.withColumn("rrf", F.round(rrf, 6))
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        .limit(topk)
+    )

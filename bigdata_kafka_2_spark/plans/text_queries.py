@@ -1991,3 +1991,105 @@ def q169_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return more_like_this(d, probe_id=7, k=10)
+
+
+@register(
+    "q175_hybrid_rrf",
+    oracle=f"""
+    WITH {_TOKS_DOC_CTE},
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks_doc GROUP BY doc_id, tok
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents) AS nd,
+             (SELECT avg(dl) FROM dl) AS avgdl
+    ),
+    qtf AS (
+      SELECT * FROM tf WHERE tok IN {_BM25_QUERY!r}
+    ),
+    dfq AS (SELECT tok, count(*) AS doc_freq FROM qtf GROUP BY tok),
+    bm AS (
+      SELECT q.doc_id,
+             CAST(sum(CAST(round(
+               ln(1.0 + (nd - doc_freq + 0.5) / (doc_freq + 0.5))
+               * q.tf * (1.2 + 1.0)
+               / (q.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))
+             , 4) AS DECIMAL(18,4))) AS DOUBLE) AS bm25
+      FROM qtf q
+      JOIN dfq USING (tok)
+      JOIN dl ON dl.doc_id = q.doc_id
+      CROSS JOIN stats
+      GROUP BY q.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, CAST(r AS INT) AS rank_lex FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+        FROM bm
+      ) WHERE r <= 50
+    ),
+    den AS (
+      SELECT doc_id, CAST(r AS INT) AS rank_dense FROM (
+        SELECT e.vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY round(CAST(list_cosine_similarity(
+                   e.embedding, p.embedding) AS DOUBLE), 4) DESC,
+                 e.vec_id ASC) AS r
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+        WHERE e.vec_id <> 0
+      ) WHERE r <= 50
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+             l.rank_lex, d.rank_dense,
+             round(coalesce(1.0 / (60 + l.rank_lex), 0.0)
+                   + coalesce(1.0 / (60 + d.rank_dense), 0.0), 6)
+               AS rrf
+      FROM lex l FULL OUTER JOIN den d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_dense, rrf
+    FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    """,
+    description="HYBRID retrieval via reciprocal-rank fusion "
+    "(operators/evalmetrics.rrf_fuse, Cormack et al. 2009): the "
+    "BM25 lexical top-50 (q46's scorer) fused with the dense "
+    "embedding cosine top-50 (q50's probe), rrf = Σ 1/(60+rank) "
+    "over the union — the modern retrieval-stack combiner, needing "
+    "no score calibration because it consumes only ranks. The two "
+    "retrieval tiers do the corpus-scale work with their own "
+    "scale-correct plans; the fusion is a full-outer join of two "
+    "constant-size top-m tables. Rank assignment happens on the "
+    "already-cut top-50 rows (a window over ≤50 rows — bounded by "
+    "the retrieval cut, not the corpus).",
+    tags=("text", "retrieval", "similarity", "flagship"),
+)
+def q175_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bigdata_kafka_2_spark.operators import similarity as SIM
+    from bigdata_kafka_2_spark.operators.evalmetrics import rrf_fuse
+
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings")
+
+    bm = TX.bm25_scores(d, list(_BM25_QUERY))
+    lex50 = bm.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(50)
+    w_lex = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex = lex50.select(
+        "doc_id", F.row_number().over(w_lex).cast("int").alias("rank")
+    )
+
+    probe = e.filter(F.col("vec_id") == 0)
+    den50 = SIM.cosine_topk(e, probe, k=50)
+    w_den = Window.orderBy(
+        F.col("similarity").desc(), F.col("vec_id").asc()
+    )
+    den = den50.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_den).cast("int").alias("rank"),
+    )
+    return rrf_fuse(
+        [("lex", lex), ("dense", den)], "doc_id", k0=60, topk=10
+    )

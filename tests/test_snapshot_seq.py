@@ -229,3 +229,25 @@ def test_k_anonymize_residual_group(spark):
     assert second[("us", "A")] == (True, True)
     # non-quasi columns pass through untouched
     assert rel.filter("rid = 0").count() == 1
+
+
+def test_rrf_fuse_planted(spark):
+    from bigdata_kafka_2_spark.operators.evalmetrics import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"]
+    )
+    den = spark.createDataFrame(
+        [(3, 1), (4, 2)], ["doc_id", "rank"]
+    )
+    out = {
+        r["doc_id"]: (r["rank_lex"], r["rank_dense"], r["rrf"])
+        for r in rrf_fuse(
+            [("lex", lex), ("dense", den)], "doc_id", k0=60, topk=10
+        ).collect()
+    }
+    # doc 3 appears in BOTH lists -> highest fused score
+    assert out[3] == (3, 1, round(1 / 63 + 1 / 61, 6))
+    assert out[1] == (1, None, round(1 / 61, 6))
+    assert out[4] == (None, 2, round(1 / 62, 6))
+    assert max(out, key=lambda k: out[k][2]) == 3
