@@ -545,7 +545,12 @@ def personalized_pagerank(
         .localCheckpoint()
     )
     srcs = edges.select("src").distinct().localCheckpoint()
-    bc = F.broadcast  # rank/node tables are |V|-row
+    # The rank/node tables are |V|-row: broadcast them into each
+    # iteration's joins only while |V| fits executor memory, exactly
+    # like :func:`pagerank` — past the threshold the joins degrade to
+    # the Pregel shuffle shape instead of OOMing every executor.
+    n_nodes = nodes.count()
+    bc = F.broadcast if n_nodes <= broadcast_nodes else (lambda df: df)
     ranks = nodes.select(
         "node", "__e", F.round(F.col("__e"), _RANK_SCALE).alias("rank")
     )
