@@ -597,18 +597,29 @@ def k_anonymize(
     l: int = 2,
     redaction: str = "*",
 ) -> DataFrame:
-    """The release transform behind :func:`k_anonymity_profile`:
+    """The suppression transform behind :func:`k_anonymity_profile`:
     every row whose quasi-identifier group fails k-anonymity or
     l-diversity gets its quasi columns SUPPRESSED (replaced by the
     redaction token, string-typed) — the simplest generalization
     ladder, collapsing all failing rows into one residual group. All
     other columns pass through unchanged.
 
+    What this does NOT do — the caller owns both before shipping:
+
+    - **Direct identifiers are not touched.** Only ``quasi_cols``
+      are suppressed; a primary key, name, or email column passes
+      through verbatim and single-handedly re-identifies every row.
+      Drop direct identifiers (and decide whether the sensitive
+      column itself may ship) BEFORE calling this.
+    - **The residual group is not re-checked.** The ``redaction``
+      group is k-anonymous whenever the failing rows number ≥ k and
+      l-diverse whenever they span ≥ l sensitive values — usually
+      true, never guaranteed (e.g. exactly one failing row). Run
+      :func:`k_anonymity_profile` again on the output and suppress
+      or drop a still-failing residual, as the tests do.
+
     One aggregate over the quasi columns plus one equi-join back on
-    the same keys (exchange reuse) — row volume never amplifies. The
-    residual '*' group is itself k-anonymous whenever the failing
-    rows number ≥ k (true in practice; verify with a second profile
-    pass before shipping, as the tests do).
+    the same keys (exchange reuse) — row volume never amplifies.
     """
     qs = list(quasi_cols)
     prof = k_anonymity_profile(df, qs, sensitive_col, k, l).select(

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: Default grid: eps ≈ e/width ≈ 0.0014·N error at width 2048, with
 #: failure probability ≈ e^-depth at depth 4.
@@ -250,9 +251,16 @@ def kmv_candidates(
         if state is not None:
             yield state
 
-    return hashed.mapInPandas(fold, "g string, h long").toDF(
-        group_col, "h"
+    # the g field carries the caller's group type verbatim — a
+    # hard-coded string type would hit an Arrow type mismatch the
+    # first time someone groups by an int key
+    out_schema = T.StructType(
+        [
+            T.StructField("g", df.schema[group_col].dataType),
+            T.StructField("h", T.LongType()),
+        ]
     )
+    return hashed.mapInPandas(fold, out_schema).toDF(group_col, "h")
 
 
 def kmv_merge(*candidate_sets: DataFrame) -> DataFrame:

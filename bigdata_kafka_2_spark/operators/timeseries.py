@@ -621,4 +621,13 @@ def rolling_active_users(
     dau = ud.groupBy(F.col("__d").alias("day")).agg(
         F.count_distinct("__u").alias("dau")
     )
-    return dau.join(wau, on="day", how="inner")
+    # Join FROM the wau side: the covered-day set includes calendar
+    # days with zero DAU but a nonzero rolling count (an activity gap
+    # shorter than the window) — an inner join would silently drop
+    # them. Days with wau = 0 (gaps longer than the window) are
+    # uncovered and absent by construction.
+    return wau.join(dau, on="day", how="left").select(
+        "day",
+        F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+        "wau",
+    )

@@ -511,7 +511,11 @@ def q165_last_touch_attribution(
       SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS d
       FROM events
     ),
-    days AS (SELECT DISTINCT d FROM ud),
+    days AS (
+      SELECT unnest(generate_series((SELECT min(d) FROM ud),
+                                    (SELECT max(d) FROM ud),
+                                    INTERVAL 1 DAY)) AS d
+    ),
     wau AS (
       SELECT d2.d AS day, count(DISTINCT ud.u) AS wau
       FROM days d2 JOIN ud
@@ -519,10 +523,10 @@ def q165_last_touch_attribution(
       GROUP BY 1
     ),
     dau AS (SELECT d AS day, count(DISTINCT u) AS dau FROM ud GROUP BY 1)
-    SELECT strftime(dau.day, '%Y-%m-%d') AS day,
-           CAST(dau.dau AS BIGINT) AS dau,
+    SELECT strftime(wau.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau,
            CAST(wau.wau AS BIGINT) AS wau
-    FROM dau JOIN wau USING (day)
+    FROM wau LEFT JOIN dau USING (day)
     """,
     description="Exact rolling active users "
     "(operators/timeseries.rolling_active_users): per day, DAU and "

@@ -2168,3 +2168,55 @@ def test_lsh_multiprobe_lifts_recall_over_exact_bucket(spark):
     single, multi = got(False), got(True)
     assert len(multi & exact) >= len(single & exact)
     assert len(multi & exact) >= 3
+
+
+def test_rolling_active_users_emits_gap_days(spark):
+    """A calendar day with zero DAU but nonzero rolling WAU (an
+    activity gap shorter than the window) must appear with dau=0;
+    days past the window horizon of the last activity stay absent."""
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        rolling_active_users,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (2, "2024-01-01 11:00:00"),
+            (1, "2024-01-05 09:00:00"),  # 3-day gap: Jan 2-4 covered
+            (3, "2024-01-20 09:00:00"),  # >7-day gap: Jan 12-19 absent
+        ],
+        "u long, ts string",
+    ).select("u", F.col("ts").cast("timestamp").alias("ts"))
+    out = {
+        r.day.strftime("%Y-%m-%d"): (r.dau, r.wau)
+        for r in rolling_active_users(events, "u", "ts", 7).collect()
+    }
+    assert out["2024-01-01"] == (2, 2)
+    assert out["2024-01-02"] == (0, 2)  # gap day: dau 0, wau carries
+    assert out["2024-01-04"] == (0, 2)
+    assert out["2024-01-05"] == (1, 2)  # user 1 on both jan 1 and 5
+    assert out["2024-01-07"] == (0, 2)
+    assert out["2024-01-08"] == (0, 1)  # jan 1 actives aged out
+    assert out["2024-01-11"] == (0, 1)  # last covered by jan 5
+    assert "2024-01-12" not in out      # wau 0: uncovered, absent
+    assert "2024-01-19" not in out
+    assert out["2024-01-20"] == (1, 1)  # clipped at max observed day
+    assert max(out) == "2024-01-20"
+
+
+def test_kmv_candidates_non_string_group_key(spark):
+    """The mapInPandas output schema must carry the caller's group
+    type (an int key used to hit an Arrow type mismatch against the
+    hard-coded 'g string')."""
+    from bigdata_kafka_2_spark.operators.sketch import (
+        kmv_candidates,
+        kmv_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, f"v{i}") for i in range(300)], "grp int, val string"
+    )
+    cand = kmv_candidates(df, "val", "grp", k=32)
+    assert dict(cand.dtypes)["grp"] == "int"
+    est = {r.grp: r for r in kmv_estimate(cand, "grp", k=32).collect()}
+    assert set(est) == {0, 1, 2}
