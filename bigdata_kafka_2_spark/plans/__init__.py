@@ -288,6 +288,35 @@ def register(
 #: strictly the more general shape — independent groupings neither
 #: cube nor rollup can express, with grouping() indicators; cube
 #: stays hash-checked in the mirror).
+#: Round-9 rotation (four swaps per the r8 verdict's #2/#5/#8: the
+#: graph-analytics family — six mirror-green queries — had NEVER
+#: held a graded slot, nor had retrieval-eval or privacy release;
+#: every outgoing query stays hash-checked in the EXTENDED oracle
+#: mirror, and every outgoing FAMILY keeps a graded representative):
+#: q29_asof_join → q153_triangle_counts (degree-ordered orientation
+#: + row-local array_intersect — the wedge-shuffle-free triangle
+#: plan; as-of machinery stays graded inside q148's point-in-time
+#: join, the strict superset union+window construction);
+#: q93_scd2_history → q144_pagerank (iterative broadcast-guarded
+#: joins + dangling mass + integer-unit determinism — a plan shape
+#: no other graded row exercises; the SCD2 validity-interval window
+#: construction stays graded inside q148, which point-in-time-joins
+#: the same SCD2 history, and the CDC family keeps q97/q132/q148/
+#: q150 graded);
+#: q45_tfidf_top_terms → q121_ndcg_bm25 (ranking evaluation — what a
+#: curation team tunes retrieval against — gets its first graded
+#: slot: exact per-query nDCG@10 over BM25 runs with DECIMAL rank
+#: arithmetic; the TF-IDF idf/tf plumbing stays graded inside q46's
+#: BM25 scores, which computes the same document-frequency and
+#: term-frequency stages with the BM25 saturation on top);
+#: q64_streaming_session_window → q173_k_anonymity (the privacy
+#: release gate — k-anonymity member counts + l-diversity distinct
+#: sensitive counts per quasi group — is what a privacy reviewer
+#: actually runs before a corpus ships; the streaming family keeps
+#: FIVE graded slots — q101 stream-stream join, q128 stream-static
+#: join, q65 watermark dedup, q132 foreachBatch upsert, q142 custom
+#: source — and q64's session_window stays hash-checked in the
+#: mirror).
 CURATED: tuple[str, ...] = (
     # relational / joins / windows / grouping
     "q01_pricing_summary",
@@ -307,7 +336,7 @@ CURATED: tuple[str, ...] = (
     "q85_incremental_dedup_survivors",
     "q26_correlated_subquery",
     "q28_tpch_q3_shipping_priority",
-    "q29_asof_join",
+    "q153_triangle_counts",
     "q58_salted_join",
     "q82_rich_inactive_customers",
     "q98_correlation_stats",
@@ -315,7 +344,7 @@ CURATED: tuple[str, ...] = (
     "q97_cdc_apply_changes",
     "q91_split_profile",
     "q43_simhash_near_pairs",
-    "q93_scd2_history",
+    "q144_pagerank",
     "q94_analytic_window_family",
     "q117_dsir_logweights",
     # dedup (exact, MinHash-LSH, end-to-end) + composed curation
@@ -327,7 +356,7 @@ CURATED: tuple[str, ...] = (
     "q49_quality_filter",
     "q34_language_id",
     "q81_curation_v2",
-    "q45_tfidf_top_terms",
+    "q121_ndcg_bm25",
     "q38_char_entropy",
     "q39_cms_top_terms",
     "q67_winnow_overlap_pairs",
@@ -342,7 +371,7 @@ CURATED: tuple[str, ...] = (
     # streaming / event-time windows
     "q101_stream_stream_join",
     "q128_stream_static_join",
-    "q64_streaming_session_window",
+    "q173_k_anonymity",
     "q65_streaming_dedup",
     # multimodal
     "q70_multimodal_byte_stats",
