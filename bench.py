@@ -174,6 +174,7 @@ HEADLINE = (
     "q173_k_anonymity",
     "q174_k_anonymize_release",
     "q175_hybrid_rrf",
+    "q176_t_closeness",
 )
 
 

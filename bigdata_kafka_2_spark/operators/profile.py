@@ -637,3 +637,96 @@ def k_anonymize(
         else:
             out_cols.append(F.col(c))
     return joined.select(*out_cols)
+
+
+def t_closeness_profile(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness gate (Li, Li & Venkatasubramanian, ICDE 2007) for a
+    CATEGORICAL sensitive attribute: per quasi-identifier group,
+    ``(quasi..., n, tvd, t_ok)`` where ``tvd`` is the total-variation
+    distance between the group's sensitive-value distribution and the
+    table-wide one — with the equal-ground-distance metric, the
+    paper's Earth Mover's Distance reduces exactly to
+    ``TVD = ½·Σ_v |p_g(v) − p(v)|``. The check k-anonymity and
+    l-diversity both miss: a group can hide members among k records
+    spanning l sensitive values and STILL broadcast that its members
+    skew overwhelmingly toward one value.
+
+    Exact arithmetic for hash parity: with integer counts c_gv (cell),
+    n_g (group), C_v (value), N (table),
+
+        tvd = [ Σ_v |c_gv·N − C_v·n_g| + n_g·(N − Σ_{v∈g} C_v) ]
+              / (2·n_g·N)
+
+    — the second term is the mass of values ABSENT from the group,
+    folded in closed form (no dense group×value cross join). Products
+    are DECIMAL(18,0)×DECIMAL(18,0) (exact to ~1e36); only the final
+    division is floating point, written identically on both engines.
+    ``t_ok`` compares the ROUNDED tvd so the gate never diverges on a
+    boundary ulp.
+
+    Plan shape: ONE hash aggregate builds the contingency cells (the
+    k-anonymity shuffle); group and value totals are WINDOW sums over
+    the cells (partitioned by quasi keys / by value — never a single
+    partition); N rides in as a broadcast 1-row aggregate. Nothing
+    scales past the contingency table itself. NULL quasi values and a
+    NULL sensitive level each form their own group, like
+    :func:`k_anonymity_profile`.
+    """
+    from pyspark.sql import Window
+
+    qs = list(quasi_cols)
+    cells = df.groupBy(
+        *qs, F.col(sensitive_col).alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    ntot = cells.agg(F.sum("__c").alias("__n"))
+    ext = (
+        cells.withColumn(
+            "__ng", F.sum("__c").over(Window.partitionBy(*qs))
+        )
+        .withColumn("__cv", F.sum("__c").over(Window.partitionBy("__v")))
+        .crossJoin(F.broadcast(ntot))
+    )
+
+    def dec(c):
+        return F.col(c).cast("decimal(18,0)")
+
+    grp = (
+        ext.select(
+            *qs,
+            "__ng",
+            "__n",
+            F.abs(dec("__c") * dec("__n") - dec("__cv") * dec("__ng")).alias(
+                "__d"
+            ),
+            "__cv",
+        )
+        .groupBy(*qs)
+        .agg(
+            F.max("__ng").alias("__ng"),
+            F.max("__n").alias("__n"),
+            F.sum("__d").alias("__s1"),
+            F.sum("__cv").alias("__scv"),
+        )
+    )
+    tvd = F.round(
+        (
+            F.col("__s1")
+            + dec("__ng") * (dec("__n") - dec("__scv"))
+        ).cast("double")
+        / (
+            (F.lit(2.0) * F.col("__ng").cast("double"))
+            * F.col("__n").cast("double")
+        ),
+        6,
+    )
+    return grp.select(
+        *qs,
+        F.col("__ng").cast("long").alias("n"),
+        tvd.alias("tvd"),
+        (tvd <= F.lit(float(t))).alias("t_ok"),
+    )

@@ -1984,3 +1984,60 @@ def q174_k_anonymize_release(
         F.count(F.lit(1)).alias("n"),
         F.min("c_custkey").alias("min_key"),
     )
+
+
+@register(
+    "q176_t_closeness",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey AS q, c_mktsegment AS v, count(*) AS c
+      FROM customer GROUP BY 1, 2
+    ),
+    ext AS (
+      SELECT q, v, c,
+             sum(c) OVER (PARTITION BY q) AS ng,
+             sum(c) OVER (PARTITION BY v) AS cv,
+             sum(c) OVER () AS n
+      FROM cells
+    ),
+    grp AS (
+      SELECT q,
+             max(ng) AS ng, max(n) AS n,
+             sum(abs(CAST(c AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0))
+                     - CAST(cv AS DECIMAL(18,0))
+                       * CAST(ng AS DECIMAL(18,0)))) AS s1,
+             sum(cv) AS scv
+      FROM ext GROUP BY q
+    )
+    SELECT q AS c_nationkey,
+           CAST(ng AS BIGINT) AS n,
+           round(CAST(s1 + CAST(ng AS DECIMAL(18,0))
+                           * CAST(n - scv AS DECIMAL(18,0)) AS DOUBLE)
+                 / ((2.0 * CAST(ng AS DOUBLE)) * CAST(n AS DOUBLE)),
+                 6) AS tvd,
+           round(CAST(s1 + CAST(ng AS DECIMAL(18,0))
+                           * CAST(n - scv AS DECIMAL(18,0)) AS DOUBLE)
+                 / ((2.0 * CAST(ng AS DOUBLE)) * CAST(n AS DOUBLE)),
+                 6) <= 0.05 AS t_ok
+    FROM grp
+    """,
+    description="t-closeness release gate "
+    "(operators/profile.t_closeness_profile, t=0.05): per nation "
+    "group, the total-variation distance between the group's market-"
+    "segment distribution and the table-wide one — the disclosure "
+    "k-anonymity and l-diversity (q173) both miss: a group can span "
+    "l sensitive values and still broadcast a heavy skew toward one. "
+    "Equal-ground-distance EMD = 1/2 L1, computed in exact integer "
+    "units |c_gv*N - C_v*n_g| with the absent-value mass folded in "
+    "closed form; same contingency-aggregate shape as q126's "
+    "chi-square (one hash aggregate + window sums over the cells, "
+    "never a group-by-value cross join).",
+    tags=("profile", "aggregate"),
+)
+def q176_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import (
+        t_closeness_profile,
+    )
+
+    c = read_table(spark, sf_dir, "customer")
+    return t_closeness_profile(c, ["c_nationkey"], "c_mktsegment", t=0.05)

@@ -2220,3 +2220,40 @@ def test_kmv_candidates_non_string_group_key(spark):
     assert dict(cand.dtypes)["grp"] == "int"
     est = {r.grp: r for r in kmv_estimate(cand, "grp", k=32).collect()}
     assert set(est) == {0, 1, 2}
+
+
+def test_t_closeness_profile_planted(spark):
+    """Hand-computed TVD: groups A={x:2,y:2}, B={x:4}; global
+    p(x)=0.75, p(y)=0.25 -> both groups sit at TVD 0.25 (B's absent-y
+    mass folds in via the closed form). Gate flips across t=0.25."""
+    from bigdata_kafka_2_spark.operators.profile import (
+        t_closeness_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("A", "x")] * 2 + [("A", "y")] * 2 + [("B", "x")] * 4,
+        "g string, v string",
+    )
+    out = {
+        r.g: r for r in t_closeness_profile(df, ["g"], "v", t=0.2).collect()
+    }
+    assert out["A"].n == 4 and out["B"].n == 4
+    assert out["A"].tvd == 0.25 and out["B"].tvd == 0.25
+    assert not out["A"].t_ok and not out["B"].t_ok
+    ok = {
+        r.g: r.t_ok
+        for r in t_closeness_profile(df, ["g"], "v", t=0.25).collect()
+    }
+    assert ok == {"A": True, "B": True}  # boundary: rounded tvd <= t
+
+
+def test_t_closeness_uniform_group_is_zero(spark):
+    """A group whose distribution equals the global one has TVD 0."""
+    from bigdata_kafka_2_spark.operators.profile import (
+        t_closeness_profile,
+    )
+
+    rows = [("A", "x")] * 3 + [("A", "y")] + [("B", "x")] * 3 + [("B", "y")]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r.g: r.tvd for r in t_closeness_profile(df, ["g"], "v").collect()}
+    assert out == {"A": 0.0, "B": 0.0}
