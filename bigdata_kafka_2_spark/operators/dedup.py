@@ -17,6 +17,36 @@ Five strategies, all deterministic and Spark-first:
 Everything uses built-in expressions (``xxhash64``, ``transform``,
 ``slice``, bit ops) — no Python UDFs, fully codegen'd, and every hash is
 seed-stable so results are reproducible across runs and partitionings.
+
+Production ``max_doc_freq`` guidance (``ngram_jaccard_pairs``,
+``incremental_near_dedup``, ``weighted_jaccard_pairs``): a shingle
+appearing in d documents fans out to d·(d−1)/2 candidate pairs through
+the shingle equi-join, so ONE boilerplate shingle (a license header, a
+scraped nav bar) in 1M docs is 5·10¹¹ join rows — the cap is what keeps
+the candidate volume ≤ Σ_s min(df_s, cap)² instead of Σ df_s². The
+default ``None`` exists for oracle/exactness parity at test scale and
+is NOT the 100 TB configuration:
+
+===================  ==============  =============================
+corpus size          max_doc_freq    rationale
+===================  ==============  =============================
+≤ 100k docs (tests)  None            exact = capped on clean data
+                                     (no shingle is boilerplate at
+                                     this scale; measured equal on
+                                     the driver corpus)
+~1M docs             128             caps any shingle's fan-out at
+                                     ~8k pairs; df>128 shingles are
+                                     template/boilerplate text that
+                                     rarer shingles already cover
+≥ 100M docs          256             pair volume stays linear in
+                                     corpus size; r8 10× probes
+                                     showed uncapped hot shingles
+                                     are the one super-linear term
+===================  ==============  =============================
+
+A pair is only LOST if every shingle it shares is above the cap —
+i.e. two documents whose entire overlap is boilerplate, which is the
+pair a dedup pass should not be merging anyway.
 """
 
 from __future__ import annotations

@@ -98,3 +98,51 @@ def test_ngram_jaccard_max_doc_freq_cap_binds(spark):
     capped = DD.ngram_jaccard_pairs(docs, threshold=0.01, max_doc_freq=5)
     assert uncapped.count() == 45  # all pairs share the hot shingles
     assert capped.count() == 0  # hot shingles dropped before the self-join
+
+
+def test_max_doc_freq_cap_equal_on_clean_data(spark):
+    """On a corpus with NO boilerplate (every shingle df <= cap) the
+    capped path must return exactly the uncapped result — the cap only
+    ever removes pairs whose entire overlap is above-cap boilerplate.
+    Asserted for all three operators carrying the cap (module
+    docstring's production-guidance table)."""
+    docs = read_table(spark, SF_DIR, "documents")
+    uncapped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.ngram_jaccard_pairs(
+            docs, threshold=0.3, max_doc_freq=1000
+        ).collect()
+    }
+    assert capped == uncapped
+
+    w_un = {
+        (r.id_a, r.id_b, r.wjaccard)
+        for r in DD.weighted_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    w_cap = {
+        (r.id_a, r.id_b, r.wjaccard)
+        for r in DD.weighted_jaccard_pairs(
+            docs, threshold=0.3, max_doc_freq=1000
+        ).collect()
+    }
+    assert w_cap == w_un
+
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    i_un = {
+        r.doc_id
+        for r in DD.incremental_near_dedup(
+            half, delta, k=3, threshold=0.3
+        ).collect()
+    }
+    i_cap = {
+        r.doc_id
+        for r in DD.incremental_near_dedup(
+            half, delta, k=3, threshold=0.3, max_doc_freq=1000
+        ).collect()
+    }
+    assert i_cap == i_un
