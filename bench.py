@@ -175,6 +175,7 @@ HEADLINE = (
     "q174_k_anonymize_release",
     "q175_hybrid_rrf",
     "q176_t_closeness",
+    "q177_naive_bayes_lang",
 )
 
 

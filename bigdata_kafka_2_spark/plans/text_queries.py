@@ -2093,3 +2093,75 @@ def q175_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(
         [("lex", lex), ("dense", den)], "doc_id", k0=60, topk=10
     )
+
+
+@register(
+    "q177_naive_bayes_lang",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, y, tok, count(*) AS tf FROM (
+        SELECT doc_id, lang AS y,
+               unnest(string_split_regex({_NORM_SQL}, ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> '' GROUP BY 1, 2, 3
+    ),
+    ctc AS (SELECT y AS c, tok, sum(tf) AS ctc FROM toks GROUP BY 1, 2),
+    cstats AS (SELECT c, sum(ctc) AS tc FROM ctc GROUP BY c),
+    nc AS (SELECT lang AS c, count(*) AS ncnt FROM documents GROUP BY 1),
+    consts AS (
+      SELECT (SELECT count(DISTINCT tok) FROM toks) AS v,
+             (SELECT count(*) FROM documents) AS n
+    ),
+    cls AS (
+      SELECT nc.c,
+             CAST(round(ln(CAST(nc.ncnt AS DOUBLE) / n), 4)
+                  AS DECIMAL(28,4)) AS lprior,
+             CAST(round(ln(CAST(COALESCE(cs.tc, 0) + v AS DOUBLE)), 4)
+                  AS DECIMAL(28,4)) AS ldenom
+      FROM nc LEFT JOIN cstats cs ON nc.c = cs.c, consts
+    ),
+    contrib AS (
+      SELECT t.doc_id, ctc.c,
+             sum(t.tf * CAST(round(ln(ctc.ctc + 1.0), 4)
+                             AS DECIMAL(28,4))) AS s
+      FROM toks t JOIN ctc ON t.tok = ctc.tok
+      GROUP BY 1, 2
+    ),
+    docs AS (
+      SELECT doc_id, y, CAST(sum(tf) AS BIGINT) AS dl
+      FROM toks GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.doc_id, d.y AS label, cls.c AS cand,
+             cls.lprior - d.dl * cls.ldenom
+               + COALESCE(ct.s, CAST(0 AS DECIMAL(28,4))) AS score
+      FROM docs d CROSS JOIN cls
+        LEFT JOIN contrib ct ON ct.doc_id = d.doc_id AND ct.c = cls.c
+    )
+    SELECT doc_id, label, cand AS pred, CAST(score AS DOUBLE) AS score
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rk
+      FROM scored
+    ) WHERE rk = 1
+    """,
+    description="Multinomial Naive Bayes language classification "
+    "(operators/classify.naive_bayes_predictions), fit and applied on "
+    "the documents corpus with lang as the label (resubstitution — "
+    "the label-noise audit shape). Add-one smoothing over the corpus "
+    "vocabulary decomposes so ln(0+1)=0 terms vanish: the scoring "
+    "join touches only OBSERVED (class, token) counts, never a dense "
+    "vocab-x-class expansion. Fit AND inference are pure relational "
+    "aggregates — one token explode feeding class-token counts on "
+    "the same shuffle key, broadcast class constants, one window "
+    "argmax per doc; per-token log factors rounded to 4 dp and "
+    "summed as exact DECIMALs (the q117 order-independence rule).",
+    tags=("text", "classify", "window"),
+)
+def q177_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.classify import (
+        naive_bayes_predictions,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return naive_bayes_predictions(d, "lang")

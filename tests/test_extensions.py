@@ -2257,3 +2257,27 @@ def test_t_closeness_uniform_group_is_zero(spark):
     df = spark.createDataFrame(rows, "g string, v string")
     out = {r.g: r.tvd for r in t_closeness_profile(df, ["g"], "v").collect()}
     assert out == {"A": 0.0, "B": 0.0}
+
+
+def test_naive_bayes_planted_separable(spark):
+    """Two classes with disjoint vocabularies: resubstitution must be
+    perfect, and a mixed-vocabulary doc goes to the class owning the
+    majority of its tokens."""
+    from bigdata_kafka_2_spark.operators.classify import (
+        confusion_matrix,
+        naive_bayes_predictions,
+    )
+
+    rows = [(i, "apple banana cherry fruit sweet", "fruit") for i in range(5)]
+    rows += [(i + 5, "bolt wrench gear metal torque", "tool") for i in range(5)]
+    rows += [(10, "apple banana bolt fruit sweet", "fruit")]  # 4:1 fruity
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pred = naive_bayes_predictions(df, "lang")
+    got = {r.doc_id: r.pred for r in pred.collect()}
+    assert all(got[i] == "fruit" for i in range(5))
+    assert all(got[i + 5] == "tool" for i in range(5))
+    assert got[10] == "fruit"
+    cm = {
+        (r.label, r.pred): r.n for r in confusion_matrix(pred).collect()
+    }
+    assert cm == {("fruit", "fruit"): 6, ("tool", "tool"): 5}
