@@ -176,6 +176,7 @@ HEADLINE = (
     "q175_hybrid_rrf",
     "q176_t_closeness",
     "q177_naive_bayes_lang",
+    "q178_rank_eval",
 )
 
 

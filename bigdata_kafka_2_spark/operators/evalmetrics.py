@@ -188,3 +188,61 @@ def rrf_fuse(
         .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
         .limit(topk)
     )
+
+
+def rank_eval_at_k(
+    judged: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query set-based retrieval metrics over a judged ranking:
+    ``(query, n_rel, hits_at_k, precision_k, recall_k,
+    first_rel_rank, rr_at_k)`` — the precision/recall/MRR companion
+    to :func:`ndcg_at_k` (same judged-list input contract), covering
+    the binary-relevance side of a retrieval eval: ``rel > 0`` is
+    relevant, ranking is (score desc, id asc — deterministic ties).
+    ``rr_at_k`` is the reciprocal rank of the first relevant result,
+    0.0 when none lands in the top k (mean it across queries for
+    MRR); ``recall_k`` is NULL for a query with no relevant
+    candidate (0/0, kept distinguishable from a genuine 0).
+
+    All ratios are small-integer divisions rounded to 6 dp — the
+    identical IEEE operation in Spark and ANSI SQL, no summation
+    order anywhere. Plan shape: ONE row_number window over the
+    query-keyed partitioning, one aggregate; window state is the
+    per-query candidate list, bounded by the retrieval cut.
+    """
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    rel = F.col(rel_col) > 0
+    ranked = judged.withColumn("__r", F.row_number().over(w))
+    agg = ranked.groupBy(query_col).agg(
+        F.sum(rel.cast("long")).alias("n_rel"),
+        F.sum((rel & (F.col("__r") <= k)).cast("long")).alias("hits_at_k"),
+        F.min(F.when(rel, F.col("__r"))).alias("__frr"),
+    )
+    return agg.select(
+        query_col,
+        "n_rel",
+        "hits_at_k",
+        F.round(F.col("hits_at_k") / F.lit(float(k)), 6).alias(
+            "precision_k"
+        ),
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(
+                F.col("hits_at_k") * F.lit(1.0) / F.col("n_rel"), 6
+            ),
+        ).alias("recall_k"),
+        F.col("__frr").cast("long").alias("first_rel_rank"),
+        F.when(
+            F.col("__frr") <= k,
+            F.round(F.lit(1.0) / F.col("__frr"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rr_at_k"),
+    )

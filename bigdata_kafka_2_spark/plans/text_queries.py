@@ -1203,15 +1203,11 @@ _NDCG_QUERIES = {
 }
 
 
-def _ndcg_oracle(sf_dir: str | None = None) -> str:
-    """DuckDB transcription of q121: multi-term BM25 judged lists →
-    nDCG@10 windows, with the SAME Python-computed log2 discount
-    literals the Spark operator embeds (no engine libm anywhere) and
-    the q117 integer half-away-from-zero rounding for the final
-    ratio."""
-    from bigdata_kafka_2_spark.operators.evalmetrics import log2_discounts
-
-    disc = "[" + ", ".join(repr(d) for d in log2_discounts(10)) + "]"
+def _judged_prefix_sql() -> str:
+    """The shared CTE chain both retrieval-eval oracles (q121 nDCG,
+    q178 precision/recall/MRR) start from: tokenized docs -> tf/dl ->
+    BM25 per-term contributions -> (query, doc, score) -> judged
+    lists with graded relevance from the BM25 rank."""
     all_terms = tuple(t for ts in _NDCG_QUERIES.values() for t in ts)
     qvals = ", ".join(
         f"('{qid}', '{t}')" for qid, ts in _NDCG_QUERIES.items() for t in ts
@@ -1263,7 +1259,20 @@ def _ndcg_oracle(sf_dir: str | None = None) -> str:
         ) AS bm25_rank
         FROM scored
       )
-    ),
+    )
+    """
+
+
+def _ndcg_oracle(sf_dir: str | None = None) -> str:
+    """DuckDB transcription of q121: multi-term BM25 judged lists →
+    nDCG@10 windows, with the SAME Python-computed log2 discount
+    literals the Spark operator embeds (no engine libm anywhere) and
+    the q117 integer half-away-from-zero rounding for the final
+    ratio."""
+    from bigdata_kafka_2_spark.operators.evalmetrics import log2_discounts
+
+    disc = "[" + ", ".join(repr(d) for d in log2_discounts(10)) + "]"
+    return _judged_prefix_sql() + f""",
     ranked AS (
       SELECT query_id,
              row_number() OVER (
@@ -1327,6 +1336,21 @@ def _ndcg_oracle(sf_dir: str | None = None) -> str:
 def q121_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_kafka_2_spark.operators.evalmetrics import ndcg_at_k
 
+    return ndcg_at_k(
+        _bm25_judged_lists(spark, sf_dir),
+        query_col="query_id",
+        id_col="doc_id",
+        score_col="score",
+        rel_col="rel",
+        k=10,
+    )
+
+
+def _bm25_judged_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared judged-list construction for the retrieval-eval
+    queries (q121 nDCG, q178 precision/recall/MRR): tf-only system
+    scores with graded relevance transferred from the full BM25
+    rank (top-3 -> 3, top-10 -> 2, top-30 -> 1)."""
     d = read_table(spark, sf_dir, "documents")
     all_terms = [t for ts in _NDCG_QUERIES.values() for t in ts]
     ts = TX.bm25_term_scores(d, all_terms)
@@ -1349,7 +1373,7 @@ def q121_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), F.col("doc_id").asc()
     )
-    judged = scored.withColumn(
+    return scored.withColumn(
         "__br", F.row_number().over(w)
     ).select(
         "query_id",
@@ -1361,8 +1385,60 @@ def q121_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("rel"),
     )
-    return ndcg_at_k(
-        judged,
+
+
+def _rank_eval_oracle(sf_dir: str | None = None) -> str:
+    """DuckDB transcription of q178: the shared judged lists, one
+    rank window, per-query precision/recall@10 + reciprocal rank —
+    every ratio a small-integer division rounded to 6 dp."""
+    return _judged_prefix_sql() + """,
+    ranked AS (
+      SELECT query_id, rel,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+             ) AS r
+      FROM judged
+    ),
+    agg AS (
+      SELECT query_id,
+             CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel,
+             CAST(sum(CASE WHEN rel > 0 AND r <= 10 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits_at_k,
+             min(CASE WHEN rel > 0 THEN r END) AS frr
+      FROM ranked GROUP BY query_id
+    )
+    SELECT query_id, n_rel, hits_at_k,
+           round(hits_at_k / 10.0, 6) AS precision_k,
+           CASE WHEN n_rel > 0
+                THEN round(hits_at_k * 1.0 / n_rel, 6) END AS recall_k,
+           CAST(frr AS BIGINT) AS first_rel_rank,
+           CASE WHEN frr <= 10 THEN round(1.0 / frr, 6)
+                ELSE 0.0 END AS rr_at_k
+    FROM agg
+    """
+
+
+@register(
+    "q178_rank_eval",
+    oracle=_rank_eval_oracle,
+    description="Set-based retrieval evaluation "
+    "(operators/evalmetrics.rank_eval_at_k): per curation query, "
+    "precision@10, recall@10, hit count, and the reciprocal rank of "
+    "the first relevant result (mean across queries = MRR) over the "
+    "SAME tf-vs-BM25 judged lists as q121's nDCG — the binary-"
+    "relevance half of a retrieval eval (nDCG answers 'how good is "
+    "the whole ordering', RR/precision answer 'how fast do users "
+    "hit something relevant'). Every ratio is a small-integer "
+    "division rounded to 6 dp — identical IEEE in both engines, no "
+    "summation order anywhere; ONE rank window per query key.",
+    tags=("text", "window", "aggregate"),
+)
+def q178_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.evalmetrics import rank_eval_at_k
+
+    return rank_eval_at_k(
+        _bm25_judged_lists(spark, sf_dir),
         query_col="query_id",
         id_col="doc_id",
         score_col="score",

@@ -2281,3 +2281,36 @@ def test_naive_bayes_planted_separable(spark):
         (r.label, r.pred): r.n for r in confusion_matrix(pred).collect()
     }
     assert cm == {("fruit", "fruit"): 6, ("tool", "tool"): 5}
+
+
+def test_rank_eval_at_k_planted(spark):
+    """Hand-checked precision/recall/RR: q1 has rel docs at ranks 2
+    and 4 of 5 (k=3): hits 1, prec 1/3, recall 1/2, rr 1/2; q2 has
+    its only rel doc at rank 4 > k: rr 0.0; q3 has none: recall NULL,
+    first_rel_rank NULL."""
+    from bigdata_kafka_2_spark.operators.evalmetrics import rank_eval_at_k
+
+    rows = [
+        # q1: scores rank docs 10,20,30,40,50; rel on 20 (rank 2), 40 (rank 4)
+        ("q1", 10, 5.0, 0), ("q1", 20, 4.0, 1), ("q1", 30, 3.0, 0),
+        ("q1", 40, 2.0, 2), ("q1", 50, 1.0, 0),
+        # q2: rel doc at rank 4
+        ("q2", 1, 9.0, 0), ("q2", 2, 8.0, 0), ("q2", 3, 7.0, 0),
+        ("q2", 4, 6.0, 1),
+        # q3: no relevant
+        ("q3", 1, 1.0, 0), ("q3", 2, 0.5, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id string, doc_id long, score double, rel int"
+    )
+    out = {r.query_id: r for r in rank_eval_at_k(df, k=3).collect()}
+    q1 = out["q1"]
+    assert (q1.n_rel, q1.hits_at_k, q1.first_rel_rank) == (2, 1, 2)
+    assert (q1.precision_k, q1.recall_k, q1.rr_at_k) == (0.333333, 0.5, 0.5)
+    q2 = out["q2"]
+    assert (q2.n_rel, q2.hits_at_k, q2.first_rel_rank) == (1, 0, 4)
+    assert (q2.precision_k, q2.rr_at_k) == (0.0, 0.0)
+    q3 = out["q3"]
+    assert (q3.n_rel, q3.recall_k, q3.first_rel_rank, q3.rr_at_k) == (
+        0, None, None, 0.0,
+    )
