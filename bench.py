@@ -177,6 +177,7 @@ HEADLINE = (
     "q176_t_closeness",
     "q177_naive_bayes_lang",
     "q178_rank_eval",
+    "q179_zipf_fit",
 )
 
 

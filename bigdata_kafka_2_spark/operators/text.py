@@ -1346,3 +1346,70 @@ def more_like_this(
         .limit(k)
         .select(id_col, F.round("__cos", 4).alias("cosine"))
     )
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", min_freq: int = 1
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token spectrum: ONE row
+    ``(n_tokens, slope, intercept)`` — the least-squares line through
+    (ln rank, ln freq) of every token with ``freq ≥ min_freq``. A
+    natural corpus fits slope ≈ −1; a flat slope flags synthetic or
+    template text, a cliff flags boilerplate — the one-number
+    distribution health check next to :func:`token_spectrum`'s raw
+    curve.
+
+    Determinism: per-token terms x=ln(rank), y=ln(freq), xy, x² are
+    computed in doubles (identical IEEE inputs both engines), rounded
+    to 6 dp, and summed as exact DECIMALs — order-independent; the
+    closed-form slope/intercept divisions are single double
+    expressions written identically in the oracle. Rank assignment is
+    the range-bucketed :func:`~bigdata_kafka_2_spark.operators.
+    relational.global_row_number` — no single-partition window; the
+    frequency table this runs on is vocabulary-sized, not
+    corpus-sized.
+    """
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_row_number,
+    )
+
+    freq = (
+        df.select(
+            F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+        .withColumn("__negf", -F.col("freq"))
+    )
+    ranked = global_row_number(freq, ["__negf", "tok"], rn_col="rank")
+    x = F.round(F.log(F.col("rank").cast("double")), 6)
+    y = F.round(F.log(F.col("freq").cast("double")), 6)
+
+    def dec(c):
+        return c.cast("decimal(28,6)")
+
+    sums = ranked.select(
+        dec(x).alias("__x"),
+        dec(y).alias("__y"),
+        dec(F.round(x * y, 6)).alias("__xy"),
+        dec(F.round(x * x, 6)).alias("__xx"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("__x").cast("double").alias("__sx"),
+        F.sum("__y").cast("double").alias("__sy"),
+        F.sum("__xy").cast("double").alias("__sxy"),
+        F.sum("__xx").cast("double").alias("__sxx"),
+    )
+    n = F.col("n_tokens").cast("double")
+    det = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / det
+    intercept = (
+        F.col("__sy") * F.col("__sxx") - F.col("__sx") * F.col("__sxy")
+    ) / det
+    return sums.select(
+        "n_tokens",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )

@@ -2241,3 +2241,61 @@ def q177_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return naive_bayes_predictions(d, "lang")
+
+
+@register(
+    "q179_zipf_fit",
+    oracle=f"""
+    WITH freq AS (
+      SELECT tok, count(*) AS freq FROM (
+        SELECT unnest(string_split_regex({_NORM_SQL}, ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> '' GROUP BY tok
+    ),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, tok ASC) AS r
+      FROM freq
+    ),
+    terms AS (
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)), 6)
+                  AS DECIMAL(28,6)) AS x,
+             CAST(round(ln(CAST(freq AS DOUBLE)), 6)
+                  AS DECIMAL(28,6)) AS y,
+             CAST(round(round(ln(CAST(r AS DOUBLE)), 6)
+                        * round(ln(CAST(freq AS DOUBLE)), 6), 6)
+                  AS DECIMAL(28,6)) AS xy,
+             CAST(round(round(ln(CAST(r AS DOUBLE)), 6)
+                        * round(ln(CAST(r AS DOUBLE)), 6), 6)
+                  AS DECIMAL(28,6)) AS xx
+      FROM ranked
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(xy) AS DOUBLE) AS sxy,
+             CAST(sum(xx) AS DOUBLE) AS sxx
+      FROM terms
+    )
+    SELECT n_tokens,
+           round((n_tokens * sxy - sx * sy)
+                 / (n_tokens * sxx - sx * sx), 6) AS slope,
+           round((sy * sxx - sx * sxy)
+                 / (n_tokens * sxx - sx * sx), 6) AS intercept
+    FROM s
+    """,
+    description="Zipf's-law fit (operators/text.zipf_fit): the "
+    "least-squares line through (ln rank, ln freq) of the corpus "
+    "token spectrum — natural language fits slope near -1; a flat "
+    "slope flags synthetic/template text, a cliff flags boilerplate. "
+    "Per-token terms computed in doubles on identical inputs, "
+    "rounded to 6 dp, summed as exact DECIMALs (order-independent); "
+    "rank assignment via the range-bucketed global_row_number (no "
+    "single-partition window); the closed-form slope/intercept are "
+    "single double expressions written identically in the oracle.",
+    tags=("text", "aggregate"),
+)
+def q179_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return TX.zipf_fit(d)

@@ -2314,3 +2314,23 @@ def test_rank_eval_at_k_planted(spark):
     assert (q3.n_rel, q3.recall_k, q3.first_rel_rank, q3.rr_at_k) == (
         0, None, None, 0.0,
     )
+
+
+def test_zipf_fit_planted_exact_line(spark):
+    """Token i with frequency 840/i is an exact Zipf line: the
+    least-squares fit through (ln r, ln f) must recover slope -1 and
+    intercept ln(840) to the rounding scale."""
+    import math
+
+    from bigdata_kafka_2_spark.operators.text import zipf_fit
+
+    words = []
+    for i in range(1, 9):
+        words += [f"w{i}"] * (840 // i)
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    row = zipf_fit(df).collect()[0]
+    assert row.n_tokens == 8
+    assert abs(row.slope - (-1.0)) < 1e-4
+    assert abs(row.intercept - math.log(840.0)) < 1e-4
