@@ -178,6 +178,7 @@ HEADLINE = (
     "q177_naive_bayes_lang",
     "q178_rank_eval",
     "q179_zipf_fit",
+    "q180_dp_segment_counts",
 )
 
 

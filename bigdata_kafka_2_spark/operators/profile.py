@@ -730,3 +730,55 @@ def t_closeness_profile(
         tvd.alias("tvd"),
         (tvd <= F.lit(float(t))).alias("t_ok"),
     )
+
+
+def dp_group_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1.0,
+    sensitivity: float = 1.0,
+    seed: int = 23,
+) -> DataFrame:
+    """ε-differentially-private group counts (Laplace mechanism,
+    Dwork et al. 2006): ``(group..., noisy_count, epsilon)`` — each
+    group's count plus Laplace(sensitivity/ε) noise; the true count
+    never appears in the output. The third privacy release next to
+    the k-anonymity/l-diversity gate and t-closeness: those bound
+    what a group SHAPE discloses, DP bounds what any single ROW's
+    presence changes.
+
+    Noise is SEEDED AND DETERMINISTIC: u derives from the md5_15
+    portable hash of the group key (the sketch family's SQL-
+    transcribable construction), mapped through the Laplace inverse
+    CDF ``-b·sign(u-½)·ln(1-2|u-½|)``. Deterministic noise keeps the
+    release reproducible and oracle-checkable; the DP guarantee then
+    holds against adversaries without the seed — ship a secret seed
+    (or swap in ``rand(seed)``) for a real release, exactly like a
+    keyed hash. NULL group values: the key is built with concat_ws,
+    so document-side callers should pre-fill NULLs if they must be
+    distinguished from empty strings.
+
+    Plan shape: ONE map-side-combined hash aggregate plus row-local
+    hash/log arithmetic — scan speed at any scale.
+    """
+    qs = list(group_cols)
+    counts = df.groupBy(*qs).agg(F.count(F.lit(1)).alias("__n"))
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in qs])
+    h = F.conv(
+        F.substring(F.md5(F.concat(key, F.lit(f":{seed}"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    c = u - F.lit(0.5)
+    b = float(sensitivity) / float(epsilon)
+    noise = (
+        -F.lit(b)
+        * F.signum(c)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c))
+    )
+    return counts.select(
+        *qs,
+        F.round(F.col("__n") + noise, 4).alias("noisy_count"),
+        F.lit(float(epsilon)).alias("epsilon"),
+    )

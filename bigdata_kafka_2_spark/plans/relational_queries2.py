@@ -2041,3 +2041,42 @@ def q176_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = read_table(spark, sf_dir, "customer")
     return t_closeness_profile(c, ["c_nationkey"], "c_mktsegment", t=0.05)
+
+
+@register(
+    "q180_dp_segment_counts",
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1
+    ),
+    noise AS (
+      SELECT c_mktsegment, n,
+             (CAST('0x' || substr(md5(c_mktsegment || ':23'), 1, 15)
+                   AS BIGINT) + 0.5) / 1152921504606846976.0 - 0.5 AS c
+      FROM counts
+    )
+    SELECT c_mktsegment,
+           round(n + (-1.0) * sign(c) * ln(1.0 - 2.0 * abs(c)), 4)
+             AS noisy_count,
+           1.0 AS epsilon
+    FROM noise
+    """,
+    description="Differentially-private release of per-segment "
+    "customer counts (operators/profile.dp_group_counts, Laplace "
+    "mechanism, epsilon=1): each count plus Laplace(1/eps) noise via "
+    "the inverse CDF over a seeded md5_15 uniform — deterministic "
+    "and oracle-checkable (ship a secret seed for a real release); "
+    "the true count never appears in the output. Completes the "
+    "privacy-release family: k-anonymity/l-diversity (q173) and "
+    "t-closeness (q176) bound what a group's shape discloses, DP "
+    "bounds what one row's presence changes. One map-side-combined "
+    "aggregate + row-local hash/log arithmetic.",
+    tags=("profile", "aggregate"),
+)
+def q180_dp_segment_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import dp_group_counts
+
+    c = read_table(spark, sf_dir, "customer")
+    return dp_group_counts(c, ["c_mktsegment"], epsilon=1.0, seed=23)

@@ -2334,3 +2334,35 @@ def test_zipf_fit_planted_exact_line(spark):
     assert row.n_tokens == 8
     assert abs(row.slope - (-1.0)) < 1e-4
     assert abs(row.intercept - math.log(840.0)) < 1e-4
+
+
+def test_dp_group_counts_planted(spark):
+    """The seeded Laplace noise must equal the Python-recomputed
+    inverse-CDF value exactly, scale as 1/epsilon on the same seed,
+    and never expose the true count."""
+    import hashlib
+    import math
+
+    from bigdata_kafka_2_spark.operators.profile import dp_group_counts
+
+    df = spark.createDataFrame(
+        [("a",)] * 100 + [("b",)] * 50, "g string"
+    )
+    out1 = {r.g: r.noisy_count for r in dp_group_counts(df, ["g"], 1.0).collect()}
+    out2 = {r.g: r.noisy_count for r in dp_group_counts(df, ["g"], 0.5).collect()}
+
+    def expected(key, n, eps):
+        h = int(hashlib.md5(f"{key}:23".encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / float(1 << 60)
+        c = u - 0.5
+        noise = -(1.0 / eps) * math.copysign(1.0, c) * math.log(
+            1.0 - 2.0 * abs(c)
+        )
+        return round(n + noise, 4)
+
+    assert out1["a"] == expected("a", 100, 1.0)
+    assert out1["b"] == expected("b", 50, 1.0)
+    # noise scales exactly 2x at half the epsilon (same u)
+    assert abs((out2["a"] - 100) - 2 * (out1["a"] - 100)) < 1e-9
+    # true counts never appear verbatim
+    assert out1["a"] != 100.0 and out1["b"] != 50.0
