@@ -179,6 +179,7 @@ HEADLINE = (
     "q178_rank_eval",
     "q179_zipf_fit",
     "q180_dp_segment_counts",
+    "q181_token_kl_drift",
 )
 
 

@@ -1413,3 +1413,72 @@ def zipf_fit(
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+def token_kl_drift(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributional drift per group: ``(group, t_tokens, kl)`` where
+    ``kl = KL(P_group ‖ P_corpus)`` over unigram token distributions —
+    how far each source/domain/snapshot slice's language drifts from
+    the corpus-wide mix. The mixture-design companion to q145's
+    MinHash overlap: Jaccard says how much VOCABULARY two slices
+    share, KL says how differently they WEIGHT it (a slice can reuse
+    the full corpus vocabulary yet skew hard enough to need its own
+    mixture weight). No smoothing is needed on this direction of the
+    divergence: every group token is a corpus token, so the reference
+    probability is never zero.
+
+    Determinism (the q117 discipline): with integer counts c (group-
+    token), T (group), C (token), N (corpus),
+
+        T·KL = Σ_tok c · ln((c·N)/(C·T))
+
+    — each log factor on all-double operands written identically in
+    the oracle, rounded to 4 dp, weighted by integer c, summed as
+    exact DECIMALs; the final /T rounds half-away-from-zero in
+    integer arithmetic. Plan: one (group, tok) hash aggregate; token
+    totals reduce from it on the same key; group totals and the
+    1-row N ride in as window-free rollups of the same cells.
+    """
+    cells = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("__g", "tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint()
+    )
+    gtot = cells.groupBy("__g").agg(F.sum("__c").alias("__T"))
+    vtot = cells.groupBy("tok").agg(F.sum("__c").alias("__cv"))
+    ntot = cells.agg(F.sum("__c").alias("__N"))
+    lr = F.log(
+        (F.col("__c").cast("double") * F.col("__N").cast("double"))
+        / (F.col("__cv").cast("double") * F.col("__T").cast("double"))
+    )
+    s = (
+        cells.join(vtot, on="tok")
+        .join(gtot, on="__g")
+        .crossJoin(F.broadcast(ntot))
+        .groupBy("__g")
+        .agg(
+            F.max("__T").alias("__T"),
+            F.sum(
+                F.col("__c") * F.round(lr, 4).cast("decimal(28,4)")
+            ).alias("__s"),
+        )
+        .withColumn("__a", (F.col("__s") * 10000).cast("long"))
+    )
+    return s.select(
+        F.col("__g").alias(group_col),
+        F.col("__T").cast("long").alias("t_tokens"),
+        (
+            F.when(F.col("__a") < 0, -F.lit(1)).otherwise(F.lit(1))
+            * F.expr("(abs(__a) * 2 + __T) div (__T * 2)")
+            / F.lit(10000.0)
+        ).alias("kl"),
+    )

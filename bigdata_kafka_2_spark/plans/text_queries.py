@@ -2299,3 +2299,54 @@ def q177_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q179_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return TX.zipf_fit(d)
+
+
+@register(
+    "q181_token_kl_drift",
+    oracle=f"""
+    WITH cells AS (
+      SELECT g, tok, count(*) AS c FROM (
+        SELECT source AS g,
+               unnest(string_split_regex({_NORM_SQL}, ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> '' GROUP BY 1, 2
+    ),
+    gtot AS (SELECT g, sum(c) AS t FROM cells GROUP BY g),
+    vtot AS (SELECT tok, sum(c) AS cv FROM cells GROUP BY tok),
+    ntot AS (SELECT sum(c) AS n FROM cells),
+    s AS (
+      SELECT cells.g,
+             max(gtot.t) AS t,
+             sum(cells.c * CAST(round(ln(
+               (CAST(cells.c AS DOUBLE) * CAST(ntot.n AS DOUBLE))
+               / (CAST(vtot.cv AS DOUBLE) * CAST(gtot.t AS DOUBLE))
+             ), 4) AS DECIMAL(28,4))) AS s
+      FROM cells
+        JOIN vtot USING (tok)
+        JOIN gtot USING (g)
+        CROSS JOIN ntot
+      GROUP BY cells.g
+    )
+    SELECT g AS source,
+           CAST(t AS BIGINT) AS t_tokens,
+           (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+             * ((abs(CAST(s * 10000 AS BIGINT)) * 2 + t) // (t * 2))
+             / 10000.0 AS kl
+    FROM s
+    """,
+    description="Per-source distributional drift "
+    "(operators/text.token_kl_drift): KL(P_source || P_corpus) over "
+    "unigram token distributions — the mixture-design companion to "
+    "q145's MinHash overlap (Jaccard measures shared vocabulary, KL "
+    "measures how differently a slice weights it). No smoothing "
+    "needed on this direction: every source token is a corpus "
+    "token. T*KL = sum c*ln((c*N)/(C*T)) with all-double log "
+    "operands written identically in the oracle, 4-dp rounded, "
+    "DECIMAL-summed, and the final /T rounded half-away-from-zero "
+    "in integer arithmetic (the q117 rule). One (source, tok) hash "
+    "aggregate; every total reduces from the same cells.",
+    tags=("text", "profile", "aggregate"),
+)
+def q181_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return TX.token_kl_drift(d, "source")

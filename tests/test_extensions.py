@@ -2366,3 +2366,36 @@ def test_dp_group_counts_planted(spark):
     assert abs((out2["a"] - 100) - 2 * (out1["a"] - 100)) < 1e-9
     # true counts never appear verbatim
     assert out1["a"] != 100.0 and out1["b"] != 50.0
+
+
+def test_token_kl_drift_planted(spark):
+    """A group distributed exactly like the corpus has KL 0; a
+    maximally skewed group has KL = ln(N/C) weighted mass (hand
+    computation below)."""
+    import math
+
+    from bigdata_kafka_2_spark.operators.text import token_kl_drift
+
+    # corpus: groups g1 and g2, each 4 tokens. g1 = a a b b (50/50),
+    # g2 = a a a a (all a). Corpus: a 6/8, b 2/8.
+    rows = [
+        (0, "a a b b", "g1"),
+        (1, "a a a a", "g2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in token_kl_drift(df, "source").collect()}
+    # g1: (2/4)ln((2*8)/(6*4)) + (2/4)ln((2*8)/(2*4)) per the integer
+    # form; expected = [2*round4(ln(16/24)) + 2*round4(ln(16/8))]/4
+    e1 = (2 * round(math.log(16 / 24), 4) + 2 * round(math.log(2.0), 4)) / 4
+    e2 = (4 * round(math.log((4 * 8) / (6 * 4)), 4)) / 4
+    assert abs(out["g1"].kl - round(e1, 4)) < 1.1e-4
+    assert abs(out["g2"].kl - round(e2, 4)) < 1.1e-4
+    assert out["g1"].t_tokens == 4 and out["g2"].t_tokens == 4
+    # uniform corpus: every group identical to the mix -> KL exactly 0
+    uni = spark.createDataFrame(
+        [(0, "x y", "g1"), (1, "x y", "g2")],
+        "doc_id long, text string, source string",
+    )
+    assert {
+        r.kl for r in token_kl_drift(uni, "source").collect()
+    } == {0.0}
