@@ -180,6 +180,7 @@ HEADLINE = (
     "q179_zipf_fit",
     "q180_dp_segment_counts",
     "q181_token_kl_drift",
+    "q182_nb_calibration",
 )
 
 

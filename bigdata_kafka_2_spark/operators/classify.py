@@ -54,6 +54,30 @@ def naive_bayes_predictions(
     table is vocab×classes — executor-broadcast scale for real label
     sets, shuffled join otherwise.
     """
+    scored = _nb_scores(df, label_col, text_col, id_col)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__score").desc(), F.col("__c").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            id_col,
+            F.col("__y").alias("label"),
+            F.col("__c").alias("pred"),
+            F.col("__score").cast("double").alias("score"),
+        )
+    )
+
+
+def _nb_scores(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The shared fit+score table behind the NB surfaces: one row per
+    (document, class) with the exact-DECIMAL log-likelihood score."""
     toks = (
         df.select(
             F.col(id_col),
@@ -116,33 +140,15 @@ def naive_bayes_predictions(
         .agg(F.sum("tf").alias("__dl"))
         .crossJoin(F.broadcast(cls))
     )
-    scored = (
-        docs.join(contrib, on=[id_col, "__c"], how="left")
-        .select(
-            id_col,
-            F.col("__y"),
-            "__c",
-            (
-                F.col("__lprior")
-                - F.col("__dl") * F.col("__ldenom")
-                + F.coalesce(
-                    F.col("__s"), F.lit(0).cast("decimal(28,4)")
-                )
-            ).alias("__score"),
-        )
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__score").desc(), F.col("__c").asc()
-    )
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select(
-            id_col,
-            F.col("__y").alias("label"),
-            F.col("__c").alias("pred"),
-            F.col("__score").cast("double").alias("score"),
-        )
+    return docs.join(contrib, on=[id_col, "__c"], how="left").select(
+        id_col,
+        F.col("__y"),
+        "__c",
+        (
+            F.col("__lprior")
+            - F.col("__dl") * F.col("__ldenom")
+            + F.coalesce(F.col("__s"), F.lit(0).cast("decimal(28,4)"))
+        ).alias("__score"),
     )
 
 
@@ -151,4 +157,88 @@ def confusion_matrix(predictions: DataFrame) -> DataFrame:
     one hash aggregate; the label-noise / router-quality audit."""
     return predictions.groupBy("label", "pred").agg(
         F.count(F.lit(1)).alias("n")
+    )
+
+
+def nb_posteriors(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document class posteriors from the same fit as
+    :func:`naive_bayes_predictions`: ``(id, label, pred, confidence)``
+    where ``confidence`` is the softmax of the per-class NB scores at
+    the argmax. Log-space max-subtraction keeps ``exp`` in range;
+    each exp term is rounded to 6 dp and summed as an exact DECIMAL,
+    so the posterior is order-independent and SQL-transcribable.
+
+    The scoring plan is :func:`naive_bayes_predictions` verbatim up
+    to the per-(doc, class) score table; one extra window pass turns
+    scores into calibrated-comparable confidences.
+    """
+    scored = _nb_scores(df, label_col, text_col, id_col)
+    w = Window.partitionBy(id_col)
+    wrk = Window.partitionBy(id_col).orderBy(
+        F.col("__score").desc(), F.col("__c").asc()
+    )
+    with_m = scored.withColumn(
+        "__m", F.max("__score").over(w)
+    ).withColumn("__rk", F.row_number().over(wrk))
+    # exp of (score - max) <= 1: rounded to 6 dp, summed exactly
+    e = F.round(
+        F.exp((F.col("__score") - F.col("__m")).cast("double")), 6
+    ).cast("decimal(28,6)")
+    terms = with_m.select(
+        id_col, "__y", "__c", "__rk", e.alias("__e")
+    )
+    agg = terms.groupBy(id_col).agg(
+        F.max(F.when(F.col("__rk") == 1, F.col("__y"))).alias("label"),
+        F.max(F.when(F.col("__rk") == 1, F.col("__c"))).alias("pred"),
+        F.max(F.when(F.col("__rk") == 1, F.col("__e"))).alias("__top"),
+        F.sum("__e").alias("__z"),
+    )
+    return agg.select(
+        id_col,
+        "label",
+        "pred",
+        F.round(
+            F.col("__top").cast("double") / F.col("__z").cast("double"), 6
+        ).alias("confidence"),
+    )
+
+
+def expected_calibration_error(
+    predictions: DataFrame, n_buckets: int = 10
+) -> DataFrame:
+    """Reliability table + ECE over ``(label, pred, confidence)``
+    rows: per confidence bucket, ``(bucket, n, conf_sum_ppm,
+    acc_ppm)`` — the decomposition a calibration plot reads directly,
+    with everything in exact integer parts-per-million so the
+    weighted |acc − conf| gap (ECE's summand) reconstructs without
+    float summation. A classifier whose confidence tracks its
+    accuracy has acc ≈ conf in every bucket.
+
+    One hash aggregate over the scored rows; buckets by
+    ``floor(conf·B)`` clamped to B−1 (confidence 1.0 lands in the
+    top bucket).
+    """
+    b = F.least(
+        F.floor(F.col("confidence") * n_buckets).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+    return (
+        predictions.select(
+            b.alias("bucket"),
+            (F.col("pred") == F.col("label")).cast("long").alias("__hit"),
+            F.round(F.col("confidence") * 1000000, 0)
+            .cast("long")
+            .alias("__cppm"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__cppm").alias("conf_sum_ppm"),
+            F.sum("__hit").alias("n_correct"),
+        )
     )

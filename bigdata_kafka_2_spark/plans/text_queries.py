@@ -2171,9 +2171,12 @@ def q175_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q177_naive_bayes_lang",
-    oracle=f"""
+def _nb_scored_prefix_sql() -> str:
+    """The shared CTE chain both Naive-Bayes oracles (q177 argmax
+    predictions, q182 calibration) start from: token counts ->
+    class-token counts -> class constants -> per-(doc, class)
+    exact-DECIMAL scores."""
+    return f"""
     WITH toks AS (
       SELECT doc_id, y, tok, count(*) AS tf FROM (
         SELECT doc_id, lang AS y,
@@ -2214,13 +2217,22 @@ def q175_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM docs d CROSS JOIN cls
         LEFT JOIN contrib ct ON ct.doc_id = d.doc_id AND ct.c = cls.c
     )
+    """
+
+
+_NB_ARGMAX_SQL = _nb_scored_prefix_sql() + """
     SELECT doc_id, label, cand AS pred, CAST(score AS DOUBLE) AS score
     FROM (
       SELECT *, row_number() OVER (
         PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rk
       FROM scored
     ) WHERE rk = 1
-    """,
+    """
+
+
+@register(
+    "q177_naive_bayes_lang",
+    oracle=_NB_ARGMAX_SQL,
     description="Multinomial Naive Bayes language classification "
     "(operators/classify.naive_bayes_predictions), fit and applied on "
     "the documents corpus with lang as the label (resubstitution — "
@@ -2350,3 +2362,64 @@ def q179_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q181_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return TX.token_kl_drift(d, "source")
+
+
+_NB_CALIBRATION_SQL = _nb_scored_prefix_sql() + """,
+    wm AS (
+      SELECT doc_id, label, cand, score,
+             max(score) OVER (PARTITION BY doc_id) AS m,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rk
+      FROM scored
+    ),
+    terms AS (
+      SELECT doc_id, label, cand, rk,
+             CAST(round(exp(CAST(score - m AS DOUBLE)), 6)
+                  AS DECIMAL(28,6)) AS e
+      FROM wm
+    ),
+    posts AS (
+      SELECT doc_id,
+             max(CASE WHEN rk = 1 THEN label END) AS label,
+             max(CASE WHEN rk = 1 THEN cand END) AS pred,
+             CAST(max(CASE WHEN rk = 1 THEN e END) AS DOUBLE)
+               / CAST(sum(e) AS DOUBLE) AS rawconf
+      FROM terms GROUP BY doc_id
+    ),
+    conf AS (
+      SELECT doc_id, label, pred, round(rawconf, 6) AS confidence
+      FROM posts
+    )
+    SELECT least(CAST(floor(confidence * 10) AS INT), 9) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(confidence * 1000000, 0) AS BIGINT))
+                AS BIGINT) AS conf_sum_ppm,
+           CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM conf GROUP BY 1
+    """
+
+
+@register(
+    "q182_nb_calibration",
+    oracle=_NB_CALIBRATION_SQL,
+    description="Calibration audit of the q177 Naive Bayes language "
+    "router (operators/classify.nb_posteriors + "
+    "expected_calibration_error): per confidence bucket, the count, "
+    "exact ppm confidence mass, and correct count — the reliability "
+    "table whose weighted |acc - conf| gaps sum to ECE; a router "
+    "whose confidence tracks its accuracy can gate borderline "
+    "documents by threshold. Softmax in log space with "
+    "max-subtraction (window per doc), each exp term 6-dp rounded "
+    "and DECIMAL-summed; the bucket aggregate keeps everything in "
+    "integer parts-per-million so no float sum ever crosses rows.",
+    tags=("text", "classify", "window", "aggregate"),
+)
+def q182_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.classify import (
+        expected_calibration_error,
+        nb_posteriors,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return expected_calibration_error(nb_posteriors(d, "lang"))

@@ -2399,3 +2399,24 @@ def test_token_kl_drift_planted(spark):
     assert {
         r.kl for r in token_kl_drift(uni, "source").collect()
     } == {0.0}
+
+
+def test_nb_calibration_planted(spark):
+    """Disjoint vocabularies -> posteriors near 1.0, all correct:
+    every doc lands in the top confidence bucket with acc = 1; the
+    posterior is a true softmax (confidence in (0, 1])."""
+    from bigdata_kafka_2_spark.operators.classify import (
+        expected_calibration_error,
+        nb_posteriors,
+    )
+
+    rows = [(i, "apple banana cherry fruit sweet", "fruit") for i in range(5)]
+    rows += [(i + 5, "bolt wrench gear metal torque", "tool") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    posts = nb_posteriors(df, "lang")
+    for r in posts.collect():
+        assert r.pred == r.label
+        assert 0.5 < r.confidence <= 1.0
+    ece = expected_calibration_error(posts).collect()
+    assert len(ece) == 1 and ece[0].bucket == 9
+    assert ece[0].n == 10 and ece[0].n_correct == 10
