@@ -1571,6 +1571,34 @@ def weighted_jaccard_pairs(
     prefix = ranked.filter(
         F.col("__cum") >= F.lit(t) * F.col("__T") - F.lit(1e-9)
     ).cache()
+    # The self-join below EXPANDS: each token contributes df_p² rows,
+    # and AQE sizes the join's partitioning from its (tiny) shuffle
+    # INPUT, concentrating the whole expansion into a fixed task
+    # count — measured 2.8× superlinear wall time at 30× on
+    # row-linear work (the per-task partial-distinct table outgrows
+    # memory and the stage spills). Fix with the same guarded-
+    # broadcast discipline as pagerank: a bounded scalar job on the
+    # cached prefix measures the exact expansion Σ df_p² and the
+    # prefix row count; while the prefix fits executor memory, hint
+    # the build side broadcast (the hash-probe expansion is ~6×
+    # faster than sort-merge here) and round-robin the PROBE side to
+    # an expansion-proportional task count (REPARTITION_BY_NUM is
+    # AQE-coalesce-exempt), so per-task expansion stays ~4M rows at
+    # any corpus size. Past the threshold the plain shuffle join
+    # stands — at that scale a natural corpus has a large vocabulary
+    # with small per-token df, which is the shape the prefix filter
+    # is built for.
+    stats = (
+        prefix.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.sum(F.col("__c") * F.col("__c")).alias("__exp"),
+            F.sum(F.col("__c")).alias("__rows"),
+        )
+        .collect()[0]
+    )
+    exp_rows = int(stats["__exp"] or 0)
+    pref_rows = int(stats["__rows"] or 0)
     a = prefix.select(
         F.col(id_col).alias("id_a"),
         "tok",
@@ -1583,6 +1611,13 @@ def weighted_jaccard_pairs(
         F.col("__T").alias("__Tb"),
         F.col("__cum").alias("__cb"),
     )
+    parts = int(
+        prefix.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    n_parts = max(parts, min(exp_rows // 4_000_000 + 1, 4096))
+    if pref_rows <= 20_000_000 and n_parts > parts:
+        a = a.repartition(n_parts)
+        b = F.broadcast(b)
     # POSITIONAL filter (PPJoin): at the pair's MINIMUM-order shared
     # token h*, every shared token is h* or commoner, so Σmin ≤
     # min(cum_a(h*), cum_b(h*)) — and J_w ≥ t needs Σmin ≥
