@@ -181,6 +181,7 @@ HEADLINE = (
     "q180_dp_segment_counts",
     "q181_token_kl_drift",
     "q182_nb_calibration",
+    "q183_curation_v6",
 )
 
 

@@ -1467,3 +1467,161 @@ def q171_weighted_jaccard_pairs(
 ) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return DD.weighted_jaccard_pairs(d, threshold=0.8)
+
+
+def _v6_oracle() -> str:
+    from bigdata_kafka_2_spark.plans.text_queries import (
+        _nb_scored_prefix_sql,
+    )
+
+    return (
+        "WITH RECURSIVE "
+        + _QUALITY_KEPT_CTE
+        + ","
+        + _nb_scored_prefix_sql(source="kept", lead="")
+        + r""",
+    router AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, label, cand,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY score DESC, cand ASC
+               ) AS rk
+        FROM scored
+      ) WHERE rk = 1 AND cand = label
+    ),
+    kept1 AS (
+      SELECT * FROM kept
+      WHERE doc_id IN (SELECT doc_id FROM router)
+    ),
+    toks6 AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                                              'g')), ' ') AS t
+      FROM kept1
+    ),
+    sh6 AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks6, UNNEST(generate_series(1, greatest(len(t) - 2, 1)))
+        AS g(i)
+      WHERE t[i] || ' ' || t[i+1] || ' ' || t[i+2] <> ''
+    ),
+    sizes6 AS (SELECT doc_id, count(*) AS n FROM sh6 GROUP BY doc_id),
+    common6 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh6 a JOIN sh6 b ON a.shingle = b.shingle
+                           AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    cont6 AS (
+      SELECT id_a, id_b
+      FROM common6 JOIN sizes6 sa ON id_a = sa.doc_id
+      WHERE round(c * 1.0 / sa.n, 4) >= 0.6
+    ),
+    removal6 AS (
+      SELECT DISTINCT p.id_a
+      FROM cont6 p LEFT JOIN cont6 r
+        ON r.id_a = p.id_b AND r.id_b = p.id_a
+      WHERE r.id_a IS NULL OR p.id_a > p.id_b
+    ),
+    kept2 AS (
+      SELECT * FROM kept1
+      WHERE doc_id NOT IN (SELECT id_a FROM removal6)
+    ),
+    pairs6 AS (
+      SELECT a.id_a, a.id_b
+      FROM (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS c
+        FROM sh6 x JOIN sh6 y ON x.shingle = y.shingle
+                             AND x.doc_id < y.doc_id
+        WHERE x.doc_id IN (SELECT doc_id FROM kept2)
+          AND y.doc_id IN (SELECT doc_id FROM kept2)
+        GROUP BY 1, 2
+      ) a
+        JOIN sizes6 sa ON a.id_a = sa.doc_id
+        JOIN sizes6 sb ON a.id_b = sb.doc_id
+      WHERE round(a.c * 1.0 / (sa.n + sb.n - a.c), 4) >= 0.5
+    ),
+    edges6 AS (
+      SELECT id_a AS s, id_b AS d FROM pairs6
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs6
+    ),
+    reach6(node, anc) AS (
+      SELECT doc_id, doc_id FROM kept2
+      UNION
+      SELECT e.d AS node, r.anc FROM reach6 r JOIN edges6 e ON e.s = r.node
+    ),
+    reps6 AS (SELECT node, min(anc) AS rep FROM reach6 GROUP BY node)
+    SELECT k.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(k.n_chars), 4) AS avg_chars
+    FROM kept2 k JOIN reps6 r ON r.node = k.doc_id AND r.rep = k.doc_id
+    GROUP BY k.lang
+    """
+    )
+
+
+@register(
+    "q183_curation_v6",
+    oracle=_v6_oracle(),
+    description="Curation v6 — v5's lossless dedup chain with a "
+    "MODEL-IN-THE-LOOP label-noise router between quality filtering "
+    "and dedup: the multinomial NB classifier (q177) fits on the "
+    "quality survivors and drops every document whose content-"
+    "predicted language disagrees with its metadata tag — the "
+    "metadata-vs-content cross-validation stage a real corpus "
+    "ingest runs before language-stratified sampling. Chain: Gopher "
+    "quality filter (row-local) -> NB router (hash aggregates + one "
+    "token-key join, exact-DECIMAL scores) -> directional "
+    "containment removal at 0.6 -> prefix-filtered exact Jaccard "
+    "pairs at 0.5 (PPJoin: no recall bound anywhere) -> connected "
+    "components -> min-id survivors -> per-language profile. "
+    "Shingles build once on the routed set and serve both dedup "
+    "stages; every stage is bounded by co-occurrence or the dup "
+    "subgraph.",
+    tags=("dedup", "text", "classify", "flagship"),
+)
+def q183_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.classify import (
+        naive_bayes_predictions,
+    )
+    from bigdata_kafka_2_spark.operators.text import quality_filter_flags
+
+    d = read_table(spark, sf_dir, "documents")
+    k1 = quality_filter_flags(d).filter(F.col("keep")).select("doc_id")
+    kept = d.join(k1, on="doc_id", how="left_semi").localCheckpoint()
+
+    routed = naive_bayes_predictions(kept, "lang").filter(
+        F.col("pred") == F.col("label")
+    ).select("doc_id")
+    kept1 = kept.join(routed, on="doc_id", how="left_semi").localCheckpoint()
+
+    cont = DD.shingle_containment_pairs(kept1, k=3, threshold=0.6)
+    rev = cont.select(
+        F.col("id_a").alias("__ra"), F.col("id_b").alias("__rb")
+    )
+    removal = (
+        cont.join(
+            rev,
+            (cont["id_a"] == rev["__rb"]) & (cont["id_b"] == rev["__ra"]),
+            "left",
+        )
+        .filter(F.col("__ra").isNull() | (F.col("id_a") > F.col("id_b")))
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    kept2 = kept1.join(removal, on="doc_id", how="left_anti").localCheckpoint()
+
+    pairs = DD.prefix_filter_jaccard_pairs(kept2, k=3, threshold=0.5)
+    clusters = DD.dedup_clusters(pairs, kept2.select("doc_id"))
+    survivors = kept2.join(
+        clusters.filter(F.col("doc_id") == F.col("cluster_rep")).select(
+            "doc_id"
+        ),
+        on="doc_id",
+        how="left_semi",
+    )
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )

@@ -2171,25 +2171,27 @@ def q175_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _nb_scored_prefix_sql() -> str:
-    """The shared CTE chain both Naive-Bayes oracles (q177 argmax
-    predictions, q182 calibration) start from: token counts ->
-    class-token counts -> class constants -> per-(doc, class)
-    exact-DECIMAL scores."""
+def _nb_scored_prefix_sql(source: str = "documents", lead: str = "WITH") -> str:
+    """The shared CTE chain the Naive-Bayes oracles (q177 argmax,
+    q182 calibration, curation v6's router stage) start from: token
+    counts -> class-token counts -> class constants -> per-(doc,
+    class) exact-DECIMAL scores. ``source`` is the relation the fit
+    reads (a table or an upstream CTE name); ``lead`` lets a caller
+    splice the chain into an existing WITH list."""
     return f"""
-    WITH toks AS (
+    {lead} toks AS (
       SELECT doc_id, y, tok, count(*) AS tf FROM (
         SELECT doc_id, lang AS y,
                unnest(string_split_regex({_NORM_SQL}, ' ')) AS tok
-        FROM documents
+        FROM {source}
       ) WHERE tok <> '' GROUP BY 1, 2, 3
     ),
     ctc AS (SELECT y AS c, tok, sum(tf) AS ctc FROM toks GROUP BY 1, 2),
     cstats AS (SELECT c, sum(ctc) AS tc FROM ctc GROUP BY c),
-    nc AS (SELECT lang AS c, count(*) AS ncnt FROM documents GROUP BY 1),
+    nc AS (SELECT lang AS c, count(*) AS ncnt FROM {source} GROUP BY 1),
     consts AS (
       SELECT (SELECT count(DISTINCT tok) FROM toks) AS v,
-             (SELECT count(*) FROM documents) AS n
+             (SELECT count(*) FROM {source}) AS n
     ),
     cls AS (
       SELECT nc.c,
