@@ -182,6 +182,7 @@ HEADLINE = (
     "q181_token_kl_drift",
     "q182_nb_calibration",
     "q183_curation_v6",
+    "q184_psi_drift",
 )
 
 

@@ -782,3 +782,87 @@ def dp_group_counts(
         F.round(F.col("__n") + noise, 4).alias("noisy_count"),
         F.lit(float(epsilon)).alias("epsilon"),
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    snapshot of a numeric column: ONE row ``(n_ref, n_cur, psi)``
+    with ``psi = Σ_b (p_b − q_b)·ln(p_b/q_b)`` over ``n_buckets``
+    equal-width buckets of the REFERENCE range — the standard
+    model-monitoring drift gate (rule of thumb: < 0.1 stable,
+    0.1–0.25 drifting, > 0.25 retrain). The score-distribution
+    companion to :func:`~bigdata_kafka_2_spark.operators.text.
+    token_kl_drift`'s vocabulary KL: PSI is symmetric-ish and
+    bounded-bucket, so it tolerates snapshots that shift mass into
+    regions the reference never saw (current values outside the
+    reference range clamp into the edge buckets).
+
+    Determinism: bucket proportions are add-one smoothed
+    ((c+1)/(N+B) — no ln(0) on an empty bucket), each bucket term is
+    a product of two double expressions on identical integer inputs
+    written identically in the oracle, rounded to 6 dp, and summed
+    as exact DECIMALs. Plan shape: one 1-row bounds aggregate on the
+    reference (broadcast), one map-side-combined bucket count per
+    side, and a B-row reduction — scan speed at any scale.
+    """
+    b = int(n_buckets)
+    col = F.col(value_col).cast("double")
+    bounds = ref.agg(
+        F.min(col).alias("__lo"), F.max(col).alias("__hi")
+    )
+
+    def counts(df, name):
+        bucket = F.least(
+            F.lit(b - 1),
+            F.greatest(
+                F.lit(0),
+                F.when(
+                    F.col("__hi") > F.col("__lo"),
+                    F.floor(
+                        (col - F.col("__lo"))
+                        / ((F.col("__hi") - F.col("__lo")) / F.lit(float(b)))
+                    ),
+                ).otherwise(F.lit(0)),
+            ).cast("int"),
+        )
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    spark = ref.sparkSession
+    buckets = spark.range(b).select(F.col("id").cast("int").alias("bucket"))
+    joined = (
+        buckets.join(counts(ref, "__cr"), on="bucket", how="left")
+        .join(counts(cur, "__cc"), on="bucket", how="left")
+        .select(
+            "bucket",
+            F.coalesce("__cr", F.lit(0)).alias("__cr"),
+            F.coalesce("__cc", F.lit(0)).alias("__cc"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("__cr").alias("__nr"), F.sum("__cc").alias("__nc")
+    )
+    p = (F.col("__cr") + F.lit(1.0)) / (F.col("__nr") + F.lit(float(b)))
+    q = (F.col("__cc") + F.lit(1.0)) / (F.col("__nc") + F.lit(float(b)))
+    lr = F.log(
+        ((F.col("__cr") + F.lit(1.0)) * (F.col("__nc") + F.lit(float(b))))
+        / ((F.col("__cc") + F.lit(1.0)) * (F.col("__nr") + F.lit(float(b))))
+    )
+    term = F.round((p - q) * lr, 6).cast("decimal(28,6)")
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("__nr").cast("long").alias("n_ref"),
+            F.max("__nc").cast("long").alias("n_cur"),
+            F.sum(term).cast("double").alias("psi"),
+        )
+    )

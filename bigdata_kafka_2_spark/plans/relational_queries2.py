@@ -2080,3 +2080,68 @@ def q180_dp_segment_counts(
 
     c = read_table(spark, sf_dir, "customer")
     return dp_group_counts(c, ["c_mktsegment"], epsilon=1.0, seed=23)
+
+
+@register(
+    "q184_psi_drift",
+    oracle="""
+    WITH ref AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    cur AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ),
+    bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM ref),
+    rc AS (
+      SELECT least(9, greatest(0, CAST(CASE WHEN hi > lo
+               THEN floor((v - lo) / ((hi - lo) / 10.0)) ELSE 0 END
+             AS INT))) AS bucket, count(*) AS cr
+      FROM ref, bounds GROUP BY 1
+    ),
+    cc AS (
+      SELECT least(9, greatest(0, CAST(CASE WHEN hi > lo
+               THEN floor((v - lo) / ((hi - lo) / 10.0)) ELSE 0 END
+             AS INT))) AS bucket, count(*) AS ccnt
+      FROM cur, bounds GROUP BY 1
+    ),
+    joined AS (
+      SELECT b.bucket,
+             COALESCE(rc.cr, 0) AS cr,
+             COALESCE(cc.ccnt, 0) AS ccnt
+      FROM (SELECT unnest(generate_series(0, 9)) AS bucket) b
+        LEFT JOIN rc USING (bucket)
+        LEFT JOIN cc USING (bucket)
+    ),
+    totals AS (SELECT sum(cr) AS nr, sum(ccnt) AS nc FROM joined)
+    SELECT CAST(max(nr) AS BIGINT) AS n_ref,
+           CAST(max(nc) AS BIGINT) AS n_cur,
+           CAST(sum(CAST(round(
+             ((cr + 1.0) / (nr + 10.0) - (ccnt + 1.0) / (nc + 10.0))
+             * ln(((cr + 1.0) * (nc + 10.0))
+                  / ((ccnt + 1.0) * (nr + 10.0))), 6)
+             AS DECIMAL(28,6))) AS DOUBLE) AS psi
+    FROM joined, totals
+    """,
+    description="Population Stability Index drift gate "
+    "(operators/profile.psi_drift): the order-value distribution of "
+    "the current period (1998+) against the reference period, over "
+    "10 equal-width buckets of the reference range — the standard "
+    "model-monitoring drift metric (<0.1 stable, >0.25 retrain); "
+    "out-of-range current values clamp into edge buckets, so a "
+    "shifted snapshot still scores. Add-one smoothed proportions "
+    "(no ln(0)), per-bucket terms as identical double expressions "
+    "both engines rounded to 6 dp and DECIMAL-summed. One 1-row "
+    "reference-bounds broadcast + two map-side-combined bucket "
+    "counts + a 10-row reduction: scan speed at any scale.",
+    tags=("profile", "aggregate"),
+)
+def q184_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import psi_drift
+
+    o = read_table(spark, sf_dir, "orders")
+    split = F.lit("1998-01-01").cast("timestamp")
+    ref = o.filter(F.col("o_orderdate") < split).select("o_totalprice")
+    cur = o.filter(F.col("o_orderdate") >= split).select("o_totalprice")
+    return psi_drift(ref, cur, "o_totalprice", n_buckets=10)

@@ -2420,3 +2420,23 @@ def test_nb_calibration_planted(spark):
     ece = expected_calibration_error(posts).collect()
     assert len(ece) == 1 and ece[0].bucket == 9
     assert ece[0].n == 10 and ece[0].n_correct == 10
+
+
+def test_psi_drift_planted(spark):
+    """Identical distributions -> PSI ~ 0; a hard shift into the top
+    bucket -> PSI far above the 0.25 retrain line; out-of-range
+    current values clamp into edge buckets instead of vanishing."""
+    ref = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], "v double"
+    )
+    from bigdata_kafka_2_spark.operators.profile import psi_drift
+
+    same = psi_drift(ref, ref, "v").collect()[0]
+    assert same.n_ref == 1000 and same.n_cur == 1000
+    assert abs(same.psi) < 1e-6
+    shifted = spark.createDataFrame(
+        [(1000.0 + i,) for i in range(500)], "v double"
+    )
+    out = psi_drift(ref, shifted, "v").collect()[0]
+    assert out.n_cur == 500  # clamped into the top bucket, not lost
+    assert out.psi > 0.25
