@@ -183,6 +183,7 @@ HEADLINE = (
     "q182_nb_calibration",
     "q183_curation_v6",
     "q184_psi_drift",
+    "q185_filter_parity",
 )
 
 

@@ -866,3 +866,51 @@ def psi_drift(
             F.sum(term).cast("double").alias("psi"),
         )
     )
+
+
+def selection_parity(
+    df: DataFrame,
+    group_col: str,
+    keep_col: str,
+    min_ratio: float = 0.8,
+) -> DataFrame:
+    """Disparate-impact audit of any boolean selection (a quality
+    filter, a sampling gate, a release rule): per group,
+    ``(group, n, n_keep, keep_rate, rate_ratio, parity_ok)`` where
+    ``rate_ratio`` is the group's keep rate over the HIGHEST group
+    rate and ``parity_ok`` applies the four-fifths rule
+    (ratio ≥ 0.8 by default). The audit a curation team runs before
+    shipping a filtered corpus: quality heuristics tuned on one
+    language silently over-drop others, and this is the one-scan
+    check that catches it.
+
+    All ratios are small-integer divisions rounded to 6 dp (the
+    ratio-of-rates is a division of two already-rounded doubles,
+    identical IEEE both engines). One map-side-combined aggregate +
+    a broadcast 1-row max; NULL keep counts as not kept (a selection
+    must affirm the row).
+    """
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.coalesce(F.col(keep_col), F.lit(False)), 1).otherwise(0)
+        ).cast("long").alias("n_keep"),
+    )
+    rate = F.round(F.col("n_keep") * F.lit(1.0) / F.col("n"), 6)
+    rated = agg.select(group_col, "n", "n_keep", rate.alias("keep_rate"))
+    top = rated.agg(F.max("keep_rate").alias("__max_rate"))
+    ratio = F.when(
+        F.col("__max_rate") > 0,
+        F.round(F.col("keep_rate") / F.col("__max_rate"), 6),
+    )
+    return (
+        rated.crossJoin(F.broadcast(top))
+        .select(
+            group_col,
+            "n",
+            "n_keep",
+            "keep_rate",
+            ratio.alias("rate_ratio"),
+            (ratio >= F.lit(float(min_ratio))).alias("parity_ok"),
+        )
+    )

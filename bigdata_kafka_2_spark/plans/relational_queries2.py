@@ -2145,3 +2145,70 @@ def q184_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = o.filter(F.col("o_orderdate") < split).select("o_totalprice")
     cur = o.filter(F.col("o_orderdate") >= split).select("o_totalprice")
     return psi_drift(ref, cur, "o_totalprice", n_buckets=10)
+
+
+@register(
+    "q185_filter_parity",
+    oracle=r"""
+    WITH flags AS (
+      SELECT lang,
+             (n_tokens >= 20 AND n_tokens <= 90
+              AND cpt >= 4.5 AND cpt <= 6.0 AND ttr >= 0.45) AS keep
+      FROM (
+        SELECT lang,
+               len(toks) AS n_tokens,
+               round(length(norm) * 1.0
+                     / greatest(len(toks), 1), 4) AS cpt,
+               round(len(list_distinct(toks)) * 1.0
+                     / greatest(len(toks), 1), 4) AS ttr
+        FROM (
+          SELECT lang,
+                 coalesce(trim(regexp_replace(lower(text), '\s+', ' ',
+                                              'g')), '') AS norm,
+                 string_split_regex(
+                   coalesce(trim(regexp_replace(lower(text), '\s+', ' ',
+                                                'g')), ''), ' ') AS toks
+          FROM documents
+        )
+      )
+    ),
+    agg AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep
+      FROM flags GROUP BY lang
+    ),
+    rated AS (
+      SELECT lang, n, n_keep,
+             round(n_keep * 1.0 / n, 6) AS keep_rate
+      FROM agg
+    ),
+    top AS (SELECT max(keep_rate) AS max_rate FROM rated)
+    SELECT lang, n, n_keep, keep_rate,
+           CASE WHEN max_rate > 0
+                THEN round(keep_rate / max_rate, 6) END AS rate_ratio,
+           CASE WHEN max_rate > 0
+                THEN round(keep_rate / max_rate, 6) END >= 0.8
+             AS parity_ok
+    FROM rated, top
+    """,
+    description="Disparate-impact audit of the q49 quality filter "
+    "(operators/profile.selection_parity): per-language keep rate, "
+    "ratio to the best-kept language, and the four-fifths rule flag "
+    "— quality heuristics tuned on one language silently over-drop "
+    "others, and this one-scan parity gate is what catches it "
+    "before a filtered corpus ships. Ratios are small-integer "
+    "divisions rounded to 6 dp; one map-side-combined aggregate + a "
+    "broadcast 1-row max.",
+    tags=("profile", "text", "aggregate"),
+)
+def q185_filter_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import selection_parity
+    from bigdata_kafka_2_spark.operators.text import quality_filter_flags
+
+    d = read_table(spark, sf_dir, "documents")
+    flags = quality_filter_flags(d).select("doc_id", "keep")
+    return selection_parity(
+        d.join(flags, on="doc_id").select("lang", "keep"), "lang", "keep"
+    )

@@ -2440,3 +2440,23 @@ def test_psi_drift_planted(spark):
     out = psi_drift(ref, shifted, "v").collect()[0]
     assert out.n_cur == 500  # clamped into the top bucket, not lost
     assert out.psi > 0.25
+
+
+def test_selection_parity_planted(spark):
+    """Hand-checked four-fifths rule: group a keeps 8/10 (the best
+    rate), b keeps 4/10 (ratio 0.5 -> fails), c keeps 7/10 (0.875 ->
+    passes); NULL keep counts as not kept."""
+    from bigdata_kafka_2_spark.operators.profile import selection_parity
+
+    rows = [("a", i < 8) for i in range(10)]
+    rows += [("b", i < 4) for i in range(10)]
+    rows += [("c", True if i < 7 else None) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, keep boolean")
+    out = {r.g: r for r in selection_parity(df, "g", "keep").collect()}
+    assert (out["a"].n_keep, out["a"].rate_ratio, out["a"].parity_ok) == (
+        8, 1.0, True,
+    )
+    assert (out["b"].rate_ratio, out["b"].parity_ok) == (0.5, False)
+    assert (out["c"].n_keep, out["c"].rate_ratio, out["c"].parity_ok) == (
+        7, 0.875, True,
+    )
