@@ -184,6 +184,7 @@ HEADLINE = (
     "q183_curation_v6",
     "q184_psi_drift",
     "q185_filter_parity",
+    "q186_trigram_search",
 )
 
 

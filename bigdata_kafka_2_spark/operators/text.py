@@ -1482,3 +1482,79 @@ def token_kl_drift(
             / F.lit(10000.0)
         ).alias("kl"),
     )
+
+
+def trigram_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-trigram posting list over normalized text:
+    distinct ``(gram, id)`` — the classic substring-search index
+    (pg_trgm's shape): any document CONTAINING a pattern necessarily
+    holds every trigram of the pattern, so posting-list intersection
+    is a lossless candidate filter for ``%pattern%`` queries. One
+    row-local gram explode + distinct; build once, partition by
+    ``gram`` so a search touches only its pattern's lists.
+    """
+    base = df.select(
+        F.col(id_col), normalize_text(text_col).alias("__n")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("__n") - 2, F.lit(0))),
+        lambda i: F.col("__n").substr(i, F.lit(3)),
+    )
+    return (
+        base.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .filter(F.length("gram") == 3)
+        .distinct()
+    )
+
+
+def trigram_search(
+    df: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Index-accelerated substring search: ids of documents whose
+    NORMALIZED text contains ``pattern`` (itself lowercased/space-
+    normalized). Lossless two-phase plan: intersect the pattern's
+    trigram posting lists (a doc qualifies only when it holds ALL
+    n distinct pattern trigrams — one filtered aggregate over the
+    index, never a corpus scan), then verify ``contains`` on the
+    candidate subset only. Patterns shorter than 3 normalized chars
+    fall back to the scan (no trigram to index on).
+
+    At 100 TB the gain is the index pushdown: the scan cost of a
+    LIKE query is the whole corpus; this plan reads only the
+    pattern's posting lists (``PushedFilters: In(gram, ...)`` when
+    the postings table is stored partitioned/bucketed by gram) plus
+    the candidate documents. Pass a precomputed ``postings`` frame
+    (from :func:`trigram_postings`, typically a stored table) to
+    search without rebuilding the index.
+    """
+    import re as _re
+
+    norm_pat = _re.sub(r"\s+", " ", pattern.lower()).strip()
+    norm = normalize_text(text_col)
+    if len(norm_pat) < 3:
+        return (
+            df.filter(F.contains(norm, F.lit(norm_pat)))
+            .select(F.col(id_col))
+        )
+    pats = sorted({norm_pat[i : i + 3] for i in range(len(norm_pat) - 2)})
+    idx = postings if postings is not None else trigram_postings(
+        df, text_col, id_col
+    )
+    cands = (
+        idx.filter(F.col("gram").isin(pats))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .filter(F.col("__hits") == len(pats))
+        .select(id_col)
+    )
+    return (
+        df.join(cands, on=id_col, how="left_semi")
+        .filter(F.contains(norm, F.lit(norm_pat)))
+        .select(F.col(id_col))
+    )

@@ -2425,3 +2425,26 @@ def q182_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return expected_calibration_error(nb_posteriors(d, "lang"))
+
+
+@register(
+    "q186_trigram_search",
+    oracle=f"""
+    SELECT doc_id FROM (
+      SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+    ) WHERE contains(norm, 'data stream')
+    """,
+    description="Index-accelerated substring search "
+    "(operators/text.trigram_search): documents containing the "
+    "phrase 'data stream', answered by intersecting the pattern's "
+    "character-trigram posting lists (a doc qualifies only when it "
+    "holds ALL pattern trigrams — lossless by construction) and "
+    "verifying contains() on the candidate subset only; the oracle "
+    "is the full-scan LIKE it replaces. At scale the postings table "
+    "is a stored index partitioned by gram, so a search reads only "
+    "its pattern's lists plus the candidates — never the corpus.",
+    tags=("text", "search"),
+)
+def q186_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return TX.trigram_search(d, "data stream")

@@ -2460,3 +2460,38 @@ def test_selection_parity_planted(spark):
     assert (out["c"].n_keep, out["c"].rate_ratio, out["c"].parity_ok) == (
         7, 0.875, True,
     )
+
+
+def test_trigram_search_equals_scan(spark):
+    """The two-phase trigram plan must return exactly the full-scan
+    contains() result for multi-gram patterns, handle the <3-char
+    fallback, and respect case/whitespace normalization."""
+    from bigdata_kafka_2_spark.operators.text import (
+        normalize_text,
+        trigram_postings,
+        trigram_search,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents")
+    for pat in ("data stream", "Spark  SQL", "zz"):
+        got = {r.doc_id for r in trigram_search(docs, pat).collect()}
+        import re
+        norm_pat = re.sub(r"\s+", " ", pat.lower()).strip()
+        want = {
+            r.doc_id
+            for r in docs.select(
+                "doc_id", normalize_text("text").alias("__n")
+            )
+            .filter(F.contains(F.col("__n"), F.lit(norm_pat)))
+            .collect()
+        }
+        assert got == want, pat
+    # precomputed-index path: same result without rebuilding
+    idx = trigram_postings(docs)
+    got = {
+        r.doc_id
+        for r in trigram_search(docs, "data stream", postings=idx).collect()
+    }
+    assert got == {
+        r.doc_id for r in trigram_search(docs, "data stream").collect()
+    }
