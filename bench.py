@@ -185,6 +185,7 @@ HEADLINE = (
     "q184_psi_drift",
     "q185_filter_parity",
     "q186_trigram_search",
+    "q187_threshold_sweep",
 )
 
 

@@ -914,3 +914,66 @@ def selection_parity(
             (ratio >= F.lit(float(min_ratio))).alias("parity_ok"),
         )
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    thresholds: Sequence[float],
+    keep_when_ge: bool = True,
+) -> DataFrame:
+    """Threshold tuning table in ONE scan: for every candidate
+    threshold, ``(threshold, n_keep, keep_rate)`` of the rows whose
+    score passes it — the curve a curation team reads before pinning
+    a quality/similarity/confidence cutoff, without re-scanning the
+    corpus per candidate value. Row-locally, each row contributes to
+    every threshold it passes (an explode over the threshold array,
+    ×len(thresholds) bounded fan-out), then one map-side-combined
+    aggregate; NULL scores pass nothing.
+
+    ``keep_when_ge=False`` flips to keep-below (e.g. perplexity
+    caps). Thresholds are emitted as the exact literals given, so
+    the output is join-stable against config tables.
+    """
+    ts = [float(t) for t in thresholds]
+    total = df.agg(F.count(F.lit(1)).alias("__n"))
+    score = F.col(score_col).cast("double")
+    passes = (
+        (lambda t: score >= F.lit(t))
+        if keep_when_ge
+        else (lambda t: score <= F.lit(t))
+    )
+    hits = df.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.when(passes(t), F.lit(t)).otherwise(
+                            F.lit(None).cast("double")
+                        )
+                        for t in ts
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("threshold")
+    )
+    counts = hits.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_keep")
+    )
+    grid = df.sparkSession.createDataFrame(
+        [(t,) for t in ts], "threshold double"
+    )
+    return (
+        grid.join(counts, on="threshold", how="left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            F.coalesce("n_keep", F.lit(0)).cast("long").alias("n_keep"),
+            F.round(
+                F.coalesce("n_keep", F.lit(0)) * F.lit(1.0)
+                / F.greatest("__n", F.lit(1)),
+                6,
+            ).alias("keep_rate"),
+        )
+    )

@@ -2212,3 +2212,51 @@ def q185_filter_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selection_parity(
         d.join(flags, on="doc_id").select("lang", "keep"), "lang", "keep"
     )
+
+
+@register(
+    "q187_threshold_sweep",
+    oracle=r"""
+    WITH scores AS (
+      SELECT round(len(list_distinct(toks)) * 1.0
+                   / greatest(len(toks), 1), 4) AS ttr
+      FROM (
+        SELECT string_split_regex(
+                 coalesce(trim(regexp_replace(lower(text), '\s+', ' ',
+                                              'g')), ''), ' ') AS toks
+        FROM documents
+      )
+    ),
+    grid AS (
+      SELECT unnest([0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7])
+        AS threshold
+    ),
+    total AS (SELECT count(*) AS n FROM scores)
+    SELECT g.threshold,
+           CAST(count(s.ttr) AS BIGINT) AS n_keep,
+           round(count(s.ttr) * 1.0 / greatest(max(total.n), 1), 6)
+             AS keep_rate
+    FROM grid g
+      LEFT JOIN scores s ON s.ttr >= g.threshold
+      CROSS JOIN total
+    GROUP BY g.threshold
+    """,
+    description="Threshold tuning table "
+    "(operators/profile.threshold_sweep): keep count and rate of "
+    "the documents' type-token-ratio quality score at nine candidate "
+    "cutoffs, in ONE corpus scan — each row contributes row-locally "
+    "to every threshold it passes (bounded explode), one map-side-"
+    "combined aggregate; the curve read before pinning q49's "
+    "min_ttr. The oracle transcribes the naive per-threshold "
+    "re-scan (an inequality join) this replaces.",
+    tags=("profile", "text", "aggregate"),
+)
+def q187_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import threshold_sweep
+    from bigdata_kafka_2_spark.operators.text import quality_filter_flags
+
+    d = read_table(spark, sf_dir, "documents")
+    scores = quality_filter_flags(d).select("ttr")
+    return threshold_sweep(
+        scores, "ttr", [0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7]
+    )

@@ -2495,3 +2495,19 @@ def test_trigram_search_equals_scan(spark):
     assert got == {
         r.doc_id for r in trigram_search(docs, "data stream").collect()
     }
+
+
+def test_threshold_sweep_planted(spark):
+    """Hand-checked sweep over scores 1..10: threshold t keeps the
+    11-t scores >= t; keep-below flips the direction; a threshold
+    nothing passes still appears with zero."""
+    from bigdata_kafka_2_spark.operators.profile import threshold_sweep
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 11)], "s double")
+    ge = {r.threshold: r.n_keep for r in threshold_sweep(df, "s", [3, 8, 99]).collect()}
+    assert ge == {3.0: 8, 8.0: 3, 99.0: 0}
+    le = {
+        r.threshold: (r.n_keep, r.keep_rate)
+        for r in threshold_sweep(df, "s", [2.0], keep_when_ge=False).collect()
+    }
+    assert le == {2.0: (2, 0.2)}
