@@ -186,6 +186,7 @@ HEADLINE = (
     "q185_filter_parity",
     "q186_trigram_search",
     "q187_threshold_sweep",
+    "q188_groupwise_auc",
 )
 
 

@@ -246,3 +246,57 @@ def rank_eval_at_k(
         .otherwise(F.lit(0.0))
         .alias("rr_at_k"),
     )
+
+
+def auc_by_group(
+    df: DataFrame, group_col: str, score_col: str, label_col: str
+) -> DataFrame:
+    """Per-group exact Mann-Whitney AUC: ``(group, auc, n_pos,
+    n_neg)`` — :func:`auc_exact`'s all-integer average-rank
+    construction evaluated within each slice. The fairness/
+    segmentation companion to the global AUC: a score can screen
+    well overall while being noise inside one domain, and per-slice
+    AUC is the audit that shows it (``auc`` is NULL for a slice
+    missing either class — undefined, not zero).
+
+    Same arithmetic as :func:`auc_exact` (rank-sum terms widen to
+    DECIMAL(38,0), one double division per group at the end); the
+    exclusive prefix count runs as a window over DISTINCT scores
+    partitioned by group — bounded by per-slice score cardinality,
+    never a single-partition exchange.
+    """
+    g = df.groupBy(
+        F.col(group_col), F.col(score_col).alias("__s")
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(label_col).cast("long")).alias("__p"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = g.withColumn(
+        "__before", F.coalesce(F.sum("__n").over(w), F.lit(0))
+    )
+    dec = "decimal(38,0)"
+    term = F.col("__p").cast(dec) * (
+        2 * F.col("__before") + F.col("__n") + 1
+    ).cast(dec)
+    agg = ranked.groupBy(group_col).agg(
+        F.sum(term).alias("__2s"),
+        F.sum("__p").alias("__P"),
+        F.sum("__n").alias("__T"),
+    )
+    P = F.col("__P")
+    N = F.col("__T") - P
+    auc = (
+        (F.col("__2s") - P.cast(dec) * (P + 1).cast(dec)).cast("double")
+        / (2 * P.cast(dec) * N.cast(dec)).cast("double")
+    )
+    return agg.select(
+        group_col,
+        F.when((P > 0) & (N > 0), F.round(auc, 6)).alias("auc"),
+        P.alias("n_pos"),
+        N.alias("n_neg"),
+    )

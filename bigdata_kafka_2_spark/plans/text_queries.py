@@ -2448,3 +2448,72 @@ def q182_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q186_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return TX.trigram_search(d, "data stream")
+
+
+@register(
+    "q188_groupwise_auc",
+    oracle=r"""
+    WITH scored AS (
+      SELECT source AS g,
+             round(len(list_distinct(toks)) * 1.0
+                   / greatest(len(toks), 1), 4) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM (
+        SELECT source, lang,
+               string_split_regex(
+                 coalesce(trim(regexp_replace(lower(text), '\s+', ' ',
+                                              'g')), ''), ' ') AS toks
+        FROM documents
+      )
+    ),
+    cells AS (
+      SELECT g, s, count(*) AS n, sum(y) AS p FROM scored GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT g, n, p,
+             COALESCE(sum(n) OVER (
+               PARTITION BY g ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM cells
+    ),
+    agg AS (
+      SELECT g,
+             sum(CAST(p AS DECIMAL(38,0))
+                 * CAST(2 * before + n + 1 AS DECIMAL(38,0))) AS s2,
+             CAST(sum(p) AS BIGINT) AS np,
+             CAST(sum(n) AS BIGINT) AS t
+      FROM ranked GROUP BY g
+    )
+    SELECT g AS source,
+           CASE WHEN np > 0 AND t - np > 0 THEN
+             round(CAST(s2 - CAST(np AS DECIMAL(38,0))
+                             * CAST(np + 1 AS DECIMAL(38,0)) AS DOUBLE)
+                   / CAST(2 * CAST(np AS DECIMAL(38,0))
+                          * CAST(t - np AS DECIMAL(38,0)) AS DOUBLE), 6)
+           END AS auc,
+           np AS n_pos,
+           t - np AS n_neg
+    FROM agg
+    """,
+    description="Per-slice exact AUC (operators/evalmetrics."
+    "auc_by_group): within every source, the Mann-Whitney AUC of "
+    "the type-token-ratio quality score against the English label — "
+    "the segmentation audit that catches a score screening well "
+    "overall while being noise inside one domain. q164's all-"
+    "integer average-rank construction (DECIMAL(38,0) rank sums, "
+    "one double division per group), with the exclusive prefix "
+    "count as a group-partitioned window over distinct scores; AUC "
+    "is NULL for a slice missing either class.",
+    tags=("text", "evalmetrics", "window", "aggregate"),
+)
+def q188_groupwise_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.evalmetrics import auc_by_group
+    from bigdata_kafka_2_spark.operators.text import quality_filter_flags
+
+    d = read_table(spark, sf_dir, "documents")
+    flags = quality_filter_flags(d).select("doc_id", "ttr")
+    scored = d.join(flags, on="doc_id").select(
+        "source", "ttr", (F.col("lang") == "en").alias("y")
+    )
+    return auc_by_group(scored, "source", "ttr", "y")

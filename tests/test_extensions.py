@@ -2511,3 +2511,27 @@ def test_threshold_sweep_planted(spark):
         for r in threshold_sweep(df, "s", [2.0], keep_when_ge=False).collect()
     }
     assert le == {2.0: (2, 0.2)}
+
+
+def test_auc_by_group_matches_global_and_handles_one_class(spark):
+    """Per-group AUC equals auc_exact computed on each slice alone
+    (tie handling included); a single-class slice returns NULL."""
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        auc_by_group,
+        auc_exact,
+    )
+
+    rows = [("a", float(s), y) for s, y in
+            [(1, 0), (2, 0), (2, 1), (3, 1), (4, 0), (5, 1)]]
+    rows += [("b", float(s), y) for s, y in
+             [(1, 1), (1, 0), (2, 1), (3, 0)]]
+    rows += [("c", float(s), 1) for s in range(4)]  # positives only
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    got = {r.g: r for r in auc_by_group(df, "g", "s", "y").collect()}
+    for grp in ("a", "b"):
+        solo = auc_exact(
+            df.filter(F.col("g") == grp), "s", "y"
+        ).collect()[0]
+        assert got[grp].auc == solo.auc
+        assert (got[grp].n_pos, got[grp].n_neg) == (solo.n_pos, solo.n_neg)
+    assert got["c"].auc is None and got["c"].n_neg == 0
