@@ -460,3 +460,29 @@ def test_personalized_pagerank_honors_broadcast_threshold(spark, monkeypatch):
     # |V|-row rank/node/contribs tables
     assert all(cols == ["__mu"] for cols in calls)
     assert no_bc == with_bc  # and the shuffle path is bit-identical
+
+
+def test_naive_bayes_no_cartesian_expansion(spark):
+    """The NB scoring plan must never cross-expand vocab x classes:
+    the only nested-loop joins are the broadcast 1-row/K-row constant
+    frames; the token-key scoring join is an equi-join."""
+    from bigdata_kafka_2_spark.operators.classify import (
+        naive_bayes_predictions,
+    )
+
+    d = read_table(spark, SF_DIR, "documents")
+    plan = _plan(naive_bayes_predictions(d, "lang"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the tiny constants only
+
+
+def test_trigram_search_probes_index_not_corpus(spark):
+    """The two-phase substring search verifies contains() only on the
+    posting-intersection candidates (left-semi join upstream of the
+    verify filter), never as a bare full-corpus scan."""
+    from bigdata_kafka_2_spark.operators.text import trigram_search
+
+    d = read_table(spark, SF_DIR, "documents")
+    plan = _plan(trigram_search(d, "data stream"))
+    assert "LeftSemi" in plan
+    assert "Contains" in plan or "contains" in plan
