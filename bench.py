@@ -187,6 +187,7 @@ HEADLINE = (
     "q186_trigram_search",
     "q187_threshold_sweep",
     "q188_groupwise_auc",
+    "q189_heaps_fit",
 )
 
 

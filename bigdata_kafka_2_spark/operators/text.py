@@ -1558,3 +1558,54 @@ def trigram_search(
         .filter(F.contains(norm, F.lit(norm_pat)))
         .select(F.col(id_col))
     )
+
+
+def heaps_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps'-law fit over the vocabulary-growth curve: ONE row
+    ``(n_points, beta, intercept)`` — the least-squares line through
+    (ln cum_tokens, ln vocab_size) of :func:`vocab_growth`'s
+    checkpoints, so ``vocab ≈ e^intercept · tokens^beta``. Natural
+    corpora fit β ≈ 0.4–0.6; β near 0 flags a closed vocabulary
+    (template/synthetic text), β near 1 flags unbounded noise (ids,
+    hashes) — the growth-side companion to :func:`zipf_fit`'s
+    frequency slope. Same determinism discipline: per-point log
+    terms on identical double inputs rounded to 6 dp, DECIMAL sums,
+    closed-form slope/intercept as single double expressions.
+    """
+    pts = vocab_growth(df, id_col, text_col, n_checkpoints).filter(
+        (F.col("cum_tokens") > 0) & (F.col("vocab_size") > 0)
+    )
+    x = F.round(F.log(F.col("cum_tokens").cast("double")), 6)
+    y = F.round(F.log(F.col("vocab_size").cast("double")), 6)
+
+    def dec(c):
+        return c.cast("decimal(28,6)")
+
+    sums = pts.select(
+        dec(x).alias("__x"),
+        dec(y).alias("__y"),
+        dec(F.round(x * y, 6)).alias("__xy"),
+        dec(F.round(x * x, 6)).alias("__xx"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("__x").cast("double").alias("__sx"),
+        F.sum("__y").cast("double").alias("__sy"),
+        F.sum("__xy").cast("double").alias("__sxy"),
+        F.sum("__xx").cast("double").alias("__sxx"),
+    )
+    n = F.col("n_points").cast("double")
+    det = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    beta = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / det
+    intercept = (
+        F.col("__sy") * F.col("__sxx") - F.col("__sx") * F.col("__sxy")
+    ) / det
+    return sums.select(
+        "n_points",
+        F.round(beta, 6).alias("beta"),
+        F.round(intercept, 6).alias("intercept"),
+    )

@@ -1646,9 +1646,11 @@ def q129_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.token_frequency_spectrum(d)
 
 
-@register(
-    "q130_vocab_growth",
-    oracle=f"""
+def _vocab_growth_ctes() -> str:
+    """The shared CTE chain of the vocabulary-growth curve (q130's
+    oracle and q189's Heaps fit): per-doc token counts + first-doc
+    type attribution -> cumulative sums -> decile thresholds."""
+    return f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
       FROM documents
@@ -1679,13 +1681,21 @@ def q129_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
       ), generate_series(1, 10) g(i)
     )
+    """
+
+
+_VOCAB_GROWTH_SELECT = """
     SELECT checkpoint,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(max(ct) AS BIGINT) AS cum_tokens,
            CAST(max(cv) AS BIGINT) AS vocab_size
     FROM cum JOIN thr ON doc_id <= t
-    GROUP BY checkpoint
-    """,
+    GROUP BY checkpoint"""
+
+
+@register(
+    "q130_vocab_growth",
+    oracle=_vocab_growth_ctes() + _VOCAB_GROWTH_SELECT,
     description="Heaps-law vocabulary-growth curve "
     "(operators/text.vocab_growth): cumulative tokens and cumulative "
     "DISTINCT types at each doc_id-order decile. 'Distinct so far' "
@@ -2517,3 +2527,55 @@ def q188_groupwise_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "ttr", (F.col("lang") == "en").alias("y")
     )
     return auc_by_group(scored, "source", "ttr", "y")
+
+
+@register(
+    "q189_heaps_fit",
+    oracle=_vocab_growth_ctes() + """,
+    pts AS (
+      SELECT max(ct) AS cum_tokens, max(cv) AS vocab_size
+      FROM cum JOIN thr ON doc_id <= t
+      GROUP BY checkpoint
+    ),
+    terms AS (
+      SELECT CAST(round(ln(CAST(cum_tokens AS DOUBLE)), 6)
+                  AS DECIMAL(28,6)) AS x,
+             CAST(round(ln(CAST(vocab_size AS DOUBLE)), 6)
+                  AS DECIMAL(28,6)) AS y,
+             CAST(round(round(ln(CAST(cum_tokens AS DOUBLE)), 6)
+                        * round(ln(CAST(vocab_size AS DOUBLE)), 6), 6)
+                  AS DECIMAL(28,6)) AS xy,
+             CAST(round(round(ln(CAST(cum_tokens AS DOUBLE)), 6)
+                        * round(ln(CAST(cum_tokens AS DOUBLE)), 6), 6)
+                  AS DECIMAL(28,6)) AS xx
+      FROM pts WHERE cum_tokens > 0 AND vocab_size > 0
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_points,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(xy) AS DOUBLE) AS sxy,
+             CAST(sum(xx) AS DOUBLE) AS sxx
+      FROM terms
+    )
+    SELECT n_points,
+           round((n_points * sxy - sx * sy)
+                 / (n_points * sxx - sx * sx), 6) AS beta,
+           round((sy * sxx - sx * sxy)
+                 / (n_points * sxx - sx * sx), 6) AS intercept
+    FROM s
+    """,
+    description="Heaps'-law fit (operators/text.heaps_fit): the "
+    "least-squares line through (ln cum_tokens, ln vocab_size) of "
+    "q130's growth checkpoints — vocab ~ K*tokens^beta; natural "
+    "corpora fit beta 0.4-0.6, near-0 flags a closed template "
+    "vocabulary, near-1 unbounded noise. The growth-side companion "
+    "to q179's Zipf slope, same determinism discipline (6-dp log "
+    "terms, DECIMAL sums, identical closed-form expressions); the "
+    "curve construction shares q130's first-doc type attribution "
+    "and range-bucketed prefix sums.",
+    tags=("text", "profile", "aggregate"),
+)
+def q189_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return TX.heaps_fit(d)

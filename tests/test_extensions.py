@@ -2535,3 +2535,22 @@ def test_auc_by_group_matches_global_and_handles_one_class(spark):
         assert got[grp].auc == solo.auc
         assert (got[grp].n_pos, got[grp].n_neg) == (solo.n_pos, solo.n_neg)
     assert got["c"].auc is None and got["c"].n_neg == 0
+
+
+def test_heaps_fit_planted_extremes(spark):
+    """Every-token-unique corpora fit beta=1 intercept=0 (V = N);
+    closed single-token vocabularies fit beta=0 (V constant)."""
+    from bigdata_kafka_2_spark.operators.text import heaps_fit
+
+    uniq = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b u{i}c u{i}d") for i in range(100)],
+        "doc_id long, text string",
+    )
+    r = heaps_fit(uniq).collect()[0]
+    assert abs(r.beta - 1.0) < 1e-4 and abs(r.intercept) < 1e-4
+    closed = spark.createDataFrame(
+        [(i, "same same same") for i in range(100)],
+        "doc_id long, text string",
+    )
+    r2 = heaps_fit(closed).collect()[0]
+    assert abs(r2.beta) < 1e-4
