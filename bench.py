@@ -188,6 +188,7 @@ HEADLINE = (
     "q187_threshold_sweep",
     "q188_groupwise_auc",
     "q189_heaps_fit",
+    "q190_streaming_psi",
 )
 
 

@@ -837,11 +837,33 @@ def psi_drift(
             .agg(F.count(F.lit(1)).alias(name))
         )
 
-    spark = ref.sparkSession
+    return psi_from_counts(counts(ref, "__cr"), counts(cur, "__cc"), b)
+
+
+def psi_from_counts(
+    ref_counts: DataFrame,
+    cur_counts: DataFrame,
+    n_buckets: int,
+) -> DataFrame:
+    """PSI from pre-bucketed counts — the mergeable-state half of
+    :func:`psi_drift` (bucket counts merge by summation, so a
+    streaming monitor can accumulate them per micro-batch and
+    finalize here): ``ref_counts``/``cur_counts`` carry
+    ``(bucket, <count>)`` with the count in their second column.
+    Same exact arithmetic as :func:`psi_drift`.
+    """
+    b = int(n_buckets)
+    rc = ref_counts.select(
+        "bucket", F.col(ref_counts.columns[1]).alias("__cr")
+    )
+    cc = cur_counts.select(
+        "bucket", F.col(cur_counts.columns[1]).alias("__cc")
+    )
+    spark = ref_counts.sparkSession
     buckets = spark.range(b).select(F.col("id").cast("int").alias("bucket"))
     joined = (
-        buckets.join(counts(ref, "__cr"), on="bucket", how="left")
-        .join(counts(cur, "__cc"), on="bucket", how="left")
+        buckets.join(rc, on="bucket", how="left")
+        .join(cc, on="bucket", how="left")
         .select(
             "bucket",
             F.coalesce("__cr", F.lit(0)).alias("__cr"),

@@ -682,3 +682,116 @@ def q142_filelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = _drain(agg, "q142_out")
     return spark.table(sink)
+
+
+@register(
+    "q190_streaming_psi",
+    oracle="""
+    WITH ref AS (
+      SELECT CAST(value AS DOUBLE) AS v FROM events
+      WHERE ts < TIMESTAMP '2024-01-16'
+    ),
+    cur AS (
+      SELECT CAST(value AS DOUBLE) AS v FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16'
+    ),
+    bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM ref),
+    rc AS (
+      SELECT least(9, greatest(0, CAST(CASE WHEN hi > lo
+               THEN floor((v - lo) / ((hi - lo) / 10.0)) ELSE 0 END
+             AS INT))) AS bucket, count(*) AS cr
+      FROM ref, bounds GROUP BY 1
+    ),
+    cc AS (
+      SELECT least(9, greatest(0, CAST(CASE WHEN hi > lo
+               THEN floor((v - lo) / ((hi - lo) / 10.0)) ELSE 0 END
+             AS INT))) AS bucket, count(*) AS ccnt
+      FROM cur, bounds GROUP BY 1
+    ),
+    joined AS (
+      SELECT b.bucket,
+             COALESCE(rc.cr, 0) AS cr,
+             COALESCE(cc.ccnt, 0) AS ccnt
+      FROM (SELECT unnest(generate_series(0, 9)) AS bucket) b
+        LEFT JOIN rc USING (bucket)
+        LEFT JOIN cc USING (bucket)
+    ),
+    totals AS (SELECT sum(cr) AS nr, sum(ccnt) AS nc FROM joined)
+    SELECT CAST(max(nr) AS BIGINT) AS n_ref,
+           CAST(max(nc) AS BIGINT) AS n_cur,
+           CAST(sum(CAST(round(
+             ((cr + 1.0) / (nr + 10.0) - (ccnt + 1.0) / (nc + 10.0))
+             * ln(((cr + 1.0) * (nc + 10.0))
+                  / ((ccnt + 1.0) * (nr + 10.0))), 6)
+             AS DECIMAL(28,6))) AS DOUBLE) AS psi
+    FROM joined, totals
+    """,
+    description="Streaming drift monitor (streaming/ingest."
+    "run_streaming_bucket_counts + profile.psi_from_counts): the "
+    "current period's event values stream through foreachBatch, "
+    "each micro-batch bucketized against the FROZEN reference-period "
+    "bounds and appended as (epoch, bucket, n) mergeable partial "
+    "counts — the monitor never rescans history, a PSI reading at "
+    "any moment is one B-row aggregate over the state table; epoch "
+    "ids make the merge idempotent under replay. Executed THROUGH "
+    "Structured Streaming inside the gate (availableNow drain); the "
+    "accumulated-state PSI hash-matches the batch transcription, "
+    "streaming = batch.",
+    tags=("streaming", "profile", "aggregate"),
+)
+def q190_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bigdata_kafka_2_spark.io import read_table
+    from bigdata_kafka_2_spark.operators.profile import psi_from_counts
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        read_bucket_counts,
+        run_streaming_bucket_counts,
+    )
+
+    split = F.lit("2024-01-16").cast("timestamp")
+    e = read_table(spark, sf_dir, "events")
+    ref = e.filter(F.col("ts") < split).select(
+        F.col("value").cast("double").alias("v")
+    )
+    row = ref.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    lo, hi = float(row["lo"]), float(row["hi"])
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"q190_{tag}")
+    state = os.path.join(base, "counts")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    stream = _staged_events_stream(spark, sf_dir, "q190_events", ("",))
+    run_streaming_bucket_counts(
+        stream.filter(F.col("ts") >= split),
+        "value",
+        lo,
+        hi,
+        10,
+        state,
+        ckpt,
+    )
+
+    b = F.least(
+        F.lit(9),
+        F.greatest(
+            F.lit(0),
+            F.when(
+                F.lit(hi) > F.lit(lo),
+                F.floor(
+                    (F.col("v") - F.lit(lo))
+                    / ((F.lit(hi) - F.lit(lo)) / F.lit(10.0))
+                ),
+            ).otherwise(F.lit(0)),
+        ).cast("int"),
+    )
+    ref_counts = (
+        ref.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return psi_from_counts(ref_counts, read_bucket_counts(spark, state), 10)

@@ -242,3 +242,73 @@ def drain_with_metrics(
             }
         )
     return sink_name, out
+
+
+def run_streaming_bucket_counts(
+    stream_df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    out_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming half of a drift monitor: bucketize each micro-batch
+    of ``value_col`` against FIXED reference bounds (the bucket
+    expression is
+    ``profile.psi_drift``'s, with the reference bounds embedded as
+    literals) and append the batch's ``(epoch_id, bucket, n)``
+    partial counts — the mergeable state (counts merge by summation,
+    the q150 contract), so the monitor never rescans history and a
+    PSI reading at any moment is one B-row aggregate over this table
+    + ``profile.psi_from_counts``. Rows carry the epoch id, so a
+    replayed epoch after a crash-restart overwrites to the SAME
+    logical content and the reader's per-epoch max-dedup keeps the
+    merge idempotent.
+    """
+    b = int(n_buckets)
+    col = F.col(value_col).cast("double")
+    bucket = F.least(
+        F.lit(b - 1),
+        F.greatest(
+            F.lit(0),
+            (
+                F.floor(
+                    (col - F.lit(float(lo)))
+                    / ((F.lit(float(hi)) - F.lit(float(lo))) / F.lit(float(b)))
+                )
+                if hi > lo
+                else F.lit(0)
+            ),
+        ).cast("int"),
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_bucket_counts(spark: SparkSession, out_path: str) -> DataFrame:
+    """Merge the accumulated partial counts: per-epoch max-dedup
+    (idempotent under epoch replay) then one bucket-keyed sum."""
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("epoch_id", "bucket")
+        .agg(F.max("n").alias("n"))
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+    )

@@ -2554,3 +2554,21 @@ def test_heaps_fit_planted_extremes(spark):
     )
     r2 = heaps_fit(closed).collect()[0]
     assert abs(r2.beta) < 1e-4
+
+
+def test_streaming_bucket_counts_merge_idempotent(spark, tmp_path):
+    """The monitor's merge state: a replayed epoch (same epoch_id,
+    same content appended twice) must not double-count — the reader's
+    per-epoch max-dedup keeps the merge idempotent; fresh epochs sum."""
+    from bigdata_kafka_2_spark.streaming.ingest import read_bucket_counts
+
+    path = str(tmp_path / "counts")
+    rows = [(0, 3, 10), (0, 5, 7), (1, 3, 2)]
+    df = spark.createDataFrame(rows, "epoch_id long, bucket int, n long")
+    df.select("bucket", "n", "epoch_id").write.mode("append").parquet(path)
+    # replay of epoch 0 (crash between write and commit)
+    df.filter("epoch_id = 0").select("bucket", "n", "epoch_id").write.mode(
+        "append"
+    ).parquet(path)
+    got = {r.bucket: r.n for r in read_bucket_counts(spark, path).collect()}
+    assert got == {3: 12, 5: 7}
