@@ -189,6 +189,7 @@ HEADLINE = (
     "q188_groupwise_auc",
     "q189_heaps_fit",
     "q190_streaming_psi",
+    "q191_linear_attribution",
 )
 
 

@@ -631,3 +631,63 @@ def rolling_active_users(
         F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
         "wau",
     )
+
+
+def linear_attribution(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion: str,
+    touch: str,
+    horizon_sec: int,
+) -> DataFrame:
+    """Multi-touch LINEAR attribution: every conversion's credit
+    splits evenly across ALL the same user's qualifying touches in
+    the horizon before it — ``(day, n_touches, credit)`` per touch
+    calendar day. The fractional-credit complement to
+    :func:`last_touch_attribution` (which gives the final touch
+    everything): linear attribution is what a mixture/budget view
+    reads. A touch qualifies when it precedes the conversion
+    (ties broken by event id, like last-touch) within
+    ``horizon_sec``.
+
+    Determinism: each touch's credit is ``round(1/n, 6)`` as an
+    exact DECIMAL (n = the conversion's qualifying-touch count, a
+    window over the conversion key), so day-level sums are
+    order-independent. Plan: one user-keyed equi-join bounded by the
+    horizon predicate (per-user activity volume, never a global
+    range join), one conversion-keyed window, one day aggregate.
+    """
+    conv = df.filter(F.col(type_col) == conversion).select(
+        F.col(key_col).alias("__u"),
+        F.col("event_id").alias("__cid"),
+        F.col(ts_col).alias("__cts"),
+    )
+    t = df.filter(F.col(type_col) == touch).select(
+        F.col(key_col).alias("__u"),
+        F.col("event_id").alias("__tid"),
+        F.col(ts_col).alias("__tts"),
+    )
+    gap = F.unix_micros(F.col("__cts")) - F.unix_micros(F.col("__tts"))
+    joined = conv.join(t, on="__u").filter(
+        (
+            (F.col("__tts") < F.col("__cts"))
+            | (
+                (F.col("__tts") == F.col("__cts"))
+                & (F.col("__tid") < F.col("__cid"))
+            )
+        )
+        & (gap <= F.lit(int(horizon_sec) * 1_000_000).cast("long"))
+    )
+    from pyspark.sql import Window
+
+    n = F.count(F.lit(1)).over(Window.partitionBy("__cid"))
+    credited = joined.select(
+        F.date_trunc("day", F.col("__tts")).alias("day"),
+        F.round(F.lit(1.0) / n, 6).cast("decimal(28,6)").alias("__credit"),
+    )
+    return credited.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("__credit").cast("double").alias("credit"),
+    )

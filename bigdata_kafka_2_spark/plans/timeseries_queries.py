@@ -553,3 +553,58 @@ def q168_rolling_active_users(
     return out.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau"
     )
+
+
+@register(
+    "q191_linear_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id AS u, event_id AS cid, ts AS cts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id AS u, event_id AS tid, ts AS tts FROM events
+      WHERE event_type = 'view'
+    ),
+    joined AS (
+      SELECT c.cid, t.tts,
+             count(*) OVER (PARTITION BY c.cid) AS n
+      FROM conv c JOIN touch t ON c.u = t.u
+      WHERE (t.tts < c.cts OR (t.tts = c.cts AND t.tid < c.cid))
+        AND epoch_us(c.cts) - epoch_us(t.tts)
+            <= CAST(43200 AS BIGINT) * 1000000
+    )
+    SELECT strftime(date_trunc('day', tts), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(CAST(round(1.0 / n, 6) AS DECIMAL(28,6)))
+                AS DOUBLE) AS credit
+    FROM joined GROUP BY 1
+    """,
+    description="Multi-touch linear attribution "
+    "(operators/timeseries.linear_attribution): every purchase's "
+    "credit splits evenly across the same user's views in the "
+    "preceding 12 hours — the fractional-credit complement to "
+    "q165's last-touch, aggregated to credit per touch day. Each "
+    "touch's 1/n share is rounded to 6 dp and summed as an exact "
+    "DECIMAL (order-independent day sums); one user-keyed equi-join "
+    "bounded by the horizon predicate, one conversion-keyed window, "
+    "one day aggregate.",
+    tags=("timeseries", "window", "aggregate"),
+)
+def q191_linear_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        linear_attribution,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    out = linear_attribution(
+        e, "user_id", "ts", "event_type",
+        conversion="purchase", touch="view", horizon_sec=43200,
+    )
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_touches",
+        "credit",
+    )

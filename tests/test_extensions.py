@@ -2572,3 +2572,33 @@ def test_streaming_bucket_counts_merge_idempotent(spark, tmp_path):
     ).parquet(path)
     got = {r.bucket: r.n for r in read_bucket_counts(spark, path).collect()}
     assert got == {3: 12, 5: 7}
+
+
+def test_linear_attribution_planted(spark):
+    """A purchase with 2 in-horizon views credits 0.5 each; a view
+    outside the horizon gets nothing; a touch can serve two
+    conversions (credited once per conversion)."""
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        linear_attribution,
+    )
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "view"),
+        (2, 1, "2024-01-01 11:00:00", "view"),
+        (3, 1, "2024-01-01 12:00:00", "purchase"),  # credits v1+v2 @0.5
+        (4, 1, "2024-01-01 13:00:00", "purchase"),  # credits v1+v2 @0.5
+        (5, 2, "2024-01-01 00:00:00", "view"),
+        (6, 2, "2024-01-02 00:00:01", "purchase"),  # view out of 12h
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).select("event_id", "user_id",
+             F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = {
+        r.day.strftime("%Y-%m-%d"): (r.n_touches, r.credit)
+        for r in linear_attribution(
+            df, "user_id", "ts", "event_type",
+            conversion="purchase", touch="view", horizon_sec=43200,
+        ).collect()
+    }
+    assert out == {"2024-01-01": (4, 2.0)}
