@@ -190,6 +190,7 @@ HEADLINE = (
     "q189_heaps_fit",
     "q190_streaming_psi",
     "q191_linear_attribution",
+    "q192_ks_test",
 )
 
 

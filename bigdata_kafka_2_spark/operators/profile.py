@@ -999,3 +999,69 @@ def threshold_sweep(
             ).alias("keep_rate"),
         )
     )
+
+
+def ks_test(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic: ONE row
+    ``(n_ref, n_cur, ks_d)`` with ``D = max_v |F_ref(v) − F_cur(v)|``
+    over the pooled distinct values — the binning-free companion to
+    :func:`psi_drift` (PSI needs bucket edges and smoothing; KS reads
+    the raw empirical CDFs, so it catches a pure location shift that
+    lands inside one PSI bucket). All-integer construction:
+    per-distinct-value counts (one hash aggregate over the pooled
+    tag), INCLUSIVE cumulative counts via the range-bucketed
+    :func:`~bigdata_kafka_2_spark.operators.relational.
+    global_prefix_sum` (never a single-partition window), and
+
+        D = max_v |cum_ref(v)·N_cur − cum_cur(v)·N_ref| / (N_ref·N_cur)
+
+    — the max is over exact BIGINTs; only the final division is a
+    double (rounded to 6 dp), identical in ANSI SQL.
+    """
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    v = F.col(value_col).cast("double").alias("__v")
+    pooled = (
+        ref.select(v, F.lit(1).alias("__a"), F.lit(0).alias("__b"))
+        .unionByName(
+            cur.select(v, F.lit(0).alias("__a"), F.lit(1).alias("__b"))
+        )
+        .groupBy("__v")
+        .agg(
+            F.sum("__a").alias("__ca"),
+            F.sum("__b").alias("__cb"),
+        )
+    )
+    cum_a = global_prefix_sum(pooled, "__v", "__ca", out_col="__beforea")
+    cum = global_prefix_sum(cum_a, "__v", "__cb", out_col="__beforeb")
+    inc = cum.select(
+        (F.col("__beforea") + F.col("__ca")).alias("__cuma"),
+        (F.col("__beforeb") + F.col("__cb")).alias("__cumb"),
+    )
+    totals = inc.agg(
+        F.max("__cuma").alias("__na"), F.max("__cumb").alias("__nb")
+    )
+    num = F.abs(
+        F.col("__cuma") * F.col("__nb") - F.col("__cumb") * F.col("__na")
+    )
+    return (
+        inc.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("__na").cast("long").alias("n_ref"),
+            F.max("__nb").cast("long").alias("n_cur"),
+            F.round(
+                F.max(num).cast("double")
+                / (
+                    F.max("__na").cast("double")
+                    * F.max("__nb").cast("double")
+                ),
+                6,
+            ).alias("ks_d"),
+        )
+    )

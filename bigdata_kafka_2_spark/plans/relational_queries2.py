@@ -2260,3 +2260,52 @@ def q187_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return threshold_sweep(
         scores, "ttr", [0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7]
     )
+
+
+@register(
+    "q192_ks_test",
+    oracle="""
+    WITH pooled AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS a,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 0 ELSE 1 END AS b
+      FROM orders
+    ),
+    cells AS (
+      SELECT v, sum(a) AS ca, sum(b) AS cb FROM pooled GROUP BY v
+    ),
+    cum AS (
+      SELECT sum(ca) OVER (ORDER BY v) AS cuma,
+             sum(cb) OVER (ORDER BY v) AS cumb
+      FROM cells
+    ),
+    totals AS (SELECT max(cuma) AS na, max(cumb) AS nb FROM cum)
+    SELECT CAST(max(na) AS BIGINT) AS n_ref,
+           CAST(max(nb) AS BIGINT) AS n_cur,
+           round(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+                 / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)),
+                 6) AS ks_d
+    FROM cum, totals
+    """,
+    description="Exact two-sample Kolmogorov-Smirnov statistic "
+    "(operators/profile.ks_test): max |F_ref - F_cur| between the "
+    "1998+ and prior order-value distributions — the binning-free "
+    "companion to q184's PSI (KS reads raw empirical CDFs, so it "
+    "catches a pure location shift that lands inside one PSI "
+    "bucket). All-integer: per-distinct-value counts of the pooled "
+    "tagged union, inclusive cumulative counts via the range-"
+    "bucketed global_prefix_sum (no single-partition window — the "
+    "oracle transcribes exactly that naive global window), max over "
+    "exact BIGINT cross-products, one final double division.",
+    tags=("profile", "aggregate"),
+)
+def q192_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import ks_test
+
+    o = read_table(spark, sf_dir, "orders")
+    split = F.lit("1998-01-01").cast("timestamp")
+    ref = o.filter(F.col("o_orderdate") < split).select("o_totalprice")
+    cur = o.filter(F.col("o_orderdate") >= split).select("o_totalprice")
+    return ks_test(ref, cur, "o_totalprice")

@@ -2602,3 +2602,22 @@ def test_linear_attribution_planted(spark):
         ).collect()
     }
     assert out == {"2024-01-01": (4, 2.0)}
+
+
+def test_ks_test_planted(spark):
+    """Hand-checked D: identical samples -> 0; disjoint supports ->
+    1.0; a known shifted pair matches scipy-free hand arithmetic."""
+    from bigdata_kafka_2_spark.operators.profile import ks_test
+
+    a = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    same = ks_test(a, a, "v").collect()[0]
+    assert same.ks_d == 0.0 and same.n_ref == same.n_cur == 10
+    b = spark.createDataFrame(
+        [(float(i + 100),) for i in range(5)], "v double"
+    )
+    disj = ks_test(a, b, "v").collect()[0]
+    assert disj.ks_d == 1.0 and disj.n_cur == 5
+    # ref {1,2,3,4}, cur {3,4,5,6}: D at v=2 -> |2/4 - 0/4| = 0.5
+    r = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "v double")
+    c = spark.createDataFrame([(3.0,), (4.0,), (5.0,), (6.0,)], "v double")
+    assert ks_test(r, c, "v").collect()[0].ks_d == 0.5
