@@ -42,6 +42,15 @@ def naive_bayes_predictions(
     vocab×class expansion. Ties break toward the lexicographically
     smallest class.
 
+    Documents whose normalized text is EMPTY (no tokens after
+    :func:`~bigdata_kafka_2_spark.operators.text.normalize_text` +
+    whitespace split) produce NO output row — they never enter the
+    token frame, so a downstream router (q183's label-noise stage)
+    passes them through unrouted rather than assigning the prior-only
+    argmax. Filter ``length(trim(text)) > 0`` upstream (every
+    curation chain here does, via its quality gate) or left-join the
+    predictions back if prior-only rows are wanted.
+
     Determinism (the q117 discipline): each log factor is rounded to
     4 dp, multiplied by integer tf, and summed as exact
     DECIMAL(28,4) — order-independent across partitionings, identical
@@ -213,10 +222,11 @@ def expected_calibration_error(
 ) -> DataFrame:
     """Reliability table + ECE over ``(label, pred, confidence)``
     rows: per confidence bucket, ``(bucket, n, conf_sum_ppm,
-    acc_ppm)`` — the decomposition a calibration plot reads directly,
-    with everything in exact integer parts-per-million so the
-    weighted |acc − conf| gap (ECE's summand) reconstructs without
-    float summation. A classifier whose confidence tracks its
+    n_correct)`` — the decomposition a calibration plot reads
+    directly: confidence in exact integer parts-per-million and
+    accuracy as an exact hit count, so the weighted |acc − conf| gap
+    (ECE's summand) reconstructs as ``|n_correct/n −
+    conf_sum_ppm/(n·1e6)|`` without float summation. A classifier whose confidence tracks its
     accuracy has acc ≈ conf in every bucket.
 
     One hash aggregate over the scored rows; buckets by

@@ -1504,6 +1504,7 @@ def weighted_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.4,
     max_doc_freq: int | None = None,
+    auto_cap_expansion: int | None = 2_000_000_000,
 ) -> DataFrame:
     """WEIGHTED (multiset) Jaccard pairs over token frequencies:
     ``J_w(a,b) = Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b)`` ≥
@@ -1534,6 +1535,23 @@ def weighted_jaccard_pairs(
     token-keyed shuffle. ``max_doc_freq`` optionally drops
     ultra-common tokens from the MEASURE itself (changes semantics,
     default None = the oracle-checked exact measure).
+
+    AUTO-CAP (the SemDeDup auto-switch discipline): the bounded
+    scalar job that sizes the candidate join also measures the exact
+    expansion Σ df_p² — when it exceeds ``auto_cap_expansion``
+    (the degenerate-vocabulary regime: a corpus whose mass
+    concentrates in a handful of tokens makes EVERY weighted prefix
+    dense, and no lossless filter can help), the operator re-runs
+    itself with the LARGEST ``max_doc_freq`` whose corpus-wide
+    Σ df² fits the budget, emitting a ``UserWarning`` that names the
+    chosen cap. The measure stays exact whenever the expansion is in
+    budget (all driver datasets; any natural corpus — large
+    vocabulary, small per-token df); the cap changes semantics only
+    where the exact computation would not finish, and the module
+    docstring's ``max_doc_freq`` table gives the production
+    guidance. Pass ``auto_cap_expansion=None`` to force the exact
+    measure regardless of cost, or an explicit ``max_doc_freq`` to
+    take manual control (an explicit cap disables the auto path).
     """
     from bigdata_kafka_2_spark.operators.text import term_frequencies
     from pyspark.sql import Window
@@ -1579,7 +1597,8 @@ def weighted_jaccard_pairs(
     # memory and the stage spills). Fix with the same guarded-
     # broadcast discipline as pagerank: a bounded scalar job on the
     # cached prefix measures the exact expansion Σ df_p² and the
-    # prefix row count; while the prefix fits executor memory, hint
+    # exact byte size of the build side; while those bytes fit
+    # executor memory, hint
     # the build side broadcast (the hash-probe expansion is ~6×
     # faster than sort-merge here) and round-robin the PROBE side to
     # an expansion-proportional task count (REPARTITION_BY_NUM is
@@ -1590,15 +1609,81 @@ def weighted_jaccard_pairs(
     # is built for.
     stats = (
         prefix.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum(F.length(F.col(id_col).cast("string"))).alias("__idb"),
+        )
         .agg(
             F.sum(F.col("__c") * F.col("__c")).alias("__exp"),
-            F.sum(F.col("__c")).alias("__rows"),
+            # exact data bytes of one side of the candidate join
+            # (token + id strings) + 32 B/row for the two numeric
+            # columns and struct overhead — the broadcast gate reads
+            # BYTES, not rows (20M short rows broadcast fine; 2M
+            # long-document ids would not)
+            F.sum(
+                F.col("__c") * (F.length("tok") + F.lit(32))
+                + F.col("__idb")
+            ).alias("__bytes"),
         )
         .collect()[0]
     )
     exp_rows = int(stats["__exp"] or 0)
-    pref_rows = int(stats["__rows"] or 0)
+    est_bytes = int(stats["__bytes"] or 0)
+    if (
+        max_doc_freq is None
+        and auto_cap_expansion is not None
+        and exp_rows > int(auto_cap_expansion)
+    ):
+        # Degenerate vocabulary: the exact measure's candidate join
+        # would materialize exp_rows >> budget rows. Choose the
+        # largest df cap whose CORPUS-WIDE Σ df² fits the budget
+        # (prefix df ≤ corpus df, so the capped re-run's expansion is
+        # ≤ budget by construction) and re-run capped.
+        import warnings
+
+        # reduce to one row per DISTINCT df value first (a frame of
+        # at most a few thousand rows on any corpus — bounded by the
+        # number of distinct document-frequency values, not the
+        # vocabulary), so the cumulative window never sees a
+        # vocabulary-sized single partition
+        per_df = dfreq.groupBy("__df").agg(
+            F.count(F.lit(1)).alias("__k")
+        )
+        w_cum = Window.orderBy(F.col("__df").asc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cap_row = (
+            per_df.select(
+                "__df",
+                F.sum(
+                    F.col("__k") * F.col("__df") * F.col("__df")
+                ).over(w_cum).alias("__cum2"),
+            )
+            .filter(F.col("__cum2") <= F.lit(int(auto_cap_expansion)))
+            .agg(F.max("__df").alias("__cap"))
+            .collect()[0]
+        )
+        cap = max(int(cap_row["__cap"] or 1), 1)
+        tf.unpersist()
+        prefix.unpersist()
+        warnings.warn(
+            "weighted_jaccard_pairs: exact prefix expansion "
+            f"{exp_rows:,} rows exceeds auto_cap_expansion "
+            f"{int(auto_cap_expansion):,}; re-running with "
+            f"max_doc_freq={cap} (tokens in more than {cap} docs are "
+            "dropped from the measure — approximate result; pass "
+            "auto_cap_expansion=None to force the exact measure)",
+            UserWarning,
+            stacklevel=2,
+        )
+        return weighted_jaccard_pairs(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            max_doc_freq=cap,
+            auto_cap_expansion=None,
+        )
     a = prefix.select(
         F.col(id_col).alias("id_a"),
         "tok",
@@ -1611,11 +1696,20 @@ def weighted_jaccard_pairs(
         F.col("__T").alias("__Tb"),
         F.col("__cum").alias("__cb"),
     )
-    parts = int(
-        prefix.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    spark = prefix.sparkSession
+    try:
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # 'auto' on some platforms — fall back to the cluster's
+        # default parallelism
+        parts = int(spark.sparkContext.defaultParallelism)
     n_parts = max(parts, min(exp_rows // 4_000_000 + 1, 4096))
-    if pref_rows <= 20_000_000 and n_parts > parts:
+    # broadcast gate on measured BYTES (1.5 GB of exact data bytes —
+    # comfortably inside Spark's 8 GB broadcast hard limit and a
+    # 4 GB-per-core executor budget even after JVM object overhead),
+    # not a row count: 20M short rows are fine, far fewer rows of
+    # long document ids would not be
+    if est_bytes <= 1_500_000_000 and n_parts > parts:
         a = a.repartition(n_parts)
         b = F.broadcast(b)
     # POSITIONAL filter (PPJoin): at the pair's MINIMUM-order shared

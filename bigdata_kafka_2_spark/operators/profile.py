@@ -802,6 +802,13 @@ def psi_drift(
     regions the reference never saw (current values outside the
     reference range clamp into the edge buckets).
 
+    NULL values are EXCLUDED from both sides before bucketing (they
+    are neither in-range nor out-of-range — Spark's ``greatest(0,
+    floor(NULL))`` would otherwise silently fold them into bucket 0,
+    inflating PSI purely from missing data); ``n_ref``/``n_cur``
+    count non-null rows only. Track missingness separately with
+    :func:`table_profile`'s null counts.
+
     Determinism: bucket proportions are add-one smoothed
     ((c+1)/(N+B) — no ln(0) on an empty bucket), each bucket term is
     a product of two double expressions on identical integer inputs
@@ -812,6 +819,8 @@ def psi_drift(
     """
     b = int(n_buckets)
     col = F.col(value_col).cast("double")
+    ref = ref.filter(col.isNotNull())
+    cur = cur.filter(col.isNotNull())
     bounds = ref.agg(
         F.min(col).alias("__lo"), F.max(col).alias("__hi")
     )

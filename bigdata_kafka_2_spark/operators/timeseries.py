@@ -641,6 +641,7 @@ def linear_attribution(
     conversion: str,
     touch: str,
     horizon_sec: int,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Multi-touch LINEAR attribution: every conversion's credit
     splits evenly across ALL the same user's qualifying touches in
@@ -649,7 +650,8 @@ def linear_attribution(
     :func:`last_touch_attribution` (which gives the final touch
     everything): linear attribution is what a mixture/budget view
     reads. A touch qualifies when it precedes the conversion
-    (ties broken by event id, like last-touch) within
+    (ties broken by ``id_col``, matching
+    :func:`last_touch_attribution`'s parameter) within
     ``horizon_sec``.
 
     Determinism: each touch's credit is ``round(1/n, 6)`` as an
@@ -661,12 +663,12 @@ def linear_attribution(
     """
     conv = df.filter(F.col(type_col) == conversion).select(
         F.col(key_col).alias("__u"),
-        F.col("event_id").alias("__cid"),
+        F.col(id_col).alias("__cid"),
         F.col(ts_col).alias("__cts"),
     )
     t = df.filter(F.col(type_col) == touch).select(
         F.col(key_col).alias("__u"),
-        F.col("event_id").alias("__tid"),
+        F.col(id_col).alias("__tid"),
         F.col(ts_col).alias("__tts"),
     )
     gap = F.unix_micros(F.col("__cts")) - F.unix_micros(F.col("__tts"))

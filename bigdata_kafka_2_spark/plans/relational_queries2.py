@@ -2088,10 +2088,12 @@ def q180_dp_segment_counts(
     WITH ref AS (
       SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
       WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        AND o_totalprice IS NOT NULL
     ),
     cur AS (
       SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
       WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        AND o_totalprice IS NOT NULL
     ),
     bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM ref),
     rc AS (

@@ -689,11 +689,11 @@ def q142_filelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ref AS (
       SELECT CAST(value AS DOUBLE) AS v FROM events
-      WHERE ts < TIMESTAMP '2024-01-16'
+      WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL
     ),
     cur AS (
       SELECT CAST(value AS DOUBLE) AS v FROM events
-      WHERE ts >= TIMESTAMP '2024-01-16'
+      WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL
     ),
     bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM ref),
     rc AS (
@@ -754,8 +754,10 @@ def q190_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     split = F.lit("2024-01-16").cast("timestamp")
     e = read_table(spark, sf_dir, "events")
-    ref = e.filter(F.col("ts") < split).select(
-        F.col("value").cast("double").alias("v")
+    ref = (
+        e.filter(F.col("ts") < split)
+        .select(F.col("value").cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
     )
     row = ref.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
     lo, hi = float(row["lo"]), float(row["hi"])

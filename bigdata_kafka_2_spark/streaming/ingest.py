@@ -265,6 +265,11 @@ def run_streaming_bucket_counts(
     replayed epoch after a crash-restart overwrites to the SAME
     logical content and the reader's per-epoch max-dedup keeps the
     merge idempotent.
+
+    NULL values are excluded before bucketing (mirroring
+    :func:`~bigdata_kafka_2_spark.operators.profile.psi_drift` —
+    ``greatest(0, floor(NULL))`` would otherwise count missing data
+    into bucket 0 and fake drift).
     """
     b = int(n_buckets)
     col = F.col(value_col).cast("double")
@@ -285,7 +290,8 @@ def run_streaming_bucket_counts(
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         (
-            batch_df.select(bucket.alias("bucket"))
+            batch_df.filter(col.isNotNull())
+            .select(bucket.alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n"))
             .withColumn("epoch_id", F.lit(int(epoch_id)))

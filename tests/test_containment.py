@@ -99,3 +99,49 @@ def test_weighted_vs_set_jaccard_distinguishes_repeats(spark):
             if j >= 0.4:
                 brute[(a, b)] = j
     assert got == brute
+
+
+def test_weighted_jaccard_auto_cap(spark):
+    """Degenerate-vocabulary guard: when the measured prefix
+    expansion blows the work budget, the operator warns and re-runs
+    with the largest max_doc_freq whose corpus Σ df² fits — its
+    output is EXACTLY the explicit-cap run's, and the default budget
+    leaves a normal corpus on the exact path."""
+    import warnings
+
+    import pytest
+
+    # 6 docs all sharing 'common' (df=6 -> df²=36) + a unique token
+    # each (six df=1 tokens); budget 10 fits only the df=1 run
+    rows = [(i, f"common uniq{i} uniq{i}") for i in range(6)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    with pytest.warns(UserWarning, match=r"max_doc_freq=1"):
+        capped = DD.weighted_jaccard_pairs(
+            d, threshold=0.1, auto_cap_expansion=10
+        ).collect()
+    explicit = DD.weighted_jaccard_pairs(
+        d, threshold=0.1, max_doc_freq=1
+    ).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, explicit))
+    # with 'common' capped away each doc keeps only its unique token:
+    # no pair shares mass
+    assert capped == []
+    # in-budget corpus: the default auto budget never triggers and
+    # the exact measure stands
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        exact = {
+            (r["id_a"], r["id_b"]): r["wjaccard"]
+            for r in DD.weighted_jaccard_pairs(
+                d, threshold=0.1
+            ).collect()
+        }
+    assert not [
+        w for w in caught if "auto_cap_expansion" in str(w.message)
+    ]
+    # exact measure: shared 'common' (min 1) over union mass 5
+    assert exact == {
+        (a, b): round(1 / 5, 4)
+        for a in range(6)
+        for b in range(a + 1, 6)
+    }

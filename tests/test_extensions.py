@@ -2442,6 +2442,25 @@ def test_psi_drift_planted(spark):
     assert out.psi > 0.25
 
 
+def test_psi_drift_excludes_nulls(spark):
+    """NULLs are excluded before bucketing, not silently folded into
+    bucket 0 (greatest() skips NULL operands, so the unfixed bucket
+    expression mapped missing values to 0 and faked drift: 5 NULLs
+    on an identical 10-row sample scored PSI 0.2255)."""
+    from bigdata_kafka_2_spark.operators.profile import psi_drift
+
+    base = [(float(i),) for i in range(10)]
+    ref = spark.createDataFrame(base, "v double")
+    cur = spark.createDataFrame(base + [(None,)] * 5, "v double")
+    out = psi_drift(ref, cur, "v").collect()[0]
+    assert out.n_ref == 10 and out.n_cur == 10
+    assert abs(out.psi) < 1e-6
+    # null-heavy reference side too: bounds and counts unaffected
+    out2 = psi_drift(cur, ref, "v").collect()[0]
+    assert out2.n_ref == 10 and out2.n_cur == 10
+    assert abs(out2.psi) < 1e-6
+
+
 def test_selection_parity_planted(spark):
     """Hand-checked four-fifths rule: group a keeps 8/10 (the best
     rate), b keeps 4/10 (ratio 0.5 -> fails), c keeps 7/10 (0.875 ->
@@ -2602,6 +2621,18 @@ def test_linear_attribution_planted(spark):
         ).collect()
     }
     assert out == {"2024-01-01": (4, 2.0)}
+    # id_col is a parameter (matches last_touch_attribution): a frame
+    # whose event id column is named differently works unchanged
+    renamed = df.withColumnRenamed("event_id", "eid")
+    out2 = {
+        r.day.strftime("%Y-%m-%d"): (r.n_touches, r.credit)
+        for r in linear_attribution(
+            renamed, "user_id", "ts", "event_type",
+            conversion="purchase", touch="view", horizon_sec=43200,
+            id_col="eid",
+        ).collect()
+    }
+    assert out2 == out
 
 
 def test_ks_test_planted(spark):

@@ -449,3 +449,24 @@ def test_transform_with_state_matches_v1(spark, tmp_path):
         (r for r in rows if r.user_id == 2), key=lambda r: r.n_events
     )
     assert final_u2.n_events == 1 and final_u2.n_over == 0
+
+
+def test_streaming_bucket_counts_exclude_nulls(spark, tmp_path):
+    """The drift monitor's bucketizer drops NULL values instead of
+    folding them into bucket 0 (mirrors psi_drift's fix): 10 real
+    values spread over [0, 10) plus 5 NULLs yield bucket counts that
+    sum to 10."""
+    src = str(tmp_path / "src")
+    rows = [(float(i),) for i in range(10)] + [(None,)] * 5
+    spark.createDataFrame(rows, "value double").write.parquet(src)
+    stream = spark.readStream.schema("value double").parquet(src)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    ING.run_streaming_bucket_counts(
+        stream, "value", 0.0, 10.0, 5, state, ckpt
+    )
+    got = {
+        r.bucket: r.n
+        for r in ING.read_bucket_counts(spark, state).collect()
+    }
+    assert got == {b: 2 for b in range(5)}
