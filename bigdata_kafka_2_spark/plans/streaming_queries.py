@@ -626,17 +626,18 @@ def q132_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "JSON-parsed and aggregated per event type, drained availableNow "
     "into a memory sink, hash-checked against the batch SQL "
     "aggregate. Driver-side work is offset dicts only; record bytes "
-    "stay in executors (one input split per segment delta).",
+    "stay in executors both ways — the topic fixture is STAGED by "
+    "distributed Spark text writes (to_json in executors, one "
+    "rename per segment), and reads take one input split per "
+    "segment delta.",
     tags=("streaming", "source"),
 )
 def q142_filelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
-    import json
     import os
     import tempfile
 
     from bigdata_kafka_2_spark.sources import register_filelog
-    from bigdata_kafka_2_spark.sources.filelog import append_records
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = os.path.join(tempfile.gettempdir(), f"q142_topic_{tag}")
@@ -653,18 +654,39 @@ def q142_filelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(base, ignore_errors=True)
-        rows = e.orderBy("event_id").collect()
+        os.makedirs(base, exist_ok=True)
+        # DISTRIBUTED staging: each segment is produced by a Spark
+        # text write (to_json in executors, one file via coalesce(1)
+        # — the segment plays a Kafka partition, so single-writer is
+        # the semantics, not a bottleneck) and renamed into the
+        # topic layout; record bytes never pass through the driver,
+        # so the staged topic can be arbitrarily large.
+        stage = base + "__stage"
         for seg in range(4):
-            append_records(
-                base,
-                (
-                    {"event_id": r.event_id, "event_type": r.event_type,
-                     "value": r.value}
-                    for r in rows
-                    if r.event_id % 4 == seg
-                ),
-                segment=seg,
+            shutil.rmtree(stage, ignore_errors=True)
+            (
+                e.filter(F.col("event_id") % 4 == seg)
+                .select(
+                    "event_id",
+                    F.to_json(
+                        F.struct("event_id", "event_type", "value")
+                    ).alias("value"),
+                )
+                .coalesce(1)
+                .sortWithinPartitions("event_id")
+                .select("value")
+                .write.mode("overwrite")
+                .text(stage)
             )
+            part = sorted(
+                f for f in os.listdir(stage)
+                if f.startswith("part-") and f.endswith(".txt")
+            )
+            os.rename(
+                os.path.join(stage, part[0]),
+                os.path.join(base, f"segment-{seg}.jsonl"),
+            )
+        shutil.rmtree(stage, ignore_errors=True)
         with open(done, "w") as fh:
             fh.write(str(n_expected))
     register_filelog(spark)
