@@ -317,12 +317,36 @@ def register(
 #: join, q65 watermark dedup, q132 foreachBatch upsert, q142 custom
 #: source — and q64's session_window stays hash-checked in the
 #: mirror).
+#: Round-10 rotation (three swaps per the r9 verdict's #1/#2: grade
+#: curation v6, the NB classifier, and the drift family; every
+#: outgoing query stays hash-checked in the EXTENDED oracle mirror,
+#: and every outgoing FAMILY keeps a graded representative):
+#: q158_curation_v5 → q183_curation_v6 (the strict superset: v5's
+#: quality → containment → prefix-filtered exact dedup → CC →
+#: profile chain with the NB label-noise router added between the
+#: quality filter and dedup — every v5 stage is graded inside v6,
+#: and the composed-curation family keeps FOUR graded slots:
+#: q81 v2, q127 v4, q138 vector, q183 v6);
+#: q91_split_profile → q177_naive_bayes_lang (model-in-the-loop
+#: classification — NB fit+inference as pure relational aggregates
+#: with exact-DECIMAL scores — gets its first graded slot; the
+#: split-profile group-count/balance machinery stays graded inside
+#: q81 and q127, whose leakage-safe split stages end in the same
+#: per-split profile, and inside q86's one-scan table profile);
+#: q94_analytic_window_family → q192_ks_test (the drift/monitoring
+#: family — four mirror-green queries since r9 — gets its first
+#: graded slot, and the exact two-sample KS is the family's
+#: strongest plan shape: per-distinct-value integer counts + the
+#: range-bucketed global_prefix_sum, never a single-partition
+#: window; lead/lag/rank analytic machinery stays graded inside
+#: q89's ffill windows, q19's running frames, and q148's SCD2
+#: validity windows).
 CURATED: tuple[str, ...] = (
     # relational / joins / windows / grouping
     "q01_pricing_summary",
     "q89_resample_ffill",
     "q75_semantic_dedup_pairs",
-    "q158_curation_v5",
+    "q183_curation_v6",
     "q147_prefix_filter_pairs",
     "q148_point_in_time_join",
     "q150_incremental_agg_state",
@@ -342,10 +366,10 @@ CURATED: tuple[str, ...] = (
     "q98_correlation_stats",
     # CDC / sampling / window-family / date / map
     "q97_cdc_apply_changes",
-    "q91_split_profile",
+    "q177_naive_bayes_lang",
     "q43_simhash_near_pairs",
     "q144_pagerank",
-    "q94_analytic_window_family",
+    "q192_ks_test",
     "q117_dsir_logweights",
     # dedup (exact, MinHash-LSH, end-to-end) + composed curation
     "q40_exact_dedup_groups",
