@@ -208,6 +208,14 @@ HEADLINE = (
     "q190_streaming_psi",
     "q191_linear_attribution",
     "q192_ks_test",
+    # r10 operator families
+    "q193_pii_audit",
+    "q194_pii_redacted_release",
+    "q195_lexicon_block_rates",
+    "q196_mutual_information",
+    "q197_position_attribution",
+    "q198_router_kappa",
+    "q199_streaming_heavy_hitters",
 )
 
 

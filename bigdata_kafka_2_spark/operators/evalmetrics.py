@@ -300,3 +300,59 @@ def auc_by_group(
         P.alias("n_pos"),
         N.alias("n_neg"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Cohen's kappa between two categorical columns (two annotators,
+    or a classifier's ``pred`` against ``label``): one row
+    ``(n, n_agree, kappa)`` — chance-corrected agreement, the metric
+    an annotation-quality audit reads instead of raw accuracy (a
+    router that always answers the majority class can score high
+    accuracy on a skewed label set; its kappa is 0).
+
+    EXACT integer arithmetic end to end: with A = Σ agreements and
+    D = Σ_c n_a(c)·n_b(c) (the chance-agreement mass),
+
+        kappa = (n·A − D) / (n² − D)
+
+    — one integer division rounded to 6 dp at the very end, so the
+    value is bit-identical across engines and partitionings (no
+    floating p_o/p_e intermediates). NULL categories count as their
+    own level; kappa is NULL when both columns are the single same
+    constant (pe = 1, the undefined case).
+
+    Plan shape: one map-side-combined pair count, two marginal
+    reductions FROM it, one broadcast-joined scalar combine — scan
+    speed at any scale.
+    """
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("\x00null"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("\x00null"))
+    cells = df.select(a.alias("__a"), b.alias("__b")).groupBy(
+        "__a", "__b"
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    ma = cells.groupBy("__a").agg(F.sum("__o").alias("__na"))
+    mb = cells.groupBy("__b").agg(F.sum("__o").alias("__nb"))
+    d_mass = (
+        ma.join(mb, ma["__a"] == mb["__b"], "inner")
+        .agg(F.sum(F.col("__na") * F.col("__nb")).alias("__d"))
+        .select(F.coalesce("__d", F.lit(0)).alias("__d"))
+    )
+    tot = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__o"))),
+            F.lit(0),
+        ).alias("__agree"),
+    )
+    num = F.col("__n") * F.col("__agree") - F.col("__d")
+    den = F.col("__n") * F.col("__n") - F.col("__d")
+    return tot.crossJoin(F.broadcast(d_mass)).select(
+        F.col("__n").cast("long").alias("n"),
+        F.col("__agree").cast("long").alias("n_agree"),
+        F.when(
+            den != 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("kappa"),
+    )

@@ -421,6 +421,79 @@ def chi_square_profile(
     )
 
 
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Plug-in mutual information between two categorical columns:
+    one row ``(n, mi_nats, h_a_nats, h_b_nats)`` with
+
+        MI = Σ_ab (n_ab/N) · ln(n_ab·N / (n_a·n_b))
+
+    over OBSERVED cells only (0·ln 0 := 0, so unobserved cells
+    contribute nothing — unlike chi-square there is no expected-mass
+    correction). The marginal entropies ship alongside so a consumer
+    can derive any normalization (uncertainty coefficients
+    MI/H, normalized MI/√(H_a·H_b)) without a second pass. The
+    feature-screen companion to :func:`chi_square_profile`: chi2
+    tests association, MI RANKS features by how much label
+    information they carry — the quantity a data-selection pass
+    orders columns by. NULL categories count as their own level.
+
+    Determinism: each cell/marginal term is ``round(·, 6)`` on
+    identical integer-derived double expressions both engines, summed
+    as exact DECIMALs. Plan shape: chi-square's — ONE hash aggregate
+    builds the contingency cells, marginals reduce FROM the cells and
+    ride in as broadcasts; never a dense level-set cross join.
+    """
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("\x00null"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("\x00null"))
+    cells = df.select(a.alias("__a"), b.alias("__b")).groupBy(
+        "__a", "__b"
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    ma = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    mb = cells.groupBy("__b").agg(F.sum("__o").alias("__rb"))
+    tot = cells.agg(F.sum("__o").alias("__n"))
+
+    def _entropy(marg: DataFrame, cnt: str) -> DataFrame:
+        p = F.col(cnt).cast("double") / F.col("__n")
+        term = F.round(-p * F.log(p), 6).cast("decimal(28,6)")
+        return marg.crossJoin(F.broadcast(tot)).agg(
+            F.sum(term).alias("__h")
+        )
+
+    joined = (
+        cells.join(F.broadcast(ma), on="__a")
+        .join(F.broadcast(mb), on="__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    o = F.col("__o").cast("double")
+    term = F.round(
+        (o / F.col("__n"))
+        * F.log(
+            o * F.col("__n")
+            / (F.col("__ra").cast("double") * F.col("__rb"))
+        ),
+        6,
+    ).cast("decimal(28,6)")
+    agg = joined.agg(
+        F.first("__n").alias("n"), F.sum(term).alias("__mi")
+    )
+    ha = _entropy(ma, "__ra").select(F.col("__h").alias("__ha"))
+    hb = _entropy(mb, "__rb").select(F.col("__h").alias("__hb"))
+    return (
+        agg.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("__mi").cast("double").alias("mi_nats"),
+            F.col("__ha").cast("double").alias("h_a_nats"),
+            F.col("__hb").cast("double").alias("h_b_nats"),
+        )
+    )
+
+
 def embedding_dim_profile(
     df: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

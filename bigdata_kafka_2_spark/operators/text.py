@@ -1609,3 +1609,39 @@ def heaps_fit(
         F.round(beta, 6).alias("beta"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+def lexicon_tag(
+    df: DataFrame,
+    lexicon: dict[str, tuple[str, ...]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document lexicon category hit counts: ``(id, n_<category>
+    ...)`` — one count per category, with multiplicity, over the
+    normalized whitespace tokens. The blocklist/content-policy tag
+    pass of a curation pipeline (abuse terms, brand terms, medical
+    vocabulary, ...): downstream stages filter on ``n_<cat> == 0`` or
+    route on which category fired.
+
+    The lexicon is compile-time data, so matching is ROW-LOCAL — each
+    category becomes ``size(filter(tokens, t -> array_contains(lit,
+    t)))`` inside whole-stage codegen: no explode, no shuffle, no
+    join; scan speed at any corpus size. For lexicons too large to
+    inline as a literal array (>> 10⁴ terms), build the explode +
+    broadcast-join variant instead (``term_frequencies`` ⋈
+    broadcast(lexicon)) — same semantics, one narrow shuffle.
+
+    Category names must be valid column suffixes; terms are matched
+    against NORMALIZED tokens (lowercase), so list them lowercase.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    cols = []
+    for cat in sorted(lexicon):
+        arr = F.array(*[F.lit(t) for t in sorted(set(lexicon[cat]))])
+        cols.append(
+            F.size(
+                F.filter(toks, lambda t: F.array_contains(arr, t))
+            ).alias(f"n_{cat}")
+        )
+    return df.select(F.col(id_col), *cols)

@@ -661,6 +661,39 @@ def linear_attribution(
     horizon predicate (per-user activity volume, never a global
     range join), one conversion-keyed window, one day aggregate.
     """
+    joined = _qualifying_touches(
+        df, key_col, ts_col, type_col, conversion, touch,
+        horizon_sec, id_col,
+    )
+    from pyspark.sql import Window
+
+    n = F.count(F.lit(1)).over(Window.partitionBy("__cid"))
+    credited = joined.select(
+        F.date_trunc("day", F.col("__tts")).alias("day"),
+        F.round(F.lit(1.0) / n, 6).cast("decimal(28,6)").alias("__credit"),
+    )
+    return credited.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("__credit").cast("double").alias("credit"),
+    )
+
+
+def _qualifying_touches(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion: str,
+    touch: str,
+    horizon_sec: int,
+    id_col: str,
+) -> DataFrame:
+    """(conversion × qualifying touch) rows shared by the multi-touch
+    attribution models: per user, every ``touch`` preceding each
+    ``conversion`` (ties broken by ``id_col``) within
+    ``horizon_sec``. One user-keyed equi-join bounded by the horizon
+    predicate — per-user activity volume, never a global range
+    join."""
     conv = df.filter(F.col(type_col) == conversion).select(
         F.col(key_col).alias("__u"),
         F.col(id_col).alias("__cid"),
@@ -672,7 +705,7 @@ def linear_attribution(
         F.col(ts_col).alias("__tts"),
     )
     gap = F.unix_micros(F.col("__cts")) - F.unix_micros(F.col("__tts"))
-    joined = conv.join(t, on="__u").filter(
+    return conv.join(t, on="__u").filter(
         (
             (F.col("__tts") < F.col("__cts"))
             | (
@@ -682,12 +715,57 @@ def linear_attribution(
         )
         & (gap <= F.lit(int(horizon_sec) * 1_000_000).cast("long"))
     )
+
+
+def position_attribution(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion: str,
+    touch: str,
+    horizon_sec: int,
+    id_col: str = "event_id",
+    endpoint_weight: float = 0.4,
+) -> DataFrame:
+    """POSITION-BASED (U-shaped) multi-touch attribution: per
+    conversion, the FIRST and LAST qualifying touches each take
+    ``endpoint_weight`` (default 40%) of the credit and the middle
+    touches split the remainder evenly — ``(day, n_touches, credit)``
+    per touch calendar day. The introduction-plus-closer view
+    marketers read next to :func:`linear_attribution`'s uniform
+    split: single-touch conversions give that touch everything,
+    two-touch conversions split 50/50 (there is no middle to fund).
+    Touch order within a conversion is ``(ts, id_col)`` — the same
+    total order that qualifies ties, so credit assignment is
+    deterministic under timestamp collisions.
+
+    Determinism: each credit is ``round(·, 6)`` as an exact DECIMAL;
+    day sums are order-independent. Plan: the shared
+    :func:`_qualifying_touches` join + one conversion-keyed window
+    pair (count + row_number over the same partition key — one
+    shuffle), one day aggregate.
+    """
+    joined = _qualifying_touches(
+        df, key_col, ts_col, type_col, conversion, touch,
+        horizon_sec, id_col,
+    )
     from pyspark.sql import Window
 
-    n = F.count(F.lit(1)).over(Window.partitionBy("__cid"))
+    wp = Window.partitionBy("__cid")
+    w_ord = wp.orderBy(F.col("__tts").asc(), F.col("__tid").asc())
+    ew = float(endpoint_weight)
+    n = F.count(F.lit(1)).over(wp)
+    rn = F.row_number().over(w_ord)
+    credit = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when((rn == 1) | (rn == n), F.lit(ew))
+        .otherwise(F.lit(1.0 - 2.0 * ew) / (n - F.lit(2)))
+    )
     credited = joined.select(
         F.date_trunc("day", F.col("__tts")).alias("day"),
-        F.round(F.lit(1.0) / n, 6).cast("decimal(28,6)").alias("__credit"),
+        F.round(credit, 6).cast("decimal(28,6)").alias("__credit"),
     )
     return credited.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_touches"),

@@ -2311,3 +2311,227 @@ def q192_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = o.filter(F.col("o_orderdate") < split).select("o_totalprice")
     cur = o.filter(F.col("o_orderdate") >= split).select("o_totalprice")
     return ks_test(ref, cur, "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# PII audit + redacted release (operators/pii) — r10
+# ---------------------------------------------------------------------------
+
+#: The synthetic corpus carries no natural PII (documents have zero
+#: digits; the trimmed customer table has no phone/address columns),
+#: so the PII queries CONSTRUCT a deterministic release-candidate
+#: "contact record" per customer — name + synthesized email, dashed
+#: phone, dotted IPv4, and (every third customer) an SSN-shaped id —
+#: and audit/redact THAT. The construction is the fixture; the
+#: operators are generic row-local regex passes (operators/pii.py).
+_PII_TEXT_SQL = (
+    "concat_ws(' ', c_name, "
+    "'user' || CAST(c_custkey AS VARCHAR) || '@example.com', "
+    "'555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' "
+    "|| lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'), "
+    "'10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.' "
+    "|| CAST(CAST(floor(c_custkey / 256) AS BIGINT) % 256 AS VARCHAR), "
+    "CASE WHEN c_custkey % 3 = 0 THEN '078-05-' "
+    "|| lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') END)"
+)
+
+
+def _pii_contact_text():
+    ck = F.col("c_custkey")
+    return F.concat_ws(
+        " ",
+        F.col("c_name"),
+        F.concat(F.lit("user"), ck.cast("string"), F.lit("@example.com")),
+        F.concat(
+            F.lit("555-"),
+            F.lpad((ck % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((ck % 10000).cast("string"), 4, "0"),
+        ),
+        F.concat(
+            F.lit("10.0."),
+            (ck % 256).cast("string"),
+            F.lit("."),
+            (F.floor(ck / F.lit(256)) % 256).cast("string"),
+        ),
+        F.when(
+            ck % 3 == 0,
+            F.concat(
+                F.lit("078-05-"),
+                F.lpad((ck % 10000).cast("string"), 4, "0"),
+            ),
+        ),
+    )
+
+
+def _pii_counts_sql() -> str:
+    from bigdata_kafka_2_spark.operators.pii import PII_PATTERNS
+
+    return ",\n             ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+
+
+@register(
+    "q193_pii_audit",
+    oracle=lambda sf_dir: f"""
+    WITH rel AS (
+      SELECT c_mktsegment, {_PII_TEXT_SQL} AS text FROM customer
+    ),
+    cnt AS (
+      SELECT c_mktsegment,
+             {_pii_counts_sql()}
+      FROM rel
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(CASE WHEN n_email + n_ipv4 + n_ssn + n_phone > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_pii,
+           CAST(sum(n_email) AS BIGINT) AS n_email,
+           CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+           CAST(sum(n_ssn) AS BIGINT) AS n_ssn,
+           CAST(sum(n_phone) AS BIGINT) AS n_phone
+    FROM cnt GROUP BY 1
+    """,
+    description="PII release audit (operators/pii.pii_scan): per "
+    "market segment, how many release-candidate contact records "
+    "contain structured PII and how many matches each category has "
+    "(emails, dashed phones, dotted IPv4s, SSN-shaped ids). The "
+    "record text is CONSTRUCTED deterministically per customer (the "
+    "synthetic corpus ships no natural PII — see the fixture note); "
+    "the scan itself is generic: one regexp_count per category, "
+    "row-local inside whole-stage codegen, one map-side-combined "
+    "segment aggregate on top — scan speed at any corpus size.",
+    tags=("pii", "profile", "aggregate"),
+)
+def q193_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.pii import pii_scan
+
+    c = read_table(spark, sf_dir, "customer")
+    d = c.select("c_mktsegment", _pii_contact_text().alias("text"))
+    s = pii_scan(d, "text", "c_mktsegment")
+    return s.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum((F.col("n_pii") > 0).cast("long")).alias("n_with_pii"),
+        F.sum("n_email").alias("n_email"),
+        F.sum("n_ipv4").alias("n_ipv4"),
+        F.sum("n_ssn").alias("n_ssn"),
+        F.sum("n_phone").alias("n_phone"),
+    )
+
+
+@register(
+    "q194_pii_redacted_release",
+    oracle=lambda sf_dir: f"""
+    WITH rel AS (
+      SELECT c_custkey, {_PII_TEXT_SQL} AS text FROM customer
+    ),
+    cnt AS (
+      SELECT c_custkey,
+             {_pii_counts_sql()}
+      FROM rel
+    )
+    SELECT r.c_custkey,
+           CAST(c.n_email + c.n_ipv4 + c.n_ssn + c.n_phone AS BIGINT)
+             AS n_pii,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             r.text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+             '<EMAIL>', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+             '<IPV4>', 'g'),
+             '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+             '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g')
+             AS redacted
+    FROM rel r JOIN cnt c USING (c_custkey)
+    """,
+    description="Redacted corpus release (operators/pii.pii_redact + "
+    "pii_scan): every release-candidate contact record rewritten "
+    "with typed placeholders (<EMAIL>/<IPV4>/<SSN>/<PHONE>, applied "
+    "in that order — most specific shapes first) plus its per-record "
+    "redaction count, hash-checked on the FULL redacted text. "
+    "Chained regexp_replace is row-local inside codegen; the scan "
+    "and redact passes share one projection, no shuffle at all — "
+    "the 100 TB shape of a scrub pass.",
+    tags=("pii", "filter"),
+)
+def q194_pii_redacted_release(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.pii import pii_redact, pii_scan
+
+    c = read_table(spark, sf_dir, "customer")
+    d = c.select("c_custkey", _pii_contact_text().alias("text"))
+    s = pii_scan(d, "text", "c_custkey").select("c_custkey", "n_pii")
+    red = pii_redact(d, "text").select(
+        "c_custkey", F.col("text").alias("redacted")
+    )
+    return red.join(s, on="c_custkey").select(
+        "c_custkey", F.col("n_pii").cast("long").alias("n_pii"),
+        "redacted",
+    )
+
+
+@register(
+    "q196_mutual_information",
+    oracle="""
+    WITH cells AS (
+      SELECT COALESCE(CAST(o_orderpriority AS VARCHAR),
+                      chr(0) || 'null') AS a,
+             COALESCE(CAST(o_orderstatus AS VARCHAR),
+                      chr(0) || 'null') AS b,
+             count(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    ma AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+    mb AS (SELECT b, sum(o) AS rb FROM cells GROUP BY b),
+    tot AS (SELECT sum(o) AS n FROM cells),
+    mi AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(CAST(round(
+               (CAST(o AS DOUBLE) / n)
+               * ln(CAST(o AS DOUBLE) * n
+                    / (CAST(ra AS DOUBLE) * rb)), 6)
+               AS DECIMAL(28,6))) AS DOUBLE) AS mi_nats
+      FROM cells JOIN ma USING (a) JOIN mb USING (b), tot
+    ),
+    ha AS (
+      SELECT CAST(sum(CAST(round(
+               -(CAST(ra AS DOUBLE) / n)
+               * ln(CAST(ra AS DOUBLE) / n), 6)
+               AS DECIMAL(28,6))) AS DOUBLE) AS h_a_nats
+      FROM ma, tot
+    ),
+    hb AS (
+      SELECT CAST(sum(CAST(round(
+               -(CAST(rb AS DOUBLE) / n)
+               * ln(CAST(rb AS DOUBLE) / n), 6)
+               AS DECIMAL(28,6))) AS DOUBLE) AS h_b_nats
+      FROM mb, tot
+    )
+    SELECT n, mi_nats, h_a_nats, h_b_nats FROM mi, ha, hb
+    """,
+    description="Plug-in mutual information between order priority "
+    "and order status (operators/profile.mutual_information): "
+    "MI = sum (n_ab/N) ln(n_ab N / n_a n_b) over observed "
+    "contingency cells, with both marginal entropies alongside so "
+    "any normalization derives without a second pass. The "
+    "feature-RANKING companion to q126's chi-square association "
+    "test — the quantity a data-selection pass orders candidate "
+    "features by. Per-cell terms rounded to 6 dp on identical "
+    "integer-derived double expressions and DECIMAL-summed; one "
+    "hash aggregate builds the cells, marginals reduce FROM the "
+    "cells and ride in as broadcasts — never a dense level-set "
+    "cross join.",
+    tags=("profile", "aggregate"),
+)
+def q196_mutual_information(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import (
+        mutual_information,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    return mutual_information(o, "o_orderpriority", "o_orderstatus")

@@ -819,3 +819,55 @@ def q190_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return psi_from_counts(ref_counts, read_bucket_counts(spark, state), 10)
+
+
+@register(
+    "q199_streaming_heavy_hitters",
+    oracle=f"""
+    SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT unnest(string_split_regex(
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+      )) AS tok
+      FROM documents
+    ) WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT 20
+    """,
+    description="Streaming heavy-hitter monitor (streaming/ingest."
+    "run_streaming_token_counts + read_token_counts): the documents "
+    "corpus streams through foreachBatch, each micro-batch's token "
+    "counts appended as (epoch, tok, n) mergeable partials — the "
+    "q190 state discipline with the token as the key, so the "
+    "monitor never rescans history and its state grows with the "
+    "VOCABULARY per epoch, not the corpus. A top-20 reading (n "
+    "desc, tok asc — a total order) over the merged state is "
+    "hash-checked against the batch token count; epoch ids keep "
+    "the merge idempotent under crash replay. Executed THROUGH "
+    "Structured Streaming inside the gate (availableNow drain).",
+    tags=("streaming", "text", "aggregate"),
+)
+def q199_streaming_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        read_token_counts,
+        run_streaming_token_counts,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"q199_{tag}")
+    state = os.path.join(base, "counts")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    stream = _documents_stream(spark, sf_dir, prefix="q199_docs")
+    run_streaming_token_counts(stream, "text", state, ckpt)
+    counts = read_token_counts(spark, state)
+    return counts.orderBy(
+        F.col("n").desc(), F.col("tok").asc()
+    ).limit(20)

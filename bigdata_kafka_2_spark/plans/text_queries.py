@@ -2579,3 +2579,109 @@ def q188_groupwise_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q189_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return TX.heaps_fit(d)
+
+
+@register(
+    "q195_lexicon_block_rates",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT lang,
+             len(list_filter(string_split({_NORM_SQL}, ' '),
+                 t -> list_contains(['fast', 'slow'], t))) AS n_perf,
+             len(list_filter(string_split({_NORM_SQL}, ' '),
+                 t -> list_contains(['spark', 'table'], t))) AS n_infra
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_perf > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_perf,
+           CAST(sum(CASE WHEN n_infra > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_infra,
+           CAST(sum(n_perf) AS BIGINT) AS hits_perf,
+           CAST(sum(n_infra) AS BIGINT) AS hits_infra
+    FROM cnt GROUP BY 1
+    """,
+    description="Lexicon/blocklist tagging (operators/text."
+    "lexicon_tag): per language, how many documents hit each lexicon "
+    "category and the total hit mass — the content-policy tag pass "
+    "of a curation pipeline (here two demo categories over corpus "
+    "vocabulary; a real blocklist is the same shape). The lexicon is "
+    "compile-time data, so matching is ROW-LOCAL — size(filter("
+    "tokens, t -> array_contains(lit, t))) inside whole-stage "
+    "codegen, no explode, no join, no shuffle; one language "
+    "aggregate on top. Scan speed at any corpus size (the explode + "
+    "broadcast-join variant covers lexicons too large to inline).",
+    tags=("text", "filter", "aggregate"),
+)
+def q195_lexicon_block_rates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    tags = TX.lexicon_tag(
+        d,
+        {"perf": ("fast", "slow"), "infra": ("spark", "table")},
+        id_col="lang",
+    )
+    return tags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_perf") > 0).cast("long")).alias("docs_perf"),
+        F.sum((F.col("n_infra") > 0).cast("long")).alias("docs_infra"),
+        F.sum("n_perf").alias("hits_perf"),
+        F.sum("n_infra").alias("hits_infra"),
+    )
+
+
+@register(
+    "q198_router_kappa",
+    oracle=_nb_scored_prefix_sql() + """
+    , pred AS (
+      SELECT doc_id, label, cand AS pred FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    ),
+    na AS (SELECT label AS c, count(*) AS cnt FROM pred GROUP BY 1),
+    nb AS (SELECT pred AS c, count(*) AS cnt FROM pred GROUP BY 1),
+    dm AS (
+      SELECT COALESCE(sum(na.cnt * nb.cnt), 0) AS d
+      FROM na JOIN nb USING (c)
+    ),
+    tot AS (
+      SELECT count(*) AS n,
+             COALESCE(sum(CASE WHEN label = pred THEN 1 ELSE 0 END),
+                      0) AS agree
+      FROM pred
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(agree AS BIGINT) AS n_agree,
+           CASE WHEN n * n - d <> 0 THEN
+             round(CAST(n * agree - d AS DOUBLE)
+                   / CAST(n * n - d AS DOUBLE), 6)
+           END AS kappa
+    FROM tot, dm
+    """,
+    description="Cohen's kappa of the NB language router against the "
+    "shipped labels (operators/evalmetrics.cohens_kappa over "
+    "q177's predictions): chance-corrected agreement — the "
+    "annotation-quality number a label-noise audit reads instead of "
+    "raw accuracy (a constant-majority router scores high accuracy "
+    "on a skewed label set; its kappa is 0). EXACT integer "
+    "arithmetic: kappa = (n·A − D)/(n² − D) with A the agreement "
+    "count and D the marginal-product chance mass — one integer "
+    "division rounded at the very end, bit-identical across engines "
+    "and partitionings. One pair-count aggregate over the "
+    "predictions, two marginal reductions FROM it, a broadcast "
+    "scalar combine.",
+    tags=("text", "classify", "aggregate"),
+)
+def q198_router_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.classify import (
+        naive_bayes_predictions,
+    )
+    from bigdata_kafka_2_spark.operators.evalmetrics import cohens_kappa
+
+    d = read_table(spark, sf_dir, "documents")
+    preds = naive_bayes_predictions(d, "lang")
+    return cohens_kappa(preds, "label", "pred")

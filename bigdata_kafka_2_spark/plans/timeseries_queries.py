@@ -608,3 +608,69 @@ def q191_linear_attribution(
         "n_touches",
         "credit",
     )
+
+
+@register(
+    "q197_position_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id AS u, event_id AS cid, ts AS cts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id AS u, event_id AS tid, ts AS tts FROM events
+      WHERE event_type = 'view'
+    ),
+    joined AS (
+      SELECT c.cid, t.tts,
+             count(*) OVER (PARTITION BY c.cid) AS n,
+             row_number() OVER (
+               PARTITION BY c.cid ORDER BY t.tts ASC, t.tid ASC
+             ) AS rn
+      FROM conv c JOIN touch t ON c.u = t.u
+      WHERE (t.tts < c.cts OR (t.tts = c.cts AND t.tid < c.cid))
+        AND epoch_us(c.cts) - epoch_us(t.tts)
+            <= CAST(43200 AS BIGINT) * 1000000
+    )
+    SELECT strftime(date_trunc('day', tts), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(CAST(round(
+             CASE WHEN n = 1 THEN 1.0
+                  WHEN n = 2 THEN 0.5
+                  WHEN rn = 1 OR rn = n THEN 0.4
+                  ELSE (1.0 - 2 * 0.4) / (n - 2) END, 6)
+             AS DECIMAL(28,6))) AS DOUBLE) AS credit
+    FROM joined GROUP BY 1
+    """,
+    description="POSITION-BASED (U-shaped) multi-touch attribution "
+    "(operators/timeseries.position_attribution): first and last "
+    "qualifying views each take 40% of every purchase's credit, "
+    "middle views split the rest evenly (single touch keeps 100%, "
+    "two touches 50/50) — the introduction-plus-closer view next to "
+    "q191's uniform split and q165's winner-take-all, over the same "
+    "12-hour horizon. Touch order is (ts, event_id), the same total "
+    "order that qualifies ties, so credit assignment is "
+    "deterministic under timestamp collisions; credits rounded to "
+    "6 dp and DECIMAL-summed per day. Plan: the shared "
+    "qualifying-touch join + count/row_number over ONE conversion-"
+    "keyed window partition (one shuffle), one day aggregate.",
+    tags=("timeseries", "window", "aggregate"),
+)
+def q197_position_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        position_attribution,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    out = position_attribution(
+        e, "user_id", "ts", "event_type",
+        conversion="purchase", touch="view", horizon_sec=43200,
+        endpoint_weight=0.4,
+    )
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_touches",
+        "credit",
+    )

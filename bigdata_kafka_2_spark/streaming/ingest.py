@@ -318,3 +318,59 @@ def read_bucket_counts(spark: SparkSession, out_path: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.sum("n").alias("n"))
     )
+
+
+def run_streaming_token_counts(
+    stream_df: DataFrame,
+    text_col: str,
+    out_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming half of a heavy-hitter monitor: per micro-batch,
+    explode ``text_col`` into normalized whitespace tokens and append
+    the batch's ``(epoch_id, tok, n)`` partial counts — the same
+    mergeable-state discipline as :func:`run_streaming_bucket_counts`
+    (counts merge by summation; epoch ids keep crash-replay
+    idempotent), with the token as the state key. A top-k reading at
+    any moment is one token-keyed aggregate over this table
+    (:func:`read_token_counts`) — the monitor never rescans history,
+    and the state table grows with the VOCABULARY per epoch, not the
+    corpus.
+    """
+    from bigdata_kafka_2_spark.operators.text import normalize_text
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(
+                F.explode(
+                    F.split(normalize_text(text_col), " ")
+                ).alias("tok")
+            )
+            .filter(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_token_counts(spark: SparkSession, out_path: str) -> DataFrame:
+    """Merge the accumulated token partials: per-(epoch, tok) max
+    dedup (idempotent under epoch replay), then one token-keyed
+    sum — ``(tok, n)``."""
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("epoch_id", "tok")
+        .agg(F.max("n").alias("n"))
+        .groupBy("tok")
+        .agg(F.sum("n").alias("n"))
+    )

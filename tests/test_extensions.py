@@ -2652,3 +2652,170 @@ def test_ks_test_planted(spark):
     r = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "v double")
     c = spark.createDataFrame([(3.0,), (4.0,), (5.0,), (6.0,)], "v double")
     assert ks_test(r, c, "v").collect()[0].ks_d == 0.5
+
+
+def test_pii_scan_and_redact_planted(spark):
+    """Each category detected and counted with multiplicity; redaction
+    replaces every match with its typed placeholder in the documented
+    order; clean text passes through untouched."""
+    from bigdata_kafka_2_spark.operators.pii import pii_redact, pii_scan
+
+    rows = [
+        (1, "mail a@b.com and c.d+x@e.org plus ip 10.0.0.1"),
+        (2, "call 555-123-4567 or 555-000-1111; ssn 078-05-1120"),
+        (3, "no identifiers here"),
+        (4, "dup a@b.com a@b.com"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = {r.doc_id: r for r in pii_scan(df).collect()}
+    assert (s[1].n_email, s[1].n_ipv4, s[1].n_ssn, s[1].n_phone) == (2, 1, 0, 0)
+    assert s[1].n_pii == 3
+    assert (s[2].n_phone, s[2].n_ssn) == (2, 1) and s[2].n_pii == 3
+    assert s[3].n_pii == 0
+    assert s[4].n_email == 2
+    red = {r.doc_id: r.text for r in pii_redact(df).collect()}
+    assert red[1] == "mail <EMAIL> and <EMAIL> plus ip <IPV4>"
+    assert red[2] == "call <PHONE> or <PHONE>; ssn <SSN>"
+    assert red[3] == "no identifiers here"
+    assert red[4] == "dup <EMAIL> <EMAIL>"
+
+
+def test_lexicon_tag_planted(spark):
+    """Counts carry multiplicity, categories are independent, matching
+    is against NORMALIZED (lowercased) tokens, empty text scores 0."""
+    from bigdata_kafka_2_spark.operators.text import lexicon_tag
+
+    rows = [
+        (1, "Slow slow FAST table"),
+        (2, "nothing relevant"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in lexicon_tag(
+            df, {"perf": ("slow", "fast"), "infra": ("table",)}
+        ).collect()
+    }
+    assert (out[1].n_perf, out[1].n_infra) == (3, 1)
+    assert (out[2].n_perf, out[2].n_infra) == (0, 0)
+    assert (out[3].n_perf, out[3].n_infra) == (0, 0)
+
+
+def test_mutual_information_planted(spark):
+    """Independent columns -> MI ~ 0; a bijective dependency -> MI
+    equals the (shared) marginal entropy; entropies are exact."""
+    import math
+
+    from bigdata_kafka_2_spark.operators.profile import mutual_information
+
+    # independent: every (a, b) combination equally frequent
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(5)]
+    ind = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(ind, "a", "b").collect()[0]
+    assert r.n == 20 and abs(r.mi_nats) < 1e-5
+    assert abs(r.h_a_nats - math.log(2)) < 1e-5
+    # bijective: b = f(a) -> MI == H(a) == H(b)
+    dep = spark.createDataFrame(
+        [("x", "u")] * 5 + [("y", "v")] * 15, "a string, b string"
+    )
+    r2 = mutual_information(dep, "a", "b").collect()[0]
+    h = -(0.25 * math.log(0.25) + 0.75 * math.log(0.75))
+    assert abs(r2.mi_nats - h) < 1e-5
+    assert abs(r2.h_a_nats - h) < 1e-5 and abs(r2.h_b_nats - h) < 1e-5
+
+
+def test_position_attribution_planted(spark):
+    """Hand-checked U-shape: 4 touches -> 0.4/0.1/0.1/0.4; single
+    touch keeps 1.0; two touches split 50/50; out-of-horizon touch
+    excluded."""
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        position_attribution,
+    )
+
+    rows = [
+        # user 1: 4 views then a purchase (all in horizon)
+        (1, 1, "2024-01-01 08:00:00", "view"),
+        (2, 1, "2024-01-01 09:00:00", "view"),
+        (3, 1, "2024-01-01 10:00:00", "view"),
+        (4, 1, "2024-01-01 11:00:00", "view"),
+        (5, 1, "2024-01-01 12:00:00", "purchase"),
+        # user 2: single touch
+        (6, 2, "2024-01-01 10:00:00", "view"),
+        (7, 2, "2024-01-01 11:00:00", "purchase"),
+        # user 3: two touches, one outside the 12h horizon
+        (8, 3, "2023-12-31 20:00:00", "view"),
+        (9, 3, "2024-01-01 09:00:00", "view"),
+        (10, 3, "2024-01-01 10:00:00", "view"),
+        (11, 3, "2024-01-01 10:30:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).select("event_id", "user_id",
+             F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = {
+        r.day.strftime("%Y-%m-%d"): (r.n_touches, r.credit)
+        for r in position_attribution(
+            df, "user_id", "ts", "event_type",
+            conversion="purchase", touch="view", horizon_sec=43200,
+        ).collect()
+    }
+    # 2024-01-01: user1 four touches (0.4+0.1+0.1+0.4=1.0) + user2
+    # single (1.0) + user3 two in-horizon (0.5+0.5=1.0) = 7 touches
+    assert out == {"2024-01-01": (7, 3.0)}
+
+
+def test_cohens_kappa_planted(spark):
+    """Hand-checked 2x2 case: n=10, A=7, D=na·nb summed -> kappa
+    matches the closed form; perfect agreement -> 1.0; constant
+    single-class pair -> NULL (pe = 1)."""
+    from bigdata_kafka_2_spark.operators.evalmetrics import cohens_kappa
+
+    # a: 6 pos / 4 neg; b: 5 pos / 5 neg; agree on 4 pos + 3 neg
+    rows = (
+        [("p", "p")] * 4 + [("p", "n")] * 2
+        + [("n", "p")] * 1 + [("n", "n")] * 3
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    # D = 6*5 + 4*5 = 50; kappa = (10*7 - 50)/(100 - 50) = 0.4
+    assert r.n == 10 and r.n_agree == 7 and r.kappa == 0.4
+    perfect = spark.createDataFrame(
+        [("x", "x")] * 3 + [("y", "y")] * 7, "a string, b string"
+    )
+    assert cohens_kappa(perfect, "a", "b").collect()[0].kappa == 1.0
+    const = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
+    assert cohens_kappa(const, "a", "b").collect()[0].kappa is None
+
+
+def test_streaming_token_counts_merge(spark, tmp_path):
+    """Partial counts merge across epochs and replayed epochs dedup
+    idempotently (the q150/q190 mergeable-state contract on the
+    token key)."""
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        read_token_counts,
+        run_streaming_token_counts,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("alpha beta alpha",), ("beta GAMMA",)], "text string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("text string").parquet(src)
+    state = str(tmp_path / "state")
+    run_streaming_token_counts(
+        stream, "text", state, str(tmp_path / "ckpt")
+    )
+    got = {
+        r.tok: r.n for r in read_token_counts(spark, state).collect()
+    }
+    assert got == {"alpha": 2, "beta": 2, "gamma": 1}
+    # replayed epoch: append the same epoch-0 partials again -> the
+    # per-epoch max dedup keeps totals unchanged
+    spark.read.parquet(state).filter("epoch_id = 0").write.mode(
+        "append"
+    ).parquet(state)
+    got2 = {
+        r.tok: r.n for r in read_token_counts(spark, state).collect()
+    }
+    assert got2 == got
