@@ -1504,7 +1504,7 @@ def weighted_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.4,
     max_doc_freq: int | None = None,
-    auto_cap_expansion: int | None = 2_000_000_000,
+    auto_cap_expansion: int | None = 1_000_000_000,
 ) -> DataFrame:
     """WEIGHTED (multiset) Jaccard pairs over token frequencies:
     ``J_w(a,b) = Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b)`` ≥
