@@ -216,6 +216,11 @@ HEADLINE = (
     "q197_position_attribution",
     "q198_router_kappa",
     "q199_streaming_heavy_hitters",
+    "q200_session_concurrency",
+    "q201_keyword_contexts",
+    "q202_randomized_response",
+    "q203_centroid_drift",
+    "q204_cusum_changepoint",
 )
 
 

@@ -1147,3 +1147,109 @@ def ks_test(
             ).alias("ks_d"),
         )
     )
+
+
+def randomized_response(
+    df: DataFrame,
+    flag_col: str,
+    key_cols: list[str],
+    epsilon: float = 1.0,
+    seed: int = 7,
+) -> DataFrame:
+    """Warner randomized response — LOCAL differential privacy on a
+    boolean attribute: each row reports its TRUE flag with probability
+    ``p = e^ε/(1+e^ε)`` and the flipped flag otherwise, giving every
+    individual ε-LDP deniability BEFORE any aggregation (the
+    complement to :func:`dp_group_counts`' central-DP noise, which
+    trusts the aggregator). Returns the input plus a ``reported``
+    column; population rates debias in closed form —
+    :func:`rr_debias` does the arithmetic.
+
+    Deterministic and oracle-checkable: the flip coin is the seeded
+    md5-derived uniform of :func:`dp_group_counts` over ``key_cols``
+    (ship a secret seed for a real release). Row-local — scan speed.
+    """
+    import math
+
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in key_cols]
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(key, F.lit(f":{seed}"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    p = math.exp(float(epsilon)) / (1.0 + math.exp(float(epsilon)))
+    flag = F.col(flag_col).cast("boolean")
+    return df.withColumn(
+        "reported", F.when(u < F.lit(p), flag).otherwise(~flag)
+    )
+
+
+def rr_debias(
+    reported: DataFrame, epsilon: float = 1.0
+) -> DataFrame:
+    """Debiased population rate from :func:`randomized_response`
+    output: one row ``(n, n_reported, est_rate)`` with
+    ``est_rate = (r/n + p − 1)/(2p − 1)`` (the Warner estimator),
+    rounded to 6 dp. One scalar aggregate.
+    """
+    import math
+
+    p = math.exp(float(epsilon)) / (1.0 + math.exp(float(epsilon)))
+    agg = reported.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.col("reported").cast("long")), F.lit(0)
+        ).alias("n_reported"),
+    )
+    est = (
+        F.col("n_reported").cast("double") / F.col("n")
+        + F.lit(p - 1.0)
+    ) / F.lit(2.0 * p - 1.0)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_reported").cast("long").alias("n_reported"),
+        F.round(est, 6).alias("est_rate"),
+    )
+
+
+def embedding_centroid_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension centroid drift between two embedding snapshots:
+    ``(dim, mean_ref, mean_cur, drift)`` with ``dim`` 1-based and
+    ``drift = |mean_ref − mean_cur|`` — the vector-space member of
+    the drift family (PSI/KS/KL read scalar and token distributions;
+    an embedding-model version change shifts per-dimension means
+    long before any row-level check fires, quietly degrading ANN
+    recall when serving and index embeddings diverge — the
+    :func:`embedding_dim_profile` failure mode, now as a two-snapshot
+    comparison).
+
+    Plan shape: one posexplode + dim-keyed average per side (D
+    output rows per side, D = vector width), one tiny dim join —
+    the heavy work is the map-side partial average; nothing scales
+    with corpus size but the scan.
+    """
+
+    def dims(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(F.posexplode(vec_col).alias("__p0", "__v"))
+            .groupBy((F.col("__p0") + 1).alias("dim"))
+            .agg(F.avg(F.col("__v").cast("double")).alias(tag))
+        )
+
+    r = dims(ref, "__mr")
+    c = dims(cur, "__mc")
+    return r.join(c, on="dim", how="full").select(
+        F.col("dim").cast("long").alias("dim"),
+        F.round("__mr", 6).alias("mean_ref"),
+        F.round("__mc", 6).alias("mean_cur"),
+        F.round(F.abs(F.col("__mr") - F.col("__mc")), 6).alias(
+            "drift"
+        ),
+    )

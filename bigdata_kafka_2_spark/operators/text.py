@@ -1645,3 +1645,43 @@ def lexicon_tag(
             ).alias(f"n_{cat}")
         )
     return df.select(F.col(id_col), *cols)
+
+
+def keyword_contexts(
+    df: DataFrame,
+    term: str,
+    window: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyword-in-context (KWIC/concordance) extraction: one row
+    ``(id, pos, context)`` per occurrence of ``term`` among the
+    normalized whitespace tokens, with ``context`` the surrounding
+    ±``window`` tokens re-joined — what a policy reviewer actually
+    reads when a lexicon tag (:func:`lexicon_tag`) or trigram search
+    fires: the hits IN CONTEXT, not bare doc ids. ``pos`` is the
+    1-based token position (a stable citation into the document).
+
+    Plan shape: one split + posexplode bounded to matching positions,
+    context via row-local ``slice`` on the already-materialized token
+    array — output volume = occurrence count, no shuffle at all.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    hits = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .select(
+            id_col, "__t", F.posexplode("__t").alias("__p0", "__tok")
+        )
+        .filter(F.col("__tok") == term)
+    )
+    i = F.col("__p0") + 1
+    n = F.size("__t")
+    start = F.greatest(F.lit(1), i - F.lit(int(window)))
+    length = F.least(n, i + F.lit(int(window))) - start + F.lit(1)
+    return hits.select(
+        id_col,
+        i.cast("long").alias("pos"),
+        F.array_join(F.slice("__t", start, length), " ").alias(
+            "context"
+        ),
+    )

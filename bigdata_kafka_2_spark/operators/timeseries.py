@@ -771,3 +771,112 @@ def position_attribution(
         F.count(F.lit(1)).alias("n_touches"),
         F.sum("__credit").cast("double").alias("credit"),
     )
+
+
+def session_concurrency(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Hourly session-concurrency profile: ``(hour, n_active)`` —
+    for each hour bucket, how many gap-based sessions were active
+    (a session spanning [started, ended] counts in every hour bucket
+    its span touches). The capacity-planning / load-profile view on
+    top of :func:`session_stats`: peak concurrency is what a serving
+    tier is sized by, and a bot incident shows up as a concurrency
+    spike long before per-user counters trip.
+
+    Plan shape: :func:`sessionize`'s one user-keyed window + a
+    same-key span aggregate (min/max ts per session — no event-type
+    dependency, unlike :func:`session_stats`), then a row-local
+    ``sequence`` explode of each session onto its hour buckets
+    (output volume = total session-hours, bounded by activity span —
+    an interval-stabbing count, never a pairwise interval join) and
+    one map-side-combined hour aggregate.
+    """
+    s = (
+        sessionize(events, gap, user_col, ts_col, id_col)
+        .groupBy(user_col, "session_seq")
+        .agg(
+            F.min(ts_col).alias("started"),
+            F.max(ts_col).alias("ended"),
+        )
+    )
+    hours = F.explode(
+        F.sequence(
+            F.date_trunc("hour", F.col("started")),
+            F.date_trunc("hour", F.col("ended")),
+            F.expr("INTERVAL 1 HOUR"),
+        )
+    )
+    return (
+        s.select(hours.alias("hour"))
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    unit_scale: int = 1,
+) -> DataFrame:
+    """CUSUM changepoint over a one-row-per-period series: the period
+    maximizing ``|S_i|`` where ``S_i = Σ_{j≤i} (v_j − mean)`` — one
+    row ``(n_periods, <order_col>, max_cusum)``. The level-shift
+    detector that completes the drift family: PSI/KL (q184/q181)
+    compare two snapshots you chose, KS (q192) compares two samples;
+    CUSUM finds WHERE in a series the level changed, no split point
+    assumed.
+
+    ``value_col`` must be EXACT integer units (counts, cents — the
+    caller scales before aggregating; ``unit_scale`` converts the
+    reported magnitude back). The mean is never divided out:
+    ``n·S_i = n·P_i − i·T`` with ``P_i`` the inclusive prefix sum and
+    ``T`` the total — all-integer (DECIMAL(38,0)) arithmetic, one
+    division rounded to 4 dp at the very end, bit-identical across
+    engines. Ties break toward the earliest period.
+
+    Plan shape: TWO passes of the range-bucketed
+    :func:`~bigdata_kafka_2_spark.operators.relational.
+    global_prefix_sum` (values + row index — never a single-partition
+    window), a broadcast 1-row total, one TakeOrdered(1).
+    """
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    pre = global_prefix_sum(df, [order_col], value_col, "__cb")
+    pre2 = global_prefix_sum(
+        pre.withColumn("__one", F.lit(1)), [order_col], "__one", "__i0"
+    )
+    tot = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(value_col).cast("long")).alias("__t"),
+    )
+    dec = "decimal(38,0)"
+    p = (F.col("__cb") + F.col(value_col)).cast(dec)
+    i = (F.col("__i0") + 1).cast(dec)
+    stat = F.abs(
+        F.col("__n").cast(dec) * p - i * F.col("__t").cast(dec)
+    )
+    scored = pre2.crossJoin(F.broadcast(tot)).select(
+        F.col("__n").cast("long").alias("n_periods"),
+        F.col(order_col),
+        stat.alias("__s"),
+    )
+    top = scored.orderBy(
+        F.col("__s").desc(), F.col(order_col).asc()
+    ).limit(1)
+    return top.select(
+        "n_periods",
+        order_col,
+        F.round(
+            F.col("__s").cast("double")
+            / (F.col("n_periods") * F.lit(float(unit_scale))),
+            4,
+        ).alias("max_cusum"),
+    )

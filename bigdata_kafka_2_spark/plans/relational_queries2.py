@@ -2535,3 +2535,58 @@ def q196_mutual_information(
 
     o = read_table(spark, sf_dir, "orders")
     return mutual_information(o, "o_orderpriority", "o_orderstatus")
+
+
+@register(
+    "q202_randomized_response",
+    oracle="""
+    WITH flags AS (
+      SELECT c_custkey,
+             (c_mktsegment = 'HOUSEHOLD') AS flag,
+             (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                                      || ':7'), 1, 15)
+                   AS BIGINT) + 0.5) / 1152921504606846976.0 AS u
+      FROM customer
+    ),
+    reported AS (
+      SELECT CASE WHEN u < 0.7310585786300049 THEN flag ELSE NOT flag END AS r
+      FROM flags
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(coalesce(sum(CASE WHEN r THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_reported,
+           round((CAST(coalesce(sum(CASE WHEN r THEN 1 ELSE 0 END), 0)
+                       AS DOUBLE) / count(*)
+                  + -0.2689414213699951) / 0.4621171572600098, 6) AS est_rate
+    FROM reported
+    """,
+    description="Warner randomized response — LOCAL differential "
+    "privacy (operators/profile.randomized_response + rr_debias, "
+    "epsilon=1): each customer reports whether they are a HOUSEHOLD "
+    "segment member truthfully with p = e/(1+e) and flipped "
+    "otherwise (per-row deniability BEFORE aggregation — the "
+    "complement to q180's central-DP Laplace noise, which trusts "
+    "the aggregator), then the population rate debiases in closed "
+    "form. The flip coin is the seeded md5-derived uniform (q180 "
+    "discipline; ship a secret seed for a real release); p and the "
+    "debias constants are Python-computed literals shared verbatim "
+    "with the oracle (the q121 ladder rule). Row-local + one scalar "
+    "aggregate.",
+    tags=("profile", "privacy", "aggregate"),
+)
+def q202_randomized_response(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import (
+        randomized_response,
+        rr_debias,
+    )
+
+    c = read_table(spark, sf_dir, "customer")
+    flagged = c.withColumn(
+        "__flag", F.col("c_mktsegment") == F.lit("HOUSEHOLD")
+    )
+    rep = randomized_response(
+        flagged, "__flag", ["c_custkey"], epsilon=1.0, seed=7
+    )
+    return rr_debias(rep, epsilon=1.0)

@@ -2685,3 +2685,38 @@ def q198_router_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     preds = naive_bayes_predictions(d, "lang")
     return cohens_kappa(preds, "label", "pred")
+
+
+@register(
+    "q201_keyword_contexts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, i, t
+      FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)
+      WHERE t[i] = 'spark'
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           array_to_string(
+             t[greatest(1, i - 3):least(len(t), i + 3)], ' '
+           ) AS context
+    FROM hits
+    """,
+    description="Keyword-in-context extraction (operators/text."
+    "keyword_contexts): every occurrence of 'spark' with its "
+    "1-based token position and the surrounding ±3 tokens re-joined "
+    "— what a policy reviewer reads when a lexicon tag (q195) or "
+    "trigram search (q186) fires: the hits IN CONTEXT, not bare doc "
+    "ids. One split + posexplode bounded to matching positions, "
+    "context via row-local slice on the already-materialized token "
+    "array — output volume = occurrence count, no shuffle at all.",
+    tags=("text", "filter"),
+)
+def q201_keyword_contexts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return TX.keyword_contexts(d, "spark", window=3)

@@ -674,3 +674,123 @@ def q197_position_attribution(
         "n_touches",
         "credit",
     )
+
+
+@register(
+    "q200_session_concurrency",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(sum(CASE WHEN prev IS NULL
+                             OR ts > prev + INTERVAL 24 HOUR
+                           THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS session_seq
+      FROM lagged
+    ),
+    spans AS (
+      SELECT user_id, session_seq,
+             min(ts) AS started, max(ts) AS ended
+      FROM sess GROUP BY 1, 2
+    ),
+    hrs AS (
+      SELECT unnest(generate_series(
+        date_trunc('hour', started), date_trunc('hour', ended),
+        INTERVAL 1 HOUR
+      )) AS h
+      FROM spans
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM hrs GROUP BY 1
+    """,
+    description="Hourly session-concurrency profile (operators/"
+    "timeseries.session_concurrency, 24-hour gap matching q119): per "
+    "hour bucket, how many gap-based sessions were active — the "
+    "capacity/load view a serving tier is sized by, and the signal a "
+    "bot incident spikes long before per-user counters trip. An "
+    "interval-STABBING count, never a pairwise interval join: "
+    "q119's one user-keyed sessionize window + same-key span "
+    "aggregate, then a row-local sequence explode onto hour buckets "
+    "(output = total session-hours) and one map-side-combined hour "
+    "aggregate.",
+    tags=("timeseries", "window", "aggregate"),
+)
+def q200_session_concurrency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        session_concurrency,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    out = session_concurrency(e, gap="24 hours")
+    return out.select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n_active",
+    )
+
+
+@register(
+    "q204_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    pre AS (
+      SELECT d, c,
+             sum(c) OVER (ORDER BY d) AS p,
+             row_number() OVER (ORDER BY d) AS i
+      FROM daily
+    ),
+    tot AS (SELECT count(*) AS n, sum(c) AS t FROM daily)
+    SELECT CAST(n AS BIGINT) AS n_periods,
+           strftime(d, '%Y-%m-%d') AS day,
+           round(CAST(abs(n * p - i * t) AS DOUBLE) / (n * 100.0), 4)
+             AS max_cusum
+    FROM pre, tot
+    ORDER BY abs(n * p - i * t) DESC, d ASC LIMIT 1
+    """,
+    description="CUSUM changepoint over the daily order-revenue "
+    "series (operators/timeseries.cusum_changepoint): the day "
+    "maximizing |sum of deviations from the series mean| — the "
+    "level-shift detector completing the drift family (PSI/KL "
+    "compare snapshots you chose, KS compares two samples; CUSUM "
+    "finds WHERE the level changed). All-integer: per-row exact "
+    "cents, n*S_i = n*P_i - i*T so the mean is never divided out, "
+    "DECIMAL(38,0)/HUGEINT cross-products, one division rounded at "
+    "the end; earliest-day tie-break. Two passes of the range-"
+    "bucketed global_prefix_sum (values + row index — never a "
+    "single-partition window at scale; the oracle transcribes the "
+    "naive global window it equals), one broadcast total, one "
+    "TakeOrdered(1).",
+    tags=("timeseries", "profile", "aggregate"),
+)
+def q204_cusum_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(cents).alias("c")
+    )
+    out = cusum_changepoint(daily, "d", "c", unit_scale=100)
+    return out.select(
+        "n_periods",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "max_cusum",
+    )

@@ -220,3 +220,51 @@ def q167_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, variance double, cum_share double"
     )
+
+
+@register(
+    "q203_centroid_drift",
+    oracle="""
+    WITH r AS (
+      SELECT embedding AS e FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    c AS (
+      SELECT embedding AS e FROM embeddings WHERE vec_id % 2 = 1
+    ),
+    rd AS (
+      SELECT i AS dim, avg(CAST(e[i] AS DOUBLE)) AS m
+      FROM r, UNNEST(generate_series(1, len(e))) AS g(i)
+      GROUP BY 1
+    ),
+    cd AS (
+      SELECT i AS dim, avg(CAST(e[i] AS DOUBLE)) AS m
+      FROM c, UNNEST(generate_series(1, len(e))) AS g(i)
+      GROUP BY 1
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           round(rd.m, 6) AS mean_ref,
+           round(cd.m, 6) AS mean_cur,
+           round(abs(rd.m - cd.m), 6) AS drift
+    FROM rd JOIN cd USING (dim)
+    """,
+    description="Per-dimension embedding centroid drift between two "
+    "snapshots (operators/profile.embedding_centroid_drift; here the "
+    "even/odd vec_id halves stand in for index-time vs serving-time "
+    "embeddings): |mean_ref - mean_cur| per dimension, 1-based — "
+    "the vector-space member of the drift family (PSI/KS/KL read "
+    "scalar and token distributions; an embedding-model version "
+    "change shifts per-dimension means long before any row-level "
+    "check fires, quietly degrading ANN recall). One posexplode + "
+    "dim-keyed average per side with map-side partials, one D-row "
+    "dim join — nothing scales with corpus size but the scan.",
+    tags=("vector", "profile", "aggregate"),
+)
+def q203_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import (
+        embedding_centroid_drift,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    ref = e.filter(F.col("vec_id") % 2 == 0)
+    cur = e.filter(F.col("vec_id") % 2 == 1)
+    return embedding_centroid_drift(ref, cur)

@@ -2819,3 +2819,125 @@ def test_streaming_token_counts_merge(spark, tmp_path):
         r.tok: r.n for r in read_token_counts(spark, state).collect()
     }
     assert got2 == got
+
+
+def test_session_concurrency_planted(spark):
+    """Two users with overlapping sessions: hour buckets count every
+    session whose span touches them; a single-event session occupies
+    exactly its hour."""
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        session_concurrency,
+    )
+
+    rows = [
+        (1, 1, "2024-01-01 10:10:00"),
+        (2, 1, "2024-01-01 12:50:00"),   # u1 session spans 10:00-12:00 hrs
+        (3, 2, "2024-01-01 11:30:00"),   # u2 single-event session @11
+        (4, 2, "2024-01-03 09:00:00"),   # u2 new session (gap > 24h) @9
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).select("event_id", "user_id",
+             F.col("ts").cast("timestamp").alias("ts"))
+    out = {
+        r.hour.strftime("%Y-%m-%d %H"): r.n_active
+        for r in session_concurrency(df, gap="24 hours").collect()
+    }
+    assert out == {
+        "2024-01-01 10": 1,
+        "2024-01-01 11": 2,   # u1 span + u2 single-event session
+        "2024-01-01 12": 1,
+        "2024-01-03 09": 1,
+    }
+
+
+def test_cusum_changepoint_planted(spark):
+    """A clean level shift: 5 periods at 100 then 5 at 200 -> the
+    changepoint is the last low period (prefix deviation most
+    negative there), magnitude 250 = max |sum (v - mean)|."""
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    rows = [(i, 100 if i < 5 else 200) for i in range(10)]
+    df = spark.createDataFrame(rows, "t long, v long")
+    r = cusum_changepoint(df, "t", "v").collect()[0]
+    # mean 150; S_i = -50i for i<=5 -> max |S| = 250 at t=4
+    assert r.n_periods == 10 and r.t == 4 and r.max_cusum == 250.0
+    # constant series: zero everywhere, earliest-period tie-break
+    flat = spark.createDataFrame(
+        [(i, 7) for i in range(4)], "t long, v long"
+    )
+    r2 = cusum_changepoint(flat, "t", "v").collect()[0]
+    assert r2.t == 0 and r2.max_cusum == 0.0
+
+
+def test_keyword_contexts_planted(spark):
+    """1-based positions; window clamps at both document edges;
+    repeated hits each get a row; normalization lowercases."""
+    from bigdata_kafka_2_spark.operators.text import keyword_contexts
+
+    rows = [
+        (1, "Spark at start and spark at the very distant end spark"),
+        (2, "no hits"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_id, r.pos): r.context
+        for r in keyword_contexts(df, "spark", window=2).collect()
+    }
+    assert out == {
+        (1, 1): "spark at start",
+        (1, 5): "start and spark at the",
+        (1, 11): "distant end spark",
+    }
+
+
+def test_randomized_response_planted(spark):
+    """Reported flags differ from truth exactly where the seeded coin
+    says so; the debiased estimate recovers the true rate closely on
+    a larger sample; epsilon -> inf reports truthfully."""
+    import math
+
+    from bigdata_kafka_2_spark.operators.profile import (
+        randomized_response,
+        rr_debias,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i < 300) for i in range(1000)], "k long, flag boolean"
+    )
+    rep = randomized_response(df, "flag", ["k"], epsilon=1.0, seed=7)
+    est = rr_debias(rep, epsilon=1.0).collect()[0]
+    assert est.n == 1000
+    # Warner estimator: unbiased, sd ~ 2.4% at n=1000, eps=1
+    assert abs(est.est_rate - 0.3) < 0.08
+    # near-infinite epsilon: p ~ 1, everyone reports truth
+    truthful = randomized_response(df, "flag", ["k"], epsilon=50.0)
+    agree = truthful.filter(
+        F.col("reported") == F.col("flag")
+    ).count()
+    assert agree == 1000
+    e2 = rr_debias(truthful, epsilon=50.0).collect()[0]
+    assert abs(e2.est_rate - 0.3) < 1e-6
+
+
+def test_embedding_centroid_drift_planted(spark):
+    """Identical snapshots -> zero drift; a known per-dim shift is
+    recovered exactly."""
+    from bigdata_kafka_2_spark.operators.profile import (
+        embedding_centroid_drift,
+    )
+
+    a = spark.createDataFrame(
+        [([1.0, 2.0],), ([3.0, 6.0],)], "embedding array<float>"
+    )
+    same = embedding_centroid_drift(a, a).collect()
+    assert {r.dim for r in same} == {1, 2}
+    assert all(r.drift == 0.0 for r in same)
+    b = spark.createDataFrame(
+        [([2.0, 2.0],), ([4.0, 6.0],)], "embedding array<float>"
+    )
+    out = {r.dim: r for r in embedding_centroid_drift(a, b).collect()}
+    assert out[1].mean_ref == 2.0 and out[1].mean_cur == 3.0
+    assert out[1].drift == 1.0 and out[2].drift == 0.0
