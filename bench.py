@@ -221,6 +221,11 @@ HEADLINE = (
     "q202_randomized_response",
     "q203_centroid_drift",
     "q204_cusum_changepoint",
+    "q205_readability",
+    "q206_embedding_outliers",
+    "q207_dup_cluster_profile",
+    "q208_fd_violations",
+    "q209_seasonal_anomalies",
 )
 
 

@@ -1773,3 +1773,26 @@ def weighted_jaccard_pairs(
         .select("id_a", "id_b", F.round(jw, 4).alias("wjaccard"))
         .filter(F.col("wjaccard") >= threshold)
     )
+
+
+def dup_cluster_profile(
+    clusters: DataFrame, rep_col: str = "cluster_rep"
+) -> DataFrame:
+    """Duplication report over :func:`dedup_clusters` labels: one row
+    per cluster size — ``(cluster_size, n_clusters, n_docs)`` — the
+    "how duplicated is this corpus" summary a curation run publishes
+    next to its survivor counts (mass in size-1 clusters = unique
+    docs; a long tail of large clusters = boilerplate/mirror content
+    the dedup is earning its cost on; sum(n_docs) − sum(n_clusters)
+    = rows removed).
+
+    Two map-side-combined aggregates over the (already tiny relative
+    to the corpus) cluster-label frame; nothing else.
+    """
+    sizes = clusters.groupBy(rep_col).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )

@@ -1253,3 +1253,95 @@ def embedding_centroid_drift(
             "drift"
         ),
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs_cols: Sequence[str],
+    rhs_cols: Sequence[str],
+) -> DataFrame:
+    """Functional-dependency check: the LHS values that map to MORE
+    than one distinct RHS tuple — ``(lhs..., n_rows, n_rhs)`` per
+    violating key, empty when ``lhs → rhs`` holds. The
+    schema-semantics member of the data-quality family:
+    :func:`check_constraints` tests row-local rules and
+    :func:`foreign_key_violations` cross-table references; an FD
+    probe answers "is this column actually determined by that key?"
+    — the question that catches a bad join key or a
+    should-be-dimension attribute smeared across a fact table before
+    it silently fans out a downstream join.
+
+    NULLs count as a distinct RHS level (the affirm rule: an FD with
+    missing determinees is violated, not vacuously true). One
+    map-side-combined aggregate on the LHS key; the distinct count
+    plans via Expand on the (lhs, rhs) pair — the exact-count cost,
+    same as :func:`profile_table` ``exact=True``.
+    """
+    rhs = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in rhs_cols
+        ],
+    )
+    per = (
+        df.select(*lhs_cols, rhs.alias("__rhs"))
+        .groupBy(*lhs_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("__rhs").alias("n_rhs"),
+        )
+    )
+    return per.filter(F.col("n_rhs") > 1)
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k most anomalous embedding vectors by diagonal Mahalanobis
+    distance: ``(id, score)`` with ``score = Σ_d z_d²`` over
+    per-dimension z-scores — the vector-space data-cleaning pass
+    (corrupt decodes, zero vectors, wrong-model strays sit far from
+    the per-dimension envelope; dropping them before ANN index build
+    protects recall). The two-snapshot companion is
+    :func:`embedding_centroid_drift`; this ranks rows WITHIN one
+    snapshot.
+
+    Determinism: per-dimension mean/stddev (population) are rounded
+    to 6 dp before the z-scores, each z² term is rounded to 6 dp and
+    summed as an exact DECIMAL — order-independent and engine-
+    identical. Degenerate dimensions (stddev 0) contribute 0. Ties
+    break by id.
+
+    Plan shape: one posexplode + dim-keyed stats aggregate (D rows,
+    broadcast back), one id-keyed DECIMAL sum, one TakeOrdered(k).
+    """
+    dims = df.select(
+        F.col(id_col), F.posexplode(vec_col).alias("__p0", "__v")
+    ).select(
+        id_col, F.col("__p0").alias("__d"),
+        F.col("__v").cast("double").alias("__v"),
+    )
+    stats = dims.groupBy("__d").agg(
+        F.round(F.avg("__v"), 6).alias("__m"),
+        F.round(F.stddev_pop("__v"), 6).alias("__s"),
+    )
+    term = F.when(
+        F.col("__s") > 0,
+        F.round(
+            ((F.col("__v") - F.col("__m")) / F.col("__s"))
+            * ((F.col("__v") - F.col("__m")) / F.col("__s")),
+            6,
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,6)")
+    scores = (
+        dims.join(F.broadcast(stats), on="__d")
+        .groupBy(id_col)
+        .agg(F.sum(term).cast("double").alias("score"))
+    )
+    return scores.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(int(top_k))

@@ -880,3 +880,42 @@ def cusum_changepoint(
             4,
         ).alias("max_cusum"),
     )
+
+
+def seasonal_anomalies(
+    series: DataFrame,
+    ts_col: str,
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Seasonality-adjusted anomaly detection over a one-row-per-
+    period series: subtract the day-of-week baseline (the dominant
+    cycle in activity data), then flag residuals by the robust
+    modified z-score — input columns + ``residual`` + ``mod_z`` +
+    ``is_outlier``. A raw threshold fires every weekend; a
+    seasonal-residual MAD flags the Tuesday that looks like a Sunday
+    — the monitoring view :func:`cusum_changepoint` (level shifts)
+    and q111's raw MAD pass don't cover.
+
+    ``value_col`` should be exact integer units (counts, cents) so
+    the per-weekday baseline (``round(avg, 4)``) and residuals are
+    engine-identical. Plan: one 7-row weekday aggregate broadcast
+    back, then :func:`~bigdata_kafka_2_spark.operators.profile.
+    mad_outliers`' two percentile passes — everything per-group tiny
+    or broadcast.
+    """
+    from bigdata_kafka_2_spark.operators.profile import mad_outliers
+
+    dow = F.dayofweek(F.col(ts_col))
+    base = series.groupBy(dow.alias("__dow")).agg(
+        F.round(F.avg(value_col), 4).alias("__base")
+    )
+    r = (
+        series.withColumn("__dow", dow)
+        .join(F.broadcast(base), on="__dow")
+        .withColumn(
+            "residual", F.col(value_col) - F.col("__base")
+        )
+        .drop("__dow", "__base")
+    )
+    return mad_outliers(r, "residual", threshold=threshold)

@@ -1625,3 +1625,47 @@ def q183_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+@register(
+    "q207_dup_cluster_profile",
+    oracle="WITH RECURSIVE "
+    + _exact_pairs_sql(0.5)
+    + """,
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(node, anc) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d AS node, r.anc FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    reps AS (SELECT node, min(anc) AS rep FROM reach GROUP BY node),
+    csizes AS (
+      SELECT rep, count(*) AS cluster_size FROM reps GROUP BY rep
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM csizes GROUP BY 1
+    """,
+    description="Corpus duplication report (operators/dedup."
+    "dup_cluster_profile over q44's verified pair graph + connected "
+    "components): one row per cluster size — how many clusters and "
+    "how many documents sit at each duplication level. The summary a "
+    "curation run publishes next to survivor counts: mass at size 1 "
+    "= unique docs, a tail of large clusters = boilerplate the dedup "
+    "is earning its cost on, sum(n_docs) - sum(n_clusters) = rows "
+    "removed. Two tiny aggregates over the cluster-label frame on "
+    "top of the established exact-pairs + CC machinery.",
+    tags=("dedup", "profile", "aggregate"),
+)
+def q207_dup_cluster_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_verified_pairs(d, jaccard_threshold=0.5)
+    clusters = DD.dedup_clusters(pairs, d.select("doc_id"))
+    return DD.dup_cluster_profile(clusters)

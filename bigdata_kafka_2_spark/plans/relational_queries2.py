@@ -2590,3 +2590,34 @@ def q202_randomized_response(
         flagged, "__flag", ["c_custkey"], epsilon=1.0, seed=7
     )
     return rr_debias(rep, epsilon=1.0)
+
+
+@register(
+    "q208_fd_violations",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT COALESCE(CAST(o_orderpriority AS
+             VARCHAR), chr(0) || 'null')) AS BIGINT) AS n_rhs
+    FROM orders
+    GROUP BY 1
+    HAVING count(DISTINCT COALESCE(CAST(o_orderpriority AS VARCHAR),
+                                   chr(0) || 'null')) > 1
+    """,
+    description="Functional-dependency probe (operators/profile."
+    "fd_violations): customers whose orders span more than one "
+    "order priority — i.e. the FD o_custkey -> o_orderpriority does "
+    "NOT hold, listed per violating key with row and distinct-RHS "
+    "counts. The schema-semantics member of the data-quality family "
+    "(q87 tests row-local rules, the FK check cross-table refs): "
+    "'is this column actually determined by that key' is the "
+    "question that catches a bad join key before it silently fans "
+    "out a downstream join. NULL RHS counts as its own level (the "
+    "affirm rule). One map-side-combined aggregate on the LHS key.",
+    tags=("profile", "quality", "aggregate"),
+)
+def q208_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import fd_violations
+
+    o = read_table(spark, sf_dir, "orders")
+    return fd_violations(o, ["o_custkey"], ["o_orderpriority"])

@@ -2720,3 +2720,40 @@ def q201_keyword_contexts(
 ) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return TX.keyword_contexts(d, "spark", window=3)
+
+
+@register(
+    "q205_readability",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+                                t -> t <> '')) AS BIGINT) AS n_words,
+           CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                AS BIGINT) AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS BIGINT) AS n_syllables,
+           CASE WHEN len(list_filter(string_split({_NORM_SQL}, ' '),
+                                     t -> t <> '')) > 0 THEN
+             round(206.835
+               - 1.015 * (CAST(len(list_filter(string_split({_NORM_SQL},
+                   ' '), t -> t <> '')) AS DOUBLE)
+                 / greatest(1, len(regexp_extract_all(text, '[.!?]+'))))
+               - 84.6 * (CAST(len(regexp_extract_all(lower(text),
+                   '[aeiouy]+')) AS DOUBLE)
+                 / len(list_filter(string_split({_NORM_SQL}, ' '),
+                                   t -> t <> ''))), 4)
+           END AS flesch
+    FROM documents
+    """,
+    description="Flesch reading-ease per document (operators/text."
+    "readability_scores, vowel-group syllable proxy, terminal-"
+    "punctuation sentences floored at 1): the classic readability "
+    "screen a quality pass adds next to the Gopher rules — "
+    "exam-grade text and keyword soup sit at opposite ends even "
+    "when length/TTR rules pass. Row-local regexp counting inside "
+    "whole-stage codegen; no shuffle at all.",
+    tags=("text", "quality"),
+)
+def q205_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return TX.readability_scores(d)

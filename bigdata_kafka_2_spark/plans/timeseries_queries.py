@@ -794,3 +794,64 @@ def q204_cusum_changepoint(
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         "max_cusum",
     )
+
+
+@register(
+    "q209_seasonal_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    base AS (
+      SELECT dayofweek(d) AS w, round(avg(c), 4) AS b
+      FROM daily GROUP BY 1
+    ),
+    resid AS (
+      SELECT d, c, c - b AS residual
+      FROM daily JOIN base ON dayofweek(d) = w
+    ),
+    med AS (SELECT quantile_cont(residual, 0.5) AS m FROM resid),
+    mad AS (
+      SELECT quantile_cont(abs(residual - m), 0.5) AS s
+      FROM resid, med
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(c AS BIGINT) AS cents,
+           residual,
+           round(0.6745 * (residual - m) / s, 4) AS mod_z
+    FROM resid, med, mad
+    WHERE s <> 0
+      AND abs(round(0.6745 * (residual - m) / s, 4)) > 3.5
+    """,
+    description="Seasonality-adjusted anomaly detection over daily "
+    "order revenue (operators/timeseries.seasonal_anomalies): "
+    "subtract the day-of-week baseline (exact cents, 4-dp average), "
+    "then flag residuals by the robust modified z-score (q111's "
+    "median/MAD machinery, Iglewicz-Hoaglin 3.5) — a raw threshold "
+    "fires every weekend; the seasonal-residual MAD flags the "
+    "Tuesday that looks like a Sunday, the monitoring view CUSUM "
+    "(level shifts, q204) doesn't cover. One 7-row weekday "
+    "broadcast, two exact-percentile passes (q23 parity).",
+    tags=("timeseries", "profile", "quality"),
+)
+def q209_seasonal_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        seasonal_anomalies,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(cents).alias("c")
+    )
+    out = seasonal_anomalies(daily, "d", "c", threshold=3.5)
+    return out.filter(F.col("is_outlier")).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("c").alias("cents"),
+        "residual",
+        "mod_z",
+    )

@@ -268,3 +268,49 @@ def q203_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = e.filter(F.col("vec_id") % 2 == 0)
     cur = e.filter(F.col("vec_id") % 2 == 1)
     return embedding_centroid_drift(ref, cur)
+
+
+@register(
+    "q206_embedding_outliers",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, i - 1 AS d, CAST(e[i] AS DOUBLE) AS v
+      FROM (SELECT vec_id, embedding AS e FROM embeddings),
+           UNNEST(generate_series(1, len(e))) AS g(i)
+    ),
+    stats AS (
+      SELECT d, round(avg(v), 6) AS m, round(stddev_pop(v), 6) AS s
+      FROM dims GROUP BY 1
+    ),
+    terms AS (
+      SELECT vec_id,
+             CAST(CASE WHEN s > 0 THEN
+               round(((v - m) / s) * ((v - m) / s), 6)
+             ELSE 0.0 END AS DECIMAL(28,6)) AS t
+      FROM dims JOIN stats USING (d)
+    )
+    SELECT vec_id, CAST(sum(t) AS DOUBLE) AS score
+    FROM terms GROUP BY 1
+    ORDER BY score DESC, vec_id ASC LIMIT 20
+    """,
+    description="Top-20 anomalous embeddings by diagonal Mahalanobis "
+    "distance (operators/profile.embedding_outliers): sum of "
+    "per-dimension z-scores squared against the snapshot's own "
+    "per-dim mean/stddev — the vector-space cleaning pass that "
+    "catches corrupt decodes, zero vectors, and wrong-model strays "
+    "before they poison an ANN index. Per-dim stats rounded to 6 dp "
+    "before the z-scores, z-squared terms 6-dp DECIMAL-summed "
+    "(order-independent), deterministic (score desc, id) cut. One "
+    "posexplode + D-row broadcast stats, one id-keyed sum, one "
+    "TakeOrdered(20).",
+    tags=("vector", "profile", "quality"),
+)
+def q206_embedding_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import (
+        embedding_outliers,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return embedding_outliers(e, top_k=20)

@@ -2941,3 +2941,102 @@ def test_embedding_centroid_drift_planted(spark):
     out = {r.dim: r for r in embedding_centroid_drift(a, b).collect()}
     assert out[1].mean_ref == 2.0 and out[1].mean_cur == 3.0
     assert out[1].drift == 1.0 and out[2].drift == 0.0
+
+
+def test_readability_planted(spark):
+    """Hand-checked Flesch arithmetic: 4 words, 2 sentences, 5 vowel
+    groups; empty text yields NULL score; punctuation-free floors
+    sentences at 1."""
+    from bigdata_kafka_2_spark.operators.text import readability_scores
+
+    rows = [
+        (1, "See spot run. Go!"),
+        (2, ""),
+        (3, "no punctuation here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in readability_scores(df).collect()}
+    r1 = out[1]
+    # vowel groups: "ee", "o", "u", "o"
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (4, 2, 4)
+    assert r1.flesch == round(206.835 - 1.015 * 2.0 - 84.6 * 1.0, 4)
+    assert out[2].n_words == 0 and out[2].flesch is None
+    assert out[3].n_sentences == 1 and out[3].flesch is not None
+
+
+def test_fd_violations_planted(spark):
+    """A held FD returns empty; a broken one lists exactly the
+    violating keys; NULL counts as its own RHS level."""
+    from bigdata_kafka_2_spark.operators.profile import fd_violations
+
+    rows = [
+        (1, "a", "x"), (1, "a", "x"),       # key 1: consistent
+        (2, "b", "x"), (2, "c", "x"),       # key 2: violates k->v1
+        (3, "d", "x"), (3, None, "x"),      # key 3: NULL is a level
+    ]
+    df = spark.createDataFrame(rows, "k long, v1 string, v2 string")
+    assert fd_violations(df, ["k"], ["v2"]).count() == 0
+    out = {r.k: r for r in fd_violations(df, ["k"], ["v1"]).collect()}
+    assert set(out) == {2, 3}
+    assert out[2].n_rows == 2 and out[2].n_rhs == 2
+    assert out[3].n_rhs == 2
+
+
+def test_dup_cluster_profile_planted(spark):
+    """Cluster labels {a:a, b:a, c:a, d:d, e:e} -> one size-3 cluster
+    and two singletons; doc mass adds up."""
+    from bigdata_kafka_2_spark.operators.dedup import dup_cluster_profile
+
+    rows = [("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "e")]
+    df = spark.createDataFrame(rows, "doc_id string, cluster_rep string")
+    out = {r.cluster_size: r for r in dup_cluster_profile(df).collect()}
+    assert out[3].n_clusters == 1 and out[3].n_docs == 3
+    assert out[1].n_clusters == 2 and out[1].n_docs == 2
+
+
+def test_seasonal_anomalies_planted(spark):
+    """A weekly pattern with one injected spike: the raw value is not
+    the max of its weekday, but the seasonal residual is the clear
+    outlier — and ONLY it is flagged."""
+    import datetime
+
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        seasonal_anomalies,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    rows = []
+    for i in range(28):
+        d = base + datetime.timedelta(days=i)
+        # weekly cycle + small jitter so the residual MAD is nonzero
+        v = (1000 if d.weekday() >= 5 else 100) + i % 3
+        if i == 9:
+            v = 700   # a Wednesday that looks like a weekend
+        rows.append((d.isoformat(), v))
+    df = spark.createDataFrame(rows, "d string, v long").select(
+        F.col("d").cast("timestamp").alias("d"), "v"
+    )
+    out = seasonal_anomalies(df, "d", "v", threshold=3.5).collect()
+    spike = [r for r in out if r.d.date().isoformat() == "2024-01-10"][0]
+    assert spike.is_outlier
+    # the spike carries the largest seasonal-residual z-score
+    top = max((r for r in out if r.mod_z is not None),
+              key=lambda r: abs(r.mod_z))
+    assert top.d.date().isoformat() == "2024-01-10"
+    # a plain same-magnitude weekend day is NOT the top signal
+    assert not [r for r in out
+                if r.d.weekday() >= 5 and abs(r.mod_z or 0)
+                >= abs(spike.mod_z)]
+
+
+def test_embedding_outliers_planted(spark):
+    """An injected far-out vector ranks first; ties break by id;
+    constant dimensions contribute zero."""
+    from bigdata_kafka_2_spark.operators.profile import embedding_outliers
+
+    rows = [(i, [float(i % 3), 5.0]) for i in range(20)]
+    rows.append((99, [100.0, 5.0]))   # dim-1 stray; dim 2 constant
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_outliers(df, top_k=3).collect()
+    assert out[0].vec_id == 99
+    assert out[0].score > out[1].score
