@@ -486,3 +486,85 @@ def test_trigram_search_probes_index_not_corpus(spark):
     plan = _plan(trigram_search(d, "data stream"))
     assert "LeftSemi" in plan
     assert "Contains" in plan or "contains" in plan
+
+
+def test_pii_ops_are_shuffle_free(spark):
+    """pii_scan and pii_redact are pure projections: no Exchange of
+    any kind in either plan — the 100 TB scrub-pass shape."""
+    from bigdata_kafka_2_spark.operators.pii import pii_redact, pii_scan
+
+    d = read_table(spark, SF_DIR, "documents")
+    assert "Exchange" not in _plan(pii_scan(d))
+    assert "Exchange" not in _plan(pii_redact(d))
+
+
+def test_lexicon_tag_no_explode_no_shuffle(spark):
+    """The compile-time lexicon matches row-locally: no Generate
+    (explode) and no Exchange in the plan."""
+    from bigdata_kafka_2_spark.operators.text import lexicon_tag
+
+    d = read_table(spark, SF_DIR, "documents")
+    plan = _plan(lexicon_tag(d, {"x": ("fast", "slow")}))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+
+
+def test_keyword_contexts_no_shuffle(spark):
+    """KWIC is explode-then-filter, all row-local: no Exchange."""
+    from bigdata_kafka_2_spark.operators.text import keyword_contexts
+
+    d = read_table(spark, SF_DIR, "documents")
+    assert "Exchange" not in _plan(keyword_contexts(d, "spark"))
+
+
+def test_cusum_no_single_partition_window(spark):
+    """The prefix sums ride global_prefix_sum's bucket construction —
+    a keyed window, never Exchange SinglePartition (the final
+    TakeOrdered(1) is the only global step)."""
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    o = read_table(spark, SF_DIR, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "c"
+        )
+    )
+    plan = _plan(cusum_changepoint(daily, "d", "c", unit_scale=100))
+    # every window is range-bucket-keyed (the 1-row scalar TOTAL
+    # aggregate plans its own bounded SinglePartition reduce, like
+    # any scalar agg — that's not a data-sized exchange)
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+    ]
+    assert specs
+    assert all("__bkt" in ln for ln in specs)
+    assert "TakeOrderedAndProject(limit=1" in plan
+
+
+def test_mutual_information_marginals_broadcast(spark):
+    """MI's cell→score join broadcasts the marginal tables (they are
+    level-count sized, never data sized)."""
+    from bigdata_kafka_2_spark.operators.profile import (
+        mutual_information,
+    )
+
+    o = read_table(spark, SF_DIR, "orders")
+    plan = _plan(mutual_information(o, "o_orderpriority", "o_orderstatus"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_outliers_stats_broadcast(spark):
+    """The per-dimension stats ride back as a broadcast (D rows) —
+    the vector scan never sort-merge-joins its own statistics."""
+    from bigdata_kafka_2_spark.operators.profile import (
+        embedding_outliers,
+    )
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    plan = _plan(embedding_outliers(e, top_k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrdered" in plan
