@@ -226,6 +226,8 @@ HEADLINE = (
     "q207_dup_cluster_profile",
     "q208_fd_violations",
     "q209_seasonal_anomalies",
+    "q210_kcore_dupgraph",
+    "q211_dataset_digest",
 )
 
 

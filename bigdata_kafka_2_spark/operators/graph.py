@@ -743,3 +743,59 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
             .alias("coeff"),
         )
     )
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
+    """K-core decomposition by iterative peeling: the MAXIMAL
+    subgraph in which every node has degree ≥ k — ``(node, deg)``
+    for core members, ``deg`` the within-core degree at the
+    fixpoint. The graph-shaped quality/spam signal the flat degree
+    filter misses: a node with 1000 low-degree neighbors dies in
+    round 2, a tight clique of modest degrees survives — which is
+    why k-cores find link farms and dense communities that
+    per-node thresholds can't.
+
+    Input: undirected distinct edges ``(a, b)`` with ``a < b``
+    (:func:`cooccurrence_edges`' contract).
+
+    Each round: one union + hash-aggregate degree count, a degree
+    filter, and two left-semi joins restricting the edge set to
+    survivors — all keyed shuffles, survivor sets shrink
+    monotonically so AQE broadcasts them as soon as they fit. The
+    per-round driver work is ONE bounded scalar (the survivor
+    count, which doubles as the convergence test: node count
+    unchanged ⇒ nothing was peeled ⇒ degrees are already the
+    fixpoint). ``localCheckpoint`` per round truncates the
+    iterative lineage (the pagerank/LPA discipline,
+    ``operators/graph.py:136``).
+    """
+    e = edges.select("a", "b").localCheckpoint()
+    prev = None
+    for _ in range(int(max_rounds)):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint()
+        )
+        surv = deg.filter(F.col("deg") >= int(k))
+        n_nodes = surv.count()
+        if prev is not None and n_nodes == prev:
+            return surv.select(
+                "node", F.col("deg").cast("long").alias("deg")
+            )
+        prev = n_nodes
+        s = surv.select("node")
+        e = (
+            e.join(
+                s.withColumnRenamed("node", "a"), on="a", how="left_semi"
+            )
+            .join(
+                s.withColumnRenamed("node", "b"), on="b", how="left_semi"
+            )
+            .localCheckpoint()
+        )
+    raise RuntimeError(
+        f"kcore(k={k}) did not converge within {max_rounds} rounds"
+    )

@@ -114,3 +114,45 @@ def finalize_agg_state(state: DataFrame) -> DataFrame:
         F.round(mean, 4).alias("mean4"),
         F.round(var, 4).alias("var4"),
     )
+
+
+def dataset_digest(df: DataFrame, cols: list[str] | None = None):
+    """Order-independent content digest: one row ``(n_rows, digest)``
+    with ``digest`` the exact DECIMAL(38,0) SUM of a per-row portable
+    hash (md5_15 over the \\x1f-joined canonical column strings, the
+    engine's seeded-hash discipline). Because addition commutes, the
+    digest is independent of partitioning and row order, and it is
+    MERGEABLE — ``digest(A ∪ B) = digest(A) + digest(B)`` for
+    disjoint parts — so a migration/copy/compaction verifies
+    content equality shard-by-shard without ever sorting or
+    shuffling a row: the q150 mergeable-state contract applied to
+    integrity checking. (A multiset digest: duplicate rows
+    contribute twice; pair with the row count.)
+
+    ``cols`` defaults to every column. Columns must render to
+    strings identically across engines — integers, strings,
+    booleans, and dates do; raw DOUBLEs do NOT (engine-dependent
+    formatting) — round/format them first. NULL encodes as a
+    sentinel distinct from the string 'null'. Digest is returned as
+    a STRING so the full 38-digit value survives any consumer.
+
+    Plan: one map-side-combined scalar aggregate — scan speed.
+    """
+    use = cols or df.columns
+    key = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in use
+        ],
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum(h), F.lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("digest"),
+    )

@@ -321,3 +321,72 @@ def q172_clustering_coefficients(
     li = read_table(spark, sf_dir, "lineitem")
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return clustering_coefficients(edges)
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peel over q44's verified pair graph: each round
+    recomputes degrees on the surviving edge set and drops nodes
+    below k. ``rounds`` is a generous fixed unroll — peeling is
+    IDEMPOTENT at the fixpoint (extra rounds change nothing), and
+    the Spark side converges in far fewer (its fixpoint check is
+    exact), so unroll > actual rounds ⇒ equality. The q43 precedent:
+    transcribe the algorithm, generate the SQL."""
+    from bigdata_kafka_2_spark.plans.dedup_queries import (
+        _exact_pairs_sql,
+    )
+
+    parts = ["e0 AS (SELECT id_a AS a, id_b AS b FROM pairs)"]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS (SELECT node, count(*) AS deg FROM "
+            f"(SELECT a AS node FROM {prev} UNION ALL "
+            f"SELECT b AS node FROM {prev}) GROUP BY 1)"
+        )
+        parts.append(f"s{i} AS (SELECT node FROM d{i} WHERE deg >= {k})")
+        parts.append(
+            f"e{i} AS (SELECT a, b FROM {prev} "
+            f"WHERE a IN (SELECT node FROM s{i}) "
+            f"AND b IN (SELECT node FROM s{i}))"
+        )
+        prev = f"e{i}"
+    return (
+        "WITH "
+        + _exact_pairs_sql(0.5)
+        + ",\n    "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, CAST(deg AS BIGINT) AS deg"
+        + f" FROM d{rounds} WHERE deg >= {k}"
+    )
+
+
+@register(
+    "q210_kcore_dupgraph",
+    oracle=_kcore_oracle_sql(2, 8),
+    description="2-core of the verified near-duplicate graph "
+    "(operators/graph.kcore over q44's exact-Jaccard pair edges): "
+    "documents sitting in duplication neighborhoods DENSER than a "
+    "pair — each core member near-duplicates >= 2 distinct "
+    "documents after cascade peeling, the boilerplate-nest signal a "
+    "pairwise threshold can't give (a chain of weak pairs peels "
+    "away; a template cluster survives). Iterative peeling: per "
+    "round one union + degree aggregate, a filter, two left-semi "
+    "joins on the shrinking survivor set (AQE broadcasts it), "
+    "per-round localCheckpoint and ONE bounded scalar (the "
+    "convergence test). Oracle: the peel unrolled 8 rounds over the "
+    "same pair CTE — idempotent past the fixpoint, and the exact "
+    "fixpoint check on the Spark side converges well inside that.",
+    tags=("graph", "dedup", "join"),
+)
+def q210_kcore_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bigdata_kafka_2_spark.operators import dedup as DD
+    from bigdata_kafka_2_spark.operators.graph import kcore
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_verified_pairs(d, jaccard_threshold=0.5)
+    edges = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    return kcore(edges, k=2, max_rounds=8)

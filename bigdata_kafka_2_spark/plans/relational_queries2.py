@@ -2621,3 +2621,44 @@ def q208_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = read_table(spark, sf_dir, "orders")
     return fd_violations(o, ["o_custkey"], ["o_orderpriority"])
+
+
+@register(
+    "q211_dataset_digest",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(CAST(coalesce(sum(CAST('0x' || substr(md5(
+             concat_ws(chr(31),
+               COALESCE(CAST(c_custkey AS VARCHAR), chr(0) || 'null'),
+               COALESCE(c_name, chr(0) || 'null'),
+               COALESCE(CAST(c_nationkey AS VARCHAR),
+                        chr(0) || 'null'),
+               COALESCE(c_mktsegment, chr(0) || 'null')
+             )), 1, 15) AS BIGINT)), 0) AS DECIMAL(38,0)) AS VARCHAR)
+             AS digest
+    FROM customer
+    """,
+    description="Order-independent dataset content digest "
+    "(operators/incremental.dataset_digest over the customer key/"
+    "string columns): n_rows plus the exact DECIMAL(38,0) SUM of a "
+    "per-row portable hash (md5_15 over the canonical column "
+    "string). Addition commutes, so the digest is independent of "
+    "row order and partitioning, and MERGEABLE — digest(A∪B) = "
+    "digest(A)+digest(B) for disjoint parts (the q150 contract "
+    "applied to integrity checking): a migration, compaction, or "
+    "replica verifies content equality shard-by-shard without "
+    "sorting or shuffling a single row. One map-side-combined "
+    "scalar aggregate; scan speed. (Raw DOUBLE columns render "
+    "engine-dependently and are excluded by contract — round/"
+    "format them first; the docstring states this.)",
+    tags=("profile", "incremental", "aggregate"),
+)
+def q211_dataset_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.incremental import (
+        dataset_digest,
+    )
+
+    c = read_table(spark, sf_dir, "customer")
+    return dataset_digest(
+        c, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    )

@@ -136,3 +136,36 @@ def test_purchase_graph_row_stochastic(spark):
         for row in g.select("src", "dst").collect()
     }
     assert kinds == {(0, 1), (1, 2)}
+
+
+def test_kcore_planted_cascade(spark):
+    """A 4-clique with a pendant chain: the chain peels away in
+    CASCADE (each removal exposes the next — the behavior a flat
+    degree filter can't reproduce: chain node y starts at degree 2),
+    the clique survives with within-core degrees."""
+    from bigdata_kafka_2_spark.operators.graph import kcore
+
+    # clique {1,2,3,4} + chain 4-5-6-7 (y=5 has initial degree 2)
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    edges = spark.createDataFrame(clique + chain, "a long, b long")
+    out = {r.node: r.deg for r in kcore(edges, 2).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=3: still the clique; k=4: empty
+    assert {r.node for r in kcore(edges, 3).collect()} == {1, 2, 3, 4}
+    assert kcore(edges, 4).count() == 0
+
+
+def test_kcore_converges_and_bounds(spark):
+    """max_rounds is honored: an impossible bound raises; the planted
+    3-chain cascade needs exactly its length in rounds."""
+    import pytest
+
+    from bigdata_kafka_2_spark.operators.graph import kcore
+
+    chain = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(chain, "a long, b long")
+    # pure path: 2-core empty (cascade from both ends)
+    assert kcore(edges, 2).count() == 0
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(edges, 2, max_rounds=1)

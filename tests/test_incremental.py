@@ -111,3 +111,37 @@ def test_write_with_metrics_single_pass(spark, tmp_path):
     assert m["null_values"] == agg[0]
     assert m["sum_value4"] == agg[1]
     assert m["max_ts"] is not None
+
+
+def test_dataset_digest_order_independent_and_mergeable(spark):
+    """The digest ignores row order and partitioning, changes under
+    any content change, and merges across disjoint parts
+    (digest(A∪B) = digest(A)+digest(B))."""
+    from bigdata_kafka_2_spark.operators.incremental import (
+        dataset_digest,
+    )
+
+    rows = [(i, f"name{i}", i % 3) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, name string, g long")
+    d1 = dataset_digest(df).collect()[0]
+    shuffled = df.orderBy(F.rand(7)).repartition(13)
+    d2 = dataset_digest(shuffled).collect()[0]
+    assert (d1.n_rows, d1.digest) == (d2.n_rows, d2.digest)
+    # any content change moves the digest
+    changed = spark.createDataFrame(
+        rows[:-1] + [(99, "name99x", 0)], "k long, name string, g long"
+    )
+    assert dataset_digest(changed).collect()[0].digest != d1.digest
+    # mergeable across disjoint parts
+    a = dataset_digest(df.filter("k < 50")).collect()[0]
+    b = dataset_digest(df.filter("k >= 50")).collect()[0]
+    assert int(a.digest) + int(b.digest) == int(d1.digest)
+    assert a.n_rows + b.n_rows == d1.n_rows
+    # NULL is distinct from the string 'null'
+    n1 = spark.createDataFrame([(1, None)], "k long, name string")
+    n2 = spark.createDataFrame([(1, "null")], "k long, name string")
+    assert (dataset_digest(n1).collect()[0].digest
+            != dataset_digest(n2).collect()[0].digest)
+    # empty frame digests to 0
+    empty = dataset_digest(df.filter("k < 0")).collect()[0]
+    assert empty.n_rows == 0 and empty.digest == "0"
