@@ -228,6 +228,7 @@ HEADLINE = (
     "q209_seasonal_anomalies",
     "q210_kcore_dupgraph",
     "q211_dataset_digest",
+    "q212_streaming_digest",
 )
 
 

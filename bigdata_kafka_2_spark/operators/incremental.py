@@ -116,6 +116,25 @@ def finalize_agg_state(state: DataFrame) -> DataFrame:
     )
 
 
+def row_digest_column(df: DataFrame, cols: list[str] | None = None):
+    """The per-row portable hash behind :func:`dataset_digest`:
+    md5_15 over the \\x1f-joined canonical column strings, as a
+    DECIMAL(38,0) column (summable without overflow). Shared by the
+    batch digest and the streaming digest monitor so both sides of a
+    stream-vs-batch verification hash identically."""
+    use = cols or df.columns
+    key = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in use
+        ],
+    )
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+
+
 def dataset_digest(df: DataFrame, cols: list[str] | None = None):
     """Order-independent content digest: one row ``(n_rows, digest)``
     with ``digest`` the exact DECIMAL(38,0) SUM of a per-row portable
@@ -138,17 +157,7 @@ def dataset_digest(df: DataFrame, cols: list[str] | None = None):
 
     Plan: one map-side-combined scalar aggregate — scan speed.
     """
-    use = cols or df.columns
-    key = F.concat_ws(
-        "\x1f",
-        *[
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-            for c in use
-        ],
-    )
-    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast(
-        "decimal(38,0)"
-    )
+    h = row_digest_column(df, cols)
     return df.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.coalesce(F.sum(h), F.lit(0).cast("decimal(38,0)"))

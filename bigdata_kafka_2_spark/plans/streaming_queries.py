@@ -871,3 +871,55 @@ def q199_streaming_heavy_hitters(
     return counts.orderBy(
         F.col("n").desc(), F.col("tok").asc()
     ).limit(20)
+
+
+@register(
+    "q212_streaming_digest",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(CAST(coalesce(sum(CAST('0x' || substr(md5(
+             concat_ws(chr(31),
+               COALESCE(CAST(event_id AS VARCHAR), chr(0) || 'null'),
+               COALESCE(CAST(user_id AS VARCHAR), chr(0) || 'null'),
+               COALESCE(event_type, chr(0) || 'null')
+             )), 1, 15) AS BIGINT)), 0) AS DECIMAL(38,0)) AS VARCHAR)
+             AS digest
+    FROM events
+    """,
+    description="Streaming content-digest verification (streaming/"
+    "ingest.run_streaming_digest + read_streaming_digest): the "
+    "events stream passes through foreachBatch, each micro-batch "
+    "appending (epoch, n, digest) mergeable partials — the exact "
+    "DECIMAL sum of the per-row portable hash shared with q211's "
+    "batch dataset_digest — and the merged reading is hash-checked "
+    "against the batch digest of the source table: streamed content "
+    "== source content, a stronger exactly-once check than row "
+    "counts (a drop and a duplicate cancel in a count; they cannot "
+    "cancel in the digest). Epoch ids keep crash-replay idempotent. "
+    "Executed THROUGH Structured Streaming inside the gate "
+    "(availableNow drain).",
+    tags=("streaming", "incremental", "aggregate"),
+)
+def q212_streaming_digest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        read_streaming_digest,
+        run_streaming_digest,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"q212_{tag}")
+    state = os.path.join(base, "digest")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    stream = _staged_events_stream(spark, sf_dir, "q212_events", ("",))
+    run_streaming_digest(
+        stream, ["event_id", "user_id", "event_type"], state, ckpt
+    )
+    return read_streaming_digest(spark, state)

@@ -374,3 +374,69 @@ def read_token_counts(spark: SparkSession, out_path: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.sum("n").alias("n"))
     )
+
+
+def run_streaming_digest(
+    stream_df: DataFrame,
+    cols: list[str],
+    out_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming content-digest monitor: per micro-batch, append
+    ``(epoch_id, n, digest)`` — the batch's row count and the exact
+    DECIMAL(38,0) sum of the per-row portable hash
+    (:func:`~bigdata_kafka_2_spark.operators.incremental.
+    row_digest_column`, shared with the batch
+    ``dataset_digest``). Digest partials MERGE by summation (the
+    q190/q199 mergeable-state discipline with content identity as
+    the state), so an ingest pipeline can verify
+    streamed-content == source-content at any moment with one
+    aggregate over this table — a stronger exactly-once check than
+    row counts (a dropped row and a duplicated row cancel in a
+    count; they cannot cancel in the digest). Epoch ids keep the
+    merge idempotent under crash replay.
+    """
+    from bigdata_kafka_2_spark.operators.incremental import (
+        row_digest_column,
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        h = row_digest_column(batch_df, cols)
+        (
+            batch_df.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.coalesce(
+                    F.sum(h), F.lit(0).cast("decimal(38,0)")
+                ).alias("digest"),
+            )
+            .withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_streaming_digest(spark: SparkSession, out_path: str) -> DataFrame:
+    """Merge the accumulated digest partials: per-epoch max dedup
+    (a replayed epoch re-appends identical content), then one scalar
+    sum — ``(n_rows, digest)`` with the digest rendered as a string,
+    matching ``dataset_digest``'s output shape."""
+    per_epoch = (
+        spark.read.parquet(out_path)
+        .groupBy("epoch_id")
+        .agg(F.max("n").alias("n"), F.max("digest").alias("digest"))
+    )
+    return per_epoch.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum("digest"), F.lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("digest"),
+    )

@@ -470,3 +470,39 @@ def test_streaming_bucket_counts_exclude_nulls(spark, tmp_path):
         for r in ING.read_bucket_counts(spark, state).collect()
     }
     assert got == {b: 2 for b in range(5)}
+
+
+def test_streaming_digest_matches_batch_and_dedups_replay(spark, tmp_path):
+    """The streamed digest equals the batch digest of the same rows;
+    a replayed epoch's re-appended partials don't change the merge;
+    a content difference (not just a count difference) is caught."""
+    from bigdata_kafka_2_spark.operators.incremental import dataset_digest
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        read_streaming_digest,
+        run_streaming_digest,
+    )
+
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [(i, f"u{i % 5}") for i in range(40)], "k long, u string"
+    )
+    df.write.parquet(src)
+    stream = spark.readStream.schema("k long, u string").parquet(src)
+    state = str(tmp_path / "state")
+    run_streaming_digest(stream, ["k", "u"], state, str(tmp_path / "ck"))
+    got = read_streaming_digest(spark, state).collect()[0]
+    want = dataset_digest(df, ["k", "u"]).collect()[0]
+    assert (got.n_rows, got.digest) == (want.n_rows, want.digest)
+    # replayed epoch: identical partials re-appended -> unchanged
+    spark.read.parquet(state).write.mode("append").parquet(state)
+    got2 = read_streaming_digest(spark, state).collect()[0]
+    assert (got2.n_rows, got2.digest) == (want.n_rows, want.digest)
+    # swap one row's content for another duplicate of an existing row:
+    # count unchanged, digest moves
+    swapped = spark.createDataFrame(
+        [(i if i != 39 else 0, f"u{(i if i != 39 else 0) % 5}")
+         for i in range(40)],
+        "k long, u string",
+    )
+    other = dataset_digest(swapped, ["k", "u"]).collect()[0]
+    assert other.n_rows == want.n_rows and other.digest != want.digest
