@@ -3040,3 +3040,51 @@ def test_embedding_outliers_planted(spark):
     out = embedding_outliers(df, top_k=3).collect()
     assert out[0].vec_id == 99
     assert out[0].score > out[1].score
+
+
+def test_mutual_information_null_level(spark):
+    """NULL categories count as their own level (the contingency
+    convention chi_square_profile shares): a column that is NULL
+    exactly when the other column is 'x' carries full information."""
+    from bigdata_kafka_2_spark.operators.profile import mutual_information
+
+    rows = [("x", None)] * 5 + [("y", "v")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    import math
+
+    assert r.n == 10
+    assert abs(r.mi_nats - math.log(2)) < 1e-5  # bijective incl. NULL
+
+
+def test_pii_scan_custom_patterns(spark):
+    """The taxonomy is a parameter: a caller-supplied category scans
+    and redacts with its own placeholder."""
+    from bigdata_kafka_2_spark.operators.pii import pii_redact, pii_scan
+
+    pats = (("ticket", r"\bTKT-\d{4}\b", "<TICKET>"),)
+    df = spark.createDataFrame(
+        [(1, "see TKT-1234 and TKT-9999")], "doc_id long, text string"
+    )
+    s = pii_scan(df, patterns=pats).collect()[0]
+    assert s.n_ticket == 2 and s.n_pii == 2
+    r = pii_redact(df, patterns=pats).collect()[0]
+    assert r.text == "see <TICKET> and <TICKET>"
+
+
+def test_rr_debias_epsilon_scaling(spark):
+    """Lower epsilon = noisier channel but the estimator stays
+    unbiased in expectation: both epsilons bracket the true rate on
+    the same seeded sample."""
+    from bigdata_kafka_2_spark.operators.profile import (
+        randomized_response,
+        rr_debias,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i < 500) for i in range(2000)], "k long, flag boolean"
+    )
+    for eps, tol in ((2.0, 0.06), (0.5, 0.2)):
+        rep = randomized_response(df, "flag", ["k"], epsilon=eps, seed=11)
+        est = rr_debias(rep, epsilon=eps).collect()[0]
+        assert abs(est.est_rate - 0.25) < tol, (eps, est.est_rate)
