@@ -298,17 +298,22 @@ def main() -> None:
             all_runs[name].append(run_once(name))
             if (i + 1) % 50 == 0:
                 canary_sec.append(canary())
+    # Round-robin the RERUN pool too: running one query's extras
+    # back-to-back would partially reintroduce the single-noise-
+    # window correlation the pass structure exists to avoid, so each
+    # rerun round gives every still-uncorroborated query ONE extra
+    # run before any query gets its next.
     rerun_counts: dict[str, int] = {}
-    uncorroborated: list[str] = []
-    for name in HEADLINE:
-        extra = 0
-        while not corroborated(all_runs[name]) and extra < max_reruns:
+    for _ in range(max_reruns):
+        pool = [n for n in HEADLINE if not corroborated(all_runs[n])]
+        if not pool:
+            break
+        for name in pool:
             all_runs[name].append(run_once(name))
-            extra += 1
-        if extra:
-            rerun_counts[name] = extra
-        if not corroborated(all_runs[name]):
-            uncorroborated.append(name)
+            rerun_counts[name] = rerun_counts.get(name, 0) + 1
+    uncorroborated = [
+        n for n in HEADLINE if not corroborated(all_runs[n])
+    ]
     timings = {n: round(min(r), 3) for n, r in all_runs.items()}
     timings_max = {n: round(max(r), 3) for n, r in all_runs.items()}
     canary_sec.append(canary())

@@ -1498,6 +1498,46 @@ def shingle_containment_pairs(
     )
 
 
+def _jvm_size_bytes(size: str, default: int = 1 << 30) -> int:
+    """Parse a JVM memory size string (``1g``, ``512m``, ``4096k``,
+    bare bytes) to bytes; ``default`` on anything unparseable."""
+    s = (size or "").strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    try:
+        if s and s[-1] in mult:
+            return int(float(s[:-1]) * mult[s[-1]])
+        return int(s)
+    except (TypeError, ValueError):
+        return default
+
+
+def _broadcast_byte_cap(spark) -> int:
+    """Runtime broadcast budget for the forced-broadcast gate: a
+    quarter of the smaller of the configured driver and executor
+    heaps, never above 1.5 GB. A broadcast relation is built on the
+    driver and resident on every executor, and JVM HashedRelation
+    overhead runs 2-4x the raw data bytes — heap/4 of measured raw
+    bytes keeps the worst-case footprint inside the heap instead of
+    asserting a fixed budget the deployment may not have.
+    """
+    def _conf(key: str, default: str | None) -> str | None:
+        try:
+            return spark.conf.get(key, default)
+        except Exception:
+            return default
+
+    heaps = [_jvm_size_bytes(_conf("spark.driver.memory", "1g"))]
+    master = _conf("spark.master", "") or ""
+    if not master.startswith("local"):
+        # on a cluster the relation must also fit every executor; in
+        # local mode executors live inside the driver JVM and
+        # spark.executor.memory is meaningless
+        heaps.append(
+            _jvm_size_bytes(_conf("spark.executor.memory", "1g"))
+        )
+    return min(1_500_000_000, min(heaps) // 4)
+
+
 def weighted_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1704,12 +1744,14 @@ def weighted_jaccard_pairs(
         # default parallelism
         parts = int(spark.sparkContext.defaultParallelism)
     n_parts = max(parts, min(exp_rows // 4_000_000 + 1, 4096))
-    # broadcast gate on measured BYTES (1.5 GB of exact data bytes —
-    # comfortably inside Spark's 8 GB broadcast hard limit and a
-    # 4 GB-per-core executor budget even after JVM object overhead),
-    # not a row count: 20M short rows are fine, far fewer rows of
-    # long document ids would not be
-    if est_bytes <= 1_500_000_000 and n_parts > parts:
+    # broadcast gate on measured BYTES, not a row count: 20M short
+    # rows are fine, far fewer rows of long document ids would not
+    # be. The byte budget is derived from the ACTUAL configured heap
+    # (a quarter of the smaller of driver/executor memory, capped at
+    # 1.5 GB): HashedRelation overhead runs 2-4x raw bytes, so a
+    # fixed large constant near Spark's 8 GB broadcast limit could
+    # OOM a default-sized 1g driver even though the raw bytes "fit".
+    if est_bytes <= _broadcast_byte_cap(spark) and n_parts > parts:
         a = a.repartition(n_parts)
         b = F.broadcast(b)
     # POSITIONAL filter (PPJoin): at the pair's MINIMUM-order shared

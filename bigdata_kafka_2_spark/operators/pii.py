@@ -78,3 +78,32 @@ def pii_redact(
     for _, pat, placeholder in patterns:
         col = F.regexp_replace(col, F.lit(pat), F.lit(placeholder))
     return df.withColumn(text_col, col)
+
+
+def pii_release(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """Scan + redact FUSED into one projection — the release pass a
+    pipeline actually runs: ``(id, n_pii, redacted)`` where ``n_pii``
+    is the per-category count sum over the ORIGINAL text and
+    ``redacted`` the placeholder rewrite, both computed in a single
+    ``select`` so the plan is one scan with zero Exchange (composing
+    :func:`pii_scan` and :func:`pii_redact` as separate frames and
+    joining them back on the id would plan two scans plus a shuffle
+    join — the exact shape this operator exists to avoid).
+    """
+    total: Column | None = None
+    for name, pat, _ in patterns:
+        c = F.regexp_count(F.col(text_col), F.lit(pat))
+        total = c if total is None else total + c
+    red: Column = F.col(text_col)
+    for _, pat, placeholder in patterns:
+        red = F.regexp_replace(red, F.lit(pat), F.lit(placeholder))
+    return df.select(
+        F.col(id_col),
+        total.cast("long").alias("n_pii"),
+        red.alias("redacted"),
+    )

@@ -1168,6 +1168,11 @@ def randomized_response(
     Deterministic and oracle-checkable: the flip coin is the seeded
     md5-derived uniform of :func:`dp_group_counts` over ``key_cols``
     (ship a secret seed for a real release). Row-local — scan speed.
+
+    A NULL ``flag_col`` has no truthful answer to randomize, so its
+    ``reported`` stays NULL (NULL-in → NULL-out, never a fabricated
+    response); :func:`rr_debias` counts only non-NULL reports, so
+    NULL rows drop out of the estimate instead of biasing it.
     """
     import math
 
@@ -1194,12 +1199,24 @@ def rr_debias(
     output: one row ``(n, n_reported, est_rate)`` with
     ``est_rate = (r/n + p − 1)/(2p − 1)`` (the Warner estimator),
     rounded to 6 dp. One scalar aggregate.
+
+    ``n`` counts only non-NULL ``reported`` rows (a NULL flag never
+    produced a response — counting it in the denominator would
+    silently bias the rate toward 0). Raises for ε so small that
+    ``2p − 1 ≈ 0``: the channel carries no signal there and the
+    estimator's division blows up rather than degrading gracefully.
     """
     import math
 
     p = math.exp(float(epsilon)) / (1.0 + math.exp(float(epsilon)))
+    if abs(2.0 * p - 1.0) < 1e-6:
+        raise ValueError(
+            f"epsilon={epsilon} leaves 2p-1 ~ 0: the randomized-"
+            "response channel is pure noise and the Warner estimator "
+            "is undefined; use epsilon >= ~1e-5"
+        )
     agg = reported.agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count(F.col("reported")).alias("n"),
         F.coalesce(
             F.sum(F.col("reported").cast("long")), F.lit(0)
         ).alias("n_reported"),

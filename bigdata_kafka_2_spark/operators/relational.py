@@ -463,6 +463,7 @@ def global_prefix_sum(
     order_cols: str | Sequence[str],
     weight_col: str,
     out_col: str = "cum_before",
+    sum_type: str = "long",
 ) -> DataFrame:
     """EXCLUSIVE global prefix sum of ``weight_col`` over a total order
     (``out_col`` = sum of all earlier rows' weights; 0 for the first)
@@ -476,21 +477,38 @@ def global_prefix_sum(
 
     The driver collect is bounded by the bucket count (≤64), never the
     data. ``order_cols`` must be a total order (include a unique key).
+
+    ``sum_type`` is the accumulation type (default ``long``). Pass
+    ``decimal(38,0)`` when the GLOBAL sum can exceed 2^63 (e.g. cents
+    across a 100 TB fact table): LONG accumulation would silently
+    wrap in non-ANSI mode; decimal accumulation overflows loudly to
+    NULL instead, and the driver-side bucket offsets are exact Python
+    ints either way.
     """
     cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     n_buckets = _shuffle_partitions(df)
     bucketed, eff = _range_bucket(df, cols[0], min(n_buckets, 64))
-    off = F.lit(0).cast("long")
+
+    def _typed_lit(v: int):
+        if sum_type == "long":
+            return F.lit(v).cast("long")
+        # F.lit() rejects ints past 2^63; route big offsets through a
+        # string cast, which decimal parses exactly
+        return F.expr(f"CAST('{v}' AS {sum_type})")
+
+    off = _typed_lit(0)
     if eff > 1:
         sums = {
             r["__bkt"]: r["__s"]
             for r in bucketed.groupBy("__bkt")
-            .agg(F.sum(F.col(weight_col).cast("long")).alias("__s"))
+            .agg(F.sum(F.col(weight_col).cast(sum_type)).alias("__s"))
             .collect()
         }
         acc = 0
         for b in range(eff):
-            off = F.when(F.col("__bkt") == F.lit(b), F.lit(acc)).otherwise(off)
+            off = F.when(
+                F.col("__bkt") == F.lit(b), _typed_lit(acc)
+            ).otherwise(off)
             acc += int(sums.get(b) or 0)
     w = (
         Window.partitionBy("__bkt")
@@ -498,9 +516,11 @@ def global_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum = F.coalesce(
-        F.sum(F.col(weight_col).cast("long")).over(w), F.lit(0)
+        F.sum(F.col(weight_col).cast(sum_type)).over(w), _typed_lit(0)
     )
-    return bucketed.withColumn(out_col, cum + off).drop("__bkt")
+    return bucketed.withColumn(
+        out_col, (cum + off).cast(sum_type)
+    ).drop("__bkt")
 
 
 # --- Bitmap-prefiltered semi join (shuffle-volume reduction) -------------

@@ -849,16 +849,22 @@ def cusum_changepoint(
         global_prefix_sum,
     )
 
-    pre = global_prefix_sum(df, [order_col], value_col, "__cb")
+    dec = "decimal(38,0)"
+    # accumulate in DECIMAL(38,0) end to end: a LONG running sum
+    # would silently wrap (non-ANSI) once the series total passes
+    # 2^63 — decimal overflows loudly to NULL instead, keeping the
+    # docstring's exactness claim honest at any aggregate scale
+    pre = global_prefix_sum(
+        df, [order_col], value_col, "__cb", sum_type=dec
+    )
     pre2 = global_prefix_sum(
         pre.withColumn("__one", F.lit(1)), [order_col], "__one", "__i0"
     )
     tot = df.agg(
         F.count(F.lit(1)).alias("__n"),
-        F.sum(F.col(value_col).cast("long")).alias("__t"),
+        F.sum(F.col(value_col).cast(dec)).alias("__t"),
     )
-    dec = "decimal(38,0)"
-    p = (F.col("__cb") + F.col(value_col)).cast(dec)
+    p = (F.col("__cb") + F.col(value_col).cast(dec)).cast(dec)
     i = (F.col("__i0") + 1).cast(dec)
     stat = F.abs(
         F.col("__n").cast(dec) * p - i * F.col("__t").cast(dec)

@@ -375,7 +375,11 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
     "per-round localCheckpoint and ONE bounded scalar (the "
     "convergence test). Oracle: the peel unrolled 8 rounds over the "
     "same pair CTE — idempotent past the fixpoint, and the exact "
-    "fixpoint check on the Spark side converges well inside that.",
+    "fixpoint check on the Spark side converges well inside that "
+    "(the Spark side keeps the operator's default round budget: "
+    "extra rounds past the fixpoint are no-ops, so a future fixture "
+    "needing more peel rounds than the oracle's unroll still "
+    "converges instead of erroring).",
     tags=("graph", "dedup", "join"),
 )
 def q210_kcore_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,4 +393,4 @@ def q210_kcore_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
-    return kcore(edges, k=2, max_rounds=8)
+    return kcore(edges, k=2)

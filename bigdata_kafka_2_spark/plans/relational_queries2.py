@@ -2446,31 +2446,25 @@ def q193_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS redacted
     FROM rel r JOIN cnt c USING (c_custkey)
     """,
-    description="Redacted corpus release (operators/pii.pii_redact + "
-    "pii_scan): every release-candidate contact record rewritten "
-    "with typed placeholders (<EMAIL>/<IPV4>/<SSN>/<PHONE>, applied "
-    "in that order — most specific shapes first) plus its per-record "
-    "redaction count, hash-checked on the FULL redacted text. "
-    "Chained regexp_replace is row-local inside codegen; the scan "
-    "and redact passes share one projection, no shuffle at all — "
-    "the 100 TB shape of a scrub pass.",
+    description="Redacted corpus release (operators/pii.pii_release "
+    "— scan + redact FUSED): every release-candidate contact record "
+    "rewritten with typed placeholders (<EMAIL>/<IPV4>/<SSN>/"
+    "<PHONE>, applied in that order — most specific shapes first) "
+    "plus its per-record redaction count, hash-checked on the FULL "
+    "redacted text. Chained regexp_replace and the count sum are "
+    "emitted by ONE select: a single scan, one projection inside "
+    "codegen, zero Exchange (plan-asserted) — the 100 TB shape of a "
+    "scrub pass.",
     tags=("pii", "filter"),
 )
 def q194_pii_redacted_release(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from bigdata_kafka_2_spark.operators.pii import pii_redact, pii_scan
+    from bigdata_kafka_2_spark.operators.pii import pii_release
 
     c = read_table(spark, sf_dir, "customer")
     d = c.select("c_custkey", _pii_contact_text().alias("text"))
-    s = pii_scan(d, "text", "c_custkey").select("c_custkey", "n_pii")
-    red = pii_redact(d, "text").select(
-        "c_custkey", F.col("text").alias("redacted")
-    )
-    return red.join(s, on="c_custkey").select(
-        "c_custkey", F.col("n_pii").cast("long").alias("n_pii"),
-        "redacted",
-    )
+    return pii_release(d, "text", "c_custkey")
 
 
 @register(

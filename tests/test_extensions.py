@@ -2922,6 +2922,74 @@ def test_randomized_response_planted(spark):
     assert abs(e2.est_rate - 0.3) < 1e-6
 
 
+def test_rr_debias_excludes_null_flags(spark):
+    """A NULL flag never produced a response (NULL-in -> NULL-out in
+    randomized_response), so rr_debias must leave it out of BOTH n
+    and n_reported — counting it only in the denominator would bias
+    est_rate toward 0 (the r10 ADVICE finding)."""
+    import pytest
+
+    from bigdata_kafka_2_spark.operators.profile import (
+        randomized_response,
+        rr_debias,
+    )
+
+    rows = [(i, i < 300) for i in range(1000)]
+    rows += [(1000 + i, None) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, flag boolean")
+    rep = randomized_response(df, "flag", ["k"], epsilon=50.0, seed=7)
+    assert rep.filter(F.col("reported").isNull()).count() == 500
+    est = rr_debias(rep, epsilon=50.0).collect()[0]
+    assert est.n == 1000  # not 1500
+    assert abs(est.est_rate - 0.3) < 1e-6
+    # epsilon ~ 0 leaves 2p-1 ~ 0: the estimator is undefined and
+    # must refuse loudly instead of dividing by ~0
+    with pytest.raises(ValueError, match="epsilon"):
+        rr_debias(rep, epsilon=1e-9)
+
+
+def test_broadcast_byte_cap_tracks_configured_heap(spark):
+    """The forced-broadcast gate derives its byte budget from the
+    configured heap (heap/4, capped at 1.5 GB) instead of asserting
+    a fixed constant a default-sized driver may not have."""
+    from bigdata_kafka_2_spark.operators.dedup import (
+        _broadcast_byte_cap,
+        _jvm_size_bytes,
+    )
+
+    assert _jvm_size_bytes("1g") == 1 << 30
+    assert _jvm_size_bytes("512m") == 512 << 20
+    assert _jvm_size_bytes("2048") == 2048
+    assert _jvm_size_bytes("garbage", default=7) == 7
+    cap = _broadcast_byte_cap(spark)
+    heap = _jvm_size_bytes(spark.conf.get("spark.driver.memory", "1g"))
+    assert cap == min(1_500_000_000, heap // 4)
+
+
+def test_global_prefix_sum_decimal_exceeds_long(spark):
+    """sum_type='decimal(38,0)' keeps the running sum exact past
+    2^63, where LONG accumulation would silently wrap."""
+    from decimal import Decimal
+
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    # 200 rows of 5e18: bucket OFFSETS themselves pass 2^63 a few
+    # buckets in, exercising the string-cast decimal literal path
+    big = 5_000_000_000_000_000_000
+    df = spark.createDataFrame(
+        [(i, big) for i in range(200)], "i long, v long"
+    )
+    out = (
+        global_prefix_sum(df, ["i"], "v", "cum", sum_type="decimal(38,0)")
+        .orderBy("i")
+        .collect()
+    )
+    assert [int(r.cum) for r in out] == [i * big for i in range(200)]
+    assert isinstance(out[-1].cum, Decimal)
+
+
 def test_embedding_centroid_drift_planted(spark):
     """Identical snapshots -> zero drift; a known per-dim shift is
     recovered exactly."""

@@ -491,11 +491,28 @@ def test_trigram_search_probes_index_not_corpus(spark):
 def test_pii_ops_are_shuffle_free(spark):
     """pii_scan and pii_redact are pure projections: no Exchange of
     any kind in either plan — the 100 TB scrub-pass shape."""
-    from bigdata_kafka_2_spark.operators.pii import pii_redact, pii_scan
+    from bigdata_kafka_2_spark.operators.pii import (
+        pii_redact,
+        pii_release,
+        pii_scan,
+    )
 
     d = read_table(spark, SF_DIR, "documents")
     assert "Exchange" not in _plan(pii_scan(d))
     assert "Exchange" not in _plan(pii_redact(d))
+    assert "Exchange" not in _plan(pii_release(d))
+
+
+def test_q194_whole_plan_is_shuffle_free(spark):
+    """The release QUERY, not just its operators: scan + redact are
+    fused into one projection, so the whole q194 plan is a single
+    scan with no Exchange and no self-join."""
+    from bigdata_kafka_2_spark.plans import load_extended
+
+    q = load_extended()["q194_pii_redacted_release"]
+    plan = _plan(q.spark_fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
 
 
 def test_lexicon_tag_no_explode_no_shuffle(spark):
