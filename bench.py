@@ -236,6 +236,8 @@ HEADLINE = (
     "q210_kcore_dupgraph",
     "q211_dataset_digest",
     "q212_streaming_digest",
+    "q213_streaming_scd2",
+    "q214_curation_v7",
 )
 
 

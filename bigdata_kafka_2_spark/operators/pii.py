@@ -85,6 +85,7 @@ def pii_release(
     text_col: str = "text",
     id_col: str = "doc_id",
     patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Scan + redact FUSED into one projection — the release pass a
     pipeline actually runs: ``(id, n_pii, redacted)`` where ``n_pii``
@@ -94,6 +95,9 @@ def pii_release(
     :func:`pii_scan` and :func:`pii_redact` as separate frames and
     joining them back on the id would plan two scans plus a shuffle
     join — the exact shape this operator exists to avoid).
+    ``keep_cols`` pass through in the same projection (e.g. the
+    grouping columns a release audit aggregates by — joining them
+    back afterwards would reintroduce the shuffle).
     """
     total: Column | None = None
     for name, pat, _ in patterns:
@@ -104,6 +108,7 @@ def pii_release(
         red = F.regexp_replace(red, F.lit(pat), F.lit(placeholder))
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         total.cast("long").alias("n_pii"),
         red.alias("redacted"),
     )

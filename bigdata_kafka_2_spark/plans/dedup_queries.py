@@ -1469,7 +1469,11 @@ def q171_weighted_jaccard_pairs(
     return DD.weighted_jaccard_pairs(d, threshold=0.8)
 
 
-def _v6_oracle() -> str:
+def _v6_chain_sql() -> str:
+    """The v6 pipeline CTE chain (quality -> NB router -> containment
+    -> prefix-filtered dedup -> CC reps), up to and including
+    ``reps6`` — shared by the v6 profile oracle and v7's
+    redacted-release tail."""
     from bigdata_kafka_2_spark.plans.text_queries import (
         _nb_scored_prefix_sql,
     )
@@ -1552,7 +1556,14 @@ def _v6_oracle() -> str:
       UNION
       SELECT e.d AS node, r.anc FROM reach6 r JOIN edges6 e ON e.s = r.node
     ),
-    reps6 AS (SELECT node, min(anc) AS rep FROM reach6 GROUP BY node)
+    reps6 AS (SELECT node, min(anc) AS rep FROM reach6 GROUP BY node)"""
+    )
+
+
+def _v6_oracle() -> str:
+    return (
+        _v6_chain_sql()
+        + """
     SELECT k.lang, CAST(count(*) AS BIGINT) AS n_docs,
            round(avg(k.n_chars), 4) AS avg_chars
     FROM kept2 k JOIN reps6 r ON r.node = k.doc_id AND r.rep = k.doc_id
@@ -1561,10 +1572,8 @@ def _v6_oracle() -> str:
     )
 
 
-@register(
-    "q183_curation_v6",
-    oracle=_v6_oracle(),
-    description="Curation v6 — v5's lossless dedup chain with a "
+_Q183_DESCRIPTION = (
+    "Curation v6 — v5's lossless dedup chain with a "
     "MODEL-IN-THE-LOOP label-noise router between quality filtering "
     "and dedup: the multinomial NB classifier (q177) fits on the "
     "quality survivors and drops every document whose content-"
@@ -1578,10 +1587,16 @@ def _v6_oracle() -> str:
     "components -> min-id survivors -> per-language profile. "
     "Shingles build once on the routed set and serve both dedup "
     "stages; every stage is bounded by co-occurrence or the dup "
-    "subgraph.",
-    tags=("dedup", "text", "classify", "flagship"),
+    "subgraph."
 )
-def q183_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+def _v6_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v6 pipeline through survivor selection (quality filter ->
+    NB label-noise router -> containment removal -> prefix-filtered
+    exact dedup -> CC min-id survivors), returning the surviving
+    document rows with all columns — shared by q183 (profiles them)
+    and q214 (redacts and releases them)."""
     from bigdata_kafka_2_spark.operators.classify import (
         naive_bayes_predictions,
     )
@@ -1614,13 +1629,23 @@ def q183_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = DD.prefix_filter_jaccard_pairs(kept2, k=3, threshold=0.5)
     clusters = DD.dedup_clusters(pairs, kept2.select("doc_id"))
-    survivors = kept2.join(
+    return kept2.join(
         clusters.filter(F.col("doc_id") == F.col("cluster_rep")).select(
             "doc_id"
         ),
         on="doc_id",
         how="left_semi",
     )
+
+
+@register(
+    "q183_curation_v6",
+    oracle=_v6_oracle(),
+    description=_Q183_DESCRIPTION,
+    tags=("dedup", "text", "classify", "flagship"),
+)
+def q183_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    survivors = _v6_survivors(spark, sf_dir)
     return survivors.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
@@ -1669,3 +1694,119 @@ def q207_dup_cluster_profile(
     pairs = DD.minhash_lsh_verified_pairs(d, jaccard_threshold=0.5)
     clusters = DD.dedup_clusters(pairs, d.select("doc_id"))
     return DD.dup_cluster_profile(clusters)
+
+
+def _v7_inject_sql() -> str:
+    """Deterministic synthetic contact line appended per survivor (the
+    corpus ships no natural PII — q193's fixture note): an email, a
+    dashed phone, and for every third doc an SSN-shaped id, all
+    derived from doc_id so Spark and the oracle inject byte-identical
+    text."""
+    return (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR)"
+        " || '@ex.com ' || '555-'"
+        " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' '"
+        " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+        " || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " ELSE '' END"
+    )
+
+
+def _v7_redact_sql(col: str = "text") -> str:
+    from bigdata_kafka_2_spark.operators.pii import PII_PATTERNS
+
+    expr = col
+    for _, pat, placeholder in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{placeholder}', 'g')"
+    return expr
+
+
+def _v7_oracle() -> str:
+    from bigdata_kafka_2_spark.operators.pii import PII_PATTERNS
+
+    counts = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for _, pat, _ in PII_PATTERNS
+    )
+    return (
+        _v6_chain_sql()
+        + f""",
+    surv7 AS (
+      SELECT k.lang, k.doc_id, k.text
+      FROM kept2 k JOIN reps6 r ON r.node = k.doc_id AND r.rep = k.doc_id
+    ),
+    rel7 AS (
+      SELECT lang, doc_id, {_v7_inject_sql()} AS text FROM surv7
+    ),
+    red7 AS (
+      SELECT lang, {counts} AS n_pii,
+             {_v7_redact_sql()} AS redacted
+      FROM rel7
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_pii) AS BIGINT) AS n_pii,
+           round(avg(length(redacted)), 4) AS avg_redacted_chars
+    FROM red7 GROUP BY lang
+    """
+    )
+
+
+@register(
+    "q214_curation_v7",
+    oracle=_v7_oracle(),
+    description="Curation v7 — v6's full chain (quality filter -> NB "
+    "label-noise router -> containment removal -> prefix-filtered "
+    "exact dedup -> CC survivors) with the PII REDACTION RELEASE "
+    "stage on top: every surviving document is scrubbed with "
+    "operators/pii.pii_release (scan + redact fused in ONE "
+    "projection, q194's plan shape — keep_cols threads the language "
+    "column through the same select so no join reappears) and the "
+    "release audit reports per language the document count, total "
+    "redactions, and mean post-redaction length. The survivor text "
+    "carries a deterministic doc_id-derived contact line (email + "
+    "dashed phone + SSN-shaped id on every third doc) because the "
+    "synthetic corpus ships no natural PII — the REDACTION "
+    "machinery under audit is the real one, the injected text makes "
+    "its effect hash-visible. Redaction composes row-locally after "
+    "survivor selection, so v7 adds ZERO shuffles beyond v6 (one "
+    "extra map stage + the final group-by).",
+    tags=("dedup", "text", "pii", "flagship"),
+)
+def q214_curation_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.pii import pii_release
+
+    survivors = _v6_survivors(spark, sf_dir)
+    did = F.col("doc_id")
+    inj = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        did.cast("string"),
+        F.lit("@ex.com "),
+        F.lit("555-"),
+        F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" "),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 100).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    rel = survivors.select("lang", "doc_id", inj.alias("text"))
+    red = pii_release(rel, "text", "doc_id", keep_cols=("lang",))
+    return red.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_pii").cast("long").alias("n_pii"),
+        F.round(F.avg(F.length("redacted")), 4).alias(
+            "avg_redacted_chars"
+        ),
+    )

@@ -923,3 +923,82 @@ def q212_streaming_digest(
         stream, ["event_id", "user_id", "event_type"], state, ckpt
     )
     return read_streaming_digest(spark, state)
+
+
+@register(
+    "q213_streaming_scd2",
+    oracle="""
+    SELECT c_custkey, round(c_acctbal, 2) AS bal,
+           '2024-01-01' AS vf,
+           CASE WHEN c_custkey < 50 THEN '2024-06-01' ELSE NULL END
+             AS vt,
+           (c_custkey >= 50) AS is_current
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, round(c_acctbal + 100.0, 2) AS bal,
+           '2024-06-01' AS vf, CAST(NULL AS VARCHAR) AS vt,
+           TRUE AS is_current
+    FROM customer WHERE c_custkey < 50
+    """,
+    description="Streaming SCD type-2 materializer (streaming/"
+    "ingest.run_streaming_scd2): a customer-version stream (initial "
+    "balances, then an update wave for a key subset) applied through "
+    "foreachBatch into a validity-interval history table — each "
+    "key's versions become (valid_from, valid_to, is_current) rows "
+    "with intervals DERIVED from the version set, so ANY micro-"
+    "batching of the same stream (maxFilesPerTrigger=1 here forces "
+    "several) converges to the same table and crash-replay is a "
+    "no-op; per-batch work is one batch dedup window plus one "
+    "left-anti/left-semi keyed join pair against the store — "
+    "untouched keys pass through, never rewritten per key. The "
+    "table this maintains is what q148's point-in-time join reads. "
+    "Hash-checked against the batch SCD2 history stated directly by "
+    "the oracle (q93's machinery). Executed THROUGH Structured "
+    "Streaming inside the gate (availableNow drain).",
+    tags=("streaming", "cdc"),
+)
+def q213_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        run_streaming_scd2,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"q213_{tag}")
+    stage = os.path.join(base, "stream")
+    table = os.path.join(base, "table")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    c = read_table(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("bal"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    v2 = c.filter(F.col("c_custkey") < 50).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("bal"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    # distributed staging: both version waves written by Spark into
+    # one stream directory; file->micro-batch assignment is arbitrary
+    # and the materializer's result is invariant to it by design
+    v1.write.mode("append").parquet(stage)
+    v2.write.mode("append").parquet(stage)
+    stream = (
+        spark.readStream.schema(v1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    run_streaming_scd2(stream, table, ckpt, ["c_custkey"], "ts")
+    return spark.read.parquet(table).select(
+        "c_custkey",
+        "bal",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("vf"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("vt"),
+        "is_current",
+    )

@@ -3156,3 +3156,61 @@ def test_rr_debias_epsilon_scaling(spark):
         rep = randomized_response(df, "flag", ["k"], epsilon=eps, seed=11)
         est = rr_debias(rep, epsilon=eps).collect()[0]
         assert abs(est.est_rate - 0.25) < tol, (eps, est.est_rate)
+
+
+def test_pii_release_keep_cols_single_projection(spark):
+    """pii_release threads keep_cols through the SAME projection (no
+    join reappears) and counts/redacts correctly on constructed
+    contact records — the v7 release-stage contract."""
+    from bigdata_kafka_2_spark.operators.pii import pii_release
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "mail me at a.b@x.io or 10.0.0.1"),
+            (2, "de", "call 555-123-4567 ssn 123-45-6789"),
+            (3, "en", "nothing sensitive here"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = pii_release(df, "text", "doc_id", keep_cols=("lang",))
+    assert out.columns == ["doc_id", "lang", "n_pii", "redacted"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].n_pii == 2
+    assert rows[1].redacted == "mail me at <EMAIL> or <IPV4>"
+    assert rows[2].n_pii == 2
+    assert rows[2].redacted == "call <PHONE> ssn <SSN>"
+    assert rows[3].n_pii == 0
+    assert rows[3].lang == "en"
+
+
+def test_curation_v7_injection_counts(spark):
+    """q214's deterministic contact-line injection yields exactly
+    2 + (doc_id % 3 == 0) redactions per surviving doc, so the
+    released totals decompose exactly."""
+    from bigdata_kafka_2_spark.plans import load_extended
+    from bigdata_kafka_2_spark.plans.dedup_queries import _v6_survivors
+    from tests.conftest import SF_DIR
+
+    out = {
+        r.lang: r
+        for r in load_extended()["q214_curation_v7"]
+        .spark_fn(spark, SF_DIR)
+        .collect()
+    }
+    surv = (
+        _v6_survivors(spark, SF_DIR)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("doc_id") % 3 == 0).cast("long")
+            ).alias("n_ssn"),
+        )
+        .collect()
+    )
+    for r in surv:
+        got = out[r.lang]
+        assert got.n_docs == r.n
+        assert got.n_pii == 2 * r.n + r.n_ssn, r.lang

@@ -506,3 +506,117 @@ def test_streaming_digest_matches_batch_and_dedups_replay(spark, tmp_path):
     )
     other = dataset_digest(swapped, ["k", "u"]).collect()[0]
     assert other.n_rows == want.n_rows and other.digest != want.digest
+
+
+def test_streaming_scd2_intervals_and_restart(spark, tmp_path):
+    """run_streaming_scd2 derives validity intervals from the version
+    SET: multi-batch delivery (one file per micro-batch) converges to
+    the same history as a single-batch apply, an out-of-order EARLIER
+    version arriving in a later batch is spliced into its timestamp
+    position (which close-at-append scd2_apply cannot repair), and a
+    checkpoint-recovery re-run leaves the table unchanged."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = pd.Timestamp
+    files = [
+        # (key, ts, payload) — key 1 gets its MIDDLE version last
+        [(1, t("2024-01-01"), "a1"), (2, t("2024-01-01"), "b1")],
+        [(1, t("2024-09-01"), "a3"), (2, t("2024-05-01"), "b2")],
+        [(1, t("2024-05-01"), "a2")],  # out-of-order splice
+    ]
+    for i, rows in enumerate(files):
+        pd.DataFrame(rows, columns=["k", "ts", "p"]).to_parquet(
+            src / f"f{i}.parquet", coerce_timestamps="us"
+        )
+    schema = "k bigint, ts timestamp, p string"
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    ING.run_streaming_scd2(stream, table, ckpt, ["k"], "ts")
+
+    def snap():
+        return sorted(
+            (
+                r.k,
+                r.p,
+                str(r.valid_from)[:10],
+                str(r.valid_to)[:10] if r.valid_to else None,
+                r.is_current,
+            )
+            for r in spark.read.parquet(table).collect()
+        )
+
+    got = snap()
+    assert got == [
+        (1, "a1", "2024-01-01", "2024-05-01", False),
+        (1, "a2", "2024-05-01", "2024-09-01", False),
+        (1, "a3", "2024-09-01", None, True),
+        (2, "b1", "2024-01-01", "2024-05-01", False),
+        (2, "b2", "2024-05-01", None, True),
+    ]
+
+    # restart over the same checkpoint: no new input -> unchanged
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    ING.run_streaming_scd2(stream2, table, ckpt, ["k"], "ts")
+    assert snap() == got
+
+    # fresh checkpoint over the SAME source (full replay against the
+    # existing table): duplicate versions collapse, table unchanged
+    stream3 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    ING.run_streaming_scd2(
+        stream3, table, str(tmp_path / "ckpt2"), ["k"], "ts"
+    )
+    assert snap() == got
+
+
+def test_streaming_scd2_equals_single_batch(spark, tmp_path):
+    """Any batching converges: one-file-per-batch delivery produces a
+    table identical to delivering everything in a single batch."""
+    import pandas as pd
+
+    rows = [
+        (k, pd.Timestamp(f"2024-0{v}-01"), f"p{k}v{v}")
+        for k in range(1, 8)
+        for v in (1, 3, 2)  # deliberately not in ts order
+    ]
+
+    def run(src_dir, table, ckpt, per_trigger):
+        stream = (
+            spark.readStream.schema("k bigint, ts timestamp, p string")
+            .option("maxFilesPerTrigger", per_trigger)
+            .parquet(str(src_dir))
+        )
+        ING.run_streaming_scd2(stream, str(table), str(ckpt), ["k"], "ts")
+        return sorted(
+            (r.k, r.p, str(r.valid_from), str(r.valid_to), r.is_current)
+            for r in spark.read.parquet(str(table)).collect()
+        )
+
+    multi = tmp_path / "multi"
+    multi.mkdir()
+    for i in range(7):
+        pd.DataFrame(
+            rows[i * 3 : i * 3 + 3], columns=["k", "ts", "p"]
+        ).to_parquet(multi / f"f{i}.parquet", coerce_timestamps="us")
+    single = tmp_path / "single"
+    single.mkdir()
+    pd.DataFrame(rows, columns=["k", "ts", "p"]).to_parquet(
+        single / "all.parquet", coerce_timestamps="us"
+    )
+    a = run(multi, tmp_path / "t1", tmp_path / "c1", 1)
+    b = run(single, tmp_path / "t2", tmp_path / "c2", 100)
+    assert a == b and len(a) == 21
