@@ -238,6 +238,10 @@ HEADLINE = (
     "q212_streaming_digest",
     "q213_streaming_scd2",
     "q214_curation_v7",
+    "q215_krippendorff_alpha",
+    "q216_erasure_audit",
+    "q217_vocab_growth",
+    "q218_cohort_retention",
 )
 
 

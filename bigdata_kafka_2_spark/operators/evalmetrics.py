@@ -356,3 +356,86 @@ def cohens_kappa(
             F.round(num.cast("double") / den.cast("double"), 6),
         ).alias("kappa"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame, unit_col: str, value_col: str
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) over a long-form ratings
+    frame ``(unit, value)`` — one row per rating, ANY number of
+    raters per unit: one row ``(n_units, n, alpha)``. The
+    multi-rater, missing-tolerant generalization of
+    :func:`cohens_kappa` (kappa needs exactly two fixed raters with
+    no gaps; real annotation runs have overlapping pools and holes —
+    alpha is what an annotation-quality audit actually compares
+    against its 0.8 publishing bar).
+
+    Math (Krippendorff 2004, nominal): units with fewer than 2
+    ratings are unpairable and drop; with n_uc the count of value c
+    in unit u, m_u the unit's rating count, n = Σ m_u and
+    n_c = Σ_u n_uc,
+
+        D_o ∝ S = Σ_u Σ_c n_uc·(m_u − n_uc)/(m_u − 1)
+        alpha = 1 − S·(n − 1)/(n² − Σ_c n_c²)
+
+    Determinism for hash parity: each per-cell term divides two SMALL
+    exact-in-double integers identically on both engines, is rounded
+    to 6 dp and summed as DECIMAL(28,6) (the round-then-DECIMAL-sum
+    rule for any cross-row float sum); everything else is integer
+    until one final division. ``alpha`` is NULL when every rating is
+    one value (n² = Σ n_c², expected disagreement 0 — undefined).
+    NULL ratings are MISSING (dropped), not a category — exactly the
+    hole-tolerance alpha exists for; a NULL that means "annotator
+    answered none-of-the-above" should be recoded by the caller.
+
+    Plan shape: one hash aggregate to cells, one keyed window for
+    m_u (partitioned by unit — never single-partition), two scalar
+    reductions, one broadcast combine. Scan speed at any corpus.
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(28,6)"
+    cells = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(unit_col).alias("__u"),
+            F.col(value_col).cast("string").alias("__v"),
+        )
+        .groupBy("__u", "__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy("__u")
+    pc = cells.withColumn("__m", F.sum("__c").over(w)).filter(
+        F.col("__m") >= 2
+    )
+    term = F.round(
+        (F.col("__c") * (F.col("__m") - F.col("__c"))).cast("double")
+        / (F.col("__m") - 1).cast("double"),
+        6,
+    ).cast(dec)
+    s_units = pc.agg(
+        F.sum(term).alias("__s"),
+        F.count_distinct(F.col("__u")).alias("__n_units"),
+        F.sum("__c").cast("long").alias("__n"),
+    )
+    vc = (
+        pc.groupBy("__v")
+        .agg(F.sum("__c").cast("long").alias("__nc"))
+        .agg(F.sum(F.col("__nc") * F.col("__nc")).alias("__snc2"))
+        .select(F.coalesce("__snc2", F.lit(0)).alias("__snc2"))
+    )
+    den = F.col("__n") * F.col("__n") - F.col("__snc2")
+    alpha = F.when(
+        den != 0,
+        F.round(
+            F.lit(1.0)
+            - (F.col("__s") * (F.col("__n") - 1)).cast("double")
+            / den.cast("double"),
+            6,
+        ),
+    )
+    return s_units.crossJoin(F.broadcast(vc)).select(
+        F.col("__n_units").cast("long").alias("n_units"),
+        F.col("__n").alias("n"),
+        alpha.alias("alpha"),
+    )

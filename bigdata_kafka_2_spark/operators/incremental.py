@@ -165,3 +165,70 @@ def dataset_digest(df: DataFrame, cols: list[str] | None = None):
         .cast("string")
         .alias("digest"),
     )
+
+
+def erasure_audit(
+    tables: "dict[str, tuple[DataFrame, str, list[str]]]",
+    subjects: DataFrame,
+) -> DataFrame:
+    """Right-to-be-forgotten pass with PROOF: given a deletion-request
+    list of subject ids and the tables referencing them, one audit row
+    per table — ``(table_name, n_before, n_erased, n_after,
+    released_digest)`` — where ``released_digest`` is the
+    :func:`dataset_digest` content hash of the RELEASED (purged)
+    rows. The erasure a training-data lake actually has to run, with
+    the artifact a compliance review actually wants: not "we deleted
+    some rows" (a count, which a drop+duplicate elsewhere can fake)
+    but the exact content digest the post-erasure corpus must hash
+    to, re-checkable shard-by-shard forever after (mergeability —
+    the q211 contract).
+
+    ``tables``: name → (frame, subject-key column, digest columns —
+    same string-rendering rules as :func:`dataset_digest`: no raw
+    DOUBLEs). ``subjects``: a one-column frame of ids to erase;
+    it is deduplicated and BROADCAST (a deletion request list is
+    human-scale; for a billion-id backlog split into batches).
+
+    Plan shape: ONE scan per table — the subject list broadcast-left-
+    joins on, and count/erased/digest reduce in a single map-side-
+    combined aggregate; no shuffle of table rows anywhere. The purge
+    itself is the same join as an anti join: writing the released
+    frame is ``df.join(subjects, key, "left_anti")``, and this
+    audit's digest equals ``dataset_digest`` of exactly that frame
+    (asserted in tests).
+    """
+    sid_col = subjects.columns[0]
+    subj = F.broadcast(
+        subjects.select(F.col(sid_col).alias("__sid"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    outs = []
+    for name, (df, key_col, cols) in tables.items():
+        h = row_digest_column(df, cols)
+        j = df.join(subj, df[key_col] == F.col("__sid"), "left")
+        outs.append(
+            j.agg(
+                F.count(F.lit(1)).cast("long").alias("n_before"),
+                F.coalesce(F.sum("__hit"), F.lit(0))
+                .cast("long")
+                .alias("n_erased"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__hit").isNull(), h)),
+                    F.lit(0).cast("decimal(38,0)"),
+                )
+                .cast("decimal(38,0)")
+                .cast("string")
+                .alias("released_digest"),
+            ).select(
+                F.lit(name).alias("table_name"),
+                "n_before",
+                "n_erased",
+                (F.col("n_before") - F.col("n_erased")).alias("n_after"),
+                "released_digest",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -925,3 +925,62 @@ def seasonal_anomalies(
         .drop("__dow", "__base")
     )
     return mad_outliers(r, "residual", threshold=threshold)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the week of
+    their FIRST event; for every (cohort week, weeks-since-cohort)
+    cell, how many of the cohort were active — ``(cohort_week,
+    week_offset, n_cohort, n_active, retention)``. The engagement
+    view a usage dashboard is built on, and for a data pipeline the
+    decay profile of any keyed activity (contributors, crawl
+    sources, annotators) that a plain per-week count hides (growth
+    can mask churn exactly as long as acquisition outruns it).
+
+    Weeks are integer days-since-epoch // 7 — calendar-library-free
+    and identical across engines (no locale week-start semantics).
+    Retention is the one float, a rounded integer division.
+
+    Plan shape: one distinct over (user, week) — activity collapses
+    BEFORE anything joins, so a chatty user costs one row per week —
+    then a user-keyed min for the cohort, one equi-join back on the
+    user key (exchange reuse), a count per (cohort, offset) — the
+    (user, week) grain makes it a plain count, never a
+    count-distinct shuffle — and a broadcast of the tiny cohort-size
+    table. Nothing scales past the distinct activity grain.
+    """
+    wk = F.floor(
+        F.datediff(
+            F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date")
+        )
+        / 7
+    ).cast("long")
+    activity = (
+        events.select(F.col(user_col).alias("__u"), wk.alias("__wk"))
+        .distinct()
+    )
+    cohorts = activity.groupBy("__u").agg(F.min("__wk").alias("__cw"))
+    cells = (
+        activity.join(cohorts, on="__u")
+        .groupBy(
+            F.col("__cw").alias("cohort_week"),
+            (F.col("__wk") - F.col("__cw")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    sizes = cohorts.groupBy(F.col("__cw").alias("cohort_week")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    return cells.join(F.broadcast(sizes), on="cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_cohort",
+        "n_active",
+        F.round(
+            F.col("n_active").cast("double") / F.col("n_cohort"), 4
+        ).alias("retention"),
+    )

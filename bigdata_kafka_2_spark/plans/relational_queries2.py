@@ -2656,3 +2656,155 @@ def q211_dataset_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_digest(
         c, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
     )
+
+
+@register(
+    "q215_krippendorff_alpha",
+    oracle="""
+    WITH r AS (
+      SELECT l_orderkey AS u, l_returnflag AS v
+      FROM lineitem WHERE l_returnflag IS NOT NULL
+    ),
+    cells AS (SELECT u, v, count(*) AS c FROM r GROUP BY 1, 2),
+    units AS (
+      SELECT u, CAST(sum(c) AS BIGINT) AS m
+      FROM cells GROUP BY u HAVING sum(c) >= 2
+    ),
+    pc AS (SELECT cells.u, v, c, m FROM cells JOIN units USING (u)),
+    s AS (
+      SELECT CAST(sum(CAST(round(c * (m - c) * 1.0 / (m - 1), 6)
+                           AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS s,
+             CAST(count(DISTINCT u) AS BIGINT) AS n_units,
+             CAST(sum(c) AS BIGINT) AS n
+      FROM pc
+    ),
+    vc AS (
+      SELECT CAST(coalesce(sum(nc * nc), 0) AS BIGINT) AS snc2
+      FROM (SELECT CAST(sum(c) AS BIGINT) AS nc FROM pc GROUP BY v)
+    )
+    SELECT n_units, n,
+           CASE WHEN n * n - snc2 <> 0 THEN
+             round(1.0 - CAST(s * (n - 1) AS DOUBLE)
+                         / CAST(n * n - snc2 AS DOUBLE), 6)
+           END AS alpha
+    FROM s, vc
+    """,
+    description="Krippendorff's alpha, nominal metric (operators/"
+    "evalmetrics.krippendorff_alpha): inter-rater reliability over a "
+    "long-form ratings frame with ANY number of raters per unit and "
+    "missing ratings tolerated — each order is a unit, its line "
+    "items the raters, the return flag the rating; single-rating "
+    "units drop as unpairable. The multi-rater generalization of "
+    "q198's two-rater Cohen's kappa and the reliability number an "
+    "annotation campaign actually publishes (alpha >= 0.8 bar). "
+    "Per-cell disagreement terms divide small exact-in-double "
+    "integers identically on both engines, round to 6 dp, and sum "
+    "as DECIMAL(28,6) (the round-then-DECIMAL-sum rule); all else "
+    "is integer until the single final division. One hash aggregate "
+    "-> unit-keyed window -> two scalar reductions -> broadcast "
+    "combine: scan speed at any corpus.",
+    tags=("evalmetrics", "aggregate"),
+)
+def q215_krippendorff_alpha(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        krippendorff_alpha,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return krippendorff_alpha(li, "l_orderkey", "l_returnflag")
+
+
+def _digest_sum_sql(cols: str) -> str:
+    """DuckDB side of row_digest_column + DECIMAL sum (q211/q212
+    pattern) over a comma-separated canonical column-string list."""
+    return (
+        "CAST(CAST(coalesce(sum(CAST('0x' || substr(md5("
+        f"concat_ws(chr(31), {cols})"
+        "), 1, 15) AS BIGINT)), 0) AS DECIMAL(38,0)) AS VARCHAR)"
+    )
+
+
+@register(
+    "q216_erasure_audit",
+    oracle=f"""
+    WITH subj AS (
+      SELECT DISTINCT c_custkey AS sid FROM customer
+      WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey < 100
+    ),
+    c_aud AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_before,
+             CAST(coalesce(sum(CASE WHEN s.sid IS NOT NULL
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_erased,
+             {_digest_sum_sql(
+                 "COALESCE(CAST(c_custkey AS VARCHAR), chr(0) || 'null'), "
+                 "COALESCE(c_name, chr(0) || 'null'), "
+                 "COALESCE(CAST(c_nationkey AS VARCHAR), chr(0) || 'null'), "
+                 "COALESCE(c_mktsegment, chr(0) || 'null')"
+             ).replace("sum(", "sum(CASE WHEN s.sid IS NULL THEN ", 1)
+              .replace(" AS BIGINT)), 0)", " AS BIGINT) END), 0)", 1)}
+               AS released_digest
+      FROM customer LEFT JOIN subj s ON c_custkey = s.sid
+    ),
+    o_aud AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_before,
+             CAST(coalesce(sum(CASE WHEN s.sid IS NOT NULL
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_erased,
+             {_digest_sum_sql(
+                 "COALESCE(CAST(o_orderkey AS VARCHAR), chr(0) || 'null'), "
+                 "COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'null'), "
+                 "COALESCE(o_orderstatus, chr(0) || 'null'), "
+                 "COALESCE(o_orderpriority, chr(0) || 'null')"
+             ).replace("sum(", "sum(CASE WHEN s.sid IS NULL THEN ", 1)
+              .replace(" AS BIGINT)), 0)", " AS BIGINT) END), 0)", 1)}
+               AS released_digest
+      FROM orders LEFT JOIN subj s ON o_custkey = s.sid
+    )
+    SELECT 'customer' AS table_name, n_before, n_erased,
+           n_before - n_erased AS n_after, released_digest FROM c_aud
+    UNION ALL
+    SELECT 'orders', n_before, n_erased, n_before - n_erased,
+           released_digest FROM o_aud
+    """,
+    description="Right-to-be-forgotten erasure audit (operators/"
+    "incremental.erasure_audit): a deletion-request list (the "
+    "under-100 AUTOMOBILE customers) cascaded across customer AND "
+    "their orders, one audit row per table with counts before/"
+    "erased/after plus the DATASET DIGEST of the released rows — "
+    "the artifact a compliance review wants: not a deletion count "
+    "(a drop elsewhere plus a duplicate can fake a count) but the "
+    "exact mergeable content hash the post-erasure corpus must "
+    "verify against shard-by-shard (q211's contract). One scan per "
+    "table: the subject list broadcasts onto a left join and "
+    "count/erased/digest reduce in a single map-side aggregate — "
+    "table rows never shuffle; the purge write itself is the same "
+    "join run as left_anti (digest equality asserted in tests).",
+    tags=("privacy", "incremental", "aggregate"),
+)
+def q216_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.incremental import erasure_audit
+
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    subjects = c.filter(
+        (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_custkey") < 100)
+    ).select("c_custkey")
+    return erasure_audit(
+        {
+            "customer": (
+                c,
+                "c_custkey",
+                ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+            ),
+            "orders": (
+                o,
+                "o_custkey",
+                ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority"],
+            ),
+        },
+        subjects,
+    )

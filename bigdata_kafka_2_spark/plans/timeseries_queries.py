@@ -855,3 +855,51 @@ def q209_seasonal_anomalies(
         "residual",
         "mod_z",
     )
+
+
+@register(
+    "q218_cohort_retention",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id AS u,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+               AS wk
+      FROM events
+    ),
+    cohorts AS (SELECT u, min(wk) AS cw FROM activity GROUP BY u),
+    cells AS (
+      SELECT cw AS cohort_week, wk - cw AS week_offset,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM activity JOIN cohorts USING (u)
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cw AS cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+      FROM cohorts GROUP BY cw
+    )
+    SELECT cohort_week, week_offset, n_cohort, n_active,
+           round(CAST(n_active AS DOUBLE) / n_cohort, 4) AS retention
+    FROM cells JOIN sizes USING (cohort_week)
+    """,
+    description="Weekly cohort retention over the events stream "
+    "(operators/timeseries.cohort_retention): users cohorted by "
+    "first-event week, one cell per (cohort week, weeks since), "
+    "active count and retention rate — the decay profile a plain "
+    "per-week activity count hides (growth masks churn while "
+    "acquisition outruns it). Weeks are integer days-since-epoch "
+    "// 7 (no locale week-start semantics). Activity collapses to "
+    "the distinct (user, week) grain BEFORE any join, the cohort "
+    "min and the join share the user-key exchange, the per-cell "
+    "count is a plain count at that grain (never count-distinct), "
+    "and cohort sizes broadcast.",
+    tags=("timeseries", "aggregate"),
+)
+def q218_cohort_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        cohort_retention,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    return cohort_retention(e, "user_id", "ts")

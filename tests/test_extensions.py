@@ -3214,3 +3214,106 @@ def test_curation_v7_injection_counts(spark):
         got = out[r.lang]
         assert got.n_docs == r.n
         assert got.n_pii == 2 * r.n + r.n_ssn, r.lang
+
+
+def test_krippendorff_alpha_planted(spark):
+    """Hand-computed nominal alpha on a 4-unit fixture: S=2, n=7,
+    n_a=3, n_b=4 -> alpha = 1 - 2*6/(49-25) = 0.5; single-rating
+    units drop; all-same-value data has alpha NULL (undefined); a
+    NULL rating is MISSING, not a category."""
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        krippendorff_alpha,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, "b"), (3, "b"),
+         (3, "b"), (4, "a")],
+        "u long, v string",
+    )
+    r = krippendorff_alpha(df, "u", "v").collect()[0]
+    assert (r.n_units, r.n, r.alpha) == (3, 7, 0.5)
+
+    # perfect agreement across multi-rater units -> alpha = 1
+    perfect = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "b"), (2, "b")],
+        "u long, v string",
+    )
+    assert krippendorff_alpha(perfect, "u", "v").collect()[0].alpha == 1.0
+
+    # one value everywhere -> expected disagreement 0 -> NULL
+    const = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "a")], "u long, v string"
+    )
+    assert krippendorff_alpha(const, "u", "v").collect()[0].alpha is None
+
+    # NULL ratings drop as missing: unit 2 falls to 1 rating and drops
+    holes = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, None)], "u long, v string"
+    )
+    r = krippendorff_alpha(holes, "u", "v").collect()[0]
+    assert (r.n_units, r.n) == (1, 2)
+
+
+def test_vocabulary_growth_monotone_and_exact(spark):
+    """The curve is exactly the running distinct-token count in doc
+    order, monotone nondecreasing, and the last checkpoint equals the
+    corpus vocabulary size."""
+    from bigdata_kafka_2_spark.io import read_table
+    from bigdata_kafka_2_spark.operators.text import vocabulary_growth
+    from tests.conftest import SF_DIR
+
+    d = read_table(spark, SF_DIR, "documents")
+    n = d.count()
+    rows = sorted(
+        (r.n_docs_seen, r.vocab_size)
+        for r in vocabulary_growth(d, [n // 4, n // 2, n]).collect()
+    )
+    assert [p for p, _ in rows] == [n // 4, n // 2, n]
+    assert rows[0][1] <= rows[1][1] <= rows[2][1]
+    full_vocab = (
+        d.select(
+            F.explode(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower("text"), r"\s+", " ")
+                    ),
+                    " ",
+                )
+            ).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert rows[2][1] == full_vocab
+
+
+def test_cohort_retention_planted(spark):
+    """Offset-0 retention is 1.0 for every cohort, n_active never
+    exceeds n_cohort, and a planted churner leaves exactly the
+    expected week-1 cell."""
+    from datetime import datetime
+
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        cohort_retention,
+    )
+
+    t = lambda s: datetime.fromisoformat(s)
+    rows = [
+        (1, t("2024-01-01")), (1, t("2024-01-08")),  # wk0 + wk1
+        (2, t("2024-01-02")), (2, t("2024-01-03")),  # wk0 only (dup wk)
+        (3, t("2024-01-09")),                        # later cohort
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_week, r.week_offset): r
+        for r in cohort_retention(df).collect()
+    }
+    cohort0 = [k for k in got if k[1] == 0]
+    assert all(got[k].retention == 1.0 for k in cohort0)
+    assert all(r.n_active <= r.n_cohort for r in got.values())
+    wk0 = min(k[0] for k in got)
+    assert got[(wk0, 0)].n_cohort == 2
+    assert got[(wk0, 1)].n_active == 1
+    assert got[(wk0, 1)].retention == 0.5

@@ -145,3 +145,39 @@ def test_dataset_digest_order_independent_and_mergeable(spark):
     # empty frame digests to 0
     empty = dataset_digest(df.filter("k < 0")).collect()[0]
     assert empty.n_rows == 0 and empty.digest == "0"
+
+
+def test_erasure_audit_digest_equals_purged_dataset_digest(spark):
+    """The audit's released_digest IS dataset_digest of the anti-
+    joined (purged) frame, and counts reconcile — the proof artifact
+    contract."""
+    from bigdata_kafka_2_spark.io import read_table
+    from bigdata_kafka_2_spark.operators.incremental import (
+        dataset_digest,
+        erasure_audit,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    c = read_table(spark, SF_DIR, "customer")
+    subjects = c.filter(F.col("c_custkey") % 7 == 0).select("c_custkey")
+    cols = ["c_custkey", "c_name", "c_mktsegment"]
+    audit = {
+        r.table_name: r
+        for r in erasure_audit(
+            {"customer": (c, "c_custkey", cols)}, subjects
+        ).collect()
+    }["customer"]
+    purged = c.join(subjects, on="c_custkey", how="left_anti")
+    want = dataset_digest(purged, cols).collect()[0]
+    assert audit.released_digest == want.digest
+    assert audit.n_after == want.n_rows
+    assert audit.n_before == c.count()
+    assert audit.n_erased == c.count() - want.n_rows
+    # mergeability: erased digest + released digest == full digest
+    full = dataset_digest(c, cols).collect()[0]
+    erased_rows = c.join(subjects, on="c_custkey", how="left_semi")
+    erased = dataset_digest(erased_rows, cols).collect()[0]
+    assert int(erased.digest) + int(audit.released_digest) == int(
+        full.digest
+    )

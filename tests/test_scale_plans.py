@@ -585,3 +585,71 @@ def test_embedding_outliers_stats_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "TakeOrdered" in plan
+
+
+def test_krippendorff_windows_unit_keyed(spark):
+    """Alpha's m_u window is unit-keyed, never a single-partition
+    order; the value-marginal combine rides a broadcast (the scalar
+    1-row reductions plan their own bounded SinglePartition reduce,
+    like any scalar agg)."""
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        krippendorff_alpha,
+    )
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    plan = _plan(krippendorff_alpha(li, "l_orderkey", "l_returnflag"))
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+    ]
+    for ln in specs:
+        assert "__u" in ln
+    assert "BroadcastNestedLoop" in plan or "BroadcastHashJoin" in plan
+
+
+def test_erasure_audit_single_scan_broadcast(spark):
+    """One scan per audited table: the subject list broadcasts onto a
+    left join, table rows never shuffle (no SortMergeJoin), and
+    count/erased/digest reduce in one aggregate."""
+    from bigdata_kafka_2_spark.io import read_table as rt
+    from bigdata_kafka_2_spark.operators.incremental import (
+        erasure_audit,
+    )
+
+    c = rt(spark, SF_DIR, "customer")
+    subj = c.filter(F.col("c_custkey") < 50).select("c_custkey")
+    plan = _plan(
+        erasure_audit(
+            {"customer": (c, "c_custkey", ["c_custkey", "c_name"])},
+            subj,
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_growth_no_single_partition_window(spark):
+    """Positions come from the range-bucketed global_row_number (all
+    window specs bucket-keyed); the curve is one scalar aggregate +
+    a row-local stack (no Generate of data-sized arrays post-agg)."""
+    from bigdata_kafka_2_spark.operators.text import vocabulary_growth
+
+    d = read_table(spark, SF_DIR, "documents")
+    plan = _plan(vocabulary_growth(d, [100, 300, 500]))
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+    ]
+    assert specs
+    assert all("__bkt" in ln for ln in specs)
+
+
+def test_cohort_retention_exchange_reuse_and_broadcast(spark):
+    """Activity collapses to the (user, week) grain before any join;
+    cohort sizes broadcast; no count-distinct expand anywhere."""
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        cohort_retention,
+    )
+
+    e = read_table(spark, SF_DIR, "events")
+    plan = _plan(cohort_retention(e))
+    assert "BroadcastHashJoin" in plan
+    assert "Expand" not in plan
