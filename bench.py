@@ -240,8 +240,8 @@ HEADLINE = (
     "q214_curation_v7",
     "q215_krippendorff_alpha",
     "q216_erasure_audit",
-    "q217_vocab_growth",
-    "q218_cohort_retention",
+    "q218_retention_curve",
+    "q219_benford_profile",
 )
 
 

@@ -1362,3 +1362,57 @@ def embedding_outliers(
     return scores.orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     ).limit(int(top_k))
+
+
+#: Benford first-digit probabilities log10(1 + 1/d), d = 1..9 —
+#: Python-computed literals shared VERBATIM with the SQL oracle (the
+#: q121 ladder rule) so both engines compare against identical bits.
+BENFORD_P: tuple[float, ...] = tuple(
+    __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)
+)
+
+
+def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit forensics over a positive numeric
+    column: one row per leading digit ``(digit, n_obs, p_obs, p_exp,
+    excess)`` — the fraud/synthetic-data smell test an ingest audit
+    runs on naturally-growing magnitudes (transaction amounts,
+    populations, counts): organic multiplicative data leads with 1
+    ~30% of the time; fabricated or truncated feeds flatten toward
+    uniform. Values below 1 are excluded (no leading digit in the
+    integer part — the classic formulation).
+
+    Determinism: the leading digit comes from the STRING of
+    ``CAST(floor(value) AS BIGINT)`` — integer rendering is
+    byte-identical across engines, where ``floor(log10(v))`` is not
+    (boundary ulps at powers of ten). Expected probabilities are
+    Python literals (:data:`BENFORD_P`) shared verbatim with the
+    oracle. One map-side-combined 9-group aggregate + a broadcast
+    1-row total: scan speed at any table size.
+    """
+    v = F.col(value_col)
+    digit = F.substring(
+        F.floor(v).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.filter(v >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    tot = counts.agg(F.sum("n_obs").cast("long").alias("__n"))
+    p_exp = F.lit(None).cast("double")
+    for d, p in enumerate(BENFORD_P, start=1):
+        p_exp = F.when(F.col("digit") == d, F.lit(p)).otherwise(p_exp)
+    p_obs = F.round(F.col("n_obs").cast("double") / F.col("__n"), 6)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            p_obs.alias("p_obs"),
+            F.round(p_exp, 6).alias("p_exp"),
+            F.round(
+                F.col("n_obs").cast("double") / F.col("__n") - p_exp, 6
+            ).alias("excess"),
+        )
+    )

@@ -1733,66 +1733,3 @@ def readability_scores(
         sentences.cast("long").alias("n_sentences"),
         syllables.cast("long").alias("n_syllables"),
     ).withColumn("flesch", score)
-
-
-def vocabulary_growth(
-    df: DataFrame,
-    checkpoints: "list[int]",
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Heap's-law vocabulary growth curve: for each checkpoint N (a
-    document-count prefix position in ``id_col`` order), the number
-    of DISTINCT tokens seen in the first N documents — one row
-    ``(n_docs_seen, vocab_size)`` per checkpoint. The corpus
-    statistic that tells a tokenizer/sampling team whether more data
-    still buys vocabulary (the curve bends toward Heap's K·n^beta)
-    or the corpus has gone repetitive (the curve flattens — more of
-    the same, a dedup/curation smell the per-doc TTR cannot see).
-
-    Exact, not sketched: a token's contribution to every prefix is
-    determined by its FIRST occurrence position, so one
-    ``min(position)`` per token replaces any running-distinct state —
-    the same first-occurrence reduction that makes exact streaming
-    dedup cheap. Positions come from the range-bucketed
-    :func:`~bigdata_kafka_2_spark.operators.relational.
-    global_row_number` (never a single-partition window); the curve
-    itself is ONE map-side-combined scalar aggregate with a
-    conditional sum per checkpoint, unpivoted row-locally — the
-    checkpoint list is the only thing that grows the plan, never the
-    corpus. Tokenization is the engine's canonical whitespace
-    normalization (lower, collapse ``\\s+``).
-    """
-    from bigdata_kafka_2_spark.operators.relational import (
-        global_row_number,
-    )
-
-    ranked = global_row_number(
-        df.select(id_col, text_col), id_col, rn_col="__pos"
-    )
-    toks = ranked.select(
-        "__pos",
-        F.explode(
-            F.split(
-                F.trim(
-                    F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-                ),
-                " ",
-            )
-        ).alias("__tok"),
-    ).filter(F.col("__tok") != "")
-    first = toks.groupBy("__tok").agg(F.min("__pos").alias("__fp"))
-    aggs = [
-        F.coalesce(
-            F.sum((F.col("__fp") <= int(n)).cast("long")), F.lit(0)
-        ).alias(f"__v{i}")
-        for i, n in enumerate(checkpoints)
-    ]
-    one = first.agg(*aggs)
-    stack = ", ".join(
-        f"CAST({int(n)} AS BIGINT), __v{i}"
-        for i, n in enumerate(checkpoints)
-    )
-    return one.selectExpr(
-        f"stack({len(checkpoints)}, {stack}) AS (n_docs_seen, vocab_size)"
-    )

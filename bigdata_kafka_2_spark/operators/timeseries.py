@@ -485,18 +485,28 @@ def cohort_retention(
     key_col: str,
     ts_col: str,
     grain: str = "day",
+    rates: bool = False,
 ) -> DataFrame:
     """Cohort retention counts: (cohort, offset, n_active) — users
     bucketed by the period of their FIRST event; ``n_active`` =
-    distinct users of that cohort active ``offset`` periods later.
-    The product-analytics retention triangle (offset 0 row = cohort
+    distinct users of that cohort active ``offset`` periods later
+    (``offset`` is in DAYS between period starts at any grain). The
+    product-analytics retention triangle (offset 0 row = cohort
     size; n_active / cohort size = the retention curve).
+
+    ``rates=True`` appends the curve itself: ``n_cohort`` (the
+    cohort's offset-0 count — every user is active in their own
+    first period by construction, so that row IS the cohort size)
+    and ``retention = n_active / n_cohort`` rounded to 4 dp. The
+    decay profile a plain per-period activity count hides: growth
+    masks churn exactly as long as acquisition outruns it.
 
     Plan: one per-key min aggregate (map-side combined) for the
     cohort anchor, one equi-join back on the key, one distinct-count
     aggregate over (cohort, offset) — two key shuffles + one
     group-by, no window, no self-join of the event table with
-    itself. Output is periods², independent of event volume.
+    itself. Output is periods², independent of event volume; the
+    rates join broadcasts the tiny cohort-size table onto it.
     """
     ev = df.select(
         F.col(key_col).alias("__k"),
@@ -505,10 +515,24 @@ def cohort_retention(
     first = ev.groupBy("__k").agg(F.min("__p").alias("__cohort"))
     joined = ev.join(first, on="__k")
     offset = F.datediff(F.col("__p"), F.col("__cohort"))
-    return (
+    base = (
         joined.select("__k", F.col("__cohort").alias("cohort"), offset.alias("offset"))
         .groupBy("cohort", "offset")
         .agg(F.count_distinct("__k").alias("n_active"))
+    )
+    if not rates:
+        return base
+    sizes = base.filter(F.col("offset") == 0).select(
+        "cohort", F.col("n_active").alias("n_cohort")
+    )
+    return base.join(F.broadcast(sizes), on="cohort").select(
+        "cohort",
+        "offset",
+        "n_cohort",
+        "n_active",
+        F.round(
+            F.col("n_active").cast("double") / F.col("n_cohort"), 4
+        ).alias("retention"),
     )
 
 
@@ -925,62 +949,3 @@ def seasonal_anomalies(
         .drop("__dow", "__base")
     )
     return mad_outliers(r, "residual", threshold=threshold)
-
-
-def cohort_retention(
-    events: DataFrame,
-    user_col: str = "user_id",
-    ts_col: str = "ts",
-) -> DataFrame:
-    """Weekly cohort retention: users are cohorted by the week of
-    their FIRST event; for every (cohort week, weeks-since-cohort)
-    cell, how many of the cohort were active — ``(cohort_week,
-    week_offset, n_cohort, n_active, retention)``. The engagement
-    view a usage dashboard is built on, and for a data pipeline the
-    decay profile of any keyed activity (contributors, crawl
-    sources, annotators) that a plain per-week count hides (growth
-    can mask churn exactly as long as acquisition outruns it).
-
-    Weeks are integer days-since-epoch // 7 — calendar-library-free
-    and identical across engines (no locale week-start semantics).
-    Retention is the one float, a rounded integer division.
-
-    Plan shape: one distinct over (user, week) — activity collapses
-    BEFORE anything joins, so a chatty user costs one row per week —
-    then a user-keyed min for the cohort, one equi-join back on the
-    user key (exchange reuse), a count per (cohort, offset) — the
-    (user, week) grain makes it a plain count, never a
-    count-distinct shuffle — and a broadcast of the tiny cohort-size
-    table. Nothing scales past the distinct activity grain.
-    """
-    wk = F.floor(
-        F.datediff(
-            F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date")
-        )
-        / 7
-    ).cast("long")
-    activity = (
-        events.select(F.col(user_col).alias("__u"), wk.alias("__wk"))
-        .distinct()
-    )
-    cohorts = activity.groupBy("__u").agg(F.min("__wk").alias("__cw"))
-    cells = (
-        activity.join(cohorts, on="__u")
-        .groupBy(
-            F.col("__cw").alias("cohort_week"),
-            (F.col("__wk") - F.col("__cw")).alias("week_offset"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
-    )
-    sizes = cohorts.groupBy(F.col("__cw").alias("cohort_week")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_cohort")
-    )
-    return cells.join(F.broadcast(sizes), on="cohort_week").select(
-        "cohort_week",
-        "week_offset",
-        "n_cohort",
-        "n_active",
-        F.round(
-            F.col("n_active").cast("double") / F.col("n_cohort"), 4
-        ).alias("retention"),
-    )

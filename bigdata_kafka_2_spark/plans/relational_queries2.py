@@ -2808,3 +2808,53 @@ def q216_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         subjects,
     )
+
+
+def _q219_oracle() -> str:
+    from bigdata_kafka_2_spark.operators.profile import BENFORD_P
+
+    case = " ".join(
+        f"WHEN {d} THEN {p!r}" for d, p in enumerate(BENFORD_P, start=1)
+    )
+    return f"""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             count(*) AS n
+      FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n_obs,
+           round(CAST(n AS DOUBLE) / tot, 6) AS p_obs,
+           round(CASE digit {case} END, 6) AS p_exp,
+           round(CAST(n AS DOUBLE) / tot
+                 - CASE digit {case} END, 6) AS excess
+    FROM c, t
+    """
+
+
+@register(
+    "q219_benford_profile",
+    oracle=_q219_oracle(),
+    description="Benford's-law first-digit forensics over order "
+    "totals (operators/profile.benford_profile): per leading digit, "
+    "observed count and share against the log10(1+1/d) expectation "
+    "— the fraud/synthetic-feed smell test an ingest audit runs on "
+    "naturally-growing magnitudes (organic multiplicative data "
+    "leads with 1 ~30% of the time; fabricated or truncated feeds "
+    "flatten toward uniform). The leading digit comes from the "
+    "STRING of CAST(floor(v) AS BIGINT) — integer rendering is "
+    "byte-identical across engines where floor(log10(v)) is not "
+    "(boundary ulps at powers of ten) — and the expected "
+    "probabilities are Python float literals shared verbatim with "
+    "the oracle (q121 rule). One 9-group map-side aggregate + a "
+    "broadcast 1-row total: scan speed.",
+    tags=("profile", "aggregate"),
+)
+def q219_benford_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import benford_profile
+
+    o = read_table(spark, sf_dir, "orders")
+    return benford_profile(o, "o_totalprice")

@@ -2757,59 +2757,3 @@ def q201_keyword_contexts(
 def q205_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return TX.readability_scores(d)
-
-
-def _q217_checkpoints(sf_dir: str) -> "list[int]":
-    """Decile positions of the documents table, from parquet footer
-    metadata (no Spark job) — Python-literal constants shared
-    verbatim between the Spark plan and the oracle (the q121 rule)."""
-    from bigdata_kafka_2_spark.io import parquet_row_count
-
-    n = parquet_row_count(sf_dir, "documents")
-    return sorted({max(1, (n * i) // 10) for i in range(1, 11)})
-
-
-def _q217_oracle(sf_dir: str) -> str:
-    arms = "\n      UNION ALL\n".join(
-        f"""      SELECT CAST({n} AS BIGINT) AS n_docs_seen,
-             CAST(coalesce(sum(CASE WHEN fp <= {n} THEN 1 ELSE 0 END),
-                           0) AS BIGINT) AS vocab_size
-      FROM first"""
-        for n in _q217_checkpoints(sf_dir)
-    )
-    return rf"""
-    WITH ranked AS (
-      SELECT row_number() OVER (ORDER BY doc_id) AS pos,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ',
-                                              'g')), ' ') AS t
-      FROM documents
-    ),
-    tok AS (SELECT pos, unnest(t) AS tok FROM ranked),
-    first AS (
-      SELECT tok, min(pos) AS fp FROM tok WHERE tok <> '' GROUP BY tok
-    )
-{arms}
-    """
-
-
-@register(
-    "q217_vocab_growth",
-    oracle=_q217_oracle,
-    description="Heap's-law vocabulary growth curve (operators/text."
-    "vocabulary_growth): distinct-token count after each corpus "
-    "decile, in doc_id order — the statistic that says whether more "
-    "data still buys vocabulary or the corpus has gone repetitive "
-    "(a flattening curve is a dedup/curation smell per-doc TTR "
-    "can't see). Exact without running-distinct state: a token's "
-    "contribution to every prefix is its FIRST occurrence position "
-    "(one min(position) per token — the streaming-dedup reduction), "
-    "positions from the range-bucketed global_row_number (never a "
-    "single-partition window), then ONE map-side scalar aggregate "
-    "with a conditional sum per checkpoint, unpivoted row-locally "
-    "via stack(). Checkpoint literals derive from the parquet "
-    "footer row count and are shared verbatim with the oracle.",
-    tags=("text", "profile", "aggregate"),
-)
-def q217_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
-    return TX.vocabulary_growth(d, _q217_checkpoints(sf_dir))

@@ -858,43 +858,42 @@ def q209_seasonal_anomalies(
 
 
 @register(
-    "q218_cohort_retention",
+    "q218_retention_curve",
     oracle="""
-    WITH activity AS (
-      SELECT DISTINCT user_id AS u,
-             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
-               AS wk
-      FROM events
+    WITH ev AS (
+      SELECT user_id AS k, date_trunc('week', ts) AS p FROM events
     ),
-    cohorts AS (SELECT u, min(wk) AS cw FROM activity GROUP BY u),
-    cells AS (
-      SELECT cw AS cohort_week, wk - cw AS week_offset,
-             CAST(count(*) AS BIGINT) AS n_active
-      FROM activity JOIN cohorts USING (u)
+    first AS (SELECT k, min(p) AS cohort FROM ev GROUP BY k),
+    base AS (
+      SELECT f.cohort,
+             CAST(date_diff('day', f.cohort, e.p) AS INT) AS d_off,
+             CAST(count(DISTINCT e.k) AS BIGINT) AS n_active
+      FROM ev e JOIN first f USING (k)
       GROUP BY 1, 2
     ),
     sizes AS (
-      SELECT cw AS cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
-      FROM cohorts GROUP BY cw
+      SELECT cohort, n_active AS n_cohort FROM base WHERE d_off = 0
     )
-    SELECT cohort_week, week_offset, n_cohort, n_active,
-           round(CAST(n_active AS DOUBLE) / n_cohort, 4) AS retention
-    FROM cells JOIN sizes USING (cohort_week)
+    SELECT strftime(b.cohort, '%Y-%m-%d') AS cohort_week,
+           b.d_off // 7 AS week_offset, s.n_cohort, b.n_active,
+           round(CAST(b.n_active AS DOUBLE) / s.n_cohort, 4)
+             AS retention
+    FROM base b JOIN sizes s USING (cohort)
     """,
-    description="Weekly cohort retention over the events stream "
-    "(operators/timeseries.cohort_retention): users cohorted by "
-    "first-event week, one cell per (cohort week, weeks since), "
-    "active count and retention rate — the decay profile a plain "
-    "per-week activity count hides (growth masks churn while "
-    "acquisition outruns it). Weeks are integer days-since-epoch "
-    "// 7 (no locale week-start semantics). Activity collapses to "
-    "the distinct (user, week) grain BEFORE any join, the cohort "
-    "min and the join share the user-key exchange, the per-cell "
-    "count is a plain count at that grain (never count-distinct), "
-    "and cohort sizes broadcast.",
+    description="Weekly retention CURVE over the events stream "
+    "(operators/timeseries.cohort_retention, grain='week', "
+    "rates=True — the rate extension of q162's daily retention "
+    "triangle): users cohorted by first-event ISO week, one cell "
+    "per (cohort week, weeks since) with cohort size and retention "
+    "rate — the decay profile a plain per-week activity count "
+    "hides (growth masks churn exactly as long as acquisition "
+    "outruns it). Cohort size is the cell's own offset-0 row "
+    "(every user is active in their first period by construction) "
+    "broadcast back onto the periods-squared triangle — the event "
+    "table shuffles only on the user key, twice, same as q162.",
     tags=("timeseries", "aggregate"),
 )
-def q218_cohort_retention(
+def q218_retention_curve(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from bigdata_kafka_2_spark.operators.timeseries import (
@@ -902,4 +901,11 @@ def q218_cohort_retention(
     )
 
     e = read_table(spark, sf_dir, "events")
-    return cohort_retention(e, "user_id", "ts")
+    out = cohort_retention(e, "user_id", "ts", grain="week", rates=True)
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        F.floor(F.col("offset") / 7).cast("int").alias("week_offset"),
+        "n_cohort",
+        "n_active",
+        "retention",
+    )

@@ -3254,45 +3254,11 @@ def test_krippendorff_alpha_planted(spark):
     assert (r.n_units, r.n) == (1, 2)
 
 
-def test_vocabulary_growth_monotone_and_exact(spark):
-    """The curve is exactly the running distinct-token count in doc
-    order, monotone nondecreasing, and the last checkpoint equals the
-    corpus vocabulary size."""
-    from bigdata_kafka_2_spark.io import read_table
-    from bigdata_kafka_2_spark.operators.text import vocabulary_growth
-    from tests.conftest import SF_DIR
-
-    d = read_table(spark, SF_DIR, "documents")
-    n = d.count()
-    rows = sorted(
-        (r.n_docs_seen, r.vocab_size)
-        for r in vocabulary_growth(d, [n // 4, n // 2, n]).collect()
-    )
-    assert [p for p, _ in rows] == [n // 4, n // 2, n]
-    assert rows[0][1] <= rows[1][1] <= rows[2][1]
-    full_vocab = (
-        d.select(
-            F.explode(
-                F.split(
-                    F.trim(
-                        F.regexp_replace(F.lower("text"), r"\s+", " ")
-                    ),
-                    " ",
-                )
-            ).alias("t")
-        )
-        .filter(F.col("t") != "")
-        .select("t")
-        .distinct()
-        .count()
-    )
-    assert rows[2][1] == full_vocab
-
-
-def test_cohort_retention_planted(spark):
-    """Offset-0 retention is 1.0 for every cohort, n_active never
-    exceeds n_cohort, and a planted churner leaves exactly the
-    expected week-1 cell."""
+def test_cohort_retention_rates_planted(spark):
+    """rates=True appends cohort size + retention: offset-0 retention
+    is 1.0 for every cohort, n_active never exceeds n_cohort, and a
+    planted churner leaves exactly the expected week-1 cell; the
+    rates=False output is untouched (q162's contract)."""
     from datetime import datetime
 
     from bigdata_kafka_2_spark.operators.timeseries import (
@@ -3307,13 +3273,34 @@ def test_cohort_retention_planted(spark):
     ]
     df = spark.createDataFrame(rows, "user_id long, ts timestamp")
     got = {
-        (r.cohort_week, r.week_offset): r
-        for r in cohort_retention(df).collect()
+        (r.cohort, r.offset): r
+        for r in cohort_retention(
+            df, "user_id", "ts", grain="week", rates=True
+        ).collect()
     }
-    cohort0 = [k for k in got if k[1] == 0]
-    assert all(got[k].retention == 1.0 for k in cohort0)
+    assert all(r.retention == 1.0 for k, r in got.items() if k[1] == 0)
     assert all(r.n_active <= r.n_cohort for r in got.values())
     wk0 = min(k[0] for k in got)
     assert got[(wk0, 0)].n_cohort == 2
-    assert got[(wk0, 1)].n_active == 1
-    assert got[(wk0, 1)].retention == 0.5
+    assert got[(wk0, 7)].n_active == 1          # offset is in days
+    assert got[(wk0, 7)].retention == 0.5
+    base_cols = cohort_retention(df, "user_id", "ts").columns
+    assert base_cols == ["cohort", "offset", "n_active"]
+
+
+def test_benford_profile_planted(spark):
+    """Digits, shares, and the sub-1 exclusion are exact on a hand-
+    built frame; p_exp matches log10(1+1/d); shares sum to 1."""
+    import math
+
+    from bigdata_kafka_2_spark.operators.profile import benford_profile
+
+    vals = [1.0, 12.0, 13.5, 190.0, 2.0, 25.0, 31.0, 450.0, 0.5, 9000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = {r.digit: r for r in benford_profile(df, "v").collect()}
+    assert set(rows) == {1, 2, 3, 4, 9}  # 0.5 excluded
+    assert rows[1].n_obs == 4 and rows[1].p_obs == round(4 / 9, 6)
+    for d, r in rows.items():
+        assert r.p_exp == round(math.log10(1 + 1 / d), 6)
+        assert r.excess == round(r.n_obs / 9 - math.log10(1 + 1 / d), 6)
+    assert sum(r.n_obs for r in rows.values()) == 9

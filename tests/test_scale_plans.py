@@ -333,21 +333,6 @@ def test_bitmap_semi_join_plan_broadcasts_bitmap(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_vocab_growth_no_single_partition_window(spark):
-    """q130's cumulative token/type sums run through the range-bucketed
-    prefix machinery — no global unkeyed window. The ONE permitted
-    single-partition exchange is the checkpoint-threshold percentile's
-    final merge: it carries one partial-aggregate buffer per task
-    (bounded by task count), never data rows."""
-    from bigdata_kafka_2_spark.operators.text import vocab_growth
-
-    d = read_table(spark, SF_DIR, "documents")
-    plan = _plan(vocab_growth(d))
-    assert "hashpartitioning(__bkt" in plan  # prefix sums are bucketed
-    assert plan.count("Exchange SinglePartition") == 1
-    assert "partial_percentile" in plan  # ...and it's the scalar merge
-
-
 def test_quantile_sketch_windows_are_keyed(spark):
     """q131's ranking window is (group, block)-keyed and the estimate's
     cumulative window is group-keyed — never single-partition — and
@@ -627,29 +612,15 @@ def test_erasure_audit_single_scan_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_vocab_growth_no_single_partition_window(spark):
-    """Positions come from the range-bucketed global_row_number (all
-    window specs bucket-keyed); the curve is one scalar aggregate +
-    a row-local stack (no Generate of data-sized arrays post-agg)."""
-    from bigdata_kafka_2_spark.operators.text import vocabulary_growth
-
-    d = read_table(spark, SF_DIR, "documents")
-    plan = _plan(vocabulary_growth(d, [100, 300, 500]))
-    specs = [
-        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
-    ]
-    assert specs
-    assert all("__bkt" in ln for ln in specs)
-
-
-def test_cohort_retention_exchange_reuse_and_broadcast(spark):
-    """Activity collapses to the (user, week) grain before any join;
-    cohort sizes broadcast; no count-distinct expand anywhere."""
+def test_cohort_retention_rates_broadcast(spark):
+    """rates=True broadcasts the periods-sized cohort-size table onto
+    the triangle — the event table never shuffles for the rates."""
     from bigdata_kafka_2_spark.operators.timeseries import (
         cohort_retention,
     )
 
     e = read_table(spark, SF_DIR, "events")
-    plan = _plan(cohort_retention(e))
+    plan = _plan(
+        cohort_retention(e, "user_id", "ts", grain="week", rates=True)
+    )
     assert "BroadcastHashJoin" in plan
-    assert "Expand" not in plan
