@@ -242,6 +242,7 @@ HEADLINE = (
     "q216_erasure_audit",
     "q218_retention_curve",
     "q219_benford_profile",
+    "q220_streaming_erasure",
 )
 
 

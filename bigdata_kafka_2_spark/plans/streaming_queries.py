@@ -1002,3 +1002,83 @@ def q213_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd").alias("vt"),
         "is_current",
     )
+
+
+@register(
+    "q220_streaming_erasure",
+    oracle="""
+    WITH subj AS (
+      SELECT DISTINCT c_custkey FROM customer
+      WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey < 100
+    ),
+    kept AS (
+      SELECT * FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM subj)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM subj)
+             AS n_erased_total,
+           CAST(count(*) AS BIGINT) AS n_remaining,
+           CAST(CAST(coalesce(sum(CAST('0x' || substr(md5(
+             concat_ws(chr(31),
+               COALESCE(CAST(c_custkey AS VARCHAR), chr(0) || 'null'),
+               COALESCE(c_name, chr(0) || 'null'),
+               COALESCE(CAST(c_nationkey AS VARCHAR),
+                        chr(0) || 'null'),
+               COALESCE(c_mktsegment, chr(0) || 'null')
+             )), 1, 15) AS BIGINT)), 0) AS DECIMAL(38,0)) AS VARCHAR)
+             AS released_digest
+    FROM kept
+    """,
+    description="Streaming right-to-be-forgotten (streaming/ingest."
+    "run_streaming_erasure + read_erasure_audit): deletion requests "
+    "arrive as a STREAM of subject ids (the under-100 AUTOMOBILE "
+    "customers, one micro-batch per staged file) and each batch "
+    "purges the stored customer table — broadcast ids onto ONE "
+    "left-anti join, q132's atomic rename swap — appending an audit "
+    "partial (epoch, n_erased, n_remaining, released_digest): "
+    "q216's proof artifact made CONTINUOUS, so a compliance check "
+    "reads the latest row instead of rescanning history. Replay-"
+    "idempotent (re-erasing removes nothing and reproduces the same "
+    "digest; epoch ids dedup the trail) and batching-invariant (set "
+    "difference commutes with union of removals). Hash-checked: the "
+    "final audit row must equal the batch digest of customer minus "
+    "the full request set. Executed THROUGH Structured Streaming "
+    "inside the gate (availableNow drain).",
+    tags=("streaming", "privacy", "incremental"),
+)
+def q220_streaming_erasure(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        read_erasure_audit,
+        run_streaming_erasure,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"q220_{tag}")
+    stage = os.path.join(base, "requests")
+    table = os.path.join(base, "table")
+    audit = os.path.join(base, "audit")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    c = read_table(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    c.select(*cols).write.parquet(table)
+    subj = c.filter(
+        (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_custkey") < 100)
+    ).select("c_custkey")
+    # stage the request stream as several files -> several batches
+    subj.filter(F.col("c_custkey") % 2 == 0).write.mode("append").parquet(stage)
+    subj.filter(F.col("c_custkey") % 2 == 1).write.mode("append").parquet(stage)
+    stream = (
+        spark.readStream.schema("c_custkey bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    run_streaming_erasure(stream, table, ckpt, "c_custkey", cols, audit)
+    return read_erasure_audit(spark, audit)

@@ -561,3 +561,125 @@ def run_streaming_scd2(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_erasure(
+    requests: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    digest_cols: list[str],
+    audit_path: str,
+) -> None:
+    """Streaming right-to-be-forgotten: deletion requests arrive as a
+    STREAM of subject ids and each micro-batch purges them from the
+    stored table, appending an audit partial ``(epoch_id, n_erased,
+    n_remaining, released_digest)`` — the
+    :func:`~bigdata_kafka_2_spark.operators.incremental.erasure_audit`
+    proof discipline made continuous: at any moment the LATEST audit
+    row is the exact content digest the live table must hash to, so a
+    compliance check never rescans history to know the store is
+    clean. (Deletion requests in production ARE a stream — arrival-
+    batched, not a quarterly job.)
+
+    Idempotent by construction: re-applying a batch after checkpoint-
+    recovery erases nothing new (the ids are already gone) and
+    appends an audit row with the SAME digest; epoch ids keep the
+    audit trail replay-dedupable (the q212 discipline). Any batching
+    of the same request set converges to the same table and the same
+    final digest — set difference commutes with union of the removal
+    sets.
+
+    Per-batch plan: the batch's ids deduplicate (batch-sized),
+    BROADCAST onto one left-anti join (the purge) and the audit's
+    count/digest reduce in one map-side aggregate over the kept rows;
+    the table swap is the q132 atomic rename. Table rows shuffle
+    nowhere.
+    """
+    import os
+    import shutil
+
+    from bigdata_kafka_2_spark.operators.incremental import (
+        row_digest_column,
+    )
+
+    tmp = table_path.rstrip("/") + "__erase_tmp"
+    old = table_path.rstrip("/") + "__erase_old"
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        if os.path.exists(old) and not os.path.exists(table_path):
+            os.rename(old, table_path)
+        for stale in (tmp, old):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        ids = F.broadcast(
+            batch_df.select(F.col(batch_df.columns[0]).alias(key_col))
+            .distinct()
+        )
+        current = spark.read.parquet(table_path)
+        n_before = current.count()
+        kept = current.join(ids, on=key_col, how="left_anti")
+        kept.write.mode("overwrite").parquet(tmp)
+        os.rename(table_path, old)
+        os.rename(tmp, table_path)
+        shutil.rmtree(old, ignore_errors=True)
+        released = spark.read.parquet(table_path)
+        h = row_digest_column(released, digest_cols)
+        (
+            released.agg(
+                F.count(F.lit(1)).cast("long").alias("n_remaining"),
+                F.coalesce(
+                    F.sum(h), F.lit(0).cast("decimal(38,0)")
+                )
+                .cast("decimal(38,0)")
+                .cast("string")
+                .alias("released_digest"),
+            )
+            .select(
+                F.lit(int(epoch_id)).alias("epoch_id"),
+                (F.lit(n_before) - F.col("n_remaining"))
+                .cast("long")
+                .alias("n_erased"),
+                "n_remaining",
+                "released_digest",
+            )
+            .write.mode("append")
+            .parquet(audit_path)
+        )
+
+    q = (
+        requests.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_erasure_audit(spark: SparkSession, audit_path: str) -> DataFrame:
+    """The audit trail's verdict: total rows erased across all epochs
+    plus the LIVE table's required content hash — one row
+    ``(n_erased_total, n_remaining, released_digest)`` taken from the
+    latest epoch (per-epoch max dedups crash replays, which append
+    identical content under the same epoch id)."""
+    per_epoch = (
+        spark.read.parquet(audit_path)
+        .groupBy("epoch_id")
+        .agg(
+            F.max("n_erased").alias("n_erased"),
+            F.max("n_remaining").alias("n_remaining"),
+            F.max("released_digest").alias("released_digest"),
+        )
+    )
+    last = per_epoch.orderBy(F.col("epoch_id").desc()).limit(1)
+    totals = per_epoch.agg(
+        F.sum("n_erased").cast("long").alias("n_erased_total")
+    )
+    return totals.crossJoin(F.broadcast(last)).select(
+        "n_erased_total",
+        "n_remaining",
+        "released_digest",
+    )

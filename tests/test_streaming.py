@@ -620,3 +620,51 @@ def test_streaming_scd2_equals_single_batch(spark, tmp_path):
     a = run(multi, tmp_path / "t1", tmp_path / "c1", 1)
     b = run(single, tmp_path / "t2", tmp_path / "c2", 100)
     assert a == b and len(a) == 21
+
+
+def test_streaming_erasure_idempotent_and_digest_consistent(spark, tmp_path):
+    """Purge-as-a-stream: multi-batch erasure converges to the anti-
+    join table, the latest audit digest equals dataset_digest of the
+    live table, replay over a fresh checkpoint erases nothing new and
+    reproduces the same digest."""
+    import pandas as pd
+
+    from bigdata_kafka_2_spark.operators.incremental import (
+        dataset_digest,
+    )
+
+    table = str(tmp_path / "table")
+    audit = str(tmp_path / "audit")
+    spark.createDataFrame(
+        [(i, f"name{i}") for i in range(100)], "k long, name string"
+    ).write.parquet(table)
+    src = tmp_path / "req"
+    src.mkdir()
+    pd.DataFrame({"k": [1, 5, 9]}).to_parquet(src / "a.parquet")
+    pd.DataFrame({"k": [5, 50, 77]}).to_parquet(src / "b.parquet")
+
+    def stream():
+        return (
+            spark.readStream.schema("k bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    ING.run_streaming_erasure(
+        stream(), table, str(tmp_path / "c1"), "k", ["k", "name"], audit
+    )
+    verdict = ING.read_erasure_audit(spark, audit).collect()[0]
+    live = spark.read.parquet(table)
+    assert verdict.n_erased_total == 5  # k=5 erased once only
+    assert verdict.n_remaining == 95 == live.count()
+    want = dataset_digest(live, ["k", "name"]).collect()[0]
+    assert verdict.released_digest == want.digest
+    assert live.filter(F.col("k").isin([1, 5, 9, 50, 77])).count() == 0
+
+    # full replay, fresh checkpoint: nothing new erased, same digest
+    ING.run_streaming_erasure(
+        stream(), table, str(tmp_path / "c2"), "k", ["k", "name"], audit
+    )
+    v2 = ING.read_erasure_audit(spark, audit).collect()[0]
+    assert v2.n_remaining == 95
+    assert v2.released_digest == verdict.released_digest
