@@ -243,6 +243,7 @@ HEADLINE = (
     "q218_retention_curve",
     "q219_benford_profile",
     "q220_streaming_erasure",
+    "q221_theil_sen_trend",
 )
 
 

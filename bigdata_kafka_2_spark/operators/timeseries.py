@@ -949,3 +949,89 @@ def seasonal_anomalies(
         .drop("__dow", "__base")
     )
     return mad_outliers(r, "residual", threshold=threshold)
+
+
+def theil_sen_trend(
+    series: DataFrame,
+    x_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend over a one-row-per-period series: one
+    row ``(n_periods, slope, intercept)`` where ``slope`` is the
+    MEDIAN of all pairwise slopes (v_j − v_i)/(x_j − x_i) and
+    ``intercept`` the median of per-point residual intercepts
+    v_i − slope·x_i. The robust member of the trend/drift family:
+    the OLS line (q129's Zipf fit discipline) moves with a single
+    corrupted period, Theil–Sen tolerates up to ~29% outliers — the
+    estimator a monitoring view should fit through spiky activity
+    data before alerting on its direction. ``x_col`` must be exact
+    integer units (epoch days, period indexes); gaps are honest
+    (the true axis, not row position).
+
+    Determinism: every pairwise slope divides two integer-derived
+    values identically on both engines; the median is an EXACT rank
+    selection under the total order (slope, i, j) — ties broken by
+    the pair coordinates — so both engines select the same element
+    (lower median), rounded only on output.
+
+    Plan shape: the pair frame is |periods|² /2 rows — bounded by the
+    PERIOD count (a series that was already aggregated once), never
+    the event volume; rank selection runs through the range-bucketed
+    :func:`~bigdata_kafka_2_spark.operators.relational.
+    global_row_number` (no single-partition window); the selected
+    1-row slope and the pair/point counts ride broadcasts.
+    """
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_row_number,
+    )
+
+    a = series.select(
+        F.col(x_col).cast("long").alias("__i"),
+        F.col(value_col).cast("long").alias("__vi"),
+    )
+    b = series.select(
+        F.col(x_col).cast("long").alias("__j"),
+        F.col(value_col).cast("long").alias("__vj"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("__j") > F.col("__i"))
+        .select(
+            "__i",
+            "__j",
+            (
+                (F.col("__vj") - F.col("__vi")).cast("double")
+                / (F.col("__j") - F.col("__i")).cast("double")
+            ).alias("__s"),
+        )
+    )
+    ranked = global_row_number(pairs, ["__s", "__i", "__j"], rn_col="__rn")
+    m = pairs.agg(F.count(F.lit(1)).alias("__m"))
+    slope_row = (
+        ranked.crossJoin(F.broadcast(m))
+        .filter(
+            F.col("__rn") == F.floor((F.col("__m") + 1) / 2).cast("long")
+        )
+        .select(F.col("__s").alias("__slope"))
+    )
+    resid = a.crossJoin(F.broadcast(slope_row)).select(
+        "__i",
+        (
+            F.col("__vi").cast("double")
+            - F.col("__slope") * F.col("__i").cast("double")
+        ).alias("__b"),
+        "__slope",
+    )
+    rranked = global_row_number(resid, ["__b", "__i"], rn_col="__rn")
+    k = series.agg(F.count(F.lit(1)).alias("__k"))
+    return (
+        rranked.crossJoin(F.broadcast(k))
+        .filter(
+            F.col("__rn") == F.floor((F.col("__k") + 1) / 2).cast("long")
+        )
+        .select(
+            F.col("__k").cast("long").alias("n_periods"),
+            F.round("__slope", 6).alias("slope"),
+            F.round("__b", 6).alias("intercept"),
+        )
+    )

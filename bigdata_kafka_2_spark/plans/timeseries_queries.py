@@ -909,3 +909,66 @@ def q218_retention_curve(
         "n_active",
         "retention",
     )
+
+
+@register(
+    "q221_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS x,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.x AS i, b.x AS j,
+             (b.v - a.v) * 1.0 / (b.x - a.x) AS s
+      FROM daily a JOIN daily b ON b.x > a.x
+    ),
+    m AS (SELECT count(*) AS m FROM pairs),
+    ranked AS (
+      SELECT s, row_number() OVER (ORDER BY s, i, j) AS rn FROM pairs
+    ),
+    slope AS (SELECT s FROM ranked, m WHERE rn = (m + 1) // 2),
+    resid AS (
+      SELECT d.x, d.v - s.s * d.x AS b FROM daily d, slope s
+    ),
+    k AS (SELECT count(*) AS k FROM resid),
+    rranked AS (
+      SELECT b, row_number() OVER (ORDER BY b, x) AS rn FROM resid
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_periods,
+           round((SELECT s FROM slope), 6) AS slope,
+           round((SELECT b FROM rranked, k WHERE rn = (k + 1) // 2), 6)
+             AS intercept
+    """,
+    description="Theil-Sen robust trend over daily event counts "
+    "(operators/timeseries.theil_sen_trend): the MEDIAN of all "
+    "pairwise slopes plus the median residual intercept — the "
+    "robust member of the trend/drift family (an OLS line moves "
+    "with a single corrupted day; Theil-Sen tolerates ~29% "
+    "outliers), fitting through spiky activity before a monitor "
+    "alerts on direction. x is exact epoch days (gaps stay honest). "
+    "Every pairwise slope divides integer-derived values "
+    "identically on both engines and the median is an exact rank "
+    "selection under the total order (slope, i, j) — both engines "
+    "pick the same element, rounded only on output. The pair frame "
+    "is periods-squared (bounded by the already-aggregated series, "
+    "never event volume); rank selection rides the range-bucketed "
+    "global_row_number, counts and the 1-row slope broadcast.",
+    tags=("timeseries", "profile", "aggregate"),
+)
+def q221_theil_sen_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("x")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    return theil_sen_trend(daily, "x", "v")

@@ -3304,3 +3304,25 @@ def test_benford_profile_planted(spark):
         assert r.p_exp == round(math.log10(1 + 1 / d), 6)
         assert r.excess == round(r.n_obs / 9 - math.log10(1 + 1 / d), 6)
     assert sum(r.n_obs for r in rows.values()) == 9
+
+
+def test_theil_sen_robust_to_outliers(spark):
+    """Exact line recovery through a wild outlier (OLS would move);
+    even/odd pair counts both select the lower median
+    deterministically; gaps in x are honest."""
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    rows = [(x, 3 * x + 2) for x in range(21)]
+    rows[7] = (7, 1000)  # wild outlier
+    df = spark.createDataFrame(rows, "x long, v long")
+    r = theil_sen_trend(df, "x", "v").collect()[0]
+    assert (r.n_periods, r.slope, r.intercept) == (21, 3.0, 2.0)
+
+    # gap in x: slope still per-unit-x, not per-row
+    gapped = spark.createDataFrame(
+        [(0, 2), (1, 5), (10, 32), (11, 35)], "x long, v long"
+    )
+    g = theil_sen_trend(gapped, "x", "v").collect()[0]
+    assert (g.slope, g.intercept) == (3.0, 2.0)

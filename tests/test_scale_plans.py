@@ -624,3 +624,25 @@ def test_cohort_retention_rates_broadcast(spark):
         cohort_retention(e, "user_id", "ts", grain="week", rates=True)
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_theil_sen_windows_bucket_keyed(spark):
+    """Both median rank selections ride global_row_number's bucket
+    construction — every window spec is __bkt-keyed, never a single-
+    partition order over the pair frame."""
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    e = read_table(spark, SF_DIR, "events")
+    daily = e.groupBy(
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("x")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    plan = _plan(theil_sen_trend(daily, "x", "v"))
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+    ]
+    assert specs
+    assert all("__bkt" in ln for ln in specs)
