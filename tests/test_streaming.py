@@ -668,3 +668,65 @@ def test_streaming_erasure_idempotent_and_digest_consistent(spark, tmp_path):
     v2 = ING.read_erasure_audit(spark, audit).collect()[0]
     assert v2.n_remaining == 95
     assert v2.released_digest == verdict.released_digest
+
+
+def test_streaming_scd2_resume_processes_only_new_files(spark, tmp_path):
+    """Checkpointed resume: after draining two version files, a THIRD
+    appears and a re-run over the same checkpoint folds only it in —
+    the result equals a from-scratch run over all three."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = pd.Timestamp
+
+    def write(i, rows):
+        pd.DataFrame(rows, columns=["k", "ts", "p"]).to_parquet(
+            src / f"f{i}.parquet", coerce_timestamps="us"
+        )
+
+    write(0, [(1, t("2024-01-01"), "a1"), (2, t("2024-01-01"), "b1")])
+    write(1, [(1, t("2024-03-01"), "a2")])
+    schema = "k bigint, ts timestamp, p string"
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(cp):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        ING.run_streaming_scd2(stream, table, cp, ["k"], "ts")
+
+    run(ckpt)
+    # new version arrives AFTER the first drain
+    write(2, [(1, t("2024-02-01"), "a1b"), (2, t("2024-04-01"), "b2")])
+    run(ckpt)  # same checkpoint: only f2 is new input
+
+    def snap(path):
+        return sorted(
+            (r.k, r.p, str(r.valid_from)[:10],
+             str(r.valid_to)[:10] if r.valid_to else None, r.is_current)
+            for r in spark.read.parquet(path).collect()
+        )
+
+    got = snap(table)
+    # from-scratch reference over all three files
+    table2 = str(tmp_path / "table2")
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    ING.run_streaming_scd2(
+        stream2, table2, str(tmp_path / "ckpt2"), ["k"], "ts"
+    )
+    assert got == snap(table2)
+    assert got == [
+        (1, "a1", "2024-01-01", "2024-02-01", False),
+        (1, "a1b", "2024-02-01", "2024-03-01", False),
+        (1, "a2", "2024-03-01", None, True),
+        (2, "b1", "2024-01-01", "2024-04-01", False),
+        (2, "b2", "2024-04-01", None, True),
+    ]
