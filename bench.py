@@ -361,9 +361,15 @@ def main() -> None:
     # unparseable (round 7's fate); qNN keys keep it under ~1 KB with
     # headroom for dozens more queries.
     # 2-dp in the compact line (full 3-dp lives in the detail record)
-    # buys ~1 byte/query of headroom against the ~2 KB tail capture
+    # buys ~1 byte/query of headroom against the ~2 KB tail capture.
+    # Keys are the BARE query numbers ("28" = q28): at 158 queries the
+    # qNN form crossed the 1950-byte guard and collapsed the whole
+    # dict to a see-detail stub — dropping the constant prefix buys
+    # ~160 bytes (room for ~25 more queries) while staying
+    # unambiguous (full names live in BENCH_DETAIL.json).
     short = {
-        name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()
+        name.split("_", 1)[0].lstrip("q"): round(t, 2)
+        for name, t in timings.items()
     }
     assert len(short) == len(timings), "qNN prefixes must stay unique"
     final = json.dumps(
