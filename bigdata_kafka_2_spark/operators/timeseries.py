@@ -1035,3 +1035,95 @@ def theil_sen_trend(
             F.round("__b", 6).alias("intercept"),
         )
     )
+
+
+def kaplan_meier(
+    subjects: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Kaplan–Meier survival curve over right-censored durations: one
+    row per distinct EVENT time ``t`` with ``n_risk`` (subjects whose
+    duration ≥ t), ``n_events`` / ``n_censored`` at t, the cumulative
+    ``log_survival`` and ``survival`` = Π_{s≤t} (1 − d_s/n_s). The
+    survival-analysis member of the retention family: q162/q218's
+    cohort triangles need every subject OBSERVED for the full window,
+    while KM uses censored subjects correctly — the estimator a churn
+    or document-lifetime analysis runs when the observation window
+    cuts lives short (Kaplan & Meier 1958).
+
+    ``subjects`` is one row per subject: integer ``duration_col`` and
+    0/1 ``event_col`` (1 = the terminal event happened at duration,
+    0 = censored there). Censoring-only times don't change S(t), so
+    output rows are event times only — censored mass still leaves the
+    risk set between rows, which is the whole point of KM.
+
+    Determinism (the q80 log discipline): each step's factor enters as
+    ``round(ln((n−d)/n), 6)`` — integer-derived inputs divide
+    identically on both engines — and the cumulative sum runs in
+    exact DECIMAL(38,6), so ``log_survival`` is order-independent and
+    engine-identical; ``survival`` is rounded from it only on output.
+
+    Plan shape: one groupBy collapses subjects to the distinct-
+    duration frame (bounded by the TIME RANGE in integer units, never
+    the subject count); the risk set and the cumulative log both ride
+    the range-bucketed :func:`~bigdata_kafka_2_spark.operators.
+    relational.global_prefix_sum` (no single-partition window); the
+    subject total is a broadcast 1-row aggregate.
+    """
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    g = subjects.groupBy(
+        F.col(duration_col).cast("long").alias("t")
+    ).agg(
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+        F.sum(
+            (F.lit(1) - F.col(event_col).cast("long"))
+        ).alias("n_censored"),
+    )
+    tot = subjects.agg(F.count(F.lit(1)).alias("__N"))
+    # subjects removed (event or censor) strictly before t
+    risk = global_prefix_sum(
+        g.withColumn(
+            "__rem", F.col("n_events") + F.col("n_censored")
+        ),
+        ["t"],
+        "__rem",
+        "__rm",
+    ).crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk", (F.col("__N") - F.col("__rm")).cast("long")
+    )
+    # terminal guard: when the whole risk set dies at t (n_risk ==
+    # n_events — only possible on the LAST event row), ln(0) is
+    # undefined; the step factor is NULL there and survival pins to 0.
+    ev = risk.filter(F.col("n_events") > 0).withColumn(
+        "__term",
+        F.when(
+            F.col("n_risk") > F.col("n_events"),
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("n_events")).cast(
+                        "double"
+                    )
+                    / F.col("n_risk").cast("double")
+                ),
+                6,
+            ).cast("decimal(28,6)"),
+        ),
+    )
+    cum = global_prefix_sum(
+        ev, ["t"], "__term", "__ls0", sum_type="decimal(38,6)"
+    )
+    ls = (F.col("__ls0") + F.col("__term")).cast("decimal(38,6)")
+    return cum.select(
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        ls.cast("double").alias("log_survival"),
+        F.when(F.col("__term").isNull(), F.lit(0.0))
+        .otherwise(F.round(F.exp(ls.cast("double")), 6))
+        .alias("survival"),
+    )
