@@ -14,7 +14,7 @@ from bigdata_kafka_2_spark.plans import register
 
 
 @register(
-    "q80_min_price_per_brand",
+    "q222_min_price_per_brand",
     oracle="""
     SELECT p.p_brand, p.p_partkey, round(p.p_retailprice, 2) AS price
     FROM part p
@@ -24,10 +24,11 @@ from bigdata_kafka_2_spark.plans import register
     """,
     description="TPC-H Q2 shape (correlated min subquery): the "
     "cheapest part(s) per brand. Catalyst decorrelates to an "
-    "aggregate + join.",
+    "aggregate + join. (Renumbered from q80 in r11: the compact "
+    "qNN bench key collided with q80_unigram_logprob.)",
     tags=("subquery", "join", "sql"),
 )
-def q80_min_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q222_min_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     read_table(spark, sf_dir, "part").createOrReplaceTempView("part_v80")
     return spark.sql(
         """
@@ -42,7 +43,7 @@ def q80_min_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q81_promo_revenue_ratio",
+    "q223_promo_revenue_ratio",
     oracle="""
     SELECT round(
              100.0 * sum(CASE WHEN p_type = 'PROMO'
@@ -54,10 +55,12 @@ def q80_min_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
     """,
     description="TPC-H Q14 shape: conditional-aggregate ratio (promo "
-    "revenue share) over a broadcast join + date filter.",
+    "revenue share) over a broadcast join + date filter. "
+    "(Renumbered from q81 in r11: the compact qNN bench key "
+    "collided with q81_curation_v2.)",
     tags=("join", "aggregate"),
 )
-def q81_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q223_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
