@@ -799,3 +799,70 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     raise RuntimeError(
         f"kcore(k={k}) did not converge within {max_rounds} rounds"
     )
+
+
+def adamic_adar_links(edges: DataFrame, top_k: int = 50) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected edge list
+    (columns ``a < b``, distinct): the ``top_k`` NON-edges ranked by
+    ``AA(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/ln(deg z)`` (Adamic & Adar 2003)
+    — common neighbors, discounted by how promiscuous each shared
+    neighbor is. The link-PREDICTION member of the graph family:
+    PageRank/k-core/triangles describe the graph that exists; this
+    scores the edges most likely missing from it (recommendation,
+    knowledge-graph completion, dedup-pair recall auditing).
+
+    Plan shape: degrees and the symmetric neighbor table are two
+    aggregates of the edge list; wedge candidates come from ONE
+    equi-join of the neighbor table with itself on the shared center
+    ``z`` (x < y) — Σ deg(z)² rows, the inherent wedge volume (cap
+    hub centers upstream if the graph has super-nodes, the
+    ``max_doc_freq`` discipline); existing edges drop via one
+    broadcast-able left-anti join and the top-k is a
+    ``TakeOrderedAndProject`` (per-partition heaps), never a global
+    sort. Each center's term ``1/ln(deg z)`` is rounded to 9 dp and
+    summed as exact DECIMAL, so the score — and therefore the
+    (score DESC, x, y) ranking — is partition-order-independent and
+    engine-identical; only the displayed score re-rounds to 6 dp.
+    Centers need deg ≥ 2 to form a wedge, so ln(1) = 0 never divides.
+    """
+    edges = edges.cache()
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    nbr = (
+        edges.select(F.col("a").alias("z"), F.col("b").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("z"), F.col("a").alias("n")))
+    )
+    term = F.round(
+        F.lit(1.0) / F.log(F.col("__deg").cast("double")), 9
+    ).cast("decimal(18,9)")
+    centers = nbr.join(
+        deg.withColumnRenamed("node", "z"), on="z"
+    ).select("z", "n", term.alias("__t"))
+    left = centers.select("z", F.col("n").alias("x"), "__t")
+    right = centers.select("z", F.col("n").alias("y"))
+    wedges = left.join(right, on="z").filter(F.col("x") < F.col("y"))
+    scored = wedges.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("__t").alias("__score"),
+    )
+    non_edges = scored.join(
+        edges.withColumnRenamed("a", "x").withColumnRenamed("b", "y"),
+        on=["x", "y"],
+        how="left_anti",
+    )
+    return (
+        non_edges.orderBy(
+            F.col("__score").desc(), F.col("x"), F.col("y")
+        )
+        .limit(top_k)
+        .select(
+            "x",
+            "y",
+            "n_common",
+            F.round(F.col("__score").cast("double"), 6).alias("aa_score"),
+        )
+    )

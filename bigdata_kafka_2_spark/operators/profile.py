@@ -1416,3 +1416,179 @@ def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
             ).alias("excess"),
         )
     )
+
+
+def mann_whitney_u(
+    a: DataFrame, b: DataFrame, value_col: str
+) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) two-sample test: one
+    row ``(n_a, n_b, r_a, u_a, u_b, cles_a, z)`` comparing the
+    distribution of ``value_col`` between samples ``a`` and ``b`` —
+    the rank-based (median-shift-sensitive) member of the two-sample
+    family next to :func:`ks_test` (max-CDF-gap) and
+    :func:`psi_drift` (binned mass movement): it delivers a single
+    standardized direction+magnitude where KS only says "differs".
+
+    ALL-INTEGER rank construction — ranks are never materialized per
+    row: per pooled DISTINCT value the average tie rank is
+    ``C_v + (c_v + 1)/2`` where ``C_v`` is the exclusive prefix count
+    (range-bucketed :func:`~bigdata_kafka_2_spark.operators.
+    relational.global_prefix_sum`, never a single-partition window)
+    and ``c_v`` the tie size, so the doubled rank-sum
+    ``2·R_A = Σ_v c_v^A·(2·C_v + c_v + 1)`` is an exact integer
+    accumulated as DECIMAL(38,0) (a 10^12-row fact table squares past
+    2^63; decimal overflow is loud, not silent). ``U_A = R_A −
+    n_A(n_A+1)/2``; the tie-corrected normal approximation
+
+        z = (U_A − n_A·n_B/2) / sqrt(n_A·n_B/12·((N+1) − T/(N(N−1))))
+
+    with ``T = Σ_v (c_v³ − c_v)`` divides exact integers once at the
+    end (rounded 6 dp), and ``cles_a = U_A/(n_A·n_B)`` is the
+    common-language effect size. The shuffle carries one row per
+    distinct value; everything else is map-side combined.
+    """
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    v = F.col(value_col).cast("double").alias("__v")
+    pooled = (
+        a.select(v, F.lit(1).alias("__a"), F.lit(0).alias("__b"))
+        .unionByName(
+            b.select(v, F.lit(0).alias("__a"), F.lit(1).alias("__b"))
+        )
+        .groupBy("__v")
+        .agg(F.sum("__a").alias("__ca"), F.sum("__b").alias("__cb"))
+    )
+    dec = "decimal(38,0)"
+    cum = global_prefix_sum(
+        pooled.withColumn("__c", F.col("__ca") + F.col("__cb")),
+        "__v",
+        "__c",
+        out_col="__before",
+        sum_type=dec,
+    )
+    rank2 = (
+        F.lit(2).cast(dec) * F.col("__before").cast(dec)
+        + F.col("__c").cast(dec)
+        + F.lit(1).cast(dec)
+    )
+    t_term = (
+        F.col("__c").cast(dec) * F.col("__c").cast(dec) * F.col("__c").cast(dec)
+        - F.col("__c").cast(dec)
+    )
+    agg = cum.agg(
+        F.sum(F.col("__ca").cast(dec)).alias("__na"),
+        F.sum(F.col("__cb").cast(dec)).alias("__nb"),
+        F.sum(F.col("__ca").cast(dec) * rank2).alias("__r2a"),
+        F.sum(t_term).alias("__t"),
+    )
+    na, nb = F.col("__na"), F.col("__nb")
+    n = na + nb
+    r_a = F.col("__r2a").cast("double") / F.lit(2.0)
+    u_a2 = F.col("__r2a") - na * (na + F.lit(1).cast(dec))
+    u_a = u_a2.cast("double") / F.lit(2.0)
+    u_b = na.cast("double") * nb.cast("double") - u_a
+    mu = na.cast("double") * nb.cast("double") / F.lit(2.0)
+    tie = F.col("__t").cast("double") / (
+        n.cast("double") * (n.cast("double") - F.lit(1.0))
+    )
+    var = (
+        na.cast("double")
+        * nb.cast("double")
+        / F.lit(12.0)
+        * ((n.cast("double") + F.lit(1.0)) - tie)
+    )
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        r_a.alias("r_a"),
+        u_a.alias("u_a"),
+        u_b.alias("u_b"),
+        F.round(
+            u_a / (na.cast("double") * nb.cast("double")), 6
+        ).alias("cles_a"),
+        F.round((u_a - mu) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame, key_col: str, weight_col: str
+) -> DataFrame:
+    """Revenue/mass concentration profile over per-key totals: one row
+    ``(n_keys, total, gini, top1pct_share, top10pct_share)`` — the
+    inequality audit of a corpus or customer base (is 90% of the
+    training mass coming from 1% of the domains?). Complements
+    :func:`skew_profile` (which looks at partition-key skew for JOIN
+    planning) with the economic-concentration view.
+
+    Exact construction: per-key totals sum ``weight_col`` rounded to
+    4 dp as DECIMAL (order-independent); keys are ranked ascending by
+    ``(total, key)`` via the range-bucketed
+    :func:`~bigdata_kafka_2_spark.operators.relational.
+    global_row_number` (never a single-partition window), and
+
+        G = (2·Σ i·x_i − (n+1)·Σ x) / (n·Σ x)
+
+    is assembled from exact DECIMAL(38,4) sums with ONE double
+    division at the end (rounded 6 dp). Top-share numerators are
+    exact DECIMAL sums over the ranked tail (rank > n − ⌈p·n⌉).
+    """
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_row_number,
+    )
+
+    dec = "decimal(38,4)"
+    totals = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.sum(
+            F.round(F.col(weight_col).cast("double"), 4).cast(dec)
+        ).alias("__x")
+    )
+    ranked = global_row_number(totals, ["__x", "__k"], rn_col="__i")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum(F.col("__i").cast(dec) * F.col("__x")).alias("__six"),
+    )
+    n_d = F.col("__n").cast("double")
+    sx_d = F.col("__sx").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("__six").cast("double")
+        - (n_d + F.lit(1.0)) * sx_d
+    ) / (n_d * sx_d)
+    shares = ranked.crossJoin(
+        F.broadcast(agg.select("__n", F.col("__sx").alias("__tot")))
+    )
+    # ⌈n/d⌉ in exact integer arithmetic — ceil(n*0.1) in doubles
+    # rounds 500*0.1 up to 50.000000000000004 and takes 51 keys
+    tail = lambda d: F.sum(  # noqa: E731
+        F.when(
+            F.col("__i")
+            > F.col("__n") - F.expr(f"(__n + {d - 1}) div {d}"),
+            F.col("__x"),
+        ).otherwise(F.lit(0).cast(dec))
+    )
+    top = shares.agg(
+        F.max("__n").alias("__n2"),
+        F.max("__tot").alias("__tot2"),
+        tail(100).alias("__t1"),
+        tail(10).alias("__t10"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(top))
+        .select(
+            F.col("__n").alias("n_keys"),
+            F.round(sx_d, 2).alias("total"),
+            F.round(gini, 6).alias("gini"),
+            F.round(
+                F.col("__t1").cast("double")
+                / F.col("__tot2").cast("double"),
+                6,
+            ).alias("top1pct_share"),
+            F.round(
+                F.col("__t10").cast("double")
+                / F.col("__tot2").cast("double"),
+                6,
+            ).alias("top10pct_share"),
+        )
+    )

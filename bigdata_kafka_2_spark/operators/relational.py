@@ -482,8 +482,11 @@ def global_prefix_sum(
     ``decimal(38,0)`` when the GLOBAL sum can exceed 2^63 (e.g. cents
     across a 100 TB fact table): LONG accumulation would silently
     wrap in non-ANSI mode; decimal accumulation overflows loudly to
-    NULL instead, and the driver-side bucket offsets are exact Python
-    ints either way.
+    NULL instead. Driver-side bucket offsets accumulate as exact
+    Python ints/Decimals — fractional-scale decimals (e.g.
+    ``decimal(38,6)`` for Kaplan-Meier's log-survival) keep their
+    fraction; an ``int()`` here once truncated every bucket offset
+    to 0 and silently zeroed the cross-bucket carry.
     """
     cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     n_buckets = _shuffle_partitions(df)
@@ -509,7 +512,7 @@ def global_prefix_sum(
             off = F.when(
                 F.col("__bkt") == F.lit(b), _typed_lit(acc)
             ).otherwise(off)
-            acc += int(sums.get(b) or 0)
+            acc += sums.get(b) or 0
     w = (
         Window.partitionBy("__bkt")
         .orderBy(*[F.col(c) for c in cols])

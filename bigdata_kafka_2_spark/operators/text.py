@@ -1733,3 +1733,110 @@ def readability_scores(
         sentences.cast("long").alias("n_sentences"),
         syllables.cast("long").alias("n_syllables"),
     ).withColumn("flesch", score)
+
+
+#: RAKE phrase-boundary stopword list — intentionally tiny and FIXED
+#: (the operator's contract is "phrases break at these words"); a
+#: production run swaps in a per-language list.
+RAKE_STOPWORDS: tuple[str, ...] = ("a", "the", "and", "of", "to", "in")
+
+
+def rake_keyphrases(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 25,
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    ``degree/frequency`` over the phrase corpus (degree = Σ length of
+    phrases containing it, counting multiplicity — co-occurrence
+    within a phrase, including self); a phrase scores the sum of its
+    words' scores. Returns the ``top_k`` distinct phrases by
+    ``(score DESC, phrase)`` with ``(phrase, n_words, n_occurrences,
+    score)`` — the unsupervised keyword/topic surfacing step of a
+    corpus audit, the single-document-free complement to
+    :func:`tfidf_scores` (which needs a query) and
+    :func:`pmi_top_pairs` (pairs only, no phrase ranking).
+
+    Plan shape: phrase assembly is one posexplode + a per-document
+    gaps-and-islands window (``pos − rank-among-content-tokens`` —
+    keyed by document, so the window never needs a global sort);
+    word stats are one map-side-combined aggregate over the exploded
+    phrase words; the phrase score re-joins word scores on the word
+    key and aggregates per phrase. Word scores ``degree/freq`` are
+    rationals — each is rounded to 9 dp and summed as exact DECIMAL,
+    so phrase scores are order-independent and engine-identical; the
+    top-k is a ``TakeOrderedAndProject``. Shuffles are keyed by word
+    and phrase (both heavy-hitter-bounded: a word's posting count,
+    never document count × vocab).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("__d"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("__p", "__w"),
+    )
+    is_stop = F.col("__w").isin(*stopwords)
+    content = toks.filter(~is_stop)
+    w = Window.partitionBy("__d").orderBy("__p")
+    islands = content.withColumn(
+        "__isl", F.col("__p") - F.row_number().over(w)
+    )
+    phrases = (
+        islands.groupBy("__d", "__isl")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__p", "__w"))
+            ).alias("__pw"),
+        )
+        .select(F.transform("__pw", lambda s: s["__w"]).alias("__words"))
+        .select(
+            F.concat_ws(" ", "__words").alias("phrase"),
+            "__words",
+            F.size("__words").alias("__len"),
+        )
+    )
+    words = phrases.select(
+        F.explode("__words").alias("word"), "__len"
+    )
+    stats = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("__freq"),
+        F.sum("__len").alias("__degree"),
+    )
+    wscore = F.round(
+        F.col("__degree").cast("double") / F.col("__freq").cast("double"), 9
+    ).cast("decimal(18,9)")
+    scored_words = stats.select("word", wscore.alias("__ws"))
+    # one row per DISTINCT phrase — its word multiset is determined by
+    # the phrase string itself, so score each phrase once, not once
+    # per occurrence
+    occ = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("__len").cast("int").alias("n_words"),
+    )
+    phrase_words = occ.select(
+        "phrase", F.explode(F.split("phrase", " ")).alias("word")
+    )
+    phrase_scores = (
+        phrase_words.join(scored_words, on="word")
+        .groupBy("phrase")
+        .agg(F.sum("__ws").alias("__score"))
+    )
+    return (
+        phrase_scores.join(occ, on="phrase")
+        .orderBy(F.col("__score").desc(), F.col("phrase"))
+        .limit(top_k)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            F.round(F.col("__score").cast("double"), 6).alias("score"),
+        )
+    )

@@ -1127,3 +1127,78 @@ def kaplan_meier(
         .otherwise(F.round(F.exp(ls.cast("double")), 6))
         .alias("survival"),
     )
+
+
+def autocorrelation(
+    series: DataFrame,
+    x_col: str,
+    v_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation function of an integer-valued regular
+    series at lags 1..``max_lag``: ``(lag, n_pairs, acf)`` — the
+    period-detection / residual-whiteness primitive next to
+    :func:`seasonal_anomalies` (which ASSUMES a weekly period; the
+    ACF is how that period is found) and :func:`cusum_changepoint`
+    (whose level-shift alarms show up here as slowly-decaying lags).
+
+    ``series`` is one row per integer period ``x_col`` (e.g. epoch
+    day) with an integer measure ``v_col``; gap periods are simply
+    absent and contribute no lagged pair (documented small-sample
+    behavior; run through a zero-filled resample first if gaps must
+    count as zero). r_k uses the full-series mean μ = S/n in the exact
+    integer form (multiply through by n²):
+
+        r_k = (n²·Σxy − n·S·(Σh+Σt) + n_k·S²) / (n·(n·Σx² − S²))
+
+    where Σxy/Σh/Σt run over the n_k lag-k pairs. Every sum
+    accumulates as exact DECIMAL (a count series squares past 2^63
+    on a 100 TB event table); the final combination casts those
+    identical integers to double and both engines evaluate the SAME
+    left-associated expression (rounded 6 dp) — IEEE doubles are
+    deterministic given identical inputs and operation order.
+
+    Plan shape: the series is already aggregated (bounded by the time
+    range, not event volume); the lag pairing is one equi-join of the
+    series against itself exploded by the ``max_lag`` offsets, then a
+    per-lag aggregate and a broadcast 1-row totals join.
+    """
+    dec = "decimal(38,0)"
+    v = F.col(v_col).cast(dec)
+    tot = series.agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__sxx"),
+    )
+    head = series.select(
+        F.col(x_col).alias("__x"),
+        F.col(v_col).cast(dec).alias("__vh"),
+    ).withColumn(
+        "lag", F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)]))
+    )
+    tail_ = series.select(
+        F.col(x_col).alias("__xt"),
+        F.col(v_col).cast(dec).alias("__vt"),
+    )
+    pairs = head.join(
+        tail_, head["__x"] + head["lag"] == tail_["__xt"]
+    )
+    per_lag = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(dec).alias("__nk"),
+        F.sum(F.col("__vh") * F.col("__vt")).alias("__sxy"),
+        F.sum("__vh").alias("__sh"),
+        F.sum("__vt").alias("__st"),
+    )
+    j = per_lag.crossJoin(F.broadcast(tot))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = (
+        d("__n") * d("__n") * d("__sxy")
+        - d("__n") * d("__s") * (d("__sh") + d("__st"))
+        + d("__nk") * d("__s") * d("__s")
+    )
+    den = d("__n") * (d("__n") * d("__sxx") - d("__s") * d("__s"))
+    return j.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("__nk").cast("long").alias("n_pairs"),
+        F.round(num / den, 6).alias("acf"),
+    )

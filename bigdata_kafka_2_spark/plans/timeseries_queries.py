@@ -972,3 +972,169 @@ def q221_theil_sen_trend(
         ).alias("x")
     ).agg(F.count(F.lit(1)).alias("v"))
     return theil_sen_trend(daily, "x", "v")
+
+
+@register(
+    "q224_kaplan_meier",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    firsts AS (
+      SELECT o_custkey,
+             min(CASE WHEN rn = 1 THEN d END) AS d1,
+             min(CASE WHEN rn = 2 THEN d END) AS d2
+      FROM ranked GROUP BY 1
+    ),
+    mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS md FROM orders),
+    subj AS (
+      SELECT CASE WHEN d2 IS NOT NULL THEN date_diff('day', d1, d2)
+                  ELSE date_diff('day', d1, md) END AS t,
+             CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS e
+      FROM firsts, mx
+    ),
+    g AS (
+      SELECT t, CAST(sum(e) AS BIGINT) AS d,
+             CAST(sum(1 - e) AS BIGINT) AS c
+      FROM subj GROUP BY t
+    ),
+    cum AS (
+      SELECT t, d, c,
+             coalesce(sum(d + c) OVER (
+               ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS rm
+      FROM g
+    ),
+    tot AS (SELECT count(*) AS N FROM subj),
+    ev AS (
+      SELECT t, (N - rm) AS n_risk, d AS n_events, c AS n_censored,
+             CASE WHEN (N - rm) > d THEN
+               CAST(round(ln(CAST((N - rm) - d AS DOUBLE)
+                             / CAST(N - rm AS DOUBLE)), 6)
+                    AS DECIMAL(28,6)) END AS term
+      FROM cum, tot WHERE d > 0
+    ),
+    cl AS (
+      SELECT t, n_risk, n_events, n_censored, term,
+             CAST(sum(term) OVER (ORDER BY t) AS DECIMAL(38,6)) AS ls
+      FROM ev
+    )
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+           CAST(CASE WHEN term IS NULL THEN NULL ELSE ls END
+                AS DOUBLE) AS log_survival,
+           CASE WHEN term IS NULL THEN 0.0
+                ELSE round(exp(CAST(ls AS DOUBLE)), 6) END AS survival
+    FROM cl
+    """,
+    description="Kaplan-Meier survival curve for time-to-repeat-"
+    "purchase (operators/timeseries.kaplan_meier): duration = days "
+    "from a customer's first order to their second; customers who "
+    "never reorder are RIGHT-CENSORED at the corpus's last order "
+    "date — the estimator that uses them correctly, where q162/q218's "
+    "cohort triangles must drop incompletely-observed subjects "
+    "(Kaplan & Meier 1958). One keyed window ranks each customer's "
+    "orders; the curve itself runs on the distinct-duration frame "
+    "(bounded by the day range, never customer count): risk sets and "
+    "the cumulative log-survival both ride the range-bucketed "
+    "global_prefix_sum — no single-partition window, which is what "
+    "the oracle's naive OVER (ORDER BY t) transcribes. Step factors "
+    "enter as round(ln((n-d)/n), 6) summed in exact DECIMAL(38,6), "
+    "so log_survival is order-independent and engine-identical; the "
+    "terminal all-die row pins survival to 0 without touching ln(0).",
+    tags=("timeseries", "profile", "aggregate"),
+)
+def q224_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bigdata_kafka_2_spark.operators.timeseries import kaplan_meier
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    firsts = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+    )
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("md"))
+    subjects = firsts.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff("d2", "d1")
+        )
+        .otherwise(F.datediff("md", "d1"))
+        .alias("duration"),
+        F.when(F.col("d2").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("event"),
+    )
+    return kaplan_meier(subjects)
+
+
+@register(
+    "q227_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS x,
+             CAST(count(*) AS DECIMAL(38,0)) AS v
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+             sum(v) AS s, sum(v * v) AS sxx
+      FROM daily
+    ),
+    lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS k),
+    pairs AS (
+      SELECT l.k, a.v AS vh, b.v AS vt
+      FROM daily a JOIN lags l ON true
+        JOIN daily b ON b.x = a.x + l.k
+    ),
+    per AS (
+      SELECT k, CAST(count(*) AS DECIMAL(38,0)) AS nk,
+             sum(vh * vt) AS sxy, sum(vh) AS sh, sum(vt) AS st
+      FROM pairs GROUP BY k
+    )
+    SELECT CAST(k AS INTEGER) AS lag, CAST(nk AS BIGINT) AS n_pairs,
+           round((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * CAST(sxy AS DOUBLE)
+                  - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+                    * (CAST(sh AS DOUBLE) + CAST(st AS DOUBLE))
+                  + CAST(nk AS DOUBLE) * CAST(s AS DOUBLE)
+                    * CAST(s AS DOUBLE))
+                 / (CAST(n AS DOUBLE)
+                    * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))),
+                 6) AS acf
+    FROM per, tot
+    """,
+    description="Sample autocorrelation of daily event counts at lags "
+    "1-7 (operators/timeseries.autocorrelation): the period-detection "
+    "primitive that JUSTIFIES q209's assumed weekly seasonality and "
+    "flags q204-style level shifts as slowly-decaying lags. The "
+    "series is the already-aggregated daily frame (bounded by the "
+    "day range, never event volume); lag pairing is one equi-join of "
+    "the series against itself exploded by 7 offsets; every sum "
+    "(Σxy, Σx, Σx²) accumulates as exact DECIMAL, and both engines "
+    "combine those identical integers through the same left-"
+    "associated double expression — one rounded division per lag.",
+    tags=("timeseries", "aggregate"),
+)
+def q227_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import autocorrelation
+
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("x")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    return autocorrelation(daily, "x", "v", max_lag=7)

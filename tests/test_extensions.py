@@ -3326,3 +3326,107 @@ def test_theil_sen_robust_to_outliers(spark):
     )
     g = theil_sen_trend(gapped, "x", "v").collect()[0]
     assert (g.slope, g.intercept) == (3.0, 2.0)
+
+
+def test_global_prefix_sum_fractional_decimal_offsets(spark):
+    """Fractional-scale decimal accumulation carries the FRACTION
+    across bucket boundaries — the driver-side offsets once ran
+    through int(), which truncated every sub-unit bucket sum to 0
+    and zeroed the cross-bucket carry (caught by Kaplan-Meier's
+    log-survival, whose per-step terms are all in (-1, 0))."""
+    from decimal import Decimal
+
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, Decimal("-0.001000")) for i in range(200)],
+        "i long, v decimal(38,6)",
+    )
+    out = (
+        global_prefix_sum(df, ["i"], "v", "cum", sum_type="decimal(38,6)")
+        .orderBy("i")
+        .collect()
+    )
+    assert [r.cum for r in out] == [
+        Decimal(-i) / 1000 for i in range(200)
+    ]
+
+
+def test_kaplan_meier_hand_checked(spark):
+    """Textbook KM fixture: 5 subjects, durations/events
+    (1,1) (2,1) (2,0) (3,1) (4,0) ->
+    S(1)=4/5, S(2)=4/5*3/4=3/5, S(3)=3/5*1/2=3/10; the censored
+    subject at 2 leaves the risk set between steps."""
+    import math
+
+    from bigdata_kafka_2_spark.operators.timeseries import kaplan_meier
+
+    subj = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 0), (3, 1), (4, 0)],
+        "duration long, event long",
+    )
+    rows = {r.t: r for r in kaplan_meier(subj).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert (rows[1].n_risk, rows[1].n_events) == (5, 1)
+    assert (rows[2].n_risk, rows[2].n_events, rows[2].n_censored) == (4, 1, 1)
+    assert (rows[3].n_risk, rows[3].n_events) == (2, 1)
+    assert abs(rows[1].survival - 0.8) < 1e-5
+    assert abs(rows[2].survival - 0.6) < 1e-5
+    assert abs(rows[3].survival - 0.3) < 1e-5
+    for t, s in ((1, 0.8), (2, 0.6), (3, 0.3)):
+        assert abs(rows[t].log_survival - math.log(s)) < 1e-4
+
+
+def test_kaplan_meier_terminal_row_pins_zero(spark):
+    """When the whole remaining risk set dies at the last event time,
+    survival is 0 and ln(0) is never evaluated."""
+    from bigdata_kafka_2_spark.operators.timeseries import kaplan_meier
+
+    subj = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 1)], "duration long, event long"
+    )
+    rows = {r.t: r for r in kaplan_meier(subj).collect()}
+    assert rows[2].survival == 0.0
+    assert rows[2].log_survival is None
+    assert abs(rows[1].survival - (2.0 / 3.0)) < 1e-5
+
+
+def test_autocorrelation_matches_direct_formula(spark):
+    """ACF at lags 1..3 equals the direct full-series-mean estimator
+    r_k = sum((x_t-mu)(x_{t+k}-mu)) / sum((x_t-mu)^2); an alternating
+    series gives r_1 ~ -1-ish, r_2 positive."""
+    from bigdata_kafka_2_spark.operators.timeseries import autocorrelation
+
+    vals = [3, 7, 2, 8, 1, 9, 4, 6]
+    df = spark.createDataFrame(
+        list(enumerate(vals)), "x long, v long"
+    )
+    got = {
+        r.lag: (r.n_pairs, r.acf)
+        for r in autocorrelation(df, "x", "v", max_lag=3).collect()
+    }
+    n = len(vals)
+    mu = sum(vals) / n
+    den = sum((v - mu) ** 2 for v in vals)
+    for k in (1, 2, 3):
+        num = sum(
+            (vals[t] - mu) * (vals[t + k] - mu) for t in range(n - k)
+        )
+        assert got[k][0] == n - k
+        assert abs(got[k][1] - num / den) < 1e-6
+
+
+def test_autocorrelation_gap_periods_drop_pairs(spark):
+    """A missing period contributes no lag pair on either side."""
+    from bigdata_kafka_2_spark.operators.timeseries import autocorrelation
+
+    df = spark.createDataFrame(
+        [(0, 5), (1, 6), (3, 7), (4, 8)], "x long, v long"
+    )
+    got = {r.lag: r.n_pairs for r in autocorrelation(df, "x", "v", 2).collect()}
+    # present x: 0,1,3,4 -> lag-1 pairs: 0->1, 3->4; lag-2: only 1->3
+    # (0->2 and 3->5 need the absent periods 2 and 5)
+    assert got[1] == 2
+    assert got[2] == 1
