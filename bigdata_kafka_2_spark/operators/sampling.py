@@ -162,6 +162,7 @@ def weighted_sample(
     k: int,
     key_col: str,
     seed: int = 42,
+    u=None,
 ) -> DataFrame:
     """Weighted sample WITHOUT replacement of size ``k`` — the
     Efraimidis–Spirakis A-ES scheme: each row draws an exponential
@@ -174,11 +175,14 @@ def weighted_sample(
 
     Deterministic for a fixed (key, seed): re-runs and re-partitions
     yield the same sample (the engine's sampling contract). Rows with
-    weight <= 0 never win.
+    weight <= 0 never win. ``u`` overrides the uniform column (the
+    oracle-transcribable md5_15 uniform for hash-checked queries;
+    default is the production seeded-xxhash64 bucket).
     """
-    u = (hash_bucket(key_col, seed, _BUCKETS) + 1) / F.lit(
-        float(_BUCKETS + 1)
-    )  # uniform in (0, 1]
+    if u is None:
+        u = (hash_bucket(key_col, seed, _BUCKETS) + 1) / F.lit(
+            float(_BUCKETS + 1)
+        )  # uniform in (0, 1]
     ekey = -F.log(u) / F.col(weight_col).cast("double")
     return (
         df.filter(F.col(weight_col) > 0)

@@ -2858,3 +2858,194 @@ def q219_benford_profile(
 
     o = read_table(spark, sf_dir, "orders")
     return benford_profile(o, "o_totalprice")
+
+
+@register(
+    "q225_mann_whitney",
+    oracle="""
+    WITH pooled AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS a,
+             CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END
+               AS b
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    cells AS (
+      SELECT v, sum(a) AS ca, sum(b) AS cb, sum(a) + sum(b) AS c
+      FROM pooled GROUP BY v
+    ),
+    cum AS (
+      SELECT ca, cb, c,
+             coalesce(sum(c) OVER (
+               ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM cells
+    ),
+    agg AS (
+      SELECT sum(ca) AS na, sum(cb) AS nb,
+             sum(ca * (2 * before + c + 1)) AS r2a,
+             sum(c * c * c - c) AS t
+      FROM cum
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(r2a AS DOUBLE) / 2.0 AS r_a,
+           CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 AS u_a,
+           CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+             - CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 AS u_b,
+           round((CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0)
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+             AS cles_a,
+           round((CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0
+                  - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+                 / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                        / 12.0
+                        * ((CAST(na + nb AS DOUBLE) + 1.0)
+                           - CAST(t AS DOUBLE)
+                             / (CAST(na + nb AS DOUBLE)
+                                * (CAST(na + nb AS DOUBLE) - 1.0)))),
+                 6) AS z
+    FROM agg
+    """,
+    description="Exact Mann-Whitney U / Wilcoxon rank-sum test "
+    "(operators/profile.mann_whitney_u) between URGENT and LOW "
+    "order-value distributions — the rank-based member of the "
+    "two-sample family next to q192's KS (max CDF gap) and q184's "
+    "PSI (binned mass): one standardized direction+magnitude "
+    "statistic, robust to outliers that wreck a t-test. Ranks are "
+    "NEVER materialized per row: per pooled distinct value the "
+    "tie-averaged rank is C_v + (c_v+1)/2 from the range-bucketed "
+    "exclusive prefix count (no single-partition window — the "
+    "oracle's naive OVER (ORDER BY v) transcribes it), so the "
+    "doubled rank-sum, U, and the tie correction T = Σ(c³-c) are "
+    "exact integers in DECIMAL(38,0) (a 10^12-row table squares "
+    "past 2^63); the z/effect-size divisions are the only doubles, "
+    "evaluated through the same association on both engines.",
+    tags=("profile", "aggregate"),
+)
+def q225_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import mann_whitney_u
+
+    o = read_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_totalprice"
+    )
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        "o_totalprice"
+    )
+    return mann_whitney_u(a, b, "o_totalprice")
+
+
+@register(
+    "q226_gini_concentration",
+    oracle="""
+    WITH totals AS (
+      SELECT o_custkey AS k,
+             sum(CAST(round(CAST(o_totalprice AS DOUBLE), 4)
+                      AS DECIMAL(38,4))) AS x
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, k) AS i FROM totals
+    ),
+    agg AS (
+      SELECT count(*) AS n, sum(x) AS sx,
+             sum(CAST(i AS DECIMAL(38,4)) * x) AS six
+      FROM ranked
+    ),
+    top AS (
+      SELECT sum(CASE WHEN i > n - (n + 99) // 100 THEN x
+                      ELSE CAST(0 AS DECIMAL(38,4)) END) AS t1,
+             sum(CASE WHEN i > n - (n + 9) // 10 THEN x
+                      ELSE CAST(0 AS DECIMAL(38,4)) END) AS t10
+      FROM ranked, agg
+    )
+    SELECT CAST(n AS BIGINT) AS n_keys,
+           round(CAST(sx AS DOUBLE), 2) AS total,
+           round((2.0 * CAST(six AS DOUBLE)
+                  - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS gini,
+           round(CAST(t1 AS DOUBLE) / CAST(sx AS DOUBLE), 6)
+             AS top1pct_share,
+           round(CAST(t10 AS DOUBLE) / CAST(sx AS DOUBLE), 6)
+             AS top10pct_share
+    FROM agg, top
+    """,
+    description="Gini coefficient + top-share concentration of "
+    "customer revenue (operators/profile.gini_concentration): the "
+    "inequality audit of a corpus or customer base — is 90% of the "
+    "training mass coming from 1% of the sources? Complements q88's "
+    "skew_profile (join-planning key skew) with the economic-"
+    "concentration view a mixture designer reads. Per-key totals "
+    "sum as exact DECIMAL(38,4); the ascending (total, key) rank "
+    "rides the range-bucketed global_row_number (no single-"
+    "partition window — the oracle's naive window transcribes it); "
+    "G = (2·Σi·x_i − (n+1)·Σx)/(n·Σx) is assembled from exact "
+    "DECIMAL sums with one double division, and the top-1%/10% "
+    "tail counts use exact integer ⌈n/d⌉ (ceil(n*0.1) in doubles "
+    "rounds 500*0.1 up and takes one key too many).",
+    tags=("profile", "aggregate"),
+)
+def q226_gini_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import (
+        gini_concentration,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    return gini_concentration(o, "o_custkey", "o_totalprice")
+
+
+@register(
+    "q230_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                          || ':42'), 1, 15)
+                       AS BIGINT) + 0.5) / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE) AS ekey
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM keyed ORDER BY ekey, doc_id LIMIT 100
+    """,
+    description="Weighted sample WITHOUT replacement, 100 documents "
+    "with inclusion probability rising in length (operators/"
+    "sampling.weighted_sample — the Efraimidis-Spirakis A-ES "
+    "scheme): each row draws an exponential order key -ln(u)/w and "
+    "the k smallest win; one TakeOrderedAndProject pass (per-"
+    "partition heaps of k), no global sort, no shuffle beyond the "
+    "k-row merge — the quality-weighted corpus-subsampling "
+    "primitive, where q76's temperature mixture balances GROUPS "
+    "and this weights individual ROWS. The graded instance draws "
+    "u from the portable md5_15 uniform (q202's construction) so "
+    "the oracle transcribes the same sample; production uses the "
+    "seeded-xxhash64 bucket (repartition-stable, invariant-"
+    "tested).",
+    tags=("sampling",),
+)
+def q230_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.sampling import weighted_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    return weighted_sample(d, "n_chars", 100, "doc_id", u=u).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )

@@ -3430,3 +3430,59 @@ def test_autocorrelation_gap_periods_drop_pairs(spark):
     # (0->2 and 3->5 need the absent periods 2 and 5)
     assert got[1] == 2
     assert got[2] == 1
+
+
+def test_mann_whitney_hand_checked(spark):
+    """A=[1,2,3], B=[2,3,4]: tie-averaged ranks 1, 2.5, 4.5 -> R_A=8,
+    U_A=2, U_B=7, CLES=2/9."""
+    from bigdata_kafka_2_spark.operators.profile import mann_whitney_u
+
+    a = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    b = spark.createDataFrame([(2.0,), (3.0,), (4.0,)], "v double")
+    r = mann_whitney_u(a, b, "v").collect()[0]
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert r.r_a == 8.0
+    assert r.u_a == 2.0
+    assert r.u_b == 7.0
+    assert abs(r.cles_a - 2.0 / 9.0) < 1e-6
+    assert r.z < 0  # A stochastically smaller
+
+
+def test_mann_whitney_identical_samples(spark):
+    """Identical samples: U_A = U_B = n^2/2, z = 0."""
+    from bigdata_kafka_2_spark.operators.profile import mann_whitney_u
+
+    a = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    r = mann_whitney_u(a, a, "v").collect()[0]
+    assert r.u_a == r.u_b == 50.0
+    assert r.z == 0.0
+    assert r.cles_a == 0.5
+
+
+def test_gini_concentration_hand_checked(spark):
+    """Weights [1,1,1,97]: G = (2*394 - 5*100)/(4*100) = 0.72; the
+    top-1% and top-10% tails are both ceil(4/d)=1 key holding 97%."""
+    from bigdata_kafka_2_spark.operators.profile import gini_concentration
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 1.0), (4, 97.0)], "k long, w double"
+    )
+    r = gini_concentration(df, "k", "w").collect()[0]
+    assert r.n_keys == 4
+    assert r.total == 100.0
+    assert abs(r.gini - 0.72) < 1e-9
+    assert abs(r.top1pct_share - 0.97) < 1e-9
+    assert abs(r.top10pct_share - 0.97) < 1e-9
+
+
+def test_gini_concentration_uniform_is_zero(spark):
+    """Equal weights -> gini 0 and proportional tail shares."""
+    from bigdata_kafka_2_spark.operators.profile import gini_concentration
+
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(100)], "k long, w double"
+    )
+    r = gini_concentration(df, "k", "w").collect()[0]
+    assert r.gini == 0.0
+    assert abs(r.top1pct_share - 0.01) < 1e-9
+    assert abs(r.top10pct_share - 0.10) < 1e-9
