@@ -839,8 +839,11 @@ def adamic_adar_links(edges: DataFrame, top_k: int = 50) -> DataFrame:
     term = F.round(
         F.lit(1.0) / F.log(F.col("__deg").cast("double")), 9
     ).cast("decimal(18,9)")
+    # deg-1 centers can't host a wedge AND would divide by ln(1)=0
+    # (ANSI errors loudly) — drop them before the term is computed
     centers = nbr.join(
-        deg.withColumnRenamed("node", "z"), on="z"
+        deg.filter(F.col("__deg") >= 2).withColumnRenamed("node", "z"),
+        on="z",
     ).select("z", "n", term.alias("__t"))
     left = centers.select("z", F.col("n").alias("x"), "__t")
     right = centers.select("z", F.col("n").alias("y"))

@@ -394,3 +394,87 @@ def q210_kcore_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
     return kcore(edges, k=2)
+
+
+@register(
+    "q228_adamic_adar_links",
+    oracle="""
+    WITH it AS (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem
+    ),
+    e AS (
+      SELECT a.item AS a, b.item AS b
+      FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY 1
+    ),
+    nbr AS (
+      SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e
+    ),
+    cent AS (
+      SELECT nbr.z, nbr.n,
+             CAST(round(1.0 / ln(CAST(deg AS DOUBLE)), 9)
+                  AS DECIMAL(18,9)) AS t
+      FROM nbr JOIN deg ON deg.node = nbr.z
+      WHERE deg >= 2
+    ),
+    wed AS (
+      SELECT l.n AS x, r.n AS y, l.t
+      FROM cent l JOIN nbr r ON l.z = r.z AND l.n < r.n
+    ),
+    sc AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS n_common, sum(t) AS s
+      FROM wed GROUP BY 1, 2
+    ),
+    ne AS (
+      SELECT sc.x, sc.y, sc.n_common, sc.s
+      FROM sc LEFT JOIN e ON sc.x = e.a AND sc.y = e.b
+      WHERE e.a IS NULL
+    )
+    SELECT x, y, n_common, round(CAST(s AS DOUBLE), 6) AS aa_score
+    FROM ne ORDER BY s DESC, x, y LIMIT 50
+    """,
+    description="Adamic-Adar link prediction over the support-2 "
+    "co-purchase graph (operators/graph.adamic_adar_links): the 50 "
+    "strongest NON-edges by Σ 1/ln(deg z) over shared neighbors "
+    "(Adamic & Adar 2003) — the link-PREDICTION member of the graph "
+    "family (q144/q153/q172/q210 describe the graph that exists; "
+    "this ranks what's most likely missing: recommendation, "
+    "knowledge-graph completion, dedup-pair recall auditing). Wedge "
+    "candidates come from ONE neighbor-table self-join on the shared "
+    "center (Σ deg² rows — the inherent AA volume, hub-cappable "
+    "upstream); each center's term is rounded to 9 dp and summed as "
+    "exact DECIMAL so the (score DESC, x, y) top-k ranks identically "
+    "on both engines; existing edges drop via a left-anti join and "
+    "the top-50 is a TakeOrderedAndProject, never a global sort. "
+    "Same support-2 edge builder as q163's LPA.",
+    tags=("graph", "join"),
+)
+def q228_adamic_adar_links(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bigdata_kafka_2_spark.operators.graph import adamic_adar_links
+
+    li = read_table(spark, sf_dir, "lineitem")
+    it = li.select("l_orderkey", "l_partkey").distinct()
+    a = it.select(
+        F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("a")
+    )
+    b = it.select(
+        F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("b")
+    )
+    edges = (
+        a.join(b, on="__bk")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("__s"))
+        .filter(F.col("__s") >= 2)
+        .select("a", "b")
+    )
+    return adamic_adar_links(edges, top_k=50)

@@ -2757,3 +2757,79 @@ def q201_keyword_contexts(
 def q205_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return TX.readability_scores(d)
+
+
+@register(
+    "q229_rake_keyphrases",
+    oracle="""
+    WITH lsts AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS lst
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, lst[p] AS w, p
+      FROM lsts, UNNEST(generate_series(1, len(lst))) AS g(p)
+    ),
+    content AS (
+      SELECT doc_id, w, p,
+             p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+               AS isl
+      FROM toks
+      WHERE w NOT IN ('a', 'the', 'and', 'of', 'to', 'in')
+    ),
+    phr AS (
+      SELECT string_agg(w, ' ' ORDER BY p) AS phrase,
+             count(*) AS plen
+      FROM content GROUP BY doc_id, isl
+    ),
+    words AS (
+      SELECT unnest(string_split(phrase, ' ')) AS word, plen FROM phr
+    ),
+    stats AS (
+      SELECT word, count(*) AS freq, sum(plen) AS degree
+      FROM words GROUP BY 1
+    ),
+    ws AS (
+      SELECT word,
+             CAST(round(CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE),
+                        9) AS DECIMAL(18,9)) AS s
+      FROM stats
+    ),
+    occ AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(max(plen) AS INTEGER) AS n_words
+      FROM phr GROUP BY 1
+    ),
+    pw AS (
+      SELECT phrase, unnest(string_split(phrase, ' ')) AS word
+      FROM occ
+    ),
+    psc AS (
+      SELECT phrase, sum(s) AS score
+      FROM pw JOIN ws USING (word) GROUP BY 1
+    )
+    SELECT p.phrase, o.n_words, o.n_occurrences,
+           round(CAST(score AS DOUBLE), 6) AS score
+    FROM psc p JOIN occ o USING (phrase)
+    ORDER BY score DESC, p.phrase LIMIT 25
+    """,
+    description="RAKE keyphrase extraction (operators/text."
+    "rake_keyphrases; Rose et al. 2010): candidate phrases are "
+    "maximal stopword-free token runs (gaps-and-islands on a "
+    "document-keyed window); each word scores degree/frequency over "
+    "the phrase corpus and a phrase scores the sum of its words — "
+    "the unsupervised keyword-surfacing step of a corpus audit, "
+    "query-free where q45's TF-IDF needs a query and q105's PMI "
+    "stops at pairs. Word scores round to 9 dp and sum as exact "
+    "DECIMAL, so the (score DESC, phrase) top-25 ranks identically "
+    "on both engines; shuffles are keyed by word and phrase (posting-"
+    "bounded), and the top-k is a TakeOrderedAndProject.",
+    tags=("text", "aggregate"),
+)
+def q229_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.text import rake_keyphrases
+
+    d = read_table(spark, sf_dir, "documents")
+    return rake_keyphrases(d, top_k=25)

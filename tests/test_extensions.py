@@ -3486,3 +3486,54 @@ def test_gini_concentration_uniform_is_zero(spark):
     assert r.gini == 0.0
     assert abs(r.top1pct_share - 0.01) < 1e-9
     assert abs(r.top10pct_share - 0.10) < 1e-9
+
+
+def test_adamic_adar_hand_checked(spark):
+    """Square 1-2-4-3-1 with diagonal 2-3: the only non-edge is
+    (1,4), common neighbors {2,3} both deg 3 -> AA = 2/ln(3)."""
+    import math
+
+    from bigdata_kafka_2_spark.operators.graph import adamic_adar_links
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "a long, b long"
+    )
+    rows = adamic_adar_links(edges, top_k=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.x, r.y, r.n_common) == (1, 4, 2)
+    assert abs(r.aa_score - 2.0 / math.log(3.0)) < 1e-6
+
+
+def test_adamic_adar_excludes_existing_edges(spark):
+    """A triangle has wedges but every wedge pair is already an
+    edge -> empty prediction set."""
+    from bigdata_kafka_2_spark.operators.graph import adamic_adar_links
+
+    tri = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "a long, b long"
+    )
+    assert adamic_adar_links(tri, top_k=10).count() == 0
+
+
+def test_rake_hand_checked(spark):
+    """Word scores deg/freq: quick=13/4, brown=13/4, fox=10/3,
+    world adds 4 -> 'quick brown fox world' = 13.833333; scoring is
+    per DISTINCT phrase (the 2-occurrence 'quick brown fox' must NOT
+    double its sum)."""
+    from bigdata_kafka_2_spark.operators.text import rake_keyphrases
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and a lazy dog"),
+            (2, "quick brown fox of the quick brown era"),
+            (3, "lazy dog in a quick brown fox world"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.phrase: r for r in rake_keyphrases(df, top_k=10).collect()}
+    assert abs(rows["quick brown fox world"].score - 13.833333) < 1e-5
+    assert abs(rows["quick brown fox"].score - 9.833333) < 1e-5
+    assert rows["quick brown fox"].n_occurrences == 2
+    assert abs(rows["lazy dog"].score - 4.0) < 1e-9
+    assert rows["quick brown era"].n_words == 3
