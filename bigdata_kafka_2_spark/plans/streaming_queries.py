@@ -1082,3 +1082,74 @@ def q220_streaming_erasure(
     )
     run_streaming_erasure(stream, table, ckpt, "c_custkey", cols, audit)
     return read_erasure_audit(spark, audit)
+
+
+@register(
+    "q231_streaming_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS c
+      FROM events GROUP BY 1
+    ),
+    pre AS (
+      SELECT d, c,
+             sum(c) OVER (ORDER BY d) AS p,
+             row_number() OVER (ORDER BY d) AS i
+      FROM daily
+    ),
+    tot AS (SELECT count(*) AS n, sum(c) AS t FROM daily)
+    SELECT CAST(n AS BIGINT) AS n_periods,
+           strftime(d, '%Y-%m-%d') AS day,
+           round(CAST(abs(n * p - i * t) AS DOUBLE) / (n * 1.0), 4)
+             AS max_cusum
+    FROM pre, tot
+    ORDER BY abs(n * p - i * t) DESC, d ASC LIMIT 1
+    """,
+    description="Streaming CUSUM changepoint monitor (streaming/"
+    "ingest.run_streaming_period_sums + timeseries."
+    "cusum_changepoint): the event stream folds into (epoch, day, "
+    "count) mergeable partials through foreachBatch — day-keyed "
+    "counts merge by summation, so ANY micro-batching converges to "
+    "the same daily series (CUSUM state is not order-mergeable, but "
+    "the PERIOD-KEYED series underneath it is: that is the cut "
+    "point between streaming state and batch analytics) — and the "
+    "changepoint reading runs q204's all-integer two-prefix-sum "
+    "plan over the merged series, hash-checked against the batch "
+    "transcription: streaming = batch. Epoch ids keep the merge "
+    "idempotent under crash replay; state grows with the DAY RANGE "
+    "per epoch, never event volume. Executed THROUGH Structured "
+    "Streaming inside the gate (availableNow drain).",
+    tags=("streaming", "timeseries", "profile"),
+)
+def q231_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        read_period_sums,
+        run_streaming_period_sums,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"q231_{tag}")
+    state = os.path.join(base, "sums")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    stream = _staged_events_stream(spark, sf_dir, "q231_events", ("",))
+    run_streaming_period_sums(
+        stream, F.to_date("ts"), F.lit(1), state, ckpt
+    )
+    daily = read_period_sums(spark, state).select(
+        F.col("period").alias("d"), F.col("n").alias("c")
+    )
+    out = cusum_changepoint(daily, "d", "c", unit_scale=1)
+    return out.select(
+        "n_periods",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "max_cusum",
+    )

@@ -683,3 +683,62 @@ def read_erasure_audit(spark: SparkSession, audit_path: str) -> DataFrame:
         "n_remaining",
         "released_digest",
     )
+
+
+def run_streaming_period_sums(
+    stream_df: DataFrame,
+    period_expr,
+    value_expr,
+    out_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming half of a changepoint/trend monitor: per micro-batch,
+    aggregate ``(period, n, v)`` partials — ``period_expr`` the
+    integer/date period key, ``value_expr`` an exact-integer-unit
+    measure — and append them with the epoch id. Period-keyed counts
+    and sums merge by summation (the q150/q190 mergeable-state
+    contract), so ANY batching of the input converges to the same
+    merged series, the monitor never rescans history, and a CUSUM /
+    Theil-Sen / ACF reading at any moment is one bounded aggregate
+    over this table. Epoch ids make the merge idempotent under
+    crash replay (the reader max-dedups per (epoch, period)).
+    """
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(
+                period_expr.alias("period"), value_expr.alias("__v")
+            )
+            .groupBy("period")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("__v").cast("long")).alias("v"),
+            )
+            .withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_period_sums(spark: SparkSession, out_path: str) -> DataFrame:
+    """Merge the accumulated per-period partials: per-(epoch, period)
+    max-dedup (idempotent under epoch replay), then one period-keyed
+    sum — the recovered series ``(period, n, v)``."""
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("epoch_id", "period")
+        .agg(F.max("n").alias("n"), F.max("v").alias("v"))
+        .groupBy("period")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("v").cast("long").alias("v"),
+        )
+    )

@@ -730,3 +730,48 @@ def test_streaming_scd2_resume_processes_only_new_files(spark, tmp_path):
         (2, "b1", "2024-01-01", "2024-04-01", False),
         (2, "b2", "2024-04-01", None, True),
     ]
+
+
+def test_streaming_period_sums_batching_invariant_and_idempotent(
+    spark, tmp_path
+):
+    """The merged period series equals the batch aggregate under
+    multi-file micro-batching; a replayed epoch's re-appended
+    partials don't change the merge."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [(d, v) for d in range(5) for v in range(d + 1)],
+        "d long, v long",
+    )
+    # several files -> several micro-batches
+    df.filter(F.col("v") % 2 == 0).write.mode("append").parquet(src)
+    df.filter(F.col("v") % 2 == 1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("d long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    ING.run_streaming_period_sums(
+        stream, F.col("d"), F.col("v"), state, str(tmp_path / "ck")
+    )
+    got = {
+        r.period: (r.n, r.v)
+        for r in ING.read_period_sums(spark, state).collect()
+    }
+    want = {
+        r.d: (r.n, r.v)
+        for r in df.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("v"))
+        .collect()
+    }
+    assert got == want
+    # replayed epoch: identical partials re-appended -> unchanged
+    spark.read.parquet(state).write.mode("append").parquet(state)
+    got2 = {
+        r.period: (r.n, r.v)
+        for r in ING.read_period_sums(spark, state).collect()
+    }
+    assert got2 == want
