@@ -244,6 +244,15 @@ HEADLINE = (
     "q219_benford_profile",
     "q220_streaming_erasure",
     "q221_theil_sen_trend",
+    # r11 second-batch operator families
+    "q224_kaplan_meier",
+    "q225_mann_whitney",
+    "q226_gini_concentration",
+    "q227_autocorrelation",
+    "q228_adamic_adar_links",
+    "q229_rake_keyphrases",
+    "q230_weighted_sample",
+    "q231_streaming_cusum",
 )
 
 

@@ -646,3 +646,95 @@ def test_theil_sen_windows_bucket_keyed(spark):
     ]
     assert specs
     assert all("__bkt" in ln for ln in specs)
+
+
+def test_mann_whitney_no_single_partition_window(spark):
+    """Rank arithmetic rides the range-bucketed prefix sum — no
+    global-sort window, no per-row rank materialization."""
+    from bigdata_kafka_2_spark.operators.profile import mann_whitney_u
+
+    o = read_table(spark, SF_DIR, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_totalprice"
+    )
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        "o_totalprice"
+    )
+    plan = _plan(mann_whitney_u(a, b, "o_totalprice"))
+    # every window is range-bucket-keyed (the 1-row scalar aggregate
+    # plans its own bounded SinglePartition reduce, like any scalar
+    # agg — that's not a data-sized exchange)
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+    ]
+    assert specs
+    assert all("__bkt" in ln for ln in specs)
+    assert "hashpartitioning(__bkt" in plan
+
+
+def test_gini_no_single_partition_window(spark):
+    from bigdata_kafka_2_spark.operators.profile import gini_concentration
+
+    o = read_table(spark, SF_DIR, "orders")
+    plan = _plan(gini_concentration(o, "o_custkey", "o_totalprice"))
+    assert "hashpartitioning(__bkt" in plan
+    assert "Window" in plan  # per-bucket window, not global
+
+
+def test_kaplan_meier_no_single_partition_window(spark):
+    from bigdata_kafka_2_spark.operators.timeseries import kaplan_meier
+
+    o = read_table(spark, SF_DIR, "orders")
+    subj = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("duration"),
+        F.lit(1).alias("event"),
+    )
+    plan = _plan(kaplan_meier(subj))
+    assert "hashpartitioning(__bkt" in plan
+
+
+def test_adamic_adar_no_cartesian(spark):
+    """Wedges come from an equi-join on the shared center and the
+    top-k is a TakeOrdered, never a cartesian or a global sort."""
+    from bigdata_kafka_2_spark.operators.graph import adamic_adar_links
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4)], "a long, b long"
+    )
+    plan = _plan(adamic_adar_links(edges, top_k=5))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rake_keyphrases_plan_shape(spark):
+    """Phrase windows are document-keyed (never a global sort) and
+    the top-k is a TakeOrdered."""
+    from bigdata_kafka_2_spark.operators.text import rake_keyphrases
+
+    d = read_table(spark, SF_DIR, "documents")
+    plan = _plan(rake_keyphrases(d, top_k=10))
+    assert "Exchange SinglePartition" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """A-ES sampling plans as TakeOrderedAndProject — per-partition
+    heaps of k, no global sort."""
+    from bigdata_kafka_2_spark.operators.sampling import weighted_sample
+
+    d = read_table(spark, SF_DIR, "documents")
+    plan = _plan(weighted_sample(d, "n_chars", 10, "doc_id"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_autocorrelation_no_single_partition(spark):
+    from bigdata_kafka_2_spark.operators.timeseries import autocorrelation
+
+    e = read_table(spark, SF_DIR, "events")
+    daily = e.groupBy(F.to_date("ts").alias("x")).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    plan = _plan(autocorrelation(daily, "x", "v", 3))
+    assert "CartesianProduct" not in plan
