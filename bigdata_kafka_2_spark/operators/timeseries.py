@@ -1202,3 +1202,63 @@ def autocorrelation(
         F.col("__nk").cast("long").alias("n_pairs"),
         F.round(num / den, 6).alias("acf"),
     )
+
+
+def ols_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend over an integer series:
+    ``(group..., n_periods, slope, intercept, r2)`` — the classical
+    companion to :func:`theil_sen_trend` (which trades efficiency for
+    outlier robustness; a monitor typically reports both and alarms
+    on disagreement), per GROUP where Theil-Sen's pair frame makes
+    per-group fits expensive.
+
+    Closed forms from exact integer sums only:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+        r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+
+    Each Σ accumulates as exact DECIMAL(38,0) in ONE map-side-combined
+    aggregate per group (a 10^12-row series squares past 2^63); the
+    closed forms then cast those identical integers to double and both
+    engines evaluate the same left-associated expression, rounded to
+    6 dp on output. One aggregate, no window, no join — scan speed.
+
+    Degenerate groups (n = 1, or a constant x) have no defined slope
+    and return NULLs; a constant y gives r² = NULL (0/0), the honest
+    answer rather than 1.
+    """
+    dec = "decimal(38,0)"
+    x = F.col(x_col).cast(dec)
+    y = F.col(y_col).cast(dec)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    sxy_n = d("__n") * d("__sxy") - d("__sx") * d("__sy")
+    sxx_n = d("__n") * d("__sxx") - d("__sx") * d("__sx")
+    syy_n = d("__n") * d("__syy") - d("__sy") * d("__sy")
+    slope = F.when(sxx_n > 0, sxy_n / sxx_n)
+    intercept = F.when(
+        sxx_n > 0, (d("__sy") - (sxy_n / sxx_n) * d("__sx")) / d("__n")
+    )
+    r2 = F.when(
+        (sxx_n > 0) & (syy_n > 0), (sxy_n * sxy_n) / (sxx_n * syy_n)
+    )
+    return agg.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n_periods"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -1153,3 +1153,77 @@ def q231_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         "max_cusum",
     )
+
+
+@register(
+    "q232_streaming_reservoir",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                          || ':42'), 1, 15)
+                       AS BIGINT) + 0.5) / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE) AS ekey
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM keyed ORDER BY ekey, doc_id LIMIT 100
+    """,
+    description="Streaming weighted reservoir (streaming/ingest."
+    "run_streaming_reservoir + read_reservoir): q230's Efraimidis-"
+    "Spirakis sample maintained AS A STREAM — each micro-batch keeps "
+    "its k smallest deterministic exponential keys, and because "
+    "every global winner is inside its own batch's top-k, a top-k "
+    "over the O(k·epochs) partials EQUALS the batch sample over all "
+    "data: any micro-batching converges, replayed epochs re-append "
+    "byte-identical rows a distinct() removes, state is O(k) per "
+    "epoch. Hash-checked against the batch oracle VERBATIM "
+    "(streaming = batch — the rolling-ingest way to keep an always-"
+    "current weighted corpus sample without rescanning history). "
+    "Executed THROUGH Structured Streaming inside the gate "
+    "(availableNow drain).",
+    tags=("streaming", "sampling"),
+)
+def q232_streaming_reservoir(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        read_reservoir,
+        run_streaming_reservoir,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"q232_{tag}")
+    state = os.path.join(base, "sample")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    stream = _documents_stream(spark, sf_dir).filter(
+        F.col("n_chars") > 0
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":42"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    ekey = -F.log(u) / F.col("n_chars").cast("double")
+    run_streaming_reservoir(
+        stream, ekey, 100, ["doc_id", "n_chars"], state, ckpt
+    )
+    return read_reservoir(spark, state, 100, ["doc_id", "n_chars"]).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )

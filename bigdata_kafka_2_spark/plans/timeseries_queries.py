@@ -1138,3 +1138,87 @@ def q227_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x")
     ).agg(F.count(F.lit(1)).alias("v"))
     return autocorrelation(daily, "x", "v", max_lag=7)
+
+
+@register(
+    "q233_ols_trend_by_group",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS x,
+             CAST(count(*) AS DECIMAL(38,0)) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS DECIMAL(38,0)) AS n,
+             sum(CAST(x AS DECIMAL(38,0))) AS sx,
+             sum(y) AS sy,
+             sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+               AS sxx,
+             sum(y * y) AS syy,
+             sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_periods,
+           round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                           > 0
+             THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END, 6)
+             AS slope,
+           round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                           > 0
+             THEN (CAST(sy AS DOUBLE)
+                   - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END, 6)
+             AS intercept,
+           round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                           > 0
+                       AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                           > 0
+             THEN ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             END, 6) AS r2
+    FROM agg
+    """,
+    description="Per-event-type OLS trend of daily activity "
+    "(operators/timeseries.ols_trend): closed-form slope/intercept/"
+    "r² per group from ONE map-side-combined aggregate of exact "
+    "DECIMAL sums — the classical companion to q221's Theil-Sen "
+    "(robust, but its pair frame makes per-group fits expensive); a "
+    "monitor reports both and alarms on disagreement. The closed "
+    "forms cast identical integers to double and evaluate the same "
+    "left-associated expression on both engines; degenerate groups "
+    "(constant x or y) return NULL rather than a fabricated fit. "
+    "No window, no join — scan speed at any scale.",
+    tags=("timeseries", "aggregate"),
+)
+def q233_ols_trend_by_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import ols_trend
+
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return ols_trend(daily, ["event_type"], "x", "y")

@@ -742,3 +742,64 @@ def read_period_sums(spark: SparkSession, out_path: str) -> DataFrame:
             F.sum("v").cast("long").alias("v"),
         )
     )
+
+
+def run_streaming_reservoir(
+    stream_df: DataFrame,
+    ekey_expr,
+    k: int,
+    payload_cols: list[str],
+    out_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming weighted reservoir (A-ES over micro-batches): per
+    batch, keep the ``k`` rows with the SMALLEST deterministic
+    exponential order key (``ekey_expr`` — see
+    :func:`~bigdata_kafka_2_spark.operators.sampling.
+    weighted_sample`) and append them with the epoch id. Per-batch
+    top-k partials are EXACTLY mergeable: every global winner is by
+    definition inside its own batch's top-k, so a top-k over the
+    union of partials equals the batch top-k over all data — any
+    micro-batching converges to the same sample, and since ekeys are
+    deterministic per row, replayed epochs re-append identical rows
+    that a distinct() removes. State is O(k) per epoch, never data-
+    sized. The streaming face of the corpus-subsampling primitive:
+    a rolling ingest keeps a always-current weighted sample without
+    rescanning history.
+    """
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(
+                *payload_cols, ekey_expr.alias("ekey")
+            )
+            .orderBy(F.col("ekey").asc(), *payload_cols)
+            .limit(int(k))
+            .withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_reservoir(
+    spark: SparkSession, out_path: str, k: int, payload_cols: list[str]
+) -> DataFrame:
+    """Merge the per-epoch reservoir partials: drop replayed
+    duplicates (ekeys are deterministic, so a replay re-appends
+    byte-identical rows), then one top-k over the O(k·epochs) union."""
+    return (
+        spark.read.parquet(out_path)
+        .select(*payload_cols, "ekey")
+        .distinct()
+        .orderBy(F.col("ekey").asc(), *payload_cols)
+        .limit(int(k))
+        .drop("ekey")
+    )

@@ -3537,3 +3537,84 @@ def test_rake_hand_checked(spark):
     assert rows["quick brown fox"].n_occurrences == 2
     assert abs(rows["lazy dog"].score - 4.0) < 1e-9
     assert rows["quick brown era"].n_words == 3
+
+
+def test_ols_trend_hand_checked(spark):
+    """Perfect line y=3x+2 -> slope 3, intercept 2, r2 = 1; a
+    noisy group still matches numpy's polyfit closed form."""
+    from bigdata_kafka_2_spark.operators.timeseries import ols_trend
+
+    rows = [("a", x, 3 * x + 2) for x in range(10)]
+    ys = [5, 1, 8, 2, 9, 4, 7, 3, 6, 0]
+    rows += [("b", x, y) for x, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r.g: r for r in ols_trend(df, ["g"], "x", "y").collect()}
+    assert got["a"].slope == 3.0
+    assert got["a"].intercept == 2.0
+    assert got["a"].r2 == 1.0
+    n = len(ys)
+    sx, sy = sum(range(n)), sum(ys)
+    sxx = sum(x * x for x in range(n))
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in enumerate(ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(got["b"].slope - slope) < 1e-6
+    assert abs(got["b"].r2 - r2) < 1e-6
+
+
+def test_ols_trend_degenerate_groups_null(spark):
+    """n=1 and constant-y groups: slope defined only where x varies;
+    r2 NULL when y is constant (0/0, not 1)."""
+    from bigdata_kafka_2_spark.operators.timeseries import ols_trend
+
+    df = spark.createDataFrame(
+        [("one", 5, 7), ("flat", 0, 4), ("flat", 1, 4), ("flat", 2, 4)],
+        "g string, x long, y long",
+    )
+    got = {r.g: r for r in ols_trend(df, ["g"], "x", "y").collect()}
+    assert got["one"].slope is None and got["one"].r2 is None
+    assert got["flat"].slope == 0.0
+    assert got["flat"].r2 is None
+
+
+def test_streaming_reservoir_merges_to_batch_sample(spark, tmp_path):
+    """Per-batch top-k partials merge to the batch top-k; replayed
+    partials dedup away."""
+    import pyspark.sql.functions as F
+
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        read_reservoir,
+        run_streaming_reservoir,
+    )
+
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [(i, 1 + (i % 7)) for i in range(60)], "k long, w long"
+    )
+    df.filter(F.col("k") % 2 == 0).write.mode("append").parquet(src)
+    df.filter(F.col("k") % 2 == 1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k long, w long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("k").cast("string"), F.lit(":9"))), 1, 15),
+            16, 10,
+        ).cast("long").cast("double") + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    ekey = -F.log(u) / F.col("w").cast("double")
+    state = str(tmp_path / "state")
+    run_streaming_reservoir(stream, ekey, 10, ["k", "w"], state, str(tmp_path / "ck"))
+    got = sorted(r.k for r in read_reservoir(spark, state, 10, ["k", "w"]).collect())
+    want = sorted(
+        r.k
+        for r in df.withColumn("e", ekey).orderBy("e", "k").limit(10).collect()
+    )
+    assert got == want
+    # replay: re-append all partials -> sample unchanged
+    spark.read.parquet(state).write.mode("append").parquet(state)
+    got2 = sorted(r.k for r in read_reservoir(spark, state, 10, ["k", "w"]).collect())
+    assert got2 == want
