@@ -1592,3 +1592,52 @@ def gini_concentration(
             ).alias("top10pct_share"),
         )
     )
+
+
+def loo_contributions(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Leave-one-group-out ablation table — data-valuation lite: per
+    group ``(group..., n, group_mean, corpus_mean, loo_mean, delta)``
+    where ``loo_mean`` is the corpus mean of ``value_col`` WITHOUT
+    the group and ``delta = loo_mean − corpus_mean`` (positive means
+    removing the group RAISES the corpus metric — the group drags it
+    down). The first-order mixture-design signal a training-data team
+    reads before re-weighting domains: exact for the mean family
+    where Shapley-style valuation needs sampling.
+
+    All algebra, no second pass: ``loo_mean = (S − S_g)/(N − n_g)``
+    from ONE map-side-combined aggregate of exact DECIMAL sums plus
+    a broadcast 1-row total. Groups covering the whole corpus return
+    NULL ``loo_mean`` (no corpus left to measure). Scan speed at any
+    scale; the output is one row per group.
+    """
+    dec = "decimal(38,4)"
+    v = F.round(F.col(value_col).cast("double"), 4).cast(dec)
+    qs = list(group_cols)
+    g = df.groupBy(*qs).agg(
+        F.count(F.lit(1)).alias("__ng"),
+        F.sum(v).alias("__sg"),
+    )
+    tot = g.agg(
+        F.sum("__ng").alias("__n"), F.sum("__sg").alias("__s")
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    corpus_mean = F.col("__s").cast("double") / F.col("__n").cast("double")
+    loo = F.when(
+        F.col("__n") > F.col("__ng"),
+        (F.col("__s") - F.col("__sg")).cast("double")
+        / (F.col("__n") - F.col("__ng")).cast("double"),
+    )
+    return j.select(
+        *qs,
+        F.col("__ng").cast("long").alias("n"),
+        F.round(
+            F.col("__sg").cast("double") / F.col("__ng").cast("double"), 6
+        ).alias("group_mean"),
+        F.round(corpus_mean, 6).alias("corpus_mean"),
+        F.round(loo, 6).alias("loo_mean"),
+        F.round(loo - corpus_mean, 6).alias("delta"),
+    )

@@ -3049,3 +3049,48 @@ def q230_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(d, "n_chars", 100, "doc_id", u=u).select(
         "doc_id", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+@register(
+    "q234_loo_contributions",
+    oracle="""
+    WITH g AS (
+      SELECT lang, source, count(*) AS ng,
+             sum(CAST(round(CAST(n_chars AS DOUBLE), 4)
+                      AS DECIMAL(38,4))) AS sg
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(ng) AS n, sum(sg) AS s FROM g)
+    SELECT lang, source, CAST(ng AS BIGINT) AS n,
+           round(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE), 6)
+             AS group_mean,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS corpus_mean,
+           round(CASE WHEN n > ng THEN
+             CAST(s - sg AS DOUBLE) / CAST(n - ng AS DOUBLE) END, 6)
+             AS loo_mean,
+           round(CASE WHEN n > ng THEN
+             CAST(s - sg AS DOUBLE) / CAST(n - ng AS DOUBLE) END
+             - CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS delta
+    FROM g, tot
+    """,
+    description="Leave-one-group-out ablation table over (lang, "
+    "source) document-length means (operators/profile."
+    "loo_contributions) — data-valuation lite: per group, the corpus "
+    "metric WITHOUT that group and the delta removing it would "
+    "cause, the first-order mixture-design signal a training-data "
+    "team reads before re-weighting domains (exact for the mean "
+    "family where Shapley-style valuation needs sampling; q117's "
+    "DSIR weights rank individual DOCUMENTS, this ranks GROUPS). "
+    "Pure algebra off ONE map-side-combined aggregate of exact "
+    "DECIMAL sums + a broadcast 1-row total — no second pass, scan "
+    "speed; whole-corpus groups return NULL honestly.",
+    tags=("profile", "sampling", "aggregate"),
+)
+def q234_loo_contributions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import loo_contributions
+
+    d = read_table(spark, sf_dir, "documents")
+    return loo_contributions(d, ["lang", "source"], "n_chars")

@@ -3618,3 +3618,30 @@ def test_streaming_reservoir_merges_to_batch_sample(spark, tmp_path):
     spark.read.parquet(state).write.mode("append").parquet(state)
     got2 = sorted(r.k for r in read_reservoir(spark, state, 10, ["k", "w"]).collect())
     assert got2 == want
+
+
+def test_loo_contributions_hand_checked(spark):
+    """Groups a={10,20}, b={40}: corpus mean 70/3; removing b drops
+    the mean to 15 (delta negative: b props the corpus up); removing
+    a raises it to 40."""
+    from bigdata_kafka_2_spark.operators.profile import loo_contributions
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 40.0)], "g string, v double"
+    )
+    got = {r.g: r for r in loo_contributions(df, ["g"], "v").collect()}
+    cm = 70.0 / 3.0
+    assert got["a"].n == 2
+    assert abs(got["a"].group_mean - 15.0) < 1e-9
+    assert abs(got["a"].loo_mean - 40.0) < 1e-9
+    assert abs(got["a"].delta - (40.0 - cm)) < 1e-5
+    assert abs(got["b"].loo_mean - 15.0) < 1e-9
+    assert got["b"].delta < 0
+
+
+def test_loo_contributions_single_group_null(spark):
+    from bigdata_kafka_2_spark.operators.profile import loo_contributions
+
+    df = spark.createDataFrame([("x", 1.0), ("x", 3.0)], "g string, v double")
+    r = loo_contributions(df, ["g"], "v").collect()[0]
+    assert r.loo_mean is None and r.delta is None
