@@ -253,6 +253,10 @@ HEADLINE = (
     "q229_rake_keyphrases",
     "q230_weighted_sample",
     "q231_streaming_cusum",
+    "q232_streaming_reservoir",
+    "q233_ols_trend_by_group",
+    "q234_loo_contributions",
+    "q235_hits",
 )
 
 

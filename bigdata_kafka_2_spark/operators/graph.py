@@ -869,3 +869,178 @@ def adamic_adar_links(edges: DataFrame, top_k: int = 50) -> DataFrame:
             F.round(F.col("__score").cast("double"), 6).alias("aa_score"),
         )
     )
+
+
+def hits(
+    spark: SparkSession,
+    edges: DataFrame,
+    iterations: int = 5,
+    broadcast_nodes: int = 2_000_000,
+    label: bool = False,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a directed edge
+    list ``(src, dst)``: ``(node, authority, hub)`` after
+    ``iterations`` rounds of
+
+        a'(v) = Σ_{u→v} h(u)   (then L1-normalize)
+        h'(u) = Σ_{u→v} a'(v)  (then L1-normalize)
+
+    — the OTHER link-quality fixpoint next to :func:`pagerank`:
+    PageRank scores a node by the whole walk reaching it; HITS
+    separates CURATORS (hubs pointing at good content) from CONTENT
+    (authorities pointed at by good curators), the split a corpus
+    team wants on seed/reference link graphs where a great index
+    page should boost what it lists without itself ranking as
+    content.
+
+    Determinism (q144's induction): every score is kept 12-dp
+    rounded; contributions enter as ``round(score·1e12)`` integer
+    units summed in exact DECIMAL(38,0) (edge volume at corpus scale
+    pushes unit sums past 2^63), the L1 total is one broadcast 1-row
+    aggregate of the same units, and the normalized score re-rounds
+    to 12 dp — Spark and the unrolled-CTE oracle stay bit-identical
+    at every round. Plan shape per round: two keyed joins (src, dst)
+    with map-side-combined unit sums, both rank-sized sides
+    broadcast below ``broadcast_nodes`` (above it the plan degrades
+    to the Pregel shuffle shape); per-round ``localCheckpoint``
+    keeps the 2k-join lineage linear. Nodes with no in-edges hold
+    authority 0, no out-edges hub 0 — both stay in the output.
+    """
+    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    bc = F.broadcast if n <= broadcast_nodes else (lambda df: df)
+    dec = "decimal(38,0)"
+    units = lambda c: F.round(  # noqa: E731
+        F.col(c) * F.lit(float(_UNIT)), 0
+    ).cast(dec)
+
+    hub = nodes.select(
+        "node", F.round(F.lit(1.0 / float(n)), _RANK_SCALE).alias("h")
+    )
+    auth = None
+    for _ in range(iterations):
+        raw_a = (
+            edges.join(bc(hub), edges.src == hub.node)
+            .groupBy("dst")
+            .agg(F.sum(units("h")).alias("__au"))
+        )
+        tot_a = raw_a.agg(F.sum("__au").alias("__ta"))
+        auth = (
+            nodes.join(bc(raw_a), nodes.node == raw_a.dst, "left")
+            .crossJoin(F.broadcast(tot_a))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("__au").cast("double"), F.lit(0.0))
+                    / F.col("__ta").cast("double"),
+                    _RANK_SCALE,
+                ).alias("a"),
+            )
+            .localCheckpoint()
+        )
+        raw_h = (
+            edges.join(bc(auth), edges.dst == auth.node)
+            .groupBy("src")
+            .agg(F.sum(units("a")).alias("__hu"))
+        )
+        tot_h = raw_h.agg(F.sum("__hu").alias("__th"))
+        hub = (
+            nodes.join(bc(raw_h), nodes.node == raw_h.src, "left")
+            .crossJoin(F.broadcast(tot_h))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("__hu").cast("double"), F.lit(0.0))
+                    / F.col("__th").cast("double"),
+                    _RANK_SCALE,
+                ).alias("h"),
+            )
+            .localCheckpoint()
+        )
+    out = auth.join(hub, on="node").select(
+        "node",
+        F.col("a").alias("authority"),
+        F.col("h").alias("hub"),
+    )
+    if label:
+        return out.select(
+            node_label("node").alias("node"), "authority", "hub"
+        )
+    return out
+
+
+def hits_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled-iteration DuckDB transcription of :func:`hits` over
+    the distinct purchase-graph edge set (kept beside the operator so
+    the rounding/normalization schedule stays in lockstep; iteration
+    CTEs are referenced ≥2× so ``plans.resolve_oracle`` materializes
+    them)."""
+    s = _RANK_SCALE
+    u = float(_UNIT)
+    parts = [
+        f"""
+    WITH base AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT o.o_custkey * 4 AS src, l.l_suppkey * 4 + 1 AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT l.l_suppkey * 4 + 1, l.l_partkey * 4 + 2 FROM lineitem l
+      )
+    ),
+    nodes AS (
+      SELECT src AS node FROM base UNION SELECT dst FROM base
+    ),
+    meta AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    h0 AS (
+      SELECT node, round(1.0 / (SELECT n FROM meta), {s}) AS h
+      FROM nodes
+    )"""
+    ]
+    for i in range(iterations):
+        p, q = f"h{i}", i + 1
+        parts.append(
+            f""",
+    ra{q} AS (
+      SELECT b.dst,
+             sum(CAST(round({p}.h * {u!r}, 0) AS DECIMAL(38,0))) AS au
+      FROM base b JOIN {p} ON {p}.node = b.src
+      GROUP BY b.dst
+    ),
+    ta{q} AS (SELECT sum(au) AS t FROM ra{q}),
+    a{q} AS (
+      SELECT n.node,
+             round(coalesce(CAST(au AS DOUBLE), 0.0)
+                   / CAST((SELECT t FROM ta{q}) AS DOUBLE), {s}) AS a
+      FROM nodes n LEFT JOIN ra{q} ON ra{q}.dst = n.node
+    ),
+    rh{q} AS (
+      SELECT b.src,
+             sum(CAST(round(a{q}.a * {u!r}, 0) AS DECIMAL(38,0))) AS hu
+      FROM base b JOIN a{q} ON a{q}.node = b.dst
+      GROUP BY b.src
+    ),
+    th{q} AS (SELECT sum(hu) AS t FROM rh{q}),
+    h{q} AS (
+      SELECT n.node,
+             round(coalesce(CAST(hu AS DOUBLE), 0.0)
+                   / CAST((SELECT t FROM th{q}) AS DOUBLE), {s}) AS h
+      FROM nodes n LEFT JOIN rh{q} ON rh{q}.src = n.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CASE node % 4 WHEN 0 THEN 'c' || CAST(node // 4 AS VARCHAR)
+                         WHEN 1 THEN 's' || CAST(node // 4 AS VARCHAR)
+                         ELSE 'p' || CAST(node // 4 AS VARCHAR) END
+             AS node,
+           a{iterations}.a AS authority, h{iterations}.h AS hub
+    FROM a{iterations} JOIN h{iterations} USING (node)
+    """
+    )
+    return "".join(parts)

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from bigdata_kafka_2_spark.io import read_table
 from bigdata_kafka_2_spark.operators.graph import (
     build_purchase_graph,
+    hits_oracle_sql,
     pagerank,
     pagerank_oracle_sql,
     ppr_oracle_sql,
@@ -478,3 +479,30 @@ def q228_adamic_adar_links(
         .select("a", "b")
     )
     return adamic_adar_links(edges, top_k=50)
+
+
+@register(
+    "q235_hits",
+    oracle=hits_oracle_sql(iterations=3),
+    description="HITS hubs & authorities (operators/graph.hits; "
+    "Kleinberg 1999), 3 unrolled rounds over the distinct purchase-"
+    "graph edges — the OTHER link-quality fixpoint next to q144's "
+    "PageRank: it separates CURATORS (hubs pointing at good content) "
+    "from CONTENT (authorities pointed at by good curators), the "
+    "split a corpus team wants on seed/reference link graphs where a "
+    "great index page should boost what it lists without itself "
+    "ranking as content. Same determinism induction as q144: 12-dp "
+    "scores, integer-1e-12-unit contributions summed in exact "
+    "DECIMAL(38,0), L1 totals as broadcast 1-row aggregates, "
+    "re-round each half-step — bit-identical to the unrolled-CTE "
+    "oracle. Two broadcast-guarded keyed joins per round, per-round "
+    "localCheckpoint keeps the 2k-join lineage linear.",
+    tags=("graph", "iterative", "join", "aggregate"),
+)
+def q235_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.graph import hits
+
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    edges = build_purchase_graph(orders, lineitem).select("src", "dst")
+    return hits(spark, edges, iterations=3, label=True)

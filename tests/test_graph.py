@@ -169,3 +169,42 @@ def test_kcore_converges_and_bounds(spark):
     assert kcore(edges, 2).count() == 0
     with pytest.raises(RuntimeError, match="did not converge"):
         kcore(edges, 2, max_rounds=1)
+
+
+def test_hits_star_hand_checked(spark):
+    """Two hubs pointing at one sink: authority(3) = 1, hubs split
+    0.5/0.5, and every fixpoint round preserves that."""
+    from bigdata_kafka_2_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3)], "src long, dst long"
+    )
+    rows = {r.node: r for r in hits(spark, edges, iterations=3).collect()}
+    assert rows[3].authority == 1.0
+    assert rows[3].hub == 0.0
+    assert abs(rows[1].hub - 0.5) < 1e-9
+    assert abs(rows[2].hub - 0.5) < 1e-9
+    assert rows[1].authority == 0.0
+
+
+def test_hits_l1_normalized_and_tiered(spark):
+    """On the purchase graph: authority and hub each sum to ~1, parts
+    hold no hub mass (no out-edges), customers no authority mass."""
+    from bigdata_kafka_2_spark.io import read_table
+    from bigdata_kafka_2_spark.operators.graph import (
+        build_purchase_graph,
+        hits,
+    )
+
+    o = read_table(spark, SF_DIR, "orders")
+    li = read_table(spark, SF_DIR, "lineitem")
+    edges = build_purchase_graph(o, li).select("src", "dst")
+    out = hits(spark, edges, iterations=2, label=True).collect()
+    sa = sum(r.authority for r in out)
+    sh = sum(r.hub for r in out)
+    assert abs(sa - 1.0) < 1e-6 and abs(sh - 1.0) < 1e-6
+    for r in out:
+        if r.node.startswith("p"):
+            assert r.hub == 0.0
+        if r.node.startswith("c"):
+            assert r.authority == 0.0
