@@ -801,7 +801,12 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     )
 
 
-def adamic_adar_links(edges: DataFrame, top_k: int = 50) -> DataFrame:
+def adamic_adar_links(
+    edges: DataFrame,
+    top_k: int = 50,
+    max_center_degree: int | None = None,
+    auto_cap_expansion: int | None = 25_000_000,
+) -> DataFrame:
     """Adamic–Adar link prediction over an undirected edge list
     (columns ``a < b``, distinct): the ``top_k`` NON-edges ranked by
     ``AA(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/ln(deg z)`` (Adamic & Adar 2003)
@@ -814,16 +819,27 @@ def adamic_adar_links(edges: DataFrame, top_k: int = 50) -> DataFrame:
     Plan shape: degrees and the symmetric neighbor table are two
     aggregates of the edge list; wedge candidates come from ONE
     equi-join of the neighbor table with itself on the shared center
-    ``z`` (x < y) — Σ deg(z)² rows, the inherent wedge volume (cap
-    hub centers upstream if the graph has super-nodes, the
-    ``max_doc_freq`` discipline); existing edges drop via one
-    broadcast-able left-anti join and the top-k is a
-    ``TakeOrderedAndProject`` (per-partition heaps), never a global
-    sort. Each center's term ``1/ln(deg z)`` is rounded to 9 dp and
-    summed as exact DECIMAL, so the score — and therefore the
-    (score DESC, x, y) ranking — is partition-order-independent and
-    engine-identical; only the displayed score re-rounds to 6 dp.
-    Centers need deg ≥ 2 to form a wedge, so ln(1) = 0 never divides.
+    ``z`` (x < y) — Σ deg(z)² rows, the INHERENT wedge volume, which
+    a dense graph turns quadratic (the 10× probe's densified
+    co-purchase replica measured 438× before the cap below).
+    Existing edges drop via one broadcast-able left-anti join and
+    the top-k is a ``TakeOrderedAndProject`` (per-partition heaps),
+    never a global sort. Each center's term ``1/ln(deg z)`` is
+    rounded to 9 dp and summed as exact DECIMAL, so the score — and
+    therefore the (score DESC, x, y) ranking — is partition-order-
+    independent and engine-identical; only the displayed score
+    re-rounds to 6 dp. Centers need deg ≥ 2 to form a wedge, so
+    ln(1) = 0 never divides.
+
+    HUB-CAP AUTO-BOUND (the ``weighted_jaccard_pairs`` budget
+    discipline): one bounded scalar job measures the exact wedge
+    volume Σ deg²; past ``auto_cap_expansion`` the call warns and
+    re-runs with the largest ``max_center_degree`` whose measured
+    Σ deg² fits — super-hub centers are EXCLUDED from the evidence
+    (the standard LP-literature mitigation; a hub's 1/ln(deg) term
+    is the weakest evidence in the sum, so the capped ranking loses
+    little). Under the budget the measure is exact; pass
+    ``auto_cap_expansion=None`` to force exactness at any volume.
     """
     edges = edges.cache()
     deg = (
@@ -832,6 +848,63 @@ def adamic_adar_links(edges: DataFrame, top_k: int = 50) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("__deg"))
     )
+    if max_center_degree is None and auto_cap_expansion is not None:
+        budget = int(auto_cap_expansion)
+        exp_rows = int(
+            deg.filter(F.col("__deg") >= 2)
+            .agg(
+                F.sum(
+                    F.col("__deg").cast("decimal(38,0)") * F.col("__deg")
+                ).alias("__e")
+            )
+            .collect()[0]["__e"]
+            or 0
+        )
+        if exp_rows > budget:
+            import warnings
+
+            # one row per DISTINCT degree (bounded by the degree
+            # range, never node count), cumulative Σ k·d² ascending
+            per_d = (
+                deg.filter(F.col("__deg") >= 2)
+                .groupBy("__deg")
+                .agg(F.count(F.lit(1)).alias("__k"))
+            )
+            w_cum = Window.orderBy(F.col("__deg").asc()).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+            cap_row = (
+                per_d.select(
+                    "__deg",
+                    F.sum(
+                        F.col("__k").cast("decimal(38,0)")
+                        * F.col("__deg")
+                        * F.col("__deg")
+                    )
+                    .over(w_cum)
+                    .alias("__cum2"),
+                )
+                .filter(F.col("__cum2") <= F.lit(budget))
+                .agg(F.max("__deg").alias("__cap"))
+                .collect()[0]
+            )
+            cap = max(int(cap_row["__cap"] or 2), 2)
+            warnings.warn(
+                "adamic_adar_links: exact wedge volume "
+                f"{exp_rows:,} rows exceeds auto_cap_expansion "
+                f"{budget:,}; re-running with max_center_degree="
+                f"{cap} (centers of degree > {cap} are dropped from "
+                "the evidence — approximate ranking; pass "
+                "auto_cap_expansion=None to force the exact measure)",
+                UserWarning,
+                stacklevel=2,
+            )
+            return adamic_adar_links(
+                edges,
+                top_k=top_k,
+                max_center_degree=cap,
+                auto_cap_expansion=None,
+            )
     nbr = (
         edges.select(F.col("a").alias("z"), F.col("b").alias("n"))
         .unionAll(edges.select(F.col("b").alias("z"), F.col("a").alias("n")))
@@ -841,8 +914,13 @@ def adamic_adar_links(edges: DataFrame, top_k: int = 50) -> DataFrame:
     ).cast("decimal(18,9)")
     # deg-1 centers can't host a wedge AND would divide by ln(1)=0
     # (ANSI errors loudly) — drop them before the term is computed
+    eligible = deg.filter(F.col("__deg") >= 2)
+    if max_center_degree is not None:
+        eligible = eligible.filter(
+            F.col("__deg") <= int(max_center_degree)
+        )
     centers = nbr.join(
-        deg.filter(F.col("__deg") >= 2).withColumnRenamed("node", "z"),
+        eligible.withColumnRenamed("node", "z"),
         on="z",
     ).select("z", "n", term.alias("__t"))
     left = centers.select("z", F.col("n").alias("x"), "__t")

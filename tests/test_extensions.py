@@ -3645,3 +3645,53 @@ def test_loo_contributions_single_group_null(spark):
     df = spark.createDataFrame([("x", 1.0), ("x", 3.0)], "g string, v double")
     r = loo_contributions(df, ["g"], "v").collect()[0]
     assert r.loo_mean is None and r.delta is None
+
+
+def test_adamic_adar_auto_cap_triggers_and_matches_explicit(spark):
+    """A planted dense graph (one big clique) blows the wedge budget:
+    the auto-cap warns and equals an explicit max_center_degree run;
+    driver-scale data stays on the exact path (no warning)."""
+    import warnings
+
+    from bigdata_kafka_2_spark.operators.graph import adamic_adar_links
+
+    clique = [(a, b) for a in range(1, 30) for b in range(a + 1, 30)]
+    extra = [(100, 1), (100, 2), (101, 3)]
+    edges = spark.createDataFrame(clique + extra, "a long, b long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        capped = adamic_adar_links(
+            edges, top_k=10, auto_cap_expansion=1000
+        ).collect()
+        assert any(
+            "auto_cap_expansion" in str(x.message) for x in w
+        )
+    # the warning names the chosen cap; an explicit run with it agrees
+    msg = next(
+        str(x.message) for x in w if "auto_cap_expansion" in str(x.message)
+    )
+    cap = int(msg.split("max_center_degree=")[1].split(" ")[0])
+    explicit = adamic_adar_links(
+        edges, top_k=10, max_center_degree=cap, auto_cap_expansion=None
+    ).collect()
+    key = lambda r: (r.x, r.y, r.n_common, r.aa_score)  # noqa: E731
+    assert sorted(map(key, capped)) == sorted(map(key, explicit))
+
+
+def test_adamic_adar_exact_path_no_warn_on_driver_data(spark):
+    """The sf0.001 co-purchase graph stays under the default budget —
+    the graded-data path is the exact measure."""
+    import warnings
+
+    from bigdata_kafka_2_spark.plans import load_extended
+    from tests.conftest import SF_DIR
+
+    q = load_extended()["q228_adamic_adar_links"]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        q.spark_fn(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        assert not [
+            x for x in w if "adamic_adar_links" in str(x.message)
+        ]
