@@ -257,6 +257,7 @@ HEADLINE = (
     "q233_ols_trend_by_group",
     "q234_loo_contributions",
     "q235_hits",
+    "q236_khop_reachability",
 )
 
 

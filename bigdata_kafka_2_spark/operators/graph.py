@@ -1122,3 +1122,51 @@ def hits_oracle_sql(iterations: int = 5) -> str:
     """
     )
     return "".join(parts)
+
+
+def khop_reachability(
+    edges: DataFrame, seeds: DataFrame, hops: int = 4
+) -> DataFrame:
+    """Bounded-hop reachability profile from a seed set over an
+    undirected edge list (columns ``a < b``): per hop ``(hop,
+    n_frontier, n_reached)`` — how many NEW nodes the hop discovers
+    and the cumulative reach, hop 0 = the seeds themselves. The
+    traversal member of the graph family (centrality/cores/triangles
+    describe structure; this measures PROXIMITY — blast radius of a
+    contaminated source, neighborhood growth around a seed corpus,
+    the BFS layers behind any graph-distance feature).
+
+    Fixed-iteration frontier expansion (the LPA/k-core loop
+    discipline): each hop is ONE equi-join of the current frontier
+    against the symmetric neighbor table plus a left-anti join
+    against the visited set; frontier and visited are
+    ``localCheckpoint``ed per hop so the k-hop lineage stays linear.
+    Per-hop driver work is one bounded count; the hop frames are
+    node-sized, never edge-sized. At 100 TB the frontier join is the
+    Pregel step — keyed shuffle on the node id, AQE-handled skew.
+    """
+    sym = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    frontier = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().localCheckpoint()
+    visited = frontier
+    rows = [(0, frontier.count(), visited.count())]
+    for h in range(1, hops + 1):
+        nxt = (
+            sym.join(
+                frontier.withColumnRenamed("node", "u"), on="u"
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, on="node", how="left_anti")
+            .localCheckpoint()
+        )
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+        rows.append((h, nxt.count(), visited.count()))
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        rows, "hop int, n_frontier bigint, n_reached bigint"
+    )

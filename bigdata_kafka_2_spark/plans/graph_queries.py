@@ -506,3 +506,97 @@ def q235_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = read_table(spark, sf_dir, "lineitem")
     edges = build_purchase_graph(orders, lineitem).select("src", "dst")
     return hits(spark, edges, iterations=3, label=True)
+
+
+@register(
+    "q236_khop_reachability",
+    oracle="""
+    WITH it AS (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem
+    ),
+    e AS (
+      SELECT a.item AS a, b.item AS b
+      FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+    ),
+    f0 AS (
+      SELECT min(node) AS node FROM (
+        SELECT a AS node FROM e UNION SELECT b FROM e
+      )
+    ),
+    v0 AS (SELECT node FROM f0),
+    f1 AS (
+      SELECT DISTINCT v AS node FROM sym JOIN f0 ON sym.u = f0.node
+      WHERE v NOT IN (SELECT node FROM v0)
+    ),
+    v1 AS (SELECT node FROM v0 UNION ALL SELECT node FROM f1),
+    f2 AS (
+      SELECT DISTINCT v AS node FROM sym JOIN f1 ON sym.u = f1.node
+      WHERE v NOT IN (SELECT node FROM v1)
+    ),
+    v2 AS (SELECT node FROM v1 UNION ALL SELECT node FROM f2),
+    f3 AS (
+      SELECT DISTINCT v AS node FROM sym JOIN f2 ON sym.u = f2.node
+      WHERE v NOT IN (SELECT node FROM v2)
+    ),
+    v3 AS (SELECT node FROM v2 UNION ALL SELECT node FROM f3),
+    f4 AS (
+      SELECT DISTINCT v AS node FROM sym JOIN f3 ON sym.u = f3.node
+      WHERE v NOT IN (SELECT node FROM v3)
+    ),
+    v4 AS (SELECT node FROM v3 UNION ALL SELECT node FROM f4)
+    SELECT 0 AS hop, (SELECT count(*) FROM f0) AS n_frontier,
+           (SELECT count(*) FROM v0) AS n_reached
+    UNION ALL SELECT 1, (SELECT count(*) FROM f1),
+           (SELECT count(*) FROM v1)
+    UNION ALL SELECT 2, (SELECT count(*) FROM f2),
+           (SELECT count(*) FROM v2)
+    UNION ALL SELECT 3, (SELECT count(*) FROM f3),
+           (SELECT count(*) FROM v3)
+    UNION ALL SELECT 4, (SELECT count(*) FROM f4),
+           (SELECT count(*) FROM v4)
+    """,
+    description="Bounded-hop reachability profile (operators/graph."
+    "khop_reachability): BFS layers from the lowest-id node of the "
+    "support-2 co-purchase graph, 4 hops — per hop the newly-"
+    "discovered frontier size and cumulative reach. The TRAVERSAL "
+    "member of the graph family (q144/q210/q153 describe structure; "
+    "this measures proximity — blast radius of a contaminated "
+    "source, neighborhood growth around a seed corpus). Each hop is "
+    "one keyed frontier join + one left-anti against the visited "
+    "set, localCheckpointed so the k-hop lineage stays linear "
+    "(the LPA/k-core loop discipline); per-hop driver work is one "
+    "bounded count. The oracle unrolls the same four layers.",
+    tags=("graph", "iterative", "join"),
+)
+def q236_khop_reachability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bigdata_kafka_2_spark.operators.graph import khop_reachability
+
+    li = read_table(spark, sf_dir, "lineitem")
+    it = li.select("l_orderkey", "l_partkey").distinct()
+    a = it.select(
+        F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("a")
+    )
+    b = it.select(
+        F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("b")
+    )
+    edges = (
+        a.join(b, on="__bk")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("__s"))
+        .filter(F.col("__s") >= 2)
+        .select("a", "b")
+    )
+    nodes = edges.select(F.col("a").alias("node")).union(
+        edges.select(F.col("b").alias("node"))
+    )
+    seeds = nodes.agg(F.min("node").alias("node"))
+    return khop_reachability(edges, seeds, hops=4)

@@ -208,3 +208,33 @@ def test_hits_l1_normalized_and_tiered(spark):
             assert r.hub == 0.0
         if r.node.startswith("c"):
             assert r.authority == 0.0
+
+
+def test_khop_reachability_hand_checked(spark):
+    """Path graph 1-2-3-4-5 seeded at 1: frontiers 1,1,1,1 and reach
+    1,2,3,4 over 3 hops; a disconnected node is never reached."""
+    from bigdata_kafka_2_spark.operators.graph import khop_reachability
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "a long, b long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    rows = {
+        r.hop: (r.n_frontier, r.n_reached)
+        for r in khop_reachability(edges, seeds, hops=3).collect()
+    }
+    assert rows == {0: (1, 1), 1: (1, 2), 2: (1, 3), 3: (1, 4)}
+
+
+def test_khop_reachability_exhausted_frontier(spark):
+    """Once the component is fully visited, later hops report empty
+    frontiers and a flat reach."""
+    from bigdata_kafka_2_spark.operators.graph import khop_reachability
+
+    edges = spark.createDataFrame([(1, 2)], "a long, b long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    rows = {
+        r.hop: (r.n_frontier, r.n_reached)
+        for r in khop_reachability(edges, seeds, hops=3).collect()
+    }
+    assert rows == {0: (1, 1), 1: (1, 2), 2: (0, 2), 3: (0, 2)}
