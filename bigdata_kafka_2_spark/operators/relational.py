@@ -643,3 +643,54 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         .select(F.col(x_col), F.col("__ymax").alias(y_col))
     )
     return pts.join(frontier, on=[x_col, y_col], how="left_semi")
+
+
+def global_prefix_max(
+    df: DataFrame,
+    order_cols: str | Sequence[str],
+    value_col: str,
+    out_col: str = "max_before",
+) -> DataFrame:
+    """EXCLUSIVE global prefix max of ``value_col`` over a total order
+    (``out_col`` = max of all earlier rows' values; NULL for the
+    first row) — the running-max scan, built on the same
+    bucket/offset construction as :func:`global_prefix_sum` (never a
+    single-partition window): per-bucket exclusive window max +
+    driver-side running max of the ≤64 per-bucket maxima, broadcast
+    back as bucket offsets. The primitive behind arrival-order
+    audits (how late is each event vs the latest event time already
+    seen — the watermark-tuning question) and high-water-mark
+    monitors.
+
+    ``value_col`` must be orderable; the driver collect is bounded by
+    the bucket count, never the data.
+    """
+    cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    n_buckets = _shuffle_partitions(df)
+    bucketed, eff = _range_bucket(df, cols[0], min(n_buckets, 64))
+    off = F.lit(None).cast(dict(df.dtypes)[value_col])
+    if eff > 1:
+        maxes = {
+            r["__bkt"]: r["__m"]
+            for r in bucketed.groupBy("__bkt")
+            .agg(F.max(value_col).alias("__m"))
+            .collect()
+        }
+        run = None
+        for b in range(eff):
+            if run is not None:
+                off = F.when(
+                    F.col("__bkt") == F.lit(b), F.lit(run)
+                ).otherwise(off)
+            m = maxes.get(b)
+            if m is not None and (run is None or m > run):
+                run = m
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(*[F.col(c) for c in cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.max(F.col(value_col)).over(w)
+    return bucketed.withColumn(
+        out_col, F.greatest(local, off) if eff > 1 else local
+    ).drop("__bkt")

@@ -1222,3 +1222,98 @@ def q233_ols_trend_by_group(
         ).alias("x"),
     ).agg(F.count(F.lit(1)).alias("y"))
     return ols_trend(daily, ["event_type"], "x", "y")
+
+
+@register(
+    "q237_watermark_lateness",
+    oracle="""
+    WITH arr AS (
+      SELECT event_id, epoch_us(ts) AS us FROM events
+    ),
+    pm AS (
+      SELECT event_id, us,
+             max(us) OVER (
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS hw
+      FROM arr
+    ),
+    late AS (
+      SELECT greatest(0, coalesce(hw - us, 0)) AS l FROM pm
+    ),
+    b AS (
+      SELECT CASE WHEN l = 0 THEN 'on-time'
+                  WHEN l <= 60000000 THEN '<=1m'
+                  WHEN l <= 300000000 THEN '<=5m'
+                  WHEN l <= 3600000000 THEN '<=1h'
+                  ELSE '>1h' END AS bucket,
+             l
+      FROM late
+    ),
+    tot AS (SELECT count(*) AS n FROM b)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(count(*) AS DOUBLE) / CAST(max(tot.n) AS DOUBLE),
+                 6) AS pct,
+           round(CAST(max(l) AS DOUBLE) / 1000000.0, 3) AS max_late_s
+    FROM b, tot GROUP BY bucket
+    """,
+    description="Watermark-tuning lateness profile (operators/"
+    "relational.global_prefix_max): per event, how far its event "
+    "time lags the high-water mark of everything that ARRIVED "
+    "before it (arrival order = event_id, the ingest sequence), "
+    "bucketed into the delays a withWatermark() designer would "
+    "choose between — the empirical answer to 'what watermark drops "
+    "how much', measured BEFORE committing a streaming job to one "
+    "(q63/q65's watermarks assume a delay; this measures it). The "
+    "running max is the range-bucketed global_prefix_max — "
+    "per-bucket window maxima + a ≤64-row driver running max, never "
+    "a single-partition window (the oracle transcribes exactly that "
+    "naive global window); lateness stays exact integer "
+    "microseconds until the display rounding.",
+    tags=("timeseries", "streaming", "profile"),
+)
+def q237_watermark_lateness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_max,
+    )
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    pm = global_prefix_max(e, ["event_id"], "us", out_col="hw")
+    late = pm.select(
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.coalesce(F.col("hw") - F.col("us"), F.lit(0).cast("long")),
+        ).alias("l")
+    )
+    bucket = (
+        F.when(F.col("l") == 0, F.lit("on-time"))
+        .when(F.col("l") <= 60_000_000, F.lit("<=1m"))
+        .when(F.col("l") <= 300_000_000, F.lit("<=5m"))
+        .when(F.col("l") <= 3_600_000_000, F.lit("<=1h"))
+        .otherwise(F.lit(">1h"))
+    )
+    tot = late.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        late.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("l").alias("__ml"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_events",
+            F.round(
+                F.col("n_events").cast("double")
+                / F.col("__n").cast("double"),
+                6,
+            ).alias("pct"),
+            F.round(F.col("__ml").cast("double") / 1_000_000.0, 3).alias(
+                "max_late_s"
+            ),
+        )
+    )
