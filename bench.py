@@ -258,6 +258,7 @@ HEADLINE = (
     "q234_loo_contributions",
     "q235_hits",
     "q236_khop_reachability",
+    "q237_watermark_lateness",
 )
 
 

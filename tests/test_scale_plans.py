@@ -6,6 +6,7 @@ the ranking/carry path."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from bigdata_kafka_2_spark.io import read_table
@@ -738,3 +739,32 @@ def test_autocorrelation_no_single_partition(spark):
     )
     plan = _plan(autocorrelation(daily, "x", "v", 3))
     assert "CartesianProduct" not in plan
+
+
+def test_global_prefix_max_matches_naive_and_buckets(spark):
+    """Exclusive running max equals the naive global-window answer and
+    plans with bucket-keyed windows only."""
+    import pyspark.sql.functions as F2
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100) for i in range(500)], "i long, v long"
+    )
+    out = R.global_prefix_max(df, ["i"], "v")
+    got = {r.i: r.max_before for r in out.collect()}
+    naive = {
+        r.i: r.want
+        for r in df.withColumn(
+            "want",
+            F2.max("v").over(
+                Window.orderBy("i").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        ).collect()
+    }
+    assert got == naive
+    plan = _plan(out)
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+    ]
+    assert specs and all("__bkt" in ln for ln in specs)
