@@ -368,6 +368,31 @@ def register(
 #: fingerprint-overlap family keeps graded anchors in q43 simhash
 #: near-pairs and q42/q85's minhash-LSH pair mining, and winnowing
 #: stays hash-checked in the mirror).
+#: Round-11 SECOND-SESSION rotation (three more swaps: the round's
+#: resumed session added fourteen families, q224-q237 — grade the
+#: three strongest; every outgoing query stays hash-checked in the
+#: EXTENDED oracle mirror, and every outgoing FAMILY keeps a graded
+#: representative):
+#: q43_simhash_near_pairs → q224_kaplan_meier (right-censored
+#: survival — a statistics family no graded row exercises, and the
+#: query that EXERCISES THE global_prefix_sum FRACTIONAL-DECIMAL
+#: FIX this session landed: its cumulative log-survival is exactly
+#: the cross-bucket fractional carry the old int() truncation
+#: zeroed, so grading it pins the fix; the hash-sketch family keeps
+#: q42's minhash-LSH bands graded, and simhash stays mirror-green);
+#: q38_char_entropy → q225_mann_whitney (the exact tie-corrected
+#: rank-sum test — all-integer ranks from distinct-value prefix
+#: counts in DECIMAL(38,0), never a per-row rank — joins q192's KS
+#: as the two-sample family's second graded shape; the text-quality
+#: family keeps q49's quality filter and q34's language-ID graded,
+#: and char entropy stays mirror-green);
+#: q46_bm25_scores → q235_hits (Kleinberg hubs/authorities — the
+#: second iterative link fixpoint, L1-renormalized each half-step
+#: under q144's integer-unit induction, bit-identical to the
+#: unrolled-CTE oracle; the retrieval-scoring family keeps
+#: q121_ndcg_bm25 graded, which computes the same BM25 document-
+#: frequency/saturation stages underneath its nDCG, and the raw
+#: BM25 scores stay mirror-green).
 CURATED: tuple[str, ...] = (
     # relational / joins / windows / grouping
     "q01_pricing_summary",
@@ -394,7 +419,7 @@ CURATED: tuple[str, ...] = (
     # CDC / sampling / window-family / date / map
     "q97_cdc_apply_changes",
     "q177_naive_bayes_lang",
-    "q43_simhash_near_pairs",
+    "q224_kaplan_meier",
     "q144_pagerank",
     "q192_ks_test",
     "q117_dsir_logweights",
@@ -408,7 +433,7 @@ CURATED: tuple[str, ...] = (
     "q34_language_id",
     "q81_curation_v2",
     "q121_ndcg_bm25",
-    "q38_char_entropy",
+    "q225_mann_whitney",
     "q211_dataset_digest",
     "q210_kcore_dupgraph",
     # similarity / ANN
@@ -416,7 +441,7 @@ CURATED: tuple[str, ...] = (
     "q53_lsh_bucketed_near_dup",
     "q57_ivf_topk",
     # retrieval scoring / vector math / compression
-    "q46_bm25_scores",
+    "q235_hits",
     "q56_range_join_bands",
     "q68_pq_rerank_topk",
     # streaming / event-time windows
