@@ -259,6 +259,7 @@ HEADLINE = (
     "q235_hits",
     "q236_khop_reachability",
     "q237_watermark_lateness",
+    "q238_curation_v8",
 )
 
 

@@ -1810,3 +1810,118 @@ def q214_curation_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_redacted_chars"
         ),
     )
+
+
+def _v8_oracle() -> str:
+    from bigdata_kafka_2_spark.operators.pii import PII_PATTERNS
+
+    counts = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for _, pat, _ in PII_PATTERNS
+    )
+    return (
+        _v6_chain_sql()
+        + f""",
+    surv8 AS (
+      SELECT k.lang, k.doc_id, k.text
+      FROM kept2 k JOIN reps6 r ON r.node = k.doc_id AND r.rep = k.doc_id
+    ),
+    rel8 AS (
+      SELECT lang, doc_id, {_v7_inject_sql()} AS text FROM surv8
+    ),
+    red8 AS (
+      SELECT lang, doc_id, {counts} AS n_pii,
+             {_v7_redact_sql()} AS redacted
+      FROM rel8
+    ),
+    keyed8 AS (
+      SELECT lang, doc_id, n_pii, redacted,
+             -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                          || ':42'), 1, 15)
+                       AS BIGINT) + 0.5) / 1152921504606846976.0)
+               / CAST(length(redacted) AS DOUBLE) AS ekey
+      FROM red8
+    ),
+    pick8 AS (
+      SELECT lang, n_pii, redacted
+      FROM keyed8 ORDER BY ekey, doc_id LIMIT 50
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_pii) AS BIGINT) AS n_pii,
+           round(avg(length(redacted)), 4) AS avg_redacted_chars
+    FROM pick8 GROUP BY lang
+    """
+    )
+
+
+@register(
+    "q238_curation_v8",
+    oracle=_v8_oracle(),
+    description="Curation v8 — v7's full release chain (quality "
+    "filter -> NB label-noise router -> containment removal -> "
+    "prefix-filtered exact dedup -> CC survivors -> fused PII "
+    "redaction) finished with the BUDGET SELECTION a release "
+    "actually ships under: an Efraimidis-Spirakis weighted sample "
+    "of 50 documents with inclusion probability rising in "
+    "post-redaction length (q230's A-ES machinery, portable md5_15 "
+    "uniform, weight = length(redacted) so the draw needs NO extra "
+    "join — entirely row-local on the release frame), profiled per "
+    "language. The selection stage adds one TakeOrderedAndProject "
+    "to v7's plan — zero new shuffles — and the whole chain stays "
+    "hash-checked end to end: the strongest composition the engine "
+    "grades (filter -> route -> dedup -> scrub -> sample-to-budget "
+    "is the LITERAL shape of a production corpus release).",
+    tags=("dedup", "text", "pii", "sampling", "flagship"),
+)
+def q238_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.pii import pii_release
+    from bigdata_kafka_2_spark.operators.sampling import weighted_sample
+
+    survivors = _v6_survivors(spark, sf_dir)
+    did = F.col("doc_id")
+    inj = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        did.cast("string"),
+        F.lit("@ex.com "),
+        F.lit("555-"),
+        F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" "),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 100).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    rel = survivors.select("lang", "doc_id", inj.alias("text"))
+    red = pii_release(rel, "text", "doc_id", keep_cols=("lang",)).withColumn(
+        "__w", F.length("redacted")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    picked = weighted_sample(red, "__w", 50, "doc_id", u=u)
+    return picked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_pii").cast("long").alias("n_pii"),
+        F.round(F.avg(F.length("redacted")), 4).alias(
+            "avg_redacted_chars"
+        ),
+    )
