@@ -260,6 +260,7 @@ HEADLINE = (
     "q236_khop_reachability",
     "q237_watermark_lateness",
     "q238_curation_v8",
+    "q239_oof_target_encoding",
 )
 
 

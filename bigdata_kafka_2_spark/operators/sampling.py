@@ -731,3 +731,56 @@ def shuffle_rank(
     return global_row_number(
         withkey, ["__shuf", id_col], rn_col=out_col
     ).drop("__shuf")
+
+
+def oof_target_encoding(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    fold_col: str,
+    min_samples: int = 1,
+) -> DataFrame:
+    """Leakage-safe OUT-OF-FOLD target encoding table: per
+    ``(category, fold)``, the mean of ``target_col`` over the
+    category's rows in every OTHER fold — the categorical-feature
+    encoding that never lets a row see its own target (in-fold target
+    means are the classic leakage that inflates validation scores;
+    this is the K-fold repair, the feature-engineering member of the
+    leakage-safety family next to :func:`leakage_safe_split` /
+    :func:`leakage_safe_folds`).
+
+    Pure algebra, no per-fold rescans: ONE map-side-combined
+    aggregate produces per-(category, fold) counts and exact-DECIMAL
+    target sums; the out-of-fold mean is ``(S_cat − S_cat,fold) /
+    (n_cat − n_cat,fold)`` off a category-keyed join of the same
+    tiny aggregate — |categories|·|folds| rows end to end, scan
+    speed at any table size. Cells whose out-of-fold support falls
+    below ``min_samples`` return NULL (the honest cold-start answer;
+    callers back off to the global mean).
+    """
+    dec = "decimal(38,4)"
+    v = F.round(F.col(target_col).cast("double"), 4).cast(dec)
+    cell = df.groupBy(
+        F.col(category_col).alias("__c"), F.col(fold_col).alias("fold")
+    ).agg(
+        F.count(F.lit(1)).alias("__nf"),
+        F.sum(v).alias("__sf"),
+    )
+    cat = cell.groupBy("__c").agg(
+        F.sum("__nf").alias("__n"), F.sum("__sf").alias("__s")
+    )
+    oof_n = F.col("__n") - F.col("__nf")
+    oof = F.when(
+        oof_n >= int(min_samples),
+        (F.col("__s") - F.col("__sf")).cast("double")
+        / oof_n.cast("double"),
+    )
+    return (
+        cell.join(cat, on="__c")
+        .select(
+            F.col("__c").alias(category_col),
+            "fold",
+            F.col("__nf").cast("long").alias("n_rows"),
+            F.round(oof, 6).alias("oof_mean"),
+        )
+    )

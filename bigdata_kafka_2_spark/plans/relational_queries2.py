@@ -3094,3 +3094,53 @@ def q234_loo_contributions(
 
     d = read_table(spark, sf_dir, "documents")
     return loo_contributions(d, ["lang", "source"], "n_chars")
+
+
+@register(
+    "q239_oof_target_encoding",
+    oracle="""
+    WITH cell AS (
+      SELECT o_orderpriority AS pri, o_orderkey % 5 AS fold,
+             count(*) AS nf,
+             sum(CAST(round(CAST(o_totalprice AS DOUBLE), 4)
+                      AS DECIMAL(38,4))) AS sf
+      FROM orders GROUP BY 1, 2
+    ),
+    cat AS (
+      SELECT pri, sum(nf) AS n, sum(sf) AS s FROM cell GROUP BY 1
+    )
+    SELECT cell.pri AS o_orderpriority, CAST(cell.fold AS BIGINT)
+             AS fold,
+           CAST(nf AS BIGINT) AS n_rows,
+           round(CASE WHEN n - nf >= 1 THEN
+             CAST(s - sf AS DOUBLE) / CAST(n - nf AS DOUBLE) END, 6)
+             AS oof_mean
+    FROM cell JOIN cat ON cell.pri = cat.pri
+    """,
+    description="Leakage-safe out-of-fold target encoding "
+    "(operators/sampling.oof_target_encoding): per (order priority, "
+    "fold), the mean order value over the OTHER folds — the "
+    "categorical encoding that never lets a row see its own target, "
+    "the feature-engineering member of the leakage-safety family "
+    "(q79's splits and q134's folds guard EVAL integrity; this "
+    "guards FEATURE integrity). Pure algebra off one map-side-"
+    "combined aggregate of exact DECIMAL sums + a category-keyed "
+    "join of the |categories|x|folds| cell table — no per-fold "
+    "rescan, scan speed at any size. Fold here is the portable "
+    "key-modulo bucket (q91's pattern; production folds come from "
+    "leakage_safe_folds' cluster-representative hash).",
+    tags=("sampling", "aggregate"),
+)
+def q239_oof_target_encoding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.sampling import (
+        oof_target_encoding,
+    )
+
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "fold", F.pmod(F.col("o_orderkey"), F.lit(5))
+    )
+    return oof_target_encoding(
+        o, "o_orderpriority", "o_totalprice", "fold"
+    )

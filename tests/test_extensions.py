@@ -3695,3 +3695,24 @@ def test_adamic_adar_exact_path_no_warn_on_driver_data(spark):
         assert not [
             x for x in w if "adamic_adar_links" in str(x.message)
         ]
+
+
+def test_oof_target_encoding_hand_checked(spark):
+    """Category 'a' targets: fold0={10,20}, fold1={40}. OOF means:
+    fold0 sees 40, fold1 sees (10+20)/2=15. A fold holding the whole
+    category gets NULL (no out-of-fold support)."""
+    from bigdata_kafka_2_spark.operators.sampling import (
+        oof_target_encoding,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10.0, 0), ("a", 20.0, 0), ("a", 40.0, 1), ("b", 7.0, 0)],
+        "c string, t double, fold int",
+    )
+    got = {
+        (r.c, r.fold): (r.n_rows, r.oof_mean)
+        for r in oof_target_encoding(df, "c", "t", "fold").collect()
+    }
+    assert got[("a", 0)] == (2, 40.0)
+    assert got[("a", 1)] == (1, 15.0)
+    assert got[("b", 0)] == (1, None)
