@@ -261,6 +261,7 @@ HEADLINE = (
     "q237_watermark_lateness",
     "q238_curation_v8",
     "q239_oof_target_encoding",
+    "q240_gini_split_stump",
 )
 
 

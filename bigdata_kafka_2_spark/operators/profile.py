@@ -1641,3 +1641,100 @@ def loo_contributions(
         F.round(loo, 6).alias("loo_mean"),
         F.round(loo - corpus_mean, 6).alias("delta"),
     )
+
+
+def gini_split_stump(
+    df: DataFrame,
+    feature_col: str,
+    label_col,
+) -> DataFrame:
+    """Exact best binary split of a numeric feature against a boolean
+    label — the decision STUMP / supervised-discretization primitive
+    (CART's split search, one level): one row ``(threshold, n_left,
+    n_right, pos_left, pos_right, gini_gain)`` where ``threshold`` is
+    the distinct feature value v maximizing the Gini impurity
+    decrease of the partition ``feature ≤ v`` vs ``> v``. The
+    supervised cousin of :func:`jenks_breaks` (which discretizes
+    against the feature's own variance, labels unseen) — feature
+    screening, monotone-binning, and leakage-free threshold picking
+    all reduce to this search.
+
+    All-integer construction: per-DISTINCT-value (count, positives)
+    cells, INCLUSIVE prefix sums via the range-bucketed
+    :func:`~bigdata_kafka_2_spark.operators.relational.
+    global_prefix_sum` (never a single-partition window), totals as
+    a broadcast 1-row aggregate. The maximized score
+
+        f(v) = pL²/nL + (nL−pL)²/nL + pR²/nR + (nR−pR)²/nR
+
+    (monotone in the impurity decrease) is evaluated in double from
+    those exact integers — identical inputs through an identical
+    expression on both engines — and the argmax breaks ties toward
+    the smallest threshold. ``gini_gain`` reports the actual
+    weighted-impurity decrease, rounded 6 dp. The last distinct value
+    is excluded (an empty right side is not a split).
+    """
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    lab = label_col if not isinstance(label_col, str) else F.col(label_col)
+    cells = (
+        df.select(
+            F.col(feature_col).cast("double").alias("__v"),
+            lab.cast("int").alias("__y"),
+        )
+        .groupBy("__v")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum("__y").alias("__p"),
+        )
+    )
+    pre = global_prefix_sum(cells, "__v", "__c", out_col="__cb")
+    pre = global_prefix_sum(pre, "__v", "__p", out_col="__pb")
+    tot = cells.agg(
+        F.sum("__c").alias("__nt"), F.sum("__p").alias("__pt")
+    )
+    j = pre.crossJoin(F.broadcast(tot))
+    nl = (F.col("__cb") + F.col("__c")).cast("double")
+    pl = (F.col("__pb") + F.col("__p")).cast("double")
+    nr = F.col("__nt").cast("double") - nl
+    pr = F.col("__pt").cast("double") - pl
+    f = (
+        pl * pl / nl
+        + (nl - pl) * (nl - pl) / nl
+        + pr * pr / nr
+        + (nr - pr) * (nr - pr) / nr
+    )
+    n_d = F.col("__nt").cast("double")
+    p_d = F.col("__pt").cast("double")
+    parent = F.lit(1.0) - (p_d / n_d) * (p_d / n_d) - (
+        (n_d - p_d) / n_d
+    ) * ((n_d - p_d) / n_d)
+    child = (
+        nl / n_d * (F.lit(1.0) - (pl / nl) * (pl / nl)
+                    - ((nl - pl) / nl) * ((nl - pl) / nl))
+        + nr / n_d * (F.lit(1.0) - (pr / nr) * (pr / nr)
+                      - ((nr - pr) / nr) * ((nr - pr) / nr))
+    )
+    scored = j.filter(nr > 0).select(
+        F.col("__v").alias("threshold"),
+        nl.cast("long").alias("n_left"),
+        nr.cast("long").alias("n_right"),
+        pl.cast("long").alias("pos_left"),
+        pr.cast("long").alias("pos_right"),
+        f.alias("__f"),
+        (parent - child).alias("__gain"),
+    )
+    return (
+        scored.orderBy(F.col("__f").desc(), F.col("threshold").asc())
+        .limit(1)
+        .select(
+            "threshold",
+            "n_left",
+            "n_right",
+            "pos_left",
+            "pos_right",
+            F.round(F.col("__gain"), 6).alias("gini_gain"),
+        )
+    )

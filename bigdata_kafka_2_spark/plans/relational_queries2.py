@@ -3144,3 +3144,86 @@ def q239_oof_target_encoding(
     return oof_target_encoding(
         o, "o_orderpriority", "o_totalprice", "fold"
     )
+
+
+@register(
+    "q240_gini_split_stump",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v, count(*) AS c,
+             sum(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS p
+      FROM orders GROUP BY 1
+    ),
+    pre AS (
+      SELECT v, c, p,
+             sum(c) OVER (ORDER BY v) AS nl,
+             sum(p) OVER (ORDER BY v) AS pl
+      FROM cells
+    ),
+    tot AS (SELECT sum(c) AS nt, sum(p) AS pt FROM cells),
+    scored AS (
+      SELECT v AS threshold,
+             CAST(nl AS BIGINT) AS n_left,
+             CAST(nt - nl AS BIGINT) AS n_right,
+             CAST(pl AS BIGINT) AS pos_left,
+             CAST(pt - pl AS BIGINT) AS pos_right,
+             CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE)
+               / CAST(nl AS DOUBLE)
+             + CAST(nl - pl AS DOUBLE) * CAST(nl - pl AS DOUBLE)
+               / CAST(nl AS DOUBLE)
+             + CAST(pt - pl AS DOUBLE) * CAST(pt - pl AS DOUBLE)
+               / CAST(nt - nl AS DOUBLE)
+             + CAST((nt - nl) - (pt - pl) AS DOUBLE)
+               * CAST((nt - nl) - (pt - pl) AS DOUBLE)
+               / CAST(nt - nl AS DOUBLE) AS f,
+             (1.0 - (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+                    * (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+                  - (CAST(nt - pt AS DOUBLE) / CAST(nt AS DOUBLE))
+                    * (CAST(nt - pt AS DOUBLE) / CAST(nt AS DOUBLE)))
+             - (CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE)
+                * (1.0 - (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                         * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                       - (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                         * (CAST(nl - pl AS DOUBLE)
+                            / CAST(nl AS DOUBLE)))
+                + CAST(nt - nl AS DOUBLE) / CAST(nt AS DOUBLE)
+                  * (1.0 - (CAST(pt - pl AS DOUBLE)
+                            / CAST(nt - nl AS DOUBLE))
+                           * (CAST(pt - pl AS DOUBLE)
+                              / CAST(nt - nl AS DOUBLE))
+                         - (CAST((nt - nl) - (pt - pl) AS DOUBLE)
+                            / CAST(nt - nl AS DOUBLE))
+                           * (CAST((nt - nl) - (pt - pl) AS DOUBLE)
+                              / CAST(nt - nl AS DOUBLE)))) AS gain
+      FROM pre, tot WHERE nt - nl > 0
+    )
+    SELECT threshold, n_left, n_right, pos_left, pos_right,
+           round(gain, 6) AS gini_gain
+    FROM scored ORDER BY f DESC, threshold ASC LIMIT 1
+    """,
+    description="Exact decision-stump split search (operators/"
+    "profile.gini_split_stump): the order-value threshold best "
+    "separating URGENT from non-URGENT orders by Gini impurity "
+    "decrease — CART's one-level split, the supervised-"
+    "discretization primitive behind feature screening and monotone "
+    "binning (q143's Jenks discretizes against the feature's own "
+    "variance; this discretizes against a LABEL). All-integer: "
+    "per-distinct-value (count, positives) cells, inclusive prefix "
+    "sums via the range-bucketed global_prefix_sum (the oracle "
+    "transcribes the naive global window it equals), broadcast "
+    "totals; the maximized score and the reported gain are "
+    "identical double expressions over those exact integers on "
+    "both engines, argmax tie-broken toward the smallest "
+    "threshold, one TakeOrdered(1).",
+    tags=("profile", "aggregate"),
+)
+def q240_gini_split_stump(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import gini_split_stump
+
+    o = read_table(spark, sf_dir, "orders")
+    return gini_split_stump(
+        o, "o_totalprice", F.col("o_orderpriority") == "1-URGENT"
+    )

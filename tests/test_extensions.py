@@ -3716,3 +3716,31 @@ def test_oof_target_encoding_hand_checked(spark):
     assert got[("a", 0)] == (2, 40.0)
     assert got[("a", 1)] == (1, 15.0)
     assert got[("b", 0)] == (1, None)
+
+
+def test_gini_split_stump_hand_checked(spark):
+    """Feature 1..6, label = feature >= 4: the perfect split is at
+    v=3 (all negatives left, all positives right), gain = parent
+    Gini = 0.5."""
+    from bigdata_kafka_2_spark.operators.profile import gini_split_stump
+
+    df = spark.createDataFrame(
+        [(float(v), v >= 4) for v in range(1, 7)], "v double, y boolean"
+    )
+    r = gini_split_stump(df, "v", "y").collect()[0]
+    assert r.threshold == 3.0
+    assert (r.n_left, r.n_right) == (3, 3)
+    assert (r.pos_left, r.pos_right) == (0, 3)
+    assert abs(r.gini_gain - 0.5) < 1e-9
+
+
+def test_gini_split_stump_uninformative_feature(spark):
+    """A label independent of the feature yields ~zero gain at the
+    argmax (never negative)."""
+    from bigdata_kafka_2_spark.operators.profile import gini_split_stump
+
+    rows = [(float(v), v % 2 == 0) for v in range(1, 101)]
+    r = gini_split_stump(
+        spark.createDataFrame(rows, "v double, y boolean"), "v", "y"
+    ).collect()[0]
+    assert r.gini_gain is not None and -1e-9 <= r.gini_gain < 0.02
