@@ -262,6 +262,7 @@ HEADLINE = (
     "q238_curation_v8",
     "q239_oof_target_encoding",
     "q240_gini_split_stump",
+    "q241_diff_in_differences",
 )
 
 

@@ -1738,3 +1738,99 @@ def gini_split_stump(
             F.round(F.col("__gain"), 6).alias("gini_gain"),
         )
     )
+
+
+def diff_in_differences(
+    df: DataFrame,
+    group_col,
+    period_col,
+    value_col: str,
+) -> DataFrame:
+    """Two-by-two difference-in-differences estimate: one row
+    ``(n_t_pre, n_t_post, n_c_pre, n_c_post, mean_t_pre, mean_t_post,
+    mean_c_pre, mean_c_post, did, se)`` for a boolean treatment
+    ``group_col`` and boolean post-period ``period_col`` —
+
+        DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre)
+
+    the canonical quasi-experimental estimator when treatment wasn't
+    randomized but a control series shares the trend (Card & Krueger
+    1994): the causal/experimentation member of the two-sample family
+    (:func:`mann_whitney_u` / :func:`ks_test` ask IF distributions
+    differ; DiD asks how much of a shift is ATTRIBUTABLE net of the
+    common trend). ``se`` is the unpooled large-sample standard error
+    ``sqrt(Σ s²_cell/n_cell)`` — the four-cell delta-method form.
+
+    ONE map-side-combined aggregate builds all four cells (counts,
+    exact-DECIMAL sums, and Σx² for the variances); every mean and
+    the estimate divide exact integers/decimals through identical
+    double expressions on both engines, rounded 6 dp. Scan speed at
+    any scale; the output is one row.
+    """
+    g = (
+        F.col(group_col).cast("boolean")
+        if isinstance(group_col, str)
+        else group_col.cast("boolean")
+    )
+    p = (
+        F.col(period_col).cast("boolean")
+        if isinstance(period_col, str)
+        else period_col.cast("boolean")
+    )
+    dec = "decimal(38,4)"
+    v = F.round(F.col(value_col).cast("double"), 4).cast(dec)
+    v2 = F.round(
+        F.col(value_col).cast("double")
+        * F.col(value_col).cast("double"),
+        4,
+    ).cast(dec)
+
+    def cell(tag, cond):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"__n_{tag}"),
+            F.sum(F.when(cond, v)).alias(f"__s_{tag}"),
+            F.sum(F.when(cond, v2)).alias(f"__q_{tag}"),
+        ]
+
+    agg = df.agg(
+        *cell("tpre", g & ~p),
+        *cell("tpost", g & p),
+        *cell("cpre", ~g & ~p),
+        *cell("cpost", ~g & p),
+    )
+
+    def mean(tag):
+        return F.col(f"__s_{tag}").cast("double") / F.col(
+            f"__n_{tag}"
+        ).cast("double")
+
+    def var_over_n(tag):
+        n = F.col(f"__n_{tag}").cast("double")
+        m = mean(tag)
+        return (
+            (F.col(f"__q_{tag}").cast("double") / n - m * m)
+            * n
+            / (n - F.lit(1.0))
+        ) / n
+
+    did = (mean("tpost") - mean("tpre")) - (
+        mean("cpost") - mean("cpre")
+    )
+    se = F.sqrt(
+        var_over_n("tpost")
+        + var_over_n("tpre")
+        + var_over_n("cpost")
+        + var_over_n("cpre")
+    )
+    out = [
+        F.col(f"__n_{t}").cast("long").alias(f"n_{t[0]}_{t[1:]}")
+        for t in ("tpre", "tpost", "cpre", "cpost")
+    ]
+    means = [
+        F.round(mean(t), 6).alias(f"mean_{t[0]}_{t[1:]}")
+        for t in ("tpre", "tpost", "cpre", "cpost")
+    ]
+    return agg.select(
+        *out, *means, F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+    )

@@ -3227,3 +3227,134 @@ def q240_gini_split_stump(
     return gini_split_stump(
         o, "o_totalprice", F.col("o_orderpriority") == "1-URGENT"
     )
+
+
+@register(
+    "q241_diff_in_differences",
+    oracle="""
+    WITH cells AS (
+      SELECT
+        sum(CASE WHEN event_type = 'purchase'
+                  AND ts <  TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+          AS n_tpre,
+        sum(CASE WHEN event_type = 'purchase'
+                  AND ts <  TIMESTAMP '2024-01-16'
+             THEN CAST(round(CAST(value AS DOUBLE), 4)
+                       AS DECIMAL(38,4)) END) AS s_tpre,
+        sum(CASE WHEN event_type = 'purchase'
+                  AND ts <  TIMESTAMP '2024-01-16'
+             THEN CAST(round(CAST(value AS DOUBLE)
+                             * CAST(value AS DOUBLE), 4)
+                       AS DECIMAL(38,4)) END) AS q_tpre,
+        sum(CASE WHEN event_type = 'purchase'
+                  AND ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+          AS n_tpost,
+        sum(CASE WHEN event_type = 'purchase'
+                  AND ts >= TIMESTAMP '2024-01-16'
+             THEN CAST(round(CAST(value AS DOUBLE), 4)
+                       AS DECIMAL(38,4)) END) AS s_tpost,
+        sum(CASE WHEN event_type = 'purchase'
+                  AND ts >= TIMESTAMP '2024-01-16'
+             THEN CAST(round(CAST(value AS DOUBLE)
+                             * CAST(value AS DOUBLE), 4)
+                       AS DECIMAL(38,4)) END) AS q_tpost,
+        sum(CASE WHEN event_type <> 'purchase'
+                  AND ts <  TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+          AS n_cpre,
+        sum(CASE WHEN event_type <> 'purchase'
+                  AND ts <  TIMESTAMP '2024-01-16'
+             THEN CAST(round(CAST(value AS DOUBLE), 4)
+                       AS DECIMAL(38,4)) END) AS s_cpre,
+        sum(CASE WHEN event_type <> 'purchase'
+                  AND ts <  TIMESTAMP '2024-01-16'
+             THEN CAST(round(CAST(value AS DOUBLE)
+                             * CAST(value AS DOUBLE), 4)
+                       AS DECIMAL(38,4)) END) AS q_cpre,
+        sum(CASE WHEN event_type <> 'purchase'
+                  AND ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+          AS n_cpost,
+        sum(CASE WHEN event_type <> 'purchase'
+                  AND ts >= TIMESTAMP '2024-01-16'
+             THEN CAST(round(CAST(value AS DOUBLE), 4)
+                       AS DECIMAL(38,4)) END) AS s_cpost,
+        sum(CASE WHEN event_type <> 'purchase'
+                  AND ts >= TIMESTAMP '2024-01-16'
+             THEN CAST(round(CAST(value AS DOUBLE)
+                             * CAST(value AS DOUBLE), 4)
+                       AS DECIMAL(38,4)) END) AS q_cpost
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT CAST(n_tpre AS BIGINT) AS n_t_pre,
+           CAST(n_tpost AS BIGINT) AS n_t_post,
+           CAST(n_cpre AS BIGINT) AS n_c_pre,
+           CAST(n_cpost AS BIGINT) AS n_c_post,
+           round(CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE), 6)
+             AS mean_t_pre,
+           round(CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE), 6)
+             AS mean_t_post,
+           round(CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE), 6)
+             AS mean_c_pre,
+           round(CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE), 6)
+             AS mean_c_post,
+           round((CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE)
+                  - CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE))
+                 - (CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE)
+                    - CAST(s_cpre AS DOUBLE)
+                      / CAST(n_cpre AS DOUBLE)), 6) AS did,
+           round(sqrt(
+             ((CAST(q_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE)
+               - (CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE))
+                 * (CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE)))
+              * CAST(n_tpost AS DOUBLE)
+              / (CAST(n_tpost AS DOUBLE) - 1.0))
+               / CAST(n_tpost AS DOUBLE)
+             + ((CAST(q_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE)
+               - (CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE))
+                 * (CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE)))
+              * CAST(n_tpre AS DOUBLE)
+              / (CAST(n_tpre AS DOUBLE) - 1.0))
+               / CAST(n_tpre AS DOUBLE)
+             + ((CAST(q_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE)
+               - (CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE))
+                 * (CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE)))
+              * CAST(n_cpost AS DOUBLE)
+              / (CAST(n_cpost AS DOUBLE) - 1.0))
+               / CAST(n_cpost AS DOUBLE)
+             + ((CAST(q_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE)
+               - (CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE))
+                 * (CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE)))
+              * CAST(n_cpre AS DOUBLE)
+              / (CAST(n_cpre AS DOUBLE) - 1.0))
+               / CAST(n_cpre AS DOUBLE)), 6) AS se
+    FROM cells
+    """,
+    description="Difference-in-differences (operators/profile."
+    "diff_in_differences; Card & Krueger 1994): purchase-event "
+    "values vs all other events, before/after the 2024-01-16 split "
+    "— the causal/experimentation member of the two-sample family: "
+    "q225's Mann-Whitney and q192's KS ask IF the distributions "
+    "differ; DiD asks how much of the post-period shift is "
+    "ATTRIBUTABLE to the treated series net of the common trend, "
+    "with the four-cell delta-method standard error. ONE map-side-"
+    "combined aggregate builds all four (count, exact-DECIMAL sum, "
+    "Σx²) cells; every mean, the estimate, and the SE divide those "
+    "identical integers through the same double expressions on both "
+    "engines. Scan speed at any scale, one output row.",
+    tags=("profile", "aggregate", "timeseries"),
+)
+def q241_diff_in_differences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import (
+        diff_in_differences,
+    )
+
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return diff_in_differences(
+        e,
+        F.col("event_type") == "purchase",
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+        "value",
+    )

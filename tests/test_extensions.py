@@ -3744,3 +3744,42 @@ def test_gini_split_stump_uninformative_feature(spark):
         spark.createDataFrame(rows, "v double, y boolean"), "v", "y"
     ).collect()[0]
     assert r.gini_gain is not None and -1e-9 <= r.gini_gain < 0.02
+
+
+def test_diff_in_differences_hand_checked(spark):
+    """Treated: pre {10,12}, post {20,26}; control: pre {5,7}, post
+    {8,10}. DiD = (23-11) - (9-6) = 9."""
+    from bigdata_kafka_2_spark.operators.profile import (
+        diff_in_differences,
+    )
+    import pyspark.sql.functions as F2
+
+    rows = (
+        [(1, 0, 10.0), (1, 0, 12.0), (1, 1, 20.0), (1, 1, 26.0)]
+        + [(0, 0, 5.0), (0, 0, 7.0), (0, 1, 8.0), (0, 1, 10.0)]
+    )
+    df = spark.createDataFrame(rows, "g int, p int, v double")
+    r = diff_in_differences(
+        df, F2.col("g") == 1, F2.col("p") == 1, "v"
+    ).collect()[0]
+    assert (r.n_t_pre, r.n_t_post, r.n_c_pre, r.n_c_post) == (2, 2, 2, 2)
+    assert r.mean_t_post == 23.0 and r.mean_c_pre == 6.0
+    assert r.did == 9.0
+    # SE: each cell var/n = s^2/2; s^2 = 2, 18, 2, 2 -> sqrt(12) ~ 3.4641
+    assert abs(r.se - (12.0) ** 0.5) < 1e-6
+
+
+def test_diff_in_differences_parallel_trends_zero(spark):
+    """When both series move by the same amount, DiD = 0."""
+    from bigdata_kafka_2_spark.operators.profile import (
+        diff_in_differences,
+    )
+    import pyspark.sql.functions as F2
+
+    rows = [(g, p, 10.0 * g + 5.0 * p + dv) for g in (0, 1)
+            for p in (0, 1) for dv in (0.0, 2.0)]
+    df = spark.createDataFrame(rows, "g int, p int, v double")
+    r = diff_in_differences(
+        df, F2.col("g") == 1, F2.col("p") == 1, "v"
+    ).collect()[0]
+    assert r.did == 0.0
