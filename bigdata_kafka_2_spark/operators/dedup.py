@@ -1511,6 +1511,28 @@ def _jvm_size_bytes(size: str, default: int = 1 << 30) -> int:
         return default
 
 
+def _driver_heap_bytes(spark) -> int:
+    """The driver JVM's actual max heap: ``Runtime.getRuntime().
+    maxMemory()`` through the Py4J gateway (ground truth regardless
+    of how the JVM was launched), falling back to the
+    ``spark.driver.memory`` conf when no gateway is reachable
+    (Spark Connect, mocks)."""
+    try:
+        jvm_max = int(
+            spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+            .maxMemory()
+        )
+        if jvm_max > 0:
+            return jvm_max
+    except Exception:
+        pass
+    try:
+        conf_mem = spark.conf.get("spark.driver.memory", "1g")
+    except Exception:
+        conf_mem = "1g"
+    return _jvm_size_bytes(conf_mem)
+
+
 def _broadcast_byte_cap(spark) -> int:
     """Runtime broadcast budget for the forced-broadcast gate: a
     quarter of the smaller of the configured driver and executor
@@ -1519,6 +1541,14 @@ def _broadcast_byte_cap(spark) -> int:
     overhead runs 2-4x the raw data bytes — heap/4 of measured raw
     bytes keeps the worst-case footprint inside the heap instead of
     asserting a fixed budget the deployment may not have.
+
+    The driver heap is read from the LIVE JVM
+    (``Runtime.getRuntime().maxMemory()`` through the Py4J gateway)
+    so a session launched with ``spark-submit --driver-memory`` or a
+    plain big-Xmx JVM is sized by what it actually has, not by what
+    ``spark.driver.memory`` happens to record (the conf defaults to
+    1g and is blind to the launch flags); the conf is the fallback
+    when no gateway is reachable (e.g. Spark Connect).
     """
     def _conf(key: str, default: str | None) -> str | None:
         try:
@@ -1526,7 +1556,7 @@ def _broadcast_byte_cap(spark) -> int:
         except Exception:
             return default
 
-    heaps = [_jvm_size_bytes(_conf("spark.driver.memory", "1g"))]
+    heaps = [_driver_heap_bytes(spark)]
     master = _conf("spark.master", "") or ""
     if not master.startswith("local"):
         # on a cluster the relation must also fit every executor; in

@@ -841,7 +841,6 @@ def adamic_adar_links(
     little). Under the budget the measure is exact; pass
     ``auto_cap_expansion=None`` to force exactness at any volume.
     """
-    edges = edges.cache()
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
@@ -849,62 +848,71 @@ def adamic_adar_links(
         .agg(F.count(F.lit(1)).alias("__deg"))
     )
     if max_center_degree is None and auto_cap_expansion is not None:
-        budget = int(auto_cap_expansion)
-        exp_rows = int(
-            deg.filter(F.col("__deg") >= 2)
-            .agg(
-                F.sum(
-                    F.col("__deg").cast("decimal(38,0)") * F.col("__deg")
-                ).alias("__e")
-            )
-            .collect()[0]["__e"]
-            or 0
-        )
-        if exp_rows > budget:
-            import warnings
-
-            # one row per DISTINCT degree (bounded by the degree
-            # range, never node count), cumulative Σ k·d² ascending
-            per_d = (
+        # cache serves ONLY the bounded measure jobs below; released
+        # in the finally so executor memory is never pinned past the
+        # planning decision (the returned plan rescans the source)
+        edges = edges.cache()
+        try:
+            budget = int(auto_cap_expansion)
+            exp_rows = int(
                 deg.filter(F.col("__deg") >= 2)
-                .groupBy("__deg")
-                .agg(F.count(F.lit(1)).alias("__k"))
-            )
-            w_cum = Window.orderBy(F.col("__deg").asc()).rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-            cap_row = (
-                per_d.select(
-                    "__deg",
+                .agg(
                     F.sum(
-                        F.col("__k").cast("decimal(38,0)")
+                        F.col("__deg").cast("decimal(38,0)")
                         * F.col("__deg")
-                        * F.col("__deg")
-                    )
-                    .over(w_cum)
-                    .alias("__cum2"),
+                    ).alias("__e")
                 )
-                .filter(F.col("__cum2") <= F.lit(budget))
-                .agg(F.max("__deg").alias("__cap"))
-                .collect()[0]
+                .collect()[0]["__e"]
+                or 0
             )
-            cap = max(int(cap_row["__cap"] or 2), 2)
-            warnings.warn(
-                "adamic_adar_links: exact wedge volume "
-                f"{exp_rows:,} rows exceeds auto_cap_expansion "
-                f"{budget:,}; re-running with max_center_degree="
-                f"{cap} (centers of degree > {cap} are dropped from "
-                "the evidence — approximate ranking; pass "
-                "auto_cap_expansion=None to force the exact measure)",
-                UserWarning,
-                stacklevel=2,
-            )
-            return adamic_adar_links(
-                edges,
-                top_k=top_k,
-                max_center_degree=cap,
-                auto_cap_expansion=None,
-            )
+            if exp_rows > budget:
+                import warnings
+
+                # one row per DISTINCT degree (bounded by the degree
+                # range, never node count), cumulative Σ k·d² ascending
+                per_d = (
+                    deg.filter(F.col("__deg") >= 2)
+                    .groupBy("__deg")
+                    .agg(F.count(F.lit(1)).alias("__k"))
+                )
+                w_cum = Window.orderBy(
+                    F.col("__deg").asc()
+                ).rowsBetween(Window.unboundedPreceding, 0)
+                cap_row = (
+                    per_d.select(
+                        "__deg",
+                        F.sum(
+                            F.col("__k").cast("decimal(38,0)")
+                            * F.col("__deg")
+                            * F.col("__deg")
+                        )
+                        .over(w_cum)
+                        .alias("__cum2"),
+                    )
+                    .filter(F.col("__cum2") <= F.lit(budget))
+                    .agg(F.max("__deg").alias("__cap"))
+                    .collect()[0]
+                )
+                cap = max(int(cap_row["__cap"] or 2), 2)
+                warnings.warn(
+                    "adamic_adar_links: exact wedge volume "
+                    f"{exp_rows:,} rows exceeds auto_cap_expansion "
+                    f"{budget:,}; re-running with max_center_degree="
+                    f"{cap} (centers of degree > {cap} are dropped "
+                    "from the evidence — approximate ranking; pass "
+                    "auto_cap_expansion=None to force the exact "
+                    "measure)",
+                    UserWarning,
+                    stacklevel=2,
+                )
+                return adamic_adar_links(
+                    edges,
+                    top_k=top_k,
+                    max_center_degree=cap,
+                    auto_cap_expansion=None,
+                )
+        finally:
+            edges.unpersist()
     nbr = (
         edges.select(F.col("a").alias("z"), F.col("b").alias("n"))
         .unionAll(edges.select(F.col("b").alias("z"), F.col("a").alias("n")))
@@ -984,6 +992,10 @@ def hits(
     keeps the 2k-join lineage linear. Nodes with no in-edges hold
     authority 0, no out-edges hub 0 — both stay in the output.
     """
+    if iterations < 1:
+        raise ValueError(
+            f"hits: iterations must be >= 1, got {iterations}"
+        )
     edges = edges.select("src", "dst").distinct().localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))

@@ -1613,8 +1613,13 @@ def loo_contributions(
     a broadcast 1-row total. Groups covering the whole corpus return
     NULL ``loo_mean`` (no corpus left to measure). Scan speed at any
     scale; the output is one row per group.
+
+    Rows with a NULL value are EXCLUDED before counting — otherwise
+    they would inflate the ``n`` denominators while contributing
+    nothing to the DECIMAL sums, silently deflating every mean.
     """
     dec = "decimal(38,4)"
+    df = df.where(F.col(value_col).isNotNull())
     v = F.round(F.col(value_col).cast("double"), 4).cast(dec)
     qs = list(group_cols)
     g = df.groupBy(*qs).agg(
@@ -1766,7 +1771,12 @@ def diff_in_differences(
     the estimate divide exact integers/decimals through identical
     double expressions on both engines, rounded 6 dp. Scan speed at
     any scale; the output is one row.
+
+    Rows with a NULL value are EXCLUDED before counting — otherwise
+    they would inflate the cell ``n`` counts while contributing
+    nothing to the DECIMAL sums, silently deflating every mean.
     """
+    df = df.where(F.col(value_col).isNotNull())
     g = (
         F.col(group_col).cast("boolean")
         if isinstance(group_col, str)

@@ -757,8 +757,13 @@ def oof_target_encoding(
     speed at any table size. Cells whose out-of-fold support falls
     below ``min_samples`` return NULL (the honest cold-start answer;
     callers back off to the global mean).
+
+    Rows with a NULL target are EXCLUDED before counting — otherwise
+    they would inflate the ``n`` denominators while contributing
+    nothing to the DECIMAL sums, silently deflating every mean.
     """
     dec = "decimal(38,4)"
+    df = df.where(F.col(target_col).isNotNull())
     v = F.round(F.col(target_col).cast("double"), 4).cast(dec)
     cell = df.groupBy(
         F.col(category_col).alias("__c"), F.col(fold_col).alias("fold")

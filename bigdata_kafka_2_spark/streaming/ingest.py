@@ -766,6 +766,15 @@ def run_streaming_reservoir(
     sized. The streaming face of the corpus-subsampling primitive:
     a rolling ingest keeps a always-current weighted sample without
     rescanning history.
+
+    REQUIREMENT: ``payload_cols`` must uniquely key the stream (a
+    doc_id-like column). The replay-dedup in :func:`read_reservoir`
+    is a ``distinct()`` over (payload, ekey), which cannot tell an
+    epoch-replay duplicate from a genuinely duplicate stream row —
+    two identical payload rows share the same deterministic ekey and
+    would collapse to one, diverging from batch ``weighted_sample``
+    (which keeps both). With a unique payload key the two cases are
+    disjoint and the merge is exact.
     """
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
@@ -794,7 +803,12 @@ def read_reservoir(
 ) -> DataFrame:
     """Merge the per-epoch reservoir partials: drop replayed
     duplicates (ekeys are deterministic, so a replay re-appends
-    byte-identical rows), then one top-k over the O(k·epochs) union."""
+    byte-identical rows), then one top-k over the O(k·epochs) union.
+
+    Assumes ``payload_cols`` uniquely key the stream (see
+    :func:`run_streaming_reservoir`): the ``distinct()`` here removes
+    epoch-replay duplicates only because no two live rows can share
+    the same (payload, ekey) tuple under that contract."""
     return (
         spark.read.parquet(out_path)
         .select(*payload_cols, "ekey")

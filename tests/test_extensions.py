@@ -2948,12 +2948,16 @@ def test_rr_debias_excludes_null_flags(spark):
         rr_debias(rep, epsilon=1e-9)
 
 
-def test_broadcast_byte_cap_tracks_configured_heap(spark):
+def test_broadcast_byte_cap_tracks_live_heap(spark, monkeypatch):
     """The forced-broadcast gate derives its byte budget from the
-    configured heap (heap/4, capped at 1.5 GB) instead of asserting
-    a fixed constant a default-sized driver may not have."""
+    LIVE driver JVM heap (Runtime.maxMemory via the gateway — ground
+    truth even when the JVM was launched with flags the conf never
+    saw), heap/4 capped at 1.5 GB, with the spark.driver.memory conf
+    as the no-gateway fallback."""
+    import bigdata_kafka_2_spark.operators.dedup as dd
     from bigdata_kafka_2_spark.operators.dedup import (
         _broadcast_byte_cap,
+        _driver_heap_bytes,
         _jvm_size_bytes,
     )
 
@@ -2961,9 +2965,40 @@ def test_broadcast_byte_cap_tracks_configured_heap(spark):
     assert _jvm_size_bytes("512m") == 512 << 20
     assert _jvm_size_bytes("2048") == 2048
     assert _jvm_size_bytes("garbage", default=7) == 7
-    cap = _broadcast_byte_cap(spark)
-    heap = _jvm_size_bytes(spark.conf.get("spark.driver.memory", "1g"))
-    assert cap == min(1_500_000_000, heap // 4)
+
+    # live path: the real session reports the real JVM heap, and the
+    # cap is heap/4 bounded by 1.5 GB
+    live = _driver_heap_bytes(spark)
+    jvm_max = int(
+        spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+        .maxMemory()
+    )
+    assert live == jvm_max > 0
+    assert _broadcast_byte_cap(spark) == min(1_500_000_000, live // 4)
+
+    # source 1 monkeypatched: a JVM bigger than the conf records
+    # (spark-submit --driver-memory vs conf mismatch) must win
+    monkeypatch.setattr(
+        dd, "_driver_heap_bytes", lambda s: 4 * (1 << 30)
+    )
+    assert _broadcast_byte_cap(spark) == min(
+        1_500_000_000, (4 * (1 << 30)) // 4
+    )
+    monkeypatch.setattr(dd, "_driver_heap_bytes", lambda s: 2 << 30)
+    assert _broadcast_byte_cap(spark) == (2 << 30) // 4
+
+    # source 2: no gateway (Spark Connect / mock) -> conf fallback
+    class _NoGateway:
+        class conf:
+            @staticmethod
+            def get(key, default=None):
+                return "3g" if key == "spark.driver.memory" else default
+
+        @property
+        def sparkContext(self):
+            raise RuntimeError("no JVM gateway")
+
+    assert _driver_heap_bytes(_NoGateway()) == 3 << 30
 
 
 def test_global_prefix_sum_decimal_exceeds_long(spark):
@@ -3783,3 +3818,90 @@ def test_diff_in_differences_parallel_trends_zero(spark):
         df, F2.col("g") == 1, F2.col("p") == 1, "v"
     ).collect()[0]
     assert r.did == 0.0
+
+
+def test_null_targets_excluded_from_denominators(spark):
+    """r11 advice: NULL-target rows must not inflate the n counts
+    while contributing nothing to the DECIMAL sums — all three
+    mean-algebra operators exclude them before counting."""
+    import pyspark.sql.functions as F2
+
+    from bigdata_kafka_2_spark.operators.profile import (
+        diff_in_differences,
+        loo_contributions,
+    )
+    from bigdata_kafka_2_spark.operators.sampling import (
+        oof_target_encoding,
+    )
+
+    # loo: group a = {10, 20, NULL} must read as n=2, mean 15
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("a", None), ("b", 40.0)],
+        "g string, v double",
+    )
+    got = {r.g: r for r in loo_contributions(df, ["g"], "v").collect()}
+    assert got["a"].n == 2
+    assert abs(got["a"].group_mean - 15.0) < 1e-9
+    assert abs(got["b"].loo_mean - 15.0) < 1e-9
+
+    # oof: cell (c1, f0) = {10, NULL} -> n_rows=1; oof means built
+    # from non-NULL support only
+    df2 = spark.createDataFrame(
+        [("c1", 0, 10.0), ("c1", 0, None), ("c1", 1, 30.0)],
+        "c string, f int, v double",
+    )
+    cells = {
+        (r.c, r.fold): r
+        for r in oof_target_encoding(df2, "c", "v", "f").collect()
+    }
+    assert cells[("c1", 0)].n_rows == 1
+    assert abs(cells[("c1", 0)].oof_mean - 30.0) < 1e-9
+    assert abs(cells[("c1", 1)].oof_mean - 10.0) < 1e-9
+
+    # DiD: a NULL in the treated-post cell must not dilute its mean
+    rows = [
+        (1, 0, 10.0), (1, 0, 12.0),
+        (1, 1, 20.0), (1, 1, 26.0), (1, 1, None),
+        (0, 0, 5.0), (0, 0, 7.0), (0, 1, 8.0), (0, 1, 10.0),
+    ]
+    df3 = spark.createDataFrame(rows, "g int, p int, v double")
+    r = diff_in_differences(
+        df3, F2.col("g") == 1, F2.col("p") == 1, "v"
+    ).collect()[0]
+    assert r.n_t_post == 2 and r.mean_t_post == 23.0 and r.did == 9.0
+
+
+def test_adamic_adar_releases_measure_cache(spark):
+    """r11 advice: the auto-cap measure path caches the edge list for
+    its bounded scalar jobs and must RELEASE it before returning —
+    the returned plan rescans the source instead of pinning executor
+    memory for the session lifetime."""
+    import warnings
+
+    from pyspark import StorageLevel
+
+    from bigdata_kafka_2_spark.operators.graph import adamic_adar_links
+
+    clique = [(a, b) for a in range(1, 30) for b in range(a + 1, 30)]
+    edges = spark.createDataFrame(clique, "a long, b long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = adamic_adar_links(edges, top_k=5, auto_cap_expansion=1000)
+    out.collect()
+    assert edges.storageLevel == StorageLevel.NONE
+    # exact path never caches at all
+    small = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    adamic_adar_links(small, top_k=5).collect()
+    assert small.storageLevel == StorageLevel.NONE
+
+
+def test_hits_rejects_nonpositive_iterations(spark):
+    """r11 advice: iterations < 1 leaves the fixpoint undefined —
+    refuse loudly instead of crashing on auth=None."""
+    import pytest as _pytest
+
+    from bigdata_kafka_2_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="iterations"):
+        hits(spark, edges, iterations=0)
