@@ -393,6 +393,35 @@ def register(
 #: q121_ndcg_bm25 graded, which computes the same BM25 document-
 #: frequency/saturation stages underneath its nDCG, and the raw
 #: BM25 scores stay mirror-green).
+#: Round-12 rotation (three swaps per the r11 verdict's #1 — the
+#: strongest never-graded candidates, picked by family-risk per
+#: verdict #7: streaming > composed > plan-dependent auto-caps;
+#: every outgoing query stays hash-checked in the EXTENDED oracle
+#: mirror, and every outgoing FAMILY keeps a graded representative):
+#: q97_cdc_apply_changes → q213_streaming_scd2 (a genuinely new
+#: STREAMING plan shape: the SCD2 validity-interval materializer
+#: driven through Structured Streaming foreachBatch, batching-
+#: invariant BY CONSTRUCTION — intervals derive from the full
+#: version set, so any micro-batch split converges to the same
+#: history — with out-of-order repair and replay no-op; it closes
+#: the CDC loop the graded q148 point-in-time join READS FROM. The
+#: CDC family keeps q148 and q132's foreachBatch upsert graded,
+#: and apply_changes stays mirror-green);
+#: q81_curation_v2 → q238_curation_v8 (the full production release
+#: chain — quality filter → NB router → dedup → PII scrub → A-ES
+#: weighted budget selection — strictly supersedes v2's machinery;
+#: grading it checks the longest composed lineage in the repo end
+#: to end. The composed-curation family keeps q127 v4 and q183 v6
+#: graded, and v2 stays mirror-green);
+#: q153_triangle_counts → q228_adamic_adar_links (grades the
+#: measured-budget AUTO-CAP configuration itself — the one plan
+#: whose shape is decided at runtime by a bounded Σdeg² measure
+#: job, the q53 precedent that graded plan ≡ production plan; the
+#: wedge join + left-anti edge exclusion is also the only graded
+#: slot exercising link PREDICTION rather than description. The
+#: graph family keeps q144 pagerank, q210 k-core, and q235 HITS
+#: graded, and triangles stay mirror-green inside q172's
+#: clustering coefficients and q153's own mirror row).
 CURATED: tuple[str, ...] = (
     # relational / joins / windows / grouping
     "q01_pricing_summary",
@@ -412,12 +441,12 @@ CURATED: tuple[str, ...] = (
     "q85_incremental_dedup_survivors",
     "q26_correlated_subquery",
     "q28_tpch_q3_shipping_priority",
-    "q153_triangle_counts",
+    "q228_adamic_adar_links",
     "q58_salted_join",
     "q82_rich_inactive_customers",
     "q98_correlation_stats",
     # CDC / sampling / window-family / date / map
-    "q97_cdc_apply_changes",
+    "q213_streaming_scd2",
     "q177_naive_bayes_lang",
     "q224_kaplan_meier",
     "q144_pagerank",
@@ -431,7 +460,7 @@ CURATED: tuple[str, ...] = (
     # text analysis / corpus curation
     "q49_quality_filter",
     "q34_language_id",
-    "q81_curation_v2",
+    "q238_curation_v8",
     "q121_ndcg_bm25",
     "q225_mann_whitney",
     "q211_dataset_digest",
