@@ -54,47 +54,66 @@ def build_purchase_graph(
     rank must propagate two hops (c→s→p) — iteration count is
     load-bearing.
 
-    Plan shape: one orderkey equi-join feeds the customer tier; the
-    supplier tier needs no join at all (both endpoints live on the
-    lineitem row). Each tier is one (src, dst) aggregate with
-    map-side partial sums, normalized by a src-partitioned window
-    that REUSES the aggregate's src clustering — no extra exchange.
-    Revenue is summed as exact ``DECIMAL(18,4)``
-    (order-independent); the final share is one double division per
-    edge.
+    Plan shape (r12 — ONE exchange where r11 had three): the two
+    tier projections are unioned BEFORE the pair aggregate (the tier
+    tag keeps the key spaces disjoint, so one aggregate over the
+    union equals the per-tier aggregates exactly), the union is
+    explicitly ``repartition("src")``-ed, and because hash(src)
+    already CLUSTERS the (src, dst) grouping keys, Catalyst runs the
+    pair aggregate AND the src-partitioned normalization window on
+    that single shuffle — no ENSURE_REQUIREMENTS exchange for
+    either. The orderkey equi-join feeding the customer tier stays
+    broadcast-able (dimension side is two pruned columns).
+
+    Revenue is summed as exact integer 1e-4 UNITS in BIGINT —
+    ``round(round(rev, 4) * 10000, 0)`` is exactly the 4-dp decimal
+    times 1e4 (the 4-dp double is within 2 ulp of d/1e4 with d ≤
+    ~1.1e9 ≪ 2^53, so scaling and re-rounding recover the integer d
+    exactly), and BIGINT unit sums measured ~2× faster than the
+    DECIMAL(18,4) sums they replace on the high-cardinality pair
+    aggregate (the grouping barely compresses: ~1.18 M edges from
+    1.2 M lines at sf0.1). The share ``w`` divides the unit sums
+    directly — the 1e4 scalar cancels in the reals, and the oracle
+    (``pagerank_oracle_sql`` / ``ppr_oracle_sql``) computes the SAME
+    division of the SAME integers, so both engines produce the
+    identical correctly-rounded double at any scale. Overflow bound:
+    a single src's revenue would need to exceed 2^63 units ≈ $922
+    trillion before the BIGINT sum wraps (DuckDB's side is exact
+    HUGEINT regardless).
     """
-    rev = F.round(
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
-    ).cast("decimal(18,4)")
-    cust_supp = (
-        lineitem.join(
-            orders.select("o_orderkey", "o_custkey"),
-            lineitem.l_orderkey == F.col("o_orderkey"),
+    units = F.round(
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            4,
         )
-        .select(
-            (F.col("o_custkey") * 4).alias("src"),
-            (F.col("l_suppkey") * 4 + 1).alias("dst"),
-            rev.alias("__rev"),
-        )
-        .groupBy("src", "dst")
-        .agg(F.sum("__rev").alias("__erev"))
+        * 10000.0,
+        0,
+    ).cast("long")
+    cust_supp = lineitem.join(
+        orders.select("o_orderkey", "o_custkey"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        (F.col("o_custkey") * 4).alias("src"),
+        (F.col("l_suppkey") * 4 + 1).alias("dst"),
+        units.alias("__u"),
     )
-    supp_part = (
-        lineitem.select(
-            (F.col("l_suppkey") * 4 + 1).alias("src"),
-            (F.col("l_partkey") * 4 + 2).alias("dst"),
-            rev.alias("__rev"),
-        )
-        .groupBy("src", "dst")
-        .agg(F.sum("__rev").alias("__erev"))
+    supp_part = lineitem.select(
+        (F.col("l_suppkey") * 4 + 1).alias("src"),
+        (F.col("l_partkey") * 4 + 2).alias("dst"),
+        units.alias("__u"),
     )
-    edges = cust_supp.union(supp_part)
-    tot = F.sum("__erev").over(Window.partitionBy("src"))
+    edges = (
+        cust_supp.union(supp_part)
+        .repartition("src")
+        .groupBy("src", "dst")
+        .agg(F.sum("__u").alias("__eu"))
+    )
+    tot = F.sum("__eu").over(Window.partitionBy("src"))
     return edges.select(
         "src",
         "dst",
         (
-            F.col("__erev").cast("double") / tot.cast("double")
+            F.col("__eu").cast("double") / tot.cast("double")
         ).alias("w"),
     )
 
@@ -260,15 +279,17 @@ def pagerank_oracle_sql(
       FROM (
         SELECT o.o_custkey * 4 AS src,
                l.l_suppkey * 4 + 1 AS dst,
-               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
-                        AS DECIMAL(18,4))) AS rev
+               sum(CAST(round(round(l.l_extendedprice
+                                    * (1 - l.l_discount), 4)
+                              * 10000.0, 0) AS BIGINT)) AS rev
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY 1, 2
         UNION ALL
         SELECT l.l_suppkey * 4 + 1 AS src,
                l.l_partkey * 4 + 2 AS dst,
-               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
-                        AS DECIMAL(18,4))) AS rev
+               sum(CAST(round(round(l.l_extendedprice
+                                    * (1 - l.l_discount), 4)
+                              * 10000.0, 0) AS BIGINT)) AS rev
         FROM lineitem l
         GROUP BY 1, 2
       )
@@ -329,19 +350,39 @@ def pagerank_oracle_sql(
 
 
 def cooccurrence_edges(
-    baskets: DataFrame, basket_col: str, item_col: str
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 1,
 ) -> DataFrame:
     """Distinct undirected co-occurrence edges (a, b), a < b: items
-    appearing together in at least one basket. Pair volume is bounded
-    by Σ|basket|² per basket (baskets are small), never |items|²."""
-    it = baskets.select(basket_col, item_col).distinct()
+    appearing together in at least ``min_support`` baskets. Pair
+    volume is bounded by Σ|basket|² per basket (baskets are small),
+    never |items|².
+
+    Plan shape (r12): the per-basket item dedup is explicitly
+    ``repartition(basket_col)``-ed BEFORE the distinct — hash(basket)
+    clusters the (basket, item) keys, so the dedup aggregate runs on
+    that shuffle with no ENSURE_REQUIREMENTS exchange, and the
+    basket self-join then finds BOTH sides already hash(basket)-
+    partitioned (one ReuseExchange-d shuffle serves dedup and join:
+    sort-merge with sorts only). One exchange where the naive form
+    pays three, identical edge set."""
+    it = (
+        baskets.select(basket_col, item_col)
+        .repartition(basket_col)
+        .distinct()
+    )
     a = it.select(F.col(basket_col).alias("__bk"), F.col(item_col).alias("a"))
     b = it.select(F.col(basket_col).alias("__bk"), F.col(item_col).alias("b"))
+    pairs = a.join(b, on="__bk").filter(F.col("a") < F.col("b"))
+    if min_support <= 1:
+        return pairs.select("a", "b").distinct()
     return (
-        a.join(b, on="__bk")
-        .filter(F.col("a") < F.col("b"))
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("__s"))
+        .filter(F.col("__s") >= int(min_support))
         .select("a", "b")
-        .distinct()
     )
 
 
@@ -632,15 +673,17 @@ def ppr_oracle_sql(
       FROM (
         SELECT o.o_custkey * 4 AS src,
                l.l_suppkey * 4 + 1 AS dst,
-               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
-                        AS DECIMAL(18,4))) AS rev
+               sum(CAST(round(round(l.l_extendedprice
+                                    * (1 - l.l_discount), 4)
+                              * 10000.0, 0) AS BIGINT)) AS rev
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY 1, 2
         UNION ALL
         SELECT l.l_suppkey * 4 + 1 AS src,
                l.l_partkey * 4 + 2 AS dst,
-               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
-                        AS DECIMAL(18,4))) AS rev
+               sum(CAST(round(round(l.l_extendedprice
+                                    * (1 - l.l_discount), 4)
+                              * 10000.0, 0) AS BIGINT)) AS rev
         FROM lineitem l
         GROUP BY 1, 2
       )
@@ -981,11 +1024,13 @@ def hits(
 
     Determinism (q144's induction): every score is kept 12-dp
     rounded; contributions enter as ``round(score·1e12)`` integer
-    units summed in exact DECIMAL(38,0) (edge volume at corpus scale
-    pushes unit sums past 2^63), the L1 total is one broadcast 1-row
-    aggregate of the same units, and the normalized score re-rounds
-    to 12 dp — Spark and the unrolled-CTE oracle stay bit-identical
-    at every round. Plan shape per round: two keyed joins (src, dst)
+    units summed per key in BIGINT — overflow-free by the L1 bound
+    (Σ scores = 1 per round, so any key's sum ≤ 1e12 + |V|/2 at ANY
+    graph size; see the inline note) — the L1 total is one broadcast
+    1-row DECIMAL(38,0) aggregate of the per-key sums (the one
+    quantity edge volume CAN push past 2^63), and the normalized
+    score re-rounds to 12 dp — Spark and the unrolled-CTE oracle
+    stay bit-identical at every round. Plan shape per round: two keyed joins (src, dst)
     with map-side-combined unit sums, both rank-sized sides
     broadcast below ``broadcast_nodes`` (above it the plan degrades
     to the Pregel shuffle shape); per-round ``localCheckpoint``
@@ -1005,10 +1050,19 @@ def hits(
     )
     n = nodes.count()
     bc = F.broadcast if n <= broadcast_nodes else (lambda df: df)
+    # per-KEY unit sums are BIGINT by an L1 bound — each source
+    # contributes round(score·1e12) ≤ score·1e12 + 0.5 at most once
+    # per key (edges are distinct), and Σ scores = 1 after each
+    # normalization, so any key's sum ≤ 1e12 + |V|/2: overflow-free
+    # at ANY graph size, and ~2× faster than the DECIMAL(38,0) sums
+    # they replace on the edge-volume aggregate. Only the L1 TOTAL
+    # (Σ over keys of per-key sums — a hub with out-degree 1e8 and
+    # score 0.9 alone pushes it past 2^63) widens to DECIMAL, on the
+    # |V|-row rollup where the decimal cost is negligible.
     dec = "decimal(38,0)"
     units = lambda c: F.round(  # noqa: E731
         F.col(c) * F.lit(float(_UNIT)), 0
-    ).cast(dec)
+    ).cast("long")
 
     hub = nodes.select(
         "node", F.round(F.lit(1.0 / float(n)), _RANK_SCALE).alias("h")
@@ -1020,7 +1074,9 @@ def hits(
             .groupBy("dst")
             .agg(F.sum(units("h")).alias("__au"))
         )
-        tot_a = raw_a.agg(F.sum("__au").alias("__ta"))
+        tot_a = raw_a.agg(
+            F.sum(F.col("__au").cast(dec)).alias("__ta")
+        )
         auth = (
             nodes.join(bc(raw_a), nodes.node == raw_a.dst, "left")
             .crossJoin(F.broadcast(tot_a))
@@ -1039,7 +1095,9 @@ def hits(
             .groupBy("src")
             .agg(F.sum(units("a")).alias("__hu"))
         )
-        tot_h = raw_h.agg(F.sum("__hu").alias("__th"))
+        tot_h = raw_h.agg(
+            F.sum(F.col("__hu").cast(dec)).alias("__th")
+        )
         hub = (
             nodes.join(bc(raw_h), nodes.node == raw_h.src, "left")
             .crossJoin(F.broadcast(tot_h))
@@ -1098,7 +1156,7 @@ def hits_oracle_sql(iterations: int = 5) -> str:
             f""",
     ra{q} AS (
       SELECT b.dst,
-             sum(CAST(round({p}.h * {u!r}, 0) AS DECIMAL(38,0))) AS au
+             sum(CAST(round({p}.h * {u!r}, 0) AS BIGINT)) AS au
       FROM base b JOIN {p} ON {p}.node = b.src
       GROUP BY b.dst
     ),
@@ -1111,7 +1169,7 @@ def hits_oracle_sql(iterations: int = 5) -> str:
     ),
     rh{q} AS (
       SELECT b.src,
-             sum(CAST(round(a{q}.a * {u!r}, 0) AS DECIMAL(38,0))) AS hu
+             sum(CAST(round(a{q}.a * {u!r}, 0) AS BIGINT)) AS hu
       FROM base b JOIN a{q} ON a{q}.node = b.dst
       GROUP BY b.src
     ),

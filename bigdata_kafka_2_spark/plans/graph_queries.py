@@ -201,25 +201,14 @@ def _q163_oracle(sf_dir: str | None = None) -> str:
     tags=("graph", "iterative", "aggregate"),
 )
 def q163_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    from bigdata_kafka_2_spark.operators.graph import label_propagation
+    from bigdata_kafka_2_spark.operators.graph import (
+        cooccurrence_edges,
+        label_propagation,
+    )
 
     li = read_table(spark, sf_dir, "lineitem")
-    it = li.select("l_orderkey", "l_partkey").distinct()
-    a = it.select(
-        F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("a")
-    )
-    b = it.select(
-        F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("b")
-    )
-    edges = (
-        a.join(b, on="__bk")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("__s"))
-        .filter(F.col("__s") >= 2)
-        .select("a", "b")
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2
     )
     return label_propagation(edges, iterations=3)
 
@@ -458,25 +447,14 @@ def q210_kcore_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q228_adamic_adar_links(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    from bigdata_kafka_2_spark.operators.graph import adamic_adar_links
+    from bigdata_kafka_2_spark.operators.graph import (
+        adamic_adar_links,
+        cooccurrence_edges,
+    )
 
     li = read_table(spark, sf_dir, "lineitem")
-    it = li.select("l_orderkey", "l_partkey").distinct()
-    a = it.select(
-        F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("a")
-    )
-    b = it.select(
-        F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("b")
-    )
-    edges = (
-        a.join(b, on="__bk")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("__s"))
-        .filter(F.col("__s") >= 2)
-        .select("a", "b")
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2
     )
     return adamic_adar_links(edges, top_k=50)
 
@@ -492,8 +470,10 @@ def q228_adamic_adar_links(
     "split a corpus team wants on seed/reference link graphs where a "
     "great index page should boost what it lists without itself "
     "ranking as content. Same determinism induction as q144: 12-dp "
-    "scores, integer-1e-12-unit contributions summed in exact "
-    "DECIMAL(38,0), L1 totals as broadcast 1-row aggregates, "
+    "scores, integer-1e-12-unit contributions summed per key in "
+    "BIGINT (overflow-free by the L1 bound: any key's sum is at "
+    "most 1e12 + |V|/2), L1 totals as broadcast 1-row DECIMAL(38,0) "
+    "aggregates, "
     "re-round each half-step — bit-identical to the unrolled-CTE "
     "oracle. Two broadcast-guarded keyed joins per round, per-round "
     "localCheckpoint keeps the 2k-join lineage linear.",
@@ -577,23 +557,14 @@ def q236_khop_reachability(
 ) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from bigdata_kafka_2_spark.operators.graph import khop_reachability
+    from bigdata_kafka_2_spark.operators.graph import (
+        cooccurrence_edges,
+        khop_reachability,
+    )
 
     li = read_table(spark, sf_dir, "lineitem")
-    it = li.select("l_orderkey", "l_partkey").distinct()
-    a = it.select(
-        F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("a")
-    )
-    b = it.select(
-        F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("b")
-    )
-    edges = (
-        a.join(b, on="__bk")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("__s"))
-        .filter(F.col("__s") >= 2)
-        .select("a", "b")
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2
     )
     nodes = edges.select(F.col("a").alias("node")).union(
         edges.select(F.col("b").alias("node"))
