@@ -263,6 +263,8 @@ HEADLINE = (
     "q239_oof_target_encoding",
     "q240_gini_split_stump",
     "q241_diff_in_differences",
+    # r12 operator families
+    "q242_bradley_terry",
 )
 
 

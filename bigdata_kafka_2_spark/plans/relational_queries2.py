@@ -3358,3 +3358,66 @@ def q241_diff_in_differences(
         F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
         "value",
     )
+
+
+def _q242_matches_cte() -> str:
+    """Shared comparison-mining SQL for q242: within-customer duels
+    between order PRIORITIES, decided by order value (smaller total
+    wins; ties dropped)."""
+    return """
+      SELECT o1.o_orderpriority AS a, o2.o_orderpriority AS b,
+             CAST(sum(CASE WHEN o1.o_totalprice < o2.o_totalprice
+                           THEN 1 ELSE 0 END) AS BIGINT) AS wins_a,
+             CAST(sum(CASE WHEN o2.o_totalprice < o1.o_totalprice
+                           THEN 1 ELSE 0 END) AS BIGINT) AS wins_b
+      FROM orders o1
+        JOIN orders o2 ON o1.o_custkey = o2.o_custkey
+                      AND o1.o_orderpriority < o2.o_orderpriority
+      GROUP BY 1, 2
+      HAVING sum(CASE WHEN o1.o_totalprice < o2.o_totalprice
+                      THEN 1 ELSE 0 END)
+           + sum(CASE WHEN o2.o_totalprice < o1.o_totalprice
+                      THEN 1 ELSE 0 END) > 0
+    """
+
+
+def _q242_oracle(sf_dir: str | None = None) -> str:
+    from bigdata_kafka_2_spark.operators.preference import bt_oracle_sql
+
+    return bt_oracle_sql(_q242_matches_cte(), iterations=3)
+
+
+@register(
+    "q242_bradley_terry",
+    oracle=_q242_oracle,
+    description="Bradley-Terry preference strengths (operators/"
+    "preference.bradley_terry; Bradley & Terry 1952, Hunter 2004 MM "
+    "updates) over within-customer duels between order priorities "
+    "decided by order value - the PREFERENCE-DATA family's first member: the model "
+    "behind reward-model win rates, annotator auditing, and pairwise "
+    "leaderboards, where raw win percentages mislead whenever the "
+    "comparison graph is unbalanced. Comparison mining is one order-"
+    "keyed self-join (pair volume bounded by basket size) into a "
+    "|players|^2-bounded win table; the fit is 3 unrolled MM rounds "
+    "on the engine's iterative-dataflow discipline - per-pair terms "
+    "round(n_ij/(w_i+w_j), 12) summed as exact DECIMAL(38,12), "
+    "strengths renormalized and re-rounded to 12 dp each round, "
+    "strength vector broadcast below 2M players (Pregel shuffle "
+    "shape above) - bit-identical to the unrolled-CTE oracle. "
+    "Zero-win players are rejected up front (Ford 1957 MLE-existence "
+    "guard, one bounded 1-row aggregate).",
+    tags=("preference", "iterative", "join", "aggregate"),
+)
+def q242_bradley_terry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.preference import (
+        bradley_terry,
+        pairwise_wins,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    matches = pairwise_wins(
+        o, "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    return bradley_terry(matches, iterations=3)

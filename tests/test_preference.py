@@ -1,0 +1,101 @@
+"""Bradley-Terry preference fitting: hand-replicated MM schedule,
+partition invariance, and the MLE-existence guard."""
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_kafka_2_spark.operators.preference import (
+    _SCALE,
+    bradley_terry,
+    pairwise_wins,
+)
+
+
+def _py_bt(matches, iterations=3):
+    """Pure-python replica of the operator's exact rounding schedule:
+    matches = {(a, b): (wins_a, wins_b)} with a < b."""
+    def r12(x):
+        return float(round(Decimal(repr(x)), _SCALE))
+
+    players = sorted({p for ab in matches for p in ab})
+    n = {}
+    W = {p: 0 for p in players}
+    for (a, b), (wa, wb) in matches.items():
+        n[(a, b)] = n[(b, a)] = wa + wb
+        W[a] += wa
+        W[b] += wb
+    w = {p: r12(1.0 / len(players)) for p in players}
+    for _ in range(iterations):
+        d = {
+            p: sum(
+                Decimal(repr(r12(n[(p, q)] / (w[p] + w[q]))))
+                for q in players
+                if (p, q) in n
+            )
+            for p in players
+        }
+        raw = {p: r12(W[p] / float(d[p])) for p in players}
+        s = float(sum(Decimal(repr(v)) for v in raw.values()))
+        w = {p: r12(raw[p] / s) for p in players}
+    return w
+
+
+def test_bradley_terry_matches_python_replica(spark):
+    rows = [
+        ("x", "y", 7, 3),
+        ("x", "z", 2, 6),
+        ("y", "z", 5, 5),
+    ]
+    m = spark.createDataFrame(
+        rows, "a string, b string, wins_a long, wins_b long"
+    )
+    got = {
+        r.player: r.strength
+        for r in bradley_terry(m, iterations=3).collect()
+    }
+    want = _py_bt({(a, b): (wa, wb) for a, b, wa, wb in rows})
+    assert got == want
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # z beat x 6-2 and tied y: it should outrank x
+    assert got["z"] > got["x"]
+
+
+def test_bradley_terry_partition_invariant(spark):
+    rows = [("x", "y", 7, 3), ("x", "z", 2, 6), ("y", "z", 5, 5)]
+    m = spark.createDataFrame(
+        rows, "a string, b string, wins_a long, wins_b long"
+    )
+    a = sorted(bradley_terry(m, iterations=2).collect())
+    b = sorted(bradley_terry(m.repartition(7), iterations=2).collect())
+    assert a == b
+
+
+def test_bradley_terry_rejects_zero_win_player(spark):
+    m = spark.createDataFrame(
+        [("x", "y", 4, 0)], "a string, b string, wins_a long, wins_b long"
+    )
+    with pytest.raises(ValueError, match="zero wins"):
+        bradley_terry(m)
+    with pytest.raises(ValueError, match="iterations"):
+        bradley_terry(m, iterations=0)
+
+
+def test_pairwise_wins_hand_checked(spark):
+    # group g1: a(1) beats b(2) beats c(3); group g2: b(1) beats a(2),
+    # c ties a (both 2) -> dropped
+    rows = [
+        ("g1", "a", 1.0), ("g1", "b", 2.0), ("g1", "c", 3.0),
+        ("g2", "b", 1.0), ("g2", "a", 2.0), ("g2", "c", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, p string, r double")
+    got = {
+        (x.a, x.b): (x.wins_a, x.wins_b)
+        for x in pairwise_wins(df, "g", "p", "r").collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 1),
+        ("a", "c"): (1, 0),   # g2 tie dropped
+        ("b", "c"): (2, 0),   # b beat c in both groups
+    }
