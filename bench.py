@@ -265,6 +265,13 @@ HEADLINE = (
     "q241_diff_in_differences",
     # r12 operator families
     "q242_bradley_terry",
+    "q243_ipf_raking",
+    "q244_stratified_ate",
+    "q245_conformal_threshold",
+    "q246_chao1_vocab",
+    "q247_jackknife_ratio_se",
+    "q248_roc_curve",
+    "q249_neyman_allocation",
 )
 
 

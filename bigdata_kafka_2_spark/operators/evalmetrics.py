@@ -439,3 +439,143 @@ def krippendorff_alpha(
         F.col("__n").alias("n"),
         alpha.alias("alpha"),
     )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal calibration threshold per group: ``(group, n,
+    k, threshold)`` where ``threshold`` is the ``k``-th smallest
+    nonconformity score with ``k = ceil((n+1)(1-alpha))`` — the
+    finite-sample quantile that makes "accept iff score ≤ threshold"
+    cover new points with probability ≥ 1-alpha (Vovk et al. 2005;
+    Angelopoulos & Bates 2023 tutorial form). The distribution-free
+    guarantee an eval team wants from a calibration split before
+    shipping a filter/assertion threshold. Groups too small for the
+    level (k > n) return NULL — the honest "no finite threshold
+    certifies 1-alpha here".
+
+    Exact distributed order statistic, never a per-row global sort:
+    per-(group, distinct score) counts, a group-partitioned
+    cumulative window over distinct VALUES (bounded by the group's
+    distinct-score count, not its rows), and the threshold is the
+    least value whose cumulative count reaches k. ``alpha`` enters
+    through ``ceil`` on an exact integer expression — engine-portable
+    (both sides compute ceil((n+1)·(1-alpha)) in double; n ≪ 2^52
+    keeps the product exact to the same double).
+    """
+    from pyspark.sql.window import Window as W
+
+    cnt = (
+        df.groupBy(
+            F.col(group_col).alias("__g"),
+            F.col(score_col).cast("double").alias("__v"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w_cum = (
+        W.partitionBy("__g")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    pre = cnt.withColumn("__cum", F.sum("__c").over(w_cum))
+    per_g = pre.groupBy("__g").agg(F.sum("__c").alias("__n"))
+    k = F.ceil(
+        (F.col("__n") + F.lit(1)).cast("double")
+        * F.lit(1.0 - float(alpha))
+    ).cast("long")
+    gk = per_g.select("__g", F.col("__n"), k.alias("__k"))
+    hit = (
+        pre.join(F.broadcast(gk), on="__g")
+        .filter(F.col("__cum") >= F.col("__k"))
+        .groupBy("__g")
+        .agg(F.min("__v").alias("__t"))
+    )
+    return (
+        gk.join(hit, on="__g", how="left")
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__n").cast("long").alias("n"),
+            F.col("__k").alias("k"),
+            F.when(
+                F.col("__k") <= F.col("__n"),
+                F.round(F.col("__t"), 6),
+            ).alias("threshold"),
+        )
+    )
+
+
+def roc_points(
+    df: DataFrame,
+    label_col,
+    score_col: str,
+) -> DataFrame:
+    """Exact ROC curve points from per-DISTINCT-score counts: one row
+    ``(threshold, n_pred_pos, tp, fp, tpr, fpr)`` per distinct score,
+    for the rule "predict positive iff score ≥ threshold" — the curve
+    behind the q164/q188 AUCs (an AUC says HOW separable; the curve
+    says WHERE to put the operating point, which is what a filter
+    team actually sets). Output is |distinct scores| rows —
+    thresholds between observed scores change nothing, so this is
+    the complete curve, not a sample.
+
+    Plan: ONE aggregate to (score, count, positives) cells, then the
+    DESCENDING cumulatives derived from the range-bucketed
+    :func:`~bigdata_kafka_2_spark.operators.relational.
+    global_prefix_sum` (cum-at-least(v) = total − exclusive-ascending
+    prefix(v) — never a single-partition window, the q192/q225
+    discipline) and a broadcast 1-row total. All-integer until the
+    final tpr/fpr divisions, rounded 6 dp.
+    """
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    lab = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("int")
+    cells = (
+        df.select(
+            F.col(score_col).cast("double").alias("__v"),
+            lab.alias("__y"),
+        )
+        .groupBy("__v")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum("__y").alias("__p"),
+        )
+    )
+    pre = global_prefix_sum(cells, "__v", "__c", out_col="__bc")
+    pre = global_prefix_sum(pre, "__v", "__p", out_col="__bp")
+    tot = cells.agg(
+        F.sum("__c").alias("__nt"), F.sum("__p").alias("__pt")
+    )
+    return (
+        pre.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__v").alias("threshold"),
+            (F.col("__nt") - F.col("__bc")).cast("long")
+            .alias("n_pred_pos"),
+            (F.col("__pt") - F.col("__bp")).cast("long").alias("tp"),
+            (
+                (F.col("__nt") - F.col("__bc"))
+                - (F.col("__pt") - F.col("__bp"))
+            ).cast("long").alias("fp"),
+            F.round(
+                (F.col("__pt") - F.col("__bp")).cast("double")
+                / F.col("__pt").cast("double"),
+                6,
+            ).alias("tpr"),
+            F.round(
+                (
+                    (F.col("__nt") - F.col("__bc"))
+                    - (F.col("__pt") - F.col("__bp"))
+                ).cast("double")
+                / (F.col("__nt") - F.col("__pt")).cast("double"),
+                6,
+            ).alias("fpr"),
+        )
+    )

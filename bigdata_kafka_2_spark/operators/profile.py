@@ -1844,3 +1844,177 @@ def diff_in_differences(
         *out, *means, F.round(did, 6).alias("did"),
         F.round(se, 6).alias("se"),
     )
+
+
+def stratified_ate(
+    df: DataFrame,
+    stratum_col,
+    treat_col,
+    outcome_col: str,
+) -> DataFrame:
+    """Stratified average-treatment-effect estimate: per stratum
+    ``(stratum, n, n_treated, mean_treated, mean_control, effect)``
+    plus the stratum-size-weighted overall row (stratum NULL) —
+
+        ATE = Σ_s (N_s / N) · (ȳ_s,treated − ȳ_s,control)
+
+    exact post-stratification (Cochran 1968): within a stratum,
+    treatment is compared against control ONLY among like units, so
+    confounding carried by the stratum variable is removed — the
+    identification-by-adjustment member of the causal family
+    (:func:`diff_in_differences` adjusts with a pre-period; this
+    adjusts with observed covariate strata, and equals inverse-
+    propensity weighting exactly when propensities are stratum
+    constants). ``effect`` is NULL for strata missing either arm, and
+    such strata are EXCLUDED from the overall row (their effect is
+    unidentified; the overall weight renormalizes over identified
+    strata — documented standard practice).
+
+    ONE map-side-combined aggregate builds every stratum cell (counts
+    + exact-DECIMAL outcome sums); the overall row is a second tiny
+    aggregate over identified strata. NULL outcomes are excluded
+    before counting (the NULL-deflation guard shared with
+    :func:`loo_contributions`). Scan speed at any scale; output is
+    |strata| + 1 rows.
+    """
+    t = (
+        F.col(treat_col).cast("boolean")
+        if isinstance(treat_col, str)
+        else treat_col.cast("boolean")
+    )
+    s_col = (
+        F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
+    )
+    dec = "decimal(38,4)"
+    df = df.where(F.col(outcome_col).isNotNull())
+    v = F.round(F.col(outcome_col).cast("double"), 4).cast(dec)
+    cells = df.groupBy(s_col.alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(t, 1).otherwise(0)).alias("__nt"),
+        F.sum(F.when(t, v)).alias("__st"),
+        F.sum(F.when(~t, v)).alias("__sc"),
+    )
+    mt = F.col("__st").cast("double") / F.col("__nt").cast("double")
+    mc = F.col("__sc").cast("double") / (
+        F.col("__n") - F.col("__nt")
+    ).cast("double")
+    ident = (F.col("__nt") > 0) & (F.col("__n") > F.col("__nt"))
+    per = cells.select(
+        F.col("__s").cast("string").alias("stratum"),
+        F.col("__n").cast("long").alias("n"),
+        F.col("__nt").cast("long").alias("n_treated"),
+        F.round(F.when(F.col("__nt") > 0, mt), 6).alias("mean_treated"),
+        F.round(
+            F.when(F.col("__n") > F.col("__nt"), mc), 6
+        ).alias("mean_control"),
+        F.round(F.when(ident, mt - mc), 6).alias("effect"),
+    )
+    dec12 = "decimal(38,12)"
+    overall = (
+        cells.filter(ident)
+        .select(
+            F.col("__n").alias("__w"),
+            F.round(mt - mc, 6).alias("__eff"),
+        )
+        .agg(
+            F.sum("__w").alias("__N"),
+            F.sum(
+                F.round(
+                    F.col("__w").cast("double") * F.col("__eff"), 12
+                ).cast(dec12)
+            ).alias("__we"),
+        )
+        .select(
+            F.lit(None).cast("string").alias("stratum"),
+            F.col("__N").cast("long").alias("n"),
+            F.lit(None).cast("long").alias("n_treated"),
+            F.lit(None).cast("double").alias("mean_treated"),
+            F.lit(None).cast("double").alias("mean_control"),
+            F.round(
+                F.col("__we").cast("double") / F.col("__N").cast("double"),
+                6,
+            ).alias("effect"),
+        )
+    )
+    return per.unionAll(overall)
+
+
+def jackknife_ratio_se(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    num_col: str,
+    den_col: str,
+) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error of a ratio metric
+    ``Σ num / Σ den`` (Quenouille 1956; the grouped form is the
+    standard cluster jackknife): one row ``(groups, ratio, se_jack)``
+    where each pseudo-estimate drops one group,
+
+        θ_(g) = (S_num − s_g) / (S_den − d_g),
+        SE² = (G−1)/G · Σ_g (θ_(g) − θ̄_·)²
+
+    — the uncertainty a ratio metric (revenue per order, tokens per
+    doc, dup rate) actually carries when observations cluster, which
+    the naive iid SE understates. The inference member of the
+    leave-one-group family (:func:`loo_contributions` reports each
+    group's EFFECT; this turns the same algebra into a confidence
+    width).
+
+    Pure algebra, two passes over the GROUP table only: one map-side-
+    combined aggregate to per-group exact-DECIMAL sums + a broadcast
+    1-row total gives every pseudo-estimate; a second tiny aggregate
+    over |groups| rows turns them into the SE. Pseudo-estimates are
+    rounded 9 dp and their moments accumulate as exact
+    DECIMAL(38,9)/(38,18), so the result is engine-identical. NULL
+    numerators/denominators are excluded row-wise before counting.
+    """
+    dec = "decimal(38,4)"
+    df = df.where(
+        F.col(num_col).isNotNull() & F.col(den_col).isNotNull()
+    )
+    nv = F.round(F.col(num_col).cast("double"), 4).cast(dec)
+    dv = F.round(F.col(den_col).cast("double"), 4).cast(dec)
+    g = df.groupBy(*list(group_cols)).agg(
+        F.sum(nv).alias("__sn"), F.sum(dv).alias("__sd")
+    )
+    tot = g.agg(
+        F.sum("__sn").alias("__tn"),
+        F.sum("__sd").alias("__td"),
+        F.count(F.lit(1)).alias("__G"),
+    )
+    theta = F.round(
+        (F.col("__tn") - F.col("__sn")).cast("double")
+        / (F.col("__td") - F.col("__sd")).cast("double"),
+        9,
+    )
+    pseudo = g.crossJoin(F.broadcast(tot)).select(
+        F.col("__G"),
+        F.col("__tn"),
+        F.col("__td"),
+        theta.alias("__th"),
+    )
+    agg = pseudo.agg(
+        F.max("__G").alias("__G"),
+        F.max("__tn").alias("__tn"),
+        F.max("__td").alias("__td"),
+        F.sum(F.col("__th").cast("decimal(38,9)")).alias("__s1"),
+        F.sum(
+            F.round(F.col("__th") * F.col("__th"), 18).cast(
+                "decimal(38,18)"
+            )
+        ).alias("__s2"),
+    )
+    gd = F.col("__G").cast("double")
+    mean = F.col("__s1").cast("double") / gd
+    var = (
+        (F.col("__s2").cast("double") / gd - mean * mean)
+        * (gd - F.lit(1.0))
+    )
+    return agg.select(
+        F.col("__G").cast("long").alias("groups"),
+        F.round(
+            F.col("__tn").cast("double") / F.col("__td").cast("double"),
+            6,
+        ).alias("ratio"),
+        F.round(F.sqrt(var), 6).alias("se_jack"),
+    )

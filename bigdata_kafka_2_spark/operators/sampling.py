@@ -789,3 +789,217 @@ def oof_target_encoding(
             F.round(oof, 6).alias("oof_mean"),
         )
     )
+
+
+def ipf_raking(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    iterations: int = 3,
+) -> DataFrame:
+    """Iterative proportional fitting (raking; Deming & Stephan 1940)
+    of the ``row_col`` × ``col_col`` contingency table toward UNIFORM
+    marginals: ``(row, col, n, raked_weight)`` where ``raked_weight``
+    is the cell's fitted mass after ``iterations`` row/column scaling
+    rounds — the survey-statistics reweighting a training-data team
+    runs to neutralize joint sampling skew (e.g. make every
+    (language, domain) stratum contribute as if both marginals were
+    balanced) without per-row resampling. Per-ROW weights are
+    ``raked_weight / n``.
+
+    Scale plan: ONE map-side-combined scan aggregate reduces the
+    corpus to the |rows|×|cols| cell table (bounded by category
+    cardinalities, never data); each round is two aggregate+broadcast-
+    join pairs over that table (row sums then column sums). Fixed
+    unrolled iterations on the 12-dp determinism schedule: marginal
+    sums accumulate as exact DECIMAL(38,12) of 12-dp-rounded weights
+    and every rescale re-rounds to 12 dp, so the fit is bit-identical
+    to the unrolled-CTE oracle at any partitioning. Uniform targets
+    (grand total / marginal cardinality) keep the oracle transcription
+    dataset-independent; generalized target tables are one extra
+    broadcast join away.
+    """
+    if iterations < 1:
+        raise ValueError(
+            f"ipf_raking: iterations must be >= 1, got {iterations}"
+        )
+    dec = "decimal(38,12)"
+    cells = (
+        df.groupBy(
+            F.col(row_col).alias("__r"), F.col(col_col).alias("__c")
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint()
+    )
+    # bounded driver scalars off the |cells|-row table (the pagerank
+    # node-count pattern): grand total and marginal cardinalities fix
+    # the uniform targets; the target ratios N/kr, N/kc are exact
+    # integer-to-double divisions, identical in Python and SQL
+    meta = cells.agg(
+        F.sum("__n").alias("__N"),
+        F.countDistinct("__r").alias("__kr"),
+        F.countDistinct("__c").alias("__kc"),
+    ).collect()[0]
+    t_row = float(meta["__N"]) / float(meta["__kr"])
+    t_col = float(meta["__N"]) / float(meta["__kc"])
+    w = cells.select(
+        "__r", "__c", "__n",
+        F.round(F.col("__n").cast("double"), _IPF_SCALE).alias("__w"),
+    )
+    for _ in range(iterations):
+        rs = w.groupBy("__r").agg(
+            F.sum(F.col("__w").cast(dec)).alias("__rs")
+        )
+        w = w.join(F.broadcast(rs), on="__r").select(
+            "__r", "__c", "__n",
+            F.round(
+                F.col("__w")
+                * (F.lit(t_row) / F.col("__rs").cast("double")),
+                _IPF_SCALE,
+            ).alias("__w"),
+        )
+        cs = w.groupBy("__c").agg(
+            F.sum(F.col("__w").cast(dec)).alias("__cs")
+        )
+        w = w.join(F.broadcast(cs), on="__c").select(
+            "__r", "__c", "__n",
+            F.round(
+                F.col("__w")
+                * (F.lit(t_col) / F.col("__cs").cast("double")),
+                _IPF_SCALE,
+            ).alias("__w"),
+        ).localCheckpoint()
+    return w.select(
+        F.col("__r").alias(row_col),
+        F.col("__c").alias(col_col),
+        F.col("__n").cast("long").alias("n"),
+        F.round(F.col("__w"), 6).alias("raked_weight"),
+    )
+
+
+_IPF_SCALE = 12
+
+
+def ipf_oracle_sql(
+    table: str, row_col: str, col_col: str, iterations: int = 3
+) -> str:
+    """Unrolled DuckDB transcription of :func:`ipf_raking` with
+    uniform targets (kept beside the operator so the rounding and
+    scaling schedule stays in lockstep)."""
+    s = _IPF_SCALE
+    parts = [
+        f"""
+    WITH cells AS (
+      SELECT {row_col} AS r, {col_col} AS c, count(*) AS n
+      FROM {table} GROUP BY 1, 2
+    ),
+    meta AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS N,
+             CAST(count(DISTINCT r) AS DOUBLE) AS kr,
+             CAST(count(DISTINCT c) AS DOUBLE) AS kc
+      FROM cells
+    ),
+    w0 AS (
+      SELECT r, c, n, round(CAST(n AS DOUBLE), {s}) AS w FROM cells
+    )"""
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    rs{i} AS (
+      SELECT r, sum(CAST(w AS DECIMAL(38,{s}))) AS rs
+      FROM w{p} GROUP BY r
+    ),
+    wr{i} AS (
+      SELECT w{p}.r, c, n,
+             round(w * ((SELECT N FROM meta) / (SELECT kr FROM meta)
+                        / CAST(rs AS DOUBLE)), {s}) AS w
+      FROM w{p} JOIN rs{i} ON rs{i}.r = w{p}.r
+    ),
+    cs{i} AS (
+      SELECT c, sum(CAST(w AS DECIMAL(38,{s}))) AS cs
+      FROM wr{i} GROUP BY c
+    ),
+    w{i} AS (
+      SELECT r, wr{i}.c, n,
+             round(w * ((SELECT N FROM meta) / (SELECT kc FROM meta)
+                        / CAST(cs AS DOUBLE)), {s}) AS w
+      FROM wr{i} JOIN cs{i} ON cs{i}.c = wr{i}.c
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT r AS {row_col}, c AS {col_col}, CAST(n AS BIGINT) AS n,
+           round(w, 6) AS raked_weight
+    FROM w{iterations}
+    """
+    )
+    return "".join(parts)
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int,
+) -> DataFrame:
+    """Optimal (Neyman 1934) stratified-sample allocation for a total
+    ``budget``: per stratum ``(stratum, n, stddev, share, n_alloc)``
+    with
+
+        n_h = budget · N_h·S_h / Σ_k N_k·S_k
+
+    — minimum-variance allocation for estimating the population mean:
+    big, internally-VARIABLE strata get proportionally more of the
+    label/inspection budget than big-but-homogeneous ones, the
+    planning step in front of :func:`stratified_sample` (which
+    executes per-stratum rates this operator chooses).
+    ``n_alloc`` floors the real allocation (callers round up the
+    remainder wherever their cost model prefers — the fractional
+    ``share`` is reported precisely for that); single-row strata
+    carry zero variance and draw no budget.
+
+    ONE map-side-combined aggregate (counts + exact-DECIMAL Σx/Σx²)
+    gives every stratum's sample stddev; the normalizer is a
+    broadcast 1-row sum of 9-dp-rounded N_h·S_h terms in exact
+    DECIMAL(38,9). All divisions run in double, rounded 6 dp.
+    """
+    dec = "decimal(38,4)"
+    df = df.where(F.col(value_col).isNotNull())
+    v = F.round(F.col(value_col).cast("double"), 4).cast(dec)
+    v2 = F.round(
+        F.col(value_col).cast("double") * F.col(value_col).cast("double"),
+        4,
+    ).cast(dec)
+    g = df.groupBy(F.col(stratum_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(v).alias("__x"),
+        F.sum(v2).alias("__q"),
+    )
+    n = F.col("__n").cast("double")
+    mean = F.col("__x").cast("double") / n
+    sd = F.when(
+        F.col("__n") > 1,
+        F.sqrt(
+            F.greatest(
+                (F.col("__q").cast("double") / n - mean * mean)
+                * n
+                / (n - F.lit(1.0)),
+                F.lit(0.0),
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    term = F.round(n * sd, 9).cast("decimal(38,9)")
+    cells = g.select("__s", "__n", sd.alias("__sd"), term.alias("__t"))
+    tot = cells.agg(F.sum("__t").alias("__tt"))
+    share = F.col("__t").cast("double") / F.col("__tt").cast("double")
+    return cells.crossJoin(F.broadcast(tot)).select(
+        F.col("__s").alias(stratum_col),
+        F.col("__n").cast("long").alias("n"),
+        F.round(F.col("__sd"), 6).alias("stddev"),
+        F.round(share, 6).alias("share"),
+        F.floor(F.lit(float(int(budget))) * share)
+        .cast("long")
+        .alias("n_alloc"),
+    )

@@ -1840,3 +1840,53 @@ def rake_keyphrases(
             F.round(F.col("__score").cast("double"), 6).alias("score"),
         )
     )
+
+
+def chao1_vocab(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Chao1 vocabulary-richness estimate over whitespace tokens: one
+    row ``(n_tokens, vocab_observed, f1, f2, chao1)`` with the
+    bias-corrected estimator
+
+        chao1 = S_obs + f1·(f1 − 1) / (2·(f2 + 1))
+
+    (Chao 1984; f1/f2 = types seen exactly once/twice) — the
+    species-richness answer to "how much vocabulary does this corpus
+    ACTUALLY have beyond what we sampled", the capture-recapture
+    complement to q189's Heaps-law fit (Heaps extrapolates the growth
+    CURVE; Chao1 bounds the asymptote from the rare-type counts).
+
+    Two map-side-combined aggregates: token explode → per-token
+    counts (the one data-sized shuffle, shared with every vocab
+    query), then one scan of the |vocab|-row count table for S_obs /
+    f1 / f2. All-integer until the final estimate, rounded 2 dp.
+    """
+    toks = df.select(
+        F.explode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("__t")
+    ).filter(F.col("__t") != "")
+    per = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    return per.agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_observed"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("__c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    ).select(
+        "n_tokens",
+        "vocab_observed",
+        "f1",
+        "f2",
+        F.round(
+            F.col("vocab_observed").cast("double")
+            + F.col("f1").cast("double")
+            * (F.col("f1") - 1).cast("double")
+            / (F.lit(2.0) * (F.col("f2") + 1).cast("double")),
+            2,
+        ).alias("chao1"),
+    )

@@ -3421,3 +3421,326 @@ def q242_bradley_terry(
         o, "o_custkey", "o_orderpriority", "o_totalprice"
     )
     return bradley_terry(matches, iterations=3)
+
+
+def _q243_oracle(sf_dir: str | None = None) -> str:
+    from bigdata_kafka_2_spark.operators.sampling import ipf_oracle_sql
+
+    return ipf_oracle_sql(
+        "orders", "o_orderpriority", "o_orderstatus", iterations=3
+    )
+
+
+@register(
+    "q243_ipf_raking",
+    oracle=_q243_oracle,
+    description="Iterative proportional fitting / raking (operators/"
+    "sampling.ipf_raking; Deming & Stephan 1940) of the order "
+    "priority x status contingency table toward uniform marginals - "
+    "the survey-statistics reweighting a data team runs to neutralize "
+    "joint sampling skew (make every (language, domain)-like stratum "
+    "contribute as if both marginals were balanced) without per-row "
+    "resampling. One scan reduces the corpus to the |rows|x|cols| "
+    "cell table; 3 fixed unrolled row/column scaling rounds on the "
+    "12-dp schedule (marginal sums as exact DECIMAL(38,12) of rounded "
+    "weights, every rescale re-rounded) - bit-identical to the "
+    "unrolled-CTE oracle at any partitioning.",
+    tags=("sampling", "iterative", "aggregate"),
+)
+def q243_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.sampling import ipf_raking
+
+    o = read_table(spark, sf_dir, "orders")
+    return ipf_raking(o, "o_orderpriority", "o_orderstatus", iterations=3)
+
+
+@register(
+    "q244_stratified_ate",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderstatus AS s, count(*) AS n,
+             sum(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS nt,
+             sum(CASE WHEN o_orderpriority = '1-URGENT' THEN
+               CAST(round(CAST(o_totalprice AS DOUBLE), 4)
+                    AS DECIMAL(38,4)) END) AS st,
+             sum(CASE WHEN o_orderpriority <> '1-URGENT' THEN
+               CAST(round(CAST(o_totalprice AS DOUBLE), 4)
+                    AS DECIMAL(38,4)) END) AS sc
+      FROM orders WHERE o_totalprice IS NOT NULL
+      GROUP BY 1
+    ),
+    per AS (
+      SELECT CAST(s AS VARCHAR) AS stratum,
+             CAST(n AS BIGINT) AS n, CAST(nt AS BIGINT) AS n_treated,
+             round(CASE WHEN nt > 0 THEN
+               CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) END, 6)
+               AS mean_treated,
+             round(CASE WHEN n > nt THEN
+               CAST(sc AS DOUBLE) / CAST(n - nt AS DOUBLE) END, 6)
+               AS mean_control,
+             round(CASE WHEN nt > 0 AND n > nt THEN
+               CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+               - CAST(sc AS DOUBLE) / CAST(n - nt AS DOUBLE) END, 6)
+               AS effect
+      FROM cells
+    ),
+    overall AS (
+      SELECT CAST(NULL AS VARCHAR) AS stratum,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(NULL AS BIGINT) AS n_treated,
+             CAST(NULL AS DOUBLE) AS mean_treated,
+             CAST(NULL AS DOUBLE) AS mean_control,
+             round(CAST(sum(CAST(round(CAST(n AS DOUBLE)
+                 * round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                   - CAST(sc AS DOUBLE) / CAST(n - nt AS DOUBLE), 6),
+                 12) AS DECIMAL(38,12))) AS DOUBLE)
+               / CAST(sum(n) AS DOUBLE), 6) AS effect
+      FROM cells WHERE nt > 0 AND n > nt
+    )
+    SELECT * FROM per UNION ALL SELECT * FROM overall
+    """,
+    description="Stratified average treatment effect (operators/"
+    "profile.stratified_ate; Cochran 1968): the effect of URGENT "
+    "priority on order value within each order-status stratum plus "
+    "the stratum-size-weighted overall ATE - identification by "
+    "adjustment, the causal-family member next to q241's DiD "
+    "(pre-period adjustment) and exactly IPW when propensities are "
+    "stratum constants. One map-side-combined aggregate builds every "
+    "cell (counts + exact-DECIMAL outcome sums); strata missing an "
+    "arm return NULL effect and are renormalized out of the overall "
+    "row. NULL outcomes excluded before counting (the q239/q234 "
+    "NULL-deflation guard).",
+    tags=("profile", "aggregate"),
+)
+def q244_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import stratified_ate
+
+    o = read_table(spark, sf_dir, "orders")
+    return stratified_ate(
+        o,
+        "o_orderstatus",
+        F.col("o_orderpriority") == "1-URGENT",
+        "o_totalprice",
+    )
+
+
+@register(
+    "q245_conformal_threshold",
+    oracle="""
+    WITH cnt AS (
+      SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v, count(*) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT g, v, c,
+             sum(c) OVER (PARTITION BY g ORDER BY v) AS cum
+      FROM cnt
+    ),
+    gk AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS n,
+             CAST(ceil(CAST(sum(c) + 1 AS DOUBLE) * 0.9) AS BIGINT)
+               AS k
+      FROM cnt GROUP BY g
+    ),
+    hit AS (
+      SELECT pre.g, min(v) AS t
+      FROM pre JOIN gk ON gk.g = pre.g
+      WHERE cum >= k GROUP BY pre.g
+    )
+    SELECT gk.g AS lang, n, k,
+           CASE WHEN k <= n THEN round(t, 6) END AS threshold
+    FROM gk LEFT JOIN hit ON hit.g = gk.g
+    """,
+    description="Split-conformal calibration threshold per language "
+    "(operators/evalmetrics.conformal_threshold; Vovk et al. 2005): "
+    "the k-th smallest nonconformity score with k = "
+    "ceil((n+1)(1-alpha)) at alpha=0.1 - the finite-sample, "
+    "distribution-free quantile that certifies 'accept iff score <= "
+    "threshold' covers new points with >= 90% probability, the "
+    "guarantee an eval team wants from a calibration split before "
+    "shipping a filter threshold. Exact distributed order statistic: "
+    "per-(group, distinct value) counts + a group-PARTITIONED "
+    "cumulative window over distinct values (bounded by per-group "
+    "score cardinality, never rows), threshold = least value whose "
+    "cumulative count reaches k; too-small groups return NULL.",
+    tags=("evalmetrics", "window", "aggregate"),
+)
+def q245_conformal_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        conformal_threshold,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return conformal_threshold(d, "lang", "n_chars", alpha=0.1)
+
+
+@register(
+    "q247_jackknife_ratio_se",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey,
+             sum(CAST(round(CAST(o_totalprice AS DOUBLE), 4)
+                      AS DECIMAL(38,4))) AS sn,
+             sum(CAST(round(1.0, 4) AS DECIMAL(38,4))) AS sd
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_totalprice IS NOT NULL
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(sn) AS tn, sum(sd) AS td, count(*) AS G FROM g
+    ),
+    pseudo AS (
+      SELECT G, tn, td,
+             round(CAST(tn - sn AS DOUBLE) / CAST(td - sd AS DOUBLE),
+                   9) AS th
+      FROM g, tot
+    ),
+    agg AS (
+      SELECT max(G) AS G, max(tn) AS tn, max(td) AS td,
+             sum(CAST(th AS DECIMAL(38,9))) AS s1,
+             sum(CAST(round(th * th, 18) AS DECIMAL(38,18))) AS s2
+      FROM pseudo
+    )
+    SELECT CAST(G AS BIGINT) AS groups,
+           round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE), 6) AS ratio,
+           round(sqrt((CAST(s2 AS DOUBLE) / CAST(G AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(G AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(G AS DOUBLE)))
+                      * (CAST(G AS DOUBLE) - 1.0)), 6) AS se_jack
+    FROM agg
+    """,
+    description="Delete-one-nation jackknife standard error of "
+    "revenue-per-order (operators/profile.jackknife_ratio_se; "
+    "Quenouille 1956, grouped/cluster form): the uncertainty a ratio "
+    "metric actually carries when observations cluster by nation, "
+    "which the naive iid SE understates - the inference member of "
+    "the leave-one-group family (q234 reports each group's effect; "
+    "this turns the same one-aggregate algebra into a confidence "
+    "width). Per-group exact-DECIMAL sums + broadcast total give "
+    "every pseudo-estimate; a second |groups|-row aggregate turns "
+    "9-dp-rounded pseudo-estimates into the SE via exact "
+    "DECIMAL(38,9)/(38,18) moments.",
+    tags=("profile", "aggregate", "join"),
+)
+def q247_jackknife_ratio_se(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import (
+        jackknife_ratio_se,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_nationkey",
+        "o_totalprice",
+        F.lit(1.0).alias("one"),
+    )
+    return jackknife_ratio_se(j, ["c_nationkey"], "o_totalprice", "one")
+
+
+@register(
+    "q248_roc_curve",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(l_discount AS DOUBLE) AS v, count(*) AS c,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS p
+      FROM lineitem GROUP BY 1
+    ),
+    pre AS (
+      SELECT v, c, p,
+             sum(c) OVER (ORDER BY v) - c AS bc,
+             sum(p) OVER (ORDER BY v) - p AS bp
+      FROM cells
+    ),
+    tot AS (SELECT sum(c) AS nt, sum(p) AS pt FROM cells)
+    SELECT v AS threshold,
+           CAST(nt - bc AS BIGINT) AS n_pred_pos,
+           CAST(pt - bp AS BIGINT) AS tp,
+           CAST((nt - bc) - (pt - bp) AS BIGINT) AS fp,
+           round(CAST(pt - bp AS DOUBLE) / CAST(pt AS DOUBLE), 6)
+             AS tpr,
+           round(CAST((nt - bc) - (pt - bp) AS DOUBLE)
+                 / CAST(nt - pt AS DOUBLE), 6) AS fpr
+    FROM pre, tot
+    """,
+    description="Exact ROC curve points (operators/evalmetrics."
+    "roc_points) for 'returned' against the discount score: one row "
+    "per DISTINCT score for the rule predict-positive iff score >= "
+    "threshold - the curve behind q164/q188's AUCs (AUC says HOW "
+    "separable; the curve says WHERE to set the operating point, "
+    "which is what a filter team ships). Descending cumulatives "
+    "derived from the range-bucketed global_prefix_sum "
+    "(total - exclusive-ascending prefix - never a single-partition "
+    "window); all-integer until the final tpr/fpr divisions.",
+    tags=("evalmetrics", "aggregate"),
+)
+def q248_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.evalmetrics import roc_points
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return roc_points(li, F.col("l_returnflag") == "R", "l_discount")
+
+
+@register(
+    "q249_neyman_allocation",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS s, count(*) AS n,
+             sum(CAST(round(CAST(o_totalprice AS DOUBLE), 4)
+                      AS DECIMAL(38,4))) AS x,
+             sum(CAST(round(CAST(o_totalprice AS DOUBLE)
+                            * CAST(o_totalprice AS DOUBLE), 4)
+                      AS DECIMAL(38,4))) AS q
+      FROM orders WHERE o_totalprice IS NOT NULL
+      GROUP BY 1
+    ),
+    cells AS (
+      SELECT s, n,
+             CASE WHEN n > 1 THEN
+               sqrt(greatest((CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)))
+                 * CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0),
+                 0.0))
+             ELSE 0.0 END AS sd
+      FROM g
+    ),
+    terms AS (
+      SELECT s, n, sd,
+             CAST(round(CAST(n AS DOUBLE) * sd, 9) AS DECIMAL(38,9))
+               AS t
+      FROM cells
+    ),
+    tot AS (SELECT sum(t) AS tt FROM terms)
+    SELECT s AS o_orderpriority, CAST(n AS BIGINT) AS n,
+           round(sd, 6) AS stddev,
+           round(CAST(t AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS share,
+           CAST(floor(10000.0 * (CAST(t AS DOUBLE)
+                                 / CAST(tt AS DOUBLE))) AS BIGINT)
+             AS n_alloc
+    FROM terms, tot
+    """,
+    description="Neyman-optimal stratified-sample allocation "
+    "(operators/sampling.neyman_allocation; Neyman 1934) of a "
+    "10000-row inspection budget across order priorities: n_h "
+    "proportional to N_h*S_h - minimum-variance use of a labeling "
+    "budget, the planning step in front of q-family stratified "
+    "sampling (big VARIABLE strata earn more budget than big "
+    "homogeneous ones). One map-side-combined aggregate (counts + "
+    "exact-DECIMAL sum/sum-of-squares) per stratum; the normalizer "
+    "is a broadcast 1-row DECIMAL(38,9) sum of rounded N*S terms.",
+    tags=("sampling", "aggregate"),
+)
+def q249_neyman_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    return neyman_allocation(o, "o_orderpriority", "o_totalprice", 10000)

@@ -2833,3 +2833,46 @@ def q229_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return rake_keyphrases(d, top_k=25)
+
+
+@register(
+    "q246_chao1_vocab",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+      FROM documents
+    ),
+    per AS (
+      SELECT t, count(*) AS c FROM toks WHERE t <> '' GROUP BY t
+    ),
+    agg AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_observed,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f2
+      FROM per
+    )
+    SELECT n_tokens, vocab_observed, f1, f2,
+           round(CAST(vocab_observed AS DOUBLE)
+                 + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+                   / (2.0 * CAST(f2 + 1 AS DOUBLE)), 2) AS chao1
+    FROM agg
+    """,
+    description="Chao1 vocabulary-richness estimate (operators/text."
+    "chao1_vocab; Chao 1984): bias-corrected asymptotic vocabulary "
+    "size from the singleton/doubleton type counts - the capture-"
+    "recapture answer to how much vocabulary the corpus has BEYOND "
+    "the sample, complementing q189's Heaps-law growth fit (Heaps "
+    "extrapolates the curve; Chao1 bounds the asymptote). One token "
+    "explode + per-token counts (the shared vocab shuffle), then one "
+    "scan of the |vocab|-row table; all-integer until the final "
+    "estimate.",
+    tags=("text", "aggregate", "profile"),
+)
+def q246_chao1_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.text import chao1_vocab
+
+    d = read_table(spark, sf_dir, "documents")
+    return chao1_vocab(d, "text")

@@ -3905,3 +3905,141 @@ def test_hits_rejects_nonpositive_iterations(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with _pytest.raises(ValueError, match="iterations"):
         hits(spark, edges, iterations=0)
+
+
+def test_stratified_ate_hand_checked(spark):
+    """Two strata: s1 effect +10 (n=4), s2 effect +2 (n=4) -> overall
+    (4*10 + 4*2)/8 = 6; a one-armed stratum returns NULL effect and is
+    renormalized out of the overall row; NULL outcomes are excluded."""
+    import pyspark.sql.functions as F2
+
+    from bigdata_kafka_2_spark.operators.profile import stratified_ate
+
+    rows = [
+        ("s1", 1, 20.0), ("s1", 1, 22.0), ("s1", 0, 10.0), ("s1", 0, 12.0),
+        ("s2", 1, 7.0), ("s2", 1, 9.0), ("s2", 0, 5.0), ("s2", 0, 7.0),
+        ("s3", 1, 99.0), ("s3", 1, 101.0),      # treated-only stratum
+        ("s1", 1, None),                          # NULL outcome dropped
+    ]
+    df = spark.createDataFrame(rows, "s string, t int, y double")
+    got = {
+        r.stratum: r
+        for r in stratified_ate(
+            df, "s", F2.col("t") == 1, "y"
+        ).collect()
+    }
+    assert got["s1"].effect == 10.0 and got["s1"].n == 4
+    assert got["s2"].effect == 2.0
+    assert got["s3"].effect is None and got["s3"].mean_control is None
+    overall = got[None]
+    assert overall.n == 8 and overall.effect == 6.0
+
+
+def test_conformal_threshold_hand_checked(spark):
+    """n=9, alpha=0.1 -> k = ceil(10*0.9) = 9 -> the 9th smallest =
+    max; alpha=0.5 -> k = 5 -> the median; a 2-row group at alpha=0.1
+    needs k=3 > n -> NULL threshold."""
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        conformal_threshold,
+    )
+
+    rows = [("g1", float(v)) for v in range(1, 10)] + [
+        ("g2", 5.0), ("g2", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, s double")
+    strict = {
+        r.g: r for r in conformal_threshold(df, "g", "s", 0.1).collect()
+    }
+    assert strict["g1"].k == 9 and strict["g1"].threshold == 9.0
+    assert strict["g2"].k == 3 and strict["g2"].threshold is None
+    med = {
+        r.g: r for r in conformal_threshold(df, "g", "s", 0.5).collect()
+    }
+    assert med["g1"].k == 5 and med["g1"].threshold == 5.0
+
+
+def test_roc_points_hand_checked(spark):
+    """Scores 1..4, positives at 3 and 4: at threshold 3 the rule
+    predicts {3,4} positive -> tp=2 fp=0 tpr=1 fpr=0; at threshold 1
+    everything is positive -> tpr=fpr=1."""
+    from bigdata_kafka_2_spark.operators.evalmetrics import roc_points
+    import pyspark.sql.functions as F2
+
+    df = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], "s double, y int"
+    )
+    pts = {
+        r.threshold: r
+        for r in roc_points(df, F2.col("y") == 1, "s").collect()
+    }
+    assert pts[3.0].tp == 2 and pts[3.0].fp == 0
+    assert pts[3.0].tpr == 1.0 and pts[3.0].fpr == 0.0
+    assert pts[1.0].tpr == 1.0 and pts[1.0].fpr == 1.0
+    assert pts[4.0].tpr == 0.5 and pts[4.0].fpr == 0.0
+
+
+def test_chao1_hand_checked(spark):
+    """Corpus 'a a b c' + 'd d e': S=5, f1=3 (b,c,e), f2=2 (a,d) ->
+    chao1 = 5 + 3*2/(2*3) = 6.0."""
+    from bigdata_kafka_2_spark.operators.text import chao1_vocab
+
+    df = spark.createDataFrame(
+        [("a a b c",), ("d d e",)], "text string"
+    )
+    r = chao1_vocab(df).collect()[0]
+    assert (r.n_tokens, r.vocab_observed, r.f1, r.f2) == (7, 5, 3, 2)
+    assert r.chao1 == 6.0
+
+
+def test_jackknife_ratio_se_hand_checked(spark):
+    """Three groups with equal denominators: ratio = 60/6 = 10;
+    pseudo-estimates drop one group each -> (40/4, 45/4, 35/4) wait -
+    values chosen so hand math stays exact: sums 10,20,30 over dens
+    1,2,3."""
+    from bigdata_kafka_2_spark.operators.profile import (
+        jackknife_ratio_se,
+    )
+    import math
+
+    rows = [("a", 10.0, 1.0), ("b", 20.0, 2.0), ("c", 30.0, 3.0)]
+    df = spark.createDataFrame(rows, "g string, num double, den double")
+    r = jackknife_ratio_se(df, ["g"], "num", "den").collect()[0]
+    assert r.groups == 3 and r.ratio == 10.0
+    # theta_(a) = 50/5 = 10, theta_(b) = 40/4 = 10, theta_(c) = 30/3=10
+    assert r.se_jack == 0.0
+    rows2 = [("a", 10.0, 1.0), ("b", 30.0, 2.0), ("c", 20.0, 3.0)]
+    df2 = spark.createDataFrame(rows2, "g string, num double, den double")
+    r2 = jackknife_ratio_se(df2, ["g"], "num", "den").collect()[0]
+    th = [50.0 / 5.0, 30.0 / 4.0, 40.0 / 3.0]
+    m = sum(th) / 3
+    want = math.sqrt(sum((t - m) ** 2 for t in th) * 2.0 / 3.0)
+    assert abs(r2.se_jack - want) < 1e-5
+
+
+def test_neyman_allocation_hand_checked(spark):
+    """Stratum A: n=4 sd=1 -> term 4; stratum B: n=2 sd=3 -> term 6;
+    budget 100 -> shares 0.4/0.6 -> allocations 40/60; single-row
+    stratum draws nothing."""
+    from bigdata_kafka_2_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    rows = (
+        [("A", 1.0), ("A", 3.0), ("A", 1.0), ("A", 3.0)]
+        + [("B", 0.0), ("B", 6.0)]  # sd = sqrt(18) = 4.2426... no
+        + [("C", 9.0)]
+    )
+    df = spark.createDataFrame(rows, "s string, v double")
+    got = {
+        r.s: r
+        for r in neyman_allocation(df, "s", "v", 100).collect()
+    }
+    import math
+
+    sd_a = math.sqrt(((1 + 9 + 1 + 9) / 4 - 4.0) * 4 / 3)  # 1.1547
+    sd_b = math.sqrt(((0 + 36) / 2 - 9.0) * 2 / 1)         # 4.2426
+    ta, tb = 4 * sd_a, 2 * sd_b
+    assert got["C"].n_alloc == 0 and got["C"].stddev == 0.0
+    assert abs(got["A"].share - ta / (ta + tb)) < 1e-6
+    assert got["A"].n_alloc == int(100 * ta / (ta + tb))
+    assert abs(got["B"].stddev - round(sd_b, 6)) < 1e-9

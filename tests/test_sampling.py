@@ -218,3 +218,47 @@ def test_leakage_safe_folds_share_folds_and_cover_range(spark):
     ).collect()
     for r in pairs:
         assert fold_of[r.id_a] == fold_of[r.id_b], (r.id_a, r.id_b)
+
+
+def test_ipf_raking_hits_uniform_marginals(spark):
+    """After a few rounds the raked row/column marginals are within a
+    hair of the uniform targets, the total mass is preserved, and the
+    fit is partition-invariant."""
+    import pyspark.sql.functions as F
+
+    from bigdata_kafka_2_spark.operators.sampling import ipf_raking
+
+    rows = (
+        [("a", "x")] * 8 + [("a", "y")] * 2
+        + [("b", "x")] * 1 + [("b", "y")] * 5
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = ipf_raking(df, "r", "c", iterations=5)
+    cells = {(x.r, x.c): x.raked_weight for x in out.collect()}
+    n = len(rows)
+    # each round ends on the COLUMN scaling, so column marginals are
+    # exact (up to 6-dp display rounding); rows converge geometrically
+    for cv in ("x", "y"):
+        got = sum(v for (r, c), v in cells.items() if c == cv)
+        assert abs(got - n / 2) < 1e-5, (cv, got)
+    for rv in ("a", "b"):
+        got = sum(v for (r, c), v in cells.items() if r == rv)
+        assert abs(got - n / 2) < 0.05, (rv, got)
+    # more rounds -> tighter row marginals (monotone KL convergence)
+    tight = {
+        (x.r, x.c): x.raked_weight
+        for x in ipf_raking(df, "r", "c", iterations=8).collect()
+    }
+    for rv in ("a", "b"):
+        got5 = sum(v for (r, c), v in cells.items() if r == rv)
+        got8 = sum(v for (r, c), v in tight.items() if r == rv)
+        assert abs(got8 - n / 2) <= abs(got5 - n / 2)
+    a = sorted(ipf_raking(df, "r", "c", iterations=3).collect())
+    b = sorted(
+        ipf_raking(df.repartition(7), "r", "c", iterations=3).collect()
+    )
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iterations"):
+        ipf_raking(df, "r", "c", iterations=0)
