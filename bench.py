@@ -272,6 +272,7 @@ HEADLINE = (
     "q247_jackknife_ratio_se",
     "q248_roc_curve",
     "q249_neyman_allocation",
+    "q250_streaming_preference_ingest",
 )
 
 

@@ -1227,3 +1227,90 @@ def q232_streaming_reservoir(
     return read_reservoir(spark, state, 100, ["doc_id", "n_chars"]).select(
         "doc_id", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+def _q250_oracle(sf_dir: str | None = None) -> str:
+    from bigdata_kafka_2_spark.plans.relational_queries2 import (
+        _q242_matches_cte,
+    )
+    from bigdata_kafka_2_spark.operators.preference import bt_oracle_sql
+
+    return bt_oracle_sql(_q242_matches_cte(), iterations=3)
+
+
+@register(
+    "q250_streaming_preference_ingest",
+    oracle=_q250_oracle,
+    description="Streaming pairwise-preference ingest (streaming/"
+    "ingest.run_streaming_wins): the within-customer priority duels "
+    "of q242 arrive as a multi-file comparison STREAM "
+    "(maxFilesPerTrigger=1 forces several micro-batches); each batch "
+    "reduces to |players|^2-bounded win-count partials appended "
+    "through foreachBatch, the read-side merge sums them, and the "
+    "same 3-round Bradley-Terry MM fit runs on the merged table. "
+    "Mergeability is exact BY CONSTRUCTION - win counts are a "
+    "commutative monoid over atomic decided comparisons, so ANY "
+    "micro-batching converges to the byte-identical table (the "
+    "family's cut point, next to q231's period-sum partials and "
+    "q232's top-k partials); replayed epochs re-append deterministic "
+    "partial rows that the merge's distinct() removes. Hash-checked "
+    "against the BATCH-stated q242 oracle: streamed-then-fitted == "
+    "batch-fitted, the q212/q213 streamed-equals-batch discipline.",
+    tags=("streaming", "preference", "iterative"),
+)
+def q250_streaming_preference_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bigdata_kafka_2_spark.operators.preference import bradley_terry
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        read_wins,
+        run_streaming_wins,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"q250_{tag}")
+    stage = os.path.join(base, "stream")
+    state = os.path.join(base, "wins")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders")
+    left = o.select(
+        F.col("o_custkey").alias("__g"),
+        F.col("o_orderpriority").alias("a"),
+        F.col("o_totalprice").alias("__pa"),
+    )
+    right = o.select(
+        F.col("o_custkey").alias("__g"),
+        F.col("o_orderpriority").alias("b"),
+        F.col("o_totalprice").alias("__pb"),
+    )
+    comparisons = (
+        left.join(right, on="__g")
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.col("__pa") != F.col("__pb"))  # ties carry no signal
+        .select(
+            "a",
+            "b",
+            F.when(F.col("__pa") < F.col("__pb"), 1)
+            .otherwise(0)
+            .alias("a_won"),
+        )
+    )
+    # distributed staging into several files so availableNow +
+    # maxFilesPerTrigger=1 forces a genuinely multi-batch drain
+    comparisons.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(comparisons.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    run_streaming_wins(stream, state, ckpt)
+    matches = read_wins(spark, state)
+    return bradley_terry(matches, iterations=3).select(
+        F.col("player"), F.col("strength")
+    )

@@ -817,3 +817,70 @@ def read_reservoir(
         .limit(int(k))
         .drop("ekey")
     )
+
+
+def run_streaming_wins(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming pairwise-preference ingest: accumulate a canonical
+    win table from a stream of DECIDED comparisons ``(a, b, a_won)``
+    (``a < b``, ``a_won`` ∈ {0,1} — one row per comparison, the
+    atomic preference event an RLHF/labeling pipeline emits). Per
+    micro-batch, ONE map-side-combined aggregate reduces the batch to
+    |players|²-bounded win-count PARTIALS, appended with the epoch
+    id.
+
+    Mergeability is exact BY CONSTRUCTION — win counts are a
+    commutative monoid, so any micro-batching of the same comparison
+    stream converges to the same merged table (contrast
+    :func:`run_streaming_scd2`, where invariance needed interval
+    derivation): the cut point is that each comparison row is decided
+    and atomic, so no state spans batches. Replay safety: a replayed
+    epoch re-appends byte-identical (epoch_id, a, b, wins) partial
+    rows that :func:`read_wins`' distinct() removes — the
+    deterministic-partial idempotence pattern shared with
+    :func:`run_streaming_reservoir`. State is O(|players|²·epochs),
+    never comparison-sized.
+    """
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.groupBy("a", "b")
+            .agg(
+                F.sum(F.col("a_won").cast("long")).alias("wins_a"),
+                F.sum(
+                    F.lit(1) - F.col("a_won").cast("long")
+                ).alias("wins_b"),
+            )
+            .withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_wins(spark: SparkSession, out_path: str) -> DataFrame:
+    """Merge the per-epoch win-table partials: epoch-replay
+    duplicates drop via distinct() (partials are deterministic per
+    epoch), then one |players|²-bounded aggregate sums the counts —
+    the exact batch win table, independent of how the stream was
+    micro-batched."""
+    return (
+        spark.read.parquet(out_path)
+        .distinct()
+        .groupBy("a", "b")
+        .agg(
+            F.sum("wins_a").cast("long").alias("wins_a"),
+            F.sum("wins_b").cast("long").alias("wins_b"),
+        )
+        .filter((F.col("wins_a") + F.col("wins_b")) > 0)
+    )

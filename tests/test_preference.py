@@ -99,3 +99,49 @@ def test_pairwise_wins_hand_checked(spark):
         ("a", "c"): (1, 0),   # g2 tie dropped
         ("b", "c"): (2, 0),   # b beat c in both groups
     }
+
+
+def test_streaming_wins_batching_invariant_and_replay_safe(
+    spark, tmp_path
+):
+    """The streamed win table equals the batch aggregate regardless of
+    micro-batching (counts are a commutative monoid over atomic
+    comparisons), and re-appending every partial (an epoch replay)
+    changes nothing."""
+    import pyspark.sql.functions as F2
+
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        read_wins,
+        run_streaming_wins,
+    )
+
+    rows = [
+        ("x", "y", 1), ("x", "y", 1), ("x", "y", 0),
+        ("x", "z", 0), ("y", "z", 1), ("y", "z", 1),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string, a_won int")
+    stage = str(tmp_path / "stage")
+    df.repartition(3).write.parquet(stage)
+    state, ckpt = str(tmp_path / "wins"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    run_streaming_wins(stream, state, ckpt)
+    got = {
+        (r.a, r.b): (r.wins_a, r.wins_b)
+        for r in read_wins(spark, state).collect()
+    }
+    assert got == {
+        ("x", "y"): (2, 1),
+        ("x", "z"): (0, 1),
+        ("y", "z"): (2, 0),
+    }
+    # replay: re-append all partials -> merged table unchanged
+    spark.read.parquet(state).write.mode("append").parquet(state)
+    again = {
+        (r.a, r.b): (r.wins_a, r.wins_b)
+        for r in read_wins(spark, state).collect()
+    }
+    assert again == got
