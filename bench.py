@@ -273,6 +273,8 @@ HEADLINE = (
     "q248_roc_curve",
     "q249_neyman_allocation",
     "q250_streaming_preference_ingest",
+    "q251_win_rate_wilson",
+    "q252_preference_transitivity",
 )
 
 

@@ -253,3 +253,123 @@ def bt_oracle_sql(
     """
     )
     return "".join(parts)
+
+
+def win_rate_wilson(
+    matches: DataFrame, z: float = 1.959964
+) -> DataFrame:
+    """Win-rate leaderboard with Wilson score intervals: per player
+    ``(player, n_decided, wins, win_rate, wilson_lo, wilson_hi)``
+    from a canonical win table (:func:`pairwise_wins`). The Wilson
+    interval (Wilson 1927) is the small-sample-honest ranking bound —
+    sorting by ``wilson_lo`` instead of raw win rate is the standard
+    fix for "3 wins out of 3" outranking "95 out of 100" on a
+    leaderboard. The descriptive face of the preference family
+    (:func:`bradley_terry` models pair-dependent strength; this reads
+    the marginal record with honest uncertainty).
+
+    One |players|-bounded aggregate over the symmetrized win table;
+    the interval arithmetic is row-local double math with ``z``
+    entering as a shared literal (default: the two-sided 95% normal
+    quantile to 6 dp, precomputed so no engine libm call appears),
+    rounded 6 dp — engine-identical by the shared-expression rule.
+    """
+    per = (
+        matches.select(
+            F.col("a").alias("player"),
+            F.col("wins_a").alias("__w"),
+            (F.col("wins_a") + F.col("wins_b")).alias("__n"),
+        )
+        .unionAll(
+            matches.select(
+                F.col("b").alias("player"),
+                F.col("wins_b").alias("__w"),
+                (F.col("wins_a") + F.col("wins_b")).alias("__n"),
+            )
+        )
+        .groupBy("player")
+        .agg(
+            F.sum("__w").cast("long").alias("wins"),
+            F.sum("__n").cast("long").alias("n_decided"),
+        )
+    )
+    n = F.col("n_decided").cast("double")
+    p = F.col("wins").cast("double") / n
+    z2 = float(z) * float(z)
+    denom = F.lit(1.0) + F.lit(z2) / n
+    center = p + F.lit(z2) / (F.lit(2.0) * n)
+    spread = F.lit(float(z)) * F.sqrt(
+        p * (F.lit(1.0) - p) / n
+        + F.lit(z2) / (F.lit(4.0) * n * n)
+    )
+    return per.select(
+        "player",
+        "n_decided",
+        "wins",
+        F.round(p, 6).alias("win_rate"),
+        F.round((center - spread) / denom, 6).alias("wilson_lo"),
+        F.round((center + spread) / denom, 6).alias("wilson_hi"),
+    )
+
+
+def preference_cycles(matches: DataFrame) -> DataFrame:
+    """Transitivity audit of a preference record: one row
+    ``(n_players, n_oriented_pairs, n_cycles, max_cycles, zeta)``
+    counting CIRCULAR TRIADS (a beats b beats c beats a) among
+    majority-decided pairs — Kendall's consistency coefficient
+    ``zeta = 1 − d/d_max`` (Kendall & Babington Smith 1940, with
+    ``d_max = (k³−k)/24`` for odd k, ``(k³−4k)/24`` for even k on a
+    complete record; reported against the COMPLETE-record bound, so
+    an incomplete comparison graph shows a conservatively high
+    consistency). Circular triads are exactly the comparisons no
+    Bradley–Terry ordering can explain — the data-quality gate run
+    BEFORE :func:`bradley_terry` (a low zeta means annotator noise or
+    true intransitivity, and the fitted strengths will paper over
+    it).
+
+    Plan shape: orient each pair toward its majority winner (exact
+    ties drop — they orient nothing), then count directed 3-cycles
+    with the canonical-rotation trick: every cyclic triad has exactly
+    ONE edge (u→v) with u < min of the other corner, so joining the
+    oriented edge list twice and keeping ``x < y AND x < z`` counts
+    each cycle exactly once. Wedge volume is Σ out-deg² — the
+    triangle-counting bound, |players|-scaled, never comparison-
+    scaled.
+    """
+    won_a = F.col("wins_a") > F.col("wins_b")
+    oriented = matches.filter(
+        F.col("wins_a") != F.col("wins_b")
+    ).select(
+        F.when(won_a, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(won_a, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint()
+    players = (
+        matches.select(F.col("a").alias("p"))
+        .unionAll(matches.select(F.col("b").alias("p")))
+        .distinct()
+    )
+    e1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = oriented.select(F.col("u").alias("z"), F.col("v").alias("x"))
+    cycles = (
+        e1.join(e2, on="y")
+        .join(e3, on=["z", "x"])
+        .filter((F.col("x") < F.col("y")) & (F.col("x") < F.col("z")))
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    meta = players.agg(F.count(F.lit(1)).alias("__k")).crossJoin(
+        F.broadcast(oriented.agg(F.count(F.lit(1)).alias("__m")))
+    )
+    k = F.col("__k").cast("double")
+    dmax = F.when(
+        F.col("__k") % 2 == 1, (k * k * k - k) / F.lit(24.0)
+    ).otherwise((k * k * k - F.lit(4.0) * k) / F.lit(24.0))
+    return meta.crossJoin(F.broadcast(cycles)).select(
+        F.col("__k").cast("long").alias("n_players"),
+        F.col("__m").cast("long").alias("n_oriented_pairs"),
+        F.col("__d").cast("long").alias("n_cycles"),
+        F.round(dmax, 2).alias("max_cycles"),
+        F.round(
+            F.lit(1.0) - F.col("__d").cast("double") / dmax, 6
+        ).alias("zeta"),
+    )

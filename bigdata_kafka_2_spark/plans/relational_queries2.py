@@ -3744,3 +3744,139 @@ def q249_neyman_allocation(
 
     o = read_table(spark, sf_dir, "orders")
     return neyman_allocation(o, "o_orderpriority", "o_totalprice", 10000)
+
+
+def _q251_oracle(sf_dir: str | None = None) -> str:
+    return f"""
+    WITH m AS ({_q242_matches_cte()}),
+    per AS (
+      SELECT player, CAST(sum(w) AS BIGINT) AS wins,
+             CAST(sum(n) AS BIGINT) AS n_decided
+      FROM (
+        SELECT a AS player, wins_a AS w, wins_a + wins_b AS n FROM m
+        UNION ALL
+        SELECT b, wins_b, wins_a + wins_b FROM m
+      ) GROUP BY player
+    )
+    SELECT player, n_decided, wins,
+           round(CAST(wins AS DOUBLE) / CAST(n_decided AS DOUBLE), 6)
+             AS win_rate,
+           round(((CAST(wins AS DOUBLE) / CAST(n_decided AS DOUBLE))
+                  + 3.841458881296 / (2.0 * CAST(n_decided AS DOUBLE))
+                  - 1.959964 * sqrt(
+                      (CAST(wins AS DOUBLE) / CAST(n_decided AS DOUBLE))
+                      * (1.0 - CAST(wins AS DOUBLE)
+                              / CAST(n_decided AS DOUBLE))
+                      / CAST(n_decided AS DOUBLE)
+                      + 3.841458881296
+                        / (4.0 * CAST(n_decided AS DOUBLE)
+                               * CAST(n_decided AS DOUBLE))))
+                 / (1.0 + 3.841458881296
+                          / CAST(n_decided AS DOUBLE)), 6) AS wilson_lo,
+           round(((CAST(wins AS DOUBLE) / CAST(n_decided AS DOUBLE))
+                  + 3.841458881296 / (2.0 * CAST(n_decided AS DOUBLE))
+                  + 1.959964 * sqrt(
+                      (CAST(wins AS DOUBLE) / CAST(n_decided AS DOUBLE))
+                      * (1.0 - CAST(wins AS DOUBLE)
+                              / CAST(n_decided AS DOUBLE))
+                      / CAST(n_decided AS DOUBLE)
+                      + 3.841458881296
+                        / (4.0 * CAST(n_decided AS DOUBLE)
+                               * CAST(n_decided AS DOUBLE))))
+                 / (1.0 + 3.841458881296
+                          / CAST(n_decided AS DOUBLE)), 6) AS wilson_hi
+    FROM per
+    """
+
+
+@register(
+    "q251_win_rate_wilson",
+    oracle=_q251_oracle,
+    description="Win-rate leaderboard with Wilson 95% intervals "
+    "(operators/preference.win_rate_wilson; Wilson 1927) over the "
+    "q242 priority-duel record - the small-sample-honest ranking "
+    "bound (sort by wilson_lo, not raw rate, so 3-of-3 cannot outrank "
+    "95-of-100), the descriptive face of the preference family next "
+    "to q242's model-based strengths. One |players|-bounded aggregate "
+    "over the symmetrized win table; interval arithmetic is row-local "
+    "double math with z and z^2 entering as shared 6-dp literals (no "
+    "engine libm call), the shared-expression parity rule.",
+    tags=("preference", "aggregate"),
+)
+def q251_win_rate_wilson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.preference import (
+        pairwise_wins,
+        win_rate_wilson,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    m = pairwise_wins(o, "o_custkey", "o_orderpriority", "o_totalprice")
+    return win_rate_wilson(m)
+
+
+def _q252_oracle(sf_dir: str | None = None) -> str:
+    return f"""
+    WITH m AS ({_q242_matches_cte()}),
+    oriented AS (
+      SELECT CASE WHEN wins_a > wins_b THEN a ELSE b END AS u,
+             CASE WHEN wins_a > wins_b THEN b ELSE a END AS v
+      FROM m WHERE wins_a <> wins_b
+    ),
+    players AS (
+      SELECT a AS p FROM m UNION SELECT b FROM m
+    ),
+    cyc AS (
+      SELECT count(*) AS d
+      FROM oriented e1
+        JOIN oriented e2 ON e2.u = e1.v
+        JOIN oriented e3 ON e3.u = e2.v AND e3.v = e1.u
+      WHERE e1.u < e1.v AND e1.u < e2.v
+    ),
+    meta AS (
+      SELECT CAST((SELECT count(*) FROM players) AS DOUBLE) AS k,
+             (SELECT count(*) FROM oriented) AS mm
+    )
+    SELECT CAST(k AS BIGINT) AS n_players,
+           CAST(mm AS BIGINT) AS n_oriented_pairs,
+           CAST((SELECT d FROM cyc) AS BIGINT) AS n_cycles,
+           round(CASE WHEN CAST(k AS BIGINT) % 2 = 1
+                      THEN (k*k*k - k) / 24.0
+                      ELSE (k*k*k - 4.0*k) / 24.0 END, 2) AS max_cycles,
+           round(1.0 - CAST((SELECT d FROM cyc) AS DOUBLE)
+                 / (CASE WHEN CAST(k AS BIGINT) % 2 = 1
+                         THEN (k*k*k - k) / 24.0
+                         ELSE (k*k*k - 4.0*k) / 24.0 END), 6) AS zeta
+    FROM meta
+    """
+
+
+@register(
+    "q252_preference_transitivity",
+    oracle=_q252_oracle,
+    description="Circular-triad transitivity audit (operators/"
+    "preference.preference_cycles; Kendall & Babington Smith 1940) of "
+    "the q242 priority-duel record: majority-orient each decided "
+    "pair, count directed 3-cycles (a beats b beats c beats a) with "
+    "the canonical-rotation join (each cycle has exactly one edge "
+    "whose tail is the minimum corner - counted once, wedge volume "
+    "Sum out-deg^2), and report Kendall's consistency zeta = 1 - "
+    "d/d_max. Circular triads are exactly the comparisons NO "
+    "Bradley-Terry ordering can explain - the data-quality gate a "
+    "preference pipeline runs before fitting q242 (low zeta = "
+    "annotator noise or true intransitivity the fit would paper "
+    "over).",
+    tags=("preference", "graph", "join"),
+)
+def q252_preference_transitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.preference import (
+        pairwise_wins,
+        preference_cycles,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    m = pairwise_wins(o, "o_custkey", "o_orderpriority", "o_totalprice")
+    return preference_cycles(m)

@@ -145,3 +145,59 @@ def test_streaming_wins_batching_invariant_and_replay_safe(
         for r in read_wins(spark, state).collect()
     }
     assert again == got
+
+
+def test_win_rate_wilson_hand_checked(spark):
+    """x: 8 wins of 10 -> Wilson bounds match the closed form; the
+    interval is inside (0,1) and ordered."""
+    import math
+
+    from bigdata_kafka_2_spark.operators.preference import (
+        win_rate_wilson,
+    )
+
+    m = spark.createDataFrame(
+        [("x", "y", 8, 2)], "a string, b string, wins_a long, wins_b long"
+    )
+    got = {r.player: r for r in win_rate_wilson(m).collect()}
+    z = 1.959964
+    n, p = 10.0, 0.8
+    denom = 1 + z * z / n
+    center = p + z * z / (2 * n)
+    spread = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    assert got["x"].n_decided == 10 and got["x"].wins == 8
+    assert abs(got["x"].wilson_lo - (center - spread) / denom) < 1e-6
+    assert abs(got["x"].wilson_hi - (center + spread) / denom) < 1e-6
+    assert 0 < got["x"].wilson_lo < 0.8 < got["x"].wilson_hi < 1
+    assert got["y"].win_rate == 0.2
+
+
+def test_preference_cycles_hand_checked(spark):
+    """Rock-paper-scissors is ONE circular triad (zeta=0 at k=3);
+    adding a dominated fourth player keeps d=1 and d_max=(64-16)/24=2
+    -> zeta=0.5; a fully transitive record has zero cycles."""
+    from bigdata_kafka_2_spark.operators.preference import (
+        preference_cycles,
+    )
+
+    rps = spark.createDataFrame(
+        [("p", "r", 0, 3), ("p", "s", 3, 0), ("r", "s", 0, 3)],
+        "a string, b string, wins_a long, wins_b long",
+    )
+    r = preference_cycles(rps).collect()[0]
+    assert (r.n_players, r.n_cycles) == (3, 1)
+    assert r.zeta == 0.0 and r.max_cycles == 1.0
+    four = spark.createDataFrame(
+        [("p", "r", 0, 3), ("p", "s", 3, 0), ("r", "s", 0, 3),
+         ("p", "z", 3, 0), ("r", "z", 3, 0), ("s", "z", 3, 0)],
+        "a string, b string, wins_a long, wins_b long",
+    )
+    r4 = preference_cycles(four).collect()[0]
+    assert (r4.n_players, r4.n_cycles, r4.max_cycles) == (4, 1, 2.0)
+    assert r4.zeta == 0.5
+    trans = spark.createDataFrame(
+        [("p", "r", 3, 0), ("p", "s", 3, 0), ("r", "s", 3, 0)],
+        "a string, b string, wins_a long, wins_b long",
+    )
+    rt = preference_cycles(trans).collect()[0]
+    assert rt.n_cycles == 0 and rt.zeta == 1.0
