@@ -275,6 +275,8 @@ HEADLINE = (
     "q250_streaming_preference_ingest",
     "q251_win_rate_wilson",
     "q252_preference_transitivity",
+    "q253_raking_ess",
+    "q254_mantel_haenszel",
 )
 
 

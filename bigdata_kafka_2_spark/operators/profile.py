@@ -2018,3 +2018,89 @@ def jackknife_ratio_se(
         ).alias("ratio"),
         F.round(F.sqrt(var), 6).alias("se_jack"),
     )
+
+
+def mantel_haenszel_or(
+    df: DataFrame,
+    stratum_col,
+    exposure_col,
+    outcome_col,
+) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio across stratified 2×2 tables
+    (Mantel & Haenszel 1959): one row ``(n_strata, n, or_mh, log_or,
+    se_log)`` for boolean exposure/outcome stratified by
+    ``stratum_col`` —
+
+        OR_MH = Σ_s (a_s·d_s / n_s) / Σ_s (b_s·c_s / n_s)
+
+    with the Robins–Breslow–Greenland variance of ``log OR``. The
+    confounder-adjusted ASSOCIATION member of the causal family:
+    :func:`stratified_ate` adjusts a mean difference; this pools the
+    odds ratio, the form epidemiology and A/B analysis expect for
+    binary outcomes. Strata with an empty margin contribute zero to
+    both sums (the estimator's built-in continuity — no Haldane
+    fudge needed).
+
+    ONE map-side-combined aggregate builds every stratum's 2×2 cell
+    counts; the pooled sums accumulate 9-dp-rounded per-stratum terms
+    in exact DECIMAL(38,9). All-integer until the per-stratum term
+    divisions; final ratios in double, rounded 6 dp.
+    """
+    e = (
+        F.col(exposure_col).cast("boolean")
+        if isinstance(exposure_col, str)
+        else exposure_col.cast("boolean")
+    )
+    y = (
+        F.col(outcome_col).cast("boolean")
+        if isinstance(outcome_col, str)
+        else outcome_col.cast("boolean")
+    )
+    s_col = (
+        F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
+    )
+    cells = df.groupBy(s_col.alias("__s")).agg(
+        F.sum(F.when(e & y, 1).otherwise(0)).alias("__a"),
+        F.sum(F.when(e & ~y, 1).otherwise(0)).alias("__b"),
+        F.sum(F.when(~e & y, 1).otherwise(0)).alias("__c"),
+        F.sum(F.when(~e & ~y, 1).otherwise(0)).alias("__d"),
+    )
+    n_s = (
+        F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d")
+    ).cast("double")
+    r_term = F.round(
+        F.col("__a").cast("double") * F.col("__d").cast("double") / n_s, 9
+    )
+    s_term = F.round(
+        F.col("__b").cast("double") * F.col("__c").cast("double") / n_s, 9
+    )
+    # RBG variance pieces: P=(a+d)/n, Q=(b+c)/n
+    p_s = (F.col("__a") + F.col("__d")).cast("double") / n_s
+    q_s = (F.col("__b") + F.col("__c")).cast("double") / n_s
+    dec9 = "decimal(38,9)"
+    agg = cells.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d"))
+        .alias("__n"),
+        F.sum(r_term.cast(dec9)).alias("__R"),
+        F.sum(s_term.cast(dec9)).alias("__S"),
+        F.sum(F.round(p_s * r_term, 9).cast(dec9)).alias("__pr"),
+        F.sum(
+            F.round(p_s * s_term + q_s * r_term, 9).cast(dec9)
+        ).alias("__ps_qr"),
+        F.sum(F.round(q_s * s_term, 9).cast(dec9)).alias("__qs"),
+    )
+    R = F.col("__R").cast("double")
+    S = F.col("__S").cast("double")
+    var = (
+        F.col("__pr").cast("double") / (F.lit(2.0) * R * R)
+        + F.col("__ps_qr").cast("double") / (F.lit(2.0) * R * S)
+        + F.col("__qs").cast("double") / (F.lit(2.0) * S * S)
+    )
+    return agg.select(
+        F.col("__k").cast("long").alias("n_strata"),
+        F.col("__n").cast("long").alias("n"),
+        F.round(R / S, 6).alias("or_mh"),
+        F.round(F.log(R / S), 6).alias("log_or"),
+        F.round(F.sqrt(var), 6).alias("se_log"),
+    )

@@ -1003,3 +1003,38 @@ def neyman_allocation(
         .cast("long")
         .alias("n_alloc"),
     )
+
+
+def kish_ess(df: DataFrame, weight_col: str) -> DataFrame:
+    """Kish effective sample size and design effect of a weight
+    column (Kish 1965): one row ``(n, sum_w, ess, deff)`` with
+
+        ESS = (Σw)² / Σw²,     deff = n / ESS
+
+    — the statistical COST meter of any reweighting: raking,
+    importance weights, and IPW all trade bias for variance, and ESS
+    says how many equal-weight rows the weighted sample is actually
+    worth (deff ≫ 1 flags weights too skewed to use). Run it on
+    :func:`ipf_raking`'s per-row weights before shipping them.
+
+    One map-side-combined aggregate; weight sums and sums of squares
+    accumulate as exact DECIMAL of 6-dp/12-dp-rounded terms, divisions
+    in double rounded 6 dp (engine-identical). NULL and non-positive
+    weights are excluded (they are not sample mass).
+    """
+    df = df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+    w = F.round(F.col(weight_col).cast("double"), 6)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(w.cast("decimal(38,6)")).alias("__s"),
+        F.sum(F.round(w * w, 12).cast("decimal(38,12)")).alias("__q"),
+    )
+    ess = (
+        F.col("__s").cast("double") * F.col("__s").cast("double")
+    ) / F.col("__q").cast("double")
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        F.round(F.col("__s").cast("double"), 6).alias("sum_w"),
+        F.round(ess, 6).alias("ess"),
+        F.round(F.col("__n").cast("double") / ess, 6).alias("deff"),
+    )

@@ -3880,3 +3880,150 @@ def q252_preference_transitivity(
     o = read_table(spark, sf_dir, "orders")
     m = pairwise_wins(o, "o_custkey", "o_orderpriority", "o_totalprice")
     return preference_cycles(m)
+
+
+def _q253_oracle(sf_dir: str | None = None) -> str:
+    from bigdata_kafka_2_spark.operators.sampling import ipf_oracle_sql
+
+    raked = ipf_oracle_sql(
+        "orders", "o_orderpriority", "o_orderstatus", iterations=3
+    )
+    return f"""
+    WITH raked AS ({raked}),
+    rowsums AS (
+      SELECT sum(CAST(n AS BIGINT)) AS nrows,
+             sum(CAST(n AS DECIMAL(38,0))
+                 * CAST(round(raked_weight / CAST(n AS DOUBLE), 6)
+                        AS DECIMAL(38,6))) AS s,
+             sum(CAST(n AS DECIMAL(38,0))
+                 * CAST(round(round(raked_weight / CAST(n AS DOUBLE), 6)
+                              * round(raked_weight / CAST(n AS DOUBLE),
+                                      6), 12)
+                        AS DECIMAL(38,12))) AS q
+      FROM raked WHERE raked_weight / CAST(n AS DOUBLE) > 0
+    )
+    SELECT CAST(nrows AS BIGINT) AS n,
+           round(CAST(s AS DOUBLE), 6) AS sum_w,
+           round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(q AS DOUBLE), 6) AS ess,
+           round(CAST(nrows AS DOUBLE)
+                 / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(q AS DOUBLE)), 6) AS deff
+    FROM rowsums
+    """
+
+
+@register(
+    "q253_raking_ess",
+    oracle=_q253_oracle,
+    description="Kish effective sample size of the q243 raked "
+    "weights (operators/sampling.kish_ess; Kish 1965): ESS = "
+    "(sum w)^2 / sum w^2 and the design effect n/ESS over the "
+    "per-row weights the raking implies - the statistical COST meter "
+    "of any reweighting (raking, importance weights, IPW all trade "
+    "bias for variance; deff >> 1 flags weights too skewed to use), "
+    "composed directly on q243's fitted cell table via one broadcast "
+    "join back to the rows it weights. Row-level weight sums "
+    "accumulate as cell-count x 6-dp-rounded-weight products in "
+    "exact DECIMAL - transcribed identically by the oracle, so the "
+    "composition is hash-checked end to end.",
+    tags=("sampling", "aggregate", "composed"),
+)
+def q253_raking_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.sampling import (
+        ipf_raking,
+        kish_ess,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    raked = ipf_raking(o, "o_orderpriority", "o_orderstatus", iterations=3)
+    per_row = o.join(
+        F.broadcast(raked), on=["o_orderpriority", "o_orderstatus"]
+    ).select(
+        (F.col("raked_weight") / F.col("n").cast("double")).alias("w")
+    )
+    return kish_ess(per_row, "w")
+
+
+@register(
+    "q254_mantel_haenszel",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderstatus AS s,
+             sum(CASE WHEN o_orderpriority = '1-URGENT'
+                       AND o_totalprice > 150000 THEN 1 ELSE 0 END)
+               AS a,
+             sum(CASE WHEN o_orderpriority = '1-URGENT'
+                       AND NOT o_totalprice > 150000 THEN 1 ELSE 0 END)
+               AS b,
+             sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                       AND o_totalprice > 150000 THEN 1 ELSE 0 END)
+               AS c,
+             sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                       AND NOT o_totalprice > 150000 THEN 1 ELSE 0 END)
+               AS d
+      FROM orders GROUP BY 1
+    ),
+    terms AS (
+      SELECT a + b + c + d AS ns,
+             round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE), 9) AS r,
+             round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE), 9) AS sterm,
+             CAST(a + d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE)
+               AS p,
+             CAST(b + c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE)
+               AS q
+      FROM cells
+    ),
+    agg AS (
+      SELECT count(*) AS k, sum(ns) AS n,
+             sum(CAST(r AS DECIMAL(38,9))) AS R,
+             sum(CAST(sterm AS DECIMAL(38,9))) AS S,
+             sum(CAST(round(p * r, 9) AS DECIMAL(38,9))) AS pr,
+             sum(CAST(round(p * sterm + q * r, 9) AS DECIMAL(38,9)))
+               AS ps_qr,
+             sum(CAST(round(q * sterm, 9) AS DECIMAL(38,9))) AS qs
+      FROM terms
+    )
+    SELECT CAST(k AS BIGINT) AS n_strata, CAST(n AS BIGINT) AS n,
+           round(CAST(R AS DOUBLE) / CAST(S AS DOUBLE), 6) AS or_mh,
+           round(ln(CAST(R AS DOUBLE) / CAST(S AS DOUBLE)), 6)
+             AS log_or,
+           round(sqrt(CAST(pr AS DOUBLE)
+                      / (2.0 * CAST(R AS DOUBLE) * CAST(R AS DOUBLE))
+                      + CAST(ps_qr AS DOUBLE)
+                        / (2.0 * CAST(R AS DOUBLE)
+                               * CAST(S AS DOUBLE))
+                      + CAST(qs AS DOUBLE)
+                        / (2.0 * CAST(S AS DOUBLE)
+                               * CAST(S AS DOUBLE))), 6) AS se_log
+    FROM agg
+    """,
+    description="Mantel-Haenszel pooled odds ratio (operators/"
+    "profile.mantel_haenszel_or; Mantel & Haenszel 1959, "
+    "Robins-Breslow-Greenland SE): the association between URGENT "
+    "priority and high order value, pooled across order-status "
+    "strata - the confounder-adjusted binary-outcome member of the "
+    "causal family (q244 adjusts a mean difference; this pools the "
+    "odds ratio, the A/B-analysis form). One map-side-combined "
+    "aggregate builds every stratum's 2x2; pooled sums accumulate "
+    "9-dp-rounded per-stratum terms in exact DECIMAL(38,9); strata "
+    "with an empty margin contribute zero to both sums (built-in "
+    "continuity).",
+    tags=("profile", "aggregate"),
+)
+def q254_mantel_haenszel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import (
+        mantel_haenszel_or,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    return mantel_haenszel_or(
+        o,
+        "o_orderstatus",
+        F.col("o_orderpriority") == "1-URGENT",
+        F.col("o_totalprice") > 150000,
+    )

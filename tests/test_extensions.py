@@ -4043,3 +4043,52 @@ def test_neyman_allocation_hand_checked(spark):
     assert abs(got["A"].share - ta / (ta + tb)) < 1e-6
     assert got["A"].n_alloc == int(100 * ta / (ta + tb))
     assert abs(got["B"].stddev - round(sd_b, 6)) < 1e-9
+
+
+def test_kish_ess_hand_checked(spark):
+    """Equal weights -> ESS = n, deff = 1; one dominant weight ->
+    ESS ~ 1; zero/NULL weights excluded."""
+    from bigdata_kafka_2_spark.operators.sampling import kish_ess
+
+    eq = spark.createDataFrame([(2.0,)] * 8, "w double")
+    r = kish_ess(eq, "w").collect()[0]
+    assert r.n == 8 and r.ess == 8.0 and r.deff == 1.0
+    skew = spark.createDataFrame(
+        [(100.0,), (0.001,), (0.001,), (None,), (0.0,)], "w double"
+    )
+    r2 = kish_ess(skew, "w").collect()[0]
+    assert r2.n == 3 and r2.ess < 1.01
+    assert r2.deff > 2.9
+
+
+def test_mantel_haenszel_hand_checked(spark):
+    """Single stratum reduces MH to the plain odds ratio ad/bc; two
+    identical strata pool to the same OR."""
+    import math
+
+    from bigdata_kafka_2_spark.operators.profile import (
+        mantel_haenszel_or,
+    )
+    import pyspark.sql.functions as F2
+
+    # a=6, b=2, c=3, d=9 -> OR = 54/6 = 9
+    rows = (
+        [("s1", 1, 1)] * 6 + [("s1", 1, 0)] * 2
+        + [("s1", 0, 1)] * 3 + [("s1", 0, 0)] * 9
+    )
+    df = spark.createDataFrame(rows, "s string, e int, y int")
+    r = mantel_haenszel_or(
+        df, "s", F2.col("e") == 1, F2.col("y") == 1
+    ).collect()[0]
+    assert r.n_strata == 1 and r.n == 20
+    assert r.or_mh == 9.0
+    assert abs(r.log_or - round(math.log(9.0), 6)) < 1e-9
+    two = spark.createDataFrame(
+        [("s2",) + t[1:] for t in rows] + rows, "s string, e int, y int"
+    )
+    r2 = mantel_haenszel_or(
+        two, "s", F2.col("e") == 1, F2.col("y") == 1
+    ).collect()[0]
+    assert r2.n_strata == 2 and r2.or_mh == 9.0
+    # pooling two identical strata halves the variance of log OR
+    assert abs(r2.se_log - round(r.se_log / math.sqrt(2), 6)) < 1e-4
