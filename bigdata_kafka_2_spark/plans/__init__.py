@@ -422,6 +422,14 @@ def register(
 #: graph family keeps q144 pagerank, q210 k-core, and q235 HITS
 #: graded, and triangles stay mirror-green inside q172's
 #: clustering coefficients and q153's own mirror row).
+#: Round-12 FOURTH swap (new-family slot): q40_exact_dedup_groups →
+#: q242_bradley_terry (the preference-data family's first graded
+#: slot — an RLHF-shaped capability no other row exercises: MM
+#: fixpoint over a mined comparison graph, callable unrolled-CTE
+#: oracle, Ford-condition guard. Exact-dedup stays GRADED inside
+#: q127/q183's curation chains — both run the fingerprint dedup
+#: stage — and q40 itself stays mirror-green; the dedup family also
+#: keeps q44/q42/q85 graded).
 CURATED: tuple[str, ...] = (
     # relational / joins / windows / grouping
     "q01_pricing_summary",
@@ -453,7 +461,7 @@ CURATED: tuple[str, ...] = (
     "q192_ks_test",
     "q117_dsir_logweights",
     # dedup (exact, MinHash-LSH, end-to-end) + composed curation
-    "q40_exact_dedup_groups",
+    "q242_bradley_terry",
     "q42_minhash_lsh_pairs",
     "q44_near_dedup_survivors",
     "q127_curation_v4",
