@@ -497,6 +497,11 @@ def label_propagation(
     (node, label) map-side-combined count + one struct-max aggregate;
     the label vector is |V| rows and is ``localCheckpoint``ed per
     round so the k-round lineage stays LINEAR (the PageRank rule).
+    Both |V|-row sides (label vector into the edge join, per-node
+    argmax into the update) broadcast below 2 M nodes — the
+    checkpointed edge table then never re-shuffles (the q144
+    discipline; above the threshold the rounds degrade to the keyed
+    Pregel shuffle).
 
     ``edges``: undirected (a, b) distinct; both directions are walked.
     """
@@ -511,9 +516,10 @@ def label_propagation(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    bc = F.broadcast if labels.count() <= 2_000_000 else (lambda d: d)
     for _ in range(iterations):
         nb = both.join(
-            labels.withColumnRenamed("node", "src"), on="src"
+            bc(labels.withColumnRenamed("node", "src")), on="src"
         ).select(F.col("dst").alias("node"), "label")
         counts = nb.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("__c")
@@ -530,7 +536,7 @@ def label_propagation(
             .select("node", (-F.col("__m")["__nl"]).alias("__new"))
         )
         labels = (
-            labels.join(best, on="node", how="left")
+            labels.join(bc(best), on="node", how="left")
             .select(
                 "node",
                 F.coalesce(F.col("__new"), F.col("label")).alias("label"),
@@ -1211,31 +1217,52 @@ def khop_reachability(
     against the symmetric neighbor table plus a left-anti join
     against the visited set; frontier and visited are
     ``localCheckpoint``ed per hop so the k-hop lineage stays linear.
-    Per-hop driver work is one bounded count; the hop frames are
-    node-sized, never edge-sized. At 100 TB the frontier join is the
-    Pregel step — keyed shuffle on the node id, AQE-handled skew.
+
+    r12 plan tightening, values unchanged: the frontier and visited
+    frames are node-sized and their EXACT counts are already known
+    from the previous hop's bookkeeping, so both sides broadcast into
+    the hop join below ``broadcast_nodes`` — the edge table then
+    never re-shuffles (r11's shape re-shuffled the symmetric table
+    once per hop); past the threshold the join degrades to the keyed
+    Pregel shuffle, which is the correct 100 TB regime. One bounded
+    count per hop, not two: ``nxt`` is anti-joined against
+    ``visited``, so the sets are disjoint and the cumulative reach is
+    a running Python sum.
     """
+    broadcast_nodes = 2_000_000
     sym = (
         edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .localCheckpoint()
     )
-    frontier = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().localCheckpoint()
+    frontier = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .localCheckpoint()
+    )
     visited = frontier
-    rows = [(0, frontier.count(), visited.count())]
+    n_frontier = frontier.count()
+    reached = n_frontier
+    rows = [(0, n_frontier, reached)]
     for h in range(1, hops + 1):
+        bc_f = (
+            F.broadcast if n_frontier <= broadcast_nodes else (lambda d: d)
+        )
+        bc_v = F.broadcast if reached <= broadcast_nodes else (lambda d: d)
         nxt = (
             sym.join(
-                frontier.withColumnRenamed("node", "u"), on="u"
+                bc_f(frontier.withColumnRenamed("node", "u")), on="u"
             )
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(visited, on="node", how="left_anti")
+            .join(bc_v(visited), on="node", how="left_anti")
             .localCheckpoint()
         )
-        visited = visited.unionAll(nxt).localCheckpoint()
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt
-        rows.append((h, nxt.count(), visited.count()))
+        n_frontier = nxt.count()
+        reached += n_frontier
+        rows.append((h, n_frontier, reached))
     spark = edges.sparkSession
     return spark.createDataFrame(
         rows, "hop int, n_frontier bigint, n_reached bigint"
