@@ -277,6 +277,8 @@ HEADLINE = (
     "q252_preference_transitivity",
     "q253_raking_ess",
     "q254_mantel_haenszel",
+    "q255_nelson_aalen",
+    "q256_logrank_test",
 )
 
 

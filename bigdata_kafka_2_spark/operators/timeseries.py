@@ -1262,3 +1262,174 @@ def ols_trend(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def nelson_aalen(
+    subjects: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard curve over right-censored
+    durations (Nelson 1972, Aalen 1978): one row per distinct event
+    time ``t`` with ``n_risk``, ``n_events``, the cumulative hazard
+    ``H(t) = Σ_{s≤t} d_s/n_s``, its standard error (from the
+    variance estimate ``Σ d_s/n_s²``), and the Fleming–Harrington
+    survival ``exp(−H)`` — :func:`kaplan_meier`'s additive sibling:
+    KM multiplies survival factors, NA sums hazard increments, which
+    is the quantity hazard-ratio thinking (and q256's log-rank test)
+    lives in, and the better-behaved estimator in small risk sets.
+
+    Same machinery and determinism as KM: the distinct-duration
+    collapse, risk sets off the range-bucketed
+    :func:`~bigdata_kafka_2_spark.operators.relational.
+    global_prefix_sum`, per-step terms ``round(d/n, 9)`` /
+    ``round(d/n², 12)`` accumulated as exact DECIMAL(38,9)/(38,12) —
+    order-independent and engine-identical; the displayed hazard/SE/
+    survival round only on output.
+    """
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    g = subjects.groupBy(
+        F.col(duration_col).cast("long").alias("t")
+    ).agg(
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+        F.sum(
+            (F.lit(1) - F.col(event_col).cast("long"))
+        ).alias("n_censored"),
+    )
+    tot = subjects.agg(F.count(F.lit(1)).alias("__N"))
+    risk = global_prefix_sum(
+        g.withColumn(
+            "__rem", F.col("n_events") + F.col("n_censored")
+        ),
+        ["t"],
+        "__rem",
+        "__rm",
+    ).crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk", (F.col("__N") - F.col("__rm")).cast("long")
+    )
+    n = F.col("n_risk").cast("double")
+    d = F.col("n_events").cast("double")
+    ev = (
+        risk.filter(F.col("n_events") > 0)
+        .withColumn(
+            "__h", F.round(d / n, 9).cast("decimal(38,9)")
+        )
+        .withColumn(
+            "__v", F.round(d / (n * n), 12).cast("decimal(38,12)")
+        )
+    )
+    cum = global_prefix_sum(
+        ev, ["t"], "__h", "__h0", sum_type="decimal(38,9)"
+    )
+    cum = global_prefix_sum(
+        cum, ["t"], "__v", "__v0", sum_type="decimal(38,12)"
+    )
+    H = (F.col("__h0") + F.col("__h")).cast("decimal(38,9)")
+    V = (F.col("__v0") + F.col("__v")).cast("decimal(38,12)")
+    return cum.select(
+        "t",
+        "n_risk",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(H.cast("double"), 6).alias("cum_hazard"),
+        F.round(F.sqrt(V.cast("double")), 6).alias("se_hazard"),
+        F.round(F.exp(-H.cast("double")), 6).alias("survival_fh"),
+    )
+
+
+def logrank_test(
+    subjects: DataFrame,
+    group_col,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966; the survival-analysis
+    member of the two-sample family next to q192's KS and q225's
+    Mann–Whitney): one row ``(n, n_group, observed, expected,
+    variance, chi2)`` testing whether the ``group_col = TRUE``
+    subjects' survival differs from the rest —
+
+        O₁ = Σ_t d₁t,   E₁ = Σ_t d_t·n₁t/n_t,
+        V  = Σ_t d_t·(n₁t/n_t)(1−n₁t/n_t)(n_t−d_t)/(n_t−1),
+        χ² = (O₁ − E₁)² / V
+
+    summed over distinct event times (the hypergeometric one-degree
+    form). This is the censoring-correct comparison a
+    mean-of-durations test gets WRONG (censored subjects truncate
+    naive means); it needs only the risk-set machinery
+    :func:`kaplan_meier` already rides.
+
+    Plan: one groupBy collapses subjects to distinct-duration cells
+    with per-group event/removal counts; risk sets come from TWO
+    range-bucketed prefix sums (total and group removals); the three
+    sums accumulate 9/12-dp-rounded per-time terms in exact DECIMAL.
+    Times where the risk set has a single subject contribute zero
+    variance (the n_t − 1 = 0 guard, standard in every
+    implementation).
+    """
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    gflag = (
+        F.col(group_col).cast("boolean")
+        if isinstance(group_col, str)
+        else group_col.cast("boolean")
+    )
+    e = F.col(event_col).cast("long")
+    g = subjects.groupBy(
+        F.col(duration_col).cast("long").alias("t")
+    ).agg(
+        F.sum(e).alias("__d"),
+        F.sum(F.when(gflag, e).otherwise(F.lit(0))).alias("__d1"),
+        F.count(F.lit(1)).alias("__rem"),
+        F.sum(F.when(gflag, 1).otherwise(0)).alias("__rem1"),
+    ).localCheckpoint()
+    # subject totals as bounded driver scalars off the |T|-row cell
+    # table (the pagerank node-count pattern; a crossJoin with an
+    # aggregate of the same frame trips Spark 4 self-join ambiguity)
+    meta = g.agg(
+        F.sum("__rem").alias("__N"), F.sum("__rem1").alias("__N1")
+    ).collect()[0]
+    n_total, n_group = int(meta["__N"]), int(meta["__N1"])
+    pre = global_prefix_sum(g, ["t"], "__rem", "__rm")
+    pre = global_prefix_sum(pre, ["t"], "__rem1", "__rm1")
+    risk = pre.select(
+        "t",
+        "__d",
+        "__d1",
+        (F.lit(n_total) - F.col("__rm")).cast("double").alias("__n"),
+        (F.lit(n_group) - F.col("__rm1")).cast("double").alias("__n1"),
+    ).filter(F.col("__d") > 0)
+    d = F.col("__d").cast("double")
+    p1 = F.col("__n1") / F.col("__n")
+    eterm = F.round(d * p1, 9).cast("decimal(38,9)")
+    vterm = F.when(
+        F.col("__n") > 1,
+        F.round(
+            d
+            * p1
+            * (F.lit(1.0) - p1)
+            * (F.col("__n") - d)
+            / (F.col("__n") - F.lit(1.0)),
+            12,
+        ),
+    ).cast("decimal(38,12)")
+    agg = risk.agg(
+        F.sum("__d1").alias("__O1"),
+        F.sum(eterm).alias("__E1"),
+        F.sum(vterm).alias("__V"),
+    )
+    o1 = F.col("__O1").cast("double")
+    e1 = F.col("__E1").cast("double")
+    v = F.col("__V").cast("double")
+    return agg.select(
+        F.lit(n_total).cast("long").alias("n"),
+        F.lit(n_group).cast("long").alias("n_group"),
+        F.col("__O1").cast("long").alias("observed"),
+        F.round(e1, 6).alias("expected"),
+        F.round(v, 6).alias("variance"),
+        F.round((o1 - e1) * (o1 - e1) / v, 6).alias("chi2"),
+    )

@@ -1317,3 +1317,227 @@ def q237_watermark_lateness(
             ),
         )
     )
+
+
+@register(
+    "q255_nelson_aalen",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    firsts AS (
+      SELECT o_custkey,
+             min(CASE WHEN rn = 1 THEN d END) AS d1,
+             min(CASE WHEN rn = 2 THEN d END) AS d2
+      FROM ranked GROUP BY 1
+    ),
+    mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS md FROM orders),
+    subj AS (
+      SELECT CASE WHEN d2 IS NOT NULL THEN date_diff('day', d1, d2)
+                  ELSE date_diff('day', d1, md) END AS t,
+             CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS e
+      FROM firsts, mx
+    ),
+    g AS (
+      SELECT t, CAST(sum(e) AS BIGINT) AS d,
+             CAST(sum(1 - e) AS BIGINT) AS c
+      FROM subj GROUP BY t
+    ),
+    cum AS (
+      SELECT t, d, c,
+             coalesce(sum(d + c) OVER (
+               ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS rm
+      FROM g
+    ),
+    tot AS (SELECT count(*) AS N FROM subj),
+    ev AS (
+      SELECT t, (N - rm) AS n_risk, d AS n_events,
+             CAST(round(CAST(d AS DOUBLE) / CAST(N - rm AS DOUBLE), 9)
+                  AS DECIMAL(38,9)) AS h,
+             CAST(round(CAST(d AS DOUBLE)
+                        / (CAST(N - rm AS DOUBLE)
+                           * CAST(N - rm AS DOUBLE)), 12)
+                  AS DECIMAL(38,12)) AS v
+      FROM cum, tot WHERE d > 0
+    ),
+    cl AS (
+      SELECT t, n_risk, n_events,
+             sum(h) OVER (ORDER BY t) AS H,
+             sum(v) OVER (ORDER BY t) AS V
+      FROM ev
+    )
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+           round(CAST(H AS DOUBLE), 6) AS cum_hazard,
+           round(sqrt(CAST(V AS DOUBLE)), 6) AS se_hazard,
+           round(exp(-CAST(H AS DOUBLE)), 6) AS survival_fh
+    FROM cl
+    """,
+    description="Nelson-Aalen cumulative hazard (operators/"
+    "timeseries.nelson_aalen; Nelson 1972, Aalen 1978) over "
+    "time-to-repeat-purchase with right censoring at the observation "
+    "edge - q224's additive sibling: KM multiplies survival factors, "
+    "NA sums hazard increments d/n (the quantity hazard-ratio "
+    "thinking and q256's log-rank live in), with the exp(-H) "
+    "Fleming-Harrington survival and the sqrt(sum d/n^2) SE. Same "
+    "machinery: distinct-duration collapse, risk sets and both "
+    "cumulatives on the range-bucketed global_prefix_sum (9/12-dp "
+    "terms in exact DECIMAL, never a single-partition window).",
+    tags=("timeseries", "aggregate", "window"),
+)
+def q255_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bigdata_kafka_2_spark.operators.timeseries import nelson_aalen
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    firsts = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+    )
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("md"))
+    subj = firsts.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff("d2", "d1")
+        )
+        .otherwise(F.datediff("md", "d1"))
+        .alias("duration"),
+        F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("event"),
+    )
+    return nelson_aalen(subj, "duration", "event")
+
+
+@register(
+    "q256_logrank_test",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    firsts AS (
+      SELECT o_custkey,
+             min(CASE WHEN rn = 1 THEN d END) AS d1,
+             min(CASE WHEN rn = 2 THEN d END) AS d2
+      FROM ranked GROUP BY 1
+    ),
+    mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS md FROM orders),
+    subj AS (
+      SELECT CASE WHEN d2 IS NOT NULL THEN date_diff('day', f.d1, f.d2)
+                  ELSE date_diff('day', f.d1, md) END AS t,
+             CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS e,
+             CASE WHEN c.c_mktsegment = 'BUILDING'
+                  THEN 1 ELSE 0 END AS g1
+      FROM firsts f
+        JOIN customer c ON c.c_custkey = f.o_custkey, mx
+    ),
+    cells AS (
+      SELECT t, CAST(sum(e) AS BIGINT) AS d,
+             CAST(sum(e * g1) AS BIGINT) AS d1,
+             count(*) AS rem, sum(g1) AS rem1
+      FROM subj GROUP BY t
+    ),
+    cum AS (
+      SELECT t, d, d1,
+             coalesce(sum(rem) OVER (
+               ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS rm,
+             coalesce(sum(rem1) OVER (
+               ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS rm1
+      FROM cells
+    ),
+    tot AS (
+      SELECT count(*) AS N, sum(g1) AS N1 FROM subj
+    ),
+    terms AS (
+      SELECT d1,
+             CAST(round(CAST(d AS DOUBLE)
+                        * (CAST(N1 - rm1 AS DOUBLE)
+                           / CAST(N - rm AS DOUBLE)), 9)
+                  AS DECIMAL(38,9)) AS eterm,
+             CAST(CASE WHEN N - rm > 1 THEN
+               round(CAST(d AS DOUBLE)
+                     * (CAST(N1 - rm1 AS DOUBLE)
+                        / CAST(N - rm AS DOUBLE))
+                     * (1.0 - CAST(N1 - rm1 AS DOUBLE)
+                              / CAST(N - rm AS DOUBLE))
+                     * (CAST(N - rm AS DOUBLE) - CAST(d AS DOUBLE))
+                     / (CAST(N - rm AS DOUBLE) - 1.0), 12) END
+                  AS DECIMAL(38,12)) AS vterm
+      FROM cum, tot WHERE d > 0
+    ),
+    agg AS (
+      SELECT (SELECT N FROM tot) AS N, (SELECT N1 FROM tot) AS N1,
+             CAST(sum(d1) AS BIGINT) AS O1,
+             sum(eterm) AS E1, sum(vterm) AS V
+      FROM terms
+    )
+    SELECT CAST(N AS BIGINT) AS n, CAST(N1 AS BIGINT) AS n_group,
+           O1 AS observed,
+           round(CAST(E1 AS DOUBLE), 6) AS expected,
+           round(CAST(V AS DOUBLE), 6) AS variance,
+           round((CAST(O1 AS DOUBLE) - CAST(E1 AS DOUBLE))
+                 * (CAST(O1 AS DOUBLE) - CAST(E1 AS DOUBLE))
+                 / CAST(V AS DOUBLE), 6) AS chi2
+    FROM agg
+    """,
+    description="Two-sample log-rank test (operators/timeseries."
+    "logrank_test; Mantel 1966): does BUILDING-segment customers' "
+    "time-to-repeat-purchase differ from the rest, with right "
+    "censoring handled correctly - the survival member of the "
+    "two-sample family (q192 KS and q225 Mann-Whitney compare full "
+    "distributions; a mean-of-durations test is simply WRONG under "
+    "censoring). Hypergeometric O/E/V sums over distinct event "
+    "times: per-group removal counts, risk sets from TWO range-"
+    "bucketed prefix sums, 9/12-dp terms in exact DECIMAL, the "
+    "single-subject risk-set variance guard.",
+    tags=("timeseries", "aggregate", "join"),
+)
+def q256_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bigdata_kafka_2_spark.operators.timeseries import logrank_test
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    firsts = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+    )
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("md"))
+    subj = (
+        firsts.join(c, firsts.o_custkey == c.c_custkey)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("d2").isNotNull(), F.datediff("d2", "d1")
+            )
+            .otherwise(F.datediff("md", "d1"))
+            .alias("duration"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("event"),
+            (F.col("c_mktsegment") == "BUILDING").alias("grp"),
+        )
+    )
+    return logrank_test(subj, "grp", "duration", "event")

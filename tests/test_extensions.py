@@ -4092,3 +4092,40 @@ def test_mantel_haenszel_hand_checked(spark):
     assert r2.n_strata == 2 and r2.or_mh == 9.0
     # pooling two identical strata halves the variance of log OR
     assert abs(r2.se_log - round(r.se_log / math.sqrt(2), 6)) < 1e-4
+
+
+def test_nelson_aalen_hand_checked(spark):
+    """5 subjects: events at t=1 (n=5) and t=3 (n=3, after a censor at
+    2); H(1)=1/5, H(3)=1/5+1/3; FH survival exp(-H); censoring rows
+    produce no output row but shrink the risk set."""
+    import math
+
+    from bigdata_kafka_2_spark.operators.timeseries import nelson_aalen
+
+    rows = [(1, 1), (2, 0), (3, 1), (4, 0), (5, 0)]
+    df = spark.createDataFrame(rows, "duration int, event int")
+    got = {r.t: r for r in nelson_aalen(df).collect()}
+    assert set(got) == {1, 3}
+    assert got[1].n_risk == 5 and got[3].n_risk == 3
+    assert abs(got[1].cum_hazard - 0.2) < 1e-6
+    assert abs(got[3].cum_hazard - (0.2 + 1.0 / 3)) < 1e-5
+    assert abs(got[3].survival_fh - round(math.exp(-(0.2 + round(1/3, 9))), 6)) < 1e-6
+    assert abs(got[1].se_hazard - round(math.sqrt(1 / 25), 6)) < 1e-9
+
+
+def test_logrank_hand_checked(spark):
+    """Identical survival in both groups -> O ~ E and chi2 ~ 0;
+    a strongly separated pair of groups -> large chi2."""
+    from bigdata_kafka_2_spark.operators.timeseries import logrank_test
+    import pyspark.sql.functions as F2
+
+    same = [(t, 1, g) for g in (0, 1) for t in (1, 2, 3, 4)]
+    df = spark.createDataFrame(same, "duration int, event int, g int")
+    r = logrank_test(df, F2.col("g") == 1).collect()[0]
+    assert r.n == 8 and r.n_group == 4 and r.observed == 4
+    assert abs(r.expected - 4.0) < 1e-6
+    assert r.chi2 == 0.0
+    sep = [(t, 1, 1) for t in (1, 2, 3)] + [(t, 1, 0) for t in (10, 11, 12)]
+    df2 = spark.createDataFrame(sep, "duration int, event int, g int")
+    r2 = logrank_test(df2, F2.col("g") == 1).collect()[0]
+    assert r2.observed == 3 and r2.chi2 > 3.8  # beyond the 95% bar
