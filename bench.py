@@ -279,6 +279,7 @@ HEADLINE = (
     "q254_mantel_haenszel",
     "q255_nelson_aalen",
     "q256_logrank_test",
+    "q257_rbo_rankings",
 )
 
 

@@ -579,3 +579,90 @@ def roc_points(
             ).alias("fpr"),
         )
     )
+
+
+def rbo_tail_weights(p: float, k: int) -> list[float]:
+    """``W(m) = Σ_{d=m..k} p^d/d`` for m in 0..k+1 (index = m; 0 and
+    k+1 unused/zero) — the RBO tail-weight ladder as Python-computed
+    doubles, embedded as literals on BOTH engine sides (the module's
+    discount-literal rule)."""
+    pw = [0.0] * (k + 2)
+    for d in range(k, 0, -1):
+        pw[d] = pw[d + 1] + (p ** d) / d
+    return pw
+
+
+def rbo_extrapolated(
+    left: DataFrame,
+    right: DataFrame,
+    group_col: str,
+    item_col: str,
+    rank_col: str = "rank",
+    p: float = 0.9,
+    k: int = 10,
+) -> DataFrame:
+    """Rank-biased overlap between two top-``k`` rankings per group
+    (Webber, Moffat & Zobel 2010, the extrapolated form): one row
+    ``(group, overlap_at_k, rbo)`` with
+
+        RBO_ext = A_k·p^k + (1−p)/p · Σ_{d=1..k} (X_d/d)·p^d
+
+    where ``X_d`` is the overlap of the two depth-d prefixes and
+    ``A_d = X_d/d`` — the top-weighted agreement measure for
+    comparing RANKERS (BM25 vs embedding retrieval, two dedup
+    priority orders, old-vs-new scorer in a regression gate), where
+    Kendall/Spearman mis-serve: they need conjoint lists and weight
+    all depths equally, while retrieval cares about the head.
+    ``p`` tunes head-weight (0.9 ≈ the top ~10 carry ~86% of mass).
+
+    Distributed form — no per-depth loop: a common item with ranks
+    (r₁, r₂) joins the overlap at every depth d ≥ m = max(r₁, r₂),
+    so Σ_d (X_d/d)·p^d = Σ_items W(m) with the tail weights
+    ``W(m) = Σ_{d=m..k} p^d/d`` PRECOMPUTED as double literals
+    (Python arithmetic shared verbatim with the SQL oracle — the
+    engine-libm-free discount-literal rule of this module). One
+    (group, item) equi-join of the two rankings + one map-side-
+    combined aggregate; groups with disjoint rankings keep a row via
+    the left-side group set (RBO 0).
+
+    Inputs are the already-ranked lists: ``rank_col`` ∈ 1..k per
+    group (ranks past ``k`` are ignored).
+    """
+    pw = rbo_tail_weights(p, k)
+    lf = left.select(
+        F.col(group_col).alias("__g"),
+        F.col(item_col).alias("__i"),
+        F.col(rank_col).cast("int").alias("__r1"),
+    ).filter(F.col("__r1") <= k)
+    rt = right.select(
+        F.col(group_col).alias("__g"),
+        F.col(item_col).alias("__i"),
+        F.col(rank_col).cast("int").alias("__r2"),
+    ).filter(F.col("__r2") <= k)
+    m = F.greatest(F.col("__r1"), F.col("__r2"))
+    w = F.lit(None).cast("double")
+    for d in range(1, k + 1):
+        w = F.when(m == d, F.lit(pw[d])).otherwise(w)
+    common = lf.join(rt, on=["__g", "__i"]).select(
+        "__g",
+        m.alias("__m"),
+        F.round(w, 12).cast("decimal(38,12)").alias("__w"),
+    )
+    per = common.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__xk"),
+        F.sum("__w").alias("__sw"),
+    )
+    groups = lf.select("__g").distinct()
+    ak_pk = F.col("__xk").cast("double") / F.lit(float(k)) * F.lit(
+        float(p**k)
+    )
+    tail = F.lit((1.0 - p) / p) * F.col("__sw").cast("double")
+    return groups.join(per, on="__g", how="left").select(
+        F.col("__g").alias(group_col),
+        F.coalesce(F.col("__xk").cast("long"), F.lit(0)).alias(
+            "overlap_at_k"
+        ),
+        F.round(
+            F.coalesce(ak_pk + tail, F.lit(0.0)), 6
+        ).alias("rbo"),
+    )

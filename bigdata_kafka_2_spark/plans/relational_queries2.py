@@ -4027,3 +4027,110 @@ def q254_mantel_haenszel(
         F.col("o_orderpriority") == "1-URGENT",
         F.col("o_totalprice") > 150000,
     )
+
+
+def _q257_oracle(sf_dir: str | None = None) -> str:
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        rbo_tail_weights,
+    )
+
+    p, k = 0.9, 10
+    pw = rbo_tail_weights(p, k)
+    w_case = "CASE " + " ".join(
+        f"WHEN m = {d} THEN {pw[d]!r}" for d in range(1, k + 1)
+    ) + " END"
+    return f"""
+    WITH srev AS (
+      SELECT s.s_nationkey AS nat, l.l_suppkey AS sk,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                      AS DECIMAL(18,4))) AS rev,
+             count(DISTINCT l.l_partkey) AS breadth
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    ra AS (
+      SELECT nat, sk, row_number() OVER (
+               PARTITION BY nat ORDER BY rev DESC, sk ASC) AS r1
+      FROM srev
+    ),
+    rb AS (
+      SELECT nat, sk, row_number() OVER (
+               PARTITION BY nat ORDER BY breadth DESC, sk ASC) AS r2
+      FROM srev
+    ),
+    common AS (
+      SELECT ra.nat, greatest(r1, r2) AS m
+      FROM ra JOIN rb ON ra.nat = rb.nat AND ra.sk = rb.sk
+      WHERE r1 <= {k} AND r2 <= {k}
+    ),
+    per AS (
+      SELECT nat, count(*) AS xk,
+             sum(CAST(round({w_case}, 12) AS DECIMAL(38,12))) AS sw
+      FROM common GROUP BY nat
+    ),
+    groups AS (SELECT DISTINCT nat FROM ra WHERE r1 <= {k})
+    SELECT CAST(groups.nat AS BIGINT) AS s_nationkey,
+           CAST(coalesce(xk, 0) AS BIGINT) AS overlap_at_k,
+           round(coalesce(CAST(xk AS DOUBLE) / {float(k)!r}
+                          * {float(p ** k)!r}
+                          + {((1.0 - p) / p)!r} * CAST(sw AS DOUBLE),
+                          0.0), 6) AS rbo
+    FROM groups LEFT JOIN per ON per.nat = groups.nat
+    """
+
+
+@register(
+    "q257_rbo_rankings",
+    oracle=_q257_oracle,
+    description="Rank-biased overlap (operators/evalmetrics."
+    "rbo_extrapolated; Webber, Moffat & Zobel 2010, extrapolated "
+    "form) between each nation's top-10 suppliers BY REVENUE and BY "
+    "PART BREADTH - the top-weighted ranker-agreement measure the "
+    "eval family lacked: Kendall/Spearman need conjoint lists and "
+    "weight all depths equally, while retrieval regression gates "
+    "(old vs new scorer, BM25 vs dense) care about the head; p=0.9 "
+    "puts ~86% of the mass on the top 10. No per-depth loop: a "
+    "common item enters every prefix past m = max(r1, r2), so the "
+    "depth sum collapses to precomputed tail-weight literals W(m) "
+    "shared verbatim with the oracle (the discount-literal rule); "
+    "one (group, item) equi-join + one map-side-combined aggregate.",
+    tags=("evalmetrics", "join", "aggregate"),
+)
+def q257_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        rbo_extrapolated,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    srev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nat"),
+            F.col("l_suppkey").alias("sk"),
+        )
+        .agg(
+            F.sum(rev).alias("rev"),
+            F.countDistinct("l_partkey").alias("breadth"),
+        )
+    )
+    wa = Window.partitionBy("nat").orderBy(
+        F.col("rev").desc(), F.col("sk").asc()
+    )
+    wb = Window.partitionBy("nat").orderBy(
+        F.col("breadth").desc(), F.col("sk").asc()
+    )
+    ra = srev.select("nat", "sk", F.row_number().over(wa).alias("rank"))
+    rb = srev.select("nat", "sk", F.row_number().over(wb).alias("rank"))
+    return rbo_extrapolated(
+        ra, rb, "nat", "sk", "rank", p=0.9, k=10
+    ).withColumnRenamed("nat", "s_nationkey").select(
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        "overlap_at_k",
+        "rbo",
+    )

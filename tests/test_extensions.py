@@ -4129,3 +4129,37 @@ def test_logrank_hand_checked(spark):
     df2 = spark.createDataFrame(sep, "duration int, event int, g int")
     r2 = logrank_test(df2, F2.col("g") == 1).collect()[0]
     assert r2.observed == 3 and r2.chi2 > 3.8  # beyond the 95% bar
+
+
+def test_rbo_hand_checked(spark):
+    """Identical rankings -> RBO 1; disjoint -> 0; hand-computed
+    partial overlap matches the closed form."""
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        rbo_extrapolated,
+        rbo_tail_weights,
+    )
+
+    k, p = 3, 0.9
+    a = spark.createDataFrame(
+        [("g", "x", 1), ("g", "y", 2), ("g", "z", 3)],
+        "grp string, item string, rank int",
+    )
+    same = rbo_extrapolated(a, a, "grp", "item", "rank", p=p, k=k)
+    r = same.collect()[0]
+    assert r.overlap_at_k == 3
+    # full agreement: X_d = d at every depth -> RBO_ext = 1
+    assert abs(r.rbo - 1.0) < 1e-6
+    b = spark.createDataFrame(
+        [("g", "u", 1), ("g", "v", 2), ("g", "w", 3)],
+        "grp string, item string, rank int",
+    )
+    assert rbo_extrapolated(a, b, "grp", "item", "rank", p=p, k=k).collect()[0].rbo == 0.0
+    # partial: b2 shares x at ranks (1, 2) -> m=2; one common item
+    b2 = spark.createDataFrame(
+        [("g", "u", 1), ("g", "x", 2), ("g", "v", 3)],
+        "grp string, item string, rank int",
+    )
+    got = rbo_extrapolated(a, b2, "grp", "item", "rank", p=p, k=k).collect()[0]
+    pw = rbo_tail_weights(p, k)
+    want = (1.0 / k) * p**k + (1 - p) / p * round(pw[2], 12)
+    assert abs(got.rbo - round(want, 6)) < 1e-9
