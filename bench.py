@@ -280,6 +280,8 @@ HEADLINE = (
     "q255_nelson_aalen",
     "q256_logrank_test",
     "q257_rbo_rankings",
+    "q258_eb_shrunk_rates",
+    "q259_fdr_chi2_gate",
 )
 
 

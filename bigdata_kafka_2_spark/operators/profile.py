@@ -2104,3 +2104,226 @@ def mantel_haenszel_or(
         F.round(F.log(R / S), 6).alias("log_or"),
         F.round(F.sqrt(var), 6).alias("se_log"),
     )
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    success_col,
+) -> DataFrame:
+    """Empirical-Bayes shrunken per-group success rates under a
+    beta-binomial prior fitted by METHOD OF MOMENTS (Robbins 1956
+    empirical Bayes; the Efron & Morris batting-average classic): per
+    group ``(group..., n, successes, raw_rate, shrunk_rate)`` with
+
+        shrunk = (x + α) / (n + α + β)
+
+    where (α, β) match the across-group mean/variance of raw rates —
+    the estimator every leaderboard/quality dashboard needs when
+    group sizes vary wildly: a 2-of-2 domain no longer outranks a
+    970-of-1000 one, because small-n rates shrink hard toward the
+    corpus prior while large-n rates barely move. The Bayesian
+    sibling of q251's Wilson bound (Wilson widens the interval; EB
+    moves the point estimate).
+
+    Moment fit (the standard MoM for beta): with m = mean(rate),
+    v = var(rate) across groups, ``c = m(1−m)/v − 1``, α = m·c,
+    β = (1−m)·c; a degenerate fit (v ≥ m(1−m), all-equal rates, or
+    c ≤ 0) returns the raw rates unshrunk with α = β = 0 — the
+    honest no-prior answer. Group rate moments accumulate as exact
+    DECIMAL of 9/12-dp-rounded terms; the prior lands as two bounded
+    driver scalars (the pagerank node-count pattern), so the output
+    projection is one broadcast-free row-local expression.
+    """
+    s = (
+        F.col(success_col)
+        if isinstance(success_col, str)
+        else success_col
+    ).cast("long")
+    g = df.groupBy(*list(group_cols)).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(s).alias("__x"),
+    ).localCheckpoint()
+    rate = F.round(
+        F.col("__x").cast("double") / F.col("__n").cast("double"), 9
+    )
+    mom = g.select(
+        rate.cast("decimal(38,9)").alias("__r"),
+        F.round(rate * rate, 12).cast("decimal(38,12)").alias("__r2"),
+    ).agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__r").alias("__s1"),
+        F.sum("__r2").alias("__s2"),
+    ).collect()[0]
+    k = float(mom["__k"])
+    m = float(mom["__s1"]) / k
+    v = float(mom["__s2"]) / k - m * m
+    # α/β stay UNROUNDED doubles: every op here is a plain IEEE
+    # expression the oracle transcribes verbatim, so both engines
+    # produce bit-identical priors with no rounding convention to
+    # keep in sync
+    alpha = beta = 0.0
+    if 0.0 < v < m * (1.0 - m):
+        c = m * (1.0 - m) / v - 1.0
+        if c > 0.0:
+            alpha, beta = m * c, (1.0 - m) * c
+    return g.select(
+        *list(group_cols),
+        F.col("__n").cast("long").alias("n"),
+        F.col("__x").cast("long").alias("successes"),
+        F.round(
+            F.col("__x").cast("double") / F.col("__n").cast("double"), 6
+        ).alias("raw_rate"),
+        F.round(
+            (F.col("__x").cast("double") + F.lit(alpha))
+            / (F.col("__n").cast("double") + F.lit(alpha + beta)),
+            6,
+        ).alias("shrunk_rate"),
+    )
+
+
+def groupwise_chi2_fdr(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    flag_col,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-group chi-square independence tests with Benjamini–Hochberg
+    FDR control ACROSS groups (Benjamini & Hochberg 1995): one row
+    per group ``(group, n, chi2, df, p_value, p_rank, bh_cutoff,
+    rejected)`` testing, within each group, whether ``cat_col`` and
+    the boolean ``flag_col`` are associated — and then controlling
+    the false-discovery rate over the whole family of tests, which is
+    what a segment-sweep drift monitor actually needs (testing 25
+    nations at α=0.1 each yields ~2.5 false alarms per sweep;
+    BH keeps the EXPECTED false-discovery fraction at α). The
+    multiple-testing completion of the per-test family (q126's single
+    chi-square, q192's KS, q225's MW all report one p-ish statistic;
+    this makes a FLEET of them jointly honest).
+
+    The chi-square p-value uses the CLOSED FORM for even degrees of
+    freedom — ``P(X ≥ x) = exp(−x/2)·Σ_{i<k}(x/2)^i/i!`` with
+    df = 2k — a plain exp-and-polynomial both engines evaluate
+    identically (no incomplete-gamma library call; the operator
+    asserts the implied df is even and positive). BH: rank tests by
+    (p asc, group asc), reject every rank ≤ r* = max{r : p_r ≤
+    α·r/m}; r* is one bounded aggregate over the |groups|-row test
+    table, never a per-row scan.
+
+    Plan: ONE map-side-combined aggregate to (group, cat, flag)
+    cells, per-group margins by two tiny reaggregations, the full
+    margin GRID per group (absent cells enter as O = 0 — they
+    contribute (0−E)²/E = E, which a present-cells-only sum would
+    silently drop), 9-dp-rounded cell terms summed in exact
+    DECIMAL(38,9), and a rank window over the |groups|-row test
+    table (bounded by the number of tests, never data). Degenerate
+    groups (single category or single flag value — df 0) carry NULL
+    p and never reject.
+    """
+    fl = (
+        F.col(flag_col) if isinstance(flag_col, str) else flag_col
+    ).cast("boolean").cast("int")
+    cells = df.groupBy(
+        F.col(group_col).alias("__g"),
+        F.col(cat_col).alias("__c"),
+        fl.alias("__f"),
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    rows_m = cells.groupBy("__g", "__c").agg(
+        F.sum("__o").alias("__rs")
+    )
+    cols_m = cells.groupBy("__g", "__f").agg(
+        F.sum("__o").alias("__cs")
+    )
+    tot = cells.groupBy("__g").agg(
+        F.sum("__o").alias("__n"),
+        F.countDistinct("__c").alias("__kc"),
+        F.countDistinct("__f").alias("__kf"),
+    )
+    grid = (
+        rows_m.join(cols_m, on="__g")
+        .join(cells, on=["__g", "__c", "__f"], how="left")
+        .join(F.broadcast(tot), on="__g")
+    )
+    e = (
+        F.col("__rs").cast("double")
+        * F.col("__cs").cast("double")
+        / F.col("__n").cast("double")
+    )
+    o = F.coalesce(F.col("__o"), F.lit(0)).cast("double")
+    term = F.round((o - e) * (o - e) / e, 9).cast("decimal(38,9)")
+    per = grid.groupBy("__g").agg(
+        F.max("__n").alias("__nv"),
+        F.max("__kc").alias("__kcv"),
+        F.max("__kf").alias("__kfv"),
+        F.sum(term).alias("__x2"),
+    )
+    dfree = (F.col("__kcv") - 1) * (F.col("__kfv") - 1)
+    x = F.col("__x2").cast("double")
+    # closed-form survival for even df = 2k: exp(-x/2) * Σ_{i<k}(x/2)^i/i!
+    # (k up to 8 supported — segment×flag sweeps have tiny df)
+    half = x / F.lit(2.0)
+    poly = F.lit(1.0)
+    fact = 1.0
+    pow_t = F.lit(1.0)
+    for i in range(1, 8):
+        fact *= i
+        pow_t = pow_t * half
+        poly = F.when(
+            dfree >= 2 * (i + 1), poly + pow_t / F.lit(fact)
+        ).otherwise(poly)
+    p_val = F.when(
+        (dfree > 0) & (dfree % 2 == 0) & (dfree <= 16),
+        F.round(F.exp(-half) * poly, 9),
+    )
+    tests = per.select(
+        "__g",
+        F.col("__nv").cast("long").alias("n"),
+        F.round(x, 6).alias("chi2"),
+        dfree.cast("long").alias("df"),
+        p_val.alias("__p"),
+    )
+    from pyspark.sql import Window
+
+    # single-partition rank window over the |tests|-row table only —
+    # bounded by the number of GROUPS under test, never by data (the
+    # bounded-scalar class, not the forbidden data-sized window)
+    w = Window.orderBy(F.col("__p").asc_nulls_last(), F.col("__g").asc())
+    ranked = tests.withColumn("__r", F.row_number().over(w))
+    m_tests = ranked.agg(
+        F.sum(F.when(F.col("__p").isNotNull(), 1).otherwise(0)).alias(
+            "__m"
+        )
+    )
+    j = ranked.crossJoin(F.broadcast(m_tests))
+    cutoff = F.round(
+        F.lit(float(alpha)) * F.col("__r").cast("double")
+        / F.col("__m").cast("double"),
+        9,
+    )
+    flagged = j.withColumn(
+        "__ok",
+        F.when(
+            F.col("__p").isNotNull() & (F.col("__p") <= cutoff),
+            F.col("__r"),
+        ),
+    )
+    rstar = flagged.agg(
+        F.coalesce(F.max("__ok"), F.lit(0)).alias("__rstar")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(rstar))
+        .select(
+            F.col("__g").alias(group_col),
+            "n",
+            "chi2",
+            "df",
+            F.col("__p").alias("p_value"),
+            F.col("__r").cast("long").alias("p_rank"),
+            cutoff.alias("bh_cutoff"),
+            (
+                F.col("__p").isNotNull()
+                & (F.col("__r") <= F.col("__rstar"))
+            ).alias("rejected"),
+        )
+    )

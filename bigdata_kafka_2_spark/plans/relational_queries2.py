@@ -4134,3 +4134,200 @@ def q257_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overlap_at_k",
         "rbo",
     )
+
+
+@register(
+    "q258_eb_shrunk_rates",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st, count(*) AS n,
+             sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+               AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT count(*) AS k,
+             sum(CAST(round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                      AS DECIMAL(38,9))) AS s1,
+             sum(CAST(round(round(CAST(x AS DOUBLE)
+                                  / CAST(n AS DOUBLE), 9)
+                            * round(CAST(x AS DOUBLE)
+                                    / CAST(n AS DOUBLE), 9), 12)
+                      AS DECIMAL(38,12))) AS s2
+      FROM g
+    ),
+    prior AS (
+      SELECT m, v,
+             CASE WHEN v > 0 AND v < m * (1.0 - m)
+                   AND (m * (1.0 - m) / v - 1.0) > 0
+                  THEN m * (m * (1.0 - m) / v - 1.0) ELSE 0.0 END
+               AS alpha,
+             CASE WHEN v > 0 AND v < m * (1.0 - m)
+                   AND (m * (1.0 - m) / v - 1.0) > 0
+                  THEN (1.0 - m) * (m * (1.0 - m) / v - 1.0)
+                  ELSE 0.0 END AS beta
+      FROM (
+        SELECT CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS m,
+               CAST(s2 AS DOUBLE) / CAST(k AS DOUBLE)
+               - (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)) AS v
+        FROM mom
+      )
+    )
+    SELECT pri AS o_orderpriority, st AS o_orderstatus,
+           CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS successes,
+           round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+           round((CAST(x AS DOUBLE) + alpha)
+                 / (CAST(n AS DOUBLE) + alpha + beta), 6)
+             AS shrunk_rate
+    FROM g, prior
+    """,
+    description="Empirical-Bayes shrunken high-value-order rates per "
+    "(priority, status) cell (operators/profile.eb_shrunk_rates; "
+    "Robbins 1956, the Efron-Morris estimator): a beta-binomial "
+    "prior fitted by method of moments across groups pulls small-n "
+    "rates toward the corpus prior while large-n rates barely move - "
+    "what every leaderboard/quality dashboard needs when group sizes "
+    "vary wildly, the Bayesian sibling of q251's Wilson bound "
+    "(Wilson widens the interval; EB moves the point). Rate moments "
+    "accumulate as exact DECIMAL of 9/12-dp terms; the prior lands "
+    "as two bounded driver scalars computed through plain IEEE "
+    "expressions the oracle transcribes verbatim (degenerate fits "
+    "return raw rates with alpha=beta=0).",
+    tags=("profile", "aggregate"),
+)
+def q258_eb_shrunk_rates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import eb_shrunk_rates
+
+    o = read_table(spark, sf_dir, "orders")
+    return eb_shrunk_rates(
+        o,
+        ["o_orderpriority", "o_orderstatus"],
+        (F.col("o_totalprice") > 150000).cast("int"),
+    )
+
+
+def _q259_oracle(sf_dir: str | None = None) -> str:
+    # chi-square even-df survival polynomial, transcribed with the
+    # operator's exact IEEE op order: pow terms as left-assoc products
+    # of (x/2), divided by the literal factorial
+    fact, terms = 1.0, []
+    for i in range(1, 8):
+        fact *= i
+        prod = " * ".join(["(x2 / 2.0)"] * i)
+        terms.append(
+            f"CASE WHEN df >= {2 * (i + 1)} THEN {prod} / {fact!r} "
+            "ELSE 0.0 END"
+        )
+    poly = "1.0 + " + " + ".join(terms)
+    return f"""
+    WITH cells AS (
+      SELECT c_nationkey AS g, c_mktsegment AS c,
+             CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS f,
+             count(*) AS o
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    rows_m AS (
+      SELECT g, c, sum(o) AS rs FROM cells GROUP BY 1, 2
+    ),
+    cols_m AS (
+      SELECT g, f, sum(o) AS cs FROM cells GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT g, sum(o) AS n, count(DISTINCT c) AS kc,
+             count(DISTINCT f) AS kf
+      FROM cells GROUP BY 1
+    ),
+    grid AS (
+      SELECT rows_m.g, rows_m.c, cols_m.f, rs, cs,
+             coalesce(o, 0) AS o, n, kc, kf
+      FROM rows_m
+        JOIN cols_m ON cols_m.g = rows_m.g
+        LEFT JOIN cells ON cells.g = rows_m.g AND cells.c = rows_m.c
+                        AND cells.f = cols_m.f
+        JOIN tot ON tot.g = rows_m.g
+    ),
+    per AS (
+      SELECT g, max(n) AS n, max(kc) AS kc, max(kf) AS kf,
+             sum(CAST(round(
+               (CAST(o AS DOUBLE) - CAST(rs AS DOUBLE)
+                  * CAST(cs AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE) - CAST(rs AS DOUBLE)
+                  * CAST(cs AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(rs AS DOUBLE) * CAST(cs AS DOUBLE)
+                  / CAST(n AS DOUBLE)), 9) AS DECIMAL(38,9))) AS x2s
+      FROM grid GROUP BY g
+    ),
+    tests AS (
+      SELECT g, CAST(n AS BIGINT) AS n,
+             round(CAST(x2s AS DOUBLE), 6) AS chi2,
+             CAST((kc - 1) * (kf - 1) AS BIGINT) AS df,
+             CASE WHEN (kc - 1) * (kf - 1) > 0
+                   AND (kc - 1) * (kf - 1) % 2 = 0
+                   AND (kc - 1) * (kf - 1) <= 16 THEN
+               round(exp(-(x2 / 2.0)) * ({poly}), 9) END AS p
+      FROM (SELECT *, CAST(x2s AS DOUBLE) AS x2 FROM per)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               ORDER BY p ASC NULLS LAST, g ASC) AS r
+      FROM tests
+    ),
+    m_tests AS (
+      SELECT sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS m
+      FROM ranked
+    ),
+    cut AS (
+      SELECT ranked.*, round(0.1 * CAST(r AS DOUBLE)
+                             / CAST(m AS DOUBLE), 9) AS bh_cutoff
+      FROM ranked, m_tests
+    ),
+    rstar AS (
+      SELECT coalesce(max(CASE WHEN p IS NOT NULL AND p <= bh_cutoff
+                                THEN r END), 0) AS rs
+      FROM cut
+    )
+    SELECT CAST(g AS BIGINT) AS c_nationkey, n, chi2, df,
+           p AS p_value, CAST(r AS BIGINT) AS p_rank, bh_cutoff,
+           (p IS NOT NULL AND r <= (SELECT rs FROM rstar)) AS rejected
+    FROM cut
+    """
+
+
+@register(
+    "q259_fdr_chi2_gate",
+    oracle=_q259_oracle,
+    description="Per-nation chi-square segment-vs-balance tests with "
+    "Benjamini-Hochberg FDR control across the family (operators/"
+    "profile.groupwise_chi2_fdr; Benjamini & Hochberg 1995): the "
+    "multiple-testing completion of the per-test statistics family - "
+    "sweeping 25 nations at alpha=0.1 each yields ~2.5 false alarms "
+    "per sweep, BH holds the expected false-discovery FRACTION at "
+    "alpha, which is what a segment-sweep drift monitor ships. The "
+    "chi-square p uses the closed form for even df "
+    "(exp(-x/2) * sum (x/2)^i/i!), a plain exp-and-polynomial both "
+    "engines evaluate in the same IEEE order - no incomplete-gamma "
+    "library call; absent grid cells enter as O=0 (they contribute "
+    "E, which a present-cells-only sum silently drops); r* is one "
+    "bounded aggregate over the |tests|-row table.",
+    tags=("profile", "aggregate", "window"),
+)
+def q259_fdr_chi2_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import (
+        groupwise_chi2_fdr,
+    )
+
+    c = read_table(spark, sf_dir, "customer")
+    return groupwise_chi2_fdr(
+        c,
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_acctbal") > 5000,
+        alpha=0.1,
+    ).withColumn(
+        "c_nationkey", F.col("c_nationkey").cast("long")
+    )

@@ -4163,3 +4163,69 @@ def test_rbo_hand_checked(spark):
     pw = rbo_tail_weights(p, k)
     want = (1.0 / k) * p**k + (1 - p) / p * round(pw[2], 12)
     assert abs(got.rbo - round(want, 6)) < 1e-9
+
+
+def test_eb_shrunk_rates_hand_checked(spark):
+    """Small-n extreme groups shrink hard toward the prior mean;
+    large-n groups barely move; ordering can flip (2-of-2 must not
+    outrank 90-of-100); degenerate all-equal rates return raw."""
+    from bigdata_kafka_2_spark.operators.profile import eb_shrunk_rates
+    import pyspark.sql.functions as F2
+
+    rows = (
+        [("tiny", 1)] * 2                      # 2/2 = 1.0
+        + [("big", 1)] * 90 + [("big", 0)] * 10  # 0.9
+        + [("mid", 1)] * 5 + [("mid", 0)] * 5    # 0.5
+        + [("low", 1)] * 1 + [("low", 0)] * 9    # 0.1
+    )
+    df = spark.createDataFrame(rows, "g string, y int")
+    got = {r.g: r for r in eb_shrunk_rates(df, ["g"], "y").collect()}
+    assert got["tiny"].raw_rate == 1.0
+    # shrinkage: tiny moved far from 1.0, big barely moved from 0.9
+    assert got["tiny"].shrunk_rate < 0.95
+    assert abs(got["big"].shrunk_rate - 0.9) < 0.05
+    assert (1.0 - got["tiny"].shrunk_rate) > 5 * abs(
+        0.9 - got["big"].shrunk_rate
+    )
+    assert got["big"].shrunk_rate > got["tiny"].shrunk_rate - 0.1
+    # degenerate: identical rates -> zero variance -> raw returned
+    eq = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("b", 1), ("b", 0)], "g string, y int"
+    )
+    for r in eb_shrunk_rates(eq, ["g"], "y").collect():
+        assert r.shrunk_rate == r.raw_rate == 0.5
+
+
+def test_groupwise_chi2_fdr_hand_checked(spark):
+    """A strongly associated group is rejected, independent groups are
+    not; a single-category group carries NULL p and never rejects;
+    the absent-cell E-contribution is included."""
+    from bigdata_kafka_2_spark.operators.profile import (
+        groupwise_chi2_fdr,
+    )
+    import pyspark.sql.functions as F2
+
+    rows = []
+    # g1: perfect association cat<->flag (2x2, df=1 -> ODD df: p NULL)
+    # use 3 categories so df=(3-1)(2-1)=2 (even)
+    rows += [("g1", "a", 1)] * 20 + [("g1", "b", 0)] * 20 + [
+        ("g1", "c", 0)
+    ] * 20
+    # g2: independent-ish
+    for cat in ("a", "b", "c"):
+        rows += [("g2", cat, 1)] * 10 + [("g2", cat, 0)] * 10
+    # g3: one category only -> df 0 -> NULL p
+    rows += [("g3", "a", 1)] * 5 + [("g3", "a", 0)] * 5
+    df = spark.createDataFrame(rows, "g string, c string, f int")
+    got = {
+        r.c_nationkey if hasattr(r, "c_nationkey") else r.g: r
+        for r in groupwise_chi2_fdr(
+            df, "g", "c", F2.col("f") == 1, alpha=0.1
+        ).collect()
+    }
+    assert got["g1"].df == 2 and got["g1"].rejected
+    assert got["g1"].p_value < 1e-6
+    assert got["g2"].chi2 == 0.0 and not got["g2"].rejected
+    assert got["g3"].p_value is None and not got["g3"].rejected
+    # g2's chi2 == 0 -> p = exp(0)*(1+0) = 1
+    assert got["g2"].p_value == 1.0
