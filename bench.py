@@ -282,6 +282,7 @@ HEADLINE = (
     "q257_rbo_rankings",
     "q258_eb_shrunk_rates",
     "q259_fdr_chi2_gate",
+    "q260_hill_tail_index",
 )
 
 

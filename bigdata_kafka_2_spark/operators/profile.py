@@ -2327,3 +2327,69 @@ def groupwise_chi2_fdr(
             ).alias("rejected"),
         )
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Hill estimator of the power-law TAIL index of a positive
+    metric (Hill 1975): one row ``(k, x_kplus1, alpha_hill)`` with
+
+        α̂ = [ (1/k) Σ_{i=1..k} ln(x_(i) / x_(k+1)) ]^{-1}
+
+    over the k+1 largest values — the tail-only heavy-tail
+    diagnostic next to q179's Zipf fit (Zipf regresses the WHOLE
+    rank-frequency line, which body curvature contaminates; Hill
+    reads the tail exponent from the top order statistics alone,
+    which is what burstiness/hub risk actually depends on: token
+    frequencies, degree distributions, document lengths).
+
+    Plan: the top k+1 values arrive by ``TakeOrderedAndProject``
+    (per-partition heaps of k+1 — never a global sort), are
+    checkpointed as a bounded frame, and the pivot ``x_(k+1)`` is
+    ONE bounded driver scalar (the pagerank node-count pattern —
+    also sidestepping the Spark 4 crossJoin-with-own-aggregate
+    ambiguity); per-order-statistic terms ``round(ln(x_i) −
+    ln(x_{k+1}), 9)`` sum in exact DECIMAL(38,9), both logs
+    evaluated engine-side on identical inputs (the KM ln-parity
+    rule). ``k`` AUTO-SIZES down to (available positive values − 1)
+    when the table is smaller than the requested tail (the r7
+    auto-size rule for fixed structure counts — the output ``k``
+    reports what was used); fewer than 2 positive values, or a top
+    set with zero tail spread, returns NULL alpha (the estimator is
+    undefined; the honest answer, not a division by zero).
+    """
+    vals = (
+        df.select(F.col(value_col).cast("double").alias("__x"))
+        .filter(F.col("__x") > 0)
+        .orderBy(F.col("__x").desc())
+        .limit(int(k) + 1)
+        .localCheckpoint()
+    )
+    got = vals.count()
+    spark = df.sparkSession
+    if got < 2:
+        return spark.createDataFrame(
+            [(0, None, None)],
+            "k long, x_kplus1 double, alpha_hill double",
+        )
+    k_eff = min(int(k), got - 1)
+    xk1 = float(
+        vals.agg(F.min("__x").alias("__m")).collect()[0]["__m"]
+    )
+    term = F.round(
+        F.log(F.col("__x")) - F.log(F.lit(xk1)), 9
+    ).cast("decimal(38,9)")
+    # sum over ALL k_eff+1 rows: the pivot's own term (and any value
+    # tied with it) is exactly ln(1) = 0, so the sum equals Σ_{i=1..k}
+    agg = vals.agg(F.sum(term).alias("__s"))
+    mean = F.col("__s").cast("double") / F.lit(float(k_eff))
+    return agg.select(
+        F.lit(int(k_eff)).cast("long").alias("k"),
+        F.round(F.lit(xk1), 6).alias("x_kplus1"),
+        F.when(
+            F.col("__s") > 0, F.round(F.lit(1.0) / mean, 6)
+        ).alias("alpha_hill"),
+    )

@@ -2876,3 +2876,61 @@ def q246_chao1_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return chao1_vocab(d, "text")
+
+
+@register(
+    "q260_hill_tail_index",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+      FROM documents
+    ),
+    per AS (
+      SELECT t, count(*) AS c FROM toks WHERE t <> '' GROUP BY t
+    ),
+    topk AS (
+      SELECT CAST(c AS DOUBLE) AS x FROM per
+      WHERE c > 0 ORDER BY c DESC LIMIT 51
+    ),
+    pv AS (
+      SELECT min(x) AS xk1,
+             least(50, count(*) - 1) AS keff
+      FROM topk
+    ),
+    agg AS (
+      SELECT sum(CAST(round(ln(x) - ln((SELECT xk1 FROM pv)), 9)
+                      AS DECIMAL(38,9))) AS s
+      FROM topk
+    )
+    SELECT CAST((SELECT keff FROM pv) AS BIGINT) AS k,
+           round((SELECT xk1 FROM pv), 6) AS x_kplus1,
+           CASE WHEN s > 0 THEN
+             round(1.0 / (CAST(s AS DOUBLE)
+                          / CAST((SELECT keff FROM pv) AS DOUBLE)), 6)
+             END AS alpha_hill
+    FROM agg
+    """,
+    description="Hill tail-index estimate of the token-frequency "
+    "distribution (operators/profile.hill_tail_index; Hill 1975) "
+    "from the top-51 order statistics - the tail-only heavy-tail "
+    "diagnostic next to q179's whole-line Zipf fit (body curvature "
+    "contaminates the regression; burstiness/hub risk depends on "
+    "the tail exponent alone). Top k+1 via TakeOrderedAndProject "
+    "(per-partition heaps, never a global sort; the boundary-tie "
+    "VALUE multiset is deterministic even when token identities tie),"
+    " pivot as one bounded driver scalar, per-order-statistic "
+    "ln-ratio terms in exact DECIMAL(38,9) with both logs evaluated "
+    "engine-side (the KM ln-parity rule).",
+    tags=("text", "profile", "aggregate"),
+)
+def q260_hill_tail_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import hill_tail_index
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("__t")
+    ).filter(F.col("__t") != "")
+    per = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("c"))
+    return hill_tail_index(per, "c", k=50)

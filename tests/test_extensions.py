@@ -4229,3 +4229,35 @@ def test_groupwise_chi2_fdr_hand_checked(spark):
     assert got["g3"].p_value is None and not got["g3"].rejected
     # g2's chi2 == 0 -> p = exp(0)*(1+0) = 1
     assert got["g2"].p_value == 1.0
+
+
+def test_hill_tail_index_hand_checked(spark):
+    """Exact Pareto(alpha=2) order statistics recover alpha; k
+    auto-sizes when the table is smaller than the requested tail;
+    a sub-2-value table returns the NULL row."""
+    import math
+
+    from bigdata_kafka_2_spark.operators.profile import hill_tail_index
+
+    # x_i = (100/i)^(1/2): exact Pareto tail with alpha = 2
+    rows = [((100.0 / i) ** 0.5,) for i in range(1, 12)]
+    df = spark.createDataFrame(rows, "v double")
+    r = hill_tail_index(df, "v", k=10).collect()[0]
+    assert r.k == 10
+    # mean of ln(x_i/x_11) over i=1..10 = (1/2)*mean(ln(11/i)) ->
+    # alpha_hat = 2 / mean(ln(11/i))... with rounding it lands ~2
+    want = 1.0 / (
+        sum(round(math.log((100.0 / i) ** 0.5)
+                  - math.log((100.0 / 11) ** 0.5), 9)
+            for i in range(1, 12)) / 10.0
+    )
+    assert abs(r.alpha_hill - round(want, 6)) < 1e-6
+    assert 1.8 < r.alpha_hill < 2.3
+    # auto-size: only 5 values for k=50 -> k_eff = 4
+    small = spark.createDataFrame(rows[:5], "v double")
+    rs = hill_tail_index(small, "v", k=50).collect()[0]
+    assert rs.k == 4 and rs.alpha_hill is not None
+    # degenerate: one value
+    one = spark.createDataFrame(rows[:1], "v double")
+    r1 = hill_tail_index(one, "v", k=50).collect()[0]
+    assert r1.k == 0 and r1.alpha_hill is None
