@@ -283,6 +283,7 @@ HEADLINE = (
     "q258_eb_shrunk_rates",
     "q259_fdr_chi2_gate",
     "q260_hill_tail_index",
+    "q261_cochran_armitage",
 )
 
 

@@ -2393,3 +2393,77 @@ def hill_tail_index(
             F.col("__s") > 0, F.round(F.lit(1.0) / mean, 6)
         ).alias("alpha_hill"),
     )
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    score_col,
+    success_col,
+) -> DataFrame:
+    """Cochran–Armitage test for a MONOTONE trend in proportions
+    across ordered categories (Cochran 1954, Armitage 1955): one row
+    ``(n, n_success, n_levels, t_stat, variance, z2, significant)``
+    for an integer ``score_col`` (the category's position in the
+    ordering) and boolean ``success_col`` —
+
+        T = Σ_i w_i·(a_i − n_i·p̄),
+        Var = p̄(1−p̄)·(Σ w_i²·n_i − (Σ w_i·n_i)²/N),
+        Z² = T²/Var
+
+    — the 1-df trend test that beats the omnibus chi-square
+    (q126/q259) exactly when the alternative is ORDERED (quality
+    rate rising across priority tiers, defect rate across size
+    buckets): the omnibus spends degrees of freedom on every
+    deviation pattern; this spends one on the monotone one.
+    ``significant`` compares Z² against the shared 95% χ²₁ literal
+    3.841458820694124 — no normal-CDF library call on either engine.
+
+    ONE map-side-combined aggregate; every sum (Σw·a, Σw·n, Σw²·n,
+    A, N) is an exact BIGINT, the statistic divides them through
+    identical double expressions on both engines, rounded 6 dp.
+    Degenerate inputs (all-success/all-failure, or a single level)
+    carry zero variance and return NULL z2, never a division error.
+    """
+    w = (
+        F.col(score_col) if isinstance(score_col, str) else score_col
+    ).cast("long")
+    s = (
+        F.col(success_col)
+        if isinstance(success_col, str)
+        else success_col
+    ).cast("boolean").cast("long")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.sum(s).alias("__A"),
+        F.sum(w * s).alias("__wa"),
+        F.sum(w).alias("__wn"),
+        F.sum(w * w).alias("__w2n"),
+        F.countDistinct(w).alias("__k"),
+    )
+    N = F.col("__N").cast("double")
+    A = F.col("__A").cast("double")
+    p = A / N
+    t = F.col("__wa").cast("double") - p * F.col("__wn").cast("double")
+    var = (
+        p
+        * (F.lit(1.0) - p)
+        * (
+            F.col("__w2n").cast("double")
+            - F.col("__wn").cast("double")
+            * F.col("__wn").cast("double")
+            / N
+        )
+    )
+    z2 = t * t / var
+    ok = (F.col("__A") > 0) & (F.col("__A") < F.col("__N")) & (
+        F.col("__k") > 1
+    )
+    return agg.select(
+        F.col("__N").cast("long").alias("n"),
+        F.col("__A").cast("long").alias("n_success"),
+        F.col("__k").cast("long").alias("n_levels"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(F.when(ok, var), 6).alias("variance"),
+        F.round(F.when(ok, z2), 6).alias("z2"),
+        F.when(ok, z2 > F.lit(3.841458820694124)).alias("significant"),
+    )

@@ -4331,3 +4331,89 @@ def q259_fdr_chi2_gate(
     ).withColumn(
         "c_nationkey", F.col("c_nationkey").cast("long")
     )
+
+
+@register(
+    "q261_cochran_armitage",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS s
+      FROM orders
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS N,
+             CAST(sum(s) AS BIGINT) AS A,
+             CAST(sum(w * s) AS BIGINT) AS wa,
+             CAST(sum(w) AS BIGINT) AS wn,
+             CAST(sum(w * w) AS BIGINT) AS w2n,
+             CAST(count(DISTINCT w) AS BIGINT) AS k
+      FROM base
+    )
+    SELECT N AS n, A AS n_success, k AS n_levels,
+           round(CAST(wa AS DOUBLE)
+                 - (CAST(A AS DOUBLE) / CAST(N AS DOUBLE))
+                   * CAST(wn AS DOUBLE), 6) AS t_stat,
+           round(CASE WHEN A > 0 AND A < N AND k > 1 THEN
+             (CAST(A AS DOUBLE) / CAST(N AS DOUBLE))
+             * (1.0 - CAST(A AS DOUBLE) / CAST(N AS DOUBLE))
+             * (CAST(w2n AS DOUBLE)
+                - CAST(wn AS DOUBLE) * CAST(wn AS DOUBLE)
+                  / CAST(N AS DOUBLE)) END, 6) AS variance,
+           round(CASE WHEN A > 0 AND A < N AND k > 1 THEN
+             (CAST(wa AS DOUBLE)
+              - (CAST(A AS DOUBLE) / CAST(N AS DOUBLE))
+                * CAST(wn AS DOUBLE))
+             * (CAST(wa AS DOUBLE)
+                - (CAST(A AS DOUBLE) / CAST(N AS DOUBLE))
+                  * CAST(wn AS DOUBLE))
+             / ((CAST(A AS DOUBLE) / CAST(N AS DOUBLE))
+                * (1.0 - CAST(A AS DOUBLE) / CAST(N AS DOUBLE))
+                * (CAST(w2n AS DOUBLE)
+                   - CAST(wn AS DOUBLE) * CAST(wn AS DOUBLE)
+                     / CAST(N AS DOUBLE))) END, 6) AS z2,
+           CASE WHEN A > 0 AND A < N AND k > 1 THEN
+             (CAST(wa AS DOUBLE)
+              - (CAST(A AS DOUBLE) / CAST(N AS DOUBLE))
+                * CAST(wn AS DOUBLE))
+             * (CAST(wa AS DOUBLE)
+                - (CAST(A AS DOUBLE) / CAST(N AS DOUBLE))
+                  * CAST(wn AS DOUBLE))
+             / ((CAST(A AS DOUBLE) / CAST(N AS DOUBLE))
+                * (1.0 - CAST(A AS DOUBLE) / CAST(N AS DOUBLE))
+                * (CAST(w2n AS DOUBLE)
+                   - CAST(wn AS DOUBLE) * CAST(wn AS DOUBLE)
+                     / CAST(N AS DOUBLE)))
+             > 3.841458820694124 END AS significant
+    FROM agg
+    """,
+    description="Cochran-Armitage trend test (operators/profile."
+    "cochran_armitage_trend; Cochran 1954, Armitage 1955): does the "
+    "high-value-order rate trend MONOTONICALLY across the ordered "
+    "priority tiers (scores from the priority's leading digit) - the "
+    "1-df ordered-alternative test that beats the omnibus chi-square "
+    "(q126/q259) exactly when the alternative is a trend; the "
+    "omnibus spends df on every deviation pattern, this spends one "
+    "on the monotone one. One map-side-combined aggregate of exact "
+    "BIGINT sums; significance against the shared 95% chi2_1 "
+    "literal, no normal-CDF library call on either engine.",
+    tags=("profile", "aggregate"),
+)
+def q261_cochran_armitage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import (
+        cochran_armitage_trend,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    return cochran_armitage_trend(
+        o.select(
+            F.substring("o_orderpriority", 1, 1)
+            .cast("long")
+            .alias("score"),
+            (F.col("o_totalprice") > 150000).alias("hv"),
+        ),
+        "score",
+        "hv",
+    )

@@ -4261,3 +4261,33 @@ def test_hill_tail_index_hand_checked(spark):
     one = spark.createDataFrame(rows[:1], "v double")
     r1 = hill_tail_index(one, "v", k=50).collect()[0]
     assert r1.k == 0 and r1.alpha_hill is None
+
+
+def test_cochran_armitage_hand_checked(spark):
+    """A perfect monotone trend is significant; a flat rate gives
+    T = 0 and z2 = 0; all-success input returns NULL z2."""
+    from bigdata_kafka_2_spark.operators.profile import (
+        cochran_armitage_trend,
+    )
+    import pyspark.sql.functions as F2
+
+    trend = []
+    for lvl, rate in ((1, 0.1), (2, 0.5), (3, 0.9)):
+        k = int(rate * 10)
+        trend += [(lvl, 1)] * k + [(lvl, 0)] * (10 - k)
+    df = spark.createDataFrame(trend, "w int, s int")
+    r = cochran_armitage_trend(df, "w", F2.col("s") == 1).collect()[0]
+    assert r.n == 30 and r.n_levels == 3
+    # hand: A=15, p=0.5, wa=1*1+2*5+3*9=38, wn=60 -> T = 38-30 = 8
+    assert r.t_stat == 8.0
+    # var = .25*(w2n - wn^2/N) = .25*(10+40+90 - 3600/30) = .25*20 = 5
+    assert r.variance == 5.0 and r.z2 == 12.8
+    assert r.significant is True
+    flat = spark.createDataFrame(
+        [(lvl, s) for lvl in (1, 2, 3) for s in (0, 1)], "w int, s int"
+    )
+    rf = cochran_armitage_trend(flat, "w", F2.col("s") == 1).collect()[0]
+    assert rf.t_stat == 0.0 and rf.z2 == 0.0 and rf.significant is False
+    alls = spark.createDataFrame([(1, 1), (2, 1)], "w int, s int")
+    ra = cochran_armitage_trend(alls, "w", F2.col("s") == 1).collect()[0]
+    assert ra.z2 is None and ra.significant is None
