@@ -284,6 +284,7 @@ HEADLINE = (
     "q259_fdr_chi2_gate",
     "q260_hill_tail_index",
     "q261_cochran_armitage",
+    "q262_competing_risks_cif",
 )
 
 

@@ -1433,3 +1433,116 @@ def logrank_test(
         F.round(v, 6).alias("variance"),
         F.round((o1 - e1) * (o1 - e1) / v, 6).alias("chi2"),
     )
+
+
+def competing_risks_cif(
+    subjects: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Aalen–Johansen cumulative incidence under COMPETING RISKS
+    (Aalen & Johansen 1978): for subjects whose ``event_col`` is 0
+    (censored), 1, or 2 (two mutually exclusive terminal causes), one
+    row per distinct event time ``t`` with ``n_risk``, per-cause
+    events ``d1``/``d2``, and the cumulative incidence functions
+
+        CIF_k(t) = Σ_{s≤t} S(s−)·d_ks/n_s
+
+    where ``S(s−)`` is the OVERALL (all-cause) Kaplan–Meier survival
+    just before s. The estimator 1−KM gets WRONG under competing
+    risks: treating cause-2 deaths as censoring overstates cause-1
+    incidence because censoring assumes those subjects could still
+    fail from cause 1 (the classic Gooley et al. 1999 pitfall —
+    e.g. documents leaving a corpus by takedown vs dedup-removal;
+    churn by cancellation vs upgrade).
+
+    Machinery and determinism: :func:`kaplan_meier`'s distinct-
+    duration collapse and range-bucketed prefix sums throughout —
+    the all-cause log-survival rides an EXCLUSIVE prefix (exactly
+    S(s−), no shifted window needed), per-cause increments enter as
+    ``round(exp(ls_before)·d_k/n, 9)`` with ``exp`` evaluated
+    engine-side on identical 6-dp inputs (the KM ln/exp parity
+    rule), and both CIFs accumulate inclusively in exact
+    DECIMAL(38,9). The all-risk-set-dies terminal row keeps exact
+    CIF increments (S(s−) is still finite there; only KM's OWN ln
+    term would be −∞, and it is not needed past the last row).
+    """
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    e = F.col(event_col).cast("int")
+    g = subjects.groupBy(
+        F.col(duration_col).cast("long").alias("t")
+    ).agg(
+        F.sum(F.when(e == 1, 1).otherwise(0)).alias("__d1"),
+        F.sum(F.when(e == 2, 1).otherwise(0)).alias("__d2"),
+        F.count(F.lit(1)).alias("__rem"),
+    ).localCheckpoint()
+    n_total = int(
+        g.agg(F.sum("__rem").alias("__N")).collect()[0]["__N"]
+    )
+    pre = global_prefix_sum(g, ["t"], "__rem", "__rm")
+    risk = pre.withColumn(
+        "n_risk", (F.lit(n_total) - F.col("__rm")).cast("long")
+    ).filter((F.col("__d1") + F.col("__d2")) > 0)
+    n = F.col("n_risk").cast("double")
+    d_all = (F.col("__d1") + F.col("__d2")).cast("double")
+    # all-cause KM ln factor at t (6 dp, the q224 schedule); NULL on
+    # the terminal all-die row — excluded from later prefixes anyway
+    lnf = F.when(
+        n > d_all,
+        F.round(F.log((n - d_all) / n), 6).cast("decimal(28,6)"),
+    )
+    risk = risk.withColumn("__lf", lnf)
+    # EXCLUSIVE prefix of ln factors = ln S(t−) exactly
+    risk = global_prefix_sum(
+        risk, ["t"], "__lf", "__ls_before", sum_type="decimal(38,6)"
+    )
+    # EXACT integer-unit increments — no double round anywhere in the
+    # accumulation. S(s−) snaps to the 6-dp grid (the one place the
+    # engines' exp() can differ is within an ulp of a 6-dp tie — the
+    # pagerank rounding-boundary caveat class); from there every
+    # quantity is an integer: with S = S(s−)·10⁶ and d, n integers,
+    #   round_half_up(S·d / (n·10⁶), 9) · 10⁹  =  (2000·S·d + n) div (2n)
+    # exactly (the ndcg integer-division trick) — small-rational
+    # increments like d/n land on 9-dp ties CONSTANTLY (observed
+    # twice live at sf0.001 through the double path), and the div
+    # form is tie-exact and engine-identical. Cumulatives stay in
+    # 1e-9 integer units (bounded by 10⁹ — CIF ≤ 1); overflow bound:
+    # 2000·S·d needs d > 4.6e9 events at ONE distinct time to wrap.
+    s6u = F.round(
+        F.round(F.exp(F.col("__ls_before").cast("double")), 6)
+        * F.lit(1000000.0),
+        0,
+    ).cast("long")
+    risk = risk.withColumn("__s6u", s6u)
+    nl = F.col("n_risk")
+    u1 = F.expr(
+        "(2000L * __s6u * __d1 + n_risk) DIV (2L * n_risk)"
+    )
+    u2 = F.expr(
+        "(2000L * __s6u * __d2 + n_risk) DIV (2L * n_risk)"
+    )
+    risk = risk.withColumn("__u1", u1).withColumn("__u2", u2)
+    risk = global_prefix_sum(risk, ["t"], "__u1", "__c1b")
+    risk = global_prefix_sum(risk, ["t"], "__u2", "__c2b")
+    risk = risk.withColumn(
+        "__cif1u", F.col("__c1b") + F.col("__u1")
+    ).withColumn("__cif2u", F.col("__c2b") + F.col("__u2"))
+    # 6-dp half-up from integer 1e-9 units: (u + 500) DIV 1000 —
+    # integer division, never a double quotient truncation
+    return risk.select(
+        "t",
+        "n_risk",
+        F.col("__d1").cast("long").alias("d1"),
+        F.col("__d2").cast("long").alias("d2"),
+        (
+            F.expr("(__cif1u + 500L) DIV 1000L").cast("double")
+            / F.lit(1000000.0)
+        ).alias("cif_1"),
+        (
+            F.expr("(__cif2u + 500L) DIV 1000L").cast("double")
+            / F.lit(1000000.0)
+        ).alias("cif_2"),
+    )

@@ -1541,3 +1541,133 @@ def q256_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return logrank_test(subj, "grp", "duration", "event")
+
+
+@register(
+    "q262_competing_risks_cif",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             o_orderpriority AS pri,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    firsts AS (
+      SELECT o_custkey,
+             min(CASE WHEN rn = 1 THEN d END) AS d1,
+             min(CASE WHEN rn = 2 THEN d END) AS d2,
+             min(CASE WHEN rn = 1 THEN pri END) AS p1,
+             min(CASE WHEN rn = 2 THEN pri END) AS p2
+      FROM ranked GROUP BY 1
+    ),
+    mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS md FROM orders),
+    subj AS (
+      SELECT CASE WHEN d2 IS NOT NULL THEN date_diff('day', d1, d2)
+                  ELSE date_diff('day', d1, md) END AS t,
+             CASE WHEN d2 IS NULL THEN 0
+                  WHEN p2 = p1 THEN 1 ELSE 2 END AS e
+      FROM firsts, mx
+    ),
+    g AS (
+      SELECT t,
+             CAST(sum(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d1,
+             CAST(sum(CASE WHEN e = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d2,
+             count(*) AS rem
+      FROM subj GROUP BY t
+    ),
+    cum AS (
+      SELECT t, d1, d2,
+             coalesce(sum(rem) OVER (
+               ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS rm
+      FROM g
+    ),
+    tot AS (SELECT count(*) AS N FROM subj),
+    ev AS (
+      SELECT t, d1, d2, (N - rm) AS n_risk,
+             CASE WHEN (N - rm) > d1 + d2 THEN
+               CAST(round(ln(CAST((N - rm) - (d1 + d2) AS DOUBLE)
+                             / CAST(N - rm AS DOUBLE)), 6)
+                    AS DECIMAL(28,6)) END AS lf
+      FROM cum, tot WHERE d1 + d2 > 0
+    ),
+    pre AS (
+      SELECT t, d1, d2, n_risk,
+             coalesce(sum(lf) OVER (
+               ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS DECIMAL(38,6))) AS ls_before
+      FROM ev
+    ),
+    inc AS (
+      SELECT t, d1, d2, n_risk,
+             (2000 * CAST(round(round(exp(CAST(ls_before AS DOUBLE)),
+                                      6) * 1000000.0, 0) AS BIGINT)
+                   * d1 + n_risk) // (2 * n_risk) AS u1,
+             (2000 * CAST(round(round(exp(CAST(ls_before AS DOUBLE)),
+                                      6) * 1000000.0, 0) AS BIGINT)
+                   * d2 + n_risk) // (2 * n_risk) AS u2
+      FROM pre
+    )
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d1, d2,
+           CAST((sum(u1) OVER (ORDER BY t) + 500) // 1000 AS DOUBLE)
+             / 1000000.0 AS cif_1,
+           CAST((sum(u2) OVER (ORDER BY t) + 500) // 1000 AS DOUBLE)
+             / 1000000.0 AS cif_2
+    FROM inc
+    """,
+    description="Aalen-Johansen cumulative incidence under competing "
+    "risks (operators/timeseries.competing_risks_cif; Aalen & "
+    "Johansen 1978): time to repeat purchase split by CAUSE - repeat "
+    "at the same priority (cause 1) vs a different priority (cause "
+    "2), censored at the observation edge. The estimator 1-KM gets "
+    "WRONG under competing risks (treating cause-2 as censoring "
+    "overstates cause-1 incidence, the Gooley et al. 1999 pitfall - "
+    "takedown-vs-dedup document loss, cancel-vs-upgrade churn). "
+    "CIF_k(t) = sum S(s-) d_k/n with the all-cause KM survival "
+    "riding an EXCLUSIVE range-bucketed prefix (exactly S(s-)), "
+    "9-dp increments in exact DECIMAL, exp/ln evaluated engine-side "
+    "on identical 6-dp inputs (the q224 parity rule).",
+    tags=("timeseries", "aggregate", "window"),
+)
+def q262_competing_risks_cif(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        competing_risks_cif,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderpriority").alias("pri"),
+        F.row_number().over(w).alias("rn"),
+    )
+    firsts = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+        F.min(F.when(F.col("rn") == 1, F.col("pri"))).alias("p1"),
+        F.min(F.when(F.col("rn") == 2, F.col("pri"))).alias("p2"),
+    )
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("md"))
+    subj = firsts.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff("d2", "d1")
+        )
+        .otherwise(F.datediff("md", "d1"))
+        .alias("duration"),
+        F.when(F.col("d2").isNull(), 0)
+        .when(F.col("p2") == F.col("p1"), 1)
+        .otherwise(2)
+        .alias("event"),
+    )
+    return competing_risks_cif(subj, "duration", "event")

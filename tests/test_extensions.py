@@ -4291,3 +4291,24 @@ def test_cochran_armitage_hand_checked(spark):
     alls = spark.createDataFrame([(1, 1), (2, 1)], "w int, s int")
     ra = cochran_armitage_trend(alls, "w", F2.col("s") == 1).collect()[0]
     assert ra.z2 is None and ra.significant is None
+
+
+def test_competing_risks_cif_hand_checked(spark):
+    """4 subjects: cause-1 at t=1, cause-2 at t=2, censor at 3,
+    cause-1 at t=4. CIF_1(1) = 1/4; S(2-) = 3/4 and n_risk(2) = 3 ->
+    CIF_2(2) = (3/4)(1/3) = 1/4; S(4-) = (3/4)(2/3) = 1/2 with
+    n_risk(4) = 1 -> CIF_1(4) = 1/4 + 1/2 = 3/4. CIF_1 + CIF_2 never
+    exceeds 1 (which 1-KM-per-cause violates)."""
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        competing_risks_cif,
+    )
+
+    rows = [(1, 1), (2, 2), (3, 0), (4, 1)]
+    df = spark.createDataFrame(rows, "duration int, event int")
+    got = {r.t: r for r in competing_risks_cif(df).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1].n_risk == 4 and got[1].d1 == 1
+    assert abs(got[1].cif_1 - 0.25) < 1e-6 and got[1].cif_2 == 0.0
+    assert abs(got[2].cif_2 - 0.25) < 1e-5
+    assert abs(got[4].cif_1 - 0.75) < 1e-5
+    assert got[4].cif_1 + got[4].cif_2 <= 1.0 + 1e-9
