@@ -883,88 +883,88 @@ def adamic_adar_links(
     HUB-CAP AUTO-BOUND (the ``weighted_jaccard_pairs`` budget
     discipline): one bounded scalar job measures the exact wedge
     volume Σ deg²; past ``auto_cap_expansion`` the call warns and
-    re-runs with the largest ``max_center_degree`` whose measured
+    proceeds with the largest ``max_center_degree`` whose measured
     Σ deg² fits — super-hub centers are EXCLUDED from the evidence
     (the standard LP-literature mitigation; a hub's 1/ln(deg) term
     is the weakest evidence in the sum, so the capped ranking loses
     little). Under the budget the measure is exact; pass
     ``auto_cap_expansion=None`` to force exactness at any volume.
+
+    MATERIALIZATION (r12 verdict finding #1): the edge list is
+    ``localCheckpoint()``-ed once at entry — the q144/q236/q163
+    sibling discipline — because every downstream consumer (the two
+    degree-union scans, the two neighbor-union scans, the wedge
+    self-join, the left-anti join, and the bounded measure jobs)
+    rescans it; callers pass CONSTRUCTED edge tables (q228 builds a
+    co-occurrence join upstream) and a cache released before the
+    returned plan executes recomputes that construction 4+ times.
+    Checkpoint blocks are bounded by the edge list itself (never the
+    wedge volume); on a real cluster swap ``localCheckpoint`` for a
+    reliable ``checkpoint`` dir to survive executor loss.
     """
+    e = edges.select("a", "b").localCheckpoint()
     deg = (
-        edges.select(F.col("a").alias("node"))
-        .unionAll(edges.select(F.col("b").alias("node")))
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("__deg"))
     )
     if max_center_degree is None and auto_cap_expansion is not None:
-        # cache serves ONLY the bounded measure jobs below; released
-        # in the finally so executor memory is never pinned past the
-        # planning decision (the returned plan rescans the source)
-        edges = edges.cache()
-        try:
-            budget = int(auto_cap_expansion)
-            exp_rows = int(
-                deg.filter(F.col("__deg") >= 2)
-                .agg(
-                    F.sum(
-                        F.col("__deg").cast("decimal(38,0)")
-                        * F.col("__deg")
-                    ).alias("__e")
-                )
-                .collect()[0]["__e"]
-                or 0
+        budget = int(auto_cap_expansion)
+        exp_rows = int(
+            deg.filter(F.col("__deg") >= 2)
+            .agg(
+                F.sum(
+                    F.col("__deg").cast("decimal(38,0)")
+                    * F.col("__deg")
+                ).alias("__e")
             )
-            if exp_rows > budget:
-                import warnings
+            .collect()[0]["__e"]
+            or 0
+        )
+        if exp_rows > budget:
+            import warnings
 
-                # one row per DISTINCT degree (bounded by the degree
-                # range, never node count), cumulative Σ k·d² ascending
-                per_d = (
-                    deg.filter(F.col("__deg") >= 2)
-                    .groupBy("__deg")
-                    .agg(F.count(F.lit(1)).alias("__k"))
-                )
-                w_cum = Window.orderBy(
-                    F.col("__deg").asc()
-                ).rowsBetween(Window.unboundedPreceding, 0)
-                cap_row = (
-                    per_d.select(
-                        "__deg",
-                        F.sum(
-                            F.col("__k").cast("decimal(38,0)")
-                            * F.col("__deg")
-                            * F.col("__deg")
-                        )
-                        .over(w_cum)
-                        .alias("__cum2"),
+            # one row per DISTINCT degree (bounded by the degree
+            # range, never node count), cumulative Σ k·d² ascending
+            per_d = (
+                deg.filter(F.col("__deg") >= 2)
+                .groupBy("__deg")
+                .agg(F.count(F.lit(1)).alias("__k"))
+            )
+            w_cum = Window.orderBy(
+                F.col("__deg").asc()
+            ).rowsBetween(Window.unboundedPreceding, 0)
+            cap_row = (
+                per_d.select(
+                    "__deg",
+                    F.sum(
+                        F.col("__k").cast("decimal(38,0)")
+                        * F.col("__deg")
+                        * F.col("__deg")
                     )
-                    .filter(F.col("__cum2") <= F.lit(budget))
-                    .agg(F.max("__deg").alias("__cap"))
-                    .collect()[0]
+                    .over(w_cum)
+                    .alias("__cum2"),
                 )
-                cap = max(int(cap_row["__cap"] or 2), 2)
-                warnings.warn(
-                    "adamic_adar_links: exact wedge volume "
-                    f"{exp_rows:,} rows exceeds auto_cap_expansion "
-                    f"{budget:,}; re-running with max_center_degree="
-                    f"{cap} (centers of degree > {cap} are dropped "
-                    "from the evidence — approximate ranking; pass "
-                    "auto_cap_expansion=None to force the exact "
-                    "measure)",
-                    UserWarning,
-                    stacklevel=2,
-                )
-                return adamic_adar_links(
-                    edges,
-                    top_k=top_k,
-                    max_center_degree=cap,
-                    auto_cap_expansion=None,
-                )
-        finally:
-            edges.unpersist()
+                .filter(F.col("__cum2") <= F.lit(budget))
+                .agg(F.max("__deg").alias("__cap"))
+                .collect()[0]
+            )
+            max_center_degree = max(int(cap_row["__cap"] or 2), 2)
+            warnings.warn(
+                "adamic_adar_links: exact wedge volume "
+                f"{exp_rows:,} rows exceeds auto_cap_expansion "
+                f"{budget:,}; proceeding with max_center_degree="
+                f"{max_center_degree} (centers of degree > "
+                f"{max_center_degree} are dropped from the evidence "
+                "— approximate ranking; pass auto_cap_expansion=None "
+                "to force the exact measure)",
+                UserWarning,
+                stacklevel=2,
+            )
     nbr = (
-        edges.select(F.col("a").alias("z"), F.col("b").alias("n"))
-        .unionAll(edges.select(F.col("b").alias("z"), F.col("a").alias("n")))
+        e.select(F.col("a").alias("z"), F.col("b").alias("n"))
+        .unionAll(e.select(F.col("b").alias("z"), F.col("a").alias("n")))
     )
     term = F.round(
         F.lit(1.0) / F.log(F.col("__deg").cast("double")), 9
@@ -988,7 +988,7 @@ def adamic_adar_links(
         F.sum("__t").alias("__score"),
     )
     non_edges = scored.join(
-        edges.withColumnRenamed("a", "x").withColumnRenamed("b", "y"),
+        e.withColumnRenamed("a", "x").withColumnRenamed("b", "y"),
         on=["x", "y"],
         how="left_anti",
     )
