@@ -622,8 +622,11 @@ def rbo_extrapolated(
     (Python arithmetic shared verbatim with the SQL oracle — the
     engine-libm-free discount-literal rule of this module). One
     (group, item) equi-join of the two rankings + one map-side-
-    combined aggregate; groups with disjoint rankings keep a row via
-    the left-side group set (RBO 0).
+    combined aggregate; groups with disjoint rankings keep a row
+    with RBO 0 via the UNION of both sides' group sets — a group
+    present in only ONE ranker (a ranker covering new groups, or one
+    that dropped a group) still appears, scored 0, instead of
+    silently vanishing from the comparison (r12 advice).
 
     Inputs are the already-ranked lists: ``rank_col`` ∈ 1..k per
     group (ranks past ``k`` are ignored).
@@ -652,7 +655,9 @@ def rbo_extrapolated(
         F.count(F.lit(1)).alias("__xk"),
         F.sum("__w").alias("__sw"),
     )
-    groups = lf.select("__g").distinct()
+    groups = (
+        lf.select("__g").unionAll(rt.select("__g")).distinct()
+    )
     ak_pk = F.col("__xk").cast("double") / F.lit(float(k)) * F.lit(
         float(p**k)
     )

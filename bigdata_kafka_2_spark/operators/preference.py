@@ -335,6 +335,12 @@ def preference_cycles(matches: DataFrame) -> DataFrame:
     each cycle exactly once. Wedge volume is Σ out-deg² — the
     triangle-counting bound, |players|-scaled, never comparison-
     scaled.
+
+    Degenerate records: with ≤ 2 players no triad exists and
+    ``d_max`` is 0 (even-k formula ``(k³−4k)/24`` vanishes at k=2),
+    so ``max_cycles`` and ``zeta`` return NULL explicitly — the
+    coefficient is undefined, not 1.0 (r12 advice: the NULL-guarded
+    degenerate path every sibling statistic uses).
     """
     won_a = F.col("wins_a") > F.col("wins_b")
     oriented = matches.filter(
@@ -364,12 +370,16 @@ def preference_cycles(matches: DataFrame) -> DataFrame:
     dmax = F.when(
         F.col("__k") % 2 == 1, (k * k * k - k) / F.lit(24.0)
     ).otherwise((k * k * k - F.lit(4.0) * k) / F.lit(24.0))
+    defined = dmax > F.lit(0.0)
     return meta.crossJoin(F.broadcast(cycles)).select(
         F.col("__k").cast("long").alias("n_players"),
         F.col("__m").cast("long").alias("n_oriented_pairs"),
         F.col("__d").cast("long").alias("n_cycles"),
-        F.round(dmax, 2).alias("max_cycles"),
-        F.round(
-            F.lit(1.0) - F.col("__d").cast("double") / dmax, 6
+        F.when(defined, F.round(dmax, 2)).alias("max_cycles"),
+        F.when(
+            defined,
+            F.round(
+                F.lit(1.0) - F.col("__d").cast("double") / dmax, 6
+            ),
         ).alias("zeta"),
     )

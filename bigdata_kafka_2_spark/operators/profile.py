@@ -1967,6 +1967,13 @@ def jackknife_ratio_se(
     rounded 9 dp and their moments accumulate as exact
     DECIMAL(38,9)/(38,18), so the result is engine-identical. NULL
     numerators/denominators are excluded row-wise before counting.
+
+    Degenerate records (r12 advice): a pseudo-estimate whose
+    leave-one-out denominator is zero (one group carries ALL of
+    Σ den) is undefined — rather than silently averaging over fewer
+    pseudo-values than G, the operator returns NULL ``se_jack``
+    whenever ANY pseudo-estimate is undefined, and likewise for
+    G < 2 (a single group gives the jackknife nothing to vary).
     """
     dec = "decimal(38,4)"
     df = df.where(
@@ -1982,10 +1989,13 @@ def jackknife_ratio_se(
         F.sum("__sd").alias("__td"),
         F.count(F.lit(1)).alias("__G"),
     )
-    theta = F.round(
-        (F.col("__tn") - F.col("__sn")).cast("double")
-        / (F.col("__td") - F.col("__sd")).cast("double"),
-        9,
+    theta = F.when(
+        (F.col("__td") - F.col("__sd")) != 0,
+        F.round(
+            (F.col("__tn") - F.col("__sn")).cast("double")
+            / (F.col("__td") - F.col("__sd")).cast("double"),
+            9,
+        ),
     )
     pseudo = g.crossJoin(F.broadcast(tot)).select(
         F.col("__G"),
@@ -1997,6 +2007,9 @@ def jackknife_ratio_se(
         F.max("__G").alias("__G"),
         F.max("__tn").alias("__tn"),
         F.max("__td").alias("__td"),
+        F.sum(
+            F.when(F.col("__th").isNotNull(), 1).otherwise(0)
+        ).alias("__Gv"),
         F.sum(F.col("__th").cast("decimal(38,9)")).alias("__s1"),
         F.sum(
             F.round(F.col("__th") * F.col("__th"), 18).cast(
@@ -2010,13 +2023,19 @@ def jackknife_ratio_se(
         (F.col("__s2").cast("double") / gd - mean * mean)
         * (gd - F.lit(1.0))
     )
+    # SE only when EVERY pseudo-estimate is defined and there are at
+    # least two groups — a partial moment sum over fewer than G
+    # pseudo-values is not the jackknife, it's a silent subsample
     return agg.select(
         F.col("__G").cast("long").alias("groups"),
         F.round(
             F.col("__tn").cast("double") / F.col("__td").cast("double"),
             6,
         ).alias("ratio"),
-        F.round(F.sqrt(var), 6).alias("se_jack"),
+        F.when(
+            (F.col("__Gv") == F.col("__G")) & (F.col("__G") >= 2),
+            F.round(F.sqrt(var), 6),
+        ).alias("se_jack"),
     )
 
 
@@ -2192,7 +2211,7 @@ def groupwise_chi2_fdr(
     """Per-group chi-square independence tests with Benjamini–Hochberg
     FDR control ACROSS groups (Benjamini & Hochberg 1995): one row
     per group ``(group, n, chi2, df, p_value, p_rank, bh_cutoff,
-    rejected)`` testing, within each group, whether ``cat_col`` and
+    tested, rejected)`` testing, within each group, whether ``cat_col`` and
     the boolean ``flag_col`` are associated — and then controlling
     the false-discovery rate over the whole family of tests, which is
     what a segment-sweep drift monitor actually needs (testing 25
@@ -2205,8 +2224,14 @@ def groupwise_chi2_fdr(
     The chi-square p-value uses the CLOSED FORM for even degrees of
     freedom — ``P(X ≥ x) = exp(−x/2)·Σ_{i<k}(x/2)^i/i!`` with
     df = 2k — a plain exp-and-polynomial both engines evaluate
-    identically (no incomplete-gamma library call; the operator
-    asserts the implied df is even and positive). BH: rank tests by
+    identically (no incomplete-gamma library call). Groups whose
+    implied df is odd, zero, or > 16 get NULL ``p_value`` and are
+    EXCLUDED from the BH family (the odd-df survival needs erfc,
+    which neither engine exposes as a cross-engine-stable builtin) —
+    the output's ``tested`` boolean makes the exclusion visible so a
+    monitor can alarm on silently-untested segments (a group whose
+    category count CHANGED parity is itself drift worth flagging;
+    r12 advice). BH: rank tests by
     (p asc, group asc), reject every rank ≤ r* = max{r : p_r ≤
     α·r/m}; r* is one bounded aggregate over the |groups|-row test
     table, never a per-row scan.
@@ -2321,6 +2346,7 @@ def groupwise_chi2_fdr(
             F.col("__p").alias("p_value"),
             F.col("__r").cast("long").alias("p_rank"),
             cutoff.alias("bh_cutoff"),
+            F.col("__p").isNotNull().alias("tested"),
             (
                 F.col("__p").isNotNull()
                 & (F.col("__r") <= F.col("__rstar"))

@@ -4068,7 +4068,12 @@ def _q257_oracle(sf_dir: str | None = None) -> str:
              sum(CAST(round({w_case}, 12) AS DECIMAL(38,12))) AS sw
       FROM common GROUP BY nat
     ),
-    groups AS (SELECT DISTINCT nat FROM ra WHERE r1 <= {k})
+    groups AS (
+      SELECT DISTINCT nat FROM (
+        SELECT nat FROM ra WHERE r1 <= {k}
+        UNION ALL SELECT nat FROM rb WHERE r2 <= {k}
+      )
+    )
     SELECT CAST(groups.nat AS BIGINT) AS s_nationkey,
            CAST(coalesce(xk, 0) AS BIGINT) AS overlap_at_k,
            round(coalesce(CAST(xk AS DOUBLE) / {float(k)!r}
@@ -4291,6 +4296,7 @@ def _q259_oracle(sf_dir: str | None = None) -> str:
     )
     SELECT CAST(g AS BIGINT) AS c_nationkey, n, chi2, df,
            p AS p_value, CAST(r AS BIGINT) AS p_rank, bh_cutoff,
+           (p IS NOT NULL) AS tested,
            (p IS NOT NULL AND r <= (SELECT rs FROM rstar)) AS rejected
     FROM cut
     """
@@ -4311,7 +4317,9 @@ def _q259_oracle(sf_dir: str | None = None) -> str:
     "engines evaluate in the same IEEE order - no incomplete-gamma "
     "library call; absent grid cells enter as O=0 (they contribute "
     "E, which a present-cells-only sum silently drops); r* is one "
-    "bounded aggregate over the |tests|-row table.",
+    "bounded aggregate over the |tests|-row table. Groups with odd/"
+    "zero/oversized df carry NULL p and a FALSE 'tested' flag so the "
+    "exclusion from the BH family is visible, never silent.",
     tags=("profile", "aggregate", "window"),
 )
 def q259_fdr_chi2_gate(

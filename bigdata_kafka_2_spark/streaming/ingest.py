@@ -767,14 +767,17 @@ def run_streaming_reservoir(
     a rolling ingest keeps a always-current weighted sample without
     rescanning history.
 
-    REQUIREMENT: ``payload_cols`` must uniquely key the stream (a
-    doc_id-like column). The replay-dedup in :func:`read_reservoir`
-    is a ``distinct()`` over (payload, ekey), which cannot tell an
-    epoch-replay duplicate from a genuinely duplicate stream row —
-    two identical payload rows share the same deterministic ekey and
-    would collapse to one, diverging from batch ``weighted_sample``
-    (which keeps both). With a unique payload key the two cases are
-    disjoint and the merge is exact.
+    REQUIREMENT: ``payload_cols`` must uniquely key each BATCH (a
+    doc_id-like column). :func:`read_reservoir`'s replay-dedup is
+    epoch-aware — ``distinct()`` over (epoch_id, payload, ekey) — so
+    a payload value recurring in DIFFERENT batches is handled exactly
+    (each arrival lives in its own epoch partial, as in batch
+    ``weighted_sample``); only two identical payload rows in the SAME
+    micro-batch are indistinguishable from a replay twin, and
+    :func:`read_reservoir` detects that case (non-uniform row
+    multiplicity inside an epoch — a replay duplicates the whole
+    partial uniformly) and raises instead of silently collapsing
+    (r12 advice: the contract is enforced, not just documented).
     """
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
@@ -802,17 +805,43 @@ def read_reservoir(
     spark: SparkSession, out_path: str, k: int, payload_cols: list[str]
 ) -> DataFrame:
     """Merge the per-epoch reservoir partials: drop replayed
-    duplicates (ekeys are deterministic, so a replay re-appends
-    byte-identical rows), then one top-k over the O(k·epochs) union.
+    duplicates EPOCH-AWARE (a replay re-appends byte-identical rows
+    under the SAME epoch_id, so one row per (epoch_id, payload, ekey)
+    is exact — and a payload recurring across different batches keeps
+    both copies, matching batch ``weighted_sample``), then one top-k
+    over the O(k·epochs) union.
 
-    Assumes ``payload_cols`` uniquely key the stream (see
-    :func:`run_streaming_reservoir`): the ``distinct()`` here removes
-    epoch-replay duplicates only because no two live rows can share
-    the same (payload, ekey) tuple under that contract."""
-    return (
+    Enforcement (r12 advice): a replay duplicates an epoch's whole
+    partial UNIFORMLY, so every distinct row in a replayed epoch has
+    the same multiplicity; a genuinely duplicate payload row inside
+    one batch shows up as NON-uniform multiplicity, which this reader
+    detects with one bounded aggregate over the O(k·epochs) partial
+    rows and raises on, instead of silently collapsing the pair. (The
+    one undetectable corner: an epoch whose EVERY row is duplicated
+    the same number of times by genuine duplicates — uniform by
+    construction; a unique per-batch payload key removes it.)"""
+    per_row = (
         spark.read.parquet(out_path)
-        .select(*payload_cols, "ekey")
-        .distinct()
+        .groupBy("epoch_id", *payload_cols, "ekey")
+        .agg(F.count(F.lit(1)).alias("__m"))
+    )
+    violated = (
+        per_row.groupBy("epoch_id")
+        .agg(F.countDistinct("__m").alias("__k"))
+        .filter(F.col("__k") > 1)
+        .count()
+    )
+    if violated:
+        raise ValueError(
+            "read_reservoir: non-uniform row multiplicity inside "
+            f"{violated} epoch partial(s) — the stream violated the "
+            "per-batch payload-uniqueness contract (two identical "
+            "payload rows landed in one micro-batch), so the replay "
+            "dedup cannot be exact; key the payload uniquely (e.g. a "
+            "doc_id column) and re-ingest"
+        )
+    return (
+        per_row.select(*payload_cols, "ekey")
         .orderBy(F.col("ekey").asc(), *payload_cols)
         .limit(int(k))
         .drop("ekey")

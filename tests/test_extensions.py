@@ -4337,3 +4337,111 @@ def test_competing_risks_cif_hand_checked(spark):
     assert abs(got[2].cif_2 - 0.25) < 1e-5
     assert abs(got[4].cif_1 - 0.75) < 1e-5
     assert got[4].cif_1 + got[4].cif_2 <= 1.0 + 1e-9
+
+def test_jackknife_ratio_se_degenerate_nulls(spark):
+    """r12 advice: a pseudo-estimate with a zero leave-one-out
+    denominator (one group carries the whole Σden) makes the SE
+    undefined -> NULL se_jack, not a moment sum over fewer
+    pseudo-values; G=1 likewise returns NULL, not 0."""
+    from bigdata_kafka_2_spark.operators.profile import (
+        jackknife_ratio_se,
+    )
+
+    # group 'a' carries ALL of the denominator: theta_(a) = x/0
+    rows = [("a", 10.0, 5.0), ("b", 20.0, 0.0), ("c", 30.0, 0.0)]
+    df = spark.createDataFrame(rows, "g string, num double, den double")
+    r = jackknife_ratio_se(df, ["g"], "num", "den").collect()[0]
+    assert r.groups == 3 and r.ratio == 12.0
+    assert r.se_jack is None
+    one = spark.createDataFrame(
+        [("a", 10.0, 2.0)], "g string, num double, den double"
+    )
+    r1 = jackknife_ratio_se(one, ["g"], "num", "den").collect()[0]
+    assert r1.groups == 1 and r1.se_jack is None
+
+
+def test_rbo_includes_right_only_groups(spark):
+    """r12 advice: a group present only in the RIGHT ranking must
+    appear with rbo=0 instead of silently vanishing (a ranker that
+    covers new groups shows up in the comparison)."""
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        rbo_extrapolated,
+    )
+
+    left = spark.createDataFrame(
+        [("g1", "i1", 1)], "grp string, item string, rank int"
+    )
+    right = spark.createDataFrame(
+        [("g1", "i1", 1), ("g2", "i9", 1)],
+        "grp string, item string, rank int",
+    )
+    got = {
+        r.grp: r
+        for r in rbo_extrapolated(
+            left, right, "grp", "item", "rank", p=0.9, k=10
+        ).collect()
+    }
+    assert set(got) == {"g1", "g2"}
+    assert got["g2"].overlap_at_k == 0 and got["g2"].rbo == 0.0
+    assert got["g1"].rbo > 0
+
+
+def test_chi2_fdr_tested_flag_surfaces_exclusions(spark):
+    """r12 advice: groups whose implied df is odd (3 categories x
+    bool flag -> df=2 tested; 2 categories -> df=1 untested) must
+    carry tested=false rather than silently dropping from the BH
+    family."""
+    from bigdata_kafka_2_spark.operators.profile import (
+        groupwise_chi2_fdr,
+    )
+
+    rows = []
+    # group 'even': 3 categories x flag -> df = 2 (tested)
+    for c in ("x", "y", "z"):
+        for f in (0, 1):
+            rows += [("even", c, f)] * (3 + (f + 1) * (ord(c) % 3))
+    # group 'odd': 2 categories x flag -> df = 1 (untested)
+    for c in ("x", "y"):
+        for f in (0, 1):
+            rows += [("odd", c, f)] * 4
+    df = spark.createDataFrame(rows, "g string, c string, f int")
+    got = {
+        r.g: r
+        for r in groupwise_chi2_fdr(
+            df, "g", "c", F.col("f") == 1
+        ).collect()
+    }
+    assert got["even"].tested is True
+    assert got["odd"].tested is False
+    assert got["odd"].p_value is None and got["odd"].rejected is False
+
+
+def test_read_reservoir_raises_on_duplicate_payload_in_batch(spark, tmp_path):
+    """r12 advice: the per-batch payload-uniqueness contract is now
+    ENFORCED — a genuinely duplicate payload row inside one epoch
+    partial (non-uniform multiplicity) raises instead of silently
+    collapsing with its replay twin; uniform whole-epoch duplication
+    (a replay) still merges exactly."""
+    import pytest as _pytest
+
+    from bigdata_kafka_2_spark.streaming.ingest import read_reservoir
+
+    out = str(tmp_path / "res")
+    ok = spark.createDataFrame(
+        [(0, "d1", 0.11), (0, "d2", 0.22)],
+        "epoch_id long, k string, ekey double",
+    )
+    ok.write.mode("append").parquet(out)
+    # replay: the WHOLE epoch-0 partial appended again — uniform
+    ok.write.mode("append").parquet(out)
+    got = sorted(
+        r.k for r in read_reservoir(spark, out, 10, ["k"]).collect()
+    )
+    assert got == ["d1", "d2"]
+    # genuine duplicate: ONE row of epoch 1 doubled — non-uniform
+    spark.createDataFrame(
+        [(1, "d3", 0.33), (1, "d3", 0.33), (1, "d4", 0.44)],
+        "epoch_id long, k string, ekey double",
+    ).write.mode("append").parquet(out)
+    with _pytest.raises(ValueError, match="payload-uniqueness"):
+        read_reservoir(spark, out, 10, ["k"]).collect()

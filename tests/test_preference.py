@@ -201,3 +201,18 @@ def test_preference_cycles_hand_checked(spark):
     )
     rt = preference_cycles(trans).collect()[0]
     assert rt.n_cycles == 0 and rt.zeta == 1.0
+
+def test_preference_cycles_two_players_null_zeta(spark):
+    """r12 advice: k=2 makes d_max=(8-8)/24=0 — zeta and max_cycles
+    are undefined, so they return NULL explicitly (not a div-by-zero
+    NULL-by-accident, not a fake 1.0)."""
+    from bigdata_kafka_2_spark.operators.preference import (
+        preference_cycles,
+    )
+
+    two = spark.createDataFrame(
+        [("p", "r", 3, 1)], "a string, b string, wins_a long, wins_b long"
+    )
+    r = preference_cycles(two).collect()[0]
+    assert (r.n_players, r.n_oriented_pairs, r.n_cycles) == (2, 1, 0)
+    assert r.max_cycles is None and r.zeta is None
