@@ -430,6 +430,46 @@ def register(
 #: q127/q183's curation chains — both run the fingerprint dedup
 #: stage — and q40 itself stays mirror-green; the dedup family also
 #: keeps q44/q42/q85 graded).
+#: Round-13 rotation (five swaps per the r12 verdict's #3 — the
+#: new-family anchors whose driver-side behavior the mirror covers
+#: least; every outgoing query stays hash-checked in the EXTENDED
+#: oracle mirror, and every outgoing FAMILY keeps a graded
+#: representative):
+#: q65_streaming_dedup → q250_streaming_preference_ingest (the
+#: streamed-≡-batch mergeable-partials shape — commutative-monoid
+#: win counts accumulated through foreachBatch with epoch-id replay
+#: idempotence — is the streaming pattern whose DRIVER-side
+#: execution differs most from the mirror; the streaming family
+#: keeps q213 SCD2, q132 upsert, q142 custom source, q101
+#: stream-stream and q128 stream-static joins graded, watermark
+#: machinery stays graded inside q101, and q65 stays mirror-green);
+#: q98_correlation_stats → q243_ipf_raking (survey reweighting —
+#: Deming–Stephan iterative proportional fitting with the Spark-4
+#: bounded-driver-scalar self-join workaround and a callable
+#: unrolled-round oracle — a fixpoint family no graded row
+#: exercises; corr/covar stays mirror-green and the moment-stats
+#: machinery stays graded inside q01's aggregates and q86's
+#: one-scan profile);
+#: q224_kaplan_meier → q255_nelson_aalen (the survival family
+#: upgrades to the cumulative-HAZARD estimator on the same
+#: range-bucketed global_prefix_sum machinery — the fractional-
+#: decimal carry q224 pinned is equally exercised by q255's
+#: cumulative sums; KM stays mirror-green);
+#: q85_incremental_dedup_survivors → q256_logrank_test (the
+#: two-SAMPLE survival comparison — pooled at-risk/event prefix
+#: cumulatives per group, exact variance terms in DECIMAL — joins
+#: q192 KS and q225 MW as the third two-sample graded shape;
+#: incremental LSH ingest stays mirror-green and the banded-LSH
+#: dedup machinery keeps q42/q44/q147/q75 plus the q127/q183/q238
+#: curation chains graded);
+#: q150_incremental_agg_state → q262_competing_risks_cif
+#: (Aalen–Johansen cumulative incidence — the repo's strongest
+#: determinism form, a FULLY-INTEGER rounding schedule from the
+#: 6-dp survival grid down, landed after three rounding schedules
+#: each failed a different cross-engine tie; mergeable-state
+#: machinery stays graded via q211's mergeable digest, q132's
+#: upsert state, and incoming q250's win-count partials, and q150
+#: stays mirror-green).
 CURATED: tuple[str, ...] = (
     # relational / joins / windows / grouping
     "q01_pricing_summary",
@@ -438,7 +478,7 @@ CURATED: tuple[str, ...] = (
     "q183_curation_v6",
     "q147_prefix_filter_pairs",
     "q148_point_in_time_join",
-    "q150_incremental_agg_state",
+    "q262_competing_risks_cif",
     "q14_set_ops",
     "q161_grouping_sets",
     "q86_table_profile",
@@ -446,17 +486,17 @@ CURATED: tuple[str, ...] = (
     "q19_cumulative_slice",
     "q142_filelog_stream",
     "q194_pii_redacted_release",
-    "q85_incremental_dedup_survivors",
+    "q256_logrank_test",
     "q26_correlated_subquery",
     "q28_tpch_q3_shipping_priority",
     "q228_adamic_adar_links",
     "q58_salted_join",
     "q82_rich_inactive_customers",
-    "q98_correlation_stats",
+    "q243_ipf_raking",
     # CDC / sampling / window-family / date / map
     "q213_streaming_scd2",
     "q177_naive_bayes_lang",
-    "q224_kaplan_meier",
+    "q255_nelson_aalen",
     "q144_pagerank",
     "q192_ks_test",
     "q117_dsir_logweights",
@@ -485,7 +525,7 @@ CURATED: tuple[str, ...] = (
     "q101_stream_stream_join",
     "q128_stream_static_join",
     "q173_k_anonymity",
-    "q65_streaming_dedup",
+    "q250_streaming_preference_ingest",
     # multimodal
     "q70_multimodal_byte_stats",
     "q71_multimodal_features",
