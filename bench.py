@@ -285,6 +285,12 @@ HEADLINE = (
     "q260_hill_tail_index",
     "q261_cochran_armitage",
     "q262_competing_risks_cif",
+    # r13 experimentation/calibration families (mathfn-backed)
+    "q263_cuped_ate",
+    "q264_ab_conversion_ztest",
+    "q265_srm_gate",
+    "q266_isotonic_calibration",
+    "q267_mde_by_segment",
 )
 
 

@@ -671,3 +671,124 @@ def rbo_extrapolated(
             F.coalesce(ak_pk + tail, F.lit(0.0)), 6
         ).alias("rbo"),
     )
+
+
+def isotonic_binned_calibration(
+    df: DataFrame,
+    score_col,
+    outcome_col,
+    max_bins: int = 64,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of a score
+    against a boolean outcome over the score's DISTINCT values: one
+    row per bin ``(score, n, pos, raw_rate, iso_rate)`` where
+    ``iso_rate`` is the exact isotonic-regression fit (PAVA's
+    solution) via the max-min representation
+
+        g(i) = max_{a ≤ i} min_{b ≥ i}  ( Σ_{a..b} pos / Σ_{a..b} n )
+
+    — the classic model-calibration step (Zadrozny & Elkan 2002)
+    next to :func:`conformal threshold <...>` and the reliability
+    table: where raw bucket rates zigzag from noise, the isotonic
+    fit is the best monotone staircase under squared loss, and a
+    monotone calibrated score is what a THRESHOLDED router needs
+    (otherwise a higher score can mean lower empirical quality).
+
+    Distributed form: outcomes reduce to one row per DISTINCT score
+    (one map-side-combined aggregate — data-sized work ends here);
+    the max-min evaluates over interval prefix sums of the BIN table
+    only, O(bins²) interval means and O(bins³) comparisons via two
+    bounded joins — with ``max_bins`` (default 64, asserted) the
+    whole lattice is a few hundred thousand tiny rows, broadcast-
+    joined, independent of data size. Interval means are exact
+    DECIMAL ratios rounded 9 dp, so max/min ties resolve identically
+    on both engines.
+    """
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    y = (
+        F.col(outcome_col)
+        if isinstance(outcome_col, str)
+        else outcome_col
+    ).cast("boolean").cast("int")
+    bins = (
+        df.groupBy(s.alias("score"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y).alias("pos"),
+        )
+    )
+    n_bins = bins.count()
+    if n_bins > int(max_bins):
+        raise ValueError(
+            f"isotonic_binned_calibration: {n_bins} distinct scores "
+            f"exceed max_bins={max_bins}; bucket the score first "
+            "(the max-min lattice is O(bins³))"
+        )
+    # rank bins by score: tiny table, the window is |bins|-bounded
+    from pyspark.sql import Window
+
+    w = Window.orderBy("score")
+    ranked = bins.select(
+        "score",
+        "n",
+        "pos",
+        F.row_number().over(w).alias("__i"),
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__cn"),
+        F.sum("pos").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__cp"),
+    ).localCheckpoint()
+    lo = ranked.select(
+        F.col("__i").alias("__a"),
+        (F.col("__cn") - F.col("n")).alias("__cna"),
+        (F.col("__cp") - F.col("pos")).alias("__cpa"),
+    )
+    hi = ranked.select(
+        F.col("__i").alias("__b"),
+        F.col("__cn").alias("__cnb"),
+        F.col("__cp").alias("__cpb"),
+    )
+    # interval mean m(a,b) = (cp_b - cp_{a-1}) / (cn_b - cn_{a-1})
+    intervals = (
+        lo.crossJoin(hi)
+        .filter(F.col("__a") <= F.col("__b"))
+        .select(
+            "__a",
+            "__b",
+            F.round(
+                (F.col("__cpb") - F.col("__cpa")).cast("double")
+                / (F.col("__cnb") - F.col("__cna")).cast("double"),
+                9,
+            ).alias("__m"),
+        )
+    )
+    # inner min over b >= i for each (i, a<=i): join intervals to the
+    # bin index list where a <= i <= b
+    idx = ranked.select(F.col("__i").alias("__pt"))
+    inner = (
+        intervals.join(
+            F.broadcast(idx),
+            (F.col("__a") <= F.col("__pt"))
+            & (F.col("__pt") <= F.col("__b")),
+        )
+        .groupBy("__pt", "__a")
+        .agg(F.min("__m").alias("__minm"))
+    )
+    iso = inner.groupBy("__pt").agg(
+        F.max("__minm").alias("__iso")
+    )
+    return (
+        ranked.join(iso, ranked["__i"] == iso["__pt"])
+        .select(
+            "score",
+            F.col("n").cast("long").alias("n"),
+            F.col("pos").cast("long").alias("pos"),
+            F.round(
+                F.col("pos").cast("double") / F.col("n").cast("double"),
+                6,
+            ).alias("raw_rate"),
+            F.round(F.col("__iso"), 6).alias("iso_rate"),
+        )
+    )

@@ -8,6 +8,7 @@ All single-pass aggregations — no per-column scans, no UDFs.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame
@@ -2221,17 +2222,16 @@ def groupwise_chi2_fdr(
     chi-square, q192's KS, q225's MW all report one p-ish statistic;
     this makes a FLEET of them jointly honest).
 
-    The chi-square p-value uses the CLOSED FORM for even degrees of
-    freedom — ``P(X ≥ x) = exp(−x/2)·Σ_{i<k}(x/2)^i/i!`` with
-    df = 2k — a plain exp-and-polynomial both engines evaluate
-    identically (no incomplete-gamma library call). Groups whose
-    implied df is odd, zero, or > 16 get NULL ``p_value`` and are
-    EXCLUDED from the BH family (the odd-df survival needs erfc,
-    which neither engine exposes as a cross-engine-stable builtin) —
-    the output's ``tested`` boolean makes the exclusion visible so a
-    monitor can alarm on silently-untested segments (a group whose
-    category count CHANGED parity is itself drift worth flagging;
-    r12 advice). BH: rank tests by
+    The chi-square p-value uses the closed-form survival for BOTH
+    df parities (``operators.mathfn.chi2_sf_col`` — even df is the
+    plain exp-polynomial; odd df adds the erfc term via the shared
+    literal-coefficient A&S 7.1.26 approximation both engines
+    evaluate in the same IEEE order; r12 advice, upgraded from the
+    even-only form that silently dropped odd-df groups from the BH
+    family). Groups whose implied df is zero or > 16 still get NULL
+    ``p_value`` and are EXCLUDED — the output's ``tested`` boolean
+    makes any exclusion visible so a monitor can alarm on
+    silently-untested segments. BH: rank tests by
     (p asc, group asc), reject every rank ≤ r* = max{r : p_r ≤
     α·r/m}; r* is one bounded aggregate over the |groups|-row test
     table, never a per-row scan.
@@ -2285,22 +2285,11 @@ def groupwise_chi2_fdr(
     )
     dfree = (F.col("__kcv") - 1) * (F.col("__kfv") - 1)
     x = F.col("__x2").cast("double")
-    # closed-form survival for even df = 2k: exp(-x/2) * Σ_{i<k}(x/2)^i/i!
-    # (k up to 8 supported — segment×flag sweeps have tiny df)
-    half = x / F.lit(2.0)
-    poly = F.lit(1.0)
-    fact = 1.0
-    pow_t = F.lit(1.0)
-    for i in range(1, 8):
-        fact *= i
-        pow_t = pow_t * half
-        poly = F.when(
-            dfree >= 2 * (i + 1), poly + pow_t / F.lit(fact)
-        ).otherwise(poly)
-    p_val = F.when(
-        (dfree > 0) & (dfree % 2 == 0) & (dfree <= 16),
-        F.round(F.exp(-half) * poly, 9),
-    )
+    # closed-form survival for BOTH parities, df 1..16 (mathfn's
+    # paired-builder discipline keeps the oracle bit-compatible)
+    from bigdata_kafka_2_spark.operators.mathfn import chi2_sf_col
+
+    p_val = F.round(chi2_sf_col(x, dfree, max_df=16), 9)
     tests = per.select(
         "__g",
         F.col("__nv").cast("long").alias("n"),
@@ -2492,4 +2481,326 @@ def cochran_armitage_trend(
         F.round(F.when(ok, var), 6).alias("variance"),
         F.round(F.when(ok, z2), 6).alias("z2"),
         F.when(ok, z2 > F.lit(3.841458820694124)).alias("significant"),
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    arm_col,
+    outcome_col,
+) -> DataFrame:
+    """Two-proportion z-test (the A/B-testing workhorse): one row
+    ``(n_a, x_a, n_b, x_b, p_a, p_b, diff, z, p_value)`` comparing a
+    boolean outcome rate between two arms (``arm_col`` boolean —
+    True = arm A) under the pooled-variance normal approximation,
+
+        z = (p̂_a − p̂_b) / √( p̂(1−p̂)(1/n_a + 1/n_b) )
+
+    with the TWO-SIDED p-value ``erfc(|z|/√2)`` — the first p in the
+    repo to use the shared literal-coefficient erfc
+    (:mod:`~bigdata_kafka_2_spark.operators.mathfn`), which both
+    engines evaluate in the same IEEE order, so the oracle gate can
+    finally hash normal-tail p-values. Degenerate inputs (an empty
+    arm, or a pooled rate of exactly 0 or 1 — zero variance) return
+    NULL z/p explicitly.
+
+    ONE map-side-combined aggregate over the fact table (four
+    integer cells); all ratio arithmetic is row-local double math on
+    the 1-row result, rounded 6 dp (z, rates) / 9 dp (p).
+    """
+    from bigdata_kafka_2_spark.operators.mathfn import erfc_col
+
+    a = (
+        F.col(arm_col) if isinstance(arm_col, str) else arm_col
+    ).cast("boolean")
+    y = (
+        F.col(outcome_col)
+        if isinstance(outcome_col, str)
+        else outcome_col
+    ).cast("boolean").cast("int")
+    agg = df.agg(
+        F.sum(F.when(a, 1).otherwise(0)).alias("__na"),
+        F.sum(F.when(a, y).otherwise(0)).alias("__xa"),
+        F.sum(F.when(a, 0).otherwise(1)).alias("__nb"),
+        F.sum(F.when(a, 0).otherwise(y)).alias("__xb"),
+    )
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    xa = F.col("__xa").cast("double")
+    xb = F.col("__xb").cast("double")
+    pa = xa / na
+    pb = xb / nb
+    pool = (xa + xb) / (na + nb)
+    se = F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    z = (pa - pb) / se
+    ok = (
+        (F.col("__na") > 0)
+        & (F.col("__nb") > 0)
+        & (F.col("__xa") + F.col("__xb") > 0)
+        & (F.col("__xa") + F.col("__xb") < F.col("__na") + F.col("__nb"))
+    )
+    p_two = erfc_col(F.abs(z) / F.lit(math.sqrt(2.0)))
+    return agg.select(
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__xa").cast("long").alias("x_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        F.col("__xb").cast("long").alias("x_b"),
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(pa - pb, 6).alias("diff"),
+        F.round(F.when(ok, z), 6).alias("z"),
+        F.round(F.when(ok, p_two), 9).alias("p_value"),
+    )
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col,
+    expected: dict[str, float] | None = None,
+    alpha: float = 0.001,
+) -> DataFrame:
+    """Sample-ratio-mismatch gate (the first sanity check every
+    experimentation platform runs before reading a metric): one row
+    per arm ``(arm, n, expected_share, expected_n, chi2_term)`` plus
+    the family columns ``(chi2, df, p_value, srm_flag)`` repeated per
+    row — a goodness-of-fit chi-square of observed arm counts against
+    ``expected`` shares (default: equal split across the observed
+    arms). A significant p (below the conventionally strict
+    ``alpha`` = 0.001 — traffic splits have huge n, so real SRM shows
+    up at extreme significance) means the ASSIGNMENT is broken and
+    every downstream metric is invalid.
+
+    The survival function is
+    :func:`~bigdata_kafka_2_spark.operators.mathfn.chi2_sf_col` —
+    BOTH df parities supported (arms−1 up to 17 arms), so a 4-arm
+    split (df = 3, odd) hashes cross-engine, which the even-only
+    closed form never could. One map-side-combined count aggregate
+    (|arms| rows); per-arm terms round 9 dp and sum in exact
+    DECIMAL(38,9); the family scalars broadcast back onto the
+    |arms|-row output.
+    """
+    from bigdata_kafka_2_spark.operators.mathfn import chi2_sf_col
+
+    arm = (
+        F.col(arm_col) if isinstance(arm_col, str) else arm_col
+    ).cast("string")
+    per = df.groupBy(arm.alias("arm")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    if expected is not None:
+        total_share = float(sum(expected.values()))
+        share = F.lit(None).cast("double")
+        for k, v in sorted(expected.items()):
+            share = F.when(
+                F.col("arm") == k, F.lit(float(v) / total_share)
+            ).otherwise(share)
+        per = per.withColumn("expected_share", share)
+    else:
+        n_arms = per.agg(F.count(F.lit(1))).collect()[0][0]
+        per = per.withColumn(
+            "expected_share", F.lit(1.0 / float(n_arms))
+        )
+    tot = per.agg(F.sum("n").alias("__N"))
+    j = per.crossJoin(F.broadcast(tot))
+    exp_n = F.col("expected_share") * F.col("__N").cast("double")
+    term = F.round(
+        (F.col("n").cast("double") - exp_n)
+        * (F.col("n").cast("double") - exp_n)
+        / exp_n,
+        9,
+    ).cast("decimal(38,9)")
+    rows = j.select(
+        "arm",
+        "n",
+        "expected_share",
+        exp_n.alias("__en"),
+        term.alias("__t"),
+    )
+    fam = rows.agg(
+        F.sum("__t").alias("__x2"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    x = F.col("__x2").cast("double")
+    dfree = (F.col("__k") - 1).cast("int")
+    fam_cols = fam.select(
+        F.round(x, 6).alias("chi2"),
+        dfree.cast("long").alias("df"),
+        F.round(chi2_sf_col(x, dfree), 9).alias("p_value"),
+    ).withColumn(
+        "srm_flag", F.col("p_value") < F.lit(float(alpha))
+    )
+    return (
+        rows.crossJoin(F.broadcast(fam_cols))
+        .select(
+            "arm",
+            F.col("n").cast("long").alias("n"),
+            F.round("expected_share", 6).alias("expected_share"),
+            F.round("__en", 2).alias("expected_n"),
+            F.round(F.col("__t").cast("double"), 6).alias("chi2_term"),
+            "chi2",
+            "df",
+            "p_value",
+            "srm_flag",
+        )
+    )
+
+
+def cuped_adjusted_ate(
+    df: DataFrame,
+    arm_col,
+    metric_col: str,
+    covariate_col: str,
+) -> DataFrame:
+    """CUPED variance-reduced treatment-effect estimate (Deng,
+    Xu, Kohavi & Walker, WSDM 2013): one row ``(n_t, n_c, theta,
+    ate_raw, ate_cuped, var_reduction)`` where the pre-experiment
+    covariate X adjusts the metric Y,
+
+        θ = Cov(X, Y) / Var(X)          (pooled over both arms)
+        Y' = Y − θ·(X − mean X)
+        ATE_cuped = mean(Y'|treat) − mean(Y'|control)
+
+    — the industry-standard variance-reduction for online
+    experiments (≈ρ² of the metric variance removed, reported as
+    ``var_reduction``). The point estimate is unbiased for the same
+    ATE because E[X] is arm-independent under randomization; the
+    gain is narrower confidence bands, i.e. shorter experiments.
+
+    ONE map-side-combined aggregate computes every moment (per-arm
+    sums + pooled cross-moments) as exact DECIMAL of 4-dp-rounded
+    inputs / 9-dp-rounded products; θ and the adjusted means are
+    row-local double arithmetic on the 1-row result, rounded 6 dp —
+    engine-identical. Degenerate inputs (an empty arm or zero
+    covariate variance) return NULL adjusted columns.
+    """
+    a = (
+        F.col(arm_col) if isinstance(arm_col, str) else arm_col
+    ).cast("boolean")
+    dec = "decimal(38,4)"
+    dec9 = "decimal(38,9)"
+    xv = F.round(F.col(covariate_col).cast("double"), 4).cast(dec)
+    yv = F.round(F.col(metric_col).cast("double"), 4).cast(dec)
+    xy = F.round(
+        F.col(covariate_col).cast("double")
+        * F.col(metric_col).cast("double"),
+        9,
+    ).cast(dec9)
+    xx = F.round(
+        F.col(covariate_col).cast("double")
+        * F.col(covariate_col).cast("double"),
+        9,
+    ).cast(dec9)
+    yy = F.round(
+        F.col(metric_col).cast("double")
+        * F.col(metric_col).cast("double"),
+        9,
+    ).cast(dec9)
+    agg = df.agg(
+        F.sum(F.when(a, 1).otherwise(0)).alias("__nt"),
+        F.sum(F.when(a, 0).otherwise(1)).alias("__nc"),
+        F.sum(xv).alias("__sx"),
+        F.sum(yv).alias("__sy"),
+        F.sum(xy).alias("__sxy"),
+        F.sum(xx).alias("__sxx"),
+        F.sum(yy).alias("__syy"),
+        F.sum(F.when(a, yv)).alias("__syt"),
+        F.sum(F.when(~a, yv)).alias("__syc"),
+        F.sum(F.when(a, xv)).alias("__sxt"),
+        F.sum(F.when(~a, xv)).alias("__sxc"),
+    )
+    nt = F.col("__nt").cast("double")
+    nc = F.col("__nc").cast("double")
+    n = nt + nc
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    cov = F.col("__sxy").cast("double") - sx * sy / n
+    varx = F.col("__sxx").cast("double") - sx * sx / n
+    vary = F.col("__syy").cast("double") - sy * sy / n
+    theta = cov / varx
+    ate_raw = (
+        F.col("__syt").cast("double") / nt
+        - F.col("__syc").cast("double") / nc
+    )
+    ate_cuped = ate_raw - theta * (
+        F.col("__sxt").cast("double") / nt
+        - F.col("__sxc").cast("double") / nc
+    )
+    rho2 = cov * cov / (varx * vary)
+    ok = (F.col("__nt") > 0) & (F.col("__nc") > 0) & (varx > 0) & (
+        vary > 0
+    )
+    return agg.select(
+        F.col("__nt").cast("long").alias("n_t"),
+        F.col("__nc").cast("long").alias("n_c"),
+        F.round(F.when(ok, theta), 6).alias("theta"),
+        F.round(
+            F.when((F.col("__nt") > 0) & (F.col("__nc") > 0), ate_raw),
+            6,
+        ).alias("ate_raw"),
+        F.round(F.when(ok, ate_cuped), 6).alias("ate_cuped"),
+        F.round(F.when(ok, rho2), 6).alias("var_reduction"),
+    )
+
+
+def mde_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    metric_col: str,
+    z_alpha: float = 1.959964,
+    z_beta: float = 0.841621,
+) -> DataFrame:
+    """Minimum detectable effect per group (experiment POWER
+    planning): one row per group ``(group, n, mean, sd, mde_abs,
+    mde_rel)`` with the classic two-sample normal-approximation MDE
+    at a 50/50 split of the group's current n,
+
+        MDE = (z_{α/2} + z_β) · sd · √(2 / (n/2))
+
+    (default z literals: two-sided α = 0.05, power = 0.80 — shared
+    as plain doubles, no engine quantile call). The planning face of
+    the experimentation family: :func:`two_proportion_ztest` and
+    :func:`cuped_adjusted_ate` read an experiment out; this says
+    what an experiment on THIS segment could even detect — segments
+    whose MDE exceeds any plausible effect aren't worth testing.
+
+    ONE map-side-combined aggregate (count + exact-DECIMAL moment
+    sums of 4/9-dp-rounded terms) per group; sd uses the n−1 sample
+    form; groups with n < 4 return NULL MDE (no meaningful split).
+    """
+    dec = "decimal(38,4)"
+    dec9 = "decimal(38,9)"
+    v = F.round(F.col(metric_col).cast("double"), 4).cast(dec)
+    v2 = F.round(
+        F.col(metric_col).cast("double")
+        * F.col(metric_col).cast("double"),
+        9,
+    ).cast(dec9)
+    g = df.groupBy(*list(group_cols)).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(v).alias("__s"),
+        F.sum(v2).alias("__s2"),
+    )
+    n = F.col("__n").cast("double")
+    mean = F.col("__s").cast("double") / n
+    var = (
+        F.col("__s2").cast("double") - n * mean * mean
+    ) / (n - F.lit(1.0))
+    sd = F.sqrt(var)
+    mde = (
+        F.lit(float(z_alpha) + float(z_beta))
+        * sd
+        * F.sqrt(F.lit(2.0) / (n / F.lit(2.0)))
+    )
+    ok = (F.col("__n") >= 4) & (var > 0)
+    return g.select(
+        *list(group_cols),
+        F.col("__n").cast("long").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(F.when(F.col("__n") >= 2, sd), 6).alias("sd"),
+        F.round(F.when(ok, mde), 6).alias("mde_abs"),
+        F.round(F.when(ok & (mean != 0), mde / mean), 6).alias(
+            "mde_rel"
+        ),
     )

@@ -4215,18 +4215,12 @@ def q258_eb_shrunk_rates(
 
 
 def _q259_oracle(sf_dir: str | None = None) -> str:
-    # chi-square even-df survival polynomial, transcribed with the
-    # operator's exact IEEE op order: pow terms as left-assoc products
-    # of (x/2), divided by the literal factorial
-    fact, terms = 1.0, []
-    for i in range(1, 8):
-        fact *= i
-        prod = " * ".join(["(x2 / 2.0)"] * i)
-        terms.append(
-            f"CASE WHEN df >= {2 * (i + 1)} THEN {prod} / {fact!r} "
-            "ELSE 0.0 END"
-        )
-    poly = "1.0 + " + " + ".join(terms)
+    # chi-square survival for BOTH df parities via the shared
+    # paired-builder (operators/mathfn.chi2_sf_sql) — identical
+    # literals and IEEE op order to the Spark side's chi2_sf_col
+    from bigdata_kafka_2_spark.operators.mathfn import chi2_sf_sql
+
+    sf_expr = chi2_sf_sql("x2", "df", max_df=16)
     return f"""
     WITH cells AS (
       SELECT c_nationkey AS g, c_mktsegment AS c,
@@ -4268,12 +4262,10 @@ def _q259_oracle(sf_dir: str | None = None) -> str:
     tests AS (
       SELECT g, CAST(n AS BIGINT) AS n,
              round(CAST(x2s AS DOUBLE), 6) AS chi2,
-             CAST((kc - 1) * (kf - 1) AS BIGINT) AS df,
-             CASE WHEN (kc - 1) * (kf - 1) > 0
-                   AND (kc - 1) * (kf - 1) % 2 = 0
-                   AND (kc - 1) * (kf - 1) <= 16 THEN
-               round(exp(-(x2 / 2.0)) * ({poly}), 9) END AS p
-      FROM (SELECT *, CAST(x2s AS DOUBLE) AS x2 FROM per)
+             CAST(df AS BIGINT) AS df,
+             round({sf_expr}, 9) AS p
+      FROM (SELECT *, CAST(x2s AS DOUBLE) AS x2,
+                   (kc - 1) * (kf - 1) AS df FROM per)
     ),
     ranked AS (
       SELECT *, row_number() OVER (
@@ -4312,13 +4304,14 @@ def _q259_oracle(sf_dir: str | None = None) -> str:
     "sweeping 25 nations at alpha=0.1 each yields ~2.5 false alarms "
     "per sweep, BH holds the expected false-discovery FRACTION at "
     "alpha, which is what a segment-sweep drift monitor ships. The "
-    "chi-square p uses the closed form for even df "
-    "(exp(-x/2) * sum (x/2)^i/i!), a plain exp-and-polynomial both "
-    "engines evaluate in the same IEEE order - no incomplete-gamma "
-    "library call; absent grid cells enter as O=0 (they contribute "
-    "E, which a present-cells-only sum silently drops); r* is one "
-    "bounded aggregate over the |tests|-row table. Groups with odd/"
-    "zero/oversized df carry NULL p and a FALSE 'tested' flag so the "
+    "chi-square p uses closed-form survival for BOTH df parities "
+    "(operators/mathfn: even df exp-polynomial; odd df adds the "
+    "shared literal-coefficient erfc, A&S 7.1.26) - no incomplete-"
+    "gamma library call, both engines evaluate the same IEEE order; "
+    "absent grid cells enter as O=0 (they contribute E, which a "
+    "present-cells-only sum silently drops); r* is one bounded "
+    "aggregate over the |tests|-row table. Groups with zero or "
+    "oversized df carry NULL p and a FALSE 'tested' flag so any "
     "exclusion from the BH family is visible, never silent.",
     tags=("profile", "aggregate", "window"),
 )
@@ -4425,3 +4418,335 @@ def q261_cochran_armitage(
         "score",
         "hv",
     )
+
+
+@register(
+    "q263_cuped_ate",
+    oracle="""
+    WITH base AS (
+      SELECT (o_custkey % 2 = 0) AS arm,
+             CAST(o_totalprice AS DOUBLE) AS y,
+             CAST(c_acctbal AS DOUBLE) AS x
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ),
+    agg AS (
+      SELECT
+        sum(CASE WHEN arm THEN 1 ELSE 0 END) AS nt,
+        sum(CASE WHEN arm THEN 0 ELSE 1 END) AS nc,
+        sum(CAST(round(x, 4) AS DECIMAL(38,4))) AS sx,
+        sum(CAST(round(y, 4) AS DECIMAL(38,4))) AS sy,
+        sum(CAST(round(x * y, 9) AS DECIMAL(38,9))) AS sxy,
+        sum(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS sxx,
+        sum(CAST(round(y * y, 9) AS DECIMAL(38,9))) AS syy,
+        sum(CASE WHEN arm THEN CAST(round(y, 4) AS DECIMAL(38,4)) END)
+          AS syt,
+        sum(CASE WHEN NOT arm THEN CAST(round(y, 4) AS DECIMAL(38,4)) END)
+          AS syc,
+        sum(CASE WHEN arm THEN CAST(round(x, 4) AS DECIMAL(38,4)) END)
+          AS sxt,
+        sum(CASE WHEN NOT arm THEN CAST(round(x, 4) AS DECIMAL(38,4)) END)
+          AS sxc
+      FROM base
+    ),
+    calc AS (
+      SELECT CAST(nt AS BIGINT) AS n_t, CAST(nc AS BIGINT) AS n_c,
+        CAST(nt AS DOUBLE) AS ntd, CAST(nc AS DOUBLE) AS ncd,
+        CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+        CAST(syy AS DOUBLE) AS syyd,
+        CAST(syt AS DOUBLE) AS sytd, CAST(syc AS DOUBLE) AS sycd,
+        CAST(sxt AS DOUBLE) AS sxtd, CAST(sxc AS DOUBLE) AS sxcd
+      FROM agg
+    ),
+    m AS (
+      SELECT *,
+        sxyd - sxd * syd / (ntd + ncd) AS cov,
+        sxxd - sxd * sxd / (ntd + ncd) AS varx,
+        syyd - syd * syd / (ntd + ncd) AS vary,
+        sytd / ntd - sycd / ncd AS ate_raw_v
+      FROM calc
+    )
+    SELECT n_t, n_c,
+      round(cov / varx, 6) AS theta,
+      round(ate_raw_v, 6) AS ate_raw,
+      round(ate_raw_v - (cov / varx) * (sxtd / ntd - sxcd / ncd), 6)
+        AS ate_cuped,
+      round(cov * cov / (varx * vary), 6) AS var_reduction
+    FROM m
+    """,
+    description="CUPED variance-reduced treatment effect (operators/"
+    "profile.cuped_adjusted_ate; Deng, Xu, Kohavi & Walker WSDM 2013) "
+    "over a deterministic customer-parity split, with account balance "
+    "as the pre-experiment covariate for order value: theta = "
+    "Cov(X,Y)/Var(X) pooled, adjusted means per arm, and the "
+    "variance-reduction fraction rho^2 - the industry-standard "
+    "experiment shortener next to the readout tests (q264 z-test, "
+    "q244 stratified ATE). ONE map-side-combined moment aggregate "
+    "(exact DECIMAL of 4/9-dp-rounded terms); all ratios are "
+    "row-local double math on the 1-row result.",
+    tags=("profile", "aggregate", "join"),
+)
+def q263_cuped_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import (
+        cuped_adjusted_ate,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        (F.col("o_custkey") % 2 == 0).alias("arm"),
+        F.col("o_totalprice").alias("y"),
+        F.col("c_acctbal").alias("x"),
+    )
+    return cuped_adjusted_ate(base, "arm", "y", "x")
+
+
+def _q264_oracle(sf_dir: str | None = None) -> str:
+    import math
+
+    from bigdata_kafka_2_spark.operators.mathfn import erfc_sql
+
+    p_expr = erfc_sql(f"abs(z) / {math.sqrt(2.0)!r}")
+    return f"""
+    WITH agg AS (
+      SELECT
+        sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END) AS na,
+        sum(CASE WHEN o_custkey % 2 = 0
+                  AND o_totalprice > 150000 THEN 1 ELSE 0 END) AS xa,
+        sum(CASE WHEN o_custkey % 2 = 0 THEN 0 ELSE 1 END) AS nb,
+        sum(CASE WHEN o_custkey % 2 <> 0
+                  AND o_totalprice > 150000 THEN 1 ELSE 0 END) AS xb
+      FROM orders
+    ),
+    m AS (
+      SELECT *,
+        CAST(xa AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+        CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb,
+        (CAST(xa AS DOUBLE) + CAST(xb AS DOUBLE))
+          / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) AS pool
+      FROM agg
+    ),
+    zc AS (
+      SELECT *,
+        (pa - pb) / sqrt(pool * (1.0 - pool)
+                         * (1.0 / CAST(na AS DOUBLE)
+                            + 1.0 / CAST(nb AS DOUBLE))) AS z
+      FROM m
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(xa AS BIGINT) AS x_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(xb AS BIGINT) AS x_b,
+           round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+           round(pa - pb, 6) AS diff,
+           round(z, 6) AS z,
+           round({p_expr}, 9) AS p_value
+    FROM zc
+    """
+
+
+@register(
+    "q264_ab_conversion_ztest",
+    oracle=_q264_oracle,
+    description="Two-proportion z-test (operators/profile."
+    "two_proportion_ztest) of high-value-order conversion between a "
+    "deterministic customer-parity split - the A/B-readout workhorse, "
+    "and the repo's first normal-tail p-value through the oracle "
+    "gate: p = erfc(|z|/sqrt(2)) via operators/mathfn's shared "
+    "literal-coefficient A&S 7.1.26 polynomial, which Spark and "
+    "DuckDB evaluate in the same IEEE order (neither engine has a "
+    "builtin erf). ONE map-side-combined four-cell aggregate; pooled-"
+    "variance z and the tail are row-local double math on the 1-row "
+    "result.",
+    tags=("profile", "aggregate"),
+)
+def q264_ab_conversion_ztest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import (
+        two_proportion_ztest,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    return two_proportion_ztest(
+        o,
+        F.col("o_custkey") % 2 == 0,
+        F.col("o_totalprice") > 150000,
+    )
+
+
+def _q265_oracle(sf_dir: str | None = None) -> str:
+    from bigdata_kafka_2_spark.operators.mathfn import chi2_sf_sql
+
+    sf_expr = chi2_sf_sql("x2", "df", max_df=16)
+    return f"""
+    WITH per AS (
+      SELECT CAST(o_custkey % 4 AS VARCHAR) AS arm,
+             count(*) AS n, 0.25 AS expected_share
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS bigN FROM per),
+    rows_t AS (
+      SELECT arm, n, expected_share,
+             expected_share * CAST(bigN AS DOUBLE) AS en,
+             CAST(round(
+               (CAST(n AS DOUBLE) - expected_share * CAST(bigN AS DOUBLE))
+               * (CAST(n AS DOUBLE) - expected_share * CAST(bigN AS DOUBLE))
+               / (expected_share * CAST(bigN AS DOUBLE)), 9)
+             AS DECIMAL(38,9)) AS t
+      FROM per, tot
+    ),
+    fam AS (
+      SELECT CAST(sum(t) AS DOUBLE) AS x2,
+             CAST(count(*) - 1 AS INT) AS df
+      FROM rows_t
+    ),
+    famc AS (
+      SELECT round(x2, 6) AS chi2, CAST(df AS BIGINT) AS df,
+             round({sf_expr}, 9) AS p_value
+      FROM fam
+    )
+    SELECT arm, CAST(n AS BIGINT) AS n,
+           round(expected_share, 6) AS expected_share,
+           round(en, 2) AS expected_n,
+           round(CAST(t AS DOUBLE), 6) AS chi2_term,
+           chi2, famc.df AS df, p_value,
+           (p_value < 0.001) AS srm_flag
+    FROM rows_t, famc
+    """
+
+
+@register(
+    "q265_srm_gate",
+    oracle=_q265_oracle,
+    description="Sample-ratio-mismatch gate (operators/profile."
+    "srm_check): observed traffic counts across a deterministic "
+    "4-way customer split against equal expected shares - the "
+    "first sanity check every experimentation platform runs; a "
+    "significant chi-square means the ASSIGNMENT is broken and every "
+    "downstream metric is invalid. Exercises the ODD-df chi-square "
+    "survival (df=3) via operators/mathfn's paired closed form "
+    "(erfc term + half-integer series, shared literals, same IEEE "
+    "order on both engines) - a p-value the even-only closed form "
+    "could never hash. One count aggregate; 9-dp DECIMAL terms; "
+    "family scalars broadcast onto the |arms|-row output.",
+    tags=("profile", "aggregate"),
+)
+def q265_srm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import srm_check
+
+    o = read_table(spark, sf_dir, "orders")
+    return srm_check(o, (F.col("o_custkey") % 4).cast("string"))
+
+
+@register(
+    "q266_isotonic_calibration",
+    oracle="""
+    WITH bins AS (
+      SELECT l_discount AS score, count(*) AS n,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT score, n, pos,
+             row_number() OVER (ORDER BY score) AS i,
+             sum(n) OVER (ORDER BY score
+               ROWS UNBOUNDED PRECEDING) AS cn,
+             sum(pos) OVER (ORDER BY score
+               ROWS UNBOUNDED PRECEDING) AS cp
+      FROM bins
+    ),
+    intervals AS (
+      SELECT lo.i AS a, hi.i AS b,
+             round(CAST(hi.cp - (lo.cp - lo.pos) AS DOUBLE)
+                   / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE), 9) AS m
+      FROM ranked lo JOIN ranked hi ON lo.i <= hi.i
+    ),
+    inner_min AS (
+      SELECT r.i AS pt, iv.a, min(iv.m) AS minm
+      FROM ranked r JOIN intervals iv
+        ON iv.a <= r.i AND r.i <= iv.b
+      GROUP BY 1, 2
+    ),
+    iso AS (
+      SELECT pt, max(minm) AS iso FROM inner_min GROUP BY 1
+    )
+    SELECT ranked.score, CAST(ranked.n AS BIGINT) AS n,
+           CAST(ranked.pos AS BIGINT) AS pos,
+           round(CAST(ranked.pos AS DOUBLE)
+                 / CAST(ranked.n AS DOUBLE), 6) AS raw_rate,
+           round(iso.iso, 6) AS iso_rate
+    FROM ranked JOIN iso ON iso.pt = ranked.i
+    """,
+    description="Isotonic calibration of the discount level against "
+    "return probability (operators/evalmetrics."
+    "isotonic_binned_calibration; Zadrozny & Elkan 2002): the exact "
+    "PAVA staircase via the max-min interval-mean representation "
+    "g(i) = max_a<=i min_b>=i mean(a..b) - the monotone-calibration "
+    "member of the eval family (q245's conformal threshold bounds "
+    "error; q182's ECE measures miscalibration; this FIXES it). "
+    "Data-sized work ends at one map-side-combined aggregate to the "
+    "distinct-score bin table; the interval lattice is bins-bounded "
+    "(asserted <= 64), broadcast-joined, with 9-dp DECIMAL interval "
+    "means so max/min ties resolve identically cross-engine.",
+    tags=("evalmetrics", "aggregate", "window"),
+)
+def q266_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        isotonic_binned_calibration,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return isotonic_binned_calibration(
+        li, "l_discount", F.col("l_returnflag") == "R"
+    )
+
+
+@register(
+    "q267_mde_by_segment",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority,
+             count(*) AS n,
+             sum(CAST(round(CAST(o_totalprice AS DOUBLE), 4)
+                      AS DECIMAL(38,4))) AS s,
+             sum(CAST(round(CAST(o_totalprice AS DOUBLE)
+                            * CAST(o_totalprice AS DOUBLE), 9)
+                      AS DECIMAL(38,9))) AS s2
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT o_orderpriority, n,
+        CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        sqrt((CAST(s2 AS DOUBLE)
+              - CAST(n AS DOUBLE)
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(n AS DOUBLE) - 1.0)) AS sd,
+        CAST(n AS DOUBLE) AS nd
+      FROM g
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+           round(mean, 6) AS mean, round(sd, 6) AS sd,
+           round(2.801585 * sd * sqrt(2.0 / (nd / 2.0)), 6) AS mde_abs,
+           round(2.801585 * sd * sqrt(2.0 / (nd / 2.0)) / mean, 6)
+             AS mde_rel
+    FROM m
+    """,
+    description="Minimum detectable effect per order-priority segment "
+    "(operators/profile.mde_by_group): the experiment POWER-planning "
+    "face of the experimentation family - (z_a/2 + z_b) * sd * "
+    "sqrt(2/(n/2)) at alpha=0.05 / power=0.8 with the z quantiles as "
+    "shared double literals (no engine quantile call); segments whose "
+    "MDE exceeds any plausible effect are not worth testing. One "
+    "map-side-combined moment aggregate per segment (exact DECIMAL "
+    "of 4/9-dp-rounded terms), sample-sd form.",
+    tags=("profile", "aggregate"),
+)
+def q267_mde_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import mde_by_group
+
+    o = read_table(spark, sf_dir, "orders")
+    return mde_by_group(o, ["o_orderpriority"], "o_totalprice")

@@ -1,0 +1,233 @@
+"""Hand-checked tests for the r13 experimentation/calibration family
+(two-proportion z-test, SRM gate, CUPED, MDE, isotonic calibration)
+and the cross-engine special functions backing them
+(operators/mathfn: shared literal-coefficient erfc + both-parity
+chi-square survival)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_erfc_accuracy_and_parity(spark):
+    """The A&S 7.1.26 polynomial stays within its published 1.5e-7
+    bound of math.erfc, and the Spark/SQL builders agree after the
+    callers' 9-dp rounding (the 1-ulp exp divergence is absorbed)."""
+    import duckdb
+
+    from bigdata_kafka_2_spark.operators.mathfn import (
+        erfc_col,
+        erfc_sql,
+    )
+
+    vals = [0.0, 0.05, 0.3, 0.7, 1.0, 1.3, 2.0, 2.7, 3.5]
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r.x: r.e
+        for r in sdf.select("x", erfc_col(F.col("x")).alias("e")).collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        assert abs(got[v] - math.erfc(v)) < 2e-7
+        dv = con.execute(
+            f"select {erfc_sql('x')} from (select CAST({v} AS DOUBLE) x)"
+        ).fetchone()[0]
+        assert round(dv, 9) == round(got[v], 9)
+
+
+def test_chi2_sf_known_quantiles(spark):
+    """Survival at the textbook 95% quantiles is 0.05 for BOTH
+    parities (df 1..5 and the 15/16 edge); df outside [1, 16] is
+    NULL."""
+    from bigdata_kafka_2_spark.operators.mathfn import chi2_sf_col
+
+    cases = [
+        (1, 3.841459),
+        (2, 5.991465),
+        (3, 7.814728),
+        (4, 9.487729),
+        (5, 11.070498),
+        (15, 24.995790),
+        (16, 26.296228),
+        (0, 1.0),
+        (17, 1.0),
+    ]
+    sdf = spark.createDataFrame(
+        [(float(x), df) for df, x in cases], "x double, df int"
+    )
+    got = {
+        r.df: r.p
+        for r in sdf.select(
+            "df", chi2_sf_col(F.col("x"), F.col("df")).alias("p")
+        ).collect()
+    }
+    for df, _ in cases:
+        if 1 <= df <= 16:
+            assert abs(got[df] - 0.05) < 5e-7, (df, got[df])
+        else:
+            assert got[df] is None
+
+
+def test_two_proportion_ztest_hand_checked(spark):
+    """Arms 40/100 vs 25/100: z via the pooled form, two-sided p =
+    erfc(|z|/sqrt 2); flipping the arms flips the signs only."""
+    from bigdata_kafka_2_spark.operators.profile import (
+        two_proportion_ztest,
+    )
+
+    rows = (
+        [(True, 1)] * 40
+        + [(True, 0)] * 60
+        + [(False, 1)] * 25
+        + [(False, 0)] * 75
+    )
+    df = spark.createDataFrame(rows, "arm boolean, y int")
+    r = two_proportion_ztest(df, "arm", "y").collect()[0]
+    assert (r.n_a, r.x_a, r.n_b, r.x_b) == (100, 40, 100, 25)
+    pool = 65.0 / 200.0
+    se = math.sqrt(pool * (1 - pool) * (1 / 100.0 + 1 / 100.0))
+    z = (0.4 - 0.25) / se
+    assert abs(r.z - z) < 1e-5
+    assert abs(float(r.p_value) - math.erfc(abs(z) / math.sqrt(2))) < 1e-6
+    # degenerate: all-positive outcomes -> zero variance -> NULL
+    allpos = spark.createDataFrame(
+        [(True, 1)] * 3 + [(False, 1)] * 3, "arm boolean, y int"
+    )
+    d = two_proportion_ztest(allpos, "arm", "y").collect()[0]
+    assert d.z is None and d.p_value is None
+
+
+def test_srm_check_hand_checked(spark):
+    """600/400 observed against an expected 50/50 of n=1000:
+    chi2 = (100^2/500)*2 = 40, df = 1, p = erfc(sqrt(20)) ~ 2.5e-10
+    -> flagged."""
+    from bigdata_kafka_2_spark.operators.profile import srm_check
+
+    rows = [("a",)] * 600 + [("b",)] * 400
+    df = spark.createDataFrame(rows, "arm string")
+    got = {r.arm: r for r in srm_check(df, "arm").collect()}
+    assert got["a"].n == 600 and got["b"].n == 400
+    assert got["a"].expected_n == 500.0
+    assert abs(got["a"].chi2 - 40.0) < 1e-6
+    assert got["a"].df == 1
+    assert float(got["a"].p_value) < 1e-8
+    assert got["a"].srm_flag is True
+    # explicit non-equal expectation that matches -> not flagged
+    ok = srm_check(
+        df, "arm", expected={"a": 0.6, "b": 0.4}
+    ).collect()[0]
+    assert ok.chi2 == 0.0 and ok.srm_flag is False
+
+
+def test_cuped_hand_checked(spark):
+    """Constructed so X explains most of Y's variance: theta and the
+    adjusted ATE match the closed-form moments computed in Python."""
+    from bigdata_kafka_2_spark.operators.profile import (
+        cuped_adjusted_ate,
+    )
+
+    # y = 2x + arm_effect + small noise pattern
+    data = []
+    for i in range(40):
+        x = float(i % 10)
+        arm = i % 2 == 0
+        y = 2.0 * x + (3.0 if arm else 0.0) + (0.5 if i % 4 == 0 else 0.0)
+        data.append((arm, y, x))
+    df = spark.createDataFrame(data, "arm boolean, y double, x double")
+    r = cuped_adjusted_ate(df, "arm", "y", "x").collect()[0]
+    xs = [d[2] for d in data]
+    ys = [d[1] for d in data]
+    n = len(data)
+    sx, sy = sum(xs), sum(ys)
+    cov = sum(a * b for a, b in zip(xs, ys)) - sx * sy / n
+    varx = sum(a * a for a in xs) - sx * sx / n
+    vary = sum(b * b for b in ys) - sy * sy / n
+    theta = cov / varx
+    yt = [d[1] for d in data if d[0]]
+    yc = [d[1] for d in data if not d[0]]
+    xt = [d[2] for d in data if d[0]]
+    xc = [d[2] for d in data if not d[0]]
+    ate_raw = sum(yt) / len(yt) - sum(yc) / len(yc)
+    ate_cuped = ate_raw - theta * (sum(xt) / len(xt) - sum(xc) / len(xc))
+    assert abs(r.theta - theta) < 1e-4
+    assert abs(r.ate_raw - ate_raw) < 1e-4
+    assert abs(r.ate_cuped - ate_cuped) < 1e-4
+    assert abs(r.var_reduction - cov * cov / (varx * vary)) < 1e-4
+    # the whole point: the adjusted estimate is closer to the true
+    # effect (3.0 + the noise-pattern offset cancels across arms at
+    # this construction) than the raw one is
+    assert abs(r.ate_cuped - 3.25) < abs(r.ate_raw - 3.25) + 1e-9
+
+
+def test_mde_by_group_hand_checked(spark):
+    """n=8 values of sd=2 around 10: MDE = 2.801585*2*sqrt(2/4)."""
+    from bigdata_kafka_2_spark.operators.profile import mde_by_group
+
+    vals = [8.0, 12.0] * 4  # mean 10, sample var 32/7... compute exact
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, v double"
+    )
+    r = mde_by_group(df, ["g"], "v").collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / (n - 1)
+    sd = math.sqrt(var)
+    want = 2.801585 * sd * math.sqrt(2.0 / (n / 2.0))
+    assert r.n == n and r.mean == 10.0
+    assert abs(r.sd - sd) < 1e-5
+    assert abs(r.mde_abs - want) < 1e-4
+    assert abs(r.mde_rel - want / mean) < 1e-4
+    # n < 4 -> NULL MDE
+    tiny = spark.createDataFrame(
+        [("t", 1.0), ("t", 2.0)], "g string, v double"
+    )
+    t = mde_by_group(tiny, ["g"], "v").collect()[0]
+    assert t.mde_abs is None and t.sd is not None
+
+
+def test_isotonic_calibration_hand_checked(spark):
+    """Rates (0.25, 0.0, 0.5) violate monotonicity at the first pair:
+    PAVA pools bins 1-2 to 1/8 = 0.125 and leaves bin 3 at 0.5."""
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        isotonic_binned_calibration,
+    )
+
+    rows = (
+        [(1.0, 1)] * 1 + [(1.0, 0)] * 3
+        + [(2.0, 0)] * 4
+        + [(3.0, 1)] * 2 + [(3.0, 0)] * 2
+    )
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = {
+        r.score: r
+        for r in isotonic_binned_calibration(df, "s", "y").collect()
+    }
+    assert got[1.0].raw_rate == 0.25 and got[2.0].raw_rate == 0.0
+    assert got[1.0].iso_rate == 0.125
+    assert got[2.0].iso_rate == 0.125
+    assert got[3.0].iso_rate == 0.5
+    # already-monotone input is returned unchanged
+    mono = spark.createDataFrame(
+        [(1.0, 0)] * 3 + [(1.0, 1)] * 1 + [(2.0, 1)] * 1 + [(2.0, 0)] * 1,
+        "s double, y int",
+    )
+    g2 = {
+        r.score: r
+        for r in isotonic_binned_calibration(mono, "s", "y").collect()
+    }
+    assert g2[1.0].iso_rate == 0.25 and g2[2.0].iso_rate == 0.5
+
+
+def test_isotonic_calibration_rejects_too_many_bins(spark):
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        isotonic_binned_calibration,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i), i % 2) for i in range(100)], "s double, y int"
+    )
+    with pytest.raises(ValueError, match="max_bins"):
+        isotonic_binned_calibration(df, "s", "y", max_bins=64)

@@ -4387,10 +4387,12 @@ def test_rbo_includes_right_only_groups(spark):
 
 
 def test_chi2_fdr_tested_flag_surfaces_exclusions(spark):
-    """r12 advice: groups whose implied df is odd (3 categories x
-    bool flag -> df=2 tested; 2 categories -> df=1 untested) must
-    carry tested=false rather than silently dropping from the BH
-    family."""
+    """r12 advice: the BH family now covers BOTH df parities (the
+    odd-df survival via mathfn's shared erfc), and any group still
+    excluded (df=0: a single category) carries tested=false rather
+    than silently dropping from the family."""
+    import math
+
     from bigdata_kafka_2_spark.operators.profile import (
         groupwise_chi2_fdr,
     )
@@ -4400,10 +4402,12 @@ def test_chi2_fdr_tested_flag_surfaces_exclusions(spark):
     for c in ("x", "y", "z"):
         for f in (0, 1):
             rows += [("even", c, f)] * (3 + (f + 1) * (ord(c) % 3))
-    # group 'odd': 2 categories x flag -> df = 1 (untested)
+    # group 'odd': 2 categories x flag -> df = 1 (NOW tested)
     for c in ("x", "y"):
         for f in (0, 1):
-            rows += [("odd", c, f)] * 4
+            rows += [("odd", c, f)] * (4 if (c == "x") == (f == 1) else 2)
+    # group 'deg': 1 category -> df = 0 (untested)
+    rows += [("deg", "x", 0)] * 3 + [("deg", "x", 1)] * 3
     df = spark.createDataFrame(rows, "g string, c string, f int")
     got = {
         r.g: r
@@ -4412,8 +4416,12 @@ def test_chi2_fdr_tested_flag_surfaces_exclusions(spark):
         ).collect()
     }
     assert got["even"].tested is True
-    assert got["odd"].tested is False
-    assert got["odd"].p_value is None and got["odd"].rejected is False
+    assert got["odd"].tested is True and got["odd"].p_value is not None
+    # df=1 survival = erfc(sqrt(x/2)): check against the closed form
+    want = math.erfc(math.sqrt(got["odd"].chi2 / 2.0))
+    assert abs(float(got["odd"].p_value) - want) < 1e-6
+    assert got["deg"].tested is False
+    assert got["deg"].p_value is None and got["deg"].rejected is False
 
 
 def test_read_reservoir_raises_on_duplicate_payload_in_batch(spark, tmp_path):
