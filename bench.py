@@ -291,6 +291,8 @@ HEADLINE = (
     "q265_srm_gate",
     "q266_isotonic_calibration",
     "q267_mde_by_segment",
+    "q268_ucb_arm_ranking",
+    "q269_ngram_novelty",
 )
 
 
@@ -421,6 +423,32 @@ def main() -> None:
                     duckdb_sec[name] = f"err: {exc}"[:120]
         except Exception as exc:  # pragma: no cover
             duckdb_sec = {"_setup_err": str(exc)[:200]}
+    # Host-drift anchor (r12 verdict #7): before overwriting the
+    # sidecar, read the PREVIOUS round's canary trace and publish the
+    # median-to-median ratio next to the raw record, so round-over-
+    # round comparisons can be judged on code, not hosts (the canary
+    # plan is constant across rounds; its drift is the host's).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    host_anchor: dict[str, object] = {}
+    try:
+        with open(detail_path) as fh:
+            prev = json.load(fh)
+        prev_canary = sorted(
+            prev.get("noise_protocol", {}).get("canary_sec", [])[1:]
+        )
+        cur_canary = sorted(canary_sec[1:])
+        if prev_canary and cur_canary:
+            pm = prev_canary[len(prev_canary) // 2]
+            cm = cur_canary[len(cur_canary) // 2]
+            host_anchor = {
+                "prev_canary_median": pm,
+                "canary_median": cm,
+                "host_drift_vs_prev": round(cm / pm, 3),
+            }
+    except (OSError, ValueError, KeyError):
+        pass
     # Per-query detail first (a separate, earlier stdout line plus a
     # sidecar file): round 7's single 42-query JSON line outgrew the
     # driver's tail capture and the record landed `parsed: null`. The
@@ -437,13 +465,13 @@ def main() -> None:
             "uncorroborated": uncorroborated,
             "canary_sec": canary_sec,
         },
+        "host_anchor": host_anchor,
         "duckdb_sec": duckdb_sec,
         "sf": sf_val,
     }
     print(json.dumps(detail))
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json"), "w") as fh:
+        with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)
     except OSError:
         pass  # detail file is best-effort; the stdout lines are canonical

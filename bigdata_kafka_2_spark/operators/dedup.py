@@ -1868,3 +1868,57 @@ def dup_cluster_profile(
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("cluster_size").alias("n_docs"),
     )
+
+
+def ngram_novelty(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-eval-document n-gram NOVELTY against a training corpus:
+    ``(id, n_grams, novel, novelty_rate)`` where ``novel`` counts the
+    eval document's distinct k-gram shingles that appear NOWHERE in
+    the training corpus — the aggregate-overlap complement of the
+    pair-level decontamination ops (:func:`decontaminate` flags
+    which eval docs collide with which train docs; this measures how
+    much of each eval doc is genuinely unseen text, the quantity an
+    eval-suite auditor reports as "benchmark freshness" and a
+    generation-eval reports as memorization risk).
+
+    Plan: both sides reduce to distinct (id, shingle) /
+    (shingle) tables (the :func:`shingles` machinery — data-sized
+    work ends at the map-side-combined distincts); novelty is ONE
+    left-anti join of eval shingles against the train shingle set on
+    the ``shingle`` key — the decontamination join shape reversed,
+    shuffle-keyed on the shingle (never doc×doc) — plus one count-up
+    per eval doc. A zero-shingle eval doc (shorter than k tokens
+    after normalization) reports 0/0 with NULL rate.
+    """
+    ev = shingles(eval_df, text_col, id_col, k)
+    tr = shingles(train, text_col, id_col, k).select(
+        "shingle"
+    ).distinct()
+    novel = ev.join(tr, on="shingle", how="left_anti")
+    totals = ev.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    novels = novel.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("novel")
+    )
+    return (
+        totals.join(novels, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("novel"), F.lit(0))
+            .cast("long")
+            .alias("novel"),
+            F.round(
+                F.coalesce(F.col("novel"), F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+    )

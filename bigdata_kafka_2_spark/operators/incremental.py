@@ -88,10 +88,19 @@ def merge_agg_states(
             F.coalesce(F.col("__s_a"), F.lit(0).cast(_DEC4))
             + F.coalesce(F.col("__s_b"), F.lit(0).cast(_DEC4))
         ).alias("sum4"),
+        # precision-37 operands: (38,8)+(38,8) would silently reduce
+        # the scale to 7 (Spark's allowPrecisionLoss addition rule —
+        # see relational.global_prefix_sum's docstring)
         (
-            F.coalesce(F.col("__q_a"), F.lit(0).cast("decimal(38,8)"))
-            + F.coalesce(F.col("__q_b"), F.lit(0).cast("decimal(38,8)"))
-        ).alias("sumsq8"),
+            F.coalesce(
+                F.col("__q_a").cast("decimal(37,8)"),
+                F.lit(0).cast("decimal(37,8)"),
+            )
+            + F.coalesce(
+                F.col("__q_b").cast("decimal(37,8)"),
+                F.lit(0).cast("decimal(37,8)"),
+            )
+        ).cast("decimal(38,8)").alias("sumsq8"),
         F.least("__mn_a", "__mn_b").alias("vmin"),
         F.greatest("__mx_a", "__mx_b").alias("vmax"),
     )

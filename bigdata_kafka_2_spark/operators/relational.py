@@ -487,17 +487,41 @@ def global_prefix_sum(
     ``decimal(38,6)`` for Kaplan-Meier's log-survival) keep their
     fraction; an ``int()`` here once truncated every bucket offset
     to 0 and silently zeroed the cross-bucket carry.
+
+    DECIMAL-ADDITION PRECISION RULE (r13, caught by the sf0.01
+    vanilla-session verify of q255): Spark's ``DECIMAL(38,s) +
+    DECIMAL(38,s)`` needs precision 39, and the allowPrecisionLoss
+    resolution caps it at 38 by REDUCING THE SCALE to
+    ``max(38 − intDigits, min(s, 6))`` — so scale-9 sums silently
+    lose their 9th digit (HALF_UP) and scale-12 their 12th, while
+    scale ≤ 6 is protected by the ``min(s, 6)`` floor (why the
+    KM/money paths never hit this). The ``cum + off`` addition here
+    therefore runs on PRECISION-37 operands (37−s integer digits —
+    astronomically more than any cumulative fraction needs), whose
+    sum is exactly representable at (38, s): no scale loss, and an
+    int-digit overflow still fails loudly to NULL rather than
+    rounding.
     """
     cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     n_buckets = _shuffle_partitions(df)
     bucketed, eff = _range_bucket(df, cols[0], min(n_buckets, 64))
+
+    # exact-addition operand type: one precision digit of headroom so
+    # (acc_type + acc_type) fits (38, s) without scale reduction
+    if sum_type.startswith("decimal"):
+        import re as _re
+
+        p, s = map(int, _re.findall(r"\d+", sum_type))
+        acc_type = f"decimal({min(p, 37)},{s})"
+    else:
+        acc_type = sum_type
 
     def _typed_lit(v: int):
         if sum_type == "long":
             return F.lit(v).cast("long")
         # F.lit() rejects ints past 2^63; route big offsets through a
         # string cast, which decimal parses exactly
-        return F.expr(f"CAST('{v}' AS {sum_type})")
+        return F.expr(f"CAST('{v}' AS {acc_type})")
 
     off = _typed_lit(0)
     if eff > 1:
@@ -520,7 +544,7 @@ def global_prefix_sum(
     )
     cum = F.coalesce(
         F.sum(F.col(weight_col).cast(sum_type)).over(w), _typed_lit(0)
-    )
+    ).cast(acc_type)
     return bucketed.withColumn(
         out_col, (cum + off).cast(sum_type)
     ).drop("__bkt")

@@ -1038,3 +1038,63 @@ def kish_ess(df: DataFrame, weight_col: str) -> DataFrame:
         F.round(ess, 6).alias("ess"),
         F.round(F.col("__n").cast("double") / ess, 6).alias("deff"),
     )
+
+
+def ucb_arm_ranking(
+    df: DataFrame,
+    arm_col,
+    reward_col,
+) -> DataFrame:
+    """UCB1 ranking of arms from logged (arm, reward) history (Auer,
+    Cesa-Bianchi & Fischer 2002): one row per arm ``(arm, n, mean,
+    ucb, rank)`` with
+
+        UCB(a) = mean(a) + √( 2·ln N / n_a )
+
+    — the deterministic adaptive-collection policy next to the
+    experiment READOUTS (q264 z-test, q263 CUPED): given the history
+    so far, UCB says which variant/prompt/source to sample NEXT,
+    trading exploitation (high mean) against exploration (small n).
+    Rewards are assumed [0, 1]-scaled (the UCB1 regret bound's
+    assumption; callers rescale).
+
+    ONE map-side-combined aggregate to |arms| rows; ``ln N`` is one
+    broadcast scalar; per-arm means accumulate as exact DECIMAL of
+    6-dp-rounded rewards, the bonus is row-local double math rounded
+    6 dp, and the rank is a window over the |arms|-row table only
+    (the bounded-scalar class). Arms tie-break by name, so the
+    ranking is total and engine-identical.
+    """
+    from pyspark.sql import Window
+
+    a = (
+        F.col(arm_col) if isinstance(arm_col, str) else arm_col
+    ).cast("string")
+    rw = (
+        F.col(reward_col)
+        if isinstance(reward_col, str)
+        else reward_col
+    )
+    r6 = F.round(rw.cast("double"), 6).cast("decimal(38,6)")
+    per = df.groupBy(a.alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(r6).alias("__s"),
+    )
+    tot = per.agg(F.sum("n").alias("__N"))
+    j = per.crossJoin(F.broadcast(tot))
+    mean = F.col("__s").cast("double") / F.col("n").cast("double")
+    bonus = F.sqrt(
+        F.lit(2.0)
+        * F.log(F.col("__N").cast("double"))
+        / F.col("n").cast("double")
+    )
+    scored = j.select(
+        "arm",
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(mean + bonus, 6).alias("ucb"),
+    )
+    w = Window.orderBy(F.col("ucb").desc(), F.col("arm").asc())
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    )

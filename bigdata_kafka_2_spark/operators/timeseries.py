@@ -1286,6 +1286,17 @@ def nelson_aalen(
     ``round(d/n², 12)`` accumulated as exact DECIMAL(38,9)/(38,12) —
     order-independent and engine-identical; the displayed hazard/SE/
     survival round only on output.
+
+    Display rounding (r13, caught by the sf0.01 vanilla-session
+    verify): the cumulative hazard rounds on the EXACT DECIMAL
+    (both engines' decimal round is exact half-up, so ...500 ties at
+    the 7th–9th digit resolve identically), never on a double —
+    Spark's round-on-double (HALF_UP over the shortest decimal repr)
+    and DuckDB's (scale-and-round the raw double) disagree at every
+    true tie. The transcendental outputs (exp/sqrt) use the shared
+    ``floor(x·1e6 + 0.5)/1e6`` sequence — identical IEEE ops on both
+    engines, leaving only the ~1-ulp-at-an-integer-boundary residual
+    (q262's COVERAGE note), instead of the systematic tie divergence.
     """
     from bigdata_kafka_2_spark.operators.relational import (
         global_prefix_sum,
@@ -1327,15 +1338,30 @@ def nelson_aalen(
     cum = global_prefix_sum(
         cum, ["t"], "__v", "__v0", sum_type="decimal(38,12)"
     )
-    H = (F.col("__h0") + F.col("__h")).cast("decimal(38,9)")
-    V = (F.col("__v0") + F.col("__v")).cast("decimal(38,12)")
+    # precision-37 operands: (38,9)+(38,9) would reduce scale to 8
+    # (Spark's allowPrecisionLoss addition rule — see
+    # relational.global_prefix_sum's docstring)
+    H = (
+        F.col("__h0").cast("decimal(37,9)")
+        + F.col("__h").cast("decimal(37,9)")
+    ).cast("decimal(38,9)")
+    V = (
+        F.col("__v0").cast("decimal(37,12)")
+        + F.col("__v").cast("decimal(37,12)")
+    ).cast("decimal(38,12)")
+    def disp6(x):
+        # shared floor(x*1e6 + 0.5)/1e6 display round (see docstring)
+        return F.floor(x * F.lit(1000000.0) + F.lit(0.5)) / F.lit(
+            1000000.0
+        )
+
     return cum.select(
         "t",
         "n_risk",
         F.col("n_events").cast("long").alias("n_events"),
-        F.round(H.cast("double"), 6).alias("cum_hazard"),
-        F.round(F.sqrt(V.cast("double")), 6).alias("se_hazard"),
-        F.round(F.exp(-H.cast("double")), 6).alias("survival_fh"),
+        F.round(H, 6).cast("double").alias("cum_hazard"),
+        disp6(F.sqrt(V.cast("double"))).alias("se_hazard"),
+        disp6(F.exp(-H.cast("double"))).alias("survival_fh"),
     )
 
 

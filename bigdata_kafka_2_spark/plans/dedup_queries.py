@@ -1925,3 +1925,54 @@ def q238_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_redacted_chars"
         ),
     )
+
+
+@register(
+    "q269_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+      WHERE t[i] || ' ' || t[i+1] || ' ' || t[i+2] <> ''
+    ),
+    ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 13 = 0),
+    tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 13 <> 0),
+    novel AS (
+      SELECT ev.doc_id, count(*) AS novel
+      FROM ev LEFT JOIN tr ON tr.shingle = ev.shingle
+      WHERE tr.shingle IS NULL
+      GROUP BY 1
+    ),
+    totals AS (
+      SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY 1
+    )
+    SELECT totals.doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(novel, 0) AS BIGINT) AS novel,
+           round(CAST(coalesce(novel, 0) AS DOUBLE)
+                 / CAST(n_grams AS DOUBLE), 6) AS novelty_rate
+    FROM totals LEFT JOIN novel ON novel.doc_id = totals.doc_id
+    """,
+    description="Per-eval-document 3-gram novelty against the "
+    "training split (operators/dedup.ngram_novelty): the fraction of "
+    "each held-out document's distinct shingles appearing NOWHERE in "
+    "training - the aggregate-overlap complement of pair-level "
+    "decontamination (q74 flags which eval docs collide with which "
+    "train docs; this measures how much of each eval doc is "
+    "genuinely unseen, the 'benchmark freshness' number an eval "
+    "auditor reports and the memorization-risk number a generation "
+    "eval reports). One left-anti join keyed on the shingle (the "
+    "decontamination shape reversed - never doc-by-doc), data-sized "
+    "work ends at the map-side-combined distinct shingle tables; "
+    "same doc_id%13 split convention as q74/q79.",
+    tags=("dedup", "join", "text"),
+)
+def q269_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 13 == 0)
+    tr = d.filter(F.col("doc_id") % 13 != 0)
+    return DD.ngram_novelty(tr, ev, k=3)

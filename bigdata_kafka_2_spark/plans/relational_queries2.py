@@ -4750,3 +4750,55 @@ def q267_mde_by_segment(
 
     o = read_table(spark, sf_dir, "orders")
     return mde_by_group(o, ["o_orderpriority"], "o_totalprice")
+
+
+@register(
+    "q268_ucb_arm_ranking",
+    oracle="""
+    WITH per AS (
+      SELECT o_orderpriority AS arm, count(*) AS n,
+             sum(CAST(round(
+               CASE WHEN o_totalprice > 150000 THEN 1.0 ELSE 0.0 END,
+               6) AS DECIMAL(38,6))) AS s
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS bigN FROM per),
+    scored AS (
+      SELECT arm, CAST(n AS BIGINT) AS n,
+             round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+             round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                   + sqrt(2.0 * ln(CAST(bigN AS DOUBLE))
+                          / CAST(n AS DOUBLE)), 6) AS ucb
+      FROM per, tot
+    )
+    SELECT arm, n, mean, ucb,
+           CAST(row_number() OVER (ORDER BY ucb DESC, arm ASC)
+                AS BIGINT) AS rank
+    FROM scored
+    """,
+    description="UCB1 arm ranking from logged history (operators/"
+    "sampling.ucb_arm_ranking; Auer, Cesa-Bianchi & Fischer 2002) "
+    "over order-priority arms with high-value conversion as the "
+    "[0,1] reward - the deterministic adaptive-COLLECTION policy "
+    "next to the experiment readouts (q263/q264 read an experiment "
+    "out; UCB says which variant/prompt/source to sample next, "
+    "exploration bonus sqrt(2 ln N / n)). One map-side-combined "
+    "aggregate to |arms| rows, one broadcast total, rank window over "
+    "the |arms|-row table only; ln evaluates engine-side on the "
+    "identical integer N (the KM ln-parity rule), absorbed by 6-dp "
+    "rounding.",
+    tags=("sampling", "aggregate"),
+)
+def q268_ucb_arm_ranking(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.sampling import (
+        ucb_arm_ranking,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    return ucb_arm_ranking(
+        o,
+        "o_orderpriority",
+        F.when(F.col("o_totalprice") > 150000, 1.0).otherwise(0.0),
+    )

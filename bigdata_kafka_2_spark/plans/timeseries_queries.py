@@ -1373,9 +1373,12 @@ def q237_watermark_lateness(
       FROM ev
     )
     SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events,
-           round(CAST(H AS DOUBLE), 6) AS cum_hazard,
-           round(sqrt(CAST(V AS DOUBLE)), 6) AS se_hazard,
-           round(exp(-CAST(H AS DOUBLE)), 6) AS survival_fh
+           CAST(round(CAST(H AS DECIMAL(38,9)), 6) AS DOUBLE)
+             AS cum_hazard,
+           floor(sqrt(CAST(V AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS se_hazard,
+           floor(exp(-CAST(H AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS survival_fh
     FROM cl
     """,
     description="Nelson-Aalen cumulative hazard (operators/"

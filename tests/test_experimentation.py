@@ -231,3 +231,43 @@ def test_isotonic_calibration_rejects_too_many_bins(spark):
     )
     with pytest.raises(ValueError, match="max_bins"):
         isotonic_binned_calibration(df, "s", "y", max_bins=64)
+
+
+def test_ucb_arm_ranking_hand_checked(spark):
+    """Two arms: a = 3 pulls mean 1/3, b = 1 pull mean 0; N=4.
+    UCB(a) = 1/3 + sqrt(2 ln4 / 3), UCB(b) = 0 + sqrt(2 ln4 / 1) —
+    the under-explored arm ranks first despite the lower mean."""
+    import math as _m
+
+    from bigdata_kafka_2_spark.operators.sampling import (
+        ucb_arm_ranking,
+    )
+
+    rows = [("a", 1.0), ("a", 0.0), ("a", 0.0), ("b", 0.0)]
+    df = spark.createDataFrame(rows, "arm string, r double")
+    got = {r.arm: r for r in ucb_arm_ranking(df, "arm", "r").collect()}
+    ua = 1.0 / 3.0 + _m.sqrt(2 * _m.log(4.0) / 3.0)
+    ub = 0.0 + _m.sqrt(2 * _m.log(4.0) / 1.0)
+    assert abs(got["a"].ucb - ua) < 1e-5
+    assert abs(got["b"].ucb - ub) < 1e-5
+    assert got["b"].rank == 1 and got["a"].rank == 2
+
+
+def test_ngram_novelty_hand_checked(spark):
+    """Eval doc sharing one 3-gram with train: 'x y z' seen, rest
+    novel; a fully-novel doc reports rate 1.0."""
+    from bigdata_kafka_2_spark.operators.dedup import ngram_novelty
+
+    train = spark.createDataFrame(
+        [(1, "x y z common tail here")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(2, "x y z totally new words"), (3, "all novel material only")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ngram_novelty(train, ev).collect()}
+    # doc 2 shingles: 'x y z','y z totally','z totally new',
+    # 'totally new words' -> 1 of 4 seen in train
+    assert got[2].n_grams == 4 and got[2].novel == 3
+    assert got[2].novelty_rate == 0.75
+    assert got[3].novelty_rate == 1.0

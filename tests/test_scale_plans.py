@@ -768,3 +768,46 @@ def test_global_prefix_max_matches_naive_and_buckets(spark):
         ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
     ]
     assert specs and all("__bkt" in ln for ln in specs)
+
+
+def test_global_prefix_sum_decimal_scale9_exact(spark):
+    """r13 regression (caught by the sf0.01 vanilla-session verify of
+    q255): Spark's DECIMAL(38,s)+DECIMAL(38,s) addition reduces the
+    scale to max(38-intDigits, min(s,6)) under allowPrecisionLoss, so
+    scale-9/12 prefix sums silently lost their last digit (HALF_UP) in
+    the cum+off addition. The operator now adds at precision 37; the
+    running sum must match exact Decimal arithmetic digit-for-digit."""
+    import decimal
+
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    rows = [(i, f"0.00066666{i % 10}") for i in range(10)]
+    df = spark.createDataFrame(rows, "t long, w string").select(
+        "t", F.col("w").cast("decimal(38,9)").alias("w")
+    )
+    out = (
+        global_prefix_sum(df, ["t"], "w", "c", sum_type="decimal(38,9)")
+        .orderBy("t")
+        .collect()
+    )
+    acc = decimal.Decimal(0)
+    for r in out:
+        assert decimal.Decimal(str(r.c)) == acc, (r.t, r.c, acc)
+        acc += decimal.Decimal(str(r.w))
+    # scale 12 as well (the NA variance path)
+    df12 = spark.createDataFrame(rows, "t long, w string").select(
+        "t", (F.col("w").cast("decimal(38,12)") / 1000).alias("w")
+    )
+    out12 = (
+        global_prefix_sum(
+            df12, ["t"], "w", "c", sum_type="decimal(38,12)"
+        )
+        .orderBy("t")
+        .collect()
+    )
+    acc = decimal.Decimal(0)
+    for r in out12:
+        assert decimal.Decimal(str(r.c)) == acc
+        acc += decimal.Decimal(str(r.w))
