@@ -293,6 +293,7 @@ HEADLINE = (
     "q267_mde_by_segment",
     "q268_ucb_arm_ranking",
     "q269_ngram_novelty",
+    "q270_kruskal_wallis",
 )
 
 

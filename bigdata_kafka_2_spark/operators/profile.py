@@ -2804,3 +2804,104 @@ def mde_by_group(
             "mde_rel"
         ),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal–Wallis H test (Kruskal & Wallis 1952): one row
+    ``(n, k, h, h_adj, df, p_value)`` testing whether ``value_col``'s
+    distribution differs across the k groups of ``group_col`` — the
+    k-SAMPLE completion of the two-sample family
+    (:func:`mann_whitney_u` compares two samples; KW is its rank
+    machinery generalized, collapsing to MW at k = 2), with the
+    tie-corrected statistic referred to chi-square with k−1 degrees
+    of freedom via :func:`~bigdata_kafka_2_spark.operators.mathfn.
+    chi2_sf_col` (BOTH parities — a 4-group sweep's df = 3 needs the
+    odd-df survival).
+
+    ALL-INTEGER rank construction (the :func:`mann_whitney_u`
+    discipline): per pooled DISTINCT value, the doubled tie-average
+    rank is ``2·C_v + c_v + 1`` with ``C_v`` the exclusive prefix
+    count (range-bucketed global_prefix_sum, never a single-partition
+    window); each group's doubled rank-sum ``2R_j = Σ_v c_jv·(2C_v +
+    c_v + 1)`` is an exact DECIMAL(38,0). Then
+
+        H = 3·Σ_j (2R_j)²/n_j / (N(N+1)) − 3(N+1)
+        H_adj = H / (1 − T/(N³−N)),   T = Σ_v (c_v³ − c_v)
+
+    with the per-group quotients rounded 9 dp into exact
+    DECIMAL(38,9) before the k-bounded sum, and the final arithmetic
+    one double expression transcribed verbatim by the oracle. The
+    shuffle carries one row per (group, distinct value) plus one per
+    distinct value; everything else is map-side combined.
+    """
+    from bigdata_kafka_2_spark.operators.mathfn import chi2_sf_col
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    g = (
+        F.col(group_col) if isinstance(group_col, str) else group_col
+    ).cast("string")
+    v = F.col(value_col).cast("double")
+    gv = df.groupBy(g.alias("__g"), v.alias("__v")).agg(
+        F.count(F.lit(1)).alias("__cjv")
+    )
+    vt = gv.groupBy("__v").agg(F.sum("__cjv").alias("__c"))
+    dec = "decimal(38,0)"
+    pre = global_prefix_sum(vt, "__v", "__c", "__before", sum_type=dec)
+    rank2 = (
+        F.lit(2).cast(dec) * F.col("__before").cast(dec)
+        + F.col("__c").cast(dec)
+        + F.lit(1).cast(dec)
+    )
+    t_term = (
+        F.col("__c").cast(dec)
+        * F.col("__c").cast(dec)
+        * F.col("__c").cast(dec)
+        - F.col("__c").cast(dec)
+    )
+    joined = gv.join(
+        pre.select("__v", rank2.alias("__rk2")),
+        on="__v",
+    )
+    per = joined.groupBy("__g").agg(
+        F.sum(F.col("__cjv").cast(dec)).alias("__nj"),
+        F.sum(F.col("__cjv").cast(dec) * F.col("__rk2")).alias(
+            "__r2j"
+        ),
+    )
+    ties = pre.agg(F.sum(t_term).alias("__T"))
+    q = F.col("__r2j") * F.col("__r2j")
+    term = F.round(
+        q.cast("double") / F.col("__nj").cast("double"), 9
+    ).cast("decimal(38,9)")
+    fam = per.agg(
+        F.sum("__nj").alias("__N"),
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(term).alias("__S"),
+    ).crossJoin(F.broadcast(ties))
+    Nd = F.col("__N").cast("double")
+    h = (
+        F.lit(3.0) * F.col("__S").cast("double") / (Nd * (Nd + F.lit(1.0)))
+        - F.lit(3.0) * (Nd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("__T").cast("double") / (
+        Nd * Nd * Nd - Nd
+    )
+    h_adj = h / corr
+    dfree = (F.col("__k") - 1).cast("int")
+    ok = (F.col("__k") >= 2) & (corr > 0)
+    return fam.select(
+        F.col("__N").cast("long").alias("n"),
+        F.col("__k").cast("long").alias("k"),
+        F.round(F.when(ok, h), 6).alias("h"),
+        F.round(F.when(ok, h_adj), 6).alias("h_adj"),
+        dfree.cast("long").alias("df"),
+        F.round(
+            F.when(ok, chi2_sf_col(h_adj, dfree)), 9
+        ).alias("p_value"),
+    )

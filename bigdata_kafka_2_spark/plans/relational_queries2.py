@@ -4802,3 +4802,96 @@ def q268_ucb_arm_ranking(
         "o_orderpriority",
         F.when(F.col("o_totalprice") > 150000, 1.0).otherwise(0.0),
     )
+
+
+def _q270_oracle(sf_dir: str | None = None) -> str:
+    from bigdata_kafka_2_spark.operators.mathfn import chi2_sf_sql
+
+    sf_expr = chi2_sf_sql("h_adj", "df", max_df=16)
+    return f"""
+    WITH gv AS (
+      SELECT c_mktsegment AS g, CAST(c_acctbal AS DOUBLE) AS v,
+             count(*) AS cjv
+      FROM customer GROUP BY 1, 2
+    ),
+    vt AS (SELECT v, sum(cjv) AS c FROM gv GROUP BY 1),
+    pre AS (
+      SELECT v, c,
+             CAST(coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS DECIMAL(38,0)) AS before_c
+      FROM vt
+    ),
+    rk AS (
+      SELECT v,
+             CAST(2 AS DECIMAL(38,0)) * before_c
+               + CAST(c AS DECIMAL(38,0))
+               + CAST(1 AS DECIMAL(38,0)) AS rk2,
+             CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))
+               * CAST(c AS DECIMAL(38,0))
+               - CAST(c AS DECIMAL(38,0)) AS tt
+      FROM pre
+    ),
+    per AS (
+      SELECT gv.g,
+             sum(CAST(cjv AS DECIMAL(38,0))) AS nj,
+             sum(CAST(cjv AS DECIMAL(38,0)) * rk.rk2) AS r2j
+      FROM gv JOIN rk ON rk.v = gv.v
+      GROUP BY 1
+    ),
+    ties AS (SELECT sum(tt) AS T FROM rk),
+    fam AS (
+      SELECT CAST(sum(nj) AS BIGINT) AS N,
+             CAST(count(*) AS BIGINT) AS k,
+             sum(CAST(round(CAST(r2j * r2j AS DOUBLE)
+                            / CAST(nj AS DOUBLE), 9)
+                      AS DECIMAL(38,9))) AS S
+      FROM per
+    ),
+    calc AS (
+      SELECT N, k,
+        3.0 * CAST(S AS DOUBLE)
+          / (CAST(N AS DOUBLE) * (CAST(N AS DOUBLE) + 1.0))
+          - 3.0 * (CAST(N AS DOUBLE) + 1.0) AS h,
+        1.0 - CAST(T AS DOUBLE)
+          / (CAST(N AS DOUBLE) * CAST(N AS DOUBLE) * CAST(N AS DOUBLE)
+             - CAST(N AS DOUBLE)) AS corr,
+        CAST(k - 1 AS INT) AS df
+      FROM fam, ties
+    ),
+    fin AS (
+      SELECT N AS n, k, round(h, 6) AS h,
+             round(h / corr, 6) AS h_adj_r,
+             h / corr AS h_adj,
+             CAST(df AS BIGINT) AS dfl, df
+      FROM calc
+    )
+    SELECT n, k, h, h_adj_r AS h_adj, dfl AS df,
+           round({sf_expr}, 9) AS p_value
+    FROM fin
+    """
+
+
+@register(
+    "q270_kruskal_wallis",
+    oracle=_q270_oracle,
+    description="Kruskal-Wallis H test (operators/profile."
+    "kruskal_wallis; Kruskal & Wallis 1952) of account balance across "
+    "the five market segments - the k-SAMPLE completion of the "
+    "two-sample family (q225 Mann-Whitney is its k=2 case, q192 KS "
+    "the max-gap face): tie-corrected H referred to chi-square with "
+    "k-1 df through operators/mathfn's both-parity survival. Exact "
+    "integer rank machinery: doubled tie-average ranks from the "
+    "range-bucketed exclusive prefix count, per-group doubled "
+    "rank-sums in DECIMAL(38,0), per-group quotients rounded 9 dp "
+    "into an exact k-bounded DECIMAL sum; the shuffle carries one "
+    "row per (group, distinct value).",
+    tags=("profile", "aggregate"),
+)
+def q270_kruskal_wallis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import kruskal_wallis
+
+    c = read_table(spark, sf_dir, "customer")
+    return kruskal_wallis(c, "c_mktsegment", "c_acctbal")

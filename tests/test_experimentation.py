@@ -271,3 +271,34 @@ def test_ngram_novelty_hand_checked(spark):
     assert got[2].n_grams == 4 and got[2].novel == 3
     assert got[2].novelty_rate == 0.75
     assert got[3].novelty_rate == 1.0
+
+
+def test_kruskal_wallis_hand_checked(spark):
+    """Three groups with no ties: H = 12/(N(N+1)) Σ R²/n − 3(N+1).
+    a={1,2}, b={3,4}, c={5,6}: ranks 1..6, R=(3,7,11),
+    H = 12/42·(9/2+49/2+121/2) − 21 = 12/42·89.5 − 21 ≈ 4.5714;
+    a tied dataset exercises the correction (h_adj > h)."""
+    from bigdata_kafka_2_spark.operators.profile import kruskal_wallis
+
+    rows = [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+            ("c", 5.0), ("c", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    want = 12.0 / (6 * 7) * (9 / 2 + 49 / 2 + 121 / 2) - 3 * 7
+    assert r.n == 6 and r.k == 3 and r.df == 2
+    assert abs(r.h - want) < 1e-5
+    assert r.h_adj == r.h  # no ties -> correction is 1
+    # df=2 -> p = exp(-H/2) exactly
+    assert abs(float(r.p_value) - math.exp(-r.h_adj / 2)) < 1e-6
+    # ties: duplicate values shrink the denominator -> h_adj >= h
+    tied = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 4.0),
+         ("c", 4.0), ("c", 6.0)],
+        "g string, v double",
+    )
+    rt = kruskal_wallis(tied, "g", "v").collect()[0]
+    assert rt.h_adj > rt.h
+    # degenerate: one group -> NULLs
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    ro = kruskal_wallis(one, "g", "v").collect()[0]
+    assert ro.k == 1 and ro.h is None and ro.p_value is None
