@@ -294,6 +294,7 @@ HEADLINE = (
     "q268_ucb_arm_ranking",
     "q269_ngram_novelty",
     "q270_kruskal_wallis",
+    "q271_cluster_silhouette",
 )
 
 

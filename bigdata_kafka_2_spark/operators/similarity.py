@@ -1897,3 +1897,93 @@ def lsh_multiprobe_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def simplified_silhouette(
+    table: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster — the
+    CLUSTER-QUALITY audit for the SemDeDup/IVF machinery: one row per
+    centroid ``(centroid_id, n, mean_silhouette)`` where each
+    vector's score is
+
+        s(i) = (d₂ − d₁) / max(d₁, d₂)
+
+    with ``d₁`` the cosine DISTANCE (1 − similarity) to the ASSIGNED
+    (nearest) centroid and ``d₂`` the distance to the best OTHER
+    centroid (Hruschka et al.'s simplified form of Rousseeuw 1987 —
+    the O(n·k) variant; the classic pairwise silhouette is O(n²),
+    exactly the cost clustering exists to avoid). A cluster whose
+    mean sits near 0 is doing nothing for the Σ|cluster|² pair bound
+    (its members are equidistant to a neighbor cluster); near 1
+    means tight, well-separated — the number to watch when
+    ``auto_centroid_count`` trades cluster size against pair volume.
+
+    Plan: ONE broadcast nest-loop explode over the k centroids with
+    hoisted norms (the :func:`assign_centroids` shape), per-vector
+    best/runner-up by a window over the n·k scored rows PARTITIONED
+    BY VECTOR (never a global sort; per-partition state = k rows),
+    row silhouettes rounded 6 dp and averaged per cluster as exact
+    DECIMAL sums. Similarities round 4 dp first (the module's
+    convention), so assignment AND tie-breaks (similarity desc,
+    centroid_id asc) are engine-identical.
+    """
+    from pyspark.sql import Window
+
+    t = _with_norm(_ensure_parallel(table), vec_col, "__tn")
+    c = F.broadcast(
+        _with_norm(
+            centroids.select(
+                F.col(centroid_id_col).alias("__cid"),
+                F.col(centroid_vec_col).alias("__cv"),
+            ),
+            "__cv",
+            "__cn",
+        )
+    )
+    scored = t.crossJoin(c).select(
+        F.col(id_col).alias("__vid"),
+        F.col("__cid"),
+        F.round(_pair_sim(vec_col, "__cv", "__tn", "__cn"), 4).alias(
+            "__sim"
+        ),
+    )
+    w = Window.partitionBy("__vid").orderBy(
+        F.col("__sim").desc(), F.col("__cid").asc()
+    )
+    top2 = scored.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= 2
+    )
+    per_vec = top2.groupBy("__vid").agg(
+        F.max(F.when(F.col("__r") == 1, F.col("__cid"))).alias(
+            "__own"
+        ),
+        F.max(F.when(F.col("__r") == 1, F.col("__sim"))).alias(
+            "__s1"
+        ),
+        F.max(F.when(F.col("__r") == 2, F.col("__sim"))).alias(
+            "__s2"
+        ),
+    )
+    d1 = F.lit(1.0) - F.col("__s1")
+    d2 = F.lit(1.0) - F.col("__s2")
+    sil = F.when(
+        F.greatest(d1, d2) > 0,
+        F.round((d2 - d1) / F.greatest(d1, d2), 6),
+    ).otherwise(F.lit(0.0))
+    rows = per_vec.select(
+        "__own", sil.cast("decimal(28,6)").alias("__sil")
+    )
+    return rows.groupBy(F.col("__own").alias(centroid_id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum("__sil").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_silhouette"),
+    )

@@ -1141,3 +1141,83 @@ def q139_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, probe, k=5, bands=8,
         n_rows=parquet_row_count(sf_dir, "embeddings"),
     )
+
+
+def _q271_oracle(sf_dir: str) -> str:
+    """Dataset-parameterized: same auto-sized centroid count as q75
+    (parquet-footer row count, no Spark job)."""
+    from bigdata_kafka_2_spark.io import parquet_row_count
+    from bigdata_kafka_2_spark.operators.similarity import (
+        auto_centroid_count,
+    )
+
+    k = auto_centroid_count(parquet_row_count(sf_dir, "embeddings"))
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings WHERE vec_id < {k}
+    ),
+    scored AS (
+      SELECT e.vec_id AS vid, c.cid,
+             round(CAST(list_cosine_similarity(e.embedding, c.cv)
+                        AS DOUBLE), 4) AS sim
+      FROM embeddings e, cents c
+    ),
+    top2 AS (
+      SELECT vid, cid, sim,
+             row_number() OVER (
+               PARTITION BY vid ORDER BY sim DESC, cid ASC) AS r
+      FROM scored
+    ),
+    pv AS (
+      SELECT vid,
+             max(CASE WHEN r = 1 THEN cid END) AS own,
+             max(CASE WHEN r = 1 THEN sim END) AS s1,
+             max(CASE WHEN r = 2 THEN sim END) AS s2
+      FROM top2 WHERE r <= 2 GROUP BY vid
+    ),
+    rows_s AS (
+      SELECT own,
+             CAST(CASE WHEN greatest(1.0 - s1, 1.0 - s2) > 0
+               THEN round(((1.0 - s2) - (1.0 - s1))
+                          / greatest(1.0 - s1, 1.0 - s2), 6)
+               ELSE 0.0 END AS DECIMAL(28,6)) AS sil
+      FROM pv
+    )
+    SELECT CAST(own AS BIGINT) AS centroid_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(sil) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_silhouette
+    FROM rows_s GROUP BY 1
+    """
+
+
+@register(
+    "q271_cluster_silhouette",
+    oracle=_q271_oracle,
+    description="Simplified (centroid-based) silhouette per cluster "
+    "(operators/similarity.simplified_silhouette; Rousseeuw 1987, "
+    "Hruschka's O(n*k) centroid form) over q75's auto-sized SemDeDup "
+    "centroids - the cluster-QUALITY audit the similarity family "
+    "lacked: q75/q57 USE the clustering to bound pair volume, this "
+    "measures whether each cluster is actually tight and separated "
+    "(mean s near 0 = members equidistant to a neighbor cluster, "
+    "doing nothing for the sum-of-squares bound; near 1 = tight). "
+    "One broadcast nest-loop with hoisted norms, per-vector "
+    "best/runner-up by a vector-partitioned window (state = k rows), "
+    "6-dp row silhouettes averaged per cluster in exact DECIMAL; "
+    "4-dp similarities make assignment and ties engine-identical.",
+    tags=("similarity", "aggregate", "window"),
+)
+def q271_cluster_silhouette(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.io import parquet_row_count
+
+    e = read_table(spark, sf_dir, "embeddings")
+    k = SIM.auto_centroid_count(parquet_row_count(sf_dir, "embeddings"))
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    return SIM.simplified_silhouette(e, cents)

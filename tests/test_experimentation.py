@@ -302,3 +302,30 @@ def test_kruskal_wallis_hand_checked(spark):
     one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
     ro = kruskal_wallis(one, "g", "v").collect()[0]
     assert ro.k == 1 and ro.h is None and ro.p_value is None
+
+
+def test_simplified_silhouette_hand_checked(spark):
+    """Two orthogonal centroids; members exactly on them score 1.0
+    (d1=0); a vector equidistant to both scores 0."""
+    from bigdata_kafka_2_spark.operators.similarity import (
+        simplified_silhouette,
+    )
+
+    vecs = [
+        (10, [1.0, 0.0]),   # on centroid 0 -> sil 1.0
+        (11, [0.0, 1.0]),   # on centroid 1 -> sil 1.0
+        (12, [1.0, 1.0]),   # 45 degrees -> equidistant -> sil 0.0
+    ]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, centroid array<double>",
+    )
+    got = {
+        r.centroid_id: r
+        for r in simplified_silhouette(e, cents).collect()
+    }
+    # vec 12 ties (sim 0.7071 both) -> assigned to smaller cid 0
+    assert got[0].n == 2 and got[1].n == 1
+    assert got[1].mean_silhouette == 1.0
+    assert abs(got[0].mean_silhouette - 0.5) < 1e-6  # (1.0 + 0.0)/2
