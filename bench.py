@@ -295,6 +295,8 @@ HEADLINE = (
     "q269_ngram_novelty",
     "q270_kruskal_wallis",
     "q271_cluster_silhouette",
+    "q272_cronbach_alpha",
+    "q273_streaming_srm",
 )
 
 

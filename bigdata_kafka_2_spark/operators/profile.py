@@ -2581,14 +2581,27 @@ def srm_check(
     DECIMAL(38,9); the family scalars broadcast back onto the
     |arms|-row output.
     """
-    from bigdata_kafka_2_spark.operators.mathfn import chi2_sf_col
-
     arm = (
         F.col(arm_col) if isinstance(arm_col, str) else arm_col
     ).cast("string")
     per = df.groupBy(arm.alias("arm")).agg(
         F.count(F.lit(1)).alias("n")
     )
+    return srm_from_counts(per, expected=expected, alpha=alpha)
+
+
+def srm_from_counts(
+    per: DataFrame,
+    expected: dict[str, float] | None = None,
+    alpha: float = 0.001,
+) -> DataFrame:
+    """:func:`srm_check`'s count-consuming core: ``per`` is one row
+    per arm ``(arm, n)`` — the shape a MERGEABLE streaming count
+    ingest maintains (``streaming.ingest.run_streaming_counts``), so
+    the SRM gate can run on live accumulating traffic without ever
+    rescanning the event stream."""
+    from bigdata_kafka_2_spark.operators.mathfn import chi2_sf_col
+
     if expected is not None:
         total_share = float(sum(expected.values()))
         share = F.lit(None).cast("double")
@@ -2904,4 +2917,72 @@ def kruskal_wallis(
         F.round(
             F.when(ok, chi2_sf_col(h_adj, dfree)), 9
         ).alias("p_value"),
+    )
+
+
+def cronbach_alpha_int(
+    df: DataFrame,
+    item_cols: Sequence[str],
+) -> DataFrame:
+    """Cronbach's alpha (Cronbach 1951) over k INTEGER-valued items:
+    one row ``(n, k, alpha)`` measuring internal consistency — do the
+    items move together, i.e. measure one construct? The
+    scale-reliability member of the annotation-quality family
+    (:func:`~bigdata_kafka_2_spark.operators.evalmetrics` houses the
+    rank agreements; q215's Krippendorff handles coder agreement;
+    alpha audits a COMPOSITE SCORE built from several signals, e.g. a
+    document quality score summing length/token/diversity counts).
+
+        α = k/(k−1) · (1 − Σ_i σ²_i / σ²_T),   T = Σ_i item_i
+
+    Exactness: items are INTEGER by contract (counts/lengths — the
+    composite-score case; asserted by a long cast), so with
+    num = n·Σx² − (Σx)² the sample-variance denominators n(n−1)
+    cancel between numerator and denominator and
+    ``α = k/(k−1)·(1 − Σ num_i / num_T)`` is ONE double division over
+    exact DECIMAL(38,0) integer moments — no rounding anywhere before
+    the final 6-dp output. Squares multiply at DECIMAL scale 0, where
+    Spark's precision-cap rule never reduces scale (overflow fails
+    loudly to NULL; see global_prefix_sum's docstring). Degenerate
+    inputs (n < 2 or zero total variance) return NULL alpha.
+    """
+    k = len(list(item_cols))
+    if k < 2:
+        raise ValueError("cronbach_alpha_int needs >= 2 items")
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(item_cols):
+        x = F.col(c).cast("long").cast(dec)
+        aggs.append(F.sum(x).alias(f"__s{i}"))
+        aggs.append(F.sum(x * x).alias(f"__q{i}"))
+    tot = None
+    for c in item_cols:
+        x = F.col(c).cast("long").cast("decimal(19,0)")
+        tot = x if tot is None else tot + x
+    aggs.append(F.sum(tot.cast(dec)).alias("__st"))
+    aggs.append(
+        F.sum(
+            (tot.cast(dec) * tot.cast(dec))
+        ).alias("__qt")
+    )
+    agg = df.agg(*aggs)
+    n = F.col("__n").cast(dec)
+    num_t = (n * F.col("__qt") - F.col("__st") * F.col("__st")).cast(
+        "double"
+    )
+    num_sum = None
+    for i in range(k):
+        num_i = (
+            n * F.col(f"__q{i}") - F.col(f"__s{i}") * F.col(f"__s{i}")
+        ).cast("double")
+        num_sum = num_i if num_sum is None else num_sum + num_i
+    alpha = (
+        F.lit(float(k) / float(k - 1))
+        * (F.lit(1.0) - num_sum / num_t)
+    )
+    ok = (F.col("__n") >= 2) & (num_t > 0)
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.round(F.when(ok, alpha), 6).alias("alpha"),
     )

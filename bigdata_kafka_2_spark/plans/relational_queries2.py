@@ -4895,3 +4895,74 @@ def q270_kruskal_wallis(
 
     c = read_table(spark, sf_dir, "customer")
     return kruskal_wallis(c, "c_mktsegment", "c_acctbal")
+
+
+@register(
+    "q272_cronbach_alpha",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents
+    ),
+    items AS (
+      SELECT doc_id,
+             CAST(length(nt) AS BIGINT) AS i1,
+             CAST(len(string_split(nt, ' ')) AS BIGINT) AS i2,
+             (SELECT count(DISTINCT tok) FROM
+               UNNEST(string_split(nt, ' ')) AS u(tok)) AS i3
+      FROM norm
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+        sum(CAST(i1 AS DECIMAL(38,0))) AS s1,
+        sum(CAST(i1 AS DECIMAL(38,0)) * CAST(i1 AS DECIMAL(38,0))) AS q1,
+        sum(CAST(i2 AS DECIMAL(38,0))) AS s2,
+        sum(CAST(i2 AS DECIMAL(38,0)) * CAST(i2 AS DECIMAL(38,0))) AS q2,
+        sum(CAST(i3 AS DECIMAL(38,0))) AS s3,
+        sum(CAST(i3 AS DECIMAL(38,0)) * CAST(i3 AS DECIMAL(38,0))) AS q3,
+        sum(CAST(i1 + i2 + i3 AS DECIMAL(38,0))) AS st,
+        sum(CAST(i1 + i2 + i3 AS DECIMAL(38,0))
+            * CAST(i1 + i2 + i3 AS DECIMAL(38,0))) AS qt
+      FROM items
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(3 AS BIGINT) AS k,
+      round(1.5 * (1.0 -
+        (CAST(CAST(n AS DECIMAL(38,0)) * q1 - s1 * s1 AS DOUBLE)
+         + CAST(CAST(n AS DECIMAL(38,0)) * q2 - s2 * s2 AS DOUBLE)
+         + CAST(CAST(n AS DECIMAL(38,0)) * q3 - s3 * s3 AS DOUBLE))
+        / CAST(CAST(n AS DECIMAL(38,0)) * qt - st * st AS DOUBLE)), 6)
+        AS alpha
+    FROM agg
+    """,
+    description="Cronbach's alpha (operators/profile."
+    "cronbach_alpha_int; Cronbach 1951) over three integer document "
+    "quality items (normalized char length, token count, distinct "
+    "token count) - the scale-reliability member of the "
+    "annotation-quality family (q215 Krippendorff audits coders, "
+    "q198 router kappa audits classifiers; alpha audits a COMPOSITE "
+    "quality score: do its component signals measure one construct). "
+    "Integer contract makes it exact end to end: with "
+    "num = n*sum(x^2) - sum(x)^2 the sample-variance denominators "
+    "cancel and alpha is ONE double division over DECIMAL(38,0) "
+    "integer moments (scale-0 multiplies never lose digits under "
+    "Spark's precision cap). One map-side-combined aggregate.",
+    tags=("profile", "text", "aggregate"),
+)
+def q272_cronbach_alpha(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import (
+        cronbach_alpha_int,
+    )
+    from bigdata_kafka_2_spark.operators.text import normalize_text
+
+    d = read_table(spark, sf_dir, "documents")
+    nt = normalize_text("text")
+    toks = F.split(nt, " ")
+    items = d.select(
+        F.length(nt).cast("long").alias("i1"),
+        F.size(toks).cast("long").alias("i2"),
+        F.size(F.array_distinct(toks)).cast("long").alias("i3"),
+    )
+    return cronbach_alpha_int(items, ["i1", "i2", "i3"])

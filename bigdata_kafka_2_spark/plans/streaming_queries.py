@@ -1314,3 +1314,64 @@ def q250_streaming_preference_ingest(
     return bradley_terry(matches, iterations=3).select(
         F.col("player"), F.col("strength")
     )
+
+
+def _q273_oracle(sf_dir: str | None = None) -> str:
+    from bigdata_kafka_2_spark.plans.relational_queries2 import (
+        _q265_oracle,
+    )
+
+    # streamed-equals-batch: the merged count partials feed the SAME
+    # gate the batch q265 states, so the oracle IS q265's
+    return _q265_oracle(sf_dir)
+
+
+@register(
+    "q273_streaming_srm",
+    oracle=_q273_oracle,
+    description="Streaming sample-ratio-mismatch monitor (streaming/"
+    "ingest.run_streaming_counts + operators/profile.srm_from_counts): "
+    "the 4-way traffic split of q265 arrives as a multi-file event "
+    "STREAM (maxFilesPerTrigger=1 forces several micro-batches); each "
+    "batch reduces to |arms|-bounded count partials appended with the "
+    "epoch id through foreachBatch, the read-side merge dedups "
+    "replayed epochs and sums the commutative-monoid counts, and the "
+    "SRM gate (odd-df chi-square survival) runs on the merged "
+    "|arms|-row table - the live assignment-health monitor an "
+    "experimentation platform actually runs, never rescanning the "
+    "event stream. Hash-checked against the BATCH-stated q265 oracle: "
+    "streamed-then-gated == batch-gated (the q250/q212/q213 "
+    "streamed-equals-batch discipline).",
+    tags=("streaming", "profile"),
+)
+def q273_streaming_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bigdata_kafka_2_spark.operators.profile import srm_from_counts
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        read_counts,
+        run_streaming_counts,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"q273_{tag}")
+    stage = os.path.join(base, "stream")
+    state = os.path.join(base, "counts")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders")
+    events = o.select(
+        (F.col("o_custkey") % 4).cast("string").alias("arm")
+    )
+    events.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    run_streaming_counts(stream, "arm", state, ckpt)
+    per = read_counts(spark, state, "arm")
+    return srm_from_counts(per)

@@ -913,3 +913,47 @@ def read_wins(spark: SparkSession, out_path: str) -> DataFrame:
         )
         .filter((F.col("wins_a") + F.col("wins_b")) > 0)
     )
+
+
+def run_streaming_counts(
+    stream_df: DataFrame,
+    group_col: str,
+    out_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming grouped-count ingest: accumulate per-group counts
+    from a stream, one |groups|-bounded partial per micro-batch with
+    the epoch id — the :func:`run_streaming_wins` mergeable-monoid
+    pattern for the simplest state there is (counts), feeding any
+    count-consuming gate (the q273 streaming SRM monitor reads what
+    this maintains). Replay safety: a replayed epoch re-appends
+    byte-identical (epoch_id, group, n) rows that :func:`read_counts`'
+    distinct() removes."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_counts(spark: SparkSession, out_path: str, group_col: str) -> DataFrame:
+    """Merge the per-epoch count partials (dedup replayed epochs, sum
+    the commutative-monoid counts) back to one row per group."""
+    return (
+        spark.read.parquet(out_path)
+        .distinct()
+        .groupBy(group_col)
+        .agg(F.sum("n").cast("long").alias("n"))
+    )

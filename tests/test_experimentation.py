@@ -329,3 +329,48 @@ def test_simplified_silhouette_hand_checked(spark):
     assert got[0].n == 2 and got[1].n == 1
     assert got[1].mean_silhouette == 1.0
     assert abs(got[0].mean_silhouette - 0.5) < 1e-6  # (1.0 + 0.0)/2
+
+
+def test_cronbach_alpha_hand_checked(spark):
+    """Perfectly parallel items (i2 = 2*i1) push alpha to 1; an item
+    of pure noise against a constant drags it down. Closed-form check
+    against numpy-free Python moments."""
+    import pytest as _pytest
+
+    from bigdata_kafka_2_spark.operators.profile import (
+        cronbach_alpha_int,
+    )
+
+    rows = [(i, 2 * i, i + (1 if i % 2 == 0 else 0)) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "i1 long, i2 long, i3 long")
+    r = cronbach_alpha_int(df, ["i1", "i2", "i3"]).collect()[0]
+    n = len(rows)
+    cols = list(zip(*rows))
+    tot = [sum(t) for t in rows]
+    def num(xs):
+        return n * sum(x * x for x in xs) - sum(xs) ** 2
+    want = 1.5 * (1.0 - sum(num(c) for c in cols) / num(tot))
+    assert r.n == n and r.k == 3
+    assert abs(r.alpha - want) < 1e-6
+    assert r.alpha > 0.9  # strongly parallel items
+    with _pytest.raises(ValueError, match="2 items"):
+        cronbach_alpha_int(df, ["i1"])
+
+
+def test_streaming_counts_merge_and_replay(spark, tmp_path):
+    """run_streaming_counts partials merge to the batch counts, and a
+    replayed epoch (byte-identical partial re-append) is a no-op."""
+    from bigdata_kafka_2_spark.streaming.ingest import read_counts
+
+    out = str(tmp_path / "counts")
+    p1 = spark.createDataFrame(
+        [("a", 3, 0), ("b", 2, 0)], "arm string, n long, epoch_id long"
+    ).select("arm", "n", "epoch_id")
+    p2 = spark.createDataFrame(
+        [("a", 1, 1)], "arm string, n long, epoch_id long"
+    ).select("arm", "n", "epoch_id")
+    p1.write.mode("append").parquet(out)
+    p2.write.mode("append").parquet(out)
+    p2.write.mode("append").parquet(out)  # replay of epoch 1
+    got = {r.arm: r.n for r in read_counts(spark, out, "arm").collect()}
+    assert got == {"a": 4, "b": 2}
