@@ -297,6 +297,7 @@ HEADLINE = (
     "q271_cluster_silhouette",
     "q272_cronbach_alpha",
     "q273_streaming_srm",
+    "q274_ks_drift_gate",
 )
 
 

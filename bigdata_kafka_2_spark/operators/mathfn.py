@@ -153,3 +153,54 @@ def chi2_sf_sql(x: str, dfree: str, max_df: int = 16) -> str:
         f"CASE WHEN {dfree} % 2 = 0 THEN {even_sf} ELSE {odd_sf} END "
         "END"
     )
+
+
+#: Below this λ the 8-term alternating series is useless (every term
+#: ≈ 1, the partial sums oscillate) while the TRUE survival is
+#: > 0.9972 — so the builders return exactly 1.0 there. At the
+#: threshold itself the series is already accurate to ~5e-12
+#: (term 9 = e^(−0.32·81)).
+_KS_SMALL_LAMBDA = 0.4
+
+
+def ks_sf_col(lam: Column, terms: int = 8) -> Column:
+    """Kolmogorov-distribution survival ``Q(λ) = 2·Σ_{j≥1} (−1)^{j−1}
+    e^(−2j²λ²)`` (Kolmogorov 1933; the asymptotic two-sample KS
+    p-value when λ folds in the effective sample size), truncated at
+    ``terms`` — alternating with super-exponentially shrinking terms,
+    so 8 terms bound the truncation error below ~5e-12 for λ ≥ 0.4;
+    BELOW ``_KS_SMALL_LAMBDA`` the series converges too slowly to
+    truncate (near-1 terms cancel) and the true survival exceeds
+    0.9972, so the builders return exactly 1.0 (no p-value consumer
+    distinguishes 0.9972+ from 1). Clamped to [0, 1] — the truncated
+    alternating sum can poke a hair past 1 near the switch. Built
+    from plain exp/arithmetic with ``−2j²`` as Python literals (the
+    module's paired-builder rule)."""
+    l2 = lam * lam
+    s = None
+    for j in range(1, terms + 1):
+        t = F.exp(F.lit(float(-2 * j * j)) * l2)
+        t = t if j % 2 == 1 else -t
+        s = t if s is None else s + t
+    q = F.lit(2.0) * s
+    series = F.least(F.greatest(q, F.lit(0.0)), F.lit(1.0))
+    return F.when(
+        lam < F.lit(_KS_SMALL_LAMBDA), F.lit(1.0)
+    ).otherwise(series)
+
+
+def ks_sf_sql(lam: str, terms: int = 8) -> str:
+    """SQL transcription of :func:`ks_sf_col` — same literals, same
+    left-assoc addition order, same small-λ branch and clamp."""
+    parts = []
+    for j in range(1, terms + 1):
+        sign = "" if j % 2 == 1 else "-"
+        parts.append(
+            f"{sign}exp({float(-2 * j * j)!r} * (({lam}) * ({lam})))"
+        )
+    series = " + ".join(parts).replace("+ -", "- ")
+    clamped = f"least(greatest(2.0 * ({series}), 0.0), 1.0)"
+    return (
+        f"CASE WHEN ({lam}) < {_KS_SMALL_LAMBDA!r} THEN 1.0 "
+        f"ELSE {clamped} END"
+    )

@@ -2986,3 +2986,156 @@ def cronbach_alpha_int(
         F.lit(k).cast("long").alias("k"),
         F.round(F.when(ok, alpha), 6).alias("alpha"),
     )
+
+
+def groupwise_ks_fdr(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    alpha: float = 0.05,
+    max_values: int = 1_000_000,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov–Smirnov drift sweep with
+    Benjamini–Hochberg FDR control ACROSS groups: one row per group
+    ``(group, n, d_stat, p_value, p_rank, bh_cutoff, rejected)``
+    testing each group's ``value_col`` distribution against the REST
+    of the table (the leave-one-out drift question a segment monitor
+    actually asks), with the family-wise sweep kept jointly honest by
+    BH — the continuous-metric sibling of :func:`groupwise_chi2_fdr`
+    (categorical) completing the drift-gate pair.
+
+    EXACT D construction: per pooled DISTINCT value, the group's and
+    the pool's INCLUSIVE cumulative counts give
+
+        D_g = max_v |cum_g·n_rest − cum_rest·n_g| / (n_g·n_rest)
+
+    as one integer max over exact DECIMAL(38,0) cross-products (no
+    per-row CDF doubles anywhere); the asymptotic p is
+    ``Q(λ)`` with λ = (√ne + 0.12 + 0.11/√ne)·D, ne = n_g·n_rest/N
+    (Stephens 1970's small-sample correction) via
+    :func:`~bigdata_kafka_2_spark.operators.mathfn.ks_sf_col`.
+
+    Plan: the evaluation grid is |groups|·|distinct values| rows
+    (LINEAR in distinct values with a |groups| constant — the CDF
+    difference can peak at another group's change point, so the full
+    grid is the exact form); per-group cumulatives ride a
+    group-partitioned window whose state is the group's grid slice.
+    ``max_values`` (default 1e6) asserts the grid stays executor-
+    friendly — bucket the metric first (e.g. ``F.round(v, 2)``) for
+    unbounded-cardinality values, which keeps D exact FOR THE
+    BUCKETED metric (the drift gate's usual contract). BH ranks over
+    the |groups|-row test table exactly as the chi-square gate does.
+    """
+    from pyspark.sql import Window
+
+    from bigdata_kafka_2_spark.operators.mathfn import ks_sf_col
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    g = (
+        F.col(group_col) if isinstance(group_col, str) else group_col
+    ).cast("string")
+    v = F.col(value_col).cast("double")
+    gv = df.groupBy(g.alias("__g"), v.alias("__v")).agg(
+        F.count(F.lit(1)).alias("__cgv")
+    )
+    vt = gv.groupBy("__v").agg(F.sum("__cgv").alias("__cv"))
+    n_vals = vt.count()
+    if n_vals > int(max_values):
+        raise ValueError(
+            f"groupwise_ks_fdr: {n_vals} distinct values exceed "
+            f"max_values={max_values}; bucket the metric first "
+            "(the grid is |groups| x |distinct values|)"
+        )
+    dec = "decimal(38,0)"
+    pooled = global_prefix_sum(vt, "__v", "__cv", "__pb", sum_type=dec)
+    pooled = pooled.withColumn(
+        "__cum_all", F.col("__pb") + F.col("__cv").cast(dec)
+    )
+    groups = gv.groupBy("__g").agg(
+        F.sum("__cgv").cast(dec).alias("__ng")
+    )
+    grid = pooled.select("__v", "__cum_all").crossJoin(
+        F.broadcast(groups)
+    )
+    grid = grid.join(gv, on=["__g", "__v"], how="left").withColumn(
+        "__c", F.coalesce(F.col("__cgv"), F.lit(0)).cast(dec)
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_g = F.sum("__c").over(w)
+    tot = df.agg(F.count(F.lit(1)).alias("__N"))
+    scored = grid.select(
+        "__g",
+        "__ng",
+        cum_g.alias("__cg"),
+        F.col("__cum_all"),
+    ).crossJoin(F.broadcast(tot))
+    nr = F.col("__N").cast(dec) - F.col("__ng")
+    cum_r = F.col("__cum_all") - F.col("__cg")
+    dint = F.abs(F.col("__cg") * nr - cum_r * F.col("__ng"))
+    per = scored.groupBy("__g").agg(
+        F.max("__ng").alias("__ngv"),
+        F.max(nr).alias("__nrv"),
+        F.max(dint).alias("__dmax"),
+    )
+    ngd = F.col("__ngv").cast("double")
+    nrd = F.col("__nrv").cast("double")
+    d_stat = F.col("__dmax").cast("double") / (ngd * nrd)
+    ne = ngd * nrd / (ngd + nrd)
+    lam = (
+        F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)
+    ) * d_stat
+    p_val = F.when(
+        (F.col("__ngv") > 0) & (F.col("__nrv") > 0),
+        F.round(ks_sf_col(lam), 9),
+    )
+    tests = per.select(
+        "__g",
+        F.col("__ngv").cast("long").alias("n"),
+        F.round(d_stat, 6).alias("d_stat"),
+        p_val.alias("__p"),
+    )
+    # BH over the |groups|-row table (the groupwise_chi2_fdr shape)
+    wr = Window.orderBy(F.col("__p").asc_nulls_last(), F.col("__g").asc())
+    ranked = tests.withColumn("__r", F.row_number().over(wr))
+    m_tests = ranked.agg(
+        F.sum(F.when(F.col("__p").isNotNull(), 1).otherwise(0)).alias(
+            "__m"
+        )
+    )
+    j = ranked.crossJoin(F.broadcast(m_tests))
+    cutoff = F.round(
+        F.lit(float(alpha)) * F.col("__r").cast("double")
+        / F.col("__m").cast("double"),
+        9,
+    )
+    flagged = j.withColumn(
+        "__ok",
+        F.when(
+            F.col("__p").isNotNull() & (F.col("__p") <= cutoff),
+            F.col("__r"),
+        ),
+    )
+    rstar = flagged.agg(
+        F.coalesce(F.max("__ok"), F.lit(0)).alias("__rstar")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(rstar))
+        .select(
+            F.col("__g").alias(group_col if isinstance(group_col, str) else "group"),
+            "n",
+            "d_stat",
+            F.col("__p").alias("p_value"),
+            F.col("__r").cast("long").alias("p_rank"),
+            cutoff.alias("bh_cutoff"),
+            (
+                F.col("__p").isNotNull()
+                & (F.col("__r") <= F.col("__rstar"))
+            ).alias("rejected"),
+        )
+    )

@@ -4966,3 +4966,114 @@ def q272_cronbach_alpha(
         F.size(F.array_distinct(toks)).cast("long").alias("i3"),
     )
     return cronbach_alpha_int(items, ["i1", "i2", "i3"])
+
+
+def _q274_oracle(sf_dir: str | None = None) -> str:
+    from bigdata_kafka_2_spark.operators.mathfn import ks_sf_sql
+
+    p_expr = ks_sf_sql("lam")
+    return f"""
+    WITH gv AS (
+      SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v,
+             count(*) AS cgv
+      FROM orders GROUP BY 1, 2
+    ),
+    vt AS (SELECT v, sum(cgv) AS cv FROM gv GROUP BY 1),
+    pooled AS (
+      SELECT v, CAST(sum(cv) OVER (ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0)) AS cum_all
+      FROM vt
+    ),
+    grp AS (
+      SELECT g, CAST(sum(cgv) AS DECIMAL(38,0)) AS ng
+      FROM gv GROUP BY 1
+    ),
+    grid AS (
+      SELECT p.v, p.cum_all, gr.g, gr.ng,
+             CAST(coalesce(gv.cgv, 0) AS DECIMAL(38,0)) AS c
+      FROM pooled p CROSS JOIN grp gr
+      LEFT JOIN gv ON gv.g = gr.g AND gv.v = p.v
+    ),
+    cums AS (
+      SELECT g, ng, cum_all,
+             sum(c) OVER (PARTITION BY g ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS cg
+      FROM grid
+    ),
+    tot AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS N FROM orders),
+    per AS (
+      SELECT g, max(ng) AS ng, max(N - ng) AS nr,
+             max(abs(cg * (N - ng) - (cum_all - cg) * ng)) AS dmax
+      FROM cums, tot GROUP BY g
+    ),
+    lamc AS (
+      SELECT g, CAST(ng AS BIGINT) AS n,
+        CAST(dmax AS DOUBLE)
+          / (CAST(ng AS DOUBLE) * CAST(nr AS DOUBLE)) AS d_raw,
+        CAST(ng AS DOUBLE) * CAST(nr AS DOUBLE)
+          / (CAST(ng AS DOUBLE) + CAST(nr AS DOUBLE)) AS ne,
+        (CAST(ng AS DECIMAL(38,0)) > 0
+         AND CAST(nr AS DECIMAL(38,0)) > 0) AS ok
+      FROM per
+    ),
+    tests AS (
+      SELECT g, n, round(d_raw, 6) AS d_stat,
+        CASE WHEN ok THEN round({p_expr}, 9) END AS p
+      FROM (SELECT *, (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * d_raw
+                      AS lam FROM lamc)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               ORDER BY p ASC NULLS LAST, g ASC) AS r
+      FROM tests
+    ),
+    m_tests AS (
+      SELECT sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS m
+      FROM ranked
+    ),
+    cut AS (
+      SELECT ranked.*, round(0.05 * CAST(r AS DOUBLE)
+                             / CAST(m AS DOUBLE), 9) AS bh_cutoff
+      FROM ranked, m_tests
+    ),
+    rstar AS (
+      SELECT coalesce(max(CASE WHEN p IS NOT NULL AND p <= bh_cutoff
+                                THEN r END), 0) AS rs
+      FROM cut
+    )
+    SELECT g AS o_orderpriority, n, d_stat,
+           p AS p_value, CAST(r AS BIGINT) AS p_rank, bh_cutoff,
+           (p IS NOT NULL AND r <= (SELECT rs FROM rstar)) AS rejected
+    FROM cut
+    """
+
+
+@register(
+    "q274_ks_drift_gate",
+    oracle=_q274_oracle,
+    description="Per-segment two-sample KS drift sweep with "
+    "Benjamini-Hochberg FDR control (operators/profile."
+    "groupwise_ks_fdr): each order-priority segment's price "
+    "distribution against the REST of the table, the leave-one-out "
+    "drift question a segment monitor asks - the continuous-metric "
+    "sibling completing q259's categorical chi-square gate. Exact D "
+    "as one integer max over DECIMAL(38,0) cross-products of "
+    "inclusive cumulative counts on the pooled distinct-value grid "
+    "(|groups| x |values| rows - LINEAR in values; the CDF gap can "
+    "peak at another group's change point, so the full grid IS the "
+    "exact form); asymptotic p via operators/mathfn.ks_sf (the "
+    "Kolmogorov series as shared literals, Stephens 1970 ne "
+    "correction); BH over the |groups|-row test table.",
+    tags=("profile", "aggregate", "window"),
+)
+def q274_ks_drift_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import (
+        groupwise_ks_fdr,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    return groupwise_ks_fdr(
+        o, "o_orderpriority", "o_totalprice", alpha=0.05
+    )

@@ -374,3 +374,44 @@ def test_streaming_counts_merge_and_replay(spark, tmp_path):
     p2.write.mode("append").parquet(out)  # replay of epoch 1
     got = {r.arm: r.n for r in read_counts(spark, out, "arm").collect()}
     assert got == {"a": 4, "b": 2}
+
+
+def test_ks_sf_known_quantiles(spark):
+    """Kolmogorov survival at the textbook quantiles, Spark side."""
+    from bigdata_kafka_2_spark.operators.mathfn import ks_sf_col
+
+    cases = [(1.3581015, 0.05), (1.2238479, 0.10),
+             (1.6276236, 0.01), (0.8275735, 0.5)]
+    df = spark.createDataFrame([(l,) for l, _ in cases], "lam double")
+    got = {r.lam: r.q for r in df.select(
+        "lam", ks_sf_col(F.col("lam")).alias("q")).collect()}
+    for lam, want in cases:
+        assert abs(got[lam] - want) < 5e-4, (lam, got[lam])
+    # clamp: tiny lambda -> survival pins to 1, never past it
+    tiny = spark.createDataFrame([(0.01,)], "lam double")
+    assert tiny.select(ks_sf_col(F.col("lam")).alias("q")).collect()[0].q == 1.0
+
+
+def test_groupwise_ks_fdr_hand_checked(spark):
+    """A group shifted far from the rest is rejected; an identical
+    group is not. D for the shifted group is checked against the
+    direct two-sample computation."""
+    from bigdata_kafka_2_spark.operators.profile import (
+        groupwise_ks_fdr,
+    )
+
+    rows = (
+        [("shift", float(100 + i)) for i in range(8)]
+        + [("same_a", float(i)) for i in range(40)]
+        + [("same_b", float(i)) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.g: r for r in groupwise_ks_fdr(df, "g", "v").collect()}
+    # 'shift' is fully separated from the rest -> D = 1.0
+    assert got["shift"].d_stat == 1.0
+    assert got["shift"].rejected is True
+    # same_a vs its rest (same_b + the small shift group): the gap is
+    # only the shifted fraction 8/48, not drift of same_a itself
+    assert abs(got["same_a"].d_stat - round(8 / 48, 6)) < 1e-6
+    assert got["same_a"].rejected is False
+    assert got["shift"].p_rank == 1
