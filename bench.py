@@ -298,6 +298,7 @@ HEADLINE = (
     "q272_cronbach_alpha",
     "q273_streaming_srm",
     "q274_ks_drift_gate",
+    "q275_spearman_corr",
 )
 
 

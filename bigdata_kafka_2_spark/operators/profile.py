@@ -3139,3 +3139,76 @@ def groupwise_ks_fdr(
             ).alias("rejected"),
         )
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Tie-corrected Spearman rank correlation (Spearman 1904): one
+    row ``(n, rho)`` — Pearson's correlation computed on mid-ranks,
+    the MONOTONE-association member next to the mirror's Pearson
+    (q98): it sees any monotone relationship where Pearson sees only
+    linear, and heavy-tailed metrics can't distort it. The
+    feature-screening companion to :func:`mann_whitney_u`'s
+    two-sample shape on the same exact rank machinery.
+
+    ALL-INTEGER rank construction: each variable's DOUBLED mid-rank
+    per distinct value is ``2·C_v + c_v + 1`` (exclusive prefix count
+    from the range-bucketed global_prefix_sum); the FACT table
+    reduces to one map-side-combined (x, y) pair-count table FIRST
+    (the fact is scanned exactly once and never re-shuffled), the two
+    rank joins land on the bounded pair table, and every Pearson
+    moment — Σc·(2r_x), Σc·(2r_x)², Σc·(2r_x)(2r_y) — accumulates as
+    exact DECIMAL(38,0) weighted by the pair counts (the factor 2
+    cancels in the correlation ratio). One double expression at the
+    end, rounded 6 dp, transcribed verbatim by the oracle. NULL rho
+    when either variable is constant (zero rank variance).
+    """
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    dec = "decimal(38,0)"
+    pairs = df.groupBy(
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).agg(F.count(F.lit(1)).alias("__cp"))
+
+    def rank_table(src: str, out: str) -> DataFrame:
+        g = pairs.groupBy(F.col(src).alias("__v")).agg(
+            F.sum("__cp").alias("__c")
+        )
+        pre = global_prefix_sum(g, "__v", "__c", "__b", sum_type=dec)
+        r2 = (
+            F.lit(2).cast(dec) * F.col("__b")
+            + F.col("__c").cast(dec)
+            + F.lit(1).cast(dec)
+        )
+        return pre.select(F.col("__v").alias(src), r2.alias(out))
+
+    rx = rank_table("__x", "__rx")
+    ry = rank_table("__y", "__ry")
+    rows = pairs.join(rx, on="__x").join(ry, on="__y")
+    c = F.col("__cp").cast(dec)
+    agg = rows.agg(
+        F.sum(c).alias("__n"),
+        F.sum(c * F.col("__rx")).alias("__sx"),
+        F.sum(c * F.col("__ry")).alias("__sy"),
+        F.sum(c * F.col("__rx") * F.col("__rx")).alias("__sxx"),
+        F.sum(c * F.col("__ry") * F.col("__ry")).alias("__syy"),
+        F.sum(c * F.col("__rx") * F.col("__ry")).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    cov = F.col("__sxy").cast("double") - sx * sy / n
+    vx = F.col("__sxx").cast("double") - sx * sx / n
+    vy = F.col("__syy").cast("double") - sy * sy / n
+    rho = cov / F.sqrt(vx * vy)
+    ok = (vx > 0) & (vy > 0)
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        F.round(F.when(ok, rho), 6).alias("rho"),
+    )

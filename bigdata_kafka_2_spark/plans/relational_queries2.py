@@ -5077,3 +5077,72 @@ def q274_ks_drift_gate(
     return groupwise_ks_fdr(
         o, "o_orderpriority", "o_totalprice", alpha=0.05
     )
+
+
+@register(
+    "q275_spearman_corr",
+    oracle="""
+    WITH rx AS (
+      SELECT v, CAST(2 AS DECIMAL(38,0))
+               * CAST(coalesce(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS DECIMAL(38,0))
+               + CAST(c AS DECIMAL(38,0))
+               + CAST(1 AS DECIMAL(38,0)) AS r2
+      FROM (SELECT CAST(l_quantity AS DOUBLE) AS v, count(*) AS c
+            FROM lineitem GROUP BY 1)
+    ),
+    ry AS (
+      SELECT v, CAST(2 AS DECIMAL(38,0))
+               * CAST(coalesce(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS DECIMAL(38,0))
+               + CAST(c AS DECIMAL(38,0))
+               + CAST(1 AS DECIMAL(38,0)) AS r2
+      FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v, count(*) AS c
+            FROM lineitem GROUP BY 1)
+    ),
+    rows_r AS (
+      SELECT rx.r2 AS rxv, ry.r2 AS ryv
+      FROM lineitem l
+        JOIN rx ON rx.v = CAST(l.l_quantity AS DOUBLE)
+        JOIN ry ON ry.v = CAST(l.l_extendedprice AS DOUBLE)
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(rxv) AS sx, sum(ryv) AS sy,
+             sum(rxv * rxv) AS sxx, sum(ryv * ryv) AS syy,
+             sum(rxv * ryv) AS sxy
+      FROM rows_r
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+      round((CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+               / CAST(n AS DOUBLE))
+            / sqrt((CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   * (CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                        / CAST(n AS DOUBLE))), 6) AS rho
+    FROM agg
+    """,
+    description="Tie-corrected Spearman rank correlation (operators/"
+    "profile.spearman_corr; Spearman 1904) of order quantity against "
+    "extended price - the monotone-association member beside the "
+    "mirror's Pearson (q98): it sees ANY monotone relationship and "
+    "heavy tails cannot distort it; l_quantity's 50 distinct values "
+    "exercise the mid-rank tie path hard. All-integer rank "
+    "construction on the exact machinery (doubled mid-ranks from "
+    "range-bucketed prefix counts, two value-keyed equi-joins, "
+    "DECIMAL(38,0) Pearson moments - the doubling cancels in the "
+    "ratio), one double expression at the end.",
+    tags=("profile", "aggregate", "join"),
+)
+def q275_spearman_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import spearman_corr
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_quantity", "l_extendedprice")

@@ -415,3 +415,38 @@ def test_groupwise_ks_fdr_hand_checked(spark):
     assert abs(got["same_a"].d_stat - round(8 / 48, 6)) < 1e-6
     assert got["same_a"].rejected is False
     assert got["shift"].p_rank == 1
+
+
+def test_spearman_corr_hand_checked(spark):
+    """A perfect monotone (but nonlinear) relation gives rho = 1;
+    reversing one pair drops it below 1; ties use mid-ranks (checked
+    against the closed-form Pearson-on-ranks)."""
+    from bigdata_kafka_2_spark.operators.profile import spearman_corr
+
+    mono = spark.createDataFrame(
+        [(float(i), float(i * i * i)) for i in range(1, 9)],
+        "x double, y double",
+    )
+    assert spearman_corr(mono, "x", "y").collect()[0].rho == 1.0
+    # ties: x = [1,1,2,2], y = [1,2,3,4] -> mid-ranks x (1.5,1.5,3.5,3.5)
+    tied = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 2.0), (2.0, 3.0), (2.0, 4.0)],
+        "x double, y double",
+    )
+    rx = [1.5, 1.5, 3.5, 3.5]
+    ry = [1.0, 2.0, 3.0, 4.0]
+    n = 4
+    sx, sy = sum(rx), sum(ry)
+    cov = sum(a * b for a, b in zip(rx, ry)) - sx * sy / n
+    import math as _m
+
+    vx = sum(a * a for a in rx) - sx * sx / n
+    vy = sum(b * b for b in ry) - sy * sy / n
+    want = cov / _m.sqrt(vx * vy)
+    got = spearman_corr(tied, "x", "y").collect()[0]
+    assert abs(got.rho - want) < 1e-6
+    # constant variable -> NULL
+    const = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(4)], "x double, y double"
+    )
+    assert spearman_corr(const, "x", "y").collect()[0].rho is None
