@@ -453,7 +453,10 @@ def main() -> None:
                 "canary_median": cm,
                 "host_drift_vs_prev": round(cm / pm, 3),
             }
-    except (OSError, ValueError, KeyError):
+    # A stale/corrupt BENCH_DETAIL.json (zero or non-numeric canary
+    # median) must never crash the bench for a best-effort diagnostic
+    # — hence ZeroDivisionError/TypeError alongside the I/O errors.
+    except (OSError, ValueError, KeyError, ZeroDivisionError, TypeError):
         pass
     # Per-query detail first (a separate, earlier stdout line plus a
     # sidecar file): round 7's single 42-query JSON line outgrew the

@@ -1893,11 +1893,15 @@ def ngram_novelty(
     left-anti join of eval shingles against the train shingle set on
     the ``shingle`` key — the decontamination join shape reversed,
     shuffle-keyed on the shingle (never doc×doc) — plus one count-up
-    per eval doc. A zero-shingle eval doc (shorter than k tokens
-    after normalization) reports 0/0 with NULL rate.
+    per eval doc. Both sides shingle with ``full_only=True`` — the
+    engine-portable convention (a doc shorter than k tokens emits NO
+    shingles, never a partial one), matching the decontamination
+    siblings and the SQL transcription's NULL-filtered complete
+    k-grams. A shingle-less eval doc is therefore ABSENT from the
+    output (totals groups over the shingle table), not a 0/0 row.
     """
-    ev = shingles(eval_df, text_col, id_col, k)
-    tr = shingles(train, text_col, id_col, k).select(
+    ev = shingles(eval_df, text_col, id_col, k, full_only=True)
+    tr = shingles(train, text_col, id_col, k, full_only=True).select(
         "shingle"
     ).distinct()
     novel = ev.join(tr, on="shingle", how="left_anti")

@@ -2504,6 +2504,12 @@ def two_proportion_ztest(
     arm, or a pooled rate of exactly 0 or 1 — zero variance) return
     NULL z/p explicitly.
 
+    Rows with a NULL arm or NULL outcome are EXCLUDED before
+    aggregating (the explicit row-exclusion discipline the sibling
+    operators use): a NULL arm is an assignment bug, not arm B, and
+    a NULL outcome is missing data, not a non-conversion — silently
+    coercing either would bias both n and the rates.
+
     ONE map-side-combined aggregate over the fact table (four
     integer cells); all ratio arithmetic is row-local double math on
     the 1-row result, rounded 6 dp (z, rates) / 9 dp (p).
@@ -2518,6 +2524,7 @@ def two_proportion_ztest(
         if isinstance(outcome_col, str)
         else outcome_col
     ).cast("boolean").cast("int")
+    df = df.filter(a.isNotNull() & y.isNotNull())
     agg = df.agg(
         F.sum(F.when(a, 1).otherwise(0)).alias("__na"),
         F.sum(F.when(a, y).otherwise(0)).alias("__xa"),
@@ -2599,17 +2606,45 @@ def srm_from_counts(
     per arm ``(arm, n)`` — the shape a MERGEABLE streaming count
     ingest maintains (``streaming.ingest.run_streaming_counts``), so
     the SRM gate can run on live accumulating traffic without ever
-    rescanning the event stream."""
+    rescanning the event stream.
+
+    With an explicit ``expected`` dict the arm UNIVERSE is the dict:
+    an expected arm with zero observed traffic is densified in with
+    ``n = 0`` so it contributes its full ``E`` to chi2 (a dead arm is
+    exactly the mismatch SRM exists to catch), and an OBSERVED arm
+    absent from ``expected`` raises ``ValueError`` — silently
+    dropping its term while inflating df would mask the breakage.
+    The check is one bounded anti-join collect over the (tiny,
+    one-row-per-arm) count table.
+    """
     from bigdata_kafka_2_spark.operators.mathfn import chi2_sf_col
 
     if expected is not None:
         total_share = float(sum(expected.values()))
-        share = F.lit(None).cast("double")
-        for k, v in sorted(expected.items()):
-            share = F.when(
-                F.col("arm") == k, F.lit(float(v) / total_share)
-            ).otherwise(share)
-        per = per.withColumn("expected_share", share)
+        exp_df = per.sparkSession.createDataFrame(
+            [(str(k), float(v) / total_share)
+             for k, v in sorted(expected.items())],
+            "arm string, expected_share double",
+        )
+        unknown = sorted(
+            r["arm"]
+            for r in per.join(
+                F.broadcast(exp_df), on="arm", how="left_anti"
+            ).select("arm").collect()
+        )
+        if unknown:
+            raise ValueError(
+                "srm_from_counts: observed arm(s) not in expected: "
+                f"{unknown} — fix the expected shares or the "
+                "assignment; dropping them would silently bias chi2"
+            )
+        per = exp_df.join(
+            per.select("arm", "n"), on="arm", how="left"
+        ).select(
+            "arm",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            "expected_share",
+        )
     else:
         n_arms = per.agg(F.count(F.lit(1))).collect()[0][0]
         per = per.withColumn(

@@ -1932,8 +1932,22 @@ def simplified_silhouette(
     DECIMAL sums. Similarities round 4 dp first (the module's
     convention), so assignment AND tie-breaks (similarity desc,
     centroid_id asc) are engine-identical.
+
+    Requires k ≥ 2 centroids — the silhouette is undefined with no
+    "other" cluster, and letting the NULL ``d₂`` propagate would give
+    MIXED semantics (NULL for most vectors, 0.0 for exact-match ones,
+    since ``greatest`` skips NULLs); the degenerate case raises
+    instead. The guard is a bounded ``limit(2).count()`` on the
+    (broadcast-sized) centroid table.
     """
     from pyspark.sql import Window
+
+    if centroids.select(centroid_id_col).limit(2).count() < 2:
+        raise ValueError(
+            "simplified_silhouette requires >= 2 centroids: with a "
+            "single cluster there is no 'other' centroid and s(i) "
+            "is undefined"
+        )
 
     t = _with_norm(_ensure_parallel(table), vec_col, "__tn")
     c = F.broadcast(

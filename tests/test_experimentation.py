@@ -450,3 +450,85 @@ def test_spearman_corr_hand_checked(spark):
         [(1.0, float(i)) for i in range(4)], "x double, y double"
     )
     assert spearman_corr(const, "x", "y").collect()[0].rho is None
+
+
+def test_ngram_novelty_short_doc_full_only(spark):
+    """r14 ADVICE regression: a <k-token eval/train doc emits NO
+    shingles on either engine (full_only convention), so short docs
+    are ABSENT from the output — never a partial-shingle row that
+    would diverge from the NULL-filtered SQL transcription — and a
+    short TRAIN doc contributes nothing to the seen set."""
+    from bigdata_kafka_2_spark.operators.dedup import ngram_novelty
+
+    train = spark.createDataFrame(
+        [(1, "x y z common tail"), (4, "x y")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(2, "two words"), (3, "x y z only here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ngram_novelty(train, ev).collect()}
+    assert 2 not in got  # shingle-less doc absent, not 0/0
+    # doc 3: 'x y z' seen (full train doc), 'y z only','z only here'
+    # novel; train doc 4's partial 'x y' never forms a shingle
+    assert got[3].n_grams == 3 and got[3].novel == 2
+
+
+def test_srm_explicit_expected_arm_universe(spark):
+    """r14 ADVICE regression: with an explicit expected dict, a dead
+    expected arm densifies in with n=0 (its full E enters chi2) and
+    an observed arm absent from expected raises."""
+    from bigdata_kafka_2_spark.operators.profile import srm_check
+
+    rows = [("a",)] * 600 + [("b",)] * 400
+    df = spark.createDataFrame(rows, "arm string")
+    # arm c expected 20% but received zero traffic: N=1000,
+    # E=(400,400,200), chi2 = 200^2/400 + 0 + 200^2/200 = 300, df=2
+    got = {
+        r.arm: r
+        for r in srm_check(
+            df, "arm", expected={"a": 0.4, "b": 0.4, "c": 0.2}
+        ).collect()
+    }
+    assert got["c"].n == 0 and got["c"].expected_n == 200.0
+    assert abs(got["a"].chi2 - 300.0) < 1e-6
+    assert got["a"].df == 2 and got["a"].srm_flag is True
+    # observed arm not in expected -> raise, never a silent drop
+    with pytest.raises(ValueError, match="not in expected"):
+        srm_check(df, "arm", expected={"a": 1.0}).collect()
+
+
+def test_two_proportion_ztest_null_rows_excluded(spark):
+    """r14 ADVICE regression: NULL arm / NULL outcome rows are
+    excluded, not coerced into arm B / non-conversion."""
+    from bigdata_kafka_2_spark.operators.profile import (
+        two_proportion_ztest,
+    )
+
+    rows = [
+        (True, 1), (True, 0), (False, 1), (False, 0),
+        (None, 1),          # NULL arm: must not land in arm B
+        (True, None),       # NULL outcome: must not count in n_a
+    ]
+    df = spark.createDataFrame(rows, "arm boolean, y int")
+    r = two_proportion_ztest(df, "arm", "y").collect()[0]
+    assert (r.n_a, r.x_a, r.n_b, r.x_b) == (2, 1, 2, 1)
+
+
+def test_simplified_silhouette_requires_k2(spark):
+    """r14 ADVICE regression: a single-centroid audit raises instead
+    of emitting mixed NULL/0 silhouettes."""
+    from bigdata_kafka_2_spark.operators.similarity import (
+        simplified_silhouette,
+    )
+
+    t = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    c1 = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "centroid_id long, centroid array<double>"
+    )
+    with pytest.raises(ValueError, match=">= 2 centroids"):
+        simplified_silhouette(t, c1)
