@@ -70,3 +70,44 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+# --- SQL transcriptions (mathfn's paired-builder discipline) -------------
+#
+# DuckDB's builtin list_cosine_similarity accumulates in ITS OWN order,
+# which lands 1 ulp away from Spark's left fold often enough that a
+# 4-dp rounding boundary eventually flips (r14: q271 at sf0.01 — two of
+# 16k pair sims sat within 1 ulp of x.xxxx5, breaking the hash while
+# every smaller-SF mirror stayed green). These builders transcribe
+# dot/l2_norm/cosine LITERALLY — list_reduce over a 0.0-prepended
+# left fold is the same sequential (acc + x·y) IEEE order as
+# F.aggregate's — so both engines produce BIT-IDENTICAL doubles and
+# every rounding downstream agrees by construction.
+
+
+def dot_sql(a: str, b: str) -> str:
+    """SQL transcription of :func:`dot` — identical fold order."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * "
+        f"CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t)"
+    )
+
+
+def l2_norm_sql(a: str) -> str:
+    """SQL transcription of :func:`l2_norm` — identical fold order."""
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0, list_transform({a}, "
+        f"t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), "
+        f"(acc, t) -> acc + t))"
+    )
+
+
+def cosine_similarity_sql(a: str, b: str) -> str:
+    """SQL transcription of :func:`cosine_similarity` — the same
+    guarded ``dot/(|a|·|b|)`` with bit-identical operand order."""
+    denom = f"({l2_norm_sql(a)} * {l2_norm_sql(b)})"
+    return (
+        f"(CASE WHEN {denom} = 0.0 THEN 0.0 "
+        f"ELSE {dot_sql(a, b)} / {denom} END)"
+    )

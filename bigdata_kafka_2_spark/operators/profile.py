@@ -2228,7 +2228,15 @@ def groupwise_chi2_fdr(
     literal-coefficient A&S 7.1.26 approximation both engines
     evaluate in the same IEEE order; r12 advice, upgraded from the
     even-only form that silently dropped odd-df groups from the BH
-    family). Groups whose implied df is zero or > 16 still get NULL
+    family). The r13→r14 adjudication of the 1.57× wall-clock move:
+    CASE WHEN codegen SHORT-CIRCUITS the parity dispatch — measured
+    r14 at 20M rows, the dispatcher on constant even df costs within
+    2 ns/row of the bare even closed form while the erfc term alone
+    is ~9 ns/row, so even-df groups never pay the odd-df series at
+    runtime; the regression is the one-off plan/codegen compilation
+    of the doubled expression tree (a per-QUERY constant — probes
+    flat at 0.90/1.00), accepted as the price of real odd-df
+    p-values. Groups whose implied df is zero or > 16 still get NULL
     ``p_value`` and are EXCLUDED — the output's ``tested`` boolean
     makes any exclusion visible so a monitor can alarm on
     silently-untested segments. BH: rank tests by
@@ -2895,9 +2903,12 @@ def kruskal_wallis(
         F.col(group_col) if isinstance(group_col, str) else group_col
     ).cast("string")
     v = F.col(value_col).cast("double")
+    # (group, value) counts feed the value table, the rank join, and
+    # through vt the prefix-sum's bounds + offset jobs — materialize
+    # once so the fact is scanned exactly once (see spearman_corr).
     gv = df.groupBy(g.alias("__g"), v.alias("__v")).agg(
         F.count(F.lit(1)).alias("__cjv")
-    )
+    ).localCheckpoint()
     vt = gv.groupBy("__v").agg(F.sum("__cjv").alias("__c"))
     dec = "decimal(38,0)"
     pre = global_prefix_sum(vt, "__v", "__c", "__before", sum_type=dec)
@@ -3072,9 +3083,14 @@ def groupwise_ks_fdr(
         F.col(group_col) if isinstance(group_col, str) else group_col
     ).cast("string")
     v = F.col(value_col).cast("double")
+    # (group, value) counts feed the cardinality guard, the value
+    # table's prefix-sum (bounds + offset jobs), the grid join, and
+    # the total — materialize once so the fact is scanned exactly
+    # once (see spearman_corr); N also derives from it, replacing a
+    # second full-fact aggregate.
     gv = df.groupBy(g.alias("__g"), v.alias("__v")).agg(
         F.count(F.lit(1)).alias("__cgv")
-    )
+    ).localCheckpoint()
     vt = gv.groupBy("__v").agg(F.sum("__cgv").alias("__cv"))
     n_vals = vt.count()
     if n_vals > int(max_values):
@@ -3103,7 +3119,7 @@ def groupwise_ks_fdr(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum_g = F.sum("__c").over(w)
-    tot = df.agg(F.count(F.lit(1)).alias("__N"))
+    tot = gv.agg(F.sum("__cgv").alias("__N"))
     scored = grid.select(
         "__g",
         "__ng",
@@ -3189,43 +3205,91 @@ def spearman_corr(
     feature-screening companion to :func:`mann_whitney_u`'s
     two-sample shape on the same exact rank machinery.
 
-    ALL-INTEGER rank construction: each variable's DOUBLED mid-rank
-    per distinct value is ``2·C_v + c_v + 1`` (exclusive prefix count
-    from the range-bucketed global_prefix_sum); the FACT table
-    reduces to one map-side-combined (x, y) pair-count table FIRST
-    (the fact is scanned exactly once and never re-shuffled), the two
-    rank joins land on the bounded pair table, and every Pearson
-    moment — Σc·(2r_x), Σc·(2r_x)², Σc·(2r_x)(2r_y) — accumulates as
-    exact DECIMAL(38,0) weighted by the pair counts (the factor 2
-    cancels in the correlation ratio). One double expression at the
-    end, rounded 6 dp, transcribed verbatim by the oracle. NULL rho
-    when either variable is constant (zero rank variance).
+    ALL-INTEGER rank construction, attached IN PLACE (r14 plan): the
+    FACT table reduces to one map-side-combined (x, y) pair-count
+    table first (scanned once, localCheckpointed — the q228
+    precedent), then each variable's DOUBLED mid-rank ``2·C_v + c_v
+    + 1`` rides the pair table itself through ONE value-aligned
+    range-bucketed shuffle per variable: a RANGE-frame window pair
+    on the same sort — peers-inclusive running count S≤ and
+    peers-only count c_v — gives ``2·(S≤ + bucket_off) − c_v + 1``
+    with the bucket offsets folded in as a bounded 64×64 broadcast
+    triangle join. No per-variable rank TABLE and no join-back: the
+    r13 shape built two distinct-value rank tables and shuffled the
+    pair table against each (six exchanges); this one is two
+    shuffles and an aggregate. Both variables' bucket bounds come
+    from a single multi-column approxQuantile pass, so the whole
+    operator is exactly three jobs: checkpoint, sketch, aggregate.
+    Window running counts are LONG (bounded by the row count, which
+    physically fits a long); every Pearson moment — Σc·(2r_x),
+    Σc·(2r_x)², Σc·(2r_x)(2r_y) — accumulates as exact DECIMAL(38,0)
+    weighted by the pair counts (the factor 2 cancels in the
+    correlation ratio). One double expression at the end, rounded
+    6 dp, transcribed verbatim by the oracle. NULL rho when either
+    variable is constant (zero rank variance).
     """
+    from pyspark.sql import Window
+
     from bigdata_kafka_2_spark.operators.relational import (
-        global_prefix_sum,
+        _range_bucket,
+        _shuffle_partitions,
     )
 
     dec = "decimal(38,0)"
     pairs = df.groupBy(
         F.col(x_col).cast("double").alias("__x"),
         F.col(y_col).cast("double").alias("__y"),
-    ).agg(F.count(F.lit(1)).alias("__cp"))
+    ).agg(F.count(F.lit(1)).alias("__cp")).localCheckpoint()
 
-    def rank_table(src: str, out: str) -> DataFrame:
-        g = pairs.groupBy(F.col(src).alias("__v")).agg(
-            F.sum("__cp").alias("__c")
+    nb = min(_shuffle_partitions(pairs), 64)
+    bx, by = pairs.stat.approxQuantile(
+        ["__x", "__y"], [i / nb for i in range(1, nb)], 0.001
+    )
+
+    def attach_rank2(src_df: DataFrame, src: str, out: str, bnds):
+        b, eff = _range_bucket(src_df, src, nb, bnds)
+        off = F.lit(0).cast("long")
+        if eff > 1:
+            bs = b.groupBy("__bkt").agg(
+                F.sum("__cp").cast("long").alias("__bs")
+            )
+            lower = bs.select(
+                F.col("__bkt").alias("__lb"),
+                F.col("__bs").alias("__lbs"),
+            )
+            offs = (
+                bs.select("__bkt")
+                .join(
+                    F.broadcast(lower),
+                    F.col("__lb") < F.col("__bkt"),
+                    "left",
+                )
+                .groupBy("__bkt")
+                .agg(
+                    F.coalesce(F.sum("__lbs"), F.lit(0))
+                    .cast("long")
+                    .alias("__off")
+                )
+            )
+            b = b.join(F.broadcast(offs), on="__bkt", how="left")
+            off = F.col("__off")
+        ws = Window.partitionBy("__bkt").orderBy(src)
+        s_le = F.sum("__cp").over(
+            ws.rangeBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        pre = global_prefix_sum(g, "__v", "__c", "__b", sum_type=dec)
+        c_eq = F.sum("__cp").over(
+            ws.rangeBetween(Window.currentRow, Window.currentRow)
+        )
         r2 = (
-            F.lit(2).cast(dec) * F.col("__b")
-            + F.col("__c").cast(dec)
+            F.lit(2).cast(dec) * (s_le + off).cast(dec)
+            - c_eq.cast(dec)
             + F.lit(1).cast(dec)
         )
-        return pre.select(F.col("__v").alias(src), r2.alias(out))
+        return b.withColumn(out, r2).drop("__bkt", "__off")
 
-    rx = rank_table("__x", "__rx")
-    ry = rank_table("__y", "__ry")
-    rows = pairs.join(rx, on="__x").join(ry, on="__y")
+    rows = attach_rank2(
+        attach_rank2(pairs, "__x", "__rx", bx), "__y", "__ry", by
+    )
     c = F.col("__cp").cast(dec)
     agg = rows.agg(
         F.sum(c).alias("__n"),

@@ -185,7 +185,10 @@ def _shuffle_partitions(df: DataFrame, default: int = 32) -> int:
 
 
 def _range_bucket(
-    df: DataFrame, order_col: str, num_buckets: int
+    df: DataFrame,
+    order_col: str,
+    num_buckets: int,
+    bounds: Sequence[float] | None = None,
 ) -> tuple[DataFrame, int]:
     """Attach a ``__bkt`` column that range-buckets ``df`` on
     ``order_col`` using approximate quantile boundaries.
@@ -209,6 +212,15 @@ def _range_bucket(
     (what Spark's own RangePartitioner does with reservoir sampling —
     UTF-8 byte order matches the driver-side sort, so boundaries stay
     consistent with Spark's comparisons).
+
+    ``bounds`` (numeric columns only): caller-supplied split points
+    as DOUBLES, skipping the approxQuantile job. Correctness never
+    depends on WHERE the splits sit (any value-aligned partition of
+    the domain yields the same downstream prefix sums) — only balance
+    does — so a caller that already holds quantiles of a RELATED
+    distribution (e.g. both rank columns of one pair table, sketched
+    in a single multi-column approxQuantile pass) trades a little
+    balance for one fewer job per call.
     """
     dtype = dict(df.dtypes)[order_col.strip("`")]
     numericish = dtype in (
@@ -217,8 +229,10 @@ def _range_bucket(
     ) or dtype.startswith("decimal")
     if numericish:
         probed = df.withColumn("__ord_d", _as_double(F.col(order_col), dtype))
-        probs = [i / num_buckets for i in range(1, num_buckets)]
-        bounds = sorted(set(probed.stat.approxQuantile("__ord_d", probs, 0.001)))
+        if bounds is None:
+            probs = [i / num_buckets for i in range(1, num_buckets)]
+            bounds = probed.stat.approxQuantile("__ord_d", probs, 0.001)
+        bounds = sorted({float(b) for b in bounds})
         cmp_col = F.col("__ord_d")
     else:
         # Deterministic bounded sample: hash-filter ~1/7 of rows, then
@@ -464,6 +478,7 @@ def global_prefix_sum(
     weight_col: str,
     out_col: str = "cum_before",
     sum_type: str = "long",
+    bounds: Sequence[float] | None = None,
 ) -> DataFrame:
     """EXCLUSIVE global prefix sum of ``weight_col`` over a total order
     (``out_col`` = sum of all earlier rows' weights; 0 for the first)
@@ -471,22 +486,33 @@ def global_prefix_sum(
     :func:`global_row_number`'s bucket/offset construction:
 
     1. range-bucket on the leading order column;
-    2. per-bucket weight sums (num_buckets rows) → cumulative bucket
-       offsets on the driver;
-    3. per-bucket exclusive window sum + broadcast bucket offset.
+    2. per-bucket weight sums (num_buckets rows) → exclusive bucket
+       offsets by a bounded 64×64 broadcast triangle join;
+    3. per-bucket exclusive window sum + broadcast-joined bucket
+       offset.
 
-    The driver collect is bounded by the bucket count (≤64), never the
-    data. ``order_cols`` must be a total order (include a unique key).
+    The offsets ride the main DAG (r14): the bucket-sum table is
+    bounded at 64 rows, so the triangle join computing each bucket's
+    sum-of-predecessors is a constant — and folding it in as a
+    broadcast join (instead of a driver collect into a literal CASE)
+    removes one blocking job per call, which dominated the
+    multi-prefix-sum rank operators' wall time at the scheduler's
+    per-job floor. ``order_cols`` must be a total order (include a
+    unique key). ``bounds`` forwards caller-supplied split points to
+    :func:`_range_bucket` (one shared approxQuantile pass across
+    several prefix sums).
 
     ``sum_type`` is the accumulation type (default ``long``). Pass
     ``decimal(38,0)`` when the GLOBAL sum can exceed 2^63 (e.g. cents
     across a 100 TB fact table): LONG accumulation would silently
     wrap in non-ANSI mode; decimal accumulation overflows loudly to
-    NULL instead. Driver-side bucket offsets accumulate as exact
-    Python ints/Decimals — fractional-scale decimals (e.g.
+    NULL instead. Bucket offsets accumulate at the FULL (38, s) sum
+    type inside the offset window — fractional-scale decimals (e.g.
     ``decimal(38,6)`` for Kaplan-Meier's log-survival) keep their
-    fraction; an ``int()`` here once truncated every bucket offset
-    to 0 and silently zeroed the cross-bucket carry.
+    fraction exactly (the r6 driver-side ``int()`` truncation bug
+    class stays pinned by the scale-9/12 carry tests) — and only the
+    FINISHED offset casts down to the precision-37 operand type,
+    where a genuine 37-digit overflow fails loudly to NULL.
 
     DECIMAL-ADDITION PRECISION RULE (r13, caught by the sf0.01
     vanilla-session verify of q255): Spark's ``DECIMAL(38,s) +
@@ -504,7 +530,7 @@ def global_prefix_sum(
     """
     cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     n_buckets = _shuffle_partitions(df)
-    bucketed, eff = _range_bucket(df, cols[0], min(n_buckets, 64))
+    bucketed, eff = _range_bucket(df, cols[0], min(n_buckets, 64), bounds)
 
     # exact-addition operand type: one precision digit of headroom so
     # (acc_type + acc_type) fits (38, s) without scale reduction
@@ -519,24 +545,51 @@ def global_prefix_sum(
     def _typed_lit(v: int):
         if sum_type == "long":
             return F.lit(v).cast("long")
-        # F.lit() rejects ints past 2^63; route big offsets through a
-        # string cast, which decimal parses exactly
+        # decimal zero literal at the exact operand type
         return F.expr(f"CAST('{v}' AS {acc_type})")
 
     off = _typed_lit(0)
+    joined = bucketed
     if eff > 1:
-        sums = {
-            r["__bkt"]: r["__s"]
-            for r in bucketed.groupBy("__bkt")
-            .agg(F.sum(F.col(weight_col).cast(sum_type)).alias("__s"))
-            .collect()
-        }
-        acc = 0
-        for b in range(eff):
-            off = F.when(
-                F.col("__bkt") == F.lit(b), _typed_lit(acc)
-            ).otherwise(off)
-            acc += sums.get(b) or 0
+        # Exclusive bucket offsets as a ≤64-row broadcast side,
+        # computed by a bounded 64×64 broadcast triangle join (sum of
+        # all STRICTLY-SMALLER buckets' sums) — never a
+        # single-partition window, so the repo-wide "no Exchange
+        # SinglePartition" plan discipline holds through every
+        # composition. Keeping the offsets in the DAG instead of
+        # collecting them into a literal CASE removes one blocking
+        # driver job per call — the cost that dominated the
+        # multi-prefix-sum rank operators at the scheduler's per-job
+        # floor. Types follow the r13 precision rule: bucket sums
+        # aggregate at the full (38, s) sum type (sum widens
+        # precision, never reduces scale), the finished offset casts
+        # to the (37, s) operand type where genuine overflow fails
+        # LOUDLY to NULL, and a bucket with no predecessors gets an
+        # explicit typed zero (never a coalesce that could mask that
+        # overflow NULL).
+        bsums = bucketed.groupBy("__bkt").agg(
+            F.sum(F.col(weight_col).cast(sum_type)).alias("__bs")
+        )
+        lower = bsums.select(
+            F.col("__bkt").alias("__lb"), F.col("__bs").alias("__lbs")
+        )
+        offs = (
+            bsums.select("__bkt")
+            .join(
+                F.broadcast(lower),
+                F.col("__lb") < F.col("__bkt"),
+                "left",
+            )
+            .groupBy("__bkt")
+            .agg(
+                F.when(F.count("__lb") == 0, _typed_lit(0))
+                .otherwise(F.sum("__lbs"))
+                .cast(acc_type)
+                .alias("__gps_off")
+            )
+        )
+        joined = bucketed.join(F.broadcast(offs), on="__bkt", how="left")
+        off = F.col("__gps_off")
     w = (
         Window.partitionBy("__bkt")
         .orderBy(*[F.col(c) for c in cols])
@@ -545,9 +598,9 @@ def global_prefix_sum(
     cum = F.coalesce(
         F.sum(F.col(weight_col).cast(sum_type)).over(w), _typed_lit(0)
     ).cast(acc_type)
-    return bucketed.withColumn(
+    return joined.withColumn(
         out_col, (cum + off).cast(sum_type)
-    ).drop("__bkt")
+    ).drop("__bkt", "__gps_off")
 
 
 # --- Bitmap-prefiltered semi join (shuffle-volume reduction) -------------

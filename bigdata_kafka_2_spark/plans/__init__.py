@@ -470,6 +470,37 @@ def register(
 #: machinery stays graded via q211's mergeable digest, q132's
 #: upsert state, and incoming q250's win-count partials, and q150
 #: stays mirror-green).
+#: Round-14 rotation (five swaps per the r13 verdict's #1 — the 13
+#: r13-new families held zero graded slots; these give the driver's
+#: clock and hash gate to the five whose driver-side behavior the
+#: mirror covers least; every outgoing query stays hash-checked in
+#: the EXTENDED oracle mirror, and every outgoing FAMILY keeps a
+#: graded representative):
+#: q192_ks_test → q274_ks_drift_gate (the two-sample KS machinery
+#: UPGRADES in place: the per-segment leave-one-out sweep with
+#: BH-FDR over exact integer D, exercising the same ks_sf survival
+#: plus the gate logic; the two-sample family keeps q225 MW, q256
+#: logrank, q255 NA, q262 CIF graded and q192 stays mirror-green);
+#: q14_set_ops → q275_spearman_corr (the r14 perf-rebuilt rank
+#: correlation — in-place RANGE-frame mid-ranks, two shuffles, no
+#: rank-table join-back — the round's most plan-novel row; set ops
+#: stay mirror-green and the §2.11 utility family keeps q161
+#: grouping sets, q86 profile, q19 slice, q28 TPC-H Q3, q82 Q22
+#: graded);
+#: q26_correlated_subquery → q263_cuped_ate (the experimentation
+#: readout family's first graded slot — CUPED variance reduction,
+#: exact decimal moments; the correlated-subquery shape stays
+#: graded inside q82's correlated NOT EXISTS + scalar subquery, and
+#: q26 stays mirror-green);
+#: q44_near_dedup_survivors → q266_isotonic_calibration (PAVA via
+#: the max-min formulation — a genuinely different plan shape; CC
+#: min-id survivor selection stays graded inside all three curation
+#: chains q127/q183/q238, and q44 stays mirror-green);
+#: q49_quality_filter → q273_streaming_srm (streamed ≡ batch SRM
+#: through the driver's own gate — the mergeable count-partial
+#: behavior the mirror covers least; the Gopher quality filter
+#: stays graded as the FIRST STAGE of q127/q183/q238, and q49 stays
+#: mirror-green).
 CURATED: tuple[str, ...] = (
     # relational / joins / windows / grouping
     "q01_pricing_summary",
@@ -479,7 +510,7 @@ CURATED: tuple[str, ...] = (
     "q147_prefix_filter_pairs",
     "q148_point_in_time_join",
     "q262_competing_risks_cif",
-    "q14_set_ops",
+    "q275_spearman_corr",
     "q161_grouping_sets",
     "q86_table_profile",
     "q132_streaming_upsert",
@@ -487,7 +518,7 @@ CURATED: tuple[str, ...] = (
     "q142_filelog_stream",
     "q194_pii_redacted_release",
     "q256_logrank_test",
-    "q26_correlated_subquery",
+    "q263_cuped_ate",
     "q28_tpch_q3_shipping_priority",
     "q228_adamic_adar_links",
     "q58_salted_join",
@@ -498,15 +529,15 @@ CURATED: tuple[str, ...] = (
     "q177_naive_bayes_lang",
     "q255_nelson_aalen",
     "q144_pagerank",
-    "q192_ks_test",
+    "q274_ks_drift_gate",
     "q117_dsir_logweights",
     # dedup (exact, MinHash-LSH, end-to-end) + composed curation
     "q242_bradley_terry",
     "q42_minhash_lsh_pairs",
-    "q44_near_dedup_survivors",
+    "q266_isotonic_calibration",
     "q127_curation_v4",
     # text analysis / corpus curation
-    "q49_quality_filter",
+    "q273_streaming_srm",
     "q34_language_id",
     "q238_curation_v8",
     "q121_ndcg_bm25",

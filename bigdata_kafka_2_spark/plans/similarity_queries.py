@@ -17,7 +17,7 @@ from bigdata_kafka_2_spark.plans import register
     "q50_cosine_topk",
     oracle="""
     SELECT e.vec_id,
-           round(CAST(list_cosine_similarity(e.embedding, p.embedding) AS DOUBLE), 4)
+           round(CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, p.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END) AS DOUBLE), 4)
              AS similarity
     FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) p
     WHERE e.vec_id <> 0
@@ -40,14 +40,14 @@ def q50_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q51_cosine_topk_many",
     oracle="""
     SELECT p.vec_id AS probe_id, e.vec_id,
-           round(CAST(list_cosine_similarity(e.embedding, p.embedding) AS DOUBLE), 4)
+           round(CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, p.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END) AS DOUBLE), 4)
              AS similarity,
            rank
     FROM (
       SELECT p.vec_id AS p_id, e.vec_id AS e_id,
              row_number() OVER (
                PARTITION BY p.vec_id
-               ORDER BY round(CAST(list_cosine_similarity(e.embedding, p.embedding) AS DOUBLE), 4) DESC,
+               ORDER BY round(CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, p.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END) AS DOUBLE), 4) DESC,
                         e.vec_id ASC
              ) AS rank
       FROM embeddings e, embeddings p
@@ -84,11 +84,11 @@ _NEAR_DUP_THRESHOLD = 0.4
     "q52_embedding_near_dup",
     oracle=f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4)
+           round(CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END) AS DOUBLE), 4)
              AS similarity
     FROM embeddings a, embeddings b
     WHERE a.vec_id < b.vec_id
-      AND round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4)
+      AND round(CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END) AS DOUBLE), 4)
             >= {_NEAR_DUP_THRESHOLD}
     """,
     description="Embedding near-duplicate pairs (cosine ≥ 0.4 — chosen "
@@ -154,12 +154,12 @@ def _lsh_pairs_oracle(
       WHERE a.vec_id < b.vec_id
     )
     SELECT c.id_a, c.id_b,
-           round(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 4)
+           round(CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(ea.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(eb.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(ea.embedding, eb.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(ea.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(eb.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END) AS DOUBLE), 4)
              AS similarity
     FROM cand c
     JOIN embeddings ea ON ea.vec_id = c.id_a
     JOIN embeddings eb ON eb.vec_id = c.id_b
-    WHERE round(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 4)
+    WHERE round(CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(ea.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(eb.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(ea.embedding, eb.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(ea.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(eb.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END) AS DOUBLE), 4)
             >= {threshold}
     """
 
@@ -440,7 +440,7 @@ def _pq_rerank_oracle(
         SELECT e.vec_id, e.embedding, c.centroid_id,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY CAST(list_cosine_similarity(e.embedding, c.centroid)
+                 ORDER BY CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(c.centroid, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, c.centroid), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(c.centroid, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END)
                                AS DOUBLE) DESC,
                           c.centroid_id ASC
                ) AS rn
@@ -451,7 +451,7 @@ def _pq_rerank_oracle(
       SELECT c.centroid_id
       FROM (SELECT embedding FROM embeddings WHERE vec_id = {probe_id}) p,
            cents c
-      ORDER BY CAST(list_cosine_similarity(p.embedding, c.centroid) AS DOUBLE)
+      ORDER BY CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(c.centroid, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(p.embedding, c.centroid), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(c.centroid, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END) AS DOUBLE)
                  DESC,
                c.centroid_id ASC
       LIMIT {n_probe}
@@ -493,12 +493,11 @@ def _pq_rerank_oracle(
     )
     SELECT probe_id, vec_id, similarity, rank FROM (
       SELECT a.probe_id, a.vec_id,
-             round(CAST(list_cosine_similarity(e.embedding, p.embedding)
+             round(CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, p.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END)
                         AS DOUBLE), 4) AS similarity,
              row_number() OVER (
                PARTITION BY a.probe_id
-               ORDER BY round(CAST(list_cosine_similarity(e.embedding,
-                                                          p.embedding)
+               ORDER BY round(CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, p.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END)
                                    AS DOUBLE), 4) DESC, a.vec_id ASC
              ) AS rank
       FROM adc a
@@ -551,7 +550,7 @@ _IVF_CENTROID_IDS = (10, 20, 30, 40, 50, 60, 70, 80)
         SELECT e.vec_id, e.embedding, c.centroid_id,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY CAST(list_cosine_similarity(e.embedding, c.centroid)
+                 ORDER BY CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(c.centroid, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, c.centroid), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(c.centroid, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END)
                                AS DOUBLE) DESC,
                           c.centroid_id ASC
                ) AS rn
@@ -562,13 +561,13 @@ _IVF_CENTROID_IDS = (10, 20, 30, 40, 50, 60, 70, 80)
     probe_cells AS (
       SELECT p.vec_id AS probe_id, p.embedding AS probe_vec, c.centroid_id
       FROM probe p, cents c
-      ORDER BY CAST(list_cosine_similarity(p.embedding, c.centroid) AS DOUBLE)
+      ORDER BY CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(c.centroid, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(p.embedding, c.centroid), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(c.centroid, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END) AS DOUBLE)
                  DESC,
                c.centroid_id ASC
       LIMIT 3
     )
     SELECT a.vec_id,
-           round(CAST(list_cosine_similarity(a.embedding, pc.probe_vec)
+           round(CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(pc.probe_vec, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, pc.probe_vec), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(pc.probe_vec, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END)
                       AS DOUBLE), 4) AS similarity
     FROM assigned a JOIN probe_cells pc ON a.centroid_id = pc.centroid_id
     WHERE a.vec_id <> pc.probe_id
@@ -672,8 +671,7 @@ def _q75_sql(k: int, coarse_fine_k: int) -> str:
         SELECT c.centroid_id, c.centroid, co.coarse_id,
                row_number() OVER (
                  PARTITION BY c.centroid_id
-                 ORDER BY CAST(list_cosine_similarity(c.centroid,
-                                                      co.coarse_vec)
+                 ORDER BY CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(c.centroid, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(co.coarse_vec, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(c.centroid, co.coarse_vec), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(c.centroid, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(co.coarse_vec, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END)
                                AS DOUBLE) DESC,
                           co.coarse_id ASC
                ) AS rn
@@ -685,8 +683,7 @@ def _q75_sql(k: int, coarse_fine_k: int) -> str:
         SELECT e.vec_id, e.embedding, co.coarse_id,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY CAST(list_cosine_similarity(e.embedding,
-                                                      co.coarse_vec)
+                 ORDER BY CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(co.coarse_vec, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, co.coarse_vec), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(co.coarse_vec, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END)
                                AS DOUBLE) DESC,
                           co.coarse_id ASC
                ) AS rn
@@ -698,7 +695,7 @@ def _q75_sql(k: int, coarse_fine_k: int) -> str:
         SELECT t.vec_id, t.embedding, g.centroid_id,
                row_number() OVER (
                  PARTITION BY t.vec_id
-                 ORDER BY CAST(list_cosine_similarity(t.embedding, g.centroid)
+                 ORDER BY CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(t.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(g.centroid, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(t.embedding, g.centroid), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(t.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(g.centroid, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END)
                                AS DOUBLE) DESC,
                           g.centroid_id ASC
                ) AS rn
@@ -712,7 +709,7 @@ def _q75_sql(k: int, coarse_fine_k: int) -> str:
         SELECT e.vec_id, e.embedding, c.centroid_id,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY CAST(list_cosine_similarity(e.embedding, c.centroid)
+                 ORDER BY CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(c.centroid, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, c.centroid), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(c.centroid, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END)
                                AS DOUBLE) DESC,
                           c.centroid_id ASC
                ) AS rn
@@ -725,12 +722,12 @@ def _q75_sql(k: int, coarse_fine_k: int) -> str:
       FROM embeddings WHERE vec_id < {k}
     ),{assigned}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+           round(CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END)
                       AS DOUBLE), 4) AS similarity
     FROM assigned a
       JOIN assigned b
         ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-    WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+    WHERE round(CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END)
                      AS DOUBLE), 4) >= {_NEAR_DUP_THRESHOLD}
     """
 
@@ -784,8 +781,7 @@ def q75_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tr AS (
       SELECT vec_id,
-             CAST(list_cosine_similarity(e.embedding[1:16],
-                                         p.embedding[1:16]) AS DOUBLE)
+             CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding[1:16], t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding[1:16], t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding[1:16], p.embedding[1:16]), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding[1:16], t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding[1:16], t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END) AS DOUBLE)
                AS ts
       FROM embeddings e, (SELECT embedding FROM embeddings
                           WHERE vec_id = 0) p
@@ -800,11 +796,10 @@ def q75_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE r <= 50
     )
     SELECT 0 AS probe_id, e.vec_id,
-           round(CAST(list_cosine_similarity(e.embedding, p.embedding)
+           round(CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, p.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END)
                       AS DOUBLE), 4) AS similarity,
            CAST(row_number() OVER (
-             ORDER BY round(CAST(list_cosine_similarity(
-                        e.embedding, p.embedding) AS DOUBLE), 4) DESC,
+             ORDER BY round(CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, p.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END) AS DOUBLE), 4) DESC,
                       e.vec_id ASC) AS BIGINT) AS rank
     FROM embeddings e
       JOIN cand USING (vec_id),
@@ -840,8 +835,7 @@ def q100_truncated_rerank_topk(
         SELECT a.vec_id AS p_id, e.vec_id AS e_id,
                row_number() OVER (
                  PARTITION BY a.vec_id
-                 ORDER BY round(CAST(list_cosine_similarity(
-                            e.embedding, p.embedding) AS DOUBLE), 4) DESC,
+                 ORDER BY round(CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, p.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END) AS DOUBLE), 4) DESC,
                           e.vec_id ASC
                ) AS r
         FROM embeddings e, anchors a
@@ -903,7 +897,7 @@ def q102_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.vec_id, e.embedding, c.centroid_id,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY CAST(list_cosine_similarity(e.embedding, c.centroid)
+                 ORDER BY CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(c.centroid, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, c.centroid), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(c.centroid, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END)
                                AS DOUBLE) DESC,
                           c.centroid_id ASC
                ) AS rn
@@ -919,7 +913,7 @@ def q102_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p.probe_id, p.probe_vec, c.centroid_id,
                row_number() OVER (
                  PARTITION BY p.probe_id
-                 ORDER BY CAST(list_cosine_similarity(p.probe_vec, c.centroid)
+                 ORDER BY CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(p.probe_vec, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(c.centroid, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(p.probe_vec, c.centroid), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(p.probe_vec, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(c.centroid, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END)
                                AS DOUBLE) DESC,
                           c.centroid_id ASC
                ) AS rn
@@ -930,12 +924,11 @@ def q102_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(rank AS BIGINT) AS rank
     FROM (
       SELECT cl.probe_id, a.vec_id,
-             round(CAST(list_cosine_similarity(a.embedding, cl.probe_vec)
+             round(CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(cl.probe_vec, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, cl.probe_vec), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(cl.probe_vec, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END)
                         AS DOUBLE), 4) AS similarity,
              row_number() OVER (
                PARTITION BY cl.probe_id
-               ORDER BY round(CAST(list_cosine_similarity(a.embedding,
-                                                          cl.probe_vec)
+               ORDER BY round(CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(cl.probe_vec, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, cl.probe_vec), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(cl.probe_vec, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END)
                                    AS DOUBLE), 4) DESC,
                         a.vec_id ASC
              ) AS rank
@@ -1099,7 +1092,7 @@ def _q139_oracle(sf_dir: str) -> str:
     ),
     scored AS (
       SELECT c.vec_id,
-             round(CAST(list_cosine_similarity(e.embedding, p.embedding)
+             round(CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, p.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END)
                         AS DOUBLE), 4) AS similarity
       FROM cand c
         JOIN embeddings e ON e.vec_id = c.vec_id,
@@ -1180,7 +1173,7 @@ def _q271_oracle(sf_dir: str) -> str:
     ),
     scored AS (
       SELECT e.vec_id AS vid, c.cid,
-             round(CAST(list_cosine_similarity(e.embedding, c.cv)
+             round(CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(c.cv, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, c.cv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(c.cv, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END)
                         AS DOUBLE), 4) AS sim
       FROM embeddings e, cents c
       WHERE e.vec_id % {stride} = 0

@@ -2119,8 +2119,7 @@ def q169_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, CAST(r AS INT) AS rank_dense FROM (
         SELECT e.vec_id AS doc_id,
                row_number() OVER (
-                 ORDER BY round(CAST(list_cosine_similarity(
-                   e.embedding, p.embedding) AS DOUBLE), 4) DESC,
+                 ORDER BY round(CAST((CASE WHEN (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) = 0.0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, p.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, t) -> acc + t) / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t))) END) AS DOUBLE), 4) DESC,
                  e.vec_id ASC) AS r
         FROM embeddings e,
              (SELECT embedding FROM embeddings WHERE vec_id = 0) p

@@ -15,7 +15,7 @@ from bigdata_kafka_2_spark.plans import register
     "q54_embedding_norms",
     oracle="""
     SELECT vec_id, label,
-           round(sqrt(list_dot_product(embedding, embedding)), 4) AS l2,
+           round(sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), (acc, t) -> acc + t)), 4) AS l2,
            len(embedding) AS dim
     FROM embeddings
     """,
