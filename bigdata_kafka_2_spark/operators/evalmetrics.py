@@ -792,3 +792,185 @@ def isotonic_binned_calibration(
             F.round(F.col("__iso"), 6).alias("iso_rate"),
         )
     )
+
+
+def cohens_kappa_weighted(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    weights: str = "quadratic",
+) -> DataFrame:
+    """WEIGHTED Cohen's kappa between two ORDINAL integer rating
+    columns (two annotators, or an LLM judge against a human rater on
+    a 1–5 scale): one row ``(n, kappa_w)`` — the ordinal companion of
+    :func:`cohens_kappa`, where near-misses cost less than distant
+    disagreements via ``w_ij = (i−j)²`` (``"quadratic"``, the
+    standard for graded judgments — equivalent to an ICC) or
+    ``|i−j|`` (``"linear"``).
+
+    EXACT integer arithmetic end to end: with SO = Σ w_ij·O_ij and
+    the chance mass expanded ALGEBRAICALLY (never a k×k marginal
+    join) —
+
+        Σ_ij (i−j)²·na_i·nb_j = N·Σi²na_i − 2(Σi·na_i)(Σj·nb_j)
+                                 + N·Σj²nb_j
+
+    (and the |i−j| analogue via a bounded per-level join) —
+
+        κ_w = 1 − N·SO / SE
+
+    is one integer division rounded 6 dp at the very end, engine-
+    and partitioning-identical. Rows with a NULL rating on either
+    side are EXCLUDED (a missing judgment is not a level; the
+    unweighted sibling's NULL-as-level convention would give NULL a
+    DISTANCE, which is meaningless on an ordinal scale). NULL kappa
+    when SE = 0 (both raters constant).
+
+    ONE map-side-combined aggregate over the fact table for the
+    quadratic form; the linear form adds one |levels|-bounded
+    marginal join.
+    """
+    if weights not in ("quadratic", "linear"):
+        raise ValueError("weights must be 'quadratic' or 'linear'")
+    a = F.col(col_a).cast("long")
+    b = F.col(col_b).cast("long")
+    rows = df.filter(a.isNotNull() & b.isNotNull()).select(
+        a.alias("__a"), b.alias("__b")
+    )
+    dec = "decimal(38,0)"
+    if weights == "quadratic":
+        d = (F.col("__a") - F.col("__b")).cast(dec)
+        agg = rows.agg(
+            F.count(F.lit(1)).cast(dec).alias("__n"),
+            F.sum(d * d).alias("__so"),
+            F.sum(F.col("__a").cast(dec)).alias("__sa"),
+            F.sum(F.col("__b").cast(dec)).alias("__sb"),
+            F.sum(
+                F.col("__a").cast(dec) * F.col("__a").cast(dec)
+            ).alias("__saa"),
+            F.sum(
+                F.col("__b").cast(dec) * F.col("__b").cast(dec)
+            ).alias("__sbb"),
+        )
+        se = (
+            F.col("__n") * F.col("__saa")
+            - F.lit(2).cast(dec) * F.col("__sa") * F.col("__sb")
+            + F.col("__n") * F.col("__sbb")
+        )
+        out = agg.select(
+            F.col("__n").cast("long").alias("n"),
+            F.when(
+                se != 0,
+                F.round(
+                    F.lit(1.0)
+                    - (F.col("__n") * F.col("__so")).cast("double")
+                    / se.cast("double"),
+                    6,
+                ),
+            ).alias("kappa_w"),
+        )
+        return out
+    # linear weights: SE = Σ_ij |i−j|·na_i·nb_j via the bounded
+    # (levels_a × levels_b) marginal join — rating scales are small
+    # by contract, so the join is broadcast-tiny.
+    so = rows.agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum(F.abs(F.col("__a") - F.col("__b")).cast(dec)).alias(
+            "__so"
+        ),
+    )
+    ma = rows.groupBy("__a").agg(F.count(F.lit(1)).alias("__na"))
+    mb = rows.groupBy("__b").agg(F.count(F.lit(1)).alias("__nb"))
+    sem = (
+        ma.crossJoin(F.broadcast(mb))
+        .agg(
+            F.sum(
+                F.abs(F.col("__a") - F.col("__b")).cast(dec)
+                * F.col("__na").cast(dec)
+                * F.col("__nb").cast(dec)
+            ).alias("__se")
+        )
+    )
+    return so.crossJoin(F.broadcast(sem)).select(
+        F.col("__n").cast("long").alias("n"),
+        F.when(
+            F.col("__se") != 0,
+            F.round(
+                F.lit(1.0)
+                - (F.col("__n") * F.col("__so")).cast("double")
+                / F.col("__se").cast("double"),
+                6,
+            ),
+        ).alias("kappa_w"),
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col,
+    outcome_col,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table + expected calibration error (Naeini et al.
+    2015; the one-number calibration gate next to q266's isotonic
+    FIT): one row per occupied confidence bin ``(bin, n, conf, acc,
+    gap)`` plus the family scalars ``(ece, n_total)`` repeated per
+    row — equal-width bins over a [0, 1] score,
+
+        ECE = Σ_b (n_b / N) · |acc_b − conf_b|
+
+    the number a model card reports as "calibration". A score of
+    exactly 1.0 lands in the top bin (the ``least`` clamp).
+
+    Exactness: scores are 4-dp-rounded into exact DECIMAL sums per
+    bin (the repo's money-sum rule), accuracies are integer ratios;
+    each bin's ``n·|acc−conf|`` rounds 9 dp into DECIMAL(38,9) and
+    the ≤``n_bins``-row family sum divides once at the end. Rows
+    with NULL score or outcome are excluded. One map-side-combined
+    aggregate; the family scalar broadcasts back onto the bin rows.
+    """
+    s = (
+        F.col(score_col) if isinstance(score_col, str) else score_col
+    ).cast("double")
+    y = (
+        F.col(outcome_col)
+        if isinstance(outcome_col, str)
+        else outcome_col
+    ).cast("boolean").cast("int")
+    rows = df.filter(s.isNotNull() & y.isNotNull()).select(
+        F.least(
+            F.lit(int(n_bins) - 1),
+            F.floor(s * F.lit(int(n_bins))).cast("int"),
+        ).alias("bin"),
+        F.round(s, 4).cast("decimal(18,4)").alias("__s"),
+        y.alias("__y"),
+    )
+    per = rows.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__s").alias("__ss"),
+        F.sum("__y").alias("__pos"),
+    )
+    conf = F.col("__ss").cast("double") / F.col("n").cast("double")
+    acc = F.col("__pos").cast("double") / F.col("n").cast("double")
+    term = F.round(
+        F.col("n").cast("double") * F.abs(acc - conf), 9
+    ).cast("decimal(38,9)")
+    binned = per.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+        F.round(conf, 6).alias("conf"),
+        F.round(acc, 6).alias("acc"),
+        F.round(acc - conf, 6).alias("gap"),
+        term.alias("__t"),
+    )
+    fam = binned.agg(
+        F.sum("__t").alias("__num"),
+        F.sum("n").alias("__N"),
+    ).select(
+        F.round(
+            F.col("__num").cast("double") / F.col("__N").cast("double"),
+            6,
+        ).alias("ece"),
+        F.col("__N").cast("long").alias("n_total"),
+    )
+    return binned.drop("__t").crossJoin(F.broadcast(fam))

@@ -3311,3 +3311,315 @@ def spearman_corr(
         F.col("__n").cast("long").alias("n"),
         F.round(F.when(ok, rho), 6).alias("rho"),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Gini coefficient of a NONNEGATIVE money/measure column
+    (concentration of spend across customers, of tokens across
+    documents, of traffic across keys — the skew number a capacity
+    or fairness review reads, and the shuffle-skew early warning for
+    the salting machinery): one row ``(n, total, gini)``, 0 = evenly
+    spread, →1 = one unit holds everything.
+
+    EXACT mid-rank construction on the q275 machinery: values round
+    to cents (2 dp, the money rule) and group to one row per
+    DISTINCT cents value; the doubled tie-averaged rank per value is
+    ``2·C_v + c_v + 1`` from the range-bucketed
+    :func:`~bigdata_kafka_2_spark.operators.relational.
+    global_prefix_sum`; then the tie-correct rank formulation
+
+        G = Σ_v v·c_v·(2C_v + c_v + 1) / (n·Σv·c_v) − (n + 1)/n
+
+    accumulates every product as exact DECIMAL(38,0) and divides
+    ONCE at the end (rounded 6 dp) — engine- and partitioning-
+    identical. Rows with NULL values are excluded; negative values
+    raise (the Lorenz construction is undefined there); NULL gini
+    when n = 0 or total = 0.
+
+    Plan: one map-side-combined value-count aggregate ends the
+    data-sized work; the prefix sum and moment aggregate run on the
+    distinct-value table.
+    """
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    dec = "decimal(38,0)"
+    cents = (
+        F.round(F.col(value_col).cast("double"), 2)
+        .cast("decimal(18,2)")
+        * 100
+    ).cast("long")
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(cents.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    neg = g.filter(F.col("__v") < 0).limit(1).count()
+    if neg:
+        raise ValueError(
+            "gini_concentration requires nonnegative values "
+            "(the Lorenz curve is undefined below zero)"
+        )
+    pre = global_prefix_sum(g, "__v", "__c", "__b")
+    r2 = (
+        F.lit(2).cast(dec) * F.col("__b").cast(dec)
+        + F.col("__c").cast(dec)
+        + F.lit(1).cast(dec)
+    )
+    agg = pre.agg(
+        F.sum(F.col("__c").cast(dec)).alias("__n"),
+        F.sum(F.col("__v").cast(dec) * F.col("__c").cast(dec)).alias(
+            "__s"
+        ),
+        F.sum(
+            F.col("__v").cast(dec) * F.col("__c").cast(dec) * r2
+        ).alias("__rs"),
+    )
+    n = F.col("__n").cast("double")
+    ok = (F.col("__n") > 0) & (F.col("__s") > 0)
+    gini = (
+        F.col("__rs").cast("double")
+        / (n * F.col("__s").cast("double"))
+        - (n + F.lit(1.0)) / n
+    )
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        F.round(F.col("__s").cast("double") / 100.0, 2).alias("total"),
+        F.round(F.when(ok, gini), 6).alias("gini"),
+    )
+
+
+def trimmed_winsorized_mean(
+    df: DataFrame,
+    value_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Robust central-tendency readout: one row ``(n, k_trim,
+    trimmed_mean, winsorized_mean, lo_bound, hi_bound)`` where the
+    α-trimmed mean drops the ⌊αn⌋ smallest and largest observations
+    and the winsorized mean CLAMPS them to the surviving boundary
+    order statistics instead — the metric pair an experiment readout
+    publishes when a heavy-tailed metric (revenue, latency) makes
+    the raw mean one whale away from flipping sign.
+
+    EXACT selection arithmetic, no sort: values round to cents and
+    group per distinct value with exclusive prefix counts C_v
+    (range-bucketed :func:`global_prefix_sum`); with k = ⌊αn⌋,
+    lo = k, hi = n − k, each value contributes
+
+        kept_v = max(0, min(C_v + c_v, hi) − max(C_v, lo))
+
+    occurrences to the trimmed interior — pure integer interval
+    overlap, so ties at the trim boundary resolve identically on
+    both engines by construction. The winsorized sum adds k·L + k·U
+    with L/U the (k+1)-th / (n−k)-th order statistics (conditional
+    mins over the same prefix table). DECIMAL(38,0) cent sums, one
+    double division each at the end (4 dp). NULL means when the
+    trimmed interior is empty (n ≤ 2k).
+    """
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    if not 0.0 <= float(alpha) < 0.5:
+        raise ValueError("alpha must be in [0, 0.5)")
+    dec = "decimal(38,0)"
+    cents = (
+        F.round(F.col(value_col).cast("double"), 2)
+        .cast("decimal(18,2)")
+        * 100
+    ).cast("long")
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(cents.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    pre = global_prefix_sum(g, "__v", "__c", "__b").localCheckpoint()
+    tot = pre.agg(F.sum("__c").alias("__n"))
+    j = pre.crossJoin(F.broadcast(tot))
+    k = F.floor(F.lit(float(alpha)) * F.col("__n")).cast("long")
+    lo = k
+    hi = F.col("__n") - k
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("__b") + F.col("__c"), hi)
+        - F.greatest(F.col("__b"), lo),
+    )
+    agg = j.agg(
+        F.max("__n").alias("__nv"),
+        F.max(k).alias("__k"),
+        F.sum(F.col("__v").cast(dec) * kept.cast(dec)).alias("__ts"),
+        F.sum(kept.cast(dec)).alias("__tn"),
+        F.min(
+            F.when(F.col("__b") + F.col("__c") >= k + 1, F.col("__v"))
+        ).alias("__L"),
+        F.min(
+            F.when(
+                F.col("__b") + F.col("__c") >= F.col("__n") - k,
+                F.col("__v"),
+            )
+        ).alias("__U"),
+    )
+    tmean = F.col("__ts").cast("double") / (
+        F.col("__tn").cast("double") * 100.0
+    )
+    wsum = (
+        F.col("__ts").cast("double")
+        + F.col("__k").cast("double") * F.col("__L").cast("double")
+        + F.col("__k").cast("double") * F.col("__U").cast("double")
+    )
+    wmean = wsum / (F.col("__nv").cast("double") * 100.0)
+    ok = F.col("__tn") > 0
+    return agg.select(
+        F.col("__nv").cast("long").alias("n"),
+        F.col("__k").cast("long").alias("k_trim"),
+        F.round(F.when(ok, tmean), 4).alias("trimmed_mean"),
+        F.round(F.when(ok, wmean), 4).alias("winsorized_mean"),
+        F.round(F.col("__L").cast("double") / 100.0, 2).alias(
+            "lo_bound"
+        ),
+        F.round(F.col("__U").cast("double") / 100.0, 2).alias(
+            "hi_bound"
+        ),
+    )
+
+
+def ratio_metric_delta_ci(
+    df: DataFrame,
+    arm_col,
+    unit_col: str,
+    num_col: str,
+    den_col,
+) -> DataFrame:
+    """Per-arm RATIO metric with a delta-method confidence interval
+    (Deng, Knoblich & Lu, KDD 2018's practical guidance): one row
+    per arm ``(arm, n_units, num, den, ratio, se, ci_lo, ci_hi)``
+    for metrics of the form Σy/Σx — revenue per order, clicks per
+    session — where the naive per-ROW variance is wrong because the
+    unit of randomization (user) contributes many correlated rows.
+
+        R = ȳ/x̄,  Var(R) ≈ (s²_y − 2R·s_xy + R²·s²_x) / (n·x̄²)
+
+    with s² the unit-level sample (co)variances. Rows aggregate to
+    the randomization unit FIRST (one map-side-combined groupBy);
+    unit numerators round 4 dp into exact DECIMAL moments (sums,
+    squares, cross-products at scale ≤ 8 — inside the precision-safe
+    band); the variance is one double expression on the per-arm
+    1-row moments, CI = R ± 1.959963984540054·se (the two-sided 95%
+    normal literal, shared verbatim with the oracle). NULL se/CI
+    when an arm has < 2 units or x̄ = 0.
+    """
+    a = (
+        F.col(arm_col) if isinstance(arm_col, str) else arm_col
+    ).cast("string")
+    y = F.col(num_col).cast("double")
+    x = (
+        F.col(den_col) if isinstance(den_col, str) else den_col
+    ).cast("double")
+    units = df.groupBy(
+        a.alias("arm"), F.col(unit_col).alias("__u")
+    ).agg(
+        F.round(F.sum(y), 4).cast("decimal(28,4)").alias("__y"),
+        F.round(F.sum(x), 4).cast("decimal(28,4)").alias("__x"),
+    )
+    dec8 = "decimal(38,8)"
+    per = units.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__y").alias("__sy"),
+        F.sum("__x").alias("__sx"),
+        F.sum((F.col("__y") * F.col("__y")).cast(dec8)).alias("__syy"),
+        F.sum((F.col("__x") * F.col("__x")).cast(dec8)).alias("__sxx"),
+        F.sum((F.col("__y") * F.col("__x")).cast(dec8)).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    sy = F.col("__sy").cast("double")
+    sx = F.col("__sx").cast("double")
+    vy = (F.col("__syy").cast("double") - sy * sy / n) / (n - 1.0)
+    vx = (F.col("__sxx").cast("double") - sx * sx / n) / (n - 1.0)
+    cxy = (F.col("__sxy").cast("double") - sx * sy / n) / (n - 1.0)
+    xbar = sx / n
+    r = sy / sx
+    var_r = (vy - 2.0 * r * cxy + r * r * vx) / (n * xbar * xbar)
+    se = F.sqrt(var_r)
+    z = F.lit(1.959963984540054)
+    ok = (F.col("__n") >= 2) & (sx != 0) & (var_r >= 0)
+    return per.select(
+        "arm",
+        F.col("__n").cast("long").alias("n_units"),
+        F.round(sy, 4).alias("num"),
+        F.round(sx, 4).alias("den"),
+        F.round(F.when(sx != 0, r), 6).alias("ratio"),
+        F.round(F.when(ok, se), 6).alias("se"),
+        F.round(F.when(ok, r - z * se), 6).alias("ci_lo"),
+        F.round(F.when(ok, r + z * se), 6).alias("ci_hi"),
+    )
+
+
+def msprt_always_valid_p(
+    df: DataFrame,
+    arm_col,
+    metric_col: str,
+    tau: float = 1.0,
+) -> DataFrame:
+    """Mixture sequential probability ratio test (Johari, Koomen,
+    Pekelis & Walsh 2017 — "peeking-proof" A/B readout): one row
+    ``(n_a, n_b, diff, var_hat, lam, p_always_valid, significant)``
+    giving the ALWAYS-VALID p-value for the difference in means
+    under a N(0, τ²) mixture prior,
+
+        Λ = √(V/(V+τ²)) · exp(θ̂²·τ² / (2V(V+τ²))),
+        p = min(1, 1/Λ),   V = s²_pooled·(1/n_a + 1/n_b)
+
+    — valid at EVERY interim look, so a dashboard refreshing on live
+    traffic (the streaming-SRM companion) can stop the moment it
+    crosses α without inflating false positives, which the fixed-n
+    z-test (q264) cannot offer.
+
+    One map-side-combined aggregate (4-dp-rounded DECIMAL moments,
+    the CUPED discipline); Λ is one double expression on the 1-row
+    result. NULL p when either arm has < 2 units or the pooled
+    variance is 0. ``significant`` is p < 0.05.
+    """
+    a = (
+        F.col(arm_col) if isinstance(arm_col, str) else arm_col
+    ).cast("boolean")
+    m = F.round(F.col(metric_col).cast("double"), 4).cast(
+        "decimal(28,4)"
+    )
+    dec8 = "decimal(38,8)"
+    agg = df.filter(a.isNotNull() & m.isNotNull()).agg(
+        F.sum(F.when(a, 1).otherwise(0)).alias("__na"),
+        F.sum(F.when(~a, 1).otherwise(0)).alias("__nb"),
+        F.sum(F.when(a, m)).alias("__sa"),
+        F.sum(F.when(~a, m)).alias("__sb"),
+        F.sum(F.when(a, (m * m).cast(dec8))).alias("__saa"),
+        F.sum(F.when(~a, (m * m).cast(dec8))).alias("__sbb"),
+    )
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    sa = F.col("__sa").cast("double")
+    sb = F.col("__sb").cast("double")
+    ssa = F.col("__saa").cast("double") - sa * sa / na
+    ssb = F.col("__sbb").cast("double") - sb * sb / nb
+    s2 = (ssa + ssb) / (na + nb - 2.0)
+    v = s2 * (1.0 / na + 1.0 / nb)
+    diff = sa / na - sb / nb
+    t2 = F.lit(float(tau) * float(tau))
+    lam = F.sqrt(v / (v + t2)) * F.exp(
+        diff * diff * t2 / (2.0 * v * (v + t2))
+    )
+    p = F.least(F.lit(1.0), 1.0 / lam)
+    ok = (F.col("__na") >= 2) & (F.col("__nb") >= 2) & (s2 > 0)
+    return agg.select(
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        F.round(diff, 6).alias("diff"),
+        F.round(F.when(ok, v), 9).alias("var_hat"),
+        F.round(F.when(ok, lam), 6).alias("lam"),
+        F.round(F.when(ok, p), 9).alias("p_always_valid"),
+        F.when(ok, p < 0.05).alias("significant"),
+    )

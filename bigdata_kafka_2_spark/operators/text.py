@@ -8,6 +8,7 @@ scale linearly with the scan). No Python in the per-row path.
 
 from __future__ import annotations
 
+import math
 import pandas as pd  # module-level: pandas_udf type hints (stringified
 # by `from __future__ import annotations`) resolve against these globals
 
@@ -1889,4 +1890,180 @@ def chao1_vocab(
             / (F.lit(2.0) * (F.col("f2") + 1).cast("double")),
             2,
         ).alias("chao1"),
+    )
+
+
+def js_divergence_tokens(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen–Shannon divergence between two corpora's unigram token
+    distributions (Lin 1991): one row ``(n_a, n_b, vocab, js_bits)``
+    in [0, 1] bits — the DISTRIBUTION-level drift/contrast number a
+    corpus-mixing decision reads (how different is this source's
+    vocabulary really?) next to the per-document novelty (q269) and
+    per-segment gates (q274): symmetric, finite even on disjoint
+    vocabularies, which plain KL is not.
+
+        JS = ½·Σ_t p_t·log2(p_t/m_t) + ½·Σ_t q_t·log2(q_t/m_t),
+        m = (p + q)/2
+
+    over the vocabulary UNION (absent tokens contribute their full
+    mass through the present side). Token probabilities are exact
+    integer-count ratios; each token's two summands round 9 dp into
+    exact DECIMAL(38,9) (the drift-family discipline — the one libm
+    call, log2, computes on identical IEEE doubles both engines
+    since its argument is a ratio of integer-derived doubles), and
+    the final ½-sum rounds 6 dp.
+
+    Plan: each corpus reduces to one map-side-combined token-count
+    table (data-sized work ends there); one full-outer join on the
+    token key (never doc×doc) and a scalar aggregate.
+    """
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        toks = df.select(
+            F.explode(
+                F.split(normalize_text(text_col), " ")
+            ).alias("tok")
+        ).filter(F.col("tok") != "")
+        return toks.groupBy("tok").agg(
+            F.count(F.lit(1)).alias(alias)
+        )
+
+    ca = counts(corpus_a, "__ca")
+    cb = counts(corpus_b, "__cb")
+    j = ca.join(cb, on="tok", how="full_outer").select(
+        "tok",
+        F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
+        F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
+    )
+    tot = j.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    g = j.crossJoin(F.broadcast(tot))
+    p = F.col("__ca").cast("double") / F.col("__na").cast("double")
+    q = F.col("__cb").cast("double") / F.col("__nb").cast("double")
+    m = (p + q) / F.lit(2.0)
+    lg2 = F.lit(math.log(2.0))
+    term_p = F.when(
+        F.col("__ca") > 0, p * F.log(p / m) / lg2
+    ).otherwise(F.lit(0.0))
+    term_q = F.when(
+        F.col("__cb") > 0, q * F.log(q / m) / lg2
+    ).otherwise(F.lit(0.0))
+    agg = g.agg(
+        F.max("__na").alias("__nav"),
+        F.max("__nb").alias("__nbv"),
+        F.count(F.lit(1)).alias("__vocab"),
+        F.sum(F.round(term_p, 9).cast("decimal(38,9)")).alias("__sp"),
+        F.sum(F.round(term_q, 9).cast("decimal(38,9)")).alias("__sq"),
+    )
+    js = (
+        F.col("__sp").cast("double") + F.col("__sq").cast("double")
+    ) / 2.0
+    return agg.select(
+        F.col("__nav").cast("long").alias("n_a"),
+        F.col("__nbv").cast("long").alias("n_b"),
+        F.col("__vocab").cast("long").alias("vocab"),
+        F.round(js, 6).alias("js_bits"),
+    )
+
+
+def vocabulary_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve (Heaps 1978): one row per
+    corpus-prefix checkpoint ``(decile, docs, tokens, vocab,
+    type_token_ratio)`` — cumulative distinct tokens after each
+    tenth of the corpus in ``id_col`` order. The curve a corpus-
+    collection effort reads to decide whether MORE of this source
+    still buys new vocabulary (V ~ K·nᵝ flattening β → stop) —
+    the corpus-level complement of the per-document TTR in the
+    quality profile.
+
+    EXACT construction, no data-sized window: each document's rank
+    in id order comes from the range-bucketed
+    :func:`~bigdata_kafka_2_spark.operators.relational.
+    global_prefix_sum` over the (tiny) per-doc table; checkpoint
+    thresholds are ⌈k·n/10⌉ integers; a token's FIRST-occurrence
+    rank is one min-aggregate over the posting table; per-checkpoint
+    vocabulary and token mass are then ≤10-row cumulative sums over
+    the bounded checkpoint table. Everything is integer until the
+    final 6-dp ratio.
+    """
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    docs = df.select(F.col(id_col).alias("__d")).distinct()
+    ranked = global_prefix_sum(
+        docs.withColumn("__one", F.lit(1)), "__d", "__one", "__b"
+    ).select(
+        "__d", (F.col("__b") + 1).alias("__rank")
+    )
+    n_docs = docs.count()
+    ck = int(checkpoints)
+    # decile of a doc rank r: smallest k with r <= ceil(k*n/ck)
+    thresholds = [
+        -(-k * n_docs // ck) for k in range(1, ck + 1)
+    ]  # ceil
+    dec_expr = F.lit(ck)
+    for k in range(ck, 0, -1):
+        dec_expr = F.when(
+            F.col("__rank") <= F.lit(thresholds[k - 1]), F.lit(k)
+        ).otherwise(dec_expr)
+    posting = (
+        df.select(
+            F.col(id_col).alias("__d"),
+            F.explode(
+                F.split(normalize_text(text_col), " ")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    pr = posting.join(ranked, on="__d").withColumn(
+        "__dec", dec_expr
+    )
+    # per-decile token mass + per-token first decile
+    mass = pr.groupBy("__dec").agg(F.count(F.lit(1)).alias("__toks"))
+    first = pr.groupBy("tok").agg(F.min("__dec").alias("__fd"))
+    fresh = first.groupBy("__fd").agg(
+        F.count(F.lit(1)).alias("__new")
+    )
+    dcount = ranked.withColumn("__dec", dec_expr).groupBy(
+        "__dec"
+    ).agg(F.count(F.lit(1)).alias("__docs"))
+    from pyspark.sql import Window
+
+    # ≤`checkpoints` rows: the cumulative window is bounded by the
+    # checkpoint count, not data (the bounded-scalar class)
+    w = Window.orderBy("__dec").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    merged = (
+        dcount.join(mass, on="__dec", how="full_outer")
+        .join(fresh, on="__dec", how="full_outer")
+        .select(
+            F.col("__dec"),
+            F.coalesce("__docs", F.lit(0)).alias("__docs"),
+            F.coalesce("__toks", F.lit(0)).alias("__toks"),
+            F.coalesce("__new", F.lit(0)).alias("__new"),
+        )
+    )
+    return merged.select(
+        F.col("__dec").cast("long").alias("decile"),
+        F.sum("__docs").over(w).cast("long").alias("docs"),
+        F.sum("__toks").over(w).cast("long").alias("tokens"),
+        F.sum("__new").over(w).cast("long").alias("vocab"),
+    ).withColumn(
+        "type_token_ratio",
+        F.round(
+            F.col("vocab").cast("double")
+            / F.col("tokens").cast("double"),
+            6,
+        ),
     )
