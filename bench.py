@@ -299,6 +299,22 @@ HEADLINE = (
     "q273_streaming_srm",
     "q274_ks_drift_gate",
     "q275_spearman_corr",
+    # r14 readout/calibration/text-distribution families
+    "q276_weighted_kappa",
+    "q277_calibration_ece",
+    "q278_trimmed_mean",
+    "q279_ratio_delta_ci",
+    "q280_msprt_readout",
+    "q281_js_divergence",
+    "q282_vocab_growth",
+    "q283_gini_coefficient",
+    "q284_mcnemar_test",
+    "q285_brier_decomposition",
+    "q286_vocab_richness",
+    "q287_zipf_slope",
+    "q288_token_entropy",
+    "q289_theil_index",
+    "q290_source_jaccard",
 )
 
 

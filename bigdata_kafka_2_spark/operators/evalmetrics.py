@@ -974,3 +974,157 @@ def expected_calibration_error(
         F.col("__N").cast("long").alias("n_total"),
     )
     return binned.drop("__t").crossJoin(F.broadcast(fam))
+
+
+def mcnemar_test(
+    df: DataFrame,
+    correct_a,
+    correct_b,
+) -> DataFrame:
+    """McNemar's test with Edwards' continuity correction (McNemar
+    1947): one row ``(n, n01, n10, chi2, p_value)`` comparing two
+    classifiers / annotation rules / model versions on the SAME
+    examples — the paired test a model-comparison readout needs,
+    because the marginal accuracies' independent-samples z-test
+    ignores that both models saw identical inputs. Only the
+    DISCORDANT pairs carry information:
+
+        χ² = (|n01 − n10| − 1)² / (n01 + n10),   df = 1
+
+    with n01 = A wrong ∧ B right, n10 = A right ∧ B wrong; the
+    df=1 survival function is exactly ``erfc(√(χ²/2))`` through the
+    shared literal-coefficient series
+    (:func:`~bigdata_kafka_2_spark.operators.mathfn.erfc_col` — the
+    q264 z-test discipline, engine-identical). ``greatest(0, ·)``
+    keeps the corrected statistic at 0 when the discordants balance
+    exactly. Rows with a NULL on either side are EXCLUDED; NULL
+    χ²/p when there are no discordant pairs.
+
+    ONE map-side-combined aggregate over the fact table; everything
+    after is row-local arithmetic on the 1-row result.
+    """
+    from bigdata_kafka_2_spark.operators.mathfn import erfc_col
+
+    a = (
+        F.col(correct_a) if isinstance(correct_a, str) else correct_a
+    ).cast("boolean")
+    b = (
+        F.col(correct_b) if isinstance(correct_b, str) else correct_b
+    ).cast("boolean")
+    rows = df.filter(a.isNotNull() & b.isNotNull()).select(
+        a.alias("__a"), b.alias("__b")
+    )
+    agg = rows.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.when(~F.col("__a") & F.col("__b"), 1).otherwise(0)
+        ).alias("__n01"),
+        F.sum(
+            F.when(F.col("__a") & ~F.col("__b"), 1).otherwise(0)
+        ).alias("__n10"),
+    )
+    d = (F.col("__n01") + F.col("__n10")).cast("double")
+    num = F.greatest(
+        F.lit(0.0),
+        F.abs(F.col("__n01") - F.col("__n10")).cast("double") - 1.0,
+    )
+    chi2 = num * num / d
+    ok = (F.col("__n01") + F.col("__n10")) > 0
+    p = erfc_col(F.sqrt(chi2 / F.lit(2.0)))
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        F.col("__n01").cast("long").alias("n01"),
+        F.col("__n10").cast("long").alias("n10"),
+        F.round(F.when(ok, chi2), 6).alias("chi2"),
+        F.round(F.when(ok, p), 9).alias("p_value"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col,
+    outcome_col,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score: one row
+    ``(n, brier, reliability, resolution, uncertainty)`` — the
+    calibration readout that separates WHY a probabilistic scorer is
+    good or bad: ``brier ≈ reliability − resolution + uncertainty``
+    (exact when forecasts are binned), where reliability is q277's
+    calibration gap squared-and-weighted, resolution rewards
+    forecasts that separate outcome rates from the base rate, and
+    uncertainty ȳ(1−ȳ) is the irreducible floor.
+
+    Exactness discipline: the raw Brier sum uses per-row (s−y)²
+    rounded 9 dp into DECIMAL(38,9); the binned reliability /
+    resolution terms are per-bin doubles (integer-ratio accuracies,
+    4-dp DECIMAL confidence sums — the q277 machinery) rounded 9 dp
+    into ≤``n_bins``-row DECIMAL(38,9) sums; the base rate is an
+    exact integer ratio. One map-side-combined aggregate for the
+    row-level moments, one for the bins; the two 1-row results
+    broadcast-join. Rows with NULL score or outcome are excluded.
+    """
+    s = (
+        F.col(score_col) if isinstance(score_col, str) else score_col
+    ).cast("double")
+    y = (
+        F.col(outcome_col)
+        if isinstance(outcome_col, str)
+        else outcome_col
+    ).cast("boolean").cast("int")
+    rows = df.filter(s.isNotNull() & y.isNotNull()).select(
+        F.least(
+            F.lit(int(n_bins) - 1),
+            F.floor(s * F.lit(int(n_bins))).cast("int"),
+        ).alias("__bin"),
+        s.alias("__s"),
+        F.round(s, 4).cast("decimal(18,4)").alias("__sr"),
+        y.alias("__y"),
+    )
+    glob = rows.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__y").alias("__pos"),
+        F.sum(
+            F.round(
+                (F.col("__s") - F.col("__y"))
+                * (F.col("__s") - F.col("__y")),
+                9,
+            ).cast("decimal(38,9)")
+        ).alias("__bsum"),
+    )
+    per = rows.groupBy("__bin").agg(
+        F.count(F.lit(1)).alias("__nb"),
+        F.sum("__sr").alias("__ss"),
+        F.sum("__y").alias("__posb"),
+    )
+    j = per.crossJoin(F.broadcast(glob))
+    nb = F.col("__nb").cast("double")
+    conf = F.col("__ss").cast("double") / nb
+    acc = F.col("__posb").cast("double") / nb
+    ybar = F.col("__pos").cast("double") / F.col("__n").cast("double")
+    rel_t = F.round(nb * (conf - acc) * (conf - acc), 9).cast(
+        "decimal(38,9)"
+    )
+    res_t = F.round(nb * (acc - ybar) * (acc - ybar), 9).cast(
+        "decimal(38,9)"
+    )
+    binned = j.agg(
+        F.max("__n").alias("__nv"),
+        F.max("__pos").alias("__posv"),
+        F.max("__bsum").alias("__bsumv"),
+        F.sum(rel_t).alias("__rel"),
+        F.sum(res_t).alias("__res"),
+    )
+    n = F.col("__nv").cast("double")
+    yb = F.col("__posv").cast("double") / n
+    return binned.select(
+        F.col("__nv").cast("long").alias("n"),
+        F.round(F.col("__bsumv").cast("double") / n, 6).alias("brier"),
+        F.round(F.col("__rel").cast("double") / n, 6).alias(
+            "reliability"
+        ),
+        F.round(F.col("__res").cast("double") / n, 6).alias(
+            "resolution"
+        ),
+        F.round(yb * (F.lit(1.0) - yb), 6).alias("uncertainty"),
+    )

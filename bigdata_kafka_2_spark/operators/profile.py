@@ -3313,7 +3313,7 @@ def spearman_corr(
     )
 
 
-def gini_concentration(
+def gini_coefficient(
     df: DataFrame,
     value_col: str,
 ) -> DataFrame:
@@ -3361,7 +3361,7 @@ def gini_concentration(
     neg = g.filter(F.col("__v") < 0).limit(1).count()
     if neg:
         raise ValueError(
-            "gini_concentration requires nonnegative values "
+            "gini_coefficient requires nonnegative values "
             "(the Lorenz curve is undefined below zero)"
         )
     pre = global_prefix_sum(g, "__v", "__c", "__b")
@@ -3418,8 +3418,9 @@ def trimmed_winsorized_mean(
     both engines by construction. The winsorized sum adds k·L + k·U
     with L/U the (k+1)-th / (n−k)-th order statistics (conditional
     mins over the same prefix table). DECIMAL(38,0) cent sums, one
-    double division each at the end (4 dp). NULL means when the
-    trimmed interior is empty (n ≤ 2k).
+    double division each at the end (4 dp). Since k = ⌊αn⌋ < n/2
+    the trimmed interior is nonempty for every nonempty input; an
+    EMPTY input returns one all-NULL row.
     """
     from bigdata_kafka_2_spark.operators.relational import (
         global_prefix_sum,
@@ -3506,10 +3507,12 @@ def ratio_metric_delta_ci(
 
     with s² the unit-level sample (co)variances. Rows aggregate to
     the randomization unit FIRST (one map-side-combined groupBy);
-    unit numerators round 4 dp into exact DECIMAL moments (sums,
-    squares, cross-products at scale ≤ 8 — inside the precision-safe
-    band); the variance is one double expression on the per-arm
-    1-row moments, CI = R ± 1.959963984540054·se (the two-sided 95%
+    unit numerators round 4 dp into exact DECIMAL(18,4), so every
+    square/cross-product is an EXACT DECIMAL(37,8) — the ideal
+    18+18+1 precision fits under 38, so Spark never trips the
+    allowPrecisionLoss scale reduction (the r13 digit-loss class);
+    the variance is one double expression on the per-arm 1-row
+    moments, CI = R ± 1.959963984540054·se (the two-sided 95%
     normal literal, shared verbatim with the oracle). NULL se/CI
     when an arm has < 2 units or x̄ = 0.
     """
@@ -3523,17 +3526,16 @@ def ratio_metric_delta_ci(
     units = df.groupBy(
         a.alias("arm"), F.col(unit_col).alias("__u")
     ).agg(
-        F.round(F.sum(y), 4).cast("decimal(28,4)").alias("__y"),
-        F.round(F.sum(x), 4).cast("decimal(28,4)").alias("__x"),
+        F.round(F.sum(y), 4).cast("decimal(18,4)").alias("__y"),
+        F.round(F.sum(x), 4).cast("decimal(18,4)").alias("__x"),
     )
-    dec8 = "decimal(38,8)"
     per = units.groupBy("arm").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__y").alias("__sy"),
         F.sum("__x").alias("__sx"),
-        F.sum((F.col("__y") * F.col("__y")).cast(dec8)).alias("__syy"),
-        F.sum((F.col("__x") * F.col("__x")).cast(dec8)).alias("__sxx"),
-        F.sum((F.col("__y") * F.col("__x")).cast(dec8)).alias("__sxy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__x")).alias("__sxy"),
     )
     n = F.col("__n").cast("double")
     sy = F.col("__sy").cast("double")
@@ -3579,25 +3581,25 @@ def msprt_always_valid_p(
     crosses α without inflating false positives, which the fixed-n
     z-test (q264) cannot offer.
 
-    One map-side-combined aggregate (4-dp-rounded DECIMAL moments,
-    the CUPED discipline); Λ is one double expression on the 1-row
-    result. NULL p when either arm has < 2 units or the pooled
-    variance is 0. ``significant`` is p < 0.05.
+    One map-side-combined aggregate (4-dp-rounded DECIMAL(18,4)
+    metrics, squares as EXACT DECIMAL(37,8) — ideal precision under
+    38, so no allowPrecisionLoss scale reduction); Λ is one double
+    expression on the 1-row result. NULL p when either arm has < 2
+    units or the pooled variance is 0. ``significant`` is p < 0.05.
     """
     a = (
         F.col(arm_col) if isinstance(arm_col, str) else arm_col
     ).cast("boolean")
     m = F.round(F.col(metric_col).cast("double"), 4).cast(
-        "decimal(28,4)"
+        "decimal(18,4)"
     )
-    dec8 = "decimal(38,8)"
     agg = df.filter(a.isNotNull() & m.isNotNull()).agg(
         F.sum(F.when(a, 1).otherwise(0)).alias("__na"),
         F.sum(F.when(~a, 1).otherwise(0)).alias("__nb"),
         F.sum(F.when(a, m)).alias("__sa"),
         F.sum(F.when(~a, m)).alias("__sb"),
-        F.sum(F.when(a, (m * m).cast(dec8))).alias("__saa"),
-        F.sum(F.when(~a, (m * m).cast(dec8))).alias("__sbb"),
+        F.sum(F.when(a, m * m)).alias("__saa"),
+        F.sum(F.when(~a, m * m)).alias("__sbb"),
     )
     na = F.col("__na").cast("double")
     nb = F.col("__nb").cast("double")
@@ -3622,4 +3624,82 @@ def msprt_always_valid_p(
         F.round(F.when(ok, lam), 6).alias("lam"),
         F.round(F.when(ok, p), 9).alias("p_always_valid"),
         F.when(ok, p < 0.05).alias("significant"),
+    )
+
+
+def theil_index(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Theil T inequality index of a NONNEGATIVE money/measure column
+    (Theil 1967): one row ``(n, total, theil)`` —
+
+        T = (1/n) Σ (xᵢ/μ)·ln(xᵢ/μ)
+
+    0 = perfectly even, ln(n) = one unit holds everything. The
+    entropy-based companion of :func:`gini_coefficient`: unlike
+    Gini it is additively DECOMPOSABLE into between-group +
+    within-group terms, which is why fairness and concentration
+    audits that need per-segment attribution prefer it. Zero values
+    contribute 0 (the x·ln x → 0 limit); negatives raise.
+
+    Exactness: values round to cents and group to one row per
+    DISTINCT cents value (the data-sized work ends at that map-side-
+    combined aggregate); μ is an exact DECIMAL cent ratio on a
+    bounded 1-row broadcast; each distinct value's c·(v/μ)·ln(v/μ)
+    rounds 9 dp into exact DECIMAL(38,9) (the single libm log runs
+    on identical IEEE ratios both engines — the KM ln-parity rule),
+    and T divides once at the end (6 dp).
+    """
+    dec = "decimal(38,0)"
+    cents = (
+        F.round(F.col(value_col).cast("double"), 2)
+        .cast("decimal(18,2)")
+        * 100
+    ).cast("long")
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(cents.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    neg = g.filter(F.col("__v") < 0).limit(1).count()
+    if neg:
+        raise ValueError(
+            "theil_index requires nonnegative values "
+            "(x*ln(x) is undefined below zero)"
+        )
+    tot = g.agg(
+        F.sum(F.col("__c").cast(dec)).alias("__n"),
+        F.sum(F.col("__v").cast(dec) * F.col("__c").cast(dec)).alias(
+            "__s"
+        ),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    mu = F.col("__s").cast("double") / F.col("__n").cast("double")
+    ratio = F.col("__v").cast("double") / mu
+    term = F.when(
+        F.col("__v") > 0,
+        F.round(
+            F.col("__c").cast("double") * ratio * F.log(ratio), 9
+        ),
+    ).otherwise(F.lit(0.0))
+    agg = j.agg(
+        F.max("__n").alias("__nv"),
+        F.max("__s").alias("__sv"),
+        F.sum(term.cast("decimal(38,9)")).alias("__t"),
+    )
+    ok = (F.col("__nv") > 0) & (F.col("__sv") > 0)
+    return agg.select(
+        F.col("__nv").cast("long").alias("n"),
+        F.round(F.col("__sv").cast("double") / 100.0, 2).alias(
+            "total"
+        ),
+        F.round(
+            F.when(
+                ok,
+                F.col("__t").cast("double")
+                / F.col("__nv").cast("double"),
+            ),
+            6,
+        ).alias("theil"),
     )

@@ -2031,7 +2031,7 @@ def vocabulary_growth(
     # per-decile token mass + per-token first decile
     mass = pr.groupBy("__dec").agg(F.count(F.lit(1)).alias("__toks"))
     first = pr.groupBy("tok").agg(F.min("__dec").alias("__fd"))
-    fresh = first.groupBy("__fd").agg(
+    fresh = first.groupBy(F.col("__fd").alias("__dec")).agg(
         F.count(F.lit(1)).alias("__new")
     )
     dcount = ranked.withColumn("__dec", dec_expr).groupBy(
@@ -2065,5 +2065,253 @@ def vocabulary_growth(
             F.col("vocab").cast("double")
             / F.col("tokens").cast("double"),
             6,
+        ),
+    )
+
+
+def vocab_richness(
+    counts: DataFrame,
+    count_col: str,
+) -> DataFrame:
+    """Chao1 species-richness estimate + Good–Turing unseen mass over
+    a token-count table (Chao 1984; Good 1953): one row ``(n_tokens,
+    vocab, f1, f2, chao1, p_unseen)`` — the corpus-collection
+    readout that answers "how much vocabulary exists that we have
+    NOT yet seen" (Chao1's lower bound V + f1²-ish correction) and
+    "what probability mass will the next token draw put on unseen
+    types" (Good–Turing f1/N) — the stopping-rule companion of the
+    q282 growth curve.
+
+        chao1 = V + f1·(f1 − 1) / (2·(f2 + 1))
+
+    (the bias-corrected form, defined even when f2 = 0). EXACT
+    integer frequency-of-frequency counts from ONE map-side-combined
+    aggregate over the (already vocabulary-sized) count table; the
+    two ratios are row-local doubles on the 1-row result, rounded
+    4 / 6 dp.
+    """
+    c = F.col(count_col).cast("long")
+    agg = counts.filter(c.isNotNull() & (c > 0)).agg(
+        F.count(F.lit(1)).alias("__v"),
+        F.sum(c).alias("__nt"),
+        F.sum(F.when(c == 1, 1).otherwise(0)).alias("__f1"),
+        F.sum(F.when(c == 2, 1).otherwise(0)).alias("__f2"),
+    )
+    f1 = F.col("__f1").cast("double")
+    f2 = F.col("__f2").cast("double")
+    chao1 = F.col("__v").cast("double") + f1 * (f1 - 1.0) / (
+        2.0 * (f2 + 1.0)
+    )
+    return agg.select(
+        F.col("__nt").cast("long").alias("n_tokens"),
+        F.col("__v").cast("long").alias("vocab"),
+        F.col("__f1").cast("long").alias("f1"),
+        F.col("__f2").cast("long").alias("f2"),
+        F.round(chao1, 4).alias("chao1"),
+        F.round(
+            f1 / F.col("__nt").cast("double"), 6
+        ).alias("p_unseen"),
+    )
+
+
+def zipf_slope(
+    counts: DataFrame,
+    tok_col: str,
+    count_col: str,
+) -> DataFrame:
+    """Zipf's-law log-log OLS fit over a token-count table (Zipf
+    1949): one row ``(n_types, slope, intercept)`` regressing
+    ``ln(count)`` on ``ln(rank)`` — the canonical corpus-health
+    number (natural text sits near slope −1; templated/boilerplate
+    corpora flatten, spammy repetition steepens), the distribution-
+    shape companion of the Hill tail index (q260) which fits only
+    the extreme tail.
+
+    Ranks are count-descending with the token string as the total-
+    order tie-break, assigned by the range-bucketed
+    :func:`~bigdata_kafka_2_spark.operators.relational.
+    global_row_number` (never a single-partition window — the count
+    table is vocabulary-sized but a 100 TB corpus's vocabulary still
+    shuffles). Both logs evaluate ENGINE-SIDE on integer-derived
+    doubles (the KM ln-parity rule); each regression moment rounds
+    9 dp into exact DECIMAL(38,9) so the OLS normal equations are
+    one double expression on the 1-row moment table.
+    """
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_row_number,
+    )
+
+    c = F.col(count_col).cast("long")
+    base = counts.filter(c.isNotNull() & (c > 0)).select(
+        F.col(tok_col).alias("__t"), c.alias("__c")
+    )
+    ranked = global_row_number(
+        base.withColumn("__negc", -F.col("__c")),
+        ["__negc", "__t"],
+        "__r",
+    )
+    x = F.log(F.col("__r").cast("double"))
+    yv = F.log(F.col("__c").cast("double"))
+    dec9 = "decimal(38,9)"
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.round(x, 9).cast(dec9)).alias("__sx"),
+        F.sum(F.round(yv, 9).cast(dec9)).alias("__sy"),
+        F.sum(F.round(x * yv, 9).cast(dec9)).alias("__sxy"),
+        F.sum(F.round(x * x, 9).cast(dec9)).alias("__sxx"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    ok = (F.col("__n") >= 2) & (denom != 0)
+    return agg.select(
+        F.col("__n").cast("long").alias("n_types"),
+        F.round(F.when(ok, slope), 6).alias("slope"),
+        F.round(F.when(ok, (sy - slope * sx) / n), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+def token_entropy(
+    counts: DataFrame,
+    count_col: str,
+) -> DataFrame:
+    """Shannon entropy (bits) + Simpson concentration of a token-
+    count table (Shannon 1948; Simpson 1949): one row ``(n_tokens,
+    vocab, entropy_bits, simpson)`` — the unigram-distribution
+    diversity pair a corpus profile reports (entropy: effective
+    vocabulary breadth, 2^H is the perplexity of the unigram LM;
+    Simpson: the probability two random tokens COINCIDE, the
+    repetition-concentration number). Simpson uses the UNBIASED
+    finite-sample form Σc(c−1)/(N(N−1)), which is a pure integer
+    ratio — exact end to end; entropy terms −p·log2(p) round 9 dp
+    into DECIMAL(38,9) with the single libm log on integer-ratio
+    doubles (engine-identical), one division at the end.
+
+    Plan: the count table reduces through one map-side-combined
+    aggregate (one bounded 1-row totals broadcast for p).
+    """
+    import math as _math
+
+    c = F.col(count_col).cast("long")
+    base = counts.filter(c.isNotNull() & (c > 0)).select(
+        c.alias("__c")
+    )
+    tot = base.agg(
+        F.sum("__c").alias("__nt"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    j = base.crossJoin(F.broadcast(tot))
+    p = F.col("__c").cast("double") / F.col("__nt").cast("double")
+    lg2 = F.lit(_math.log(2.0))
+    dec9 = "decimal(38,9)"
+    dec0 = "decimal(38,0)"
+    agg = j.agg(
+        F.max("__nt").alias("__ntv"),
+        F.max("__v").alias("__vv"),
+        F.sum(F.round(-p * F.log(p) / lg2, 9).cast(dec9)).alias(
+            "__h"
+        ),
+        F.sum(
+            F.col("__c").cast(dec0)
+            * (F.col("__c") - 1).cast(dec0)
+        ).alias("__coinc"),
+    )
+    nt = F.col("__ntv").cast("double")
+    simpson = F.col("__coinc").cast("double") / (nt * (nt - 1.0))
+    return agg.select(
+        F.col("__ntv").cast("long").alias("n_tokens"),
+        F.col("__vv").cast("long").alias("vocab"),
+        F.round(F.col("__h").cast("double"), 6).alias("entropy_bits"),
+        F.round(
+            F.when(F.col("__ntv") >= 2, simpson), 6
+        ).alias("simpson"),
+    )
+
+
+def source_jaccard_matrix(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources (the multi-corpus
+    contrast matrix): one row per unordered source pair with a
+    nonempty intersection ``(source_a, source_b, inter, size_a,
+    size_b, jaccard)`` where the sets are each source's DISTINCT
+    normalized tokens — the mixing-planning view (which sources are
+    near-duplicates of each other vs genuinely additive?) that the
+    corpus-level JS divergence (q281) collapses into one number.
+    Pairs whose vocabularies are fully disjoint have no row (an
+    absent pair reads as jaccard 0).
+
+    Plan: one distinct (source, token) projection ends the data-
+    sized work; the pair join is TOKEN-keyed (each token joins only
+    the ≤|sources| sources containing it — |sources|² bounded per
+    token, never doc×doc); per-source set sizes are a bounded table
+    broadcast onto the |sources|²-bounded pair table. Exact integer
+    set arithmetic, one 6-dp division.
+    """
+    toks = (
+        df.select(
+            F.col(group_col).cast("string").alias("__g"),
+            F.explode(
+                F.split(normalize_text(text_col), " ")
+            ).alias("__t"),
+        )
+        .filter(F.col("__t") != "")
+        .distinct()
+    )
+    left = toks.select(
+        F.col("__g").alias("source_a"), F.col("__t").alias("__t")
+    )
+    right = toks.select(
+        F.col("__g").alias("source_b"), F.col("__t").alias("__t2")
+    )
+    inter = (
+        left.join(
+            right,
+            (F.col("__t") == F.col("__t2"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = toks.groupBy("__g").agg(F.count(F.lit(1)).alias("__sz"))
+    out = (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("__g").alias("source_a"),
+                    F.col("__sz").alias("size_a"),
+                )
+            ),
+            on="source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("__g").alias("source_b"),
+                    F.col("__sz").alias("size_b"),
+                )
+            ),
+            on="source_b",
+        )
+    )
+    union = (
+        F.col("size_a") + F.col("size_b") - F.col("inter")
+    ).cast("double")
+    return out.select(
+        "source_a",
+        "source_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        F.round(F.col("inter").cast("double") / union, 6).alias(
+            "jaccard"
         ),
     )

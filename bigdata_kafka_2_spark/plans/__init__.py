@@ -501,10 +501,32 @@ def register(
 #: behavior the mirror covers least; the Gopher quality filter
 #: stays graded as the FIRST STAGE of q127/q183/q238, and q49 stays
 #: mirror-green).
+#: Mid-r14 rotation (five swaps so the round's new readout /
+#: corpus-distribution families hold graded slots, each outgoing
+#: family keeping a graded representative):
+#: q89_resample_ffill → q279_ratio_delta_ci (unit-clustered
+#: delta-method ratio CI — the Deng/Knoblich/Lu readout, exact
+#: DECIMAL(37,8) moment products; the as-of/ffill carry family
+#: stays graded via q148's point-in-time join, q89 mirror-green);
+#: q117_dsir_logweights → q281_js_divergence (corpus-level JS
+#: contrast — full-outer token join, the distribution-matching
+#: signal DSIR reweights on; sampling keeps q243 IPF graded);
+#: q34_language_id → q284_mcnemar_test (paired-classifier McNemar
+#: through the shared erfc series — the first graded slot for the
+#: model-comparison family; language-ID stays graded via q177's
+#: naive-Bayes classifier, q34 mirror-green);
+#: q225_mann_whitney → q283_gini_coefficient (value-level Gini on
+#: the q275 mid-rank machinery; the rank/two-sample family keeps
+#: q274 KS gate, q275 Spearman, q255/q256/q262 survival graded,
+#: q225 mirror-green);
+#: q235_hits → q277_calibration_ece (reliability table + ECE — the
+#: calibration-audit family's first graded slot; graph analytics
+#: keep q144 PageRank, q228 Adamic-Adar, q210 k-core graded, q235
+#: mirror-green).
 CURATED: tuple[str, ...] = (
     # relational / joins / windows / grouping
     "q01_pricing_summary",
-    "q89_resample_ffill",
+    "q279_ratio_delta_ci",
     "q75_semantic_dedup_pairs",
     "q183_curation_v6",
     "q147_prefix_filter_pairs",
@@ -530,7 +552,7 @@ CURATED: tuple[str, ...] = (
     "q255_nelson_aalen",
     "q144_pagerank",
     "q274_ks_drift_gate",
-    "q117_dsir_logweights",
+    "q281_js_divergence",
     # dedup (exact, MinHash-LSH, end-to-end) + composed curation
     "q242_bradley_terry",
     "q42_minhash_lsh_pairs",
@@ -538,10 +560,10 @@ CURATED: tuple[str, ...] = (
     "q127_curation_v4",
     # text analysis / corpus curation
     "q273_streaming_srm",
-    "q34_language_id",
+    "q284_mcnemar_test",
     "q238_curation_v8",
     "q121_ndcg_bm25",
-    "q225_mann_whitney",
+    "q283_gini_coefficient",
     "q211_dataset_digest",
     "q210_kcore_dupgraph",
     # similarity / ANN
@@ -549,7 +571,7 @@ CURATED: tuple[str, ...] = (
     "q53_lsh_bucketed_near_dup",
     "q57_ivf_topk",
     # retrieval scoring / vector math / compression
-    "q235_hits",
+    "q277_calibration_ece",
     "q56_range_join_bands",
     "q68_pq_rerank_topk",
     # streaming / event-time windows

@@ -5146,3 +5146,537 @@ def q275_spearman_corr(
 
     li = read_table(spark, sf_dir, "lineitem")
     return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
+@register(
+    "q276_weighted_kappa",
+    oracle="""
+    WITH r AS (
+      SELECT least(4, CAST(floor(length(text) / 120) AS BIGINT)) AS a,
+             least(4, CAST(floor(
+               len(string_split_regex(trim(text), '\\s+')) / 20
+             ) AS BIGINT)) AS b
+      FROM documents
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST((a - b) * (a - b) AS HUGEINT)) AS so,
+             sum(CAST(a AS HUGEINT)) AS sa,
+             sum(CAST(b AS HUGEINT)) AS sb,
+             sum(CAST(a * a AS HUGEINT)) AS saa,
+             sum(CAST(b * b AS HUGEINT)) AS sbb
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+      CASE WHEN (n * saa - 2 * sa * sb + n * sbb) <> 0 THEN
+        round(1.0 - CAST(n * so AS DOUBLE)
+                    / CAST(n * saa - 2 * sa * sb + n * sbb AS DOUBLE),
+              6)
+      END AS kappa_w
+    FROM agg
+    """,
+    description="Quadratic-weighted Cohen's kappa (operators/"
+    "evalmetrics.cohens_kappa_weighted; Cohen 1968) between two "
+    "ordinal 0-4 quality raters derived from documents (char-length "
+    "bucket vs token-count bucket) - the ordinal member of the "
+    "annotation-agreement family (q198 unweighted kappa, q215 "
+    "Krippendorff): near-misses cost (i-j)^2, so a 3-vs-4 "
+    "disagreement barely dents agreement while 0-vs-4 destroys it. "
+    "EXACT integer arithmetic: the chance mass expands ALGEBRAICALLY "
+    "(N*Si^2na - 2(Si na)(Sj nb) + N*Sj^2nb - never a k x k marginal "
+    "join), so kappa is ONE double division over DECIMAL(38,0) "
+    "integer moments from ONE map-side-combined aggregate.",
+    tags=("evalmetrics", "text", "aggregate"),
+)
+def q276_weighted_kappa(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        cohens_kappa_weighted,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    rated = d.select(
+        F.least(
+            F.lit(4), F.floor(F.length("text") / F.lit(120))
+        ).alias("ra"),
+        F.least(
+            F.lit(4),
+            F.floor(
+                F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                / F.lit(20)
+            ),
+        ).alias("rb"),
+    )
+    return cohens_kappa_weighted(rated, "ra", "rb", "quadratic")
+
+
+@register(
+    "q277_calibration_ece",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o_totalprice AS DOUBLE)
+               - floor(CAST(o_totalprice AS DOUBLE)) AS s,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    b2 AS (
+      SELECT least(9, CAST(floor(s * 10) AS INT)) AS bin,
+             CAST(round(s, 4) AS DECIMAL(18,4)) AS sr, y
+      FROM base
+    ),
+    per AS (
+      SELECT bin, count(*) AS n, sum(sr) AS ss, sum(y) AS pos
+      FROM b2 GROUP BY 1
+    ),
+    binned AS (
+      SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+        round(CAST(ss AS DOUBLE) / n, 6) AS conf,
+        round(CAST(pos AS DOUBLE) / n, 6) AS acc,
+        round(CAST(pos AS DOUBLE) / n - CAST(ss AS DOUBLE) / n, 6)
+          AS gap,
+        CAST(round(n * abs(CAST(pos AS DOUBLE) / n
+                           - CAST(ss AS DOUBLE) / n), 9)
+             AS DECIMAL(38,9)) AS t
+      FROM per
+    ),
+    fam AS (
+      SELECT round(CAST(sum(t) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+               AS ece,
+             CAST(sum(n) AS BIGINT) AS n_total
+      FROM binned
+    )
+    SELECT bin, n, conf, acc, gap, ece, n_total FROM binned, fam
+    """,
+    description="Reliability table + expected calibration error "
+    "(operators/evalmetrics.expected_calibration_error; Naeini et al. "
+    "AAAI 2015) of a deterministic [0,1) score (the fractional part "
+    "of order value) against fulfillment outcome - the one-number "
+    "calibration gate a model card reports, next to q266's isotonic "
+    "FIT (this one AUDITS a fixed scorer, PAVA refits it). Equal-"
+    "width bins with the 1.0-to-top-bin clamp; 4-dp DECIMAL score "
+    "sums per bin (the money rule), integer-ratio accuracies, "
+    "per-bin n*|acc-conf| rounded 9 dp into DECIMAL(38,9), one "
+    "division at the end. ONE map-side-combined aggregate; the "
+    "family scalar broadcasts back onto the <=10 bin rows.",
+    tags=("evalmetrics", "aggregate"),
+)
+def q277_calibration_ece(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        expected_calibration_error,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("double")
+    base = o.select(
+        (p - F.floor(p)).alias("s"),
+        (F.col("o_orderstatus") == "F").alias("y"),
+    )
+    return expected_calibration_error(base, "s", "y", n_bins=10)
+
+
+@register(
+    "q278_trimmed_mean",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(CAST(round(CAST(o_totalprice AS DOUBLE), 2)
+                       AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             count(*) AS c
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ),
+    pre AS (
+      SELECT v, c,
+             sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c AS b
+      FROM g
+    ),
+    tot AS (SELECT sum(c) AS n FROM g),
+    j AS (
+      SELECT pre.v, pre.c, pre.b, tot.n,
+             CAST(floor(0.1 * n) AS BIGINT) AS k
+      FROM pre, tot
+    ),
+    agg AS (
+      SELECT max(n) AS nv, max(k) AS kv,
+        sum(CAST(v AS HUGEINT)
+            * CAST(greatest(0, least(b + c, n - k) - greatest(b, k))
+                   AS HUGEINT)) AS ts,
+        sum(CAST(greatest(0, least(b + c, n - k) - greatest(b, k))
+                 AS HUGEINT)) AS tn,
+        min(CASE WHEN b + c >= k + 1 THEN v END) AS L,
+        min(CASE WHEN b + c >= n - k THEN v END) AS U
+      FROM j
+    )
+    SELECT CAST(nv AS BIGINT) AS n, CAST(kv AS BIGINT) AS k_trim,
+      round(CASE WHEN tn > 0 THEN
+        CAST(ts AS DOUBLE) / (CAST(tn AS DOUBLE) * 100.0) END, 4)
+        AS trimmed_mean,
+      round(CASE WHEN tn > 0 THEN
+        (CAST(ts AS DOUBLE) + CAST(kv AS DOUBLE) * CAST(L AS DOUBLE)
+         + CAST(kv AS DOUBLE) * CAST(U AS DOUBLE))
+        / (CAST(nv AS DOUBLE) * 100.0) END, 4) AS winsorized_mean,
+      round(CAST(L AS DOUBLE) / 100.0, 2) AS lo_bound,
+      round(CAST(U AS DOUBLE) / 100.0, 2) AS hi_bound
+    FROM agg
+    """,
+    description="10%-trimmed and winsorized mean of order value "
+    "(operators/profile.trimmed_winsorized_mean; Tukey's robust "
+    "location pair) - the heavy-tail-safe readout an experiment "
+    "publishes when one whale order can flip the raw mean. EXACT "
+    "selection arithmetic with NO global sort: cents-valued counts "
+    "with range-bucketed exclusive prefix sums; each distinct value "
+    "contributes max(0, min(C+c, n-k) - max(C, k)) occurrences to "
+    "the trimmed interior (pure integer interval overlap - boundary "
+    "ties resolve identically on both engines by construction); the "
+    "winsorized tail mass is k*L + k*U with L/U order statistics "
+    "from conditional mins over the same prefix table; HUGEINT/"
+    "DECIMAL(38,0) cent sums, one double division at the end.",
+    tags=("profile", "aggregate", "window"),
+)
+def q278_trimmed_mean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import (
+        trimmed_winsorized_mean,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    return trimmed_winsorized_mean(o, "o_totalprice", alpha=0.1)
+
+
+@register(
+    "q279_ratio_delta_ci",
+    oracle="""
+    WITH units AS (
+      SELECT o_orderpriority AS arm, o_custkey AS u,
+        CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE), 4)
+                      AS DECIMAL(18,4))) AS DECIMAL(19,4)) AS y,
+        CAST(sum(CAST(1.0 AS DECIMAL(18,4))) AS DECIMAL(19,4)) AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT arm, count(*) AS n, sum(y) AS sy, sum(x) AS sx,
+             sum(y * y) AS syy, sum(x * x) AS sxx, sum(y * x) AS sxy
+      FROM units GROUP BY 1
+    ),
+    m AS (
+      SELECT arm, CAST(n AS BIGINT) AS n_units,
+        CAST(n AS DOUBLE) AS nd,
+        CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd,
+        (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+           / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vy,
+        (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+           / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vx,
+        (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+           / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS cxy
+      FROM per
+    ),
+    v AS (
+      SELECT *, syd / sxd AS r, sxd / nd AS xbar,
+        (vy - 2.0 * (syd / sxd) * cxy
+         + (syd / sxd) * (syd / sxd) * vx)
+          / (nd * (sxd / nd) * (sxd / nd)) AS var_r
+      FROM m
+    )
+    SELECT arm, n_units,
+      round(syd, 4) AS num, round(sxd, 4) AS den,
+      round(CASE WHEN sxd <> 0 THEN r END, 6) AS ratio,
+      round(CASE WHEN n_units >= 2 AND sxd <> 0 AND var_r >= 0
+            THEN sqrt(var_r) END, 6) AS se,
+      round(CASE WHEN n_units >= 2 AND sxd <> 0 AND var_r >= 0
+            THEN r - 1.959963984540054 * sqrt(var_r) END, 6) AS ci_lo,
+      round(CASE WHEN n_units >= 2 AND sxd <> 0 AND var_r >= 0
+            THEN r + 1.959963984540054 * sqrt(var_r) END, 6) AS ci_hi
+    FROM v
+    """,
+    description="Per-priority revenue-per-order ratio metric with a "
+    "delta-method CI clustered at the CUSTOMER (operators/profile."
+    "ratio_metric_delta_ci; Deng, Knoblich & Lu KDD 2018): the "
+    "correct readout for Sy/Sx metrics where the randomization unit "
+    "contributes many correlated rows, so the naive per-row variance "
+    "is wrong. Rows aggregate to the unit FIRST (map-side-combined "
+    "groupBy; per-row 4-dp DECIMAL(18,4) rounding so unit sums are "
+    "exact); every square/cross-moment is an EXACT DECIMAL(37,8) "
+    "product (ideal 18+18+1 precision fits under 38 - no "
+    "allowPrecisionLoss scale reduction); Var(R) = (s2y - 2R*sxy + "
+    "R^2*s2x)/(n*xbar^2) and the 95% z-CI are row-local doubles on "
+    "the per-arm 1-row moments.",
+    tags=("profile", "aggregate"),
+)
+def q279_ratio_delta_ci(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import (
+        ratio_metric_delta_ci,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    return ratio_metric_delta_ci(
+        o, "o_orderpriority", "o_custkey", "o_totalprice", F.lit(1.0)
+    )
+
+
+@register(
+    "q280_msprt_readout",
+    oracle="""
+    WITH base AS (
+      SELECT (o_custkey % 2 = 0) AS a,
+             CAST(round(CAST(o_totalprice AS DOUBLE), 4)
+                  AS DECIMAL(19,4)) AS m
+      FROM orders
+    ),
+    agg AS (
+      SELECT
+        sum(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+        sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS nb,
+        sum(CASE WHEN a THEN m END) AS sa,
+        sum(CASE WHEN NOT a THEN m END) AS sb,
+        sum(CASE WHEN a THEN m * m END) AS saa,
+        sum(CASE WHEN NOT a THEN m * m END) AS sbb
+      FROM base
+    ),
+    c AS (
+      SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+        CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+        CAST(saa AS DOUBLE) AS saad, CAST(sbb AS DOUBLE) AS sbbd
+      FROM agg
+    ),
+    d AS (
+      SELECT *,
+        ((saad - sad * sad / nad) + (sbbd - sbd * sbd / nbd))
+          / (nad + nbd - 2.0) AS s2,
+        sad / nad - sbd / nbd AS diff_v
+      FROM c
+    ),
+    e AS (
+      SELECT *, s2 * (1.0 / nad + 1.0 / nbd) AS v FROM d
+    ),
+    f AS (
+      SELECT *,
+        sqrt(v / (v + 1.0))
+          * exp(diff_v * diff_v * 1.0 / (2.0 * v * (v + 1.0))) AS lam_v,
+        (n_a >= 2 AND n_b >= 2 AND s2 > 0) AS ok
+      FROM e
+    )
+    SELECT n_a, n_b,
+      round(diff_v, 6) AS diff,
+      round(CASE WHEN ok THEN v END, 9) AS var_hat,
+      round(CASE WHEN ok THEN lam_v END, 6) AS lam,
+      round(CASE WHEN ok THEN least(1.0, 1.0 / lam_v) END, 9)
+        AS p_always_valid,
+      CASE WHEN ok THEN least(1.0, 1.0 / lam_v) < 0.05 END
+        AS significant
+    FROM f
+    """,
+    description="Mixture sequential probability ratio test readout "
+    "(operators/profile.msprt_always_valid_p; Johari, Koomen, "
+    "Pekelis & Walsh KDD 2017) on the customer-parity split of order "
+    "value, tau=1 - the ALWAYS-VALID p-value that stays correct "
+    "under continuous peeking, which the fixed-n z-test (q264) "
+    "cannot offer; the natural batch companion of the streaming SRM "
+    "monitor (q273). ONE map-side-combined aggregate of 4-dp "
+    "DECIMAL(18,4) metrics with EXACT DECIMAL(37,8) squares (ideal "
+    "precision under 38); the mixture likelihood ratio "
+    "Lam = sqrt(V/(V+tau^2))*exp(theta^2 tau^2/(2V(V+tau^2))) and "
+    "p = min(1, 1/Lam) are row-local doubles on the 1-row result "
+    "(sqrt/exp on identical IEEE inputs both engines).",
+    tags=("profile", "aggregate"),
+)
+def q280_msprt_readout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import (
+        msprt_always_valid_p,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    return msprt_always_valid_p(
+        o, (F.col("o_custkey") % 2 == 0), "o_totalprice", tau=1.0
+    )
+
+
+@register(
+    "q283_gini_coefficient",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(CAST(round(CAST(o_totalprice AS DOUBLE), 2)
+                       AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             count(*) AS c
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ),
+    pre AS (
+      SELECT v, c,
+             sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c AS b
+      FROM g
+    ),
+    agg AS (
+      SELECT sum(CAST(c AS HUGEINT)) AS n,
+        sum(CAST(v AS HUGEINT) * CAST(c AS HUGEINT)) AS s,
+        sum(CAST(v AS HUGEINT) * CAST(c AS HUGEINT)
+            * (2 * CAST(b AS HUGEINT) + CAST(c AS HUGEINT) + 1))
+          AS rs
+      FROM pre
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+      round(CAST(s AS DOUBLE) / 100.0, 2) AS total,
+      round(CASE WHEN n > 0 AND s > 0 THEN
+        CAST(rs AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+        - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) END, 6)
+        AS gini
+    FROM agg
+    """,
+    description="Gini coefficient of order value (operators/profile."
+    "gini_coefficient; Gini 1912 via the tie-correct rank "
+    "formulation) - the VALUE-level inequality number beside q226's "
+    "per-KEY concentration profile (q226 asks which customers hold "
+    "the mass; this asks how unequal the order sizes themselves "
+    "are, the shuffle-skew early warning for the salting machinery). "
+    "EXACT mid-rank construction on the q275 machinery: cents-"
+    "valued counts, doubled tie-averaged rank 2C+c+1 from the range-"
+    "bucketed exclusive prefix sum, G = Sum v*c*(2C+c+1)/(n*Sum v*c) "
+    "- (n+1)/n with every product in DECIMAL(38,0)/HUGEINT and ONE "
+    "double division rounded at the end.",
+    tags=("profile", "aggregate", "window"),
+)
+def q283_gini_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import (
+        gini_coefficient,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    return gini_coefficient(o, "o_totalprice")
+
+
+@register(
+    "q285_brier_decomposition",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o_totalprice AS DOUBLE)
+               - floor(CAST(o_totalprice AS DOUBLE)) AS s,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    r2 AS (
+      SELECT least(9, CAST(floor(s * 10) AS INT)) AS bin, s,
+             CAST(round(s, 4) AS DECIMAL(18,4)) AS sr, y
+      FROM base
+    ),
+    gstat AS (
+      SELECT count(*) AS n, sum(y) AS pos,
+        sum(CAST(round((s - y) * (s - y), 9) AS DECIMAL(38,9)))
+          AS bsum
+      FROM r2
+    ),
+    per AS (
+      SELECT bin, count(*) AS nb, sum(sr) AS ss, sum(y) AS posb
+      FROM r2 GROUP BY 1
+    ),
+    terms AS (
+      SELECT per.nb, gstat.n, gstat.pos, gstat.bsum,
+        CAST(per.ss AS DOUBLE) / per.nb AS conf,
+        CAST(per.posb AS DOUBLE) / per.nb AS acc,
+        CAST(gstat.pos AS DOUBLE) / gstat.n AS ybar
+      FROM per, gstat
+    ),
+    agg AS (
+      SELECT max(n) AS nv, max(pos) AS posv, max(bsum) AS bsumv,
+        sum(CAST(round(nb * (conf - acc) * (conf - acc), 9)
+                 AS DECIMAL(38,9))) AS rel,
+        sum(CAST(round(nb * (acc - ybar) * (acc - ybar), 9)
+                 AS DECIMAL(38,9))) AS res
+      FROM terms
+    )
+    SELECT CAST(nv AS BIGINT) AS n,
+      round(CAST(bsumv AS DOUBLE) / nv, 6) AS brier,
+      round(CAST(rel AS DOUBLE) / nv, 6) AS reliability,
+      round(CAST(res AS DOUBLE) / nv, 6) AS resolution,
+      round((CAST(posv AS DOUBLE) / nv)
+            * (1.0 - CAST(posv AS DOUBLE) / nv), 6) AS uncertainty
+    FROM agg
+    """,
+    description="Murphy (1973) Brier-score decomposition (operators/"
+    "evalmetrics.brier_decomposition) of the q277 scorer "
+    "(fractional order value vs fulfillment) into reliability - "
+    "resolution + uncertainty: WHY a probabilistic scorer is good "
+    "or bad - miscalibration (reliability, q277's gap squared), "
+    "outcome separation (resolution), and the irreducible base-rate "
+    "floor ybar(1-ybar). Raw Brier as per-row (s-y)^2 rounded 9 dp "
+    "into DECIMAL(38,9); binned terms on the q277 machinery "
+    "(integer-ratio accuracies, 4-dp DECIMAL confidence sums) "
+    "summed over <=10 bin rows; two map-side-combined aggregates "
+    "and a broadcast 1-row base rate.",
+    tags=("evalmetrics", "aggregate"),
+)
+def q285_brier_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        brier_decomposition,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("double")
+    base = o.select(
+        (p - F.floor(p)).alias("s"),
+        (F.col("o_orderstatus") == "F").alias("y"),
+    )
+    return brier_decomposition(base, "s", "y", n_bins=10)
+
+
+@register(
+    "q289_theil_index",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(CAST(round(CAST(o_totalprice AS DOUBLE), 2)
+                       AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             count(*) AS c
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(CAST(c AS HUGEINT)) AS n,
+             sum(CAST(v AS HUGEINT) * CAST(c AS HUGEINT)) AS s
+      FROM g
+    ),
+    terms AS (
+      SELECT g.v, g.c, tot.n, tot.s,
+        CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE) AS mu
+      FROM g, tot
+    ),
+    agg AS (
+      SELECT max(n) AS nv, max(s) AS sv,
+        sum(CAST(round(CASE WHEN v > 0 THEN
+              CAST(c AS DOUBLE) * (CAST(v AS DOUBLE) / mu)
+              * ln(CAST(v AS DOUBLE) / mu)
+            ELSE 0.0 END, 9) AS DECIMAL(38,9))) AS t
+      FROM terms
+    )
+    SELECT CAST(nv AS BIGINT) AS n,
+      round(CAST(sv AS DOUBLE) / 100.0, 2) AS total,
+      round(CASE WHEN nv > 0 AND sv > 0 THEN
+        CAST(t AS DOUBLE) / CAST(nv AS DOUBLE) END, 6) AS theil
+    FROM agg
+    """,
+    description="Theil T inequality index of order value (operators/"
+    "profile.theil_index; Theil 1967) - the entropy-based companion "
+    "of q283's Gini: additively DECOMPOSABLE into between-group + "
+    "within-group terms, which is why fairness and concentration "
+    "audits needing per-segment attribution prefer it; 0 = even, "
+    "ln(n) = one order holds everything. Cents-valued distinct-"
+    "value counts end the data-sized work (one map-side-combined "
+    "aggregate); mu is an exact HUGEINT/DECIMAL cent ratio on a "
+    "1-row broadcast; per-value c*(v/mu)*ln(v/mu) terms round 9 dp "
+    "into DECIMAL(38,9) (the KM ln-parity rule), one division at "
+    "the end.",
+    tags=("profile", "aggregate"),
+)
+def q289_theil_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import theil_index
+
+    o = read_table(spark, sf_dir, "orders")
+    return theil_index(o, "o_totalprice")

@@ -2933,3 +2933,486 @@ def q260_hill_tail_index(
     ).filter(F.col("__t") != "")
     per = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("c"))
     return hill_tail_index(per, "c", k=50)
+
+
+@register(
+    "q281_js_divergence",
+    oracle="""
+    WITH da AS (
+      SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents WHERE lang = 'en'
+    ),
+    db AS (
+      SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents WHERE lang <> 'en'
+    ),
+    ta AS (
+      SELECT u.tok FROM da, UNNEST(string_split(nt, ' ')) AS u(tok)
+      WHERE u.tok <> ''
+    ),
+    tb AS (
+      SELECT u.tok FROM db, UNNEST(string_split(nt, ' ')) AS u(tok)
+      WHERE u.tok <> ''
+    ),
+    ca AS (SELECT tok, count(*) AS c FROM ta GROUP BY 1),
+    cb AS (SELECT tok, count(*) AS c FROM tb GROUP BY 1),
+    j AS (
+      SELECT coalesce(ca.c, 0) AS cna, coalesce(cb.c, 0) AS cnb
+      FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok
+    ),
+    tot AS (SELECT sum(cna) AS na, sum(cnb) AS nb FROM j),
+    terms AS (
+      SELECT j.cna, j.cnb, tot.na, tot.nb,
+        CAST(cna AS DOUBLE) / CAST(na AS DOUBLE) AS p,
+        CAST(cnb AS DOUBLE) / CAST(nb AS DOUBLE) AS q
+      FROM j, tot
+    ),
+    agg AS (
+      SELECT max(na) AS nav, max(nb) AS nbv, count(*) AS vocab,
+        sum(CAST(round(CASE WHEN cna > 0 THEN
+              p * ln(p / ((p + q) / 2.0)) / 0.6931471805599453
+            ELSE 0.0 END, 9) AS DECIMAL(38,9))) AS sp,
+        sum(CAST(round(CASE WHEN cnb > 0 THEN
+              q * ln(q / ((p + q) / 2.0)) / 0.6931471805599453
+            ELSE 0.0 END, 9) AS DECIMAL(38,9))) AS sq
+      FROM terms
+    )
+    SELECT CAST(nav AS BIGINT) AS n_a, CAST(nbv AS BIGINT) AS n_b,
+      CAST(vocab AS BIGINT) AS vocab,
+      round((CAST(sp AS DOUBLE) + CAST(sq AS DOUBLE)) / 2.0, 6)
+        AS js_bits
+    FROM agg
+    """,
+    description="Jensen-Shannon divergence (operators/text."
+    "js_divergence_tokens; Lin 1991) between the English and "
+    "non-English corpora's unigram distributions - the DISTRIBUTION-"
+    "level contrast number a corpus-mixing decision reads next to "
+    "the per-document novelty (q269) and per-segment drift gates "
+    "(q274): symmetric and finite even on disjoint vocabularies, "
+    "which plain KL is not. Each corpus reduces to ONE map-side-"
+    "combined token-count table (data-sized work ends there); one "
+    "full-outer join on the token key (never doc x doc); exact "
+    "integer-ratio probabilities, per-token summands rounded 9 dp "
+    "into DECIMAL(38,9) with the single libm log2 on identical "
+    "IEEE ratios both engines.",
+    tags=("text", "aggregate", "join"),
+)
+def q281_js_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.text import (
+        js_divergence_tokens,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return js_divergence_tokens(
+        d.filter(F.col("lang") == "en"),
+        d.filter(F.col("lang") != "en"),
+        "text",
+    )
+
+
+@register(
+    "q282_vocab_growth",
+    oracle="""
+    WITH docs AS (SELECT DISTINCT doc_id AS d FROM documents),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+    ranked AS (
+      SELECT d, row_number() OVER (ORDER BY d) AS r FROM docs
+    ),
+    ks AS (
+      SELECT CAST(k AS BIGINT) AS k FROM generate_series(1, 10) t(k)
+    ),
+    th AS (SELECT k, (k * n + 9) // 10 AS t FROM ks, nd),
+    decs AS (
+      SELECT ranked.d, min(th.k) AS dec
+      FROM ranked JOIN th ON ranked.r <= th.t GROUP BY 1
+    ),
+    norm AS (
+      SELECT doc_id AS d,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents
+    ),
+    posting AS (
+      SELECT norm.d, u.tok
+      FROM norm, UNNEST(string_split(nt, ' ')) AS u(tok)
+      WHERE u.tok <> ''
+    ),
+    pr AS (
+      SELECT posting.d, posting.tok, decs.dec
+      FROM posting JOIN decs ON posting.d = decs.d
+    ),
+    mass AS (SELECT dec, count(*) AS toks FROM pr GROUP BY 1),
+    firsts AS (SELECT tok, min(dec) AS fd FROM pr GROUP BY 1),
+    fresh AS (SELECT fd AS dec, count(*) AS nw FROM firsts GROUP BY 1),
+    dcount AS (SELECT dec, count(*) AS docs_ FROM decs GROUP BY 1),
+    merged AS (
+      SELECT coalesce(dcount.dec, mass.dec, fresh.dec) AS dec,
+             coalesce(docs_, 0) AS docs_,
+             coalesce(toks, 0) AS toks,
+             coalesce(nw, 0) AS nw
+      FROM dcount
+      FULL OUTER JOIN mass ON dcount.dec = mass.dec
+      FULL OUTER JOIN fresh
+        ON coalesce(dcount.dec, mass.dec) = fresh.dec
+    ),
+    cum AS (
+      SELECT CAST(dec AS BIGINT) AS decile,
+        CAST(sum(docs_) OVER w AS BIGINT) AS docs,
+        CAST(sum(toks) OVER w AS BIGINT) AS tokens,
+        CAST(sum(nw) OVER w AS BIGINT) AS vocab
+      FROM merged
+      WINDOW w AS (ORDER BY dec ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT decile, docs, tokens, vocab,
+      round(CAST(vocab AS DOUBLE) / CAST(tokens AS DOUBLE), 6)
+        AS type_token_ratio
+    FROM cum
+    """,
+    description="Heaps'-law vocabulary growth curve (operators/text."
+    "vocabulary_growth; Heaps 1978): cumulative distinct tokens "
+    "after each tenth of the corpus in doc_id order - the curve a "
+    "collection effort reads to decide whether MORE of a source "
+    "still buys new vocabulary (V ~ K*n^beta flattening -> stop), "
+    "the corpus-level complement of per-document TTR. EXACT "
+    "construction with NO data-sized window: doc ranks from the "
+    "range-bucketed prefix sum over the per-doc table, ceil-integer "
+    "checkpoint thresholds, a token's first-occurrence decile as "
+    "one min-aggregate over the posting table, and <=10-row "
+    "cumulative sums over the bounded checkpoint table (the "
+    "bounded-scalar window class).",
+    tags=("text", "aggregate", "window"),
+)
+def q282_vocab_growth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.text import vocabulary_growth
+
+    d = read_table(spark, sf_dir, "documents")
+    return vocabulary_growth(d, "text", "doc_id", checkpoints=10)
+
+
+def _q284_oracle(sf_dir: str | None = None) -> str:
+    from bigdata_kafka_2_spark.operators.mathfn import erfc_sql
+
+    p_expr = erfc_sql("sqrt(chi2v / 2.0)")
+    return f"""
+    WITH r AS (
+      SELECT ((length(text) > 250) = (lang = 'en')) AS a,
+             ((len(string_split_regex(trim(text), '\\s+')) > 45)
+              = (lang = 'en')) AS b
+      FROM documents
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+        sum(CASE WHEN (NOT a) AND b THEN 1 ELSE 0 END) AS n01,
+        sum(CASE WHEN a AND (NOT b) THEN 1 ELSE 0 END) AS n10
+      FROM r
+    ),
+    c AS (
+      SELECT CAST(n AS BIGINT) AS n, CAST(n01 AS BIGINT) AS n01,
+             CAST(n10 AS BIGINT) AS n10,
+        greatest(0.0, CAST(abs(n01 - n10) AS DOUBLE) - 1.0)
+          * greatest(0.0, CAST(abs(n01 - n10) AS DOUBLE) - 1.0)
+          / CAST(n01 + n10 AS DOUBLE) AS chi2v,
+        (n01 + n10) > 0 AS ok
+      FROM agg
+    )
+    SELECT n, n01, n10,
+      round(CASE WHEN ok THEN chi2v END, 6) AS chi2,
+      round(CASE WHEN ok THEN {p_expr} END, 9) AS p_value
+    FROM c
+    """
+
+
+@register(
+    "q284_mcnemar_test",
+    oracle=_q284_oracle,
+    description="McNemar's paired test with Edwards' continuity "
+    "correction (operators/evalmetrics.mcnemar_test; McNemar 1947) "
+    "comparing two deterministic language-ID rules (char-length "
+    "threshold vs token-count threshold, truth = lang='en') on the "
+    "SAME documents - the model-comparison readout the marginal-"
+    "accuracy z-test gets wrong because both classifiers saw "
+    "identical inputs; only the discordant pairs n01/n10 carry "
+    "information. chi2 = (|n01-n10|-1)^2/(n01+n10), df=1 survival "
+    "exactly erfc(sqrt(chi2/2)) through the shared literal-"
+    "coefficient series (the q264 discipline). ONE map-side-combined "
+    "aggregate; row-local arithmetic on the 1-row result.",
+    tags=("evalmetrics", "text", "aggregate"),
+)
+def q284_mcnemar_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        mcnemar_test,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    truth = F.col("lang") == "en"
+    rule_a = F.length("text") > 250
+    rule_b = F.size(F.split(F.trim(F.col("text")), r"\s+")) > 45
+    rated = d.select(
+        (rule_a == truth).alias("ca"), (rule_b == truth).alias("cb")
+    )
+    return mcnemar_test(rated, "ca", "cb")
+
+
+_BIGRAM_COUNTS_SQL = f"""
+    norm AS (
+      SELECT string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT t[i] || ' ' || t[i+1] AS tok
+      FROM norm,
+           UNNEST(generate_series(1, greatest(len(t) - 1, 1))) AS g(i)
+      WHERE t[i] || ' ' || t[i+1] IS NOT NULL
+        AND t[i] || ' ' || t[i+1] <> ''
+    ),
+    cnt AS (SELECT tok, count(*) AS c FROM bg GROUP BY 1)
+"""
+
+
+def _bigram_counts(d: DataFrame) -> DataFrame:
+    """Adjacent-bigram multiset counts ``(tok, c)`` over normalized
+    text — the q105 PMI construction with the pair rendered as one
+    string key (staged token array; the guarded sequence avoids
+    Spark's descending sequence(0,-1) on short docs)."""
+    src = d.select(
+        F.split(TX.normalize_text("text"), " ").alias("__toks")
+    )
+    toks = F.col("__toks")
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    pair_arr = F.transform(
+        idx,
+        lambda i: F.concat(
+            F.element_at(toks, i + 1),
+            F.lit(" "),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return (
+        src.select(F.explode(pair_arr).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+@register(
+    "q286_vocab_richness",
+    oracle=f"""
+    WITH {_BIGRAM_COUNTS_SQL},
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS v,
+        CAST(sum(c) AS BIGINT) AS nt,
+        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM cnt
+    )
+    SELECT nt AS n_tokens, v AS vocab, f1, f2,
+      round(CAST(v AS DOUBLE)
+            + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+              / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 4) AS chao1,
+      round(CAST(f1 AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS p_unseen
+    FROM agg
+    """,
+    description="Chao1 richness estimate + Good-Turing unseen mass "
+    "(operators/text.vocab_richness; Chao 1984, Good 1953) over the "
+    "corpus's adjacent-BIGRAM distribution (unigram frequency-of-"
+    "frequencies is degenerate on this corpus - every unigram "
+    "repeats; bigrams exercise the f1/f2 tail) - the stopping-rule "
+    "companion of the q282 growth curve: how many types exist that "
+    "we have NOT seen (chao1's bias-corrected lower bound), and how "
+    "much probability mass the next draw puts on unseen types "
+    "(f1/N). EXACT integer frequency-of-frequency counts from ONE "
+    "map-side-combined aggregate over the vocabulary-sized count "
+    "table; two row-local double ratios at the end.",
+    tags=("text", "aggregate"),
+)
+def q286_vocab_richness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.text import vocab_richness
+
+    d = read_table(spark, sf_dir, "documents")
+    return vocab_richness(_bigram_counts(d), "c")
+
+
+@register(
+    "q287_zipf_slope",
+    oracle=f"""
+    WITH {_BIGRAM_COUNTS_SQL},
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+      FROM cnt
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+        sum(CAST(round(ln(CAST(r AS DOUBLE)), 9)
+                 AS DECIMAL(38,9))) AS sx,
+        sum(CAST(round(ln(CAST(c AS DOUBLE)), 9)
+                 AS DECIMAL(38,9))) AS sy,
+        sum(CAST(round(ln(CAST(r AS DOUBLE))
+                       * ln(CAST(c AS DOUBLE)), 9)
+                 AS DECIMAL(38,9))) AS sxy,
+        sum(CAST(round(ln(CAST(r AS DOUBLE))
+                       * ln(CAST(r AS DOUBLE)), 9)
+                 AS DECIMAL(38,9))) AS sxx
+      FROM ranked
+    ),
+    m AS (
+      SELECT CAST(n AS BIGINT) AS n_types, CAST(n AS DOUBLE) AS nd,
+        CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd
+      FROM agg
+    ),
+    s AS (
+      SELECT *,
+        nd * sxxd - sxd * sxd AS denom,
+        (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope_v
+      FROM m
+    )
+    SELECT n_types,
+      round(CASE WHEN n_types >= 2 AND denom <> 0 THEN slope_v END, 6)
+        AS slope,
+      round(CASE WHEN n_types >= 2 AND denom <> 0
+            THEN (syd - slope_v * sxd) / nd END, 6) AS intercept
+    FROM s
+    """,
+    description="Zipf's-law log-log OLS slope (operators/text."
+    "zipf_slope; Zipf 1949) over the adjacent-bigram rank-frequency "
+    "table - the canonical corpus-health number (natural text near "
+    "-1; templated corpora flatten, spammy repetition steepens), "
+    "the whole-distribution companion of the Hill tail index (q260) "
+    "which fits only the extreme tail. Count-descending ranks with "
+    "the token as total-order tie-break from the range-bucketed "
+    "global_row_number (never a single-partition window); both logs "
+    "evaluate ENGINE-SIDE on integer-derived doubles (the KM "
+    "ln-parity rule); regression moments round 9 dp into exact "
+    "DECIMAL(38,9), the normal equations one double expression on "
+    "the 1-row moment table.",
+    tags=("text", "aggregate", "window"),
+)
+def q287_zipf_slope(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.text import zipf_slope
+
+    d = read_table(spark, sf_dir, "documents")
+    return zipf_slope(_bigram_counts(d), "tok", "c")
+
+
+@register(
+    "q288_token_entropy",
+    oracle=f"""
+    WITH norm AS (
+      SELECT {_NORM_SQL} AS nt FROM documents
+    ),
+    t AS (
+      SELECT u.tok FROM norm, UNNEST(string_split(nt, ' ')) AS u(tok)
+      WHERE u.tok <> ''
+    ),
+    cnt AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+    tot AS (
+      SELECT sum(c) AS nt, count(*) AS v FROM cnt
+    ),
+    terms AS (
+      SELECT cnt.c, tot.nt, tot.v,
+        CAST(cnt.c AS DOUBLE) / CAST(tot.nt AS DOUBLE) AS p
+      FROM cnt, tot
+    ),
+    agg AS (
+      SELECT max(nt) AS ntv, max(v) AS vv,
+        sum(CAST(round(-p * ln(p) / 0.6931471805599453, 9)
+                 AS DECIMAL(38,9))) AS h,
+        sum(CAST(c AS HUGEINT) * CAST(c - 1 AS HUGEINT)) AS coinc
+      FROM terms
+    )
+    SELECT CAST(ntv AS BIGINT) AS n_tokens, CAST(vv AS BIGINT) AS vocab,
+      round(CAST(h AS DOUBLE), 6) AS entropy_bits,
+      round(CASE WHEN ntv >= 2 THEN
+        CAST(coinc AS DOUBLE)
+        / (CAST(ntv AS DOUBLE) * (CAST(ntv AS DOUBLE) - 1.0)) END, 6)
+        AS simpson
+    FROM agg
+    """,
+    description="Shannon entropy (bits) + unbiased Simpson "
+    "concentration (operators/text.token_entropy; Shannon 1948, "
+    "Simpson 1949) of the corpus unigram distribution - the "
+    "diversity pair a corpus profile reports: 2^H is the unigram-LM "
+    "perplexity (effective vocabulary breadth), Simpson "
+    "sum c(c-1)/(N(N-1)) is the probability two random tokens "
+    "coincide (the concentration number, a PURE integer ratio - "
+    "exact end to end). Entropy terms -p*log2(p) round 9 dp into "
+    "DECIMAL(38,9) with the single libm log on integer-ratio "
+    "doubles; data-sized work ends at the map-side-combined token "
+    "count.",
+    tags=("text", "aggregate"),
+)
+def q288_token_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.text import token_entropy
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.split(TX.normalize_text("text"), " ")
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    return token_entropy(counts, "c")
+
+
+@register(
+    "q290_source_jaccard",
+    oracle=f"""
+    WITH norm AS (
+      SELECT source, {_NORM_SQL} AS nt FROM documents
+    ),
+    ts AS (
+      SELECT DISTINCT source AS g, u.tok
+      FROM norm, UNNEST(string_split(nt, ' ')) AS u(tok)
+      WHERE u.tok <> ''
+    ),
+    inter AS (
+      SELECT a.g AS source_a, b.g AS source_b, count(*) AS inter
+      FROM ts a JOIN ts b ON a.tok = b.tok AND a.g < b.g
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT g, count(*) AS sz FROM ts GROUP BY 1)
+    SELECT source_a, source_b,
+      CAST(inter AS BIGINT) AS inter,
+      CAST(sa.sz AS BIGINT) AS size_a,
+      CAST(sb.sz AS BIGINT) AS size_b,
+      round(CAST(inter AS DOUBLE)
+            / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.source_a = sa.g
+    JOIN sizes sb ON inter.source_b = sb.g
+    """,
+    description="Pairwise vocabulary Jaccard between sources "
+    "(operators/text.source_jaccard_matrix) - the multi-corpus "
+    "contrast MATRIX that q281's single JS number collapses: which "
+    "sources are near-duplicates of each other vs genuinely "
+    "additive, the mixing-planning view. One distinct "
+    "(source, token) projection ends the data-sized work; the pair "
+    "join is TOKEN-keyed (each token joins only the <=|sources| "
+    "sources containing it - never doc x doc); per-source set sizes "
+    "broadcast onto the |sources|^2-bounded pair table; exact "
+    "integer set arithmetic, one 6-dp division. Fully-disjoint "
+    "pairs have no row by contract.",
+    tags=("text", "join", "aggregate"),
+)
+def q290_source_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.text import (
+        source_jaccard_matrix,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return source_jaccard_matrix(d, "source", "text")

@@ -4453,3 +4453,519 @@ def test_read_reservoir_raises_on_duplicate_payload_in_batch(spark, tmp_path):
     ).write.mode("append").parquet(out)
     with _pytest.raises(ValueError, match="payload-uniqueness"):
         read_reservoir(spark, out, 10, ["k"]).collect()
+
+
+# ---------------------------------------------------------------------------
+# r14 additions: weighted kappa, ECE, trimmed/winsorized mean, ratio-metric
+# delta CI, mSPRT, JS divergence, vocabulary growth, value-level Gini
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_kappa_quadratic_hand_checked(spark):
+    """3-level toy case checked against the textbook k x k expansion."""
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        cohens_kappa_weighted,
+    )
+
+    rows = [(1, 1), (2, 2), (3, 3), (1, 2), (3, 1), (2, 2)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    r = cohens_kappa_weighted(df, "a", "b", "quadratic").collect()[0]
+    n = len(rows)
+    so = sum((a - b) ** 2 for a, b in rows)
+    sa = sum(a for a, _ in rows)
+    sb = sum(b for _, b in rows)
+    saa = sum(a * a for a, _ in rows)
+    sbb = sum(b * b for _, b in rows)
+    se = n * saa - 2 * sa * sb + n * sbb
+    assert r.n == n
+    assert abs(r.kappa_w - round(1.0 - n * so / se, 6)) < 1e-9
+
+
+def test_weighted_kappa_linear_and_degenerate(spark):
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        cohens_kappa_weighted,
+    )
+
+    rows = [(1, 2), (2, 1), (3, 3), (1, 1)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    r = cohens_kappa_weighted(df, "a", "b", "linear").collect()[0]
+    n = len(rows)
+    so = sum(abs(a - b) for a, b in rows)
+    na = {v: sum(1 for a, _ in rows if a == v) for v in (1, 2, 3)}
+    nb = {v: sum(1 for _, b in rows if b == v) for v in (1, 2, 3)}
+    se = sum(
+        abs(i - j) * na[i] * nb[j] for i in na for j in nb
+    )
+    assert abs(r.kappa_w - round(1.0 - n * so / se, 6)) < 1e-9
+    # constant raters: SE = 0 -> NULL kappa
+    const = spark.createDataFrame([(2, 2), (2, 2)], "a long, b long")
+    rc = cohens_kappa_weighted(const, "a", "b").collect()[0]
+    assert rc.kappa_w is None
+    # NULL ratings are excluded, not treated as a level
+    withnull = spark.createDataFrame(
+        [(1, 1), (None, 3), (2, None), (3, 3)], "a long, b long"
+    )
+    rn = cohens_kappa_weighted(withnull, "a", "b").collect()[0]
+    assert rn.n == 2
+
+
+def test_expected_calibration_error_hand_checked(spark):
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        expected_calibration_error,
+    )
+
+    # two occupied bins; outcomes chosen so acc != conf in bin 0
+    rows = [(0.05, 0), (0.05, 1), (0.95, 1), (0.95, 1)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = {
+        r.bin: r
+        for r in expected_calibration_error(df, "s", "y", 10).collect()
+    }
+    assert set(out) == {0, 9}
+    b0 = out[0]
+    assert b0.n == 2 and abs(b0.conf - 0.05) < 1e-9
+    assert abs(b0.acc - 0.5) < 1e-9
+    # ece = (2*|0.5-0.05| + 2*|1.0-0.95|)/4 = 0.25
+    assert abs(b0.ece - 0.25) < 1e-9
+    assert b0.n_total == 4
+    # score exactly 1.0 clamps into the top bin
+    top = spark.createDataFrame([(1.0, 1)], "s double, y int")
+    t = expected_calibration_error(top, "s", "y", 10).collect()[0]
+    assert t.bin == 9
+
+
+def test_trimmed_winsorized_mean_hand_checked(spark):
+    from bigdata_kafka_2_spark.operators.profile import (
+        trimmed_winsorized_mean,
+    )
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 100.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = trimmed_winsorized_mean(df, "v", alpha=0.1).collect()[0]
+    # k = 1: drop 1.0 and 100.0 -> mean of 2..9 = 5.5
+    assert r.n == 10 and r.k_trim == 1
+    assert abs(r.trimmed_mean - 5.5) < 1e-9
+    # winsorize: clamp 1.0 -> 2.0, 100.0 -> 9.0 -> (44 + 2 + 9)/10
+    assert abs(r.winsorized_mean - 5.5) < 1e-9
+    assert abs(r.lo_bound - 2.0) < 1e-9
+    assert abs(r.hi_bound - 9.0) < 1e-9
+
+
+def test_trimmed_mean_ties_and_degenerate(spark):
+    from bigdata_kafka_2_spark.operators.profile import (
+        trimmed_winsorized_mean,
+    )
+
+    # ties at the trim boundary: interval-overlap keeps exactly hi-lo
+    df = spark.createDataFrame(
+        [(1.0,), (1.0,), (1.0,), (5.0,), (9.0,), (9.0,), (9.0,)],
+        "v double",
+    )
+    r = trimmed_winsorized_mean(df, "v", alpha=0.2).collect()[0]
+    # n=7, k=1 -> keep ranks 2..6: [1,1,5,9,9] -> 5.0
+    assert r.k_trim == 1
+    assert abs(r.trimmed_mean - 5.0) < 1e-9
+    # k = floor(a*n) < n/2, so n=2 keeps both values even at a->0.5
+    tiny = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    rt = trimmed_winsorized_mean(tiny, "v", alpha=0.5 - 1e-9)
+    row = rt.collect()[0]
+    assert row.k_trim == 0 and abs(row.trimmed_mean - 1.5) < 1e-9
+    # empty input: one all-NULL row
+    empty = spark.createDataFrame([], "v double")
+    re_ = trimmed_winsorized_mean(empty, "v", alpha=0.1).collect()[0]
+    assert re_.trimmed_mean is None and re_.winsorized_mean is None
+
+
+def test_ratio_metric_delta_ci_vs_numpy(spark):
+    import numpy as np
+
+    from bigdata_kafka_2_spark.operators.profile import (
+        ratio_metric_delta_ci,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", 1, 10.0), ("a", 1, 20.0), ("a", 2, 5.0),
+        ("a", 3, 12.0), ("b", 4, 8.0), ("b", 5, 16.0),
+        ("b", 5, 4.0), ("b", 6, 30.0),
+    ]
+    df = spark.createDataFrame(rows, "arm string, u long, y double")
+    got = {
+        r.arm: r
+        for r in ratio_metric_delta_ci(
+            df, "arm", "u", "y", F.lit(1.0)
+        ).collect()
+    }
+    for arm in ("a", "b"):
+        ys, xs = {}, {}
+        for a, u, y in rows:
+            if a == arm:
+                ys[u] = ys.get(u, 0.0) + y
+                xs[u] = xs.get(u, 0.0) + 1.0
+        yv = np.array(sorted(ys.values(), reverse=True))
+        yv = np.array([ys[u] for u in sorted(ys)])
+        xv = np.array([xs[u] for u in sorted(xs)])
+        n = len(yv)
+        r_hat = yv.sum() / xv.sum()
+        vy = yv.var(ddof=1)
+        vx = xv.var(ddof=1)
+        cxy = np.cov(yv, xv, ddof=1)[0, 1]
+        xbar = xv.mean()
+        var_r = (vy - 2 * r_hat * cxy + r_hat**2 * vx) / (
+            n * xbar**2
+        )
+        g = got[arm]
+        assert g.n_units == n
+        assert abs(g.ratio - round(r_hat, 6)) < 1e-6
+        assert abs(g.se - round(float(np.sqrt(var_r)), 6)) < 1e-6
+        assert abs(
+            g.ci_lo
+            - round(r_hat - 1.959963984540054 * np.sqrt(var_r), 6)
+        ) < 1e-6
+    # single-unit arm: NULL se/CI
+    solo = spark.createDataFrame(
+        [("c", 1, 5.0)], "arm string, u long, y double"
+    )
+    rs = ratio_metric_delta_ci(
+        solo, "arm", "u", "y", F.lit(1.0)
+    ).collect()[0]
+    assert rs.se is None and rs.ci_lo is None
+
+
+def test_msprt_always_valid_p_vs_python(spark):
+    import math
+
+    from bigdata_kafka_2_spark.operators.profile import (
+        msprt_always_valid_p,
+    )
+
+    rows = [(True, 10.0), (True, 12.0), (True, 11.0),
+            (False, 9.0), (False, 8.5), (False, 9.5)]
+    df = spark.createDataFrame(rows, "a boolean, m double")
+    r = msprt_always_valid_p(df, "a", "m", tau=1.0).collect()[0]
+    av = [m for a, m in rows if a]
+    bv = [m for a, m in rows if not a]
+    na, nb = len(av), len(bv)
+    sa, sb = sum(av), sum(bv)
+    ssa = sum(v * v for v in av) - sa * sa / na
+    ssb = sum(v * v for v in bv) - sb * sb / nb
+    s2 = (ssa + ssb) / (na + nb - 2)
+    v = s2 * (1 / na + 1 / nb)
+    diff = sa / na - sb / nb
+    lam = math.sqrt(v / (v + 1.0)) * math.exp(
+        diff * diff / (2 * v * (v + 1.0))
+    )
+    p = min(1.0, 1.0 / lam)
+    assert r.n_a == na and r.n_b == nb
+    assert abs(r.diff - round(diff, 6)) < 1e-9
+    assert abs(r.lam - round(lam, 6)) < 1e-5
+    assert abs(r.p_always_valid - round(p, 9)) < 1e-6
+    assert r.significant == (p < 0.05)
+    # zero pooled variance -> NULL p
+    const = spark.createDataFrame(
+        [(True, 5.0), (True, 5.0), (False, 5.0), (False, 5.0)],
+        "a boolean, m double",
+    )
+    rc = msprt_always_valid_p(const, "a", "m").collect()[0]
+    assert rc.p_always_valid is None and rc.significant is None
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    from bigdata_kafka_2_spark.operators.text import (
+        js_divergence_tokens,
+    )
+
+    a = spark.createDataFrame(
+        [("x y z",), ("x x y",)], "text string"
+    )
+    same = js_divergence_tokens(a, a, "text").collect()[0]
+    assert same.js_bits == 0.0
+    assert same.n_a == 6 and same.n_b == 6 and same.vocab == 3
+    b = spark.createDataFrame([("p q p q",)], "text string")
+    disj = js_divergence_tokens(a, b, "text").collect()[0]
+    # disjoint supports: JS = 1 bit exactly
+    assert abs(disj.js_bits - 1.0) < 1e-6
+    assert disj.vocab == 5
+
+
+def test_js_divergence_hand_checked(spark):
+    import math
+
+    from bigdata_kafka_2_spark.operators.text import (
+        js_divergence_tokens,
+    )
+
+    a = spark.createDataFrame([("x x y",)], "text string")
+    b = spark.createDataFrame([("x y y y",)], "text string")
+    r = js_divergence_tokens(a, b, "text").collect()[0]
+    pa = {"x": 2 / 3, "y": 1 / 3}
+    pb = {"x": 1 / 4, "y": 3 / 4}
+    js = 0.0
+    for t in ("x", "y"):
+        m = (pa[t] + pb[t]) / 2
+        js += 0.5 * round(pa[t] * math.log2(pa[t] / m), 9)
+        js += 0.5 * round(pb[t] * math.log2(pb[t] / m), 9)
+    assert abs(r.js_bits - round(js, 6)) < 1e-6
+
+
+def test_vocabulary_growth_hand_checked(spark):
+    from bigdata_kafka_2_spark.operators.text import vocabulary_growth
+
+    # 4 docs, 2 checkpoints: halves are docs {1,2} and {3,4}
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "a b"), (4, "d")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.decile: r
+        for r in vocabulary_growth(
+            docs, "text", "doc_id", checkpoints=2
+        ).collect()
+    }
+    assert rows[1].docs == 2 and rows[1].tokens == 4
+    assert rows[1].vocab == 3  # a, b, c
+    assert rows[2].docs == 4 and rows[2].tokens == 7
+    assert rows[2].vocab == 4  # + d
+    assert abs(rows[2].type_token_ratio - round(4 / 7, 6)) < 1e-9
+
+
+def test_gini_coefficient_hand_checked(spark):
+    from bigdata_kafka_2_spark.operators.profile import (
+        gini_coefficient,
+    )
+
+    # all equal -> 0
+    eq = spark.createDataFrame([(5.0,)] * 4, "v double")
+    assert gini_coefficient(eq, "v").collect()[0].gini == 0.0
+    # one unit holds everything -> (n-1)/n
+    solo = spark.createDataFrame(
+        [(0.0,), (0.0,), (0.0,), (12.0,)], "v double"
+    )
+    r = gini_coefficient(solo, "v").collect()[0]
+    assert abs(r.gini - 0.75) < 1e-9
+    assert abs(r.total - 12.0) < 1e-9
+    # hand case [1, 2, 3, 4]: G = 0.25
+    hand = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,)], "v double"
+    )
+    assert abs(gini_coefficient(hand, "v").collect()[0].gini - 0.25) < 1e-9
+
+
+def test_gini_coefficient_rejects_negative(spark):
+    import pytest as _pytest
+
+    from bigdata_kafka_2_spark.operators.profile import (
+        gini_coefficient,
+    )
+
+    df = spark.createDataFrame([(1.0,), (-2.0,)], "v double")
+    with _pytest.raises(ValueError, match="nonnegative"):
+        gini_coefficient(df, "v")
+
+
+def test_mcnemar_hand_checked(spark):
+    import math
+
+    from bigdata_kafka_2_spark.operators.evalmetrics import mcnemar_test
+
+    # n01 = 2 (A wrong, B right), n10 = 6
+    rows = (
+        [(False, True)] * 2 + [(True, False)] * 6 + [(True, True)] * 5
+        + [(False, False)] * 3
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = mcnemar_test(df, "a", "b").collect()[0]
+    assert r.n == 16 and r.n01 == 2 and r.n10 == 6
+    chi2 = (abs(2 - 6) - 1) ** 2 / (2 + 6)
+    assert abs(r.chi2 - round(chi2, 6)) < 1e-9
+    want_p = math.erfc(math.sqrt(chi2 / 2.0))
+    assert abs(r.p_value - want_p) < 1e-6
+    # balanced discordants: corrected statistic clamps at 0
+    bal = spark.createDataFrame(
+        [(False, True), (True, False)], "a boolean, b boolean"
+    )
+    rb = mcnemar_test(bal, "a", "b").collect()[0]
+    assert rb.chi2 == 0.0 and abs(rb.p_value - 1.0) < 1e-9
+    # no discordant pairs: NULL chi2/p
+    conc = spark.createDataFrame(
+        [(True, True), (False, False)], "a boolean, b boolean"
+    )
+    rc = mcnemar_test(conc, "a", "b").collect()[0]
+    assert rc.chi2 is None and rc.p_value is None
+
+
+def test_brier_decomposition_identity(spark):
+    """On binned (already-discretized) forecasts the Murphy identity
+    brier = reliability - resolution + uncertainty is EXACT."""
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        brier_decomposition,
+    )
+
+    rows = [(0.05, 0)] * 8 + [(0.05, 1)] * 2 \
+        + [(0.65, 1)] * 6 + [(0.65, 0)] * 4 \
+        + [(0.95, 1)] * 9 + [(0.95, 0)] * 1
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = brier_decomposition(df, "s", "y", 10).collect()[0]
+    assert r.n == 30
+    brier_direct = sum((s - y) ** 2 for s, y in rows) / 30
+    assert abs(r.brier - round(brier_direct, 6)) < 1e-6
+    # identity within rounding noise
+    assert abs(
+        r.brier - (r.reliability - r.resolution + r.uncertainty)
+    ) < 1e-5
+    ybar = sum(y for _, y in rows) / 30
+    assert abs(r.uncertainty - round(ybar * (1 - ybar), 6)) < 1e-9
+    # perfect calibration: reliability ~ 0
+    perf = spark.createDataFrame(
+        [(0.25, 1)] * 1 + [(0.25, 0)] * 3 + [(0.75, 1)] * 3
+        + [(0.75, 0)] * 1,
+        "s double, y int",
+    )
+    rp = brier_decomposition(perf, "s", "y", 4).collect()[0]
+    assert rp.reliability == 0.0
+
+
+def test_vocab_richness_hand_checked(spark):
+    from bigdata_kafka_2_spark.operators.text import vocab_richness
+
+    # counts: a:1, b:1, c:2, d:5 -> V=4, N=9, f1=2, f2=1
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2), ("d", 5)], "tok string, c long"
+    )
+    r = vocab_richness(df, "c").collect()[0]
+    assert r.n_tokens == 9 and r.vocab == 4
+    assert r.f1 == 2 and r.f2 == 1
+    assert abs(r.chao1 - round(4 + 2 * 1 / (2 * 2), 4)) < 1e-9
+    assert abs(r.p_unseen - round(2 / 9, 6)) < 1e-9
+    # no singletons: chao1 = V, p_unseen = 0
+    nos = spark.createDataFrame(
+        [("a", 3), ("b", 2)], "tok string, c long"
+    )
+    rn = vocab_richness(nos, "c").collect()[0]
+    assert rn.chao1 == 2.0 and rn.p_unseen == 0.0
+
+
+def test_zipf_slope_exact_power_law(spark):
+    """counts = round(1000 / r) follow slope ~ -1; check the OLS
+    against a numpy reference on the same ranked table."""
+    import numpy as np
+
+    from bigdata_kafka_2_spark.operators.text import zipf_slope
+
+    counts = [int(round(1000 / r)) for r in range(1, 21)]
+    df = spark.createDataFrame(
+        [(f"t{i:02d}", c) for i, c in enumerate(counts)],
+        "tok string, c long",
+    )
+    r = zipf_slope(df, "tok", "c").collect()[0]
+    # rank by count desc = original order (counts strictly decreasing
+    # until ties at the tail; ties break by token string = index order)
+    ranked = sorted(
+        [(f"t{i:02d}", c) for i, c in enumerate(counts)],
+        key=lambda t: (-t[1], t[0]),
+    )
+    x = np.array([round(float(np.log(i + 1)), 9) for i in range(20)])
+    y = np.array(
+        [round(float(np.log(c)), 9) for _, c in ranked]
+    )
+    xy = np.array([
+        round(float(np.log(i + 1) * np.log(c)), 9)
+        for i, (_, c) in enumerate(ranked)
+    ])
+    xx = np.array([
+        round(float(np.log(i + 1) ** 2), 9) for i in range(20)
+    ])
+    n = 20
+    slope = (n * xy.sum() - x.sum() * y.sum()) / (
+        n * xx.sum() - x.sum() ** 2
+    )
+    assert r.n_types == 20
+    assert abs(r.slope - round(slope, 6)) < 1e-6
+    assert -1.1 < r.slope < -0.9
+
+
+def test_token_entropy_hand_checked(spark):
+    import math
+
+    from bigdata_kafka_2_spark.operators.text import token_entropy
+
+    # uniform over 4 types -> H = 2 bits; simpson = c(c-1) sums
+    df = spark.createDataFrame(
+        [("a", 2), ("b", 2), ("c", 2), ("d", 2)], "tok string, c long"
+    )
+    r = token_entropy(df, "c").collect()[0]
+    assert r.n_tokens == 8 and r.vocab == 4
+    assert abs(r.entropy_bits - 2.0) < 1e-6
+    assert abs(r.simpson - round(4 * 2 * 1 / (8 * 7), 6)) < 1e-9
+    # single type -> H = 0, simpson = 1
+    one = spark.createDataFrame([("a", 5)], "tok string, c long")
+    ro = token_entropy(one, "c").collect()[0]
+    assert ro.entropy_bits == 0.0 and ro.simpson == 1.0
+    # skewed hand case
+    sk = spark.createDataFrame(
+        [("a", 3), ("b", 1)], "tok string, c long"
+    )
+    rs = token_entropy(sk, "c").collect()[0]
+    want = -(0.75 * math.log2(0.75)) - (0.25 * math.log2(0.25))
+    assert abs(rs.entropy_bits - round(want, 6)) < 1e-6
+
+
+def test_theil_index_hand_checked(spark):
+    import math
+
+    from bigdata_kafka_2_spark.operators.profile import theil_index
+
+    # all equal -> 0
+    eq = spark.createDataFrame([(5.0,)] * 4, "v double")
+    assert theil_index(eq, "v").collect()[0].theil == 0.0
+    # hand case [1, 2, 3, 4]: mu = 2.5
+    hand = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,)], "v double"
+    )
+    r = theil_index(hand, "v").collect()[0]
+    mu = 2.5
+    want = sum(
+        round((v / mu) * math.log(v / mu), 9) for v in (1, 2, 3, 4)
+    ) / 4
+    assert abs(r.theil - round(want, 6)) < 1e-6
+    # zeros contribute 0 but count in n
+    withz = spark.createDataFrame(
+        [(0.0,), (0.0,), (10.0,)], "v double"
+    )
+    rz = theil_index(withz, "v").collect()[0]
+    mu = 10.0 / 3
+    want = round((10.0 / mu) * math.log(10.0 / mu), 9) / 3
+    assert rz.n == 3
+    assert abs(rz.theil - round(want, 6)) < 1e-6
+    # negative raises
+    import pytest as _pytest
+
+    neg = spark.createDataFrame([(1.0,), (-1.0,)], "v double")
+    with _pytest.raises(ValueError, match="nonnegative"):
+        theil_index(neg, "v")
+
+
+def test_source_jaccard_hand_checked(spark):
+    from bigdata_kafka_2_spark.operators.text import (
+        source_jaccard_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "a b c"),
+            ("s1", "c d"),
+            ("s2", "c d e"),
+            ("s3", "x y"),
+        ],
+        "src string, text string",
+    )
+    rows = {
+        (r.source_a, r.source_b): r
+        for r in source_jaccard_matrix(df, "src", "text").collect()
+    }
+    # s1 = {a,b,c,d}, s2 = {c,d,e}: inter 2, union 5
+    r12 = rows[("s1", "s2")]
+    assert r12.inter == 2 and r12.size_a == 4 and r12.size_b == 3
+    assert abs(r12.jaccard - 0.4) < 1e-9
+    # s3 disjoint from both: absent by contract
+    assert ("s1", "s3") not in rows and ("s2", "s3") not in rows

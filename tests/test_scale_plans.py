@@ -811,3 +811,176 @@ def test_global_prefix_sum_decimal_scale9_exact(spark):
     for r in out12:
         assert decimal.Decimal(str(r.c)) == acc
         acc += decimal.Decimal(str(r.w))
+
+
+def test_weighted_kappa_single_partial_aggregate(spark):
+    """Quadratic weighted kappa is ONE map-side-combined aggregate —
+    no k x k marginal join, no cartesian anywhere."""
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        cohens_kappa_weighted,
+    )
+
+    d = read_table(spark, SF_DIR, "documents")
+    rated = d.select(
+        F.least(F.lit(4), F.floor(F.length("text") / F.lit(120)))
+        .alias("ra"),
+        F.least(
+            F.lit(4),
+            F.floor(
+                F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                / F.lit(20)
+            ),
+        ).alias("rb"),
+    )
+    plan = _plan(cohens_kappa_weighted(rated, "ra", "rb"))
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_ratio_delta_ci_unit_then_arm_aggregate(spark):
+    """Delta-method CI aggregates to the unit FIRST (map-side
+    combine), then to |arms| rows — two hash aggregates, no window,
+    no cartesian."""
+    from bigdata_kafka_2_spark.operators.profile import (
+        ratio_metric_delta_ci,
+    )
+
+    o = read_table(spark, SF_DIR, "orders")
+    plan = _plan(
+        ratio_metric_delta_ci(
+            o, "o_orderpriority", "o_custkey", "o_totalprice",
+            F.lit(1.0),
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.lower().count("hashaggregate") >= 2
+
+
+def test_trimmed_mean_bucketed_prefix_no_global_sort(spark):
+    """Trimmed/winsorized selection rides the range-bucketed prefix
+    sum over the DISTINCT-value table (checkpointed, so the bucket
+    exchange lives in the PREFIX plan, not the downstream one — the
+    lint's documented LogicalRDD blind spot); downstream is one
+    map-side-combined aggregate whose only nested-loop join is the
+    broadcast 1-row totals scalar — never a global sort or a
+    data-sized cartesian."""
+    from bigdata_kafka_2_spark.operators.profile import (
+        trimmed_winsorized_mean,
+    )
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    o = read_table(spark, SF_DIR, "orders")
+    cents = (
+        F.round(F.col("o_totalprice").cast("double"), 2)
+        .cast("decimal(18,2)") * 100
+    ).cast("long")
+    g = o.groupBy(cents.alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    prefix_plan = _plan(global_prefix_sum(g, "__v", "__c", "__b"))
+    assert "hashpartitioning(__bkt" in prefix_plan
+    plan = _plan(trimmed_winsorized_mean(o, "o_totalprice", 0.1))
+    assert "CartesianProduct" not in plan
+    assert "Sort " not in plan
+    assert "partial_sum" in plan
+
+
+def test_gini_coefficient_bucketed_prefix(spark):
+    from bigdata_kafka_2_spark.operators.profile import (
+        gini_coefficient,
+    )
+
+    o = read_table(spark, SF_DIR, "orders")
+    plan = _plan(gini_coefficient(o, "o_totalprice"))
+    assert "hashpartitioning(__bkt" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_js_divergence_token_join_not_doc_join(spark):
+    """JS divergence joins the two TOKEN-COUNT tables (vocab-sized),
+    never doc x doc; the only cross join is the broadcast 1-row
+    totals scalar."""
+    from bigdata_kafka_2_spark.operators.text import (
+        js_divergence_tokens,
+    )
+
+    d = read_table(spark, SF_DIR, "documents")
+    out = js_divergence_tokens(
+        d.filter(F.col("lang") == "en"),
+        d.filter(F.col("lang") != "en"),
+        "text",
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan
+
+
+def test_vocabulary_growth_bounded_window_only(spark):
+    """The only window in the vocabulary-growth plan runs over the
+    <=checkpoints-row merged table (bounded-scalar class); doc
+    ranking rides the bucketed prefix sum."""
+    from bigdata_kafka_2_spark.operators.text import vocabulary_growth
+
+    d = read_table(spark, SF_DIR, "documents")
+    plan = _plan(vocabulary_growth(d, "text", "doc_id", 10))
+    assert "hashpartitioning(__bkt" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zipf_slope_bucketed_rank(spark):
+    """Zipf ranking rides the range-bucketed global_row_number over
+    the vocabulary-sized count table — no single-partition window,
+    no cartesian."""
+    from bigdata_kafka_2_spark.operators.text import zipf_slope
+
+    df = spark.createDataFrame(
+        [(f"t{i}", i + 1) for i in range(200)], "tok string, c long"
+    )
+    plan = _plan(zipf_slope(df, "tok", "c"))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan and "partial" in plan.lower()
+
+
+def test_source_jaccard_token_keyed_join(spark):
+    """The pair join is keyed on the TOKEN (SortMergeJoin/shuffle
+    hash on __t), never a source x source cartesian; the size joins
+    broadcast."""
+    from bigdata_kafka_2_spark.operators.text import (
+        source_jaccard_matrix,
+    )
+
+    d = read_table(spark, SF_DIR, "documents")
+    plan = _plan(source_jaccard_matrix(d, "source", "text"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_theil_index_distinct_value_reduction(spark):
+    """Theil's data-sized work ends at the distinct-cents count
+    aggregate; the totals are a broadcast 1-row scalar."""
+    from bigdata_kafka_2_spark.operators.profile import theil_index
+
+    o = read_table(spark, SF_DIR, "orders")
+    plan = _plan(theil_index(o, "o_totalprice"))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "BroadcastNestedLoopJoin" in plan  # bounded 1-row scalar
+
+
+def test_brier_decomposition_two_aggregates_no_window(spark):
+    from bigdata_kafka_2_spark.operators.evalmetrics import (
+        brier_decomposition,
+    )
+
+    o = read_table(spark, SF_DIR, "orders")
+    p = F.col("o_totalprice").cast("double")
+    base = o.select(
+        (p - F.floor(p)).alias("s"),
+        (F.col("o_orderstatus") == "F").alias("y"),
+    )
+    plan = _plan(brier_decomposition(base, "s", "y", 10))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
