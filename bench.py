@@ -315,6 +315,9 @@ HEADLINE = (
     "q288_token_entropy",
     "q289_theil_index",
     "q290_source_jaccard",
+    "q291_kendall_tau",
+    "q292_bartlett_test",
+    "q293_cramers_v",
 )
 
 

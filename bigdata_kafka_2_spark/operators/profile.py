@@ -3620,7 +3620,10 @@ def msprt_always_valid_p(
         F.col("__na").cast("long").alias("n_a"),
         F.col("__nb").cast("long").alias("n_b"),
         F.round(diff, 6).alias("diff"),
-        F.round(F.when(ok, v), 9).alias("var_hat"),
+        # 4 dp, not 9: V of a money metric sits near 1e6-1e7, and 9
+        # fractional digits would push past double's exact-decimal
+        # band (the q292 pooled_var lesson).
+        F.round(F.when(ok, v), 4).alias("var_hat"),
         F.round(F.when(ok, lam), 6).alias("lam"),
         F.round(F.when(ok, p), 9).alias("p_always_valid"),
         F.when(ok, p < 0.05).alias("significant"),
@@ -3702,4 +3705,279 @@ def theil_index(
             ),
             6,
         ).alias("theil"),
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation with tie correction (Kendall
+    1945) for BOUNDED-cardinality ordinal pairs: one row ``(n,
+    concordant, discordant, tau_b)`` — the third member of the
+    association family (q98 Pearson: linear; q275 Spearman: monotone
+    via ranks; τ-b: pairwise order agreement, the most robust and
+    the natural one for ordinal scales like ratings × buckets).
+
+    CONTRACT: both columns must have bounded distinct-value spaces
+    (ratings, buckets, small integer grades) — the fact table
+    reduces to a |X|·|Y|-cell contingency table FIRST (one map-side-
+    combined aggregate; the data-sized work ends there), and the
+    concordant/discordant mass comes from the CELL-pair triangle
+    join (|X|·|Y|)² — bounded by the VALUE SPACE, independent of
+    row count (the q276 linear-kappa marginal-join class).
+
+        τ_b = (P − Q) / √((n₀ − n₁)(n₀ − n₂))
+
+    computed in DOUBLED integer units (n(n−1), Σt(t−1) — halving
+    cancels in the ratio) so every term is exact DECIMAL(38,0);
+    ONE double sqrt+division at the end (6 dp). NULL τ when either
+    margin is fully tied. Rows with NULLs are excluded.
+    """
+    x = F.col(x_col)
+    y = F.col(y_col)
+    rows = df.filter(x.isNotNull() & y.isNotNull())
+    cells = (
+        rows.groupBy(x.alias("__x"), y.alias("__y"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint()
+    )
+    dec = "decimal(38,0)"
+    a = cells.select(
+        F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+        F.col("__c").alias("__ca"),
+    )
+    b = cells.select(
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+        F.col("__c").alias("__cb"),
+    )
+    prod = F.col("__ca").cast(dec) * F.col("__cb").cast(dec)
+    pq = (
+        a.join(F.broadcast(b), F.col("__xb") > F.col("__xa"))
+        .agg(
+            F.sum(
+                F.when(F.col("__yb") > F.col("__ya"), prod)
+            ).alias("__p"),
+            F.sum(
+                F.when(F.col("__yb") < F.col("__ya"), prod)
+            ).alias("__q"),
+        )
+    )
+    nx = cells.groupBy("__x").agg(F.sum("__c").alias("__t"))
+    ny = cells.groupBy("__y").agg(F.sum("__c").alias("__t"))
+
+    def tie_mass(m: DataFrame) -> DataFrame:
+        t = F.col("__t").cast(dec)
+        return m.agg(
+            F.sum(t).alias("__n"),
+            F.sum(t * (t - F.lit(1).cast(dec))).alias("__tt"),
+        )
+
+    tx = tie_mass(nx).select(
+        F.col("__n").alias("__nx"), F.col("__tt").alias("__ttx")
+    )
+    ty = tie_mass(ny).select(
+        F.col("__n").alias("__ny"), F.col("__tt").alias("__tty")
+    )
+    j = pq.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    n = F.col("__nx")
+    n0d = n * (n - F.lit(1).cast(dec))  # doubled n0
+    d1 = (n0d - F.col("__ttx")).cast("double")
+    d2 = (n0d - F.col("__tty")).cast("double")
+    p = F.coalesce(F.col("__p"), F.lit(0).cast(dec))
+    q = F.coalesce(F.col("__q"), F.lit(0).cast(dec))
+    num = F.lit(2.0) * (p - q).cast("double")  # doubled units
+    ok = (d1 > 0) & (d2 > 0)
+    return j.select(
+        n.cast("long").alias("n"),
+        p.cast("long").alias("concordant"),
+        q.cast("long").alias("discordant"),
+        F.round(
+            F.when(ok, num / F.sqrt(d1 * d2)), 6
+        ).alias("tau_b"),
+    )
+
+
+def bartlett_test(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+) -> DataFrame:
+    """Bartlett's test of variance homogeneity across groups
+    (Bartlett 1937): one row ``(k, n, pooled_var, chi2, p_value)``
+    — the equal-variance gate a pooled analysis (q264's z-test,
+    q280's mSPRT, ANOVA-style readouts) should run first, since all
+    of them assume one common variance.
+
+        χ² = [(N−k)·ln s²_p − Σ(nᵢ−1)·ln s²ᵢ] / C,
+        C  = 1 + (Σ 1/(nᵢ−1) − 1/(N−k)) / (3(k−1)),   df = k−1
+
+    with the survival from
+    :func:`~bigdata_kafka_2_spark.operators.mathfn.chi2_sf_col`
+    (both parities, df ≤ 16 → up to 17 groups; NULL beyond).
+    Groups with fewer than 2 observations are EXCLUDED (their
+    variance is undefined); NULL χ²/p when k < 2 or any group
+    variance is 0 (ln degenerates — the standard contract).
+
+    Exactness: per-group moments are exact DECIMAL of 4/9-dp-
+    rounded values (the CUPED discipline); the k-row term table
+    sums ln terms rounded 9 dp into DECIMAL(38,9) (bounded rows,
+    order-independent); the survival evaluates engine-side on the
+    identical double. ONE map-side-combined aggregate over the
+    fact table; everything after is |groups|-bounded.
+    """
+    from bigdata_kafka_2_spark.operators.mathfn import chi2_sf_col
+
+    g = (
+        F.col(group_col) if isinstance(group_col, str) else group_col
+    ).cast("string")
+    v = F.col(value_col).cast("double")
+    dec4 = "decimal(38,4)"
+    dec9 = "decimal(38,9)"
+    per = (
+        df.filter(g.isNotNull() & v.isNotNull())
+        .groupBy(g.alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.round(v, 4).cast(dec4)).alias("__s"),
+            F.sum(F.round(v * v, 9).cast(dec9)).alias("__ss"),
+        )
+        .filter(F.col("__n") >= 2)
+    )
+    nd = F.col("__n").cast("double")
+    var_i = (
+        F.col("__ss").cast("double")
+        - F.col("__s").cast("double")
+        * F.col("__s").cast("double")
+        / nd
+    ) / (nd - 1.0)
+    terms = per.select(
+        F.col("__n"),
+        var_i.alias("__var"),
+        F.round((nd - 1.0) * F.log(var_i), 9).cast(dec9).alias(
+            "__t1"
+        ),
+        F.round(F.lit(1.0) / (nd - 1.0), 9).cast(dec9).alias("__t2"),
+        F.round((nd - 1.0) * var_i, 9).cast(dec9).alias("__t3"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__n").alias("__N"),
+        F.min("__var").alias("__minvar"),
+        F.sum("__t1").alias("__s1"),
+        F.sum("__t2").alias("__s2"),
+        F.sum("__t3").alias("__s3"),
+    )
+    kd = F.col("__k").cast("double")
+    Nd = F.col("__N").cast("double")
+    sp2 = F.col("__s3").cast("double") / (Nd - kd)
+    c_corr = F.lit(1.0) + (
+        F.col("__s2").cast("double") - F.lit(1.0) / (Nd - kd)
+    ) / (F.lit(3.0) * (kd - F.lit(1.0)))
+    chi2 = ((Nd - kd) * F.log(sp2) - F.col("__s1").cast("double")) \
+        / c_corr
+    ok = (F.col("__k") >= 2) & (F.col("__minvar") > 0)
+    p = chi2_sf_col(chi2, (F.col("__k") - 1).cast("int"))
+    # pooled_var rounds at 2 dp, NOT 6: a variance of a money column
+    # sits near 1e10, and 6 fractional digits would need ~17
+    # significant digits — past double precision, so the two engines'
+    # re-rounded doubles could differ in the last ulp (caught by the
+    # sf0.01 vanilla-session verify). 2 dp keeps the canonical string
+    # inside the exact-double band at any realistic magnitude.
+    return agg.select(
+        F.col("__k").cast("long").alias("k"),
+        F.col("__N").cast("long").alias("n"),
+        F.round(F.when(ok, sp2), 2).alias("pooled_var"),
+        F.round(F.when(ok, chi2), 6).alias("chi2"),
+        F.round(F.when(ok, p), 9).alias("p_value"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a,
+    col_b,
+) -> DataFrame:
+    """Chi-square test of independence + Cramér's V effect size
+    (Cramér 1946) between two BOUNDED categorical columns: one row
+    ``(n, r, c, chi2, df, p_value, cramers_v)`` — the categorical-
+    association member of the correlation family (Pearson/Spearman/
+    τ-b are numeric/ordinal; V is the [0,1] strength number for
+    nominal × nominal, the segment-vs-segment dependence a mix
+    audit reads).
+
+    The full r×c grid INCLUDING zero cells is built from the two
+    bounded marginal tables (broadcast cross join — |A|·|B| rows by
+    the bounded-cardinality contract, never data-sized), the
+    observed counts left-joined in, so structurally-absent cells
+    contribute their full E = (rowₐ·colᵦ)/N term. Per-cell
+    (O−E)²/E rounds 9 dp into DECIMAL(38,9) over the bounded grid;
+    df = (r−1)(c−1) with the survival from
+    :func:`~bigdata_kafka_2_spark.operators.mathfn.chi2_sf_col`
+    (NULL beyond df 16 — the shared-literal series bound);
+    V = √(χ²/(N·min(r−1, c−1))). Rows with NULLs are excluded.
+    """
+    from bigdata_kafka_2_spark.operators.mathfn import chi2_sf_col
+
+    a = (
+        F.col(col_a) if isinstance(col_a, str) else col_a
+    ).cast("string")
+    b = (
+        F.col(col_b) if isinstance(col_b, str) else col_b
+    ).cast("string")
+    rows = df.filter(a.isNotNull() & b.isNotNull()).select(
+        a.alias("__a"), b.alias("__b")
+    )
+    cont = rows.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).alias("__o")
+    )
+    ra = rows.groupBy("__a").agg(F.count(F.lit(1)).alias("__na"))
+    cb = rows.groupBy("__b").agg(F.count(F.lit(1)).alias("__nb"))
+    grid = (
+        ra.crossJoin(F.broadcast(cb))
+        .join(cont, on=["__a", "__b"], how="left")
+        .select(
+            "__a",
+            "__b",
+            "__na",
+            "__nb",
+            F.coalesce(F.col("__o"), F.lit(0)).alias("__o"),
+        )
+    )
+    tot = rows.agg(F.count(F.lit(1)).alias("__N"))
+    j = grid.crossJoin(F.broadcast(tot))
+    e = (
+        F.col("__na").cast("double")
+        * F.col("__nb").cast("double")
+        / F.col("__N").cast("double")
+    )
+    od = F.col("__o").cast("double")
+    term = F.round((od - e) * (od - e) / e, 9).cast("decimal(38,9)")
+    agg = j.agg(
+        F.max("__N").alias("__n"),
+        F.count_distinct(F.col("__a")).alias("__r"),
+        F.count_distinct(F.col("__b")).alias("__c"),
+        F.sum(term).alias("__chi2"),
+    )
+    chi2 = F.col("__chi2").cast("double")
+    rr = F.col("__r").cast("long")
+    cc = F.col("__c").cast("long")
+    dfree = ((rr - 1) * (cc - 1)).cast("int")
+    nd = F.col("__n").cast("double")
+    mindim = F.least(rr - 1, cc - 1).cast("double")
+    ok = (rr >= 2) & (cc >= 2)
+    p = chi2_sf_col(chi2, dfree)
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        rr.alias("r"),
+        cc.alias("c"),
+        F.round(F.when(ok, chi2), 6).alias("chi2"),
+        F.when(ok, dfree.cast("long")).alias("df"),
+        F.round(F.when(ok, p), 9).alias("p_value"),
+        F.round(
+            F.when(ok, F.sqrt(chi2 / (nd * mindim))), 6
+        ).alias("cramers_v"),
     )

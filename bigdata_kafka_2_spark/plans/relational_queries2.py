@@ -5462,7 +5462,7 @@ def q279_ratio_delta_ci(
     )
     SELECT n_a, n_b,
       round(diff_v, 6) AS diff,
-      round(CASE WHEN ok THEN v END, 9) AS var_hat,
+      round(CASE WHEN ok THEN v END, 4) AS var_hat,
       round(CASE WHEN ok THEN lam_v END, 6) AS lam,
       round(CASE WHEN ok THEN least(1.0, 1.0 / lam_v) END, 9)
         AS p_always_valid,
@@ -5680,3 +5680,240 @@ def q289_theil_index(
 
     o = read_table(spark, sf_dir, "orders")
     return theil_index(o, "o_totalprice")
+
+
+@register(
+    "q291_kendall_tau",
+    oracle="""
+    WITH r2 AS (
+      SELECT l_quantity AS x, l_linenumber AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL
+    ),
+    cells AS (SELECT x, y, count(*) AS c FROM r2 GROUP BY 1, 2),
+    pq AS (
+      SELECT
+        sum(CASE WHEN b.y > a.y THEN
+          CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT) END) AS p,
+        sum(CASE WHEN b.y < a.y THEN
+          CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT) END) AS q
+      FROM cells a JOIN cells b ON b.x > a.x
+    ),
+    tx AS (
+      SELECT sum(CAST(t AS HUGEINT)) AS n,
+             sum(CAST(t AS HUGEINT) * (CAST(t AS HUGEINT) - 1))
+               AS ttx
+      FROM (SELECT sum(c) AS t FROM cells GROUP BY x)
+    ),
+    ty AS (
+      SELECT sum(CAST(t AS HUGEINT) * (CAST(t AS HUGEINT) - 1))
+               AS tty
+      FROM (SELECT sum(c) AS t FROM cells GROUP BY y)
+    ),
+    f AS (
+      SELECT coalesce(p, 0) AS p, coalesce(q, 0) AS q,
+             tx.n, tx.ttx, ty.tty
+      FROM pq, tx, ty
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+      CAST(p AS BIGINT) AS concordant,
+      CAST(q AS BIGINT) AS discordant,
+      round(CASE WHEN (n * (n - 1) - ttx) > 0
+                  AND (n * (n - 1) - tty) > 0 THEN
+        2.0 * CAST(p - q AS DOUBLE)
+        / sqrt(CAST(n * (n - 1) - ttx AS DOUBLE)
+               * CAST(n * (n - 1) - tty AS DOUBLE)) END, 6)
+        AS tau_b
+    FROM f
+    """,
+    description="Kendall's tau-b with tie correction (operators/"
+    "profile.kendall_tau_b; Kendall 1945) between order quantity "
+    "and line number - the third association member beside Pearson "
+    "(q98, linear) and Spearman (q275, monotone ranks): pairwise "
+    "order agreement, the natural statistic for ordinal scales. "
+    "BOUNDED-cardinality contract: the fact table reduces to a "
+    "50 x 7 contingency grid FIRST (one map-side-combined "
+    "aggregate); concordant/discordant mass comes from the CELL-"
+    "pair triangle join, bounded by the VALUE SPACE, never the row "
+    "count. Doubled integer units (n(n-1), sum t(t-1)) keep every "
+    "term exact DECIMAL(38,0)/HUGEINT; one sqrt-division at the "
+    "end.",
+    tags=("profile", "aggregate", "join"),
+)
+def q291_kendall_tau(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import kendall_tau_b
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return kendall_tau_b(li, "l_quantity", "l_linenumber")
+
+
+def _q292_oracle(sf_dir: str | None = None) -> str:
+    from bigdata_kafka_2_spark.operators.mathfn import chi2_sf_sql
+
+    p_expr = chi2_sf_sql("chi2v", "dfv")
+    return f"""
+    WITH per AS (
+      SELECT o_orderpriority AS g, count(*) AS n,
+        sum(CAST(round(CAST(o_totalprice AS DOUBLE), 4)
+                 AS DECIMAL(38,4))) AS s,
+        sum(CAST(round(CAST(o_totalprice AS DOUBLE)
+                       * CAST(o_totalprice AS DOUBLE), 9)
+                 AS DECIMAL(38,9))) AS ss
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+      GROUP BY 1 HAVING count(*) >= 2
+    ),
+    v AS (
+      SELECT n,
+        (CAST(ss AS DOUBLE)
+         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1.0)
+          AS var_i
+      FROM per
+    ),
+    t AS (
+      SELECT n, var_i,
+        CAST(round((n - 1.0) * ln(var_i), 9) AS DECIMAL(38,9))
+          AS t1,
+        CAST(round(1.0 / (n - 1.0), 9) AS DECIMAL(38,9)) AS t2v,
+        CAST(round((n - 1.0) * var_i, 9) AS DECIMAL(38,9)) AS t3
+      FROM v
+    ),
+    agg AS (
+      SELECT count(*) AS k, sum(n) AS N, min(var_i) AS minvar,
+        sum(t1) AS s1, sum(t2v) AS s2, sum(t3) AS s3
+      FROM t
+    ),
+    c1 AS (
+      SELECT CAST(k AS BIGINT) AS k, CAST(N AS BIGINT) AS n,
+        CAST(k AS DOUBLE) AS kd, CAST(N AS DOUBLE) AS nd, minvar,
+        CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+        CAST(s3 AS DOUBLE) AS s3d
+      FROM agg
+    ),
+    c2 AS (
+      SELECT *, s3d / (nd - kd) AS sp2,
+        1.0 + (s2d - 1.0 / (nd - kd)) / (3.0 * (kd - 1.0)) AS cc
+      FROM c1
+    ),
+    c3 AS (
+      SELECT *, ((nd - kd) * ln(sp2) - s1d) / cc AS chi2v,
+        CAST(k - 1 AS INT) AS dfv,
+        (k >= 2 AND minvar > 0) AS ok
+      FROM c2
+    )
+    SELECT k, n,
+      round(CASE WHEN ok THEN sp2 END, 2) AS pooled_var,
+      round(CASE WHEN ok THEN chi2v END, 6) AS chi2,
+      round(CASE WHEN ok THEN {p_expr} END, 9) AS p_value
+    FROM c3
+    """
+
+
+@register(
+    "q292_bartlett_test",
+    oracle=_q292_oracle,
+    description="Bartlett's variance-homogeneity test (operators/"
+    "profile.bartlett_test; Bartlett 1937) of order value across "
+    "the five priorities - the equal-variance GATE the pooled "
+    "readouts (q264 z-test, q280 mSPRT) assume; df = k-1 = 4 "
+    "exercises the even branch of the shared chi-square survival. "
+    "Per-group moments as exact DECIMAL of 4/9-dp-rounded values "
+    "(the CUPED discipline), k-row ln terms rounded 9 dp into "
+    "DECIMAL(38,9) (bounded, order-independent), the Bartlett "
+    "correction C and the survival evaluated engine-side on "
+    "identical doubles. ONE map-side-combined aggregate over the "
+    "fact table.",
+    tags=("profile", "aggregate"),
+)
+def q292_bartlett_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import bartlett_test
+
+    o = read_table(spark, sf_dir, "orders")
+    return bartlett_test(o, "o_orderpriority", "o_totalprice")
+
+
+def _q293_oracle(sf_dir: str | None = None) -> str:
+    from bigdata_kafka_2_spark.operators.mathfn import chi2_sf_sql
+
+    p_expr = chi2_sf_sql("chi2v", "dfv")
+    return f"""
+    WITH r2 AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+    ),
+    cont AS (SELECT a, b, count(*) AS o FROM r2 GROUP BY 1, 2),
+    ra AS (SELECT a, count(*) AS na FROM r2 GROUP BY 1),
+    cb AS (SELECT b, count(*) AS nb FROM r2 GROUP BY 1),
+    tot AS (SELECT count(*) AS N FROM r2),
+    grid AS (
+      SELECT ra.a, cb.b, ra.na, cb.nb, tot.N,
+             coalesce(cont.o, 0) AS o
+      FROM ra CROSS JOIN cb CROSS JOIN tot
+      LEFT JOIN cont ON cont.a = ra.a AND cont.b = cb.b
+    ),
+    g2 AS (
+      SELECT a, b, o, N,
+        CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(N AS DOUBLE)
+          AS e
+      FROM grid
+    ),
+    terms AS (
+      SELECT a, b, N,
+        CAST(round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+                   / e, 9) AS DECIMAL(38,9)) AS t
+      FROM g2
+    ),
+    agg AS (
+      SELECT max(N) AS n, count(DISTINCT a) AS r,
+             count(DISTINCT b) AS c, sum(t) AS chi2s
+      FROM terms
+    ),
+    c1 AS (
+      SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+        CAST(c AS BIGINT) AS c,
+        CAST(chi2s AS DOUBLE) AS chi2v,
+        CAST((r - 1) * (c - 1) AS INT) AS dfv,
+        CAST(n AS DOUBLE) AS nd,
+        CAST(least(r - 1, c - 1) AS DOUBLE) AS mindim,
+        (r >= 2 AND c >= 2) AS ok
+      FROM agg
+    )
+    SELECT n, r, c,
+      round(CASE WHEN ok THEN chi2v END, 6) AS chi2,
+      CASE WHEN ok THEN CAST(dfv AS BIGINT) END AS df,
+      round(CASE WHEN ok THEN {p_expr} END, 9) AS p_value,
+      round(CASE WHEN ok THEN sqrt(chi2v / (nd * mindim)) END, 6)
+        AS cramers_v
+    FROM c1
+    """
+
+
+@register(
+    "q293_cramers_v",
+    oracle=_q293_oracle,
+    description="Chi-square test of independence + Cramer's V "
+    "(operators/profile.cramers_v; Cramer 1946) between order "
+    "priority and status - the nominal x nominal association member "
+    "of the correlation family (Pearson numeric, Spearman/tau-b "
+    "ordinal), the segment-dependence number a mix audit reads; "
+    "5 x 3 grid, df = 8 exercises the even chi-square branch. The "
+    "FULL grid including zero cells is built from the two bounded "
+    "marginal tables (broadcast cross join - value-space-bounded, "
+    "never data-sized) so absent cells contribute their whole "
+    "(0-E)^2/E term (the q265 SRM densification discipline); "
+    "per-cell terms round 9 dp into DECIMAL(38,9); "
+    "V = sqrt(chi2/(N min(r-1,c-1))).",
+    tags=("profile", "aggregate", "join"),
+)
+def q293_cramers_v(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.profile import cramers_v
+
+    o = read_table(spark, sf_dir, "orders")
+    return cramers_v(o, "o_orderpriority", "o_orderstatus")

@@ -4969,3 +4969,144 @@ def test_source_jaccard_hand_checked(spark):
     assert abs(r12.jaccard - 0.4) < 1e-9
     # s3 disjoint from both: absent by contract
     assert ("s1", "s3") not in rows and ("s2", "s3") not in rows
+
+
+def test_kendall_tau_b_vs_reference(spark):
+    """Hand data with ties on both margins, checked against the
+    textbook tau-b computed directly over observation pairs."""
+    from itertools import combinations
+
+    from bigdata_kafka_2_spark.operators.profile import kendall_tau_b
+
+    data = [
+        (1, 1), (1, 2), (2, 1), (2, 2), (2, 3), (3, 1),
+        (3, 3), (3, 3), (4, 2), (4, 4),
+    ]
+    df = spark.createDataFrame(data, "x long, y long")
+    r = kendall_tau_b(df, "x", "y").collect()[0]
+    P = Q = 0
+    for (x1, y1), (x2, y2) in combinations(data, 2):
+        s = (x1 - x2) * (y1 - y2)
+        if s > 0:
+            P += 1
+        elif s < 0 and x1 != x2 and y1 != y2:
+            Q += 1
+    n = len(data)
+    n0 = n * (n - 1) // 2
+    from collections import Counter
+
+    n1 = sum(t * (t - 1) // 2 for t in Counter(x for x, _ in data).values())
+    n2 = sum(t * (t - 1) // 2 for t in Counter(y for _, y in data).values())
+    import math
+
+    want = (P - Q) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert r.n == n and r.concordant == P and r.discordant == Q
+    assert abs(r.tau_b - round(want, 6)) < 1e-9
+    # perfect agreement -> tau_b = 1
+    perf = spark.createDataFrame(
+        [(i, i) for i in range(6)], "x long, y long"
+    )
+    assert kendall_tau_b(perf, "x", "y").collect()[0].tau_b == 1.0
+    # fully tied margin -> NULL
+    tied = spark.createDataFrame(
+        [(1, i) for i in range(4)], "x long, y long"
+    )
+    assert kendall_tau_b(tied, "x", "y").collect()[0].tau_b is None
+
+
+def test_bartlett_test_vs_scipy_formula(spark):
+    import math
+
+    from bigdata_kafka_2_spark.operators.profile import bartlett_test
+
+    groups = {
+        "a": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "b": [2.0, 4.0, 6.0, 8.0],
+        "c": [1.0, 1.5, 2.0],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = bartlett_test(df, "g", "v").collect()[0]
+    k = 3
+    N = sum(len(v) for v in groups.values())
+    var = {
+        g: sum((x - sum(vs) / len(vs)) ** 2 for x in vs)
+        / (len(vs) - 1)
+        for g, vs in groups.items()
+    }
+    sp2 = sum((len(vs) - 1) * var[g] for g, vs in groups.items()) / (
+        N - k
+    )
+    num = (N - k) * math.log(sp2) - sum(
+        (len(vs) - 1) * math.log(var[g]) for g, vs in groups.items()
+    )
+    C = 1 + (
+        sum(1 / (len(vs) - 1) for vs in groups.values()) - 1 / (N - k)
+    ) / (3 * (k - 1))
+    chi2 = num / C
+    assert r.k == 3 and r.n == N
+    assert abs(r.chi2 - round(chi2, 6)) < 1e-4
+    assert 0.0 <= r.p_value <= 1.0
+    # a zero-variance group -> NULL
+    degen = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 2.0)],
+        "g string, v double",
+    )
+    rd = bartlett_test(degen, "g", "v").collect()[0]
+    assert rd.chi2 is None and rd.p_value is None
+
+
+def test_cramers_v_hand_checked(spark):
+    import math
+
+    from bigdata_kafka_2_spark.operators.profile import cramers_v
+
+    # perfectly dependent 2x2: V = 1
+    dep = spark.createDataFrame(
+        [("x", "p")] * 5 + [("y", "q")] * 5, "a string, b string"
+    )
+    r = cramers_v(dep, "a", "b").collect()[0]
+    assert r.r == 2 and r.c == 2 and r.df == 1
+    assert abs(r.cramers_v - 1.0) < 1e-9
+    assert abs(r.chi2 - 10.0) < 1e-9
+    want_p = math.erfc(math.sqrt(10.0 / 2.0))
+    assert abs(r.p_value - want_p) < 1e-6
+    # independent margins: chi2 = 0, V = 0 (zero cells densified)
+    ind = spark.createDataFrame(
+        [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")],
+        "a string, b string",
+    )
+    ri = cramers_v(ind, "a", "b").collect()[0]
+    assert ri.chi2 == 0.0 and ri.cramers_v == 0.0
+    # single-level column -> NULLs
+    solo = spark.createDataFrame(
+        [("x", "p"), ("x", "q")], "a string, b string"
+    )
+    rs = cramers_v(solo, "a", "b").collect()[0]
+    assert rs.chi2 is None and rs.cramers_v is None
+
+
+def test_cramers_v_zero_cell_contributes(spark):
+    """A structurally absent cell must contribute its full (0-E)^2/E
+    term — dropping it understates chi2 (the SRM densification
+    class)."""
+    import math
+
+    from bigdata_kafka_2_spark.operators.profile import cramers_v
+
+    rows = [("x", "p")] * 4 + [("x", "q")] * 2 + [("y", "p")] * 3
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    n = 9
+    obs = {("x", "p"): 4, ("x", "q"): 2, ("y", "p"): 3, ("y", "q"): 0}
+    na = {"x": 6, "y": 3}
+    nb = {"p": 7, "q": 2}
+    chi2 = sum(
+        round(
+            (obs[(a, b)] - na[a] * nb[b] / n) ** 2 / (na[a] * nb[b] / n),
+            9,
+        )
+        for a in na
+        for b in nb
+    )
+    assert abs(r.chi2 - round(chi2, 6)) < 1e-6

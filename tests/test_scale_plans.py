@@ -984,3 +984,37 @@ def test_brier_decomposition_two_aggregates_no_window(spark):
     plan = _plan(brier_decomposition(base, "s", "y", 10))
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_kendall_tau_cell_reduction_first(spark):
+    """The tau-b fact table reduces to the bounded contingency table
+    before the (checkpointed) cell-pair triangle join — the executed
+    plan's data-sized work is one partial hash aggregate."""
+    from bigdata_kafka_2_spark.operators.profile import kendall_tau_b
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    plan = _plan(kendall_tau_b(li, "l_quantity", "l_linenumber"))
+    assert "CartesianProduct" not in plan
+    # pair mass comes from broadcast of the bounded cell table
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_cramers_v_grid_is_marginal_bounded(spark):
+    """The chi2 grid builds from the two bounded marginal tables
+    (broadcast), never a data-sized cross join."""
+    from bigdata_kafka_2_spark.operators.profile import cramers_v
+
+    o = read_table(spark, SF_DIR, "orders")
+    plan = _plan(cramers_v(o, "o_orderpriority", "o_orderstatus"))
+    assert "CartesianProduct" not in plan
+    assert plan.lower().count("hashaggregate") >= 4
+
+
+def test_bartlett_single_fact_aggregate(spark):
+    from bigdata_kafka_2_spark.operators.profile import bartlett_test
+
+    o = read_table(spark, SF_DIR, "orders")
+    plan = _plan(bartlett_test(o, "o_orderpriority", "o_totalprice"))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
