@@ -318,6 +318,9 @@ HEADLINE = (
     "q291_kendall_tau",
     "q292_bartlett_test",
     "q293_cramers_v",
+    "q294_acf_lags",
+    "q295_ljung_box",
+    "q296_runs_test",
 )
 
 

@@ -1572,3 +1572,247 @@ def competing_risks_cif(
             / F.lit(1000000.0)
         ).alias("cif_2"),
     )
+
+
+def acf_lags(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Sample autocorrelation function at lags 1..``max_lag`` over a
+    time-ordered series (Box & Jenkins): one row per lag ``(lag,
+    n_pairs, acf)`` with the standard overall-mean normalization
+
+        ρ̂_k = Σ_{t}(x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+
+    — the residual-diagnostic curve a forecasting/monitoring readout
+    plots, and the input of the Ljung–Box portmanteau test
+    (:func:`ljung_box`). ``(ts_col, id_col)`` must be a total order
+    (the tie-break rule every rank operator here follows).
+
+    Plan: positions come from the range-bucketed
+    :func:`~bigdata_kafka_2_spark.operators.relational.
+    global_row_number` (never a single-partition window); the lag
+    pairing is ONE equi-join on the shifted position key after a
+    row-local explode of lags 1..K (≤ K·n pair rows, linear);
+    mean/variance are a 1-row broadcast of exact DECIMAL moments
+    (4/9-dp rounding discipline); per-pair cross terms round 9 dp
+    into DECIMAL(38,9). NULL acf when the series is constant.
+    """
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_row_number,
+    )
+
+    k = int(max_lag)
+    if k < 1:
+        raise ValueError("max_lag must be >= 1")
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        v.alias("__v"),
+    )
+    ranked = global_row_number(
+        base, ["__ts", "__id"], "__rn"
+    ).localCheckpoint()
+    dec4 = "decimal(38,4)"
+    dec9 = "decimal(38,9)"
+    mom = ranked.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.round(F.col("__v"), 4).cast(dec4)).alias("__s"),
+        F.sum(
+            F.round(F.col("__v") * F.col("__v"), 9).cast(dec9)
+        ).alias("__ss"),
+    )
+    lags = ranked.select(
+        "__rn",
+        "__v",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(k))
+        ).alias("lag"),
+    ).select((F.col("__rn") + F.col("lag")).alias("__rnk"), "lag", F.col("__v").alias("__va"))
+    paired = lags.join(
+        ranked.select(
+            F.col("__rn").alias("__rnk"), F.col("__v").alias("__vb")
+        ),
+        on="__rnk",
+    )
+    j = paired.crossJoin(F.broadcast(mom))
+    n = F.col("__n").cast("double")
+    mu = F.col("__s").cast("double") / n
+    cross = F.round(
+        (F.col("__va") - mu) * (F.col("__vb") - mu), 9
+    ).cast(dec9)
+    per = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(cross).alias("__num"),
+        F.max("__ss").alias("__ssv"),
+        F.max("__s").alias("__sv"),
+        F.max("__n").alias("__nv"),
+    )
+    nn = F.col("__nv").cast("double")
+    sv = F.col("__sv").cast("double")
+    denom = F.col("__ssv").cast("double") - sv * sv / nn
+    return per.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(
+            F.when(
+                denom > 0, F.col("__num").cast("double") / denom
+            ),
+            6,
+        ).alias("acf"),
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Ljung–Box portmanteau test for autocorrelation up to
+    ``max_lag`` (Ljung & Box 1978): one row ``(n, k, q_stat,
+    p_value)`` —
+
+        Q = n(n+2) Σ_{j=1..K} ρ̂²_j / (n − j),   df = K
+
+    the "is this series white noise" gate a forecasting residual or
+    a metric stream passes before anyone trusts i.i.d.-based
+    readouts on it (the time-axis sibling of q265's SRM gate). The
+    survival is the shared both-parity chi-square series
+    (:func:`~bigdata_kafka_2_spark.operators.mathfn.chi2_sf_col`,
+    K ≤ 16). Rides :func:`acf_lags` (bounded K-row table); the Q
+    terms round 9 dp into DECIMAL(38,9) so the bounded sum is
+    order-independent. NULL when the series is constant.
+    """
+    from bigdata_kafka_2_spark.operators.mathfn import chi2_sf_col
+
+    k = int(max_lag)
+    acf = acf_lags(df, ts_col, id_col, value_col, max_lag=k)
+    # n = n_pairs + lag at every row (a contiguous position series
+    # pairs n - k rows at lag k), carried through the bounded table
+    # — avoids a second fact scan.
+    staged = acf.withColumn(
+        "__nv", F.col("n_pairs") + F.col("lag")
+    )
+    agg = staged.agg(
+        F.max("__nv").alias("__n"),
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(
+            F.round(
+                F.col("acf") * F.col("acf")
+                / (F.col("__nv").cast("double") - F.col("lag")),
+                9,
+            ).cast("decimal(38,9)")
+        ).alias("__t"),
+        F.min("acf").alias("__anull"),
+    )
+    nd = F.col("__n").cast("double")
+    q = nd * (nd + 2.0) * F.col("__t").cast("double")
+    ok = F.col("__anull").isNotNull()
+    p = chi2_sf_col(q, F.col("__k").cast("int"))
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        F.col("__k").cast("long").alias("k"),
+        F.round(F.when(ok, q), 6).alias("q_stat"),
+        F.round(F.when(ok, p), 9).alias("p_value"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness around the median
+    (Wald & Wolfowitz 1940): one row ``(n, n_above, n_below, runs,
+    z, p_value)`` — are the above/below-median signs of a
+    time-ordered series randomly mixed, or do they clump (trend /
+    regime persistence) or alternate (over-correction)? The
+    distribution-free companion of :func:`acf_lags` for the same
+    "is my metric stream i.i.d." question.
+
+        μ_R = 2·n₁n₂/n + 1,
+        σ²_R = 2n₁n₂(2n₁n₂ − n) / (n²(n−1)),
+        z = (R − μ_R)/σ_R,   p = erfc(|z|/√2)
+
+    Values EQUAL to the median are dropped (the standard
+    convention). The median is the exact interpolated percentile
+    (the q23 Spark↔DuckDB parity); run boundaries come from ONE
+    equi-join on the shifted rank key (the :func:`acf_lags`
+    machinery at lag 1); the counts are exact integers and z is one
+    double expression on the 1-row result. NULL z/p when either
+    side is empty.
+    """
+    from bigdata_kafka_2_spark.operators.mathfn import erfc_col
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_row_number,
+    )
+    import math as _math
+
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        v.alias("__v"),
+    )
+    med = base.agg(
+        F.percentile(F.col("__v"), F.lit(0.5)).alias("__med")
+    )
+    signed = (
+        base.crossJoin(F.broadcast(med))
+        .filter(F.col("__v") != F.col("__med"))
+        .select(
+            "__ts",
+            "__id",
+            (F.col("__v") > F.col("__med")).alias("__up"),
+        )
+    )
+    ranked = global_row_number(
+        signed, ["__ts", "__id"], "__rn"
+    ).localCheckpoint()
+    pairs = ranked.select(
+        (F.col("__rn") + 1).alias("__rnk"),
+        F.col("__up").alias("__ua"),
+    ).join(
+        ranked.select(
+            F.col("__rn").alias("__rnk"), F.col("__up").alias("__ub")
+        ),
+        on="__rnk",
+    )
+    bounds = pairs.agg(
+        F.sum(
+            F.when(F.col("__ua") != F.col("__ub"), 1).otherwise(0)
+        ).alias("__switch")
+    )
+    counts = ranked.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(F.col("__up"), 1).otherwise(0)).alias("__n1"),
+        F.sum(F.when(~F.col("__up"), 1).otherwise(0)).alias("__n2"),
+    )
+    j = counts.crossJoin(F.broadcast(bounds))
+    n = F.col("__n").cast("double")
+    n1 = F.col("__n1").cast("double")
+    n2 = F.col("__n2").cast("double")
+    r = (F.col("__switch") + 1).cast("double")
+    mu_r = 2.0 * n1 * n2 / n + 1.0
+    var_r = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+        / (n * n * (n - 1.0))
+    )
+    z = (r - mu_r) / F.sqrt(var_r)
+    ok = (F.col("__n1") > 0) & (F.col("__n2") > 0) & (var_r > 0)
+    p = erfc_col(F.abs(z) / F.lit(_math.sqrt(2.0)))
+    return j.select(
+        F.col("__n").cast("long").alias("n"),
+        F.col("__n1").cast("long").alias("n_above"),
+        F.col("__n2").cast("long").alias("n_below"),
+        (F.col("__switch") + 1).cast("long").alias("runs"),
+        F.round(F.when(ok, z), 6).alias("z"),
+        F.round(F.when(ok, p), 9).alias("p_value"),
+    )

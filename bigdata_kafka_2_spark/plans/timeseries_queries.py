@@ -1674,3 +1674,201 @@ def q262_competing_risks_cif(
         .alias("event"),
     )
     return competing_risks_cif(subj, "duration", "event")
+
+
+_ACF_SQL = """
+    base AS (
+      SELECT ts, event_id, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT v, row_number() OVER (ORDER BY ts, event_id) AS rn
+      FROM base
+    ),
+    mom AS (
+      SELECT count(*) AS n,
+        sum(CAST(round(v, 4) AS DECIMAL(38,4))) AS s,
+        sum(CAST(round(v * v, 9) AS DECIMAL(38,9))) AS ss
+      FROM ranked
+    ),
+    lagk AS (
+      SELECT CAST(k AS BIGINT) AS lag FROM generate_series(1, 5) t(k)
+    ),
+    paired AS (
+      SELECT lagk.lag, a.v AS va, b.v AS vb, mom.n, mom.s, mom.ss
+      FROM ranked a
+      CROSS JOIN lagk
+      JOIN ranked b ON b.rn = a.rn + lagk.lag
+      CROSS JOIN mom
+    ),
+    per AS (
+      SELECT lag, count(*) AS n_pairs,
+        sum(CAST(round((va - CAST(s AS DOUBLE) / n)
+                       * (vb - CAST(s AS DOUBLE) / n), 9)
+                 AS DECIMAL(38,9))) AS num,
+        max(CAST(ss AS DOUBLE)) AS ssv,
+        max(CAST(s AS DOUBLE)) AS sv,
+        max(n) AS nv
+      FROM paired GROUP BY 1
+    ),
+    acf_t AS (
+      SELECT lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+        round(CASE WHEN (ssv - sv * sv / nv) > 0 THEN
+          CAST(num AS DOUBLE) / (ssv - sv * sv / nv) END, 6) AS acf
+      FROM per
+    )
+"""
+
+
+@register(
+    "q294_acf_lags",
+    oracle=f"""
+    WITH {_ACF_SQL}
+    SELECT lag, n_pairs, acf FROM acf_t
+    """,
+    description="Sample autocorrelation function at lags 1-5 "
+    "(operators/timeseries.acf_lags; Box & Jenkins) of the event "
+    "value stream in (ts, event_id) order - the residual-diagnostic "
+    "curve a metric monitor plots before trusting i.i.d.-based "
+    "readouts, and the input of the q295 portmanteau gate. "
+    "Positions from the range-bucketed global_row_number (never a "
+    "single-partition window); the lag pairing is ONE equi-join on "
+    "the shifted position key after a row-local explode of lags "
+    "1..K (K*n pair rows - linear); overall mean/variance as a "
+    "1-row broadcast of exact DECIMAL moments; per-pair cross "
+    "terms rounded 9 dp into DECIMAL(38,9).",
+    tags=("timeseries", "aggregate", "join", "window"),
+)
+def q294_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import acf_lags
+
+    e = read_table(spark, sf_dir, "events")
+    return acf_lags(e, "ts", "event_id", "value", max_lag=5)
+
+
+def _q295_oracle(sf_dir: str | None = None) -> str:
+    from bigdata_kafka_2_spark.operators.mathfn import chi2_sf_sql
+
+    p_expr = chi2_sf_sql("qv", "kv")
+    return f"""
+    WITH {_ACF_SQL},
+    staged AS (
+      SELECT lag, n_pairs, acf, n_pairs + lag AS nv FROM acf_t
+    ),
+    agg AS (
+      SELECT max(nv) AS n, count(*) AS k,
+        sum(CAST(round(acf * acf / (CAST(nv AS DOUBLE) - lag), 9)
+                 AS DECIMAL(38,9))) AS t,
+        min(acf) AS anull
+      FROM staged
+    ),
+    c1 AS (
+      SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+          * CAST(t AS DOUBLE) AS qv,
+        CAST(k AS INT) AS kv,
+        (anull IS NOT NULL) AS ok
+      FROM agg
+    )
+    SELECT n, k,
+      round(CASE WHEN ok THEN qv END, 6) AS q_stat,
+      round(CASE WHEN ok THEN {p_expr} END, 9) AS p_value
+    FROM c1
+    """
+
+
+@register(
+    "q295_ljung_box",
+    oracle=_q295_oracle,
+    description="Ljung-Box portmanteau whiteness test at K=5 "
+    "(operators/timeseries.ljung_box; Ljung & Box 1978) over the "
+    "event value stream - Q = n(n+2) sum acf_j^2/(n-j), df=K, the "
+    "'is this series white noise' gate a residual or metric stream "
+    "passes before i.i.d.-based readouts apply (the time-axis "
+    "sibling of q265's SRM gate); survival through the shared "
+    "both-parity chi-square series (df=5 exercises the odd branch). "
+    "Rides the q294 ACF machinery; the K-row Q terms round 9 dp "
+    "into DECIMAL(38,9) so the bounded sum is order-independent.",
+    tags=("timeseries", "aggregate", "join"),
+)
+def q295_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import ljung_box
+
+    e = read_table(spark, sf_dir, "events")
+    return ljung_box(e, "ts", "event_id", "value", max_lag=5)
+
+
+def _q296_oracle(sf_dir: str | None = None) -> str:
+    import math
+
+    from bigdata_kafka_2_spark.operators.mathfn import erfc_sql
+
+    p_expr = erfc_sql(f"abs(zv) / {math.sqrt(2.0)!r}")
+    return f"""
+    WITH base AS (
+      SELECT ts, event_id, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    med AS (SELECT quantile_cont(v, 0.5) AS m FROM base),
+    signed AS (
+      SELECT ts, event_id, (v > m) AS up
+      FROM base, med WHERE v <> m
+    ),
+    ranked AS (
+      SELECT up, row_number() OVER (ORDER BY ts, event_id) AS rn
+      FROM signed
+    ),
+    bounds AS (
+      SELECT sum(CASE WHEN a.up <> b.up THEN 1 ELSE 0 END) AS sw
+      FROM ranked a JOIN ranked b ON b.rn = a.rn + 1
+    ),
+    counts AS (
+      SELECT count(*) AS n,
+        sum(CASE WHEN up THEN 1 ELSE 0 END) AS n1,
+        sum(CASE WHEN NOT up THEN 1 ELSE 0 END) AS n2
+      FROM ranked
+    ),
+    c1 AS (
+      SELECT CAST(n AS BIGINT) AS n, CAST(n1 AS BIGINT) AS n1,
+        CAST(n2 AS BIGINT) AS n2, CAST(sw + 1 AS BIGINT) AS runs,
+        CAST(n AS DOUBLE) AS nd, CAST(n1 AS DOUBLE) AS n1d,
+        CAST(n2 AS DOUBLE) AS n2d, CAST(sw + 1 AS DOUBLE) AS rd
+      FROM counts, bounds
+    ),
+    c2 AS (
+      SELECT *, 2.0 * n1d * n2d / nd + 1.0 AS mur,
+        2.0 * n1d * n2d * (2.0 * n1d * n2d - nd)
+          / (nd * nd * (nd - 1.0)) AS varr
+      FROM c1
+    ),
+    c3 AS (
+      SELECT *, (rd - mur) / sqrt(varr) AS zv,
+        (n1 > 0 AND n2 > 0 AND varr > 0) AS ok
+      FROM c2
+    )
+    SELECT n, n1 AS n_above, n2 AS n_below, runs,
+      round(CASE WHEN ok THEN zv END, 6) AS z,
+      round(CASE WHEN ok THEN {p_expr} END, 9) AS p_value
+    FROM c3
+    """
+
+
+@register(
+    "q296_runs_test",
+    oracle=_q296_oracle,
+    description="Wald-Wolfowitz runs test around the median "
+    "(operators/timeseries.runs_test; Wald & Wolfowitz 1940) of the "
+    "event value stream - do above/below-median signs clump (trend, "
+    "regime persistence) or alternate (over-correction), the "
+    "distribution-free companion of the q294/q295 autocorrelation "
+    "diagnostics. Exact interpolated median (the q23 parity), run "
+    "boundaries from ONE equi-join on the shifted rank key, exact "
+    "integer counts, one double z and the shared erfc survival at "
+    "the end.",
+    tags=("timeseries", "aggregate", "join"),
+)
+def q296_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.timeseries import runs_test
+
+    e = read_table(spark, sf_dir, "events")
+    return runs_test(e, "ts", "event_id", "value")

@@ -5110,3 +5110,102 @@ def test_cramers_v_zero_cell_contributes(spark):
         for b in nb
     )
     assert abs(r.chi2 - round(chi2, 6)) < 1e-6
+
+
+def test_acf_lags_vs_numpy(spark):
+    import numpy as np
+
+    from bigdata_kafka_2_spark.operators.timeseries import acf_lags
+
+    vals = [float(v) for v in (3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8)]
+    rows = [(i, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "ts long, id long, v double")
+    got = {
+        r.lag: r for r in acf_lags(df, "ts", "id", "v", 3).collect()
+    }
+    x = np.array(vals)
+    mu = round(x.sum(), 4) / len(x)
+    denom = np.sum(np.round(x * x, 9)) - round(x.sum(), 4) ** 2 / len(x)
+    for k in (1, 2, 3):
+        num = np.sum(
+            np.round((x[:-k] - mu) * (x[k:] - mu), 9)
+        )
+        assert got[k].n_pairs == len(x) - k
+        assert abs(got[k].acf - round(num / denom, 6)) < 1e-6
+    # constant series -> NULL acf
+    const = spark.createDataFrame(
+        [(i, i, 2.0) for i in range(6)], "ts long, id long, v double"
+    )
+    rc = acf_lags(const, "ts", "id", "v", 2).collect()
+    assert all(r.acf is None for r in rc)
+
+
+def test_ljung_box_formula(spark):
+    import math
+
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        acf_lags,
+        ljung_box,
+    )
+
+    vals = [float(v) for v in (3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7)]
+    rows = [(i, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "ts long, id long, v double")
+    r = ljung_box(df, "ts", "id", "v", 3).collect()[0]
+    acfs = {
+        a.lag: a.acf
+        for a in acf_lags(df, "ts", "id", "v", 3).collect()
+    }
+    n = len(vals)
+    q = (
+        n
+        * (n + 2)
+        * sum(round(acfs[k] ** 2 / (n - k), 9) for k in (1, 2, 3))
+    )
+    assert r.n == n and r.k == 3
+    assert abs(r.q_stat - round(q, 6)) < 1e-4
+    assert 0.0 <= r.p_value <= 1.0
+    # strongly autocorrelated series: tiny p
+    trend = spark.createDataFrame(
+        [(i, i, float(i)) for i in range(40)],
+        "ts long, id long, v double",
+    )
+    rt = ljung_box(trend, "ts", "id", "v", 2).collect()[0]
+    assert rt.p_value < 0.001
+
+
+def test_runs_test_hand_checked(spark):
+    import math
+
+    from bigdata_kafka_2_spark.operators.timeseries import runs_test
+
+    # alternating signs around median -> many runs, positive z
+    vals = [1.0, 9.0, 1.0, 9.0, 1.0, 9.0, 1.0, 9.0]
+    df = spark.createDataFrame(
+        [(i, i, v) for i, v in enumerate(vals)],
+        "ts long, id long, v double",
+    )
+    r = runs_test(df, "ts", "id", "v").collect()[0]
+    # median = 5, n1 = n2 = 4, runs = 8 (every step switches)
+    assert r.n == 8 and r.n_above == 4 and r.n_below == 4
+    assert r.runs == 8
+    mu = 2 * 4 * 4 / 8 + 1
+    var = 2 * 4 * 4 * (2 * 4 * 4 - 8) / (8 * 8 * 7)
+    want_z = (8 - mu) / math.sqrt(var)
+    assert abs(r.z - round(want_z, 6)) < 1e-9
+    assert abs(r.p_value - math.erfc(abs(want_z) / math.sqrt(2))) < 1e-6
+    # clumped: two runs only, negative z
+    clump = [1.0] * 4 + [9.0] * 4
+    dc = spark.createDataFrame(
+        [(i, i, v) for i, v in enumerate(clump)],
+        "ts long, id long, v double",
+    )
+    rc = runs_test(dc, "ts", "id", "v").collect()[0]
+    assert rc.runs == 2 and rc.z < 0
+    # median-equal values dropped
+    withmed = spark.createDataFrame(
+        [(0, 0, 1.0), (1, 1, 2.0), (2, 2, 3.0)],
+        "ts long, id long, v double",
+    )
+    rm = runs_test(withmed, "ts", "id", "v").collect()[0]
+    assert rm.n == 2  # the exact median value 2.0 dropped
