@@ -306,19 +306,15 @@ HEADLINE = (
     "q279_ratio_delta_ci",
     "q280_msprt_readout",
     "q281_js_divergence",
-    "q282_vocab_growth",
     "q283_gini_coefficient",
     "q284_mcnemar_test",
     "q285_brier_decomposition",
-    "q286_vocab_richness",
-    "q287_zipf_slope",
     "q288_token_entropy",
     "q289_theil_index",
     "q290_source_jaccard",
     "q291_kendall_tau",
     "q292_bartlett_test",
     "q293_cramers_v",
-    "q294_acf_lags",
     "q295_ljung_box",
     "q296_runs_test",
 )

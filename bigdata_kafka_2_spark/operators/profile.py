@@ -3981,3 +3981,5 @@ def cramers_v(
             F.when(ok, F.sqrt(chi2 / (nd * mindim))), 6
         ).alias("cramers_v"),
     )
+
+

@@ -2069,114 +2069,6 @@ def vocabulary_growth(
     )
 
 
-def vocab_richness(
-    counts: DataFrame,
-    count_col: str,
-) -> DataFrame:
-    """Chao1 species-richness estimate + Good–Turing unseen mass over
-    a token-count table (Chao 1984; Good 1953): one row ``(n_tokens,
-    vocab, f1, f2, chao1, p_unseen)`` — the corpus-collection
-    readout that answers "how much vocabulary exists that we have
-    NOT yet seen" (Chao1's lower bound V + f1²-ish correction) and
-    "what probability mass will the next token draw put on unseen
-    types" (Good–Turing f1/N) — the stopping-rule companion of the
-    q282 growth curve.
-
-        chao1 = V + f1·(f1 − 1) / (2·(f2 + 1))
-
-    (the bias-corrected form, defined even when f2 = 0). EXACT
-    integer frequency-of-frequency counts from ONE map-side-combined
-    aggregate over the (already vocabulary-sized) count table; the
-    two ratios are row-local doubles on the 1-row result, rounded
-    4 / 6 dp.
-    """
-    c = F.col(count_col).cast("long")
-    agg = counts.filter(c.isNotNull() & (c > 0)).agg(
-        F.count(F.lit(1)).alias("__v"),
-        F.sum(c).alias("__nt"),
-        F.sum(F.when(c == 1, 1).otherwise(0)).alias("__f1"),
-        F.sum(F.when(c == 2, 1).otherwise(0)).alias("__f2"),
-    )
-    f1 = F.col("__f1").cast("double")
-    f2 = F.col("__f2").cast("double")
-    chao1 = F.col("__v").cast("double") + f1 * (f1 - 1.0) / (
-        2.0 * (f2 + 1.0)
-    )
-    return agg.select(
-        F.col("__nt").cast("long").alias("n_tokens"),
-        F.col("__v").cast("long").alias("vocab"),
-        F.col("__f1").cast("long").alias("f1"),
-        F.col("__f2").cast("long").alias("f2"),
-        F.round(chao1, 4).alias("chao1"),
-        F.round(
-            f1 / F.col("__nt").cast("double"), 6
-        ).alias("p_unseen"),
-    )
-
-
-def zipf_slope(
-    counts: DataFrame,
-    tok_col: str,
-    count_col: str,
-) -> DataFrame:
-    """Zipf's-law log-log OLS fit over a token-count table (Zipf
-    1949): one row ``(n_types, slope, intercept)`` regressing
-    ``ln(count)`` on ``ln(rank)`` — the canonical corpus-health
-    number (natural text sits near slope −1; templated/boilerplate
-    corpora flatten, spammy repetition steepens), the distribution-
-    shape companion of the Hill tail index (q260) which fits only
-    the extreme tail.
-
-    Ranks are count-descending with the token string as the total-
-    order tie-break, assigned by the range-bucketed
-    :func:`~bigdata_kafka_2_spark.operators.relational.
-    global_row_number` (never a single-partition window — the count
-    table is vocabulary-sized but a 100 TB corpus's vocabulary still
-    shuffles). Both logs evaluate ENGINE-SIDE on integer-derived
-    doubles (the KM ln-parity rule); each regression moment rounds
-    9 dp into exact DECIMAL(38,9) so the OLS normal equations are
-    one double expression on the 1-row moment table.
-    """
-    from bigdata_kafka_2_spark.operators.relational import (
-        global_row_number,
-    )
-
-    c = F.col(count_col).cast("long")
-    base = counts.filter(c.isNotNull() & (c > 0)).select(
-        F.col(tok_col).alias("__t"), c.alias("__c")
-    )
-    ranked = global_row_number(
-        base.withColumn("__negc", -F.col("__c")),
-        ["__negc", "__t"],
-        "__r",
-    )
-    x = F.log(F.col("__r").cast("double"))
-    yv = F.log(F.col("__c").cast("double"))
-    dec9 = "decimal(38,9)"
-    agg = ranked.agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum(F.round(x, 9).cast(dec9)).alias("__sx"),
-        F.sum(F.round(yv, 9).cast(dec9)).alias("__sy"),
-        F.sum(F.round(x * yv, 9).cast(dec9)).alias("__sxy"),
-        F.sum(F.round(x * x, 9).cast(dec9)).alias("__sxx"),
-    )
-    n = F.col("__n").cast("double")
-    sx = F.col("__sx").cast("double")
-    sy = F.col("__sy").cast("double")
-    sxy = F.col("__sxy").cast("double")
-    sxx = F.col("__sxx").cast("double")
-    denom = n * sxx - sx * sx
-    slope = (n * sxy - sx * sy) / denom
-    ok = (F.col("__n") >= 2) & (denom != 0)
-    return agg.select(
-        F.col("__n").cast("long").alias("n_types"),
-        F.round(F.when(ok, slope), 6).alias("slope"),
-        F.round(F.when(ok, (sy - slope * sx) / n), 6).alias(
-            "intercept"
-        ),
-    )
-
-
 def token_entropy(
     counts: DataFrame,
     count_col: str,
@@ -2314,4 +2206,109 @@ def source_jaccard_matrix(
         F.round(F.col("inter").cast("double") / union, 6).alias(
             "jaccard"
         ),
+    )
+
+
+def vocab_capture_recapture(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 1,
+) -> DataFrame:
+    """Chapman capture–recapture estimate of the TRUE vocabulary size
+    (Chapman 1951; the two-sample mark-recapture estimator) from two
+    deterministic corpus halves: one row ``(v1, v2, m, n_hat, se,
+    ci_lo, ci_hi)`` — the cross-validation sibling of Chao1
+    (:func:`chao1_vocab`, which reads the frequency-of-frequency
+    tail of ONE sample): split the corpus by document-id parity,
+    treat each half's distinct-type set as a capture, and the
+    overlap m as the recaptured marks:
+
+        N̂ = (v1+1)(v2+1)/(m+1) − 1,
+        Var = (v1+1)(v2+1)(v1−m)(v2−m) / ((m+1)²(m+2))
+
+    (the bias-corrected Chapman form, defined even at m = 0). Two
+    estimators agreeing is evidence the corpus's type accumulation
+    is well-behaved; Chapman ≫ Chao1 flags strongly CLUSTERED
+    vocabulary (types concentrated in one half — e.g. source- or
+    time-skewed token distributions that violate both estimators'
+    exchangeability assumption differently).
+
+    EXACT integer set arithmetic end to end: one distinct
+    (half, token) projection ends the data-sized work; per-half
+    sizes and the overlap are counts over the vocabulary-sized
+    table; the estimator is row-local double arithmetic on a 1-row
+    frame (4-dp N̂/se, 95% normal CI with the shared z literal).
+
+    ``k`` sets the type unit: 1 = unigrams, 2 = adjacent bigrams
+    (the q105 guarded-sequence construction) — use k ≥ 2 when the
+    unigram vocabulary saturates both halves (m = v1 = v2 makes the
+    estimator exact-but-vacuous).
+    """
+    if k not in (1, 2):
+        raise ValueError("k must be 1 (unigrams) or 2 (bigrams)")
+    half = (F.col(id_col) % 2 == 0).alias("__h")
+    if k == 1:
+        tok_src = df.select(
+            half,
+            F.explode(
+                F.split(normalize_text(text_col), " ")
+            ).alias("__t"),
+        )
+    else:
+        src = df.select(
+            half,
+            F.split(normalize_text(text_col), " ").alias("__toks"),
+        )
+        toks_arr = F.col("__toks")
+        idx = F.when(
+            F.size(toks_arr) >= 2,
+            F.sequence(F.lit(0), F.size(toks_arr) - 2),
+        ).otherwise(F.array().cast("array<int>"))
+        pair_arr = F.transform(
+            idx,
+            lambda i: F.concat(
+                F.element_at(toks_arr, i + 1),
+                F.lit(" "),
+                F.element_at(toks_arr, i + 2),
+            ),
+        )
+        tok_src = src.select(
+            "__h", F.explode(pair_arr).alias("__t")
+        )
+    toks = tok_src.filter(F.col("__t") != "").distinct()
+    per_tok = toks.groupBy("__t").agg(
+        F.max(F.when(F.col("__h"), 1).otherwise(0)).alias("__in1"),
+        F.max(F.when(~F.col("__h"), 1).otherwise(0)).alias("__in2"),
+    )
+    agg = per_tok.agg(
+        F.sum("__in1").alias("__v1"),
+        F.sum("__in2").alias("__v2"),
+        F.sum(
+            F.when(
+                (F.col("__in1") == 1) & (F.col("__in2") == 1), 1
+            ).otherwise(0)
+        ).alias("__m"),
+    )
+    v1 = F.col("__v1").cast("double")
+    v2 = F.col("__v2").cast("double")
+    m = F.col("__m").cast("double")
+    n_hat = (v1 + 1.0) * (v2 + 1.0) / (m + 1.0) - 1.0
+    var = (
+        (v1 + 1.0)
+        * (v2 + 1.0)
+        * (v1 - m)
+        * (v2 - m)
+        / ((m + 1.0) * (m + 1.0) * (m + 2.0))
+    )
+    se = F.sqrt(var)
+    z = F.lit(1.959963984540054)
+    return agg.select(
+        F.col("__v1").cast("long").alias("v1"),
+        F.col("__v2").cast("long").alias("v2"),
+        F.col("__m").cast("long").alias("m"),
+        F.round(n_hat, 4).alias("n_hat"),
+        F.round(se, 4).alias("se"),
+        F.round(n_hat - z * se, 4).alias("ci_lo"),
+        F.round(n_hat + z * se, 4).alias("ci_hi"),
     )

@@ -1197,10 +1197,14 @@ def autocorrelation(
         + d("__nk") * d("__s") * d("__s")
     )
     den = d("__n") * (d("__n") * d("__sxx") - d("__s") * d("__s"))
+    # constant series: den = 0 and ANSI mode errors even on DOUBLE
+    # division — guard to NULL (the r14 ljung_box caller's contract;
+    # non-constant behavior is bit-identical since the guard only
+    # changes the den = 0 branch).
     return j.select(
         F.col("lag").cast("int").alias("lag"),
         F.col("__nk").cast("long").alias("n_pairs"),
-        F.round(num / den, 6).alias("acf"),
+        F.round(F.when(den != 0, num / den), 6).alias("acf"),
     )
 
 
@@ -1574,104 +1578,10 @@ def competing_risks_cif(
     )
 
 
-def acf_lags(
-    df: DataFrame,
-    ts_col: str,
-    id_col: str,
-    value_col: str,
-    max_lag: int = 5,
-) -> DataFrame:
-    """Sample autocorrelation function at lags 1..``max_lag`` over a
-    time-ordered series (Box & Jenkins): one row per lag ``(lag,
-    n_pairs, acf)`` with the standard overall-mean normalization
-
-        ρ̂_k = Σ_{t}(x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
-
-    — the residual-diagnostic curve a forecasting/monitoring readout
-    plots, and the input of the Ljung–Box portmanteau test
-    (:func:`ljung_box`). ``(ts_col, id_col)`` must be a total order
-    (the tie-break rule every rank operator here follows).
-
-    Plan: positions come from the range-bucketed
-    :func:`~bigdata_kafka_2_spark.operators.relational.
-    global_row_number` (never a single-partition window); the lag
-    pairing is ONE equi-join on the shifted position key after a
-    row-local explode of lags 1..K (≤ K·n pair rows, linear);
-    mean/variance are a 1-row broadcast of exact DECIMAL moments
-    (4/9-dp rounding discipline); per-pair cross terms round 9 dp
-    into DECIMAL(38,9). NULL acf when the series is constant.
-    """
-    from bigdata_kafka_2_spark.operators.relational import (
-        global_row_number,
-    )
-
-    k = int(max_lag)
-    if k < 1:
-        raise ValueError("max_lag must be >= 1")
-    v = F.col(value_col).cast("double")
-    base = df.filter(v.isNotNull()).select(
-        F.col(ts_col).alias("__ts"),
-        F.col(id_col).alias("__id"),
-        v.alias("__v"),
-    )
-    ranked = global_row_number(
-        base, ["__ts", "__id"], "__rn"
-    ).localCheckpoint()
-    dec4 = "decimal(38,4)"
-    dec9 = "decimal(38,9)"
-    mom = ranked.agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum(F.round(F.col("__v"), 4).cast(dec4)).alias("__s"),
-        F.sum(
-            F.round(F.col("__v") * F.col("__v"), 9).cast(dec9)
-        ).alias("__ss"),
-    )
-    lags = ranked.select(
-        "__rn",
-        "__v",
-        F.explode(
-            F.sequence(F.lit(1), F.lit(k))
-        ).alias("lag"),
-    ).select((F.col("__rn") + F.col("lag")).alias("__rnk"), "lag", F.col("__v").alias("__va"))
-    paired = lags.join(
-        ranked.select(
-            F.col("__rn").alias("__rnk"), F.col("__v").alias("__vb")
-        ),
-        on="__rnk",
-    )
-    j = paired.crossJoin(F.broadcast(mom))
-    n = F.col("__n").cast("double")
-    mu = F.col("__s").cast("double") / n
-    cross = F.round(
-        (F.col("__va") - mu) * (F.col("__vb") - mu), 9
-    ).cast(dec9)
-    per = j.groupBy("lag").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(cross).alias("__num"),
-        F.max("__ss").alias("__ssv"),
-        F.max("__s").alias("__sv"),
-        F.max("__n").alias("__nv"),
-    )
-    nn = F.col("__nv").cast("double")
-    sv = F.col("__sv").cast("double")
-    denom = F.col("__ssv").cast("double") - sv * sv / nn
-    return per.select(
-        F.col("lag").cast("long").alias("lag"),
-        F.col("n_pairs").cast("long").alias("n_pairs"),
-        F.round(
-            F.when(
-                denom > 0, F.col("__num").cast("double") / denom
-            ),
-            6,
-        ).alias("acf"),
-    )
-
-
 def ljung_box(
-    df: DataFrame,
-    ts_col: str,
-    id_col: str,
-    value_col: str,
+    series: DataFrame,
+    x_col: str,
+    v_col: str,
     max_lag: int = 5,
 ) -> DataFrame:
     """Ljung–Box portmanteau test for autocorrelation up to
@@ -1682,41 +1592,43 @@ def ljung_box(
 
     the "is this series white noise" gate a forecasting residual or
     a metric stream passes before anyone trusts i.i.d.-based
-    readouts on it (the time-axis sibling of q265's SRM gate). The
-    survival is the shared both-parity chi-square series
+    readouts on it (the time-axis sibling of q265's SRM gate) — the
+    TEST built on the period-detection ACF
+    (:func:`autocorrelation`, whose per-lag ρ̂ is exact-integer
+    arithmetic on the same regular series contract: one row per
+    integer period ``x_col``, integer measure ``v_col``, gap
+    periods absent). The survival is the shared both-parity
+    chi-square series
     (:func:`~bigdata_kafka_2_spark.operators.mathfn.chi2_sf_col`,
-    K ≤ 16). Rides :func:`acf_lags` (bounded K-row table); the Q
-    terms round 9 dp into DECIMAL(38,9) so the bounded sum is
-    order-independent. NULL when the series is constant.
+    K ≤ 16). The Q terms round 9 dp into DECIMAL(38,9) over the
+    bounded K-row ACF table (order-independent); n is the series
+    length as a broadcast 1-row scalar. NULL when the series is
+    constant (ACF undefined).
     """
     from bigdata_kafka_2_spark.operators.mathfn import chi2_sf_col
 
     k = int(max_lag)
-    acf = acf_lags(df, ts_col, id_col, value_col, max_lag=k)
-    # n = n_pairs + lag at every row (a contiguous position series
-    # pairs n - k rows at lag k), carried through the bounded table
-    # — avoids a second fact scan.
-    staged = acf.withColumn(
-        "__nv", F.col("n_pairs") + F.col("lag")
-    )
+    acf = autocorrelation(series, x_col, v_col, max_lag=k)
+    n1 = series.agg(F.count(F.lit(1)).alias("__n"))
+    staged = acf.crossJoin(F.broadcast(n1))
     agg = staged.agg(
-        F.max("__nv").alias("__n"),
+        F.max("__n").alias("__nv"),
         F.count(F.lit(1)).alias("__k"),
         F.sum(
             F.round(
                 F.col("acf") * F.col("acf")
-                / (F.col("__nv").cast("double") - F.col("lag")),
+                / (F.col("__n").cast("double") - F.col("lag")),
                 9,
             ).cast("decimal(38,9)")
         ).alias("__t"),
         F.min("acf").alias("__anull"),
     )
-    nd = F.col("__n").cast("double")
+    nd = F.col("__nv").cast("double")
     q = nd * (nd + 2.0) * F.col("__t").cast("double")
     ok = F.col("__anull").isNotNull()
     p = chi2_sf_col(q, F.col("__k").cast("int"))
     return agg.select(
-        F.col("__n").cast("long").alias("n"),
+        F.col("__nv").cast("long").alias("n"),
         F.col("__k").cast("long").alias("k"),
         F.round(F.when(ok, q), 6).alias("q_stat"),
         F.round(F.when(ok, p), 9).alias("p_value"),

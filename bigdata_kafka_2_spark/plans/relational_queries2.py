@@ -5917,3 +5917,5 @@ def q293_cramers_v(
 
     o = read_table(spark, sf_dir, "orders")
     return cramers_v(o, "o_orderpriority", "o_orderstatus")
+
+

@@ -3012,86 +3012,6 @@ def q281_js_divergence(
     )
 
 
-@register(
-    "q282_vocab_growth",
-    oracle="""
-    WITH docs AS (SELECT DISTINCT doc_id AS d FROM documents),
-    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
-    ranked AS (
-      SELECT d, row_number() OVER (ORDER BY d) AS r FROM docs
-    ),
-    ks AS (
-      SELECT CAST(k AS BIGINT) AS k FROM generate_series(1, 10) t(k)
-    ),
-    th AS (SELECT k, (k * n + 9) // 10 AS t FROM ks, nd),
-    decs AS (
-      SELECT ranked.d, min(th.k) AS dec
-      FROM ranked JOIN th ON ranked.r <= th.t GROUP BY 1
-    ),
-    norm AS (
-      SELECT doc_id AS d,
-             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
-      FROM documents
-    ),
-    posting AS (
-      SELECT norm.d, u.tok
-      FROM norm, UNNEST(string_split(nt, ' ')) AS u(tok)
-      WHERE u.tok <> ''
-    ),
-    pr AS (
-      SELECT posting.d, posting.tok, decs.dec
-      FROM posting JOIN decs ON posting.d = decs.d
-    ),
-    mass AS (SELECT dec, count(*) AS toks FROM pr GROUP BY 1),
-    firsts AS (SELECT tok, min(dec) AS fd FROM pr GROUP BY 1),
-    fresh AS (SELECT fd AS dec, count(*) AS nw FROM firsts GROUP BY 1),
-    dcount AS (SELECT dec, count(*) AS docs_ FROM decs GROUP BY 1),
-    merged AS (
-      SELECT coalesce(dcount.dec, mass.dec, fresh.dec) AS dec,
-             coalesce(docs_, 0) AS docs_,
-             coalesce(toks, 0) AS toks,
-             coalesce(nw, 0) AS nw
-      FROM dcount
-      FULL OUTER JOIN mass ON dcount.dec = mass.dec
-      FULL OUTER JOIN fresh
-        ON coalesce(dcount.dec, mass.dec) = fresh.dec
-    ),
-    cum AS (
-      SELECT CAST(dec AS BIGINT) AS decile,
-        CAST(sum(docs_) OVER w AS BIGINT) AS docs,
-        CAST(sum(toks) OVER w AS BIGINT) AS tokens,
-        CAST(sum(nw) OVER w AS BIGINT) AS vocab
-      FROM merged
-      WINDOW w AS (ORDER BY dec ROWS UNBOUNDED PRECEDING)
-    )
-    SELECT decile, docs, tokens, vocab,
-      round(CAST(vocab AS DOUBLE) / CAST(tokens AS DOUBLE), 6)
-        AS type_token_ratio
-    FROM cum
-    """,
-    description="Heaps'-law vocabulary growth curve (operators/text."
-    "vocabulary_growth; Heaps 1978): cumulative distinct tokens "
-    "after each tenth of the corpus in doc_id order - the curve a "
-    "collection effort reads to decide whether MORE of a source "
-    "still buys new vocabulary (V ~ K*n^beta flattening -> stop), "
-    "the corpus-level complement of per-document TTR. EXACT "
-    "construction with NO data-sized window: doc ranks from the "
-    "range-bucketed prefix sum over the per-doc table, ceil-integer "
-    "checkpoint thresholds, a token's first-occurrence decile as "
-    "one min-aggregate over the posting table, and <=10-row "
-    "cumulative sums over the bounded checkpoint table (the "
-    "bounded-scalar window class).",
-    tags=("text", "aggregate", "window"),
-)
-def q282_vocab_growth(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from bigdata_kafka_2_spark.operators.text import vocabulary_growth
-
-    d = read_table(spark, sf_dir, "documents")
-    return vocabulary_growth(d, "text", "doc_id", checkpoints=10)
-
-
 def _q284_oracle(sf_dir: str | None = None) -> str:
     from bigdata_kafka_2_spark.operators.mathfn import erfc_sql
 
@@ -3199,110 +3119,6 @@ def _bigram_counts(d: DataFrame) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-
-
-@register(
-    "q286_vocab_richness",
-    oracle=f"""
-    WITH {_BIGRAM_COUNTS_SQL},
-    agg AS (
-      SELECT CAST(count(*) AS BIGINT) AS v,
-        CAST(sum(c) AS BIGINT) AS nt,
-        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
-        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
-      FROM cnt
-    )
-    SELECT nt AS n_tokens, v AS vocab, f1, f2,
-      round(CAST(v AS DOUBLE)
-            + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
-              / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 4) AS chao1,
-      round(CAST(f1 AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS p_unseen
-    FROM agg
-    """,
-    description="Chao1 richness estimate + Good-Turing unseen mass "
-    "(operators/text.vocab_richness; Chao 1984, Good 1953) over the "
-    "corpus's adjacent-BIGRAM distribution (unigram frequency-of-"
-    "frequencies is degenerate on this corpus - every unigram "
-    "repeats; bigrams exercise the f1/f2 tail) - the stopping-rule "
-    "companion of the q282 growth curve: how many types exist that "
-    "we have NOT seen (chao1's bias-corrected lower bound), and how "
-    "much probability mass the next draw puts on unseen types "
-    "(f1/N). EXACT integer frequency-of-frequency counts from ONE "
-    "map-side-combined aggregate over the vocabulary-sized count "
-    "table; two row-local double ratios at the end.",
-    tags=("text", "aggregate"),
-)
-def q286_vocab_richness(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from bigdata_kafka_2_spark.operators.text import vocab_richness
-
-    d = read_table(spark, sf_dir, "documents")
-    return vocab_richness(_bigram_counts(d), "c")
-
-
-@register(
-    "q287_zipf_slope",
-    oracle=f"""
-    WITH {_BIGRAM_COUNTS_SQL},
-    ranked AS (
-      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
-      FROM cnt
-    ),
-    agg AS (
-      SELECT count(*) AS n,
-        sum(CAST(round(ln(CAST(r AS DOUBLE)), 9)
-                 AS DECIMAL(38,9))) AS sx,
-        sum(CAST(round(ln(CAST(c AS DOUBLE)), 9)
-                 AS DECIMAL(38,9))) AS sy,
-        sum(CAST(round(ln(CAST(r AS DOUBLE))
-                       * ln(CAST(c AS DOUBLE)), 9)
-                 AS DECIMAL(38,9))) AS sxy,
-        sum(CAST(round(ln(CAST(r AS DOUBLE))
-                       * ln(CAST(r AS DOUBLE)), 9)
-                 AS DECIMAL(38,9))) AS sxx
-      FROM ranked
-    ),
-    m AS (
-      SELECT CAST(n AS BIGINT) AS n_types, CAST(n AS DOUBLE) AS nd,
-        CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
-        CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd
-      FROM agg
-    ),
-    s AS (
-      SELECT *,
-        nd * sxxd - sxd * sxd AS denom,
-        (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope_v
-      FROM m
-    )
-    SELECT n_types,
-      round(CASE WHEN n_types >= 2 AND denom <> 0 THEN slope_v END, 6)
-        AS slope,
-      round(CASE WHEN n_types >= 2 AND denom <> 0
-            THEN (syd - slope_v * sxd) / nd END, 6) AS intercept
-    FROM s
-    """,
-    description="Zipf's-law log-log OLS slope (operators/text."
-    "zipf_slope; Zipf 1949) over the adjacent-bigram rank-frequency "
-    "table - the canonical corpus-health number (natural text near "
-    "-1; templated corpora flatten, spammy repetition steepens), "
-    "the whole-distribution companion of the Hill tail index (q260) "
-    "which fits only the extreme tail. Count-descending ranks with "
-    "the token as total-order tie-break from the range-bucketed "
-    "global_row_number (never a single-partition window); both logs "
-    "evaluate ENGINE-SIDE on integer-derived doubles (the KM "
-    "ln-parity rule); regression moments round 9 dp into exact "
-    "DECIMAL(38,9), the normal equations one double expression on "
-    "the 1-row moment table.",
-    tags=("text", "aggregate", "window"),
-)
-def q287_zipf_slope(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from bigdata_kafka_2_spark.operators.text import zipf_slope
-
-    d = read_table(spark, sf_dir, "documents")
-    return zipf_slope(_bigram_counts(d), "tok", "c")
 
 
 @register(
@@ -3416,3 +3232,76 @@ def q290_source_jaccard(
 
     d = read_table(spark, sf_dir, "documents")
     return source_jaccard_matrix(d, "source", "text")
+
+
+@register(
+    "q299_vocab_capture",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id % 2 = 0 AS h,
+             string_split({_NORM_SQL}, ' ') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT h, t[i] || ' ' || t[i+1] AS tok
+      FROM norm,
+           UNNEST(generate_series(1, greatest(len(t) - 1, 1))) AS g(i)
+      WHERE t[i] || ' ' || t[i+1] IS NOT NULL
+        AND t[i] || ' ' || t[i+1] <> ''
+    ),
+    ts AS (SELECT DISTINCT h, tok FROM bg),
+    per AS (
+      SELECT tok,
+        max(CASE WHEN h THEN 1 ELSE 0 END) AS in1,
+        max(CASE WHEN NOT h THEN 1 ELSE 0 END) AS in2
+      FROM ts GROUP BY 1
+    ),
+    agg AS (
+      SELECT sum(in1) AS v1, sum(in2) AS v2,
+        sum(CASE WHEN in1 = 1 AND in2 = 1 THEN 1 ELSE 0 END) AS m
+      FROM per
+    ),
+    c AS (
+      SELECT CAST(v1 AS BIGINT) AS v1, CAST(v2 AS BIGINT) AS v2,
+        CAST(m AS BIGINT) AS m,
+        CAST(v1 AS DOUBLE) AS v1d, CAST(v2 AS DOUBLE) AS v2d,
+        CAST(m AS DOUBLE) AS md
+      FROM agg
+    ),
+    c2 AS (
+      SELECT *,
+        (v1d + 1.0) * (v2d + 1.0) / (md + 1.0) - 1.0 AS nh,
+        sqrt((v1d + 1.0) * (v2d + 1.0) * (v1d - md) * (v2d - md)
+             / ((md + 1.0) * (md + 1.0) * (md + 2.0))) AS sev
+      FROM c
+    )
+    SELECT v1, v2, m,
+      round(nh, 4) AS n_hat,
+      round(sev, 4) AS se,
+      round(nh - 1.959963984540054 * sev, 4) AS ci_lo,
+      round(nh + 1.959963984540054 * sev, 4) AS ci_hi
+    FROM c2
+    """,
+    description="Chapman capture-recapture estimate of the true "
+    "bigram vocabulary (operators/text.vocab_capture_recapture; "
+    "Chapman 1951) from the two doc-id-parity corpus halves - the "
+    "cross-validation sibling of Chao1 (q246, which reads one "
+    "sample's frequency-of-frequency tail): each half's distinct-"
+    "type set is a capture, the overlap the recaptured marks, "
+    "N_hat = (v1+1)(v2+1)/(m+1) - 1 with Chapman's bias-corrected "
+    "variance. The two estimators agreeing is evidence the type "
+    "accumulation is exchangeable; divergence flags clustered "
+    "(source/time-skewed) vocabulary. EXACT integer set arithmetic; "
+    "one distinct (half, token) projection ends the data-sized "
+    "work.",
+    tags=("text", "aggregate"),
+)
+def q299_vocab_capture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_kafka_2_spark.operators.text import (
+        vocab_capture_recapture,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return vocab_capture_recapture(d, "text", "doc_id", k=2)

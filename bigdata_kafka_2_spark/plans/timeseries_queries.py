@@ -1676,91 +1676,54 @@ def q262_competing_risks_cif(
     return competing_risks_cif(subj, "duration", "event")
 
 
-_ACF_SQL = """
-    base AS (
-      SELECT ts, event_id, CAST(value AS DOUBLE) AS v
-      FROM events WHERE value IS NOT NULL
-    ),
-    ranked AS (
-      SELECT v, row_number() OVER (ORDER BY ts, event_id) AS rn
-      FROM base
-    ),
-    mom AS (
-      SELECT count(*) AS n,
-        sum(CAST(round(v, 4) AS DECIMAL(38,4))) AS s,
-        sum(CAST(round(v * v, 9) AS DECIMAL(38,9))) AS ss
-      FROM ranked
-    ),
-    lagk AS (
-      SELECT CAST(k AS BIGINT) AS lag FROM generate_series(1, 5) t(k)
-    ),
-    paired AS (
-      SELECT lagk.lag, a.v AS va, b.v AS vb, mom.n, mom.s, mom.ss
-      FROM ranked a
-      CROSS JOIN lagk
-      JOIN ranked b ON b.rn = a.rn + lagk.lag
-      CROSS JOIN mom
-    ),
-    per AS (
-      SELECT lag, count(*) AS n_pairs,
-        sum(CAST(round((va - CAST(s AS DOUBLE) / n)
-                       * (vb - CAST(s AS DOUBLE) / n), 9)
-                 AS DECIMAL(38,9))) AS num,
-        max(CAST(ss AS DOUBLE)) AS ssv,
-        max(CAST(s AS DOUBLE)) AS sv,
-        max(n) AS nv
-      FROM paired GROUP BY 1
-    ),
-    acf_t AS (
-      SELECT lag, CAST(n_pairs AS BIGINT) AS n_pairs,
-        round(CASE WHEN (ssv - sv * sv / nv) > 0 THEN
-          CAST(num AS DOUBLE) / (ssv - sv * sv / nv) END, 6) AS acf
-      FROM per
-    )
-"""
-
-
-@register(
-    "q294_acf_lags",
-    oracle=f"""
-    WITH {_ACF_SQL}
-    SELECT lag, n_pairs, acf FROM acf_t
-    """,
-    description="Sample autocorrelation function at lags 1-5 "
-    "(operators/timeseries.acf_lags; Box & Jenkins) of the event "
-    "value stream in (ts, event_id) order - the residual-diagnostic "
-    "curve a metric monitor plots before trusting i.i.d.-based "
-    "readouts, and the input of the q295 portmanteau gate. "
-    "Positions from the range-bucketed global_row_number (never a "
-    "single-partition window); the lag pairing is ONE equi-join on "
-    "the shifted position key after a row-local explode of lags "
-    "1..K (K*n pair rows - linear); overall mean/variance as a "
-    "1-row broadcast of exact DECIMAL moments; per-pair cross "
-    "terms rounded 9 dp into DECIMAL(38,9).",
-    tags=("timeseries", "aggregate", "join", "window"),
-)
-def q294_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bigdata_kafka_2_spark.operators.timeseries import acf_lags
-
-    e = read_table(spark, sf_dir, "events")
-    return acf_lags(e, "ts", "event_id", "value", max_lag=5)
-
-
 def _q295_oracle(sf_dir: str | None = None) -> str:
     from bigdata_kafka_2_spark.operators.mathfn import chi2_sf_sql
 
     p_expr = chi2_sf_sql("qv", "kv")
     return f"""
-    WITH {_ACF_SQL},
-    staged AS (
-      SELECT lag, n_pairs, acf, n_pairs + lag AS nv FROM acf_t
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS x,
+             CAST(count(*) AS DECIMAL(38,0)) AS v
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+             sum(v) AS s, sum(v * v) AS sxx
+      FROM daily
+    ),
+    lags AS (SELECT unnest([1, 2, 3, 4, 5]) AS k),
+    pairs AS (
+      SELECT l.k, a.v AS vh, b.v AS vt
+      FROM daily a JOIN lags l ON true
+        JOIN daily b ON b.x = a.x + l.k
+    ),
+    per AS (
+      SELECT k, CAST(count(*) AS DECIMAL(38,0)) AS nk,
+             sum(vh * vt) AS sxy, sum(vh) AS sh, sum(vt) AS st
+      FROM pairs GROUP BY k
+    ),
+    acf_t AS (
+      SELECT CAST(k AS INTEGER) AS lag,
+           round((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * CAST(sxy AS DOUBLE)
+                  - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+                    * (CAST(sh AS DOUBLE) + CAST(st AS DOUBLE))
+                  + CAST(nk AS DOUBLE) * CAST(s AS DOUBLE)
+                    * CAST(s AS DOUBLE))
+                 / (CAST(n AS DOUBLE)
+                    * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))),
+                 6) AS acf,
+           CAST(n AS BIGINT) AS nser
+      FROM per, tot
     ),
     agg AS (
-      SELECT max(nv) AS n, count(*) AS k,
-        sum(CAST(round(acf * acf / (CAST(nv AS DOUBLE) - lag), 9)
+      SELECT max(nser) AS n, count(*) AS k,
+        sum(CAST(round(acf * acf / (CAST(nser AS DOUBLE) - lag), 9)
                  AS DECIMAL(38,9))) AS t,
         min(acf) AS anull
-      FROM staged
+      FROM acf_t
     ),
     c1 AS (
       SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
@@ -1782,20 +1745,27 @@ def _q295_oracle(sf_dir: str | None = None) -> str:
     oracle=_q295_oracle,
     description="Ljung-Box portmanteau whiteness test at K=5 "
     "(operators/timeseries.ljung_box; Ljung & Box 1978) over the "
-    "event value stream - Q = n(n+2) sum acf_j^2/(n-j), df=K, the "
-    "'is this series white noise' gate a residual or metric stream "
-    "passes before i.i.d.-based readouts apply (the time-axis "
-    "sibling of q265's SRM gate); survival through the shared "
-    "both-parity chi-square series (df=5 exercises the odd branch). "
-    "Rides the q294 ACF machinery; the K-row Q terms round 9 dp "
-    "into DECIMAL(38,9) so the bounded sum is order-independent.",
+    "daily event-count series - Q = n(n+2) sum acf_j^2/(n-j), df=K, "
+    "the 'is this series white noise' gate a residual or metric "
+    "stream passes before i.i.d.-based readouts apply (the time-"
+    "axis sibling of q265's SRM gate), built DIRECTLY on q227's "
+    "exact-integer ACF primitive (same regular-series contract, "
+    "same per-lag ratio - the portmanteau TEST is the new content, "
+    "not a second ACF); df=5 exercises the odd branch of the shared "
+    "chi-square survival; the K-row Q terms round 9 dp into "
+    "DECIMAL(38,9) so the bounded sum is order-independent.",
     tags=("timeseries", "aggregate", "join"),
 )
 def q295_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_kafka_2_spark.operators.timeseries import ljung_box
 
     e = read_table(spark, sf_dir, "events")
-    return ljung_box(e, "ts", "event_id", "value", max_lag=5)
+    daily = e.groupBy(
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("x")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    return ljung_box(daily, "x", "v", max_lag=5)
 
 
 def _q296_oracle(sf_dir: str | None = None) -> str:
@@ -1860,7 +1830,7 @@ def _q296_oracle(sf_dir: str | None = None) -> str:
     "(operators/timeseries.runs_test; Wald & Wolfowitz 1940) of the "
     "event value stream - do above/below-median signs clump (trend, "
     "regime persistence) or alternate (over-correction), the "
-    "distribution-free companion of the q294/q295 autocorrelation "
+    "distribution-free companion of the q227/q295 autocorrelation "
     "diagnostics. Exact interpolated median (the q23 parity), run "
     "boundaries from ONE equi-join on the shifted rank key, exact "
     "integer counts, one double z and the shared erfc survival at "

@@ -4708,27 +4708,6 @@ def test_js_divergence_hand_checked(spark):
     assert abs(r.js_bits - round(js, 6)) < 1e-6
 
 
-def test_vocabulary_growth_hand_checked(spark):
-    from bigdata_kafka_2_spark.operators.text import vocabulary_growth
-
-    # 4 docs, 2 checkpoints: halves are docs {1,2} and {3,4}
-    docs = spark.createDataFrame(
-        [(1, "a b"), (2, "a c"), (3, "a b"), (4, "d")],
-        "doc_id long, text string",
-    )
-    rows = {
-        r.decile: r
-        for r in vocabulary_growth(
-            docs, "text", "doc_id", checkpoints=2
-        ).collect()
-    }
-    assert rows[1].docs == 2 and rows[1].tokens == 4
-    assert rows[1].vocab == 3  # a, b, c
-    assert rows[2].docs == 4 and rows[2].tokens == 7
-    assert rows[2].vocab == 4  # + d
-    assert abs(rows[2].type_token_ratio - round(4 / 7, 6)) < 1e-9
-
-
 def test_gini_coefficient_hand_checked(spark):
     from bigdata_kafka_2_spark.operators.profile import (
         gini_coefficient,
@@ -4823,65 +4802,6 @@ def test_brier_decomposition_identity(spark):
     )
     rp = brier_decomposition(perf, "s", "y", 4).collect()[0]
     assert rp.reliability == 0.0
-
-
-def test_vocab_richness_hand_checked(spark):
-    from bigdata_kafka_2_spark.operators.text import vocab_richness
-
-    # counts: a:1, b:1, c:2, d:5 -> V=4, N=9, f1=2, f2=1
-    df = spark.createDataFrame(
-        [("a", 1), ("b", 1), ("c", 2), ("d", 5)], "tok string, c long"
-    )
-    r = vocab_richness(df, "c").collect()[0]
-    assert r.n_tokens == 9 and r.vocab == 4
-    assert r.f1 == 2 and r.f2 == 1
-    assert abs(r.chao1 - round(4 + 2 * 1 / (2 * 2), 4)) < 1e-9
-    assert abs(r.p_unseen - round(2 / 9, 6)) < 1e-9
-    # no singletons: chao1 = V, p_unseen = 0
-    nos = spark.createDataFrame(
-        [("a", 3), ("b", 2)], "tok string, c long"
-    )
-    rn = vocab_richness(nos, "c").collect()[0]
-    assert rn.chao1 == 2.0 and rn.p_unseen == 0.0
-
-
-def test_zipf_slope_exact_power_law(spark):
-    """counts = round(1000 / r) follow slope ~ -1; check the OLS
-    against a numpy reference on the same ranked table."""
-    import numpy as np
-
-    from bigdata_kafka_2_spark.operators.text import zipf_slope
-
-    counts = [int(round(1000 / r)) for r in range(1, 21)]
-    df = spark.createDataFrame(
-        [(f"t{i:02d}", c) for i, c in enumerate(counts)],
-        "tok string, c long",
-    )
-    r = zipf_slope(df, "tok", "c").collect()[0]
-    # rank by count desc = original order (counts strictly decreasing
-    # until ties at the tail; ties break by token string = index order)
-    ranked = sorted(
-        [(f"t{i:02d}", c) for i, c in enumerate(counts)],
-        key=lambda t: (-t[1], t[0]),
-    )
-    x = np.array([round(float(np.log(i + 1)), 9) for i in range(20)])
-    y = np.array(
-        [round(float(np.log(c)), 9) for _, c in ranked]
-    )
-    xy = np.array([
-        round(float(np.log(i + 1) * np.log(c)), 9)
-        for i, (_, c) in enumerate(ranked)
-    ])
-    xx = np.array([
-        round(float(np.log(i + 1) ** 2), 9) for i in range(20)
-    ])
-    n = 20
-    slope = (n * xy.sum() - x.sum() * y.sum()) / (
-        n * xx.sum() - x.sum() ** 2
-    )
-    assert r.n_types == 20
-    assert abs(r.slope - round(slope, 6)) < 1e-6
-    assert -1.1 < r.slope < -0.9
 
 
 def test_token_entropy_hand_checked(spark):
@@ -5112,68 +5032,6 @@ def test_cramers_v_zero_cell_contributes(spark):
     assert abs(r.chi2 - round(chi2, 6)) < 1e-6
 
 
-def test_acf_lags_vs_numpy(spark):
-    import numpy as np
-
-    from bigdata_kafka_2_spark.operators.timeseries import acf_lags
-
-    vals = [float(v) for v in (3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8)]
-    rows = [(i, i, v) for i, v in enumerate(vals)]
-    df = spark.createDataFrame(rows, "ts long, id long, v double")
-    got = {
-        r.lag: r for r in acf_lags(df, "ts", "id", "v", 3).collect()
-    }
-    x = np.array(vals)
-    mu = round(x.sum(), 4) / len(x)
-    denom = np.sum(np.round(x * x, 9)) - round(x.sum(), 4) ** 2 / len(x)
-    for k in (1, 2, 3):
-        num = np.sum(
-            np.round((x[:-k] - mu) * (x[k:] - mu), 9)
-        )
-        assert got[k].n_pairs == len(x) - k
-        assert abs(got[k].acf - round(num / denom, 6)) < 1e-6
-    # constant series -> NULL acf
-    const = spark.createDataFrame(
-        [(i, i, 2.0) for i in range(6)], "ts long, id long, v double"
-    )
-    rc = acf_lags(const, "ts", "id", "v", 2).collect()
-    assert all(r.acf is None for r in rc)
-
-
-def test_ljung_box_formula(spark):
-    import math
-
-    from bigdata_kafka_2_spark.operators.timeseries import (
-        acf_lags,
-        ljung_box,
-    )
-
-    vals = [float(v) for v in (3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7)]
-    rows = [(i, i, v) for i, v in enumerate(vals)]
-    df = spark.createDataFrame(rows, "ts long, id long, v double")
-    r = ljung_box(df, "ts", "id", "v", 3).collect()[0]
-    acfs = {
-        a.lag: a.acf
-        for a in acf_lags(df, "ts", "id", "v", 3).collect()
-    }
-    n = len(vals)
-    q = (
-        n
-        * (n + 2)
-        * sum(round(acfs[k] ** 2 / (n - k), 9) for k in (1, 2, 3))
-    )
-    assert r.n == n and r.k == 3
-    assert abs(r.q_stat - round(q, 6)) < 1e-4
-    assert 0.0 <= r.p_value <= 1.0
-    # strongly autocorrelated series: tiny p
-    trend = spark.createDataFrame(
-        [(i, i, float(i)) for i in range(40)],
-        "ts long, id long, v double",
-    )
-    rt = ljung_box(trend, "ts", "id", "v", 2).collect()[0]
-    assert rt.p_value < 0.001
-
-
 def test_runs_test_hand_checked(spark):
     import math
 
@@ -5209,3 +5067,66 @@ def test_runs_test_hand_checked(spark):
     )
     rm = runs_test(withmed, "ts", "id", "v").collect()[0]
     assert rm.n == 2  # the exact median value 2.0 dropped
+
+
+def test_vocab_capture_recapture_hand_checked(spark):
+    from bigdata_kafka_2_spark.operators.text import (
+        vocab_capture_recapture,
+    )
+
+    # even half (ids 0,2): types {a,b,c}; odd half (1,3): {b,c,d}
+    docs = spark.createDataFrame(
+        [(0, "a b"), (2, "b c"), (1, "b c"), (3, "c d")],
+        "doc_id long, text string",
+    )
+    r = vocab_capture_recapture(docs, "text", "doc_id", k=1).collect()[0]
+    assert r.v1 == 3 and r.v2 == 3 and r.m == 2
+    # Chapman: (4*4)/3 - 1 = 13/3
+    assert abs(r.n_hat - round(16 / 3 - 1, 4)) < 1e-9
+    import math
+
+    var = 4 * 4 * 1 * 1 / (9 * 4)
+    assert abs(r.se - round(math.sqrt(var), 4)) < 1e-9
+    # bigram mode counts pair types
+    rb = vocab_capture_recapture(docs, "text", "doc_id", k=2).collect()[0]
+    assert rb.v1 == 2 and rb.v2 == 2 and rb.m == 1  # 'b c' shared
+
+
+def test_ljung_box_on_daily_series(spark):
+    import math
+
+    from bigdata_kafka_2_spark.operators.timeseries import (
+        autocorrelation,
+        ljung_box,
+    )
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7]
+    series = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "x long, v long"
+    )
+    r = ljung_box(series, "x", "v", max_lag=3).collect()[0]
+    acfs = {
+        a.lag: a.acf
+        for a in autocorrelation(series, "x", "v", max_lag=3).collect()
+    }
+    n = len(vals)
+    q = (
+        n
+        * (n + 2)
+        * sum(round(acfs[k] ** 2 / (n - k), 9) for k in (1, 2, 3))
+    )
+    assert r.n == n and r.k == 3
+    assert abs(r.q_stat - round(q, 6)) < 1e-4
+    assert 0.0 <= r.p_value <= 1.0
+    # strong trend -> tiny p
+    trend = spark.createDataFrame(
+        [(i, i) for i in range(40)], "x long, v long"
+    )
+    rt = ljung_box(trend, "x", "v", max_lag=2).collect()[0]
+    assert rt.p_value < 0.001
+    # constant series -> NULL (ACF undefined)
+    const = spark.createDataFrame(
+        [(i, 5) for i in range(10)], "x long, v long"
+    )
+    rc = ljung_box(const, "x", "v", max_lag=2).collect()[0]
+    assert rc.q_stat is None and rc.p_value is None

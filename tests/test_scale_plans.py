@@ -918,32 +918,6 @@ def test_js_divergence_token_join_not_doc_join(spark):
     assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan
 
 
-def test_vocabulary_growth_bounded_window_only(spark):
-    """The only window in the vocabulary-growth plan runs over the
-    <=checkpoints-row merged table (bounded-scalar class); doc
-    ranking rides the bucketed prefix sum."""
-    from bigdata_kafka_2_spark.operators.text import vocabulary_growth
-
-    d = read_table(spark, SF_DIR, "documents")
-    plan = _plan(vocabulary_growth(d, "text", "doc_id", 10))
-    assert "hashpartitioning(__bkt" in plan
-    assert "CartesianProduct" not in plan
-
-
-def test_zipf_slope_bucketed_rank(spark):
-    """Zipf ranking rides the range-bucketed global_row_number over
-    the vocabulary-sized count table — no single-partition window,
-    no cartesian."""
-    from bigdata_kafka_2_spark.operators.text import zipf_slope
-
-    df = spark.createDataFrame(
-        [(f"t{i}", i + 1) for i in range(200)], "tok string, c long"
-    )
-    plan = _plan(zipf_slope(df, "tok", "c"))
-    assert "CartesianProduct" not in plan
-    assert "Window" in plan and "partial" in plan.lower()
-
-
 def test_source_jaccard_token_keyed_join(spark):
     """The pair join is keyed on the TOKEN (SortMergeJoin/shuffle
     hash on __t), never a source x source cartesian; the size joins
