@@ -143,7 +143,7 @@ def learn_bpe_merges(
     initial word count; every round is vocabulary-sized.
     """
     sym = _initial_symbols(word_frequencies(df, text_col, id_col))
-    sym = sym.localCheckpoint()
+    sym = sym.localCheckpoint(eager=False)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         top = (
@@ -162,7 +162,7 @@ def learn_bpe_merges(
         merges.append((left, right, cnt))
         sym = sym.withColumn(
             "symbols", _merge_expr(left, right)
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges
 
 

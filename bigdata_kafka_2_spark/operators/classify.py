@@ -96,7 +96,7 @@ def _nb_scores(
         .filter(F.col("tok") != "")
         .groupBy(id_col, "__y", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ctc = toks.groupBy(F.col("__y").alias("__c"), "tok").agg(
         F.sum("tf").alias("__ctc")
@@ -132,7 +132,7 @@ def _nb_scores(
                 "__ldenom"
             ),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # observed-token contributions: Σ tf·round4(ln(ctc+1)) per (doc, c)
     contrib = (

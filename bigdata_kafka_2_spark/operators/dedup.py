@@ -600,7 +600,7 @@ def dedup_clusters(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -629,7 +629,7 @@ def dedup_clusters(
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("__changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.select("node", "label")

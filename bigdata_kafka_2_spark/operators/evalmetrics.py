@@ -739,7 +739,7 @@ def isotonic_binned_calibration(
         F.sum("pos").over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ).alias("__cp"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     lo = ranked.select(
         F.col("__i").alias("__a"),
         (F.col("__cn") - F.col("n")).alias("__cna"),

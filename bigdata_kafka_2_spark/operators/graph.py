@@ -189,14 +189,14 @@ def pagerank(
     vanishingly rare for real-valued weights, and bit-verified
     Spark≡DuckDB on the driver datasets.
     """
-    edges = edges.localCheckpoint()
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    srcs = edges.select("src").distinct().localCheckpoint()
+    srcs = edges.select("src").distinct().localCheckpoint(eager=False)
     n = float(nodes.count())
 
     base = F.lit((1.0 - damping) / n)
@@ -249,7 +249,7 @@ def pagerank(
                     _RANK_SCALE,
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     if label:
         return ranks.select(node_label("node").alias("node"), "rank")
@@ -458,18 +458,32 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             ).alias("__ws"),
         )
     )
-    credits = (
-        joined.select(F.col("u").alias("node"), F.size("__ws").alias("__c"))
-        .unionAll(
-            joined.select(
-                F.col("v").alias("node"), F.size("__ws").alias("__c")
-            )
-        )
-        .unionAll(
-            joined.select(
-                F.explode("__ws").alias("node"), F.lit(1).alias("__c")
-            )
-        )
+    # ONE pass over `joined` (r14): the r13 shape union-ed three
+    # selects over the same two-join subtree, and union branches are
+    # NOT common-subexpression-eliminated — the joins ran three
+    # times. Emitting all credits as one exploded struct array
+    # (u and v each credit the intersection size, each w credits 1)
+    # evaluates the joins once; the credit volume is identical.
+    credit_arr = F.concat(
+        F.array(
+            F.struct(
+                F.col("u").alias("node"),
+                F.size("__ws").cast("long").alias("__c"),
+            ),
+            F.struct(
+                F.col("v").alias("node"),
+                F.size("__ws").cast("long").alias("__c"),
+            ),
+        ),
+        F.transform(
+            "__ws",
+            lambda w: F.struct(
+                w.alias("node"), F.lit(1).cast("long").alias("__c")
+            ),
+        ),
+    )
+    credits = joined.select(F.explode(credit_arr).alias("__cr")).select(
+        F.col("__cr.node").alias("node"), F.col("__cr.__c").alias("__c")
     )
     return (
         credits.groupBy("node")
@@ -509,12 +523,12 @@ def label_propagation(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionAll(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels = (
         both.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     bc = F.broadcast if labels.count() <= 2_000_000 else (lambda d: d)
     for _ in range(iterations):
@@ -541,7 +555,7 @@ def label_propagation(
                 "node",
                 F.coalesce(F.col("__new"), F.col("label")).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -571,7 +585,7 @@ def personalized_pagerank(
     ignored (e normalizes over S∩V, matching the oracle's
     membership-within-nodes count).
     """
-    edges = edges.localCheckpoint()
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -589,9 +603,9 @@ def personalized_pagerank(
             .otherwise(F.lit(0.0))
             .alias("__e"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    srcs = edges.select("src").distinct().localCheckpoint()
+    srcs = edges.select("src").distinct().localCheckpoint(eager=False)
     # The rank/node tables are |V|-row: broadcast them into each
     # iteration's joins only while |V| fits executor memory, exactly
     # like :func:`pagerank` — past the threshold the joins degrade to
@@ -648,7 +662,7 @@ def personalized_pagerank(
                     _RANK_SCALE,
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     out = ranks.select("node", "rank")
     if label:
@@ -818,7 +832,7 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     iterative lineage (the pagerank/LPA discipline,
     ``operators/graph.py:136``).
     """
-    e = edges.select("a", "b").localCheckpoint()
+    e = edges.select("a", "b").localCheckpoint(eager=False)
     prev = None
     for _ in range(int(max_rounds)):
         deg = (
@@ -826,7 +840,7 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
             .unionAll(e.select(F.col("b").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         surv = deg.filter(F.col("deg") >= int(k))
         n_nodes = surv.count()
@@ -843,7 +857,7 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
             .join(
                 s.withColumnRenamed("node", "b"), on="b", how="left_semi"
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     raise RuntimeError(
         f"kcore(k={k}) did not converge within {max_rounds} rounds"
@@ -902,7 +916,7 @@ def adamic_adar_links(
     wedge volume); on a real cluster swap ``localCheckpoint`` for a
     reliable ``checkpoint`` dir to survive executor loss.
     """
-    e = edges.select("a", "b").localCheckpoint()
+    e = edges.select("a", "b").localCheckpoint(eager=False)
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -1047,12 +1061,12 @@ def hits(
         raise ValueError(
             f"hits: iterations must be >= 1, got {iterations}"
         )
-    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     bc = F.broadcast if n <= broadcast_nodes else (lambda df: df)
@@ -1094,7 +1108,7 @@ def hits(
                     _RANK_SCALE,
                 ).alias("a"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         raw_h = (
             edges.join(bc(auth), edges.dst == auth.node)
@@ -1115,7 +1129,7 @@ def hits(
                     _RANK_SCALE,
                 ).alias("h"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     out = auth.join(hub, on="node").select(
         "node",
@@ -1233,12 +1247,12 @@ def khop_reachability(
     sym = (
         edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     frontier = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     visited = frontier
     n_frontier = frontier.count()
@@ -1256,7 +1270,7 @@ def khop_reachability(
             .select(F.col("v").alias("node"))
             .distinct()
             .join(bc_v(visited), on="node", how="left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         visited = visited.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt

@@ -126,7 +126,7 @@ def bradley_terry(
                 F.col("b").alias("i"), F.col("a").alias("j"), n_tot
             )
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     wins = (
         matches.select(F.col("a").alias("i"), F.col("wins_a").alias("__w"))
@@ -137,7 +137,7 @@ def bradley_terry(
         )
         .groupBy("i")
         .agg(F.sum("__w").alias("__W"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     zero = wins.filter(F.col("__W") <= 0).count()
     if zero:
@@ -189,7 +189,7 @@ def bradley_terry(
                     F.col("__r") / F.col("__s").cast("double"), _SCALE
                 ).alias("w"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return w.select(F.col("i").alias("player"), F.col("w").alias("strength"))
 
@@ -348,7 +348,7 @@ def preference_cycles(matches: DataFrame) -> DataFrame:
     ).select(
         F.when(won_a, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(won_a, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     players = (
         matches.select(F.col("a").alias("p"))
         .unionAll(matches.select(F.col("b").alias("p")))

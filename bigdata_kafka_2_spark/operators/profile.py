@@ -2163,7 +2163,7 @@ def eb_shrunk_rates(
     g = df.groupBy(*list(group_cols)).agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(s).alias("__x"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     rate = F.round(
         F.col("__x").cast("double") / F.col("__n").cast("double"), 9
     )
@@ -2389,7 +2389,7 @@ def hill_tail_index(
         .filter(F.col("__x") > 0)
         .orderBy(F.col("__x").desc())
         .limit(int(k) + 1)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     got = vals.count()
     spark = df.sparkSession
@@ -2908,7 +2908,7 @@ def kruskal_wallis(
     # once so the fact is scanned exactly once (see spearman_corr).
     gv = df.groupBy(g.alias("__g"), v.alias("__v")).agg(
         F.count(F.lit(1)).alias("__cjv")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     vt = gv.groupBy("__v").agg(F.sum("__cjv").alias("__c"))
     dec = "decimal(38,0)"
     pre = global_prefix_sum(vt, "__v", "__c", "__before", sum_type=dec)
@@ -3090,7 +3090,7 @@ def groupwise_ks_fdr(
     # second full-fact aggregate.
     gv = df.groupBy(g.alias("__g"), v.alias("__v")).agg(
         F.count(F.lit(1)).alias("__cgv")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     vt = gv.groupBy("__v").agg(F.sum("__cgv").alias("__cv"))
     n_vals = vt.count()
     if n_vals > int(max_values):
@@ -3239,7 +3239,7 @@ def spearman_corr(
     pairs = df.groupBy(
         F.col(x_col).cast("double").alias("__x"),
         F.col(y_col).cast("double").alias("__y"),
-    ).agg(F.count(F.lit(1)).alias("__cp")).localCheckpoint()
+    ).agg(F.count(F.lit(1)).alias("__cp")).localCheckpoint(eager=False)
 
     nb = min(_shuffle_partitions(pairs), 64)
     bx, by = pairs.stat.approxQuantile(
@@ -3439,7 +3439,7 @@ def trimmed_winsorized_mean(
         .groupBy(cents.alias("__v"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    pre = global_prefix_sum(g, "__v", "__c", "__b").localCheckpoint()
+    pre = global_prefix_sum(g, "__v", "__c", "__b").localCheckpoint(eager=False)
     tot = pre.agg(F.sum("__c").alias("__n"))
     j = pre.crossJoin(F.broadcast(tot))
     k = F.floor(F.lit(float(alpha)) * F.col("__n")).cast("long")
@@ -3741,7 +3741,7 @@ def kendall_tau_b(
     cells = (
         rows.groupBy(x.alias("__x"), y.alias("__y"))
         .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dec = "decimal(38,0)"
     a = cells.select(

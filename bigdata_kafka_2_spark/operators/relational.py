@@ -445,31 +445,48 @@ def global_row_number(
     single-partition window (see :func:`cumulative_slice` for the
     bucket/offset construction). When ``prune_above`` is set, buckets
     that start past that rank are dropped before the ranking shuffle.
+
+    Bucket offsets ride the DAG (r14, the ``global_prefix_sum``
+    pattern): per-bucket counts are a ≤64-row table whose exclusive
+    prefix comes from a bounded 64×64 broadcast triangle join, and
+    the offset attaches by broadcast join — no blocking driver
+    collect per call. The ``prune_above`` cut is the same broadcast
+    side filtered to ``offset < prune_above`` with an inner join, so
+    buckets that start past the cut never enter the ranking shuffle.
+    Offsets are LONG (a CASE literal built from driver-side counts
+    was int-or-long depending on the data; the in-DAG sum must pick
+    one static type and only long survives >2^31 ranks).
     """
     cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     n_buckets = _shuffle_partitions(df)
     bucketed, eff = _range_bucket(df, cols[0], min(n_buckets, 64))
-    off = F.lit(0)
+    off = F.lit(0).cast("long")
     if eff > 1:
-        counts = {
-            r["__bkt"]: r["__n"]
-            for r in bucketed.groupBy("__bkt")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .collect()
-        }
-        offsets: dict[int, int] = {}
-        acc = 0
-        for b in range(eff):
-            offsets[b] = acc
-            acc += counts.get(b, 0)
-        buckets = list(range(eff))
+        bcounts = bucketed.groupBy("__bkt").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        lower = bcounts.select(
+            F.col("__bkt").alias("__lb"), F.col("__bn").alias("__lbn")
+        )
+        offs = (
+            bcounts.select("__bkt")
+            .join(F.broadcast(lower), F.col("__lb") < F.col("__bkt"), "left")
+            .groupBy("__bkt")
+            .agg(
+                F.coalesce(F.sum("__lbn"), F.lit(0))
+                .cast("long")
+                .alias("__grn_off")
+            )
+        )
         if prune_above is not None:
-            buckets = [b for b in buckets if offsets[b] < prune_above]
-            bucketed = bucketed.filter(F.col("__bkt").isin(buckets))
-        for b in buckets:
-            off = F.when(F.col("__bkt") == F.lit(b), F.lit(offsets[b])).otherwise(off)
+            offs = offs.filter(F.col("__grn_off") < int(prune_above))
+        bucketed = bucketed.join(F.broadcast(offs), on="__bkt", how="inner")
+        off = F.col("__grn_off")
     w = Window.partitionBy("__bkt").orderBy(*[F.col(c) for c in cols])
-    return bucketed.withColumn(rn_col, F.row_number().over(w) + off).drop("__bkt")
+    return (
+        bucketed.withColumn(rn_col, F.row_number().over(w) + off)
+        .drop("__bkt", "__grn_off")
+    )
 
 
 def global_prefix_sum(

@@ -829,7 +829,7 @@ def ipf_raking(
             F.col(row_col).alias("__r"), F.col(col_col).alias("__c")
         )
         .agg(F.count(F.lit(1)).alias("__n"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # bounded driver scalars off the |cells|-row table (the pagerank
     # node-count pattern): grand total and marginal cardinalities fix
@@ -868,7 +868,7 @@ def ipf_raking(
                 * (F.lit(t_col) / F.col("__cs").cast("double")),
                 _IPF_SCALE,
             ).alias("__w"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return w.select(
         F.col("__r").alias(row_col),
         F.col("__c").alias(col_col),

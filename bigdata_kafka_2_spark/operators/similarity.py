@@ -1230,7 +1230,7 @@ def pq_adc_topk(
     codes = pq_encode(
         table, n_sub, n_cent, dim, seed, vec_col, id_col, books=books,
         with_error=False,
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     return pq_adc_search(
         codes, probe, k, n_sub, n_cent, dim, seed, vec_col, id_col, books=books
     )
@@ -1612,7 +1612,7 @@ def ann_index_compact(spark, path: str, id_col: str = "vec_id") -> dict:
         ).join(F.broadcast(tomb), on=id_col, how="left_anti")
         # localCheckpoint: the survivor frame READS the partitions the
         # overwrite is about to replace — materialize first.
-        survivors = survivors.localCheckpoint()
+        survivors = survivors.localCheckpoint(eager=False)
         kept = {
             r["centroid_id"]
             for r in survivors.select("centroid_id").distinct().collect()

@@ -1452,7 +1452,7 @@ def token_kl_drift(
         .filter(F.col("tok") != "")
         .groupBy("__g", "tok")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     gtot = cells.groupBy("__g").agg(F.sum("__c").alias("__T"))
     vtot = cells.groupBy("tok").agg(F.sum("__c").alias("__cv"))

@@ -1416,7 +1416,7 @@ def logrank_test(
         F.sum(F.when(gflag, e).otherwise(F.lit(0))).alias("__d1"),
         F.count(F.lit(1)).alias("__rem"),
         F.sum(F.when(gflag, 1).otherwise(0)).alias("__rem1"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # subject totals as bounded driver scalars off the |T|-row cell
     # table (the pagerank node-count pattern; a crossJoin with an
     # aggregate of the same frame trips Spark 4 self-join ambiguity)
@@ -1508,7 +1508,7 @@ def competing_risks_cif(
         F.sum(F.when(e == 1, 1).otherwise(0)).alias("__d1"),
         F.sum(F.when(e == 2, 1).otherwise(0)).alias("__d2"),
         F.count(F.lit(1)).alias("__rem"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     n_total = int(
         g.agg(F.sum("__rem").alias("__N")).collect()[0]["__N"]
     )
@@ -1687,7 +1687,7 @@ def runs_test(
     )
     ranked = global_row_number(
         signed, ["__ts", "__id"], "__rn"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     pairs = ranked.select(
         (F.col("__rn") + 1).alias("__rnk"),
         F.col("__up").alias("__ua"),

@@ -566,7 +566,7 @@ def q81_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of re-executing the quality→repetition→decontamination lineage
     # per job (measured ~3× on the bench; at deployment scale this is
     # the stage boundary where the curated subset is WRITTEN anyway).
-    kept3 = kept3.localCheckpoint()
+    kept3 = kept3.localCheckpoint(eager=False)
     labeled = leakage_safe_split(
         kept3,
         {"train": 0.8, "val": 0.1, "test": 0.1},
@@ -961,13 +961,13 @@ def q110_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q81 rule applied per stage (deployment writes each curated
     # subset anyway; without the checkpoints the quality→…→decontam
     # lineage re-executes per reference).
-    kept3 = DD.decontaminate(kept2, ev, k=4, min_shared=1).localCheckpoint()
+    kept3 = DD.decontaminate(kept2, ev, k=4, min_shared=1).localCheckpoint(eager=False)
     kept4 = DD.fuzzy_decontaminate(
         kept3, ev, k=3, threshold=0.3
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     kept5 = DD.exact_substring_dedup(
         kept4, k=4, min_df=2, max_coverage=0.5
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labeled = leakage_safe_split(
         kept5,
         {"train": 0.8, "val": 0.1, "test": 0.1},
@@ -1143,13 +1143,13 @@ def q127_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     kept2 = kept1.join(k2, on="doc_id", how="left_semi")
-    kept3 = DD.decontaminate(kept2, ev, k=4, min_shared=1).localCheckpoint()
+    kept3 = DD.decontaminate(kept2, ev, k=4, min_shared=1).localCheckpoint(eager=False)
     kept4 = DD.fuzzy_decontaminate(
         kept3, ev, k=3, threshold=0.3
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     kept5 = DD.exact_substring_dedup(
         kept4, k=4, min_df=2, max_coverage=0.5
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     scores = dsir_logweights(kept5, F.col("lang") == "en").select(
         "doc_id", "avg_logratio"
     )
@@ -1161,7 +1161,7 @@ def q127_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(thr))
         .filter(F.col("avg_logratio") >= F.col("__thr"))
         .drop("avg_logratio", "__thr")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labeled = leakage_safe_split(
         kept6,
@@ -1386,7 +1386,7 @@ def q158_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     k1 = quality_filter_flags(d).filter(F.col("keep")).select("doc_id")
-    kept1 = d.join(k1, on="doc_id", how="left_semi").localCheckpoint()
+    kept1 = d.join(k1, on="doc_id", how="left_semi").localCheckpoint(eager=False)
 
     cont = DD.shingle_containment_pairs(kept1, k=3, threshold=0.6)
     rev = cont.select(
@@ -1402,7 +1402,7 @@ def q158_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_a").alias("doc_id"))
         .distinct()
     )
-    kept2 = kept1.join(removal, on="doc_id", how="left_anti").localCheckpoint()
+    kept2 = kept1.join(removal, on="doc_id", how="left_anti").localCheckpoint(eager=False)
 
     pairs = DD.prefix_filter_jaccard_pairs(kept2, k=3, threshold=0.5)
     clusters = DD.dedup_clusters(pairs, kept2.select("doc_id"))
@@ -1604,12 +1604,12 @@ def _v6_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     k1 = quality_filter_flags(d).filter(F.col("keep")).select("doc_id")
-    kept = d.join(k1, on="doc_id", how="left_semi").localCheckpoint()
+    kept = d.join(k1, on="doc_id", how="left_semi").localCheckpoint(eager=False)
 
     routed = naive_bayes_predictions(kept, "lang").filter(
         F.col("pred") == F.col("label")
     ).select("doc_id")
-    kept1 = kept.join(routed, on="doc_id", how="left_semi").localCheckpoint()
+    kept1 = kept.join(routed, on="doc_id", how="left_semi").localCheckpoint(eager=False)
 
     cont = DD.shingle_containment_pairs(kept1, k=3, threshold=0.6)
     rev = cont.select(
@@ -1625,7 +1625,7 @@ def _v6_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_a").alias("doc_id"))
         .distinct()
     )
-    kept2 = kept1.join(removal, on="doc_id", how="left_anti").localCheckpoint()
+    kept2 = kept1.join(removal, on="doc_id", how="left_anti").localCheckpoint(eager=False)
 
     pairs = DD.prefix_filter_jaccard_pairs(kept2, k=3, threshold=0.5)
     clusters = DD.dedup_clusters(pairs, kept2.select("doc_id"))
