@@ -249,7 +249,7 @@ def pagerank(
                     _RANK_SCALE,
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
     if label:
         return ranks.select(node_label("node").alias("node"), "rank")
@@ -662,7 +662,7 @@ def personalized_pagerank(
                     _RANK_SCALE,
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
     out = ranks.select("node", "rank")
     if label:
@@ -1108,7 +1108,7 @@ def hits(
                     _RANK_SCALE,
                 ).alias("a"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
         raw_h = (
             edges.join(bc(auth), edges.dst == auth.node)
@@ -1129,7 +1129,7 @@ def hits(
                     _RANK_SCALE,
                 ).alias("h"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
     out = auth.join(hub, on="node").select(
         "node",

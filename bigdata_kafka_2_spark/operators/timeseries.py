@@ -1687,7 +1687,7 @@ def runs_test(
     )
     ranked = global_row_number(
         signed, ["__ts", "__id"], "__rn"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     pairs = ranked.select(
         (F.col("__rn") + 1).alias("__rnk"),
         F.col("__up").alias("__ua"),

@@ -566,7 +566,7 @@ def q81_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of re-executing the quality→repetition→decontamination lineage
     # per job (measured ~3× on the bench; at deployment scale this is
     # the stage boundary where the curated subset is WRITTEN anyway).
-    kept3 = kept3.localCheckpoint(eager=False)
+    kept3 = kept3.localCheckpoint()
     labeled = leakage_safe_split(
         kept3,
         {"train": 0.8, "val": 0.1, "test": 0.1},
@@ -961,13 +961,13 @@ def q110_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q81 rule applied per stage (deployment writes each curated
     # subset anyway; without the checkpoints the quality→…→decontam
     # lineage re-executes per reference).
-    kept3 = DD.decontaminate(kept2, ev, k=4, min_shared=1).localCheckpoint(eager=False)
+    kept3 = DD.decontaminate(kept2, ev, k=4, min_shared=1).localCheckpoint()
     kept4 = DD.fuzzy_decontaminate(
         kept3, ev, k=3, threshold=0.3
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     kept5 = DD.exact_substring_dedup(
         kept4, k=4, min_df=2, max_coverage=0.5
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     labeled = leakage_safe_split(
         kept5,
         {"train": 0.8, "val": 0.1, "test": 0.1},
@@ -1143,13 +1143,13 @@ def q127_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     kept2 = kept1.join(k2, on="doc_id", how="left_semi")
-    kept3 = DD.decontaminate(kept2, ev, k=4, min_shared=1).localCheckpoint(eager=False)
+    kept3 = DD.decontaminate(kept2, ev, k=4, min_shared=1).localCheckpoint()
     kept4 = DD.fuzzy_decontaminate(
         kept3, ev, k=3, threshold=0.3
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     kept5 = DD.exact_substring_dedup(
         kept4, k=4, min_df=2, max_coverage=0.5
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     scores = dsir_logweights(kept5, F.col("lang") == "en").select(
         "doc_id", "avg_logratio"
     )
@@ -1161,7 +1161,7 @@ def q127_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(thr))
         .filter(F.col("avg_logratio") >= F.col("__thr"))
         .drop("avg_logratio", "__thr")
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     labeled = leakage_safe_split(
         kept6,

@@ -162,21 +162,54 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _staged_events_stream(spark, sf_dir, "q63_events", ("",))
 
 
-def _drain(df: DataFrame, prefix: str, mode: str = "complete") -> str:
+def _drain(
+    df: DataFrame,
+    prefix: str,
+    mode: str = "complete",
+    source_bytes: int | None = None,
+) -> str:
     """availableNow drain into a uniquely-named memory sink; returns
-    the sink table name."""
+    the sink table name.
+
+    With ``source_bytes`` the drain runs under the scale-adaptive
+    streaming shuffle-partition count (state-store instances track
+    input volume, not the static session setting — see
+    ``streaming.ingest.stream_shuffle_partitions``); the session
+    value is restored after the drain, and the streaming conf is
+    read at query start so nothing else observes it.
+    """
     import uuid
+    from contextlib import nullcontext
+
+    from bigdata_kafka_2_spark.streaming.ingest import scaled_stream_conf
 
     sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
+    ctx = (
+        scaled_stream_conf(df.sparkSession, source_bytes)
+        if source_bytes is not None
+        else nullcontext()
     )
-    q.awaitTermination()
+    with ctx:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return sink
+
+
+def _sf_bytes(sf_dir: str, *tables: str) -> int:
+    """Bytes of the named sf tables (file or directory form)."""
+    import os
+
+    from bigdata_kafka_2_spark.streaming.ingest import source_size_bytes
+
+    return source_size_bytes(
+        *(os.path.join(sf_dir, f"{t}.parquet") for t in tables)
+    )
 
 
 @register(
@@ -201,7 +234,7 @@ def q63_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame
     from bigdata_kafka_2_spark.streaming.windows import windowed_counts
 
     agg = windowed_counts(_events_stream(spark, sf_dir), "1 day", watermark="1 hour")
-    sink = _drain(agg, "q63_out")
+    sink = _drain(agg, "q63_out", source_bytes=_sf_bytes(sf_dir, "events"))
     return spark.table(sink).select(
         F.date_format("window_start", _FMT).alias("window_start"),
         "event_type",
@@ -250,7 +283,7 @@ def q64_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = session_aggregate(
         _events_stream(spark, sf_dir), gap="30 minutes", watermark="1 hour"
     )
-    sink = _drain(agg, "q64_out")
+    sink = _drain(agg, "q64_out", source_bytes=_sf_bytes(sf_dir, "events"))
     return spark.table(sink).select(
         "user_id",
         F.date_format("session_start", _FMT).alias("session_start"),
@@ -376,7 +409,7 @@ def q65_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_stream(
         _events_stream_duplicated(spark, sf_dir), ["event_id"], watermark="1 hour"
     )
-    sink = _drain(deduped, "q65_out", mode="append")
+    sink = _drain(deduped, "q65_out", mode="append", source_bytes=_sf_bytes(sf_dir, "events"))
     return (
         spark.table(sink)
         .groupBy("event_type")
@@ -448,7 +481,7 @@ def q84_streaming_quality_filter(
     from bigdata_kafka_2_spark.operators.text import quality_filter_flags
 
     flagged = quality_filter_flags(_documents_stream(spark, sf_dir))
-    sink = _drain(flagged, "q84_out", mode="append")
+    sink = _drain(flagged, "q84_out", mode="append", source_bytes=_sf_bytes(sf_dir, "documents"))
     return spark.table(sink)
 
 
@@ -493,7 +526,7 @@ def q101_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AND c_ts <= v_ts + interval 1 hour"
         ),
     )
-    sink = _drain(joined, "q101_out", mode="append")
+    sink = _drain(joined, "q101_out", mode="append", source_bytes=_sf_bytes(sf_dir, "events"))
     return (
         spark.table(sink)
         .groupBy(F.col("v_user").alias("user_id"))
@@ -546,7 +579,7 @@ def q128_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim,
         on="user_id",
     )
-    sink = _drain(agg, "q128_out")
+    sink = _drain(agg, "q128_out", source_bytes=_sf_bytes(sf_dir, "events"))
     return spark.table(sink).select(
         F.date_format("window_start", _FMT).alias("window_start"),
         "n_name",
@@ -702,7 +735,7 @@ def q142_filelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
-    sink = _drain(agg, "q142_out")
+    sink = _drain(agg, "q142_out", source_bytes=_sf_bytes(sf_dir, "events"))
     return spark.table(sink)
 
 
@@ -1309,7 +1342,13 @@ def q250_streaming_preference_ingest(
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    run_streaming_wins(stream, state, ckpt)
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        scaled_stream_conf,
+        source_size_bytes,
+    )
+
+    with scaled_stream_conf(spark, source_size_bytes(stage)):
+        run_streaming_wins(stream, state, ckpt)
     matches = read_wins(spark, state)
     return bradley_terry(matches, iterations=3).select(
         F.col("player"), F.col("strength")
@@ -1372,6 +1411,12 @@ def q273_streaming_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    run_streaming_counts(stream, "arm", state, ckpt)
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        scaled_stream_conf,
+        source_size_bytes,
+    )
+
+    with scaled_stream_conf(spark, source_size_bytes(stage)):
+        run_streaming_counts(stream, "arm", state, ckpt)
     per = read_counts(spark, state, "arm")
     return srm_from_counts(per)

@@ -44,6 +44,19 @@ def main() -> None:
     mod = importlib.import_module("__spark_entry__")
     qs, oracles = mod.queries(), mod.oracle_sql()
     names = args.names or list(qs)
+    # named non-curated queries: pull from the extended registry with
+    # oracles resolved at the same sf (mirrors tests/test_oracle.py)
+    missing = [n for n in names if n not in qs]
+    if missing:
+        from bigdata_kafka_2_spark.plans import load_extended, resolve_oracle
+
+        ext = load_extended()
+        for n in missing:
+            q = ext[n]
+            qs[n] = q.spark_fn
+            sql = resolve_oracle(q, args.sf)
+            if sql is not None:
+                oracles[n] = sql
 
     con = duckdb.connect()
     for t in (
