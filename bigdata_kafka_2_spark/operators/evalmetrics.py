@@ -548,8 +548,16 @@ def roc_points(
             F.sum("__y").alias("__p"),
         )
     )
-    pre = global_prefix_sum(cells, "__v", "__c", out_col="__bc")
-    pre = global_prefix_sum(pre, "__v", "__p", out_col="__bp")
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sums,
+    )
+
+    # both prefixes in ONE bucketed pass (same rows, same order)
+    pre = global_prefix_sums(
+        cells,
+        "__v",
+        [("__c", "__bc", "long"), ("__p", "__bp", "long")],
+    )
     tot = cells.agg(
         F.sum("__c").alias("__nt"), F.sum("__p").alias("__pt")
     )

@@ -1106,7 +1106,7 @@ def ks_test(
     double (rounded to 6 dp), identical in ANSI SQL.
     """
     from bigdata_kafka_2_spark.operators.relational import (
-        global_prefix_sum,
+        global_prefix_sums,
     )
 
     v = F.col(value_col).cast("double").alias("__v")
@@ -1121,8 +1121,12 @@ def ks_test(
             F.sum("__b").alias("__cb"),
         )
     )
-    cum_a = global_prefix_sum(pooled, "__v", "__ca", out_col="__beforea")
-    cum = global_prefix_sum(cum_a, "__v", "__cb", out_col="__beforeb")
+    # both sides' prefixes in ONE bucketed pass (same rows/order)
+    cum = global_prefix_sums(
+        pooled,
+        "__v",
+        [("__ca", "__beforea", "long"), ("__cb", "__beforeb", "long")],
+    )
     inc = cum.select(
         (F.col("__beforea") + F.col("__ca")).alias("__cuma"),
         (F.col("__beforeb") + F.col("__cb")).alias("__cumb"),
@@ -1681,7 +1685,7 @@ def gini_split_stump(
     is excluded (an empty right side is not a split).
     """
     from bigdata_kafka_2_spark.operators.relational import (
-        global_prefix_sum,
+        global_prefix_sums,
     )
 
     lab = label_col if not isinstance(label_col, str) else F.col(label_col)
@@ -1696,8 +1700,12 @@ def gini_split_stump(
             F.sum("__y").alias("__p"),
         )
     )
-    pre = global_prefix_sum(cells, "__v", "__c", out_col="__cb")
-    pre = global_prefix_sum(pre, "__v", "__p", out_col="__pb")
+    # both prefixes in ONE bucketed pass (same rows, same order)
+    pre = global_prefix_sums(
+        cells,
+        "__v",
+        [("__c", "__cb", "long"), ("__p", "__pb", "long")],
+    )
     tot = cells.agg(
         F.sum("__c").alias("__nt"), F.sum("__p").alias("__pt")
     )

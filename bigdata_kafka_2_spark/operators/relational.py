@@ -545,50 +545,82 @@ def global_prefix_sum(
     int-digit overflow still fails loudly to NULL rather than
     rounding.
     """
+    return global_prefix_sums(
+        df, order_cols, [(weight_col, out_col, sum_type)], bounds
+    )
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order_cols: str | Sequence[str],
+    specs: Sequence[tuple[str, str, str]],
+    bounds: Sequence[float] | None = None,
+) -> DataFrame:
+    """Several INDEPENDENT exclusive prefix sums over the SAME total
+    order in ONE pass: ``specs`` is ``[(weight_col, out_col,
+    sum_type), ...]``; each output column equals exactly what a
+    separate :func:`global_prefix_sum` call would produce.
+
+    Operations keyed the same way should share one exchange (guide
+    §2.4): the survival/rank operators chain 2-4 prefix sums over
+    one distinct-time table, and as separate calls each paid its own
+    approxQuantile sketch, bucket-sum aggregate, and bucketed window
+    shuffle. Here one ``_range_bucket`` pass serves every weight,
+    the ≤64-row bucket-sum table carries all k sums, one broadcast
+    triangle join computes all k exclusive offsets, and the k window
+    sums share a single Window operator (identical partition/order/
+    frame). Types follow the single-weight rules per spec — see
+    :func:`global_prefix_sum` for the DECIMAL precision reasoning.
+    """
     cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     n_buckets = _shuffle_partitions(df)
     bucketed, eff = _range_bucket(df, cols[0], min(n_buckets, 64), bounds)
 
-    # exact-addition operand type: one precision digit of headroom so
-    # (acc_type + acc_type) fits (38, s) without scale reduction
-    if sum_type.startswith("decimal"):
-        import re as _re
+    import re as _re
 
-        p, s = map(int, _re.findall(r"\d+", sum_type))
-        acc_type = f"decimal({min(p, 37)},{s})"
-    else:
-        acc_type = sum_type
+    def _acc_type(sum_type: str) -> str:
+        # exact-addition operand type: one precision digit of
+        # headroom so (acc_type + acc_type) fits (38, s) without the
+        # allowPrecisionLoss scale reduction
+        if sum_type.startswith("decimal"):
+            p, s = map(int, _re.findall(r"\d+", sum_type))
+            return f"decimal({min(p, 37)},{s})"
+        return sum_type
 
-    def _typed_lit(v: int):
+    def _typed_lit(v: int, sum_type: str):
         if sum_type == "long":
             return F.lit(v).cast("long")
-        # decimal zero literal at the exact operand type
-        return F.expr(f"CAST('{v}' AS {acc_type})")
+        return F.expr(f"CAST('{v}' AS {_acc_type(sum_type)})")
 
-    off = _typed_lit(0)
+    offs_by_out: dict[str, F.Column] = {
+        out: _typed_lit(0, st) for _w, out, st in specs
+    }
     joined = bucketed
     if eff > 1:
         # Exclusive bucket offsets as a ≤64-row broadcast side,
         # computed by a bounded 64×64 broadcast triangle join (sum of
         # all STRICTLY-SMALLER buckets' sums) — never a
-        # single-partition window, so the repo-wide "no Exchange
-        # SinglePartition" plan discipline holds through every
-        # composition. Keeping the offsets in the DAG instead of
-        # collecting them into a literal CASE removes one blocking
-        # driver job per call — the cost that dominated the
-        # multi-prefix-sum rank operators at the scheduler's per-job
-        # floor. Types follow the r13 precision rule: bucket sums
-        # aggregate at the full (38, s) sum type (sum widens
-        # precision, never reduces scale), the finished offset casts
-        # to the (37, s) operand type where genuine overflow fails
-        # LOUDLY to NULL, and a bucket with no predecessors gets an
-        # explicit typed zero (never a coalesce that could mask that
-        # overflow NULL).
+        # single-partition window. Keeping the offsets in the DAG
+        # instead of collecting them into a literal CASE removes one
+        # blocking driver job per call. Types follow the r13
+        # precision rule: bucket sums aggregate at the full (38, s)
+        # sum type (sum widens precision, never reduces scale), the
+        # finished offset casts to the (37, s) operand type where
+        # genuine overflow fails LOUDLY to NULL, and a bucket with no
+        # predecessors gets an explicit typed zero (never a coalesce
+        # that could mask that overflow NULL).
         bsums = bucketed.groupBy("__bkt").agg(
-            F.sum(F.col(weight_col).cast(sum_type)).alias("__bs")
+            *[
+                F.sum(F.col(w).cast(st)).alias(f"__bs_{i}")
+                for i, (w, _o, st) in enumerate(specs)
+            ]
         )
         lower = bsums.select(
-            F.col("__bkt").alias("__lb"), F.col("__bs").alias("__lbs")
+            F.col("__bkt").alias("__lb"),
+            *[
+                F.col(f"__bs_{i}").alias(f"__lbs_{i}")
+                for i in range(len(specs))
+            ],
         )
         offs = (
             bsums.select("__bkt")
@@ -599,25 +631,34 @@ def global_prefix_sum(
             )
             .groupBy("__bkt")
             .agg(
-                F.when(F.count("__lb") == 0, _typed_lit(0))
-                .otherwise(F.sum("__lbs"))
-                .cast(acc_type)
-                .alias("__gps_off")
+                *[
+                    F.when(F.count("__lb") == 0, _typed_lit(0, st))
+                    .otherwise(F.sum(f"__lbs_{i}"))
+                    .cast(_acc_type(st))
+                    .alias(f"__gps_off_{i}")
+                    for i, (_w, _o, st) in enumerate(specs)
+                ]
             )
         )
         joined = bucketed.join(F.broadcast(offs), on="__bkt", how="left")
-        off = F.col("__gps_off")
+        offs_by_out = {
+            out: F.col(f"__gps_off_{i}")
+            for i, (_w, out, _st) in enumerate(specs)
+        }
     w = (
         Window.partitionBy("__bkt")
         .orderBy(*[F.col(c) for c in cols])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum = F.coalesce(
-        F.sum(F.col(weight_col).cast(sum_type)).over(w), _typed_lit(0)
-    ).cast(acc_type)
-    return joined.withColumn(
-        out_col, (cum + off).cast(sum_type)
-    ).drop("__bkt", "__gps_off")
+    out = joined
+    for i, (wcol, ocol, st) in enumerate(specs):
+        cum = F.coalesce(
+            F.sum(F.col(wcol).cast(st)).over(w), _typed_lit(0, st)
+        ).cast(_acc_type(st))
+        out = out.withColumn(ocol, (cum + offs_by_out[ocol]).cast(st))
+    return out.drop(
+        "__bkt", *[f"__gps_off_{i}" for i in range(len(specs))]
+    )
 
 
 # --- Bitmap-prefiltered semi join (shuffle-volume reduction) -------------

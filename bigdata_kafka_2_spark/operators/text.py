@@ -1159,8 +1159,16 @@ def vocab_growth(
             F.coalesce("__new", F.lit(0)).alias("__new"),
         )
     )
-    cum = global_prefix_sum(base, id_col, "__nt", "__ct_before")
-    cum = global_prefix_sum(cum, id_col, "__new", "__cv_before").select(
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sums,
+    )
+
+    # both prefixes in ONE bucketed pass (same rows, same order)
+    cum = global_prefix_sums(
+        base,
+        id_col,
+        [("__nt", "__ct_before", "long"), ("__new", "__cv_before", "long")],
+    ).select(
         id_col,
         (F.col("__ct_before") + F.col("__nt")).alias("__cum_tokens"),
         (F.col("__cv_before") + F.col("__new")).alias("__vocab"),

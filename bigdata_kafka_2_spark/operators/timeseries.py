@@ -878,11 +878,16 @@ def cusum_changepoint(
     # would silently wrap (non-ANSI) once the series total passes
     # 2^63 — decimal overflows loudly to NULL instead, keeping the
     # docstring's exactness claim honest at any aggregate scale
-    pre = global_prefix_sum(
-        df, [order_col], value_col, "__cb", sum_type=dec
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sums,
     )
-    pre2 = global_prefix_sum(
-        pre.withColumn("__one", F.lit(1)), [order_col], "__one", "__i0"
+
+    # value and row-index prefixes in ONE bucketed pass (same rows,
+    # same order — the multi-weight form shares sketch and window)
+    pre2 = global_prefix_sums(
+        df.withColumn("__one", F.lit(1)),
+        [order_col],
+        [(value_col, "__cb", dec), ("__one", "__i0", "long")],
     )
     tot = df.agg(
         F.count(F.lit(1)).alias("__n"),
@@ -1083,12 +1088,15 @@ def kaplan_meier(
             (F.lit(1) - F.col(event_col).cast("long"))
         ).alias("n_censored"),
     )
-    tot = subjects.agg(F.count(F.lit(1)).alias("__N"))
+    # one subjects scan (the nelson_aalen shape): checkpoint the
+    # |T|-row cell table; the subject total is Σ __rem over it
+    g = g.withColumn(
+        "__rem", F.col("n_events") + F.col("n_censored")
+    ).localCheckpoint(eager=False)
+    tot = g.agg(F.sum("__rem").alias("__N"))
     # subjects removed (event or censor) strictly before t
     risk = global_prefix_sum(
-        g.withColumn(
-            "__rem", F.col("n_events") + F.col("n_censored")
-        ),
+        g,
         ["t"],
         "__rem",
         "__rm",
@@ -1306,6 +1314,11 @@ def nelson_aalen(
         global_prefix_sum,
     )
 
+    # one subjects scan: the |T|-row cell table is checkpointed and
+    # the subject total is Σ __rem over it (≡ count(subjects)), so
+    # the quantile sketch, the total, and both downstream prefix
+    # passes all read the reduced table instead of re-running the
+    # caller's duration pipeline per consumer (the q228 precedent).
     g = subjects.groupBy(
         F.col(duration_col).cast("long").alias("t")
     ).agg(
@@ -1313,12 +1326,12 @@ def nelson_aalen(
         F.sum(
             (F.lit(1) - F.col(event_col).cast("long"))
         ).alias("n_censored"),
-    )
-    tot = subjects.agg(F.count(F.lit(1)).alias("__N"))
+    ).withColumn(
+        "__rem", F.col("n_events") + F.col("n_censored")
+    ).localCheckpoint(eager=False)
+    tot = g.agg(F.sum("__rem").alias("__N"))
     risk = global_prefix_sum(
-        g.withColumn(
-            "__rem", F.col("n_events") + F.col("n_censored")
-        ),
+        g,
         ["t"],
         "__rem",
         "__rm",
@@ -1336,11 +1349,19 @@ def nelson_aalen(
             "__v", F.round(d / (n * n), 12).cast("decimal(38,12)")
         )
     )
-    cum = global_prefix_sum(
-        ev, ["t"], "__h", "__h0", sum_type="decimal(38,9)"
+    # both cumulatives in ONE bucketed pass (same rows, same order —
+    # the multi-weight form shares the sketch, offsets, and window)
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sums,
     )
-    cum = global_prefix_sum(
-        cum, ["t"], "__v", "__v0", sum_type="decimal(38,12)"
+
+    cum = global_prefix_sums(
+        ev,
+        ["t"],
+        [
+            ("__h", "__h0", "decimal(38,9)"),
+            ("__v", "__v0", "decimal(38,12)"),
+        ],
     )
     # precision-37 operands: (38,9)+(38,9) would reduce scale to 8
     # (Spark's allowPrecisionLoss addition rule — see
@@ -1424,8 +1445,16 @@ def logrank_test(
         F.sum("__rem").alias("__N"), F.sum("__rem1").alias("__N1")
     ).collect()[0]
     n_total, n_group = int(meta["__N"]), int(meta["__N1"])
-    pre = global_prefix_sum(g, ["t"], "__rem", "__rm")
-    pre = global_prefix_sum(pre, ["t"], "__rem1", "__rm1")
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sums,
+    )
+
+    # one bucketed pass for both removal prefixes (same rows/order)
+    pre = global_prefix_sums(
+        g,
+        ["t"],
+        [("__rem", "__rm", "long"), ("__rem1", "__rm1", "long")],
+    )
     risk = pre.select(
         "t",
         "__d",
@@ -1555,8 +1584,18 @@ def competing_risks_cif(
         "(2000L * __s6u * __d2 + n_risk) DIV (2L * n_risk)"
     )
     risk = risk.withColumn("__u1", u1).withColumn("__u2", u2)
-    risk = global_prefix_sum(risk, ["t"], "__u1", "__c1b")
-    risk = global_prefix_sum(risk, ["t"], "__u2", "__c2b")
+    from bigdata_kafka_2_spark.operators.relational import (
+        global_prefix_sums,
+    )
+
+    # both per-cause cumulatives in ONE bucketed pass (same rows and
+    # order; the ls_before prefix above cannot merge — u1/u2 are
+    # computed FROM its output)
+    risk = global_prefix_sums(
+        risk,
+        ["t"],
+        [("__u1", "__c1b", "long"), ("__u2", "__c2b", "long")],
+    )
     risk = risk.withColumn(
         "__cif1u", F.col("__c1b") + F.col("__u1")
     ).withColumn("__cif2u", F.col("__c2b") + F.col("__u2"))
