@@ -146,19 +146,28 @@ def learn_bpe_merges(
     sym = sym.localCheckpoint(eager=False)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
+        # single-row argmax: min_by over the (−count, left, right)
+        # ordering struct ≡ orderBy(count desc, left, right).limit(1)
+        # — one map-side-combined aggregate job instead of a
+        # TakeOrdered sort (and its scale-up retry) per round
         top = (
             _pair_counts(sym)
-            .orderBy(
-                F.col("pair_count").desc(),
-                F.col("left").asc(),
-                F.col("right").asc(),
+            .agg(
+                F.min_by(
+                    F.struct("left", "right", "pair_count"),
+                    F.struct(
+                        (-F.col("pair_count")).alias("__nc"),
+                        F.col("left"),
+                        F.col("right"),
+                    ),
+                ).alias("__m")
             )
-            .limit(1)
             .collect()
         )
-        if not top or top[0].pair_count < min_pair_count:
+        row = top[0]["__m"] if top else None
+        if row is None or row["pair_count"] < min_pair_count:
             break
-        left, right, cnt = top[0].left, top[0].right, int(top[0].pair_count)
+        left, right, cnt = row["left"], row["right"], int(row["pair_count"])
         merges.append((left, right, cnt))
         sym = sym.withColumn(
             "symbols", _merge_expr(left, right)

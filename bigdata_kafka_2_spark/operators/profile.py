@@ -2960,16 +2960,25 @@ def kruskal_wallis(
         Nd * Nd * Nd - Nd
     )
     h_adj = h / corr
+    # stage h/h_adj/corr as columns before the survival (the q292
+    # rule: chi2_sf_col copies its argument into every series term
+    # of every df branch — feed it a column reference, not a tree)
+    fam = fam.select(
+        "__N", "__k",
+        h.alias("__h"),
+        h_adj.alias("__hadj"),
+        corr.alias("__corr"),
+    )
     dfree = (F.col("__k") - 1).cast("int")
-    ok = (F.col("__k") >= 2) & (corr > 0)
+    ok = (F.col("__k") >= 2) & (F.col("__corr") > 0)
     return fam.select(
         F.col("__N").cast("long").alias("n"),
         F.col("__k").cast("long").alias("k"),
-        F.round(F.when(ok, h), 6).alias("h"),
-        F.round(F.when(ok, h_adj), 6).alias("h_adj"),
+        F.round(F.when(ok, F.col("__h")), 6).alias("h"),
+        F.round(F.when(ok, F.col("__hadj")), 6).alias("h_adj"),
         dfree.cast("long").alias("df"),
         F.round(
-            F.when(ok, chi2_sf_col(h_adj, dfree)), 9
+            F.when(ok, chi2_sf_col(F.col("__hadj"), dfree)), 9
         ).alias("p_value"),
     )
 
@@ -3885,8 +3894,22 @@ def bartlett_test(
     c_corr = F.lit(1.0) + (
         F.col("__s2").cast("double") - F.lit(1.0) / (Nd - kd)
     ) / (F.lit(3.0) * (kd - F.lit(1.0)))
-    chi2 = ((Nd - kd) * F.log(sp2) - F.col("__s1").cast("double")) \
+    chi2_expr = ((Nd - kd) * F.log(sp2) - F.col("__s1").cast("double")) \
         / c_corr
+    # STAGE chi2 as a column before the survival: chi2_sf_col embeds
+    # its argument tree into every series term of every df branch
+    # (~1600 copies) — substituting the ~40-node chi2 expression
+    # built a ~60k-node plan whose optimizer passes alone cost ~4 s
+    # per execution at ONE output row. A column reference keeps the
+    # survival tree constant-sized; CollapseProject will not inline
+    # a non-cheap alias into many uses, so the staging survives
+    # optimization. Values are identical.
+    agg = agg.select(
+        "__k", "__N", "__minvar", sp2.alias("__sp2"),
+        chi2_expr.alias("__chi2"),
+    )
+    sp2 = F.col("__sp2")
+    chi2 = F.col("__chi2")
     ok = (F.col("__k") >= 2) & (F.col("__minvar") > 0)
     p = chi2_sf_col(chi2, (F.col("__k") - 1).cast("int"))
     # pooled_var rounds at 2 dp, NOT 6: a variance of a money column
