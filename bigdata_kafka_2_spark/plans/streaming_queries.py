@@ -628,10 +628,15 @@ def q132_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = os.path.join(base, "table")
     ckpt = os.path.join(base, "ckpt")
     shutil.rmtree(base, ignore_errors=True)
-    run_streaming_upsert(
-        _staged_events_stream(spark, sf_dir, "q132_events", ("",)),
-        table,
-        ckpt,
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        scaled_stream_conf,
+    )
+
+    with scaled_stream_conf(spark, _sf_bytes(sf_dir, "events")):
+        run_streaming_upsert(
+            _staged_events_stream(spark, sf_dir, "q132_events", ("",)),
+            table,
+            ckpt,
         key_cols=["user_id"],
         order_cols=["ts", "event_id"],
     )
@@ -823,11 +828,16 @@ def q190_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
     shutil.rmtree(base, ignore_errors=True)
     stream = _staged_events_stream(spark, sf_dir, "q190_events", ("",))
-    run_streaming_bucket_counts(
-        stream.filter(F.col("ts") >= split),
-        "value",
-        lo,
-        hi,
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        scaled_stream_conf,
+    )
+
+    with scaled_stream_conf(spark, _sf_bytes(sf_dir, "events")):
+        run_streaming_bucket_counts(
+            stream.filter(F.col("ts") >= split),
+            "value",
+            lo,
+            hi,
         10,
         state,
         ckpt,
@@ -899,7 +909,12 @@ def q199_streaming_heavy_hitters(
     ckpt = os.path.join(base, "ckpt")
     shutil.rmtree(base, ignore_errors=True)
     stream = _documents_stream(spark, sf_dir, prefix="q199_docs")
-    run_streaming_token_counts(stream, "text", state, ckpt)
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        scaled_stream_conf,
+    )
+
+    with scaled_stream_conf(spark, _sf_bytes(sf_dir, "documents")):
+        run_streaming_token_counts(stream, "text", state, ckpt)
     counts = read_token_counts(spark, state)
     return counts.orderBy(
         F.col("n").desc(), F.col("tok").asc()
@@ -952,9 +967,14 @@ def q212_streaming_digest(
     ckpt = os.path.join(base, "ckpt")
     shutil.rmtree(base, ignore_errors=True)
     stream = _staged_events_stream(spark, sf_dir, "q212_events", ("",))
-    run_streaming_digest(
-        stream, ["event_id", "user_id", "event_type"], state, ckpt
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        scaled_stream_conf,
     )
+
+    with scaled_stream_conf(spark, _sf_bytes(sf_dir, "events")):
+        run_streaming_digest(
+            stream, ["event_id", "user_id", "event_type"], state, ckpt
+        )
     return read_streaming_digest(spark, state)
 
 
@@ -1027,7 +1047,14 @@ def q213_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    run_streaming_scd2(stream, table, ckpt, ["c_custkey"], "ts")
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        scaled_stream_conf,
+    )
+
+    from bigdata_kafka_2_spark.streaming.ingest import source_size_bytes
+
+    with scaled_stream_conf(spark, source_size_bytes(stage)):
+        run_streaming_scd2(stream, table, ckpt, ["c_custkey"], "ts")
     return spark.read.parquet(table).select(
         "c_custkey",
         "bal",
@@ -1113,7 +1140,14 @@ def q220_streaming_erasure(
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    run_streaming_erasure(stream, table, ckpt, "c_custkey", cols, audit)
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        scaled_stream_conf,
+    )
+
+    from bigdata_kafka_2_spark.streaming.ingest import source_size_bytes
+
+    with scaled_stream_conf(spark, source_size_bytes(stage)):
+        run_streaming_erasure(stream, table, ckpt, "c_custkey", cols, audit)
     return read_erasure_audit(spark, audit)
 
 
@@ -1174,9 +1208,14 @@ def q231_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
     shutil.rmtree(base, ignore_errors=True)
     stream = _staged_events_stream(spark, sf_dir, "q231_events", ("",))
-    run_streaming_period_sums(
-        stream, F.to_date("ts"), F.lit(1), state, ckpt
+    from bigdata_kafka_2_spark.streaming.ingest import (
+        scaled_stream_conf,
     )
+
+    with scaled_stream_conf(spark, _sf_bytes(sf_dir, "events")):
+        run_streaming_period_sums(
+            stream, F.to_date("ts"), F.lit(1), state, ckpt
+        )
     daily = read_period_sums(spark, state).select(
         F.col("period").alias("d"), F.col("n").alias("c")
     )
